@@ -1,0 +1,458 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{AsOfJoin, Upsert}
+
+/** Relational closure of the reference's data model (SURVEY.md §2b):
+  * scans, projection/filter, every join shape, aggregation incl.
+  * rollup/cube/grouping-sets, window functions, sort/top-k, set ops,
+  * scalar string/date/JSON functions, banded range join, as-of join,
+  * keyed upsert (the reference's U1–U3 semantics).
+  *
+  * Scale notes are per-query; the common rules: filters/projections stay
+  * declarative so Catalyst pushes them into the parquet scan; dimension
+  * joins are explicitly `broadcast()`; fact-fact joins shuffle once on the
+  * join key and rely on AQE for skew; no `.collect()` anywhere.
+  */
+object Relational {
+
+  private def li(s: SparkSession, d: String) = Tables.lineitem(s, d)
+  private def ord(s: SparkSession, d: String) = Tables.orders(s, d)
+  private def cust(s: SparkSession, d: String) = Tables.customer(s, d)
+  private def nat(s: SparkSession, d: String) = Tables.nation(s, d)
+  private def reg(s: SparkSession, d: String) = Tables.region(s, d)
+  private def ev(s: SparkSession, d: String) = Tables.events(s, d)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ------------------------------------------------------------------
+    // q01: full-scan hash aggregate (TPC-H Q1 shape). Partial (map-side)
+    // aggregation is automatic for sum/avg/count; at 100 TB this is one
+    // scan + one 6-group shuffle — optimal.
+    QueryDef("q01_agg_pricing",
+      (s, d) => li(s, d)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg("l_quantity"), 4).as("avg_qty"),
+          round(avg("l_discount"), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus")),
+      Some("""SELECT l_returnflag, l_linestatus,
+        round(sum(l_quantity),2) AS sum_qty,
+        round(sum(l_extendedprice),2) AS sum_base_price,
+        round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+        round(avg(l_quantity),4) AS avg_qty,
+        round(avg(l_discount),4) AS avg_disc,
+        count(*) AS count_order
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus""")),
+
+    // q02: selective filter + narrow projection. Both the two predicates and
+    // the 4-column ReadSchema reach the parquet reader (PushedFilters).
+    QueryDef("q02_filter_pushdown",
+      (s, d) => li(s, d)
+        .filter(col("l_discount") >= 0.05 && col("l_discount") <= 0.07 && col("l_quantity") < 5.0)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount")
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount
+        FROM lineitem
+        WHERE l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 5.0
+        ORDER BY l_orderkey, l_linenumber""")),
+
+    // q03: star join — orders (fact) against customer/nation/region dims.
+    // nation+region are broadcast explicitly; customer is small here but
+    // grows with SF, so it's left to AQE (broadcast at 15k rows, shuffle at
+    // 100 TB where it no longer fits).
+    QueryDef("q03_star_join_broadcast",
+      (s, d) => ord(s, d)
+        .join(cust(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nat(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("revenue"))
+        .orderBy("r_name"),
+      Some("""SELECT r_name, count(*) AS n_orders, round(sum(o_totalprice),2) AS revenue
+        FROM orders JOIN customer ON o_custkey=c_custkey
+        JOIN nation ON c_nationkey=n_nationkey
+        JOIN region ON n_regionkey=r_regionkey
+        GROUP BY r_name ORDER BY r_name""")),
+
+    // q04: fact-fact join (lineitem ⨝ orders): single shuffle each side on
+    // the orderkey, sort-merge at scale, AQE may demote to shuffled-hash.
+    QueryDef("q04_factfact_join",
+      (s, d) => li(s, d)
+        .join(ord(s, d), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          countDistinct(col("o_orderkey")).as("n_orders"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority, count(DISTINCT o_orderkey) AS n_orders,
+        round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+        FROM lineitem JOIN orders ON l_orderkey=o_orderkey
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // q05: left outer join preserving customers without orders.
+    QueryDef("q05_left_join",
+      (s, d) => cust(s, d)
+        .join(ord(s, d), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          countDistinct(col("c_custkey")).as("n_cust"),
+          count(col("o_orderkey")).as("n_orders"),
+          round(sum(coalesce(col("o_totalprice"), lit(0.0))), 2).as("revenue"))
+        .orderBy("c_mktsegment"),
+      Some("""SELECT c_mktsegment, count(DISTINCT c_custkey) AS n_cust,
+        count(o_orderkey) AS n_orders,
+        round(sum(coalesce(o_totalprice,0)),2) AS revenue
+        FROM customer LEFT JOIN orders ON c_custkey=o_custkey
+        GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    // q06: left-semi (EXISTS) — customers with at least one big order,
+    // rolled up to nation. Semi join only ships the key column.
+    QueryDef("q06_semi_join",
+      (s, d) => cust(s, d)
+        .join(ord(s, d).filter(col("o_totalprice") > 400000.0).select("o_custkey"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .join(broadcast(nat(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_cust"))
+        .orderBy("n_name"),
+      Some("""SELECT n_name, count(*) AS n_cust
+        FROM customer JOIN nation ON c_nationkey=n_nationkey
+        WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey=c_custkey AND o_totalprice > 400000.0)
+        GROUP BY n_name ORDER BY n_name""")),
+
+    // q07: left-anti (NOT EXISTS) — customers who never placed a >400k order.
+    QueryDef("q07_anti_join",
+      (s, d) => cust(s, d)
+        .join(ord(s, d).filter(col("o_totalprice") > 400000.0).select("o_custkey"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_cust"), round(sum("c_acctbal"), 2).as("total_bal"))
+        .orderBy("c_mktsegment"),
+      Some("""SELECT c_mktsegment, count(*) AS n_cust, round(sum(c_acctbal),2) AS total_bal
+        FROM customer WHERE NOT EXISTS (
+          SELECT 1 FROM orders WHERE o_custkey=c_custkey AND o_totalprice > 400000.0)
+        GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    // q08: ranking window — top-3 customers per market segment. row_number
+    // (not rank) + unique tie-break keys ⇒ deterministic.
+    QueryDef("q08_topk_per_group",
+      (s, d) => {
+        val w = Window.partitionBy(col("c_mktsegment"))
+          .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+        cust(s, d)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select("c_mktsegment", "rn", "c_custkey", "c_acctbal")
+          .orderBy("c_mktsegment", "rn")
+      },
+      Some("""SELECT c_mktsegment, CAST(rn AS INTEGER) AS rn, c_custkey, c_acctbal FROM (
+          SELECT c_mktsegment, c_custkey, c_acctbal,
+                 row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
+          FROM customer) t
+        WHERE rn <= 3 ORDER BY c_mktsegment, rn""")),
+
+    // q09: running-total frame (rowsBetween unbounded..current) over a
+    // total order; restricted to 5 suppliers to keep output bounded.
+    QueryDef("q09_window_running",
+      (s, d) => {
+        val w = Window.partitionBy(col("l_suppkey"))
+          .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        li(s, d).filter(col("l_suppkey") <= 5)
+          .withColumn("running_rev", round(sum(col("l_extendedprice")).over(w), 2))
+          .select("l_suppkey", "l_orderkey", "l_linenumber", "l_shipdate", "running_rev")
+          .orderBy("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber")
+      },
+      Some("""SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate,
+          round(sum(l_extendedprice) OVER (PARTITION BY l_suppkey
+            ORDER BY l_shipdate, l_orderkey, l_linenumber
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),2) AS running_rev
+        FROM lineitem WHERE l_suppkey <= 5
+        ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber""")),
+
+    // q10: analytic lag — days since the customer's previous order.
+    QueryDef("q10_window_lag",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+        ord(s, d).filter(col("o_custkey") <= 100)
+          .withColumn("days_since_prev",
+            datediff(col("o_orderdate"), lag(col("o_orderdate"), 1).over(w)))
+          .select("o_custkey", "o_orderkey", "o_orderdate", "days_since_prev")
+          .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_orderdate,
+          CAST(date_diff('day',
+            CAST(lag(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DATE),
+            CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since_prev
+        FROM orders WHERE o_custkey <= 100
+        ORDER BY o_custkey, o_orderdate, o_orderkey""")),
+
+    // q11: ROLLUP region→nation; NULL grouping levels made explicit so the
+    // sort order is engine-independent.
+    QueryDef("q11_rollup",
+      (s, d) => cust(s, d)
+        .join(broadcast(nat(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_cust"), round(sum("c_acctbal"), 2).as("total_bal"))
+        .select(
+          coalesce(col("r_name"), lit("ALL")).as("region"),
+          coalesce(col("n_name"), lit("ALL")).as("nation"),
+          col("n_cust"), col("total_bal"))
+        .orderBy("region", "nation"),
+      Some("""SELECT coalesce(r_name,'ALL') AS region, coalesce(n_name,'ALL') AS nation,
+          count(*) AS n_cust, round(sum(c_acctbal),2) AS total_bal
+        FROM customer JOIN nation ON c_nationkey=n_nationkey
+        JOIN region ON n_regionkey=r_regionkey
+        GROUP BY ROLLUP(r_name, n_name)
+        ORDER BY region, nation""")),
+
+    // q12: CUBE over the two lineitem status flags.
+    QueryDef("q12_cube",
+      (s, d) => li(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("n"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("sum_qty"), col("n"))
+        .orderBy("returnflag", "linestatus"),
+      Some("""SELECT coalesce(l_returnflag,'ALL') AS returnflag,
+          coalesce(l_linestatus,'ALL') AS linestatus,
+          round(sum(l_quantity),2) AS sum_qty, count(*) AS n
+        FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        ORDER BY returnflag, linestatus""")),
+
+    // q13: exact distinct aggregation (expand-based in Spark; the shuffle
+    // key widens to include the distinct column — fine, it's the plan you
+    // want at scale vs a two-pass self-join).
+    QueryDef("q13_count_distinct",
+      (s, d) => ord(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          countDistinct(col("o_custkey")).as("n_cust"),
+          count(lit(1)).as("n_orders"),
+          round(avg("o_totalprice"), 4).as("avg_price"))
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_cust,
+          count(*) AS n_orders, round(avg(o_totalprice),4) AS avg_price
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // q14: global top-k — Spark's sort+limit runs as a per-partition top-k
+    // then a single-reducer merge of k·partitions rows (TakeOrderedAndProject),
+    // so it never globally sorts 100 TB.
+    QueryDef("q14_global_topk",
+      (s, d) => li(s, d)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+        .limit(50),
+      Some("""SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC LIMIT 50""")),
+
+    // q15: INTERSECT — customers that placed both an 'F' and an 'O' order.
+    QueryDef("q15_intersect",
+      (s, d) => {
+        val o = ord(s, d)
+        o.filter(col("o_orderstatus") === "F").select(col("o_custkey").as("custkey"))
+          .intersect(o.filter(col("o_orderstatus") === "O").select(col("o_custkey").as("custkey")))
+          .orderBy("custkey")
+      },
+      Some("""SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus='F'
+        INTERSECT
+        SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus='O'
+        ORDER BY custkey""")),
+
+    // q16: EXCEPT — customers with 'O' orders but no 'F' orders.
+    QueryDef("q16_except",
+      (s, d) => {
+        val o = ord(s, d)
+        o.filter(col("o_orderstatus") === "O").select(col("o_custkey").as("custkey"))
+          .except(o.filter(col("o_orderstatus") === "F").select(col("o_custkey").as("custkey")))
+          .orderBy("custkey")
+      },
+      Some("""SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus='O'
+        EXCEPT
+        SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus='F'
+        ORDER BY custkey""")),
+
+    // q17: scalar string functions (all codegen'd built-ins, no UDFs).
+    QueryDef("q17_string_funcs",
+      (s, d) => Tables.part(s, d)
+        .select(
+          col("p_partkey"),
+          lower(col("p_name")).as("name_lc"),
+          regexp_extract(col("p_brand"), "([0-9]+)", 1).as("brand_num"),
+          element_at(split(col("p_name"), " "), 1).as("first_word"),
+          concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+          length(col("p_name")).as("name_len"))
+        .orderBy("p_partkey"),
+      Some("""SELECT p_partkey, lower(p_name) AS name_lc,
+          regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num,
+          string_split(p_name, ' ')[1] AS first_word,
+          concat_ws('|', p_brand, p_type) AS brand_type,
+          CAST(length(p_name) AS INTEGER) AS name_len
+        FROM part ORDER BY p_partkey""")),
+
+    // q18: date functions — monthly order rollup.
+    QueryDef("q18_date_funcs",
+      (s, d) => ord(s, d)
+        .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+        .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("revenue"))
+        .withColumn("yr", year(col("month")))
+        .withColumn("qtr", quarter(col("month")))
+        .select("month", "yr", "qtr", "n_orders", "revenue")
+        .orderBy("month"),
+      Some("""SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+          CAST(year(date_trunc('month', o_orderdate)) AS INTEGER) AS yr,
+          CAST(quarter(date_trunc('month', o_orderdate)) AS INTEGER) AS qtr,
+          count(*) AS n_orders, round(sum(o_totalprice),2) AS revenue
+        FROM orders GROUP BY date_trunc('month', o_orderdate)
+        ORDER BY month""")),
+
+    // q19: JSON extraction from events.props (the reference's nested-JSON
+    // input model, S1/P2, applied to a string column).
+    QueryDef("q19_json_funcs",
+      (s, d) => ev(s, d)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n"), round(avg("value"), 4).as("avg_value"))
+        .orderBy("k"),
+      Some("""SELECT CAST(json_extract_string(props,'$.k') AS INTEGER) AS k,
+          count(*) AS n, round(avg("value"),4) AS avg_value
+        FROM events GROUP BY 1 ORDER BY k""")),
+
+    // q20: CASE bucketing + multi-key aggregate.
+    QueryDef("q20_case_buckets",
+      (s, d) => cust(s, d)
+        .withColumn("bal_bucket",
+          when(col("c_acctbal") < 0, "neg")
+            .when(col("c_acctbal") < 5000, "low")
+            .otherwise("high"))
+        .groupBy(col("c_mktsegment"), col("bal_bucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("c_mktsegment", "bal_bucket"),
+      Some("""SELECT c_mktsegment,
+          CASE WHEN c_acctbal < 0 THEN 'neg' WHEN c_acctbal < 5000 THEN 'low' ELSE 'high' END AS bal_bucket,
+          count(*) AS n
+        FROM customer GROUP BY 1, 2 ORDER BY c_mktsegment, bal_bucket""")),
+
+    // q21: banded range join — click within 60s after a view, same user.
+    // Spark-first: instead of a theta join (O(n·m) compare), bucket event
+    // time to 60s cells and equi-join on (user, bucket) with the click
+    // exploded into its cell and the previous one; the range predicate then
+    // filters exactly. Scales linearly; the naive inequality join would not.
+    QueryDef("q21_band_join",
+      (s, d) => {
+        val e = ev(s, d).select(col("user_id"), col("event_type"),
+          col("ts").cast("double").as("tsec"))
+        val views = e.filter(col("event_type") === "view")
+          .select(col("user_id"), col("tsec").as("v_tsec"),
+            floor(col("tsec") / 60).as("bkt"))
+        val clicks = e.filter(col("event_type") === "click")
+          .select(col("user_id"), col("tsec").as("c_tsec"),
+            explode(array(floor(col("tsec") / 60), floor(col("tsec") / 60) - 1)).as("bkt"))
+        views.join(clicks, Seq("user_id", "bkt"))
+          .filter(col("c_tsec") >= col("v_tsec") && col("c_tsec") <= col("v_tsec") + 60.0)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT v.user_id AS user_id, count(*) AS n_pairs
+        FROM events v JOIN events c
+          ON c.user_id = v.user_id
+         AND v.event_type='view' AND c.event_type='click'
+         AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 60 SECOND
+        GROUP BY v.user_id ORDER BY 1""")),
+
+    // q22: as-of join — for each purchase, the most recent signup at or
+    // before it (same user). Union+window formulation: one shuffle, no
+    // cross product (operators.AsOfJoin).
+    QueryDef("q22_asof_join",
+      (s, d) => {
+        val e = ev(s, d)
+        val withAsof = AsOfJoin.lastValueAsOf(
+          e.filter(col("event_type").isin("purchase", "signup")),
+          isRight = col("event_type") === "signup",
+          valueCol = col("ts"),
+          partition = Seq(col("user_id")),
+          ts = col("ts"),
+          tieBreak = col("event_id"))
+        withAsof.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"),
+            col("_graft_asof").as("last_signup_ts"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT p.event_id, p.user_id, p.ts, max(s.ts) AS last_signup_ts
+        FROM events p LEFT JOIN events s
+          ON s.user_id = p.user_id AND s.event_type='signup' AND s.ts <= p.ts
+        WHERE p.event_type='purchase'
+        GROUP BY p.event_id, p.user_id, p.ts
+        ORDER BY p.event_id""")),
+
+    // q23: keyed upsert (reference U1–U3): derived update batch replaces
+    // every 7th order; merged via operators.Upsert (single shuffle window
+    // merge), then aggregated.
+    QueryDef("q23_upsert",
+      (s, d) => {
+        val base = ord(s, d)
+        // ×2 is exact in binary floating point — no per-row rounding, which
+        // would diverge between Spark (BigDecimal HALF_UP on the shortest
+        // decimal repr) and C-family engines (scaled std::round).
+        val updates = base.filter(col("o_orderkey") % 7 === 0)
+          .withColumn("o_orderstatus", lit("U"))
+          .withColumn("o_totalprice", col("o_totalprice") * 2.0)
+        Upsert(base, updates, Seq("o_orderkey"))
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""WITH merged AS (
+          SELECT CASE WHEN o_orderkey % 7 = 0 THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+                 CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice*2.0 ELSE o_totalprice END AS o_totalprice
+          FROM orders)
+        SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice),2) AS total
+        FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // q24: approximate distinct (HLL++). Sketch values differ across
+    // engines by design → rows-only driver check, no SQL oracle.
+    QueryDef("q24_approx_distinct",
+      (s, d) => li(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+        .orderBy("l_returnflag"),
+      None),
+
+    // q25: GROUPING SETS via the SQL front-end (distinct region / nation /
+    // grand-total levels in one pass over the join).
+    QueryDef("q25_grouping_sets",
+      (s, d) => {
+        cust(s, d).createOrReplaceTempView("graft_q25_customer")
+        nat(s, d).createOrReplaceTempView("graft_q25_nation")
+        reg(s, d).createOrReplaceTempView("graft_q25_region")
+        s.sql("""SELECT coalesce(r_name,'ALL') AS region, coalesce(n_name,'ALL') AS nation,
+            count(1) AS n_cust, round(sum(c_acctbal),2) AS total_bal
+          FROM graft_q25_customer JOIN graft_q25_nation ON c_nationkey=n_nationkey
+          JOIN graft_q25_region ON n_regionkey=r_regionkey
+          GROUP BY GROUPING SETS ((r_name),(n_name),())
+          ORDER BY region, nation""")
+      },
+      Some("""SELECT coalesce(r_name,'ALL') AS region, coalesce(n_name,'ALL') AS nation,
+          count(*) AS n_cust, round(sum(c_acctbal),2) AS total_bal
+        FROM customer JOIN nation ON c_nationkey=n_nationkey
+        JOIN region ON n_regionkey=r_regionkey
+        GROUP BY GROUPING SETS ((r_name),(n_name),())
+        ORDER BY region, nation"""))
+  )
+}
