@@ -1,0 +1,75 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level text primitives shared by the dedup / text-analysis
+  * operators. Everything here is built from codegen'd Spark built-ins (no
+  * UDFs), and every hash is *engine-portable*: derived from `md5` hex so the
+  * DuckDB oracle can recompute bit-identical values.
+  *
+  * Reference lineage: the reference's only text handling is array
+  * serialization (`'//'.join`, `dags/jira/jira_base_processor.py:98-100`);
+  * the tokenize/shingle/fingerprint surface generalizes it for the
+  * LLM-pipeline closure (north star, /root/repo/BASELINE.json).
+  */
+object TextFns {
+
+  /** Mersenne prime 2^31-1: modulus for the MinHash permutation family.
+    * Keeps a_j*h + b_j < 2^62, overflow-free in signed 64-bit arithmetic in
+    * BOTH engines (Spark long, DuckDB BIGINT).
+    */
+  val MinHashP: Long = 2147483647L
+  /** Knuth multiplicative constant reduced mod P — spreads the per-perm
+    * multipliers across the field.
+    */
+  val MulA: Long = 2654435761L % MinHashP // 507452114
+  val MulB: Long = 1013904223L
+
+  /** Lowercased whitespace tokens, empties removed. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => length(t) > 0)
+
+  /** Distinct word n-grams ("shingles") of the token array; empty array for
+    * docs shorter than n tokens (sequence() would otherwise run backwards).
+    */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      array_distinct(
+        transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(n))))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Portable 32-bit hash: first 8 hex chars of md5, parsed base-16.
+    * DuckDB equivalent: `('0x' || substr(md5(s), 1, 8))::BIGINT`.
+    */
+  def hash32(s: Column): Column =
+    conv(substring(md5(s), 1, 8), 16, 10).cast("long")
+
+  /** MinHash signature (array of `perms` minima) over a shingle array.
+    * h_j(x) = (a_j * (x mod P) + b_j) mod P with a_j, b_j derived from the
+    * permutation index — identical integer arithmetic in the oracle.
+    */
+  def minHashSignature(shingleArr: Column, perms: Int): Column = {
+    val hs = transform(shingleArr, s => hash32(s) % MinHashP)
+    transform(sequence(lit(1), lit(perms)), j => {
+      val a = (lit(MulA) * j) % MinHashP
+      val b = (lit(MulB) * j) % MinHashP
+      array_min(transform(hs, h => (a * h + b) % MinHashP))
+    })
+  }
+
+  /** LSH band keys for a MinHash signature: md5 over each band's
+    * comma-joined rows. Docs sharing any band key are near-dup candidates.
+    */
+  def lshBandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => struct(b.as("band"),
+        md5(concat_ws(",", slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)))).as("key")))
+
+  /** Exact Jaccard similarity of two (distinct-element) arrays. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    inter / (size(a) + size(b) - inter)
+  }
+}

@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`): brute-force
+  * cosine top-k (the exact baseline) and an IVF-bucketed approximate variant
+  * (the scale path). North-star LLM-pipeline closure — the reference has no
+  * vector surface.
+  *
+  * Determinism contract: all arithmetic is float→double cast per element,
+  * then multiplied and summed left-to-right — the exact op order DuckDB's
+  * list_transform/list_sum uses, so cosine values are bit-comparable before
+  * the final rounding.
+  *
+  * 100 TB posture: the query side is broadcast (small by construction);
+  * candidates never shuffle their vectors for the brute-force path — the
+  * cosine is computed map-side in the scan stage, and only (qid, nid, cos)
+  * triples (not vectors) enter the top-k exchange. Top-k is two-phase:
+  * per-partition row_number prunes to k·partitions rows before the final
+  * per-query window — no global sort of the full pair set.
+  */
+object Similarity {
+
+  /** Σ aᵢ·bᵢ with per-element double casts, left-to-right. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column, normA: Column, normB: Column): Column =
+    dot(a, b) / (normA * normB)
+
+  /** Exact cosine top-k: for each query row (filtered by `isQuery`), the k
+    * nearest other rows. Output: (query_id, rank, neighbor_id, cos).
+    */
+  def bruteForceTopK(vecs: DataFrame, idCol: String, vecCol: String,
+      isQuery: Column, k: Int): DataFrame = {
+    val withNorm = vecs.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("nrm", l2norm(col("v")))
+    val q = withNorm.filter(isQuery)
+      .select(col("id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val pairs = withNorm.join(broadcast(q), col("id") =!= col("query_id"))
+      .withColumn("cos", round(cosine(col("qv"), col("v"), col("qn"), col("nrm")), 6))
+      .select("query_id", "id", "cos")
+    // two-phase top-k: local prune to k per (query, partition), then final
+    val local = Window.partitionBy(col("query_id"), spark_partition_id())
+      .orderBy(col("cos").desc, col("id"))
+    val global = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("id"))
+    pairs
+      .withColumn("_lrn", row_number().over(local)).filter(col("_lrn") <= k)
+      .withColumn("rank", row_number().over(global)).filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("id").as("neighbor_id"), col("cos"))
+  }
+
+  /** IVF (inverted-file) approximate top-k: vectors are bucketed by nearest
+    * of `nCentroids` seed centroids (deterministically: the rows with the
+    * lowest ids); each query probes its `nProbe` nearest centroid buckets
+    * only. Trades recall for a `nProbe/nCentroids` scan fraction — the
+    * standard ANN scale path when brute force no longer fits.
+    * Approximate ⇒ driver rows-only check; recall vs. brute force is
+    * asserted in the ScalaTest spec.
+    */
+  def ivfTopK(vecs: DataFrame, idCol: String, vecCol: String,
+      isQuery: Column, k: Int, nCentroids: Int, nProbe: Int): DataFrame = {
+    val base = vecs.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("nrm", l2norm(col("v")))
+    val cents = base.orderBy("id").limit(nCentroids)
+      .select(col("id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
+    // assign every vector to its nearest centroid (broadcast NL join, small)
+    val wAssign = Window.partitionBy(col("id"))
+      .orderBy(col("csim").desc, col("cid"))
+    val assigned = base.crossJoin(broadcast(cents))
+      .withColumn("csim", cosine(col("v"), col("cv"), col("nrm"), col("cn")))
+      .withColumn("crn", row_number().over(wAssign))
+      .filter(col("crn") === 1)
+      .select(col("id"), col("v"), col("nrm"), col("cid").as("bucket"))
+    // queries probe their nProbe nearest buckets
+    val queries = base.filter(isQuery)
+      .select(col("id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("psim").desc, col("cid"))
+    val probes = queries.crossJoin(broadcast(cents))
+      .withColumn("psim", cosine(col("qv"), col("cv"), col("qn"), col("cn")))
+      .withColumn("prn", row_number().over(wProbe))
+      .filter(col("prn") <= nProbe)
+      .select(col("query_id"), col("qv"), col("qn"), col("cid").as("bucket"))
+    // equi-join on bucket: each query scans only its probed buckets
+    val cand = assigned.join(broadcast(probes), Seq("bucket"))
+      .filter(col("id") =!= col("query_id"))
+      .withColumn("cos", round(cosine(col("qv"), col("v"), col("qn"), col("nrm")), 6))
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("id"))
+    cand
+      .withColumn("rank", row_number().over(wTop)).filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("id").as("neighbor_id"), col("cos"))
+  }
+
+  /** Embedding near-duplicate pairs: cosine ≥ threshold, id_a < id_b.
+    * Brute force here; behind [[ivfTopK]]-style bucketing at scale.
+    */
+  def cosinePairs(vecs: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val withNorm = vecs.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("nrm", l2norm(col("v")))
+    val b = withNorm.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
+    withNorm.join(b, col("id") < col("id_b"))
+      .withColumn("cos", round(cosine(col("v"), col("vb"), col("nrm"), col("nb")), 6))
+      .filter(col("cos") >= threshold)
+      .select(col("id").as("id_a"), col("id_b"), col("cos"))
+  }
+}

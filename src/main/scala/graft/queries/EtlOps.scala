@@ -1,0 +1,91 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.etl.Flatten
+import graft.etl.Flatten.{Leaf, Obj}
+import graft.functions.WeightedMean
+import graft.operators.Multimodal
+
+/** Reference-parity ETL semantics + extension-point surface, driven through
+  * the testdata tables so the oracle gate covers them: the P1–P3 flatten
+  * engine, the multimodal binary pipeline, and the Aggregator UDAF.
+  * (The full Jira fixture pipelines — page envelopes, null parents, label
+  * joins — run in JiraEtlSpec against src/test/resources/fixtures.)
+  */
+object EtlOps {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // q41: multimodal frame sampling — documents wrapped as binary media
+    // payloads, 4 evenly-spaced 32-byte "frames" sliced per payload
+    // (codegen'd substring on binary; blob never shuffles), then content-
+    // addressed. Oracle recomputes on the text equivalent of the bytes.
+    QueryDef("q41_multimodal_frames",
+      (s, d) => {
+        val media = Multimodal.asMedia(Tables.documents(s, d), "doc_id", "text")
+        Multimodal.sampleFrames(media, 4, 32)
+          .select(col("media_id"), col("frame_idx"), col("offset"),
+            md5(decode(col("frame"), "UTF-8")).as("frame_hash"))
+          .orderBy("media_id", "frame_idx")
+      },
+      Some("""SELECT doc_id AS media_id, i AS frame_idx,
+          CAST(floor(i * greatest(len(text) - 32, 0) / 3) AS INTEGER) + 1 AS offset,
+          md5(substr(text, CAST(floor(i * greatest(len(text) - 32, 0) / 3) AS INTEGER) + 1, 32)) AS frame_hash
+        FROM documents, (SELECT CAST(unnest(generate_series(0, 3)) AS INTEGER) i) f
+        ORDER BY media_id, frame_idx""")),
+
+    // q42: Aggregator UDAF — quantity-weighted mean discount per flag.
+    // Partial+final merge like built-in avg: one two-double buffer per
+    // group shuffles, nothing else.
+    QueryDef("q42_udaf_weighted_mean",
+      (s, d) => {
+        val wm = udaf(WeightedMean,
+          org.apache.spark.sql.Encoders.tuple(
+            org.apache.spark.sql.Encoders.scalaDouble,
+            org.apache.spark.sql.Encoders.scalaDouble))
+        Tables.lineitem(s, d)
+          .groupBy(col("l_returnflag"))
+          .agg(
+            round(wm(col("l_discount"), col("l_quantity")), 6).as("wavg_discount"),
+            count(lit(1)).as("n"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+          round(sum(l_discount * l_quantity) / sum(l_quantity), 6) AS wavg_discount,
+          count(*) AS n
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // q43: the P1–P3 flatten engine over a nested struct: raw-key prefix
+    // chain + mapped leaf naming, '//' array join, unmapped-key projection
+    // (o_comment is present in the struct but absent from the mapping →
+    // dropped). Same semantics the JiraEtl mappings use.
+    QueryDef("q43_flatten_nested",
+      (s, d) => {
+        val nested = Tables.orders(s, d).select(
+          col("o_orderkey").as("id"),
+          struct(
+            struct(col("o_orderstatus").as("name"),
+              struct(col("o_orderpriority").as("name")).as("category")).as("status"),
+            split(col("o_orderpriority"), "-").as("labels"),
+            col("o_totalprice").as("price"),
+            col("o_custkey").as("junk")).as("fields"))
+        val mapping = Obj(
+          "id" -> Leaf("order_id"),
+          "fields" -> Obj(
+            "status" -> Obj(
+              "name" -> Leaf("name"),
+              "category" -> Obj("name" -> Leaf("key"))),
+            "labels" -> Leaf("labels"),
+            "price" -> Leaf("price")))
+        Flatten(nested, mapping).orderBy("order_id")
+      },
+      Some("""SELECT o_orderkey AS order_id, o_orderstatus AS fields_status_name,
+          o_orderpriority AS fields_status_category_key,
+          array_to_string(string_split(o_orderpriority, '-'), '//') AS fields_labels,
+          o_totalprice AS fields_price
+        FROM orders ORDER BY order_id"""))
+  )
+}

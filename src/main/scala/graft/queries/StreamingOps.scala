@@ -1,0 +1,105 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.streaming.EventStream
+
+/** Streaming slice (SURVEY.md §2b): tumbling / sliding / session windows,
+  * watermarks, and stateful dedup over the `events` stream. Finite input ⇒
+  * final state is hash-comparable to a batch SQL oracle on the same
+  * parquet.
+  *
+  * Mode choices, deliberately: tumbling/sliding aggregates run in
+  * `complete` mode so every window is emitted regardless of where the
+  * watermark lands at end-of-input (append mode would withhold the trailing
+  * windows — correct streaming behavior, but not oracle-comparable).
+  * Watermarks are still declared — they are what bounds state at scale.
+  * Dedup runs in `append`: `dropDuplicatesWithinWatermark` emits first-seen
+  * rows immediately, so end-state equals batch DISTINCT.
+  */
+object StreamingOps {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // q50: tumbling 1-hour windows × event_type, count + sum. State is one
+    // row per (window, type); watermark evicts windows > 1 h late at scale.
+    QueryDef("q50_stream_tumbling",
+      (s, d) => {
+        val e = EventStream.readEvents(s, d)
+        val agg = e.withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"), sum("value").as("sv"))
+        EventStream.runToTable(s, agg, "complete")
+          .select(col("window.start").as("window_start"), col("event_type"),
+            col("n"), round(col("sv"), 2).as("sum_value"))
+          .orderBy("window_start", "event_type")
+      },
+      Some("""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+          event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""")),
+
+    // q51: sliding windows (2 h length, 1 h slide) — each event lands in
+    // exactly two windows; oracle replicates via an explicit offset unnest.
+    QueryDef("q51_stream_sliding",
+      (s, d) => {
+        val e = EventStream.readEvents(s, d)
+        val agg = e.withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "2 hours", "1 hour"))
+          // sum (not avg): the input grid is 2-decimal, so the true sum sits
+          // ON the 0.01 grid and 2-dp rounding is immune to float-order
+          // noise; avg leaves the grid and flips at the half-boundary.
+          .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+        EventStream.runToTable(s, agg, "complete")
+          .select(col("window.start").as("window_start"), col("n"), col("sum_value"))
+          .orderBy("window_start")
+      },
+      Some("""SELECT CAST(date_trunc('hour', ts) - o * INTERVAL 1 HOUR AS TIMESTAMP) AS window_start,
+          count(*) AS n, round(sum(value), 2) AS sum_value
+        FROM events, (SELECT unnest([0, 1]) o) t
+        GROUP BY 1 ORDER BY window_start""")),
+
+    // q52: stateful streaming dedup — first occurrence per (user, type)
+    // within the watermark horizon, then a batch rollup of the deduped
+    // stream. State TTL = the 1 h watermark delay (the scale-correct
+    // bounded-state API vs. unbounded dropDuplicates).
+    QueryDef("q52_stream_dedup",
+      (s, d) => {
+        val e = EventStream.readEvents(s, d)
+        val dd = e.withWatermark("ts", "1 hour")
+          .dropDuplicatesWithinWatermark("user_id", "event_type")
+          .select("user_id", "event_type")
+        EventStream.runToTable(s, dd, "append")
+          .groupBy("event_type")
+          .agg(countDistinct("user_id").as("n_users"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, count(DISTINCT user_id) AS n_users
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // q53: session windows (30-min gap) per user — batch session_window
+    // (same operator Structured Streaming uses; streaming emission timing
+    // is asserted separately in StreamingSpec). Oracle: gaps-and-islands.
+    QueryDef("q53_session_window",
+      (s, d) => Tables.events(s, d)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+        .select(col("session_window.start").as("session_start"), col("user_id"),
+          col("n_events"), col("sum_value"))
+        .orderBy("user_id", "session_start"),
+      Some("""WITH x AS (
+          SELECT user_id, ts, value,
+            CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END brk
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        g AS (
+          SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+            ROWS UNBOUNDED PRECEDING) grp
+          FROM x)
+        SELECT CAST(min(ts) AS TIMESTAMP) AS session_start, user_id,
+          count(*) AS n_events, round(sum(value), 2) AS sum_value
+        FROM g GROUP BY user_id, grp ORDER BY user_id, session_start"""))
+  )
+}

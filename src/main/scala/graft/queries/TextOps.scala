@@ -1,0 +1,263 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{Dedup, Similarity}
+import graft.functions.TextFns
+
+/** LLM-data-pipeline closure over `documents` and `embeddings` (north star,
+  * /root/repo/BASELINE.json): dedup (exact, MinHash-LSH, SimHash, exact
+  * n-gram Jaccard), similarity search (brute-force + IVF ANN), and text
+  * analysis (quality stats, token counts, language-ID heuristic,
+  * fingerprinting).
+  *
+  * Oracle portability rule: every hash the oracle must reproduce is
+  * md5-derived (TextFns.hash32), every float is computed float→double per
+  * element and summed left-to-right, and every output is rounded + totally
+  * ordered. DuckDB SQL mirrors the computation op-for-op.
+  */
+object TextOps {
+
+  private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
+  private def emb(s: SparkSession, d: String) = Tables.embeddings(s, d)
+
+  // DuckDB-side token pipeline shared by several oracles.
+  private val OToks =
+    """list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)"""
+  // DuckDB-side distinct word 3-grams over token list t.
+  private val OShingles =
+    """list_distinct([array_to_string(t[i:i+2], ' ') for i in generate_series(1, len(t)-2)])"""
+  // DuckDB-side exact 3-gram Jaccard pairs >= 0.6 (shared oracle for the
+  // exact inverted-index path AND the MinHash-LSH path — banding recall for
+  // the planted ~0.99-similarity pairs is 1-(1-s^4)^12 ≈ 1-1e-13, and the
+  // corpus has no pairs in (0.3, 0.8) to sit near the threshold).
+  private val OJaccardPairs =
+    s"""WITH toks AS (SELECT doc_id, $OToks t FROM documents),
+       sets AS (SELECT doc_id, $OShingles sh FROM toks WHERE len(t) >= 3),
+       inv AS (SELECT doc_id, len(sh) n, unnest(sh) shingle FROM sets),
+       pairs AS (
+         SELECT a.doc_id id_a, b.doc_id id_b, a.n na, b.n nb, count(*) inter
+         FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         GROUP BY 1, 2, 3, 4)
+       SELECT id_a, id_b, round(inter / (na + nb - inter), 4) AS jaccard
+       FROM pairs WHERE round(inter / (na + nb - inter), 4) >= 0.6
+       ORDER BY id_a, id_b"""
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // q30: exact dedup — one survivor (lowest doc_id) per md5 fingerprint
+    // of the lowercased text. One fingerprint-shuffle; the scan stage
+    // computes the hash so full text never ships twice.
+    QueryDef("q30_dedup_exact",
+      (s, d) => Dedup.exact(docs(s, d), lower(col("text")), "doc_id")
+        .select("doc_id", "fingerprint")
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, fingerprint FROM (
+          SELECT doc_id, md5(lower(text)) AS fingerprint,
+                 row_number() OVER (PARTITION BY md5(lower(text)) ORDER BY doc_id) rn
+          FROM documents) t
+        WHERE rn = 1 ORDER BY doc_id""")),
+
+    // q31: per-document quality stats — token counts, distinct ratio, mean
+    // token length, stopword ratio, composite score. Pure map-side column
+    // math (higher-order functions, no explode, no shuffle).
+    QueryDef("q31_text_quality",
+      (s, d) => {
+        val t = TextFns.tokens(col("text"))
+        val nt = size(t).cast("double")
+        val nd = size(array_distinct(t)).cast("double")
+        val sumLen = aggregate(t, lit(0L), (acc, x) => acc + length(x)).cast("double")
+        val stops = size(filter(t, x => x.isin("the", "a"))).cast("double")
+        docs(s, d).select(
+          col("doc_id"),
+          size(t).as("n_tokens"),
+          size(array_distinct(t)).as("n_distinct"),
+          round(sumLen / nt, 4).as("avg_tok_len"),
+          round(stops / nt, 4).as("stopword_ratio"),
+          round(lit(0.4) * (nd / nt) + lit(0.3) * (lit(1.0) - stops / nt)
+            + lit(0.3) * least(nt / 100.0, lit(1.0)), 4).as("quality"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH x AS (SELECT doc_id, $OToks t FROM documents)
+        SELECT doc_id,
+          CAST(len(t) AS INTEGER) AS n_tokens,
+          CAST(len(list_distinct(t)) AS INTEGER) AS n_distinct,
+          round(list_sum(list_transform(t, x -> len(x)))::DOUBLE / len(t), 4) AS avg_tok_len,
+          round(len(list_filter(t, x -> x IN ('the','a')))::DOUBLE / len(t), 4) AS stopword_ratio,
+          round(0.4 * (len(list_distinct(t))::DOUBLE / len(t))
+              + 0.3 * (1.0 - len(list_filter(t, x -> x IN ('the','a')))::DOUBLE / len(t))
+              + 0.3 * least(len(t)::DOUBLE / 100.0, 1.0), 4) AS quality
+        FROM x ORDER BY doc_id""")),
+
+    // q32: corpus token frequency top-20 — explode + two-level hash agg
+    // (partial map-side combine keeps the shuffle at |vocab| rows).
+    QueryDef("q32_token_topk",
+      (s, d) => docs(s, d)
+        .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("token"))
+        .groupBy("token")
+        .agg(count(lit(1)).as("n_total"), countDistinct(col("doc_id")).as("n_docs"))
+        .orderBy(col("n_total").desc, col("token"))
+        .limit(20),
+      Some(s"""SELECT token, count(*) AS n_total, count(DISTINCT doc_id) AS n_docs
+        FROM (SELECT doc_id, unnest($OToks) token FROM documents) t
+        GROUP BY token ORDER BY n_total DESC, token LIMIT 20""")),
+
+    // q33: language-ID heuristic — marker-word hit counts per language,
+    // argmax with a fixed precedence tiebreak. (The synthetic corpus has no
+    // real language signal; the operator contract is the deterministic
+    // rule, mirrored exactly by the oracle.)
+    QueryDef("q33_lang_id",
+      (s, d) => {
+        val t = TextFns.tokens(col("text"))
+        def score(ws: Seq[String]) = size(filter(t, x => x.isin(ws: _*)))
+        val sEn = score(Seq("the", "a", "fast", "slow"))
+        val sEs = score(Seq("data", "query", "table"))
+        val sDe = score(Seq("window", "group", "hash"))
+        val sFr = score(Seq("join", "filter", "merge"))
+        val sZh = score(Seq("spark", "scan", "batch"))
+        docs(s, d).select(
+          col("doc_id"), col("lang"),
+          sEn.as("s_en"), sEs.as("s_es"), sDe.as("s_de"), sFr.as("s_fr"), sZh.as("s_zh"))
+          .withColumn("predicted",
+            when(col("s_en") >= col("s_es") && col("s_en") >= col("s_de")
+              && col("s_en") >= col("s_fr") && col("s_en") >= col("s_zh"), "en")
+              .when(col("s_es") >= col("s_de") && col("s_es") >= col("s_fr")
+                && col("s_es") >= col("s_zh"), "es")
+              .when(col("s_de") >= col("s_fr") && col("s_de") >= col("s_zh"), "de")
+              .when(col("s_fr") >= col("s_zh"), "fr")
+              .otherwise("zh"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH x AS (SELECT doc_id, lang, $OToks t FROM documents),
+        sc AS (SELECT doc_id, lang,
+          CAST(len(list_filter(t, x -> x IN ('the','a','fast','slow'))) AS INTEGER) s_en,
+          CAST(len(list_filter(t, x -> x IN ('data','query','table'))) AS INTEGER) s_es,
+          CAST(len(list_filter(t, x -> x IN ('window','group','hash'))) AS INTEGER) s_de,
+          CAST(len(list_filter(t, x -> x IN ('join','filter','merge'))) AS INTEGER) s_fr,
+          CAST(len(list_filter(t, x -> x IN ('spark','scan','batch'))) AS INTEGER) s_zh
+        FROM x)
+        SELECT doc_id, lang, s_en, s_es, s_de, s_fr, s_zh,
+          CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+               WHEN s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+               WHEN s_de >= s_fr AND s_de >= s_zh THEN 'de'
+               WHEN s_fr >= s_zh THEN 'fr'
+               ELSE 'zh' END AS predicted
+        FROM sc ORDER BY doc_id""")),
+
+    // q34: exact near-dup gold standard — 3-gram Jaccard ≥ 0.6 via
+    // inverted-index self-join (cost Σ df² over shingles; run behind LSH
+    // at adversarial scale).
+    QueryDef("q34_ngram_jaccard",
+      (s, d) => Dedup.ngramJaccard(docs(s, d), "doc_id", "text", 3, 0.6)
+        .orderBy("id_a", "id_b"),
+      Some(OJaccardPairs)),
+
+    // q35: MinHash-LSH near-dup — the linear-time scale path; banding
+    // (12 bands × 4 rows over a 48-perm signature) generates candidates,
+    // exact Jaccard verifies. Same oracle as q34 (see OJaccardPairs note).
+    QueryDef("q35_minhash_lsh",
+      (s, d) => Dedup.minHashLsh(docs(s, d), "doc_id", "text", 3, 0.6)
+        .orderBy("id_a", "id_b"),
+      Some(OJaccardPairs)),
+
+    // q36: SimHash near-dup — 32-bit weighted sketch, hamming ≤ 1 pairs via
+    // pigeonhole banding (2×16-bit blocks, perfect recall for ≤1).
+    QueryDef("q36_simhash_pairs",
+      (s, d) => Dedup.simHashPairs(docs(s, d), "doc_id", "text", 1)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("int").as("hamming"))
+        .orderBy("id_a", "id_b"),
+      Some("""WITH tc AS (
+          SELECT doc_id, tok, count(*) cnt, ('0x' || substr(md5(tok), 1, 8))::BIGINT h
+          FROM (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) tok
+                FROM documents) t
+          GROUP BY doc_id, tok),
+        bits AS (
+          SELECT doc_id, b, sum(CASE WHEN ((h >> b) & 1) = 1 THEN cnt ELSE -cnt END) s
+          FROM tc, (SELECT unnest(generate_series(0, 31)) b) bb
+          GROUP BY 1, 2),
+        sh AS (
+          SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) simhash
+          FROM bits GROUP BY 1)
+        SELECT a.doc_id id_a, b.doc_id id_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) hamming
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+        ORDER BY id_a, id_b""")),
+
+    // q37: brute-force cosine top-10 for the first 20 vectors — the exact
+    // ANN baseline. Query side broadcast; two-phase top-k (see Similarity).
+    QueryDef("q37_embedding_topk",
+      (s, d) => Similarity.bruteForceTopK(emb(s, d), "vec_id", "embedding",
+          col("id") < 20, 10)
+        .select(col("query_id"), col("rank").cast("int").as("rnk"),
+          col("neighbor_id"), col("cos"))
+        .orderBy("query_id", "rnk"),
+      Some("""WITH v AS (
+          SELECT vec_id, embedding,
+                 sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) nrm
+          FROM embeddings),
+        p AS (
+          SELECT q.vec_id query_id, n.vec_id neighbor_id,
+            round(list_sum(list_transform(generate_series(1, len(q.embedding)),
+                    i -> q.embedding[i]::DOUBLE * n.embedding[i]::DOUBLE))
+                  / (q.nrm * n.nrm), 6) cos
+          FROM v q JOIN v n ON n.vec_id != q.vec_id
+          WHERE q.vec_id < 20)
+        SELECT query_id, CAST(rn AS INTEGER) rnk, neighbor_id, cos FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) rn
+          FROM p) t
+        WHERE rn <= 10 ORDER BY query_id, rnk""")),
+
+    // q38: IVF approximate top-10 (16 centroids, probe 4) — the ANN scale
+    // path: each query scans ~nProbe/nCentroids of the corpus. Approximate
+    // by design ⇒ rows-only driver check; recall vs q37 asserted in
+    // SimilaritySpec.
+    QueryDef("q38_ann_ivf",
+      (s, d) => Similarity.ivfTopK(emb(s, d), "vec_id", "embedding",
+          col("id") < 20, 10, 16, 4)
+        .select(col("query_id"), col("rank").cast("int").as("rnk"),
+          col("neighbor_id"), col("cos"))
+        .orderBy("query_id", "rnk"),
+      None),
+
+    // q39: embedding near-dup pairs (cosine ≥ 0.45). Brute force at this
+    // scale; the IVF bucketing above is the 100 TB path.
+    QueryDef("q39_embedding_pairs",
+      (s, d) => Similarity.cosinePairs(emb(s, d), "vec_id", "embedding", 0.45)
+        .orderBy("id_a", "id_b"),
+      Some("""WITH v AS (
+          SELECT vec_id, embedding,
+                 sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) nrm
+          FROM embeddings)
+        SELECT a.vec_id id_a, b.vec_id id_b,
+          round(list_sum(list_transform(generate_series(1, len(a.embedding)),
+                  i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+                / (a.nrm * b.nrm), 6) cos
+        FROM v a JOIN v b ON a.vec_id < b.vec_id
+        WHERE round(list_sum(list_transform(generate_series(1, len(a.embedding)),
+                  i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+                / (a.nrm * b.nrm), 6) >= 0.45
+        ORDER BY id_a, id_b""")),
+
+    // q40: document fingerprints — full-text md5, order-insensitive bag
+    // fingerprint (sorted distinct tokens), and 8-token prefix fingerprint.
+    // All map-side; the natural keys for incremental dedup at 100 TB.
+    QueryDef("q40_fingerprint",
+      (s, d) => {
+        val t = TextFns.tokens(col("text"))
+        docs(s, d).select(
+          col("doc_id"),
+          md5(col("text")).as("fp_full"),
+          md5(concat_ws(" ", array_sort(array_distinct(t)))).as("fp_bag"),
+          md5(concat_ws(" ", slice(t, 1, 8))).as("fp_prefix"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH x AS (SELECT doc_id, text, $OToks t FROM documents)
+        SELECT doc_id, md5(text) AS fp_full,
+          md5(array_to_string(list_sort(list_distinct(t)), ' ')) AS fp_bag,
+          md5(array_to_string(t[1:8], ' ')) AS fp_prefix
+        FROM x ORDER BY doc_id"""))
+  )
+}

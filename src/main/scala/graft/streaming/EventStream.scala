@@ -1,0 +1,69 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+/** Structured-Streaming source/runner over the `events` table.
+  *
+  * The reference's incremental scans (offset pagination,
+  * `dags/jira/issues/issue_processor.py:114-167`; cursor pagination,
+  * `dags/jira/worklogs/worklog_processor.py:65-109`) map to Spark's file
+  * streaming source with `Trigger.AvailableNow`: each run processes exactly
+  * the files not yet seen (checkpointed), which is the Spark-native form of
+  * "resume from startAt / follow metadata.next". Here the finite parquet
+  * input doubles as a bounded stream so final state is comparable to a
+  * batch SQL oracle.
+  *
+  * 100 TB posture: the memory sink is used ONLY because results are
+  * small-by-construction aggregates; a production sink would be
+  * partitioned parquet with `foreachBatch` upsert (operators.Upsert).
+  * Watermarks bound state; session/tumbling state is per-key and evicted.
+  */
+object EventStream {
+
+  private val counter = new AtomicInteger(0)
+
+  /** events.parquet physical schema — ts is TIMESTAMP(NANOS) which Spark's
+    * reader only surfaces as long (legacy conf); floor-converted to µs like
+    * Tables.events so streaming and batch agree with the DuckDB oracle.
+    */
+  val eventsRawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(eventsRawSchema)
+      // the file source wants a directory basePath; point it at the sf dir
+      // and glob just the events table
+      .option("basePath", dir)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(s"$dir")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Run a streaming DataFrame to completion (AvailableNow) into a memory
+    * sink; returns the result table. Unique sink name per invocation so
+    * Verify and Bench can both run in one session.
+    */
+  def runToTable(spark: SparkSession, df: DataFrame, mode: String): DataFrame = {
+    val name = s"graft_stream_${counter.incrementAndGet()}"
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+}

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+/** Similarity-search semantics: brute-force exactness on a hand-checkable
+  * corpus, and IVF recall against the brute-force baseline on real
+  * embeddings.
+  */
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("brute-force top-k ranks by cosine with deterministic tiebreak") {
+    val vecs = Seq(
+      (0L, Array(1f, 0f)),   // query
+      (1L, Array(1f, 0f)),   // cos 1
+      (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0f, 1f)),   // orthogonal
+      (4L, Array(-1f, 0f))   // opposite
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(vecs, "vec_id", "embedding", col("id") === 0L, 4)
+      .orderBy("rank").select("neighbor_id").as[Long].collect().toSeq
+    assert(out === Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("cosine of a vector with itself is 1") {
+    val vecs = Seq((0L, Array(0.3f, -0.7f, 0.2f)), (1L, Array(0.3f, -0.7f, 0.2f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(vecs, "vec_id", "embedding", col("id") === 0L, 1)
+      .select("cos").as[Double].head()
+    assert(out === 1.0)
+  }
+
+  test("IVF ANN recall@10 >= 0.5 vs brute force on real embeddings (sf0.001)") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", col("id") < 10, 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.ivfTopK(emb, "vec_id", "embedding", col("id") < 10, 10, 16, 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF nProbe=4/16 recall was $recall")
+    assert(approx.size <= exact.size, "ANN must not return more than k per query")
+  }
+
+  test("cosinePairs is symmetric-free (id_a < id_b) and thresholded") {
+    val vecs = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(1f, 0.01f)), (2L, Array(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.cosinePairs(vecs, "vec_id", "embedding", 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSeq
+    assert(out === Seq((0L, 1L)))
+  }
+}

@@ -1,0 +1,70 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Structured-Streaming semantics on controlled MemoryStream input:
+  * watermark late-data drop (the behavior q50–q52 declare but complete
+  * mode doesn't surface) and session-window merging.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("watermark drops events later than the delay in append mode") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val agg = mem.toDF().toDF("ts", "k")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes"), col("k"))
+      .count()
+    val q = agg.writeStream.format("memory").queryName("wm_test")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+
+    // batch 1: two on-time events; advances watermark to 10:30-0:10=10:20
+    mem.addData((ts("2024-01-01 10:05:00"), "a"), (ts("2024-01-01 10:30:00"), "a"))
+    q.processAllAvailable()
+    // batch 2: late event inside the closed 10:00 window → dropped
+    mem.addData((ts("2024-01-01 10:01:00"), "late"))
+    q.processAllAvailable()
+    // batch 3: push watermark far ahead so every surviving window emits
+    mem.addData((ts("2024-01-01 12:00:00"), "a"))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("wm_test")
+      .select(col("window.start").as("w"), col("k"), col("count"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(rows.contains((ts("2024-01-01 10:00:00"), "a", 1L)))
+    assert(!rows.exists(_._2 == "late"), "late event must be dropped by the watermark")
+  }
+
+  test("streaming session window merges events within gap, splits across it") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long)]
+    val agg = mem.toDF().toDF("ts", "user_id")
+      .withWatermark("ts", "1 minute")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .count()
+    val q = agg.writeStream.format("memory").queryName("sess_test")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+
+    mem.addData(
+      (ts("2024-01-01 10:00:00"), 1L), (ts("2024-01-01 10:20:00"), 1L), // one session
+      (ts("2024-01-01 11:30:00"), 1L))                                  // gap > 30m → new session
+    q.processAllAvailable()
+    mem.addData((ts("2024-01-01 15:00:00"), 99L)) // advance watermark to flush
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("sess_test")
+      .select(col("session_window.start"), col("user_id"), col("count"))
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows.contains((ts("2024-01-01 10:00:00"), 1L, 2L)))
+    assert(rows.contains((ts("2024-01-01 11:30:00"), 1L, 1L)))
+  }
+}
