@@ -46,18 +46,33 @@ object TextFns {
   def hash32(s: Column): Column =
     conv(substring(md5(s), 1, 8), 16, 10).cast("long")
 
+  /** Portable 60-bit hash (15 hex chars of md5) — join-key compression for
+    * the shingle inverted index: collision-free on corpora many orders of
+    * magnitude beyond the test scale (P(collision) ≈ n²/2⁶¹), and verified
+    * injective on the actual corpora at build time.
+    */
+  def hash60(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+
   /** MinHash signature (array of `perms` minima) over a shingle array.
     * h_j(x) = (a_j * (x mod P) + b_j) mod P with a_j, b_j derived from the
     * permutation index — identical integer arithmetic in the oracle.
+    *
+    * NB: callers on a hot path should materialize the hashed-shingle array
+    * first and use [[minHashSignatureFromHashes]] — referencing the md5
+    * hash expression inside `perms` lambda bodies re-evaluates it per
+    * permutation (HOFs are interpreted, no CSE).
     */
-  def minHashSignature(shingleArr: Column, perms: Int): Column = {
-    val hs = transform(shingleArr, s => hash32(s) % MinHashP)
+  def minHashSignature(shingleArr: Column, perms: Int): Column =
+    minHashSignatureFromHashes(transform(shingleArr, s => hash32(s) % MinHashP), perms)
+
+  /** Signature from pre-hashed shingles (each already reduced mod P). */
+  def minHashSignatureFromHashes(hashedArr: Column, perms: Int): Column =
     transform(sequence(lit(1), lit(perms)), j => {
       val a = (lit(MulA) * j) % MinHashP
       val b = (lit(MulB) * j) % MinHashP
-      array_min(transform(hs, h => (a * h + b) % MinHashP))
+      array_min(transform(hashedArr, h => (a * h + b) % MinHashP))
     })
-  }
 
   /** LSH band keys for a MinHash signature: md5 over each band's
     * comma-joined rows. Docs sharing any band key are near-dup candidates.

@@ -23,10 +23,13 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Σ aᵢ·bᵢ with per-element double casts, left-to-right. */
+  /** Σ aᵢ·bᵢ with per-element double casts, left-to-right — the codegen'd
+    * native expression (graft.functions.FloatDotProduct); same accumulation
+    * order as the interpreted `aggregate(zip_with(...))` form it replaced.
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorExpressions.dot(
+      org.apache.spark.sql.SparkSession.active, a, b)
 
   def l2norm(a: Column): Column = sqrt(dot(a, a))
 
