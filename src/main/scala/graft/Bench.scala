@@ -10,9 +10,17 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm the session before the clock starts: codegen compiler, parquet
+    // reader + shuffle paths JIT. Uses only the tiny region table.
+    Tables.region(spark, sfDir).groupBy("r_name").count().count()
+    spark.range(1000000).selectExpr("sum(id)").count()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try {
+        if (fn(spark, sfDir).count() < 0) sys.error("negative count")
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

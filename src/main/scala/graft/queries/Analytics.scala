@@ -1,0 +1,250 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Analytics closure beyond the §2b relational core: reshaping
+  * (pivot/unpivot), order statistics, moment aggregates, argmin/argmax,
+  * value windows, time-series gap-fill + forward-fill, funnel and cohort
+  * analysis, and edit-distance fuzzy matching. All built-ins, all
+  * oracle-backed, determinism rules as everywhere (total order, rounded
+  * floats, unique tie-breaks).
+  */
+object Analytics {
+
+  private def li(s: SparkSession, d: String) = Tables.lineitem(s, d)
+  private def ord(s: SparkSession, d: String) = Tables.orders(s, d)
+  private def cust(s: SparkSession, d: String) = Tables.customer(s, d)
+  private def ev(s: SparkSession, d: String) = Tables.events(s, d)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // q60: pivot (wide counts per status). Explicit value list keeps the
+    // output schema static — at scale an implicit pivot would need a
+    // distinct-scan planning pass.
+    QueryDef("q60_pivot",
+      (s, d) => ord(s, d)
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(col("o_orderpriority"),
+          coalesce(col("F"), lit(0L)).as("n_f"),
+          coalesce(col("O"), lit(0L)).as("n_o"),
+          coalesce(col("P"), lit(0L)).as("n_p"))
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority,
+          count(*) FILTER (o_orderstatus = 'F') AS n_f,
+          count(*) FILTER (o_orderstatus = 'O') AS n_o,
+          count(*) FILTER (o_orderstatus = 'P') AS n_p
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // q61: unpivot (melt) — the inverse reshaping, metric rows from a wide
+    // aggregate.
+    QueryDef("q61_unpivot",
+      (s, d) => li(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_price"),
+          count(lit(1)).cast("double").as("n_rows"))
+        .unpivot(Array(col("l_returnflag")), "metric", "value")
+        .orderBy("l_returnflag", "metric"),
+      Some("""WITH w AS (
+          SELECT l_returnflag, round(sum(l_quantity),2) sum_qty,
+                 round(sum(l_extendedprice),2) sum_price,
+                 count(*)::DOUBLE n_rows
+          FROM lineitem GROUP BY l_returnflag)
+        SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM w
+        UNION ALL SELECT l_returnflag, 'sum_price', sum_price FROM w
+        UNION ALL SELECT l_returnflag, 'n_rows', n_rows FROM w
+        ORDER BY l_returnflag, metric""")),
+
+    // q62: exact percentiles (order statistics + linear interpolation —
+    // deterministic, unlike approx sketches; the exact path is the oracle
+    // for percentile_approx at scale).
+    QueryDef("q62_percentiles",
+      (s, d) => ord(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(expr("percentile(o_totalprice, array(0.25, 0.5, 0.75))").as("p"))
+        .select(col("o_orderpriority"),
+          round(element_at(col("p"), 1), 4).as("p25"),
+          round(element_at(col("p"), 2), 4).as("p50"),
+          round(element_at(col("p"), 3), 4).as("p75"))
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority,
+          round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+          round(quantile_cont(o_totalprice, 0.50), 4) AS p50,
+          round(quantile_cont(o_totalprice, 0.75), 4) AS p75
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // q63: moment aggregates — stddev and correlation (normalized moments
+    // round stably; raw variance would amplify float-order noise past the
+    // rounding boundary).
+    QueryDef("q63_stats_agg",
+      (s, d) => li(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(stddev_samp(col("l_extendedprice")), 2).as("sd_price"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("qty_price_corr"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, round(stddev_samp(l_extendedprice), 2) AS sd_price,
+          round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+          count(*) AS n
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // q64: argmin/argmax — richest and poorest customer per segment in one
+    // aggregation pass (no window, no join; acctbal is unique per segment
+    // in this data so the argmax is well-defined).
+    QueryDef("q64_minby_maxby",
+      (s, d) => cust(s, d)
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          max_by(col("c_custkey"), col("c_acctbal")).as("richest"),
+          round(max(col("c_acctbal")), 2).as("max_bal"),
+          min_by(col("c_custkey"), col("c_acctbal")).as("poorest"),
+          round(min(col("c_acctbal")), 2).as("min_bal"))
+        .orderBy("c_mktsegment"),
+      Some("""SELECT c_mktsegment,
+          arg_max(c_custkey, c_acctbal) AS richest, round(max(c_acctbal),2) AS max_bal,
+          arg_min(c_custkey, c_acctbal) AS poorest, round(min(c_acctbal),2) AS min_bal
+        FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    // q65: time-series gap-fill + forward fill: hourly spine via sequence()
+    // (generated, never collected), left join the hourly rollup, carry the
+    // last observed sum forward with last(ignoreNulls) — the standard
+    // resample/ffill for sensor-style data.
+    QueryDef("q65_timeseries_gapfill",
+      (s, d) => {
+        val hourly = ev(s, d).filter(col("user_id") < 20)
+          .groupBy(date_trunc("hour", col("ts")).as("h"))
+          .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+        val bounds = ev(s, d).filter(col("user_id") < 20)
+          .agg(date_trunc("hour", min(col("ts"))).as("lo"),
+            date_trunc("hour", max(col("ts"))).as("hi"))
+        val spine = bounds.select(
+          explode(sequence(col("lo"), col("hi"), expr("interval 1 hour"))).as("h"))
+        val w = Window.orderBy("h").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        spine.join(hourly, Seq("h"), "left")
+          .select(col("h").as("hour"),
+            coalesce(col("n"), lit(0L)).as("n"),
+            last(col("sum_value"), ignoreNulls = true).over(w).as("filled_sum"))
+          .orderBy("hour")
+      },
+      Some("""WITH e AS (SELECT * FROM events WHERE user_id < 20),
+        hourly AS (
+          SELECT date_trunc('hour', ts) h, count(*) n, round(sum(value),2) sum_value
+          FROM e GROUP BY 1),
+        spine AS (
+          SELECT unnest(generate_series(
+            (SELECT date_trunc('hour', min(ts)) FROM e),
+            (SELECT date_trunc('hour', max(ts)) FROM e),
+            INTERVAL 1 HOUR)) h)
+        SELECT CAST(spine.h AS TIMESTAMP) AS hour,
+          coalesce(hourly.n, 0) AS n,
+          last_value(hourly.sum_value IGNORE NULLS) OVER (
+            ORDER BY spine.h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_sum
+        FROM spine LEFT JOIN hourly ON spine.h = hourly.h
+        ORDER BY hour""")),
+
+    // q66: funnel — ordered stage progression per user (first view, first
+    // click after it, first purchase after that), one row per stage with
+    // user counts. Joins are per-user aggregates (small), never event×event.
+    QueryDef("q66_funnel",
+      (s, d) => {
+        val e = ev(s, d).select(col("user_id"), col("event_type"), col("ts"))
+        val v = e.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min("ts").as("v_ts"))
+        val c = e.filter(col("event_type") === "click").join(v, "user_id")
+          .filter(col("ts") >= col("v_ts"))
+          .groupBy("user_id").agg(min("ts").as("c_ts"))
+        val p = e.filter(col("event_type") === "purchase").join(c, "user_id")
+          .filter(col("ts") >= col("c_ts"))
+          .groupBy("user_id").agg(min("ts").as("p_ts"))
+        val counts = v.agg(count(lit(1)).as("n")).withColumn("stage", lit("1_view"))
+          .unionByName(c.agg(count(lit(1)).as("n")).withColumn("stage", lit("2_click")))
+          .unionByName(p.agg(count(lit(1)).as("n")).withColumn("stage", lit("3_purchase")))
+        counts.select("stage", "n").orderBy("stage")
+      },
+      Some("""WITH v AS (SELECT user_id, min(ts) v_ts FROM events WHERE event_type='view' GROUP BY 1),
+        c AS (SELECT e.user_id, min(e.ts) c_ts FROM events e JOIN v ON e.user_id=v.user_id
+              WHERE e.event_type='click' AND e.ts >= v.v_ts GROUP BY 1),
+        p AS (SELECT e.user_id, min(e.ts) p_ts FROM events e JOIN c ON e.user_id=c.user_id
+              WHERE e.event_type='purchase' AND e.ts >= c.c_ts GROUP BY 1)
+        SELECT '1_view' AS stage, count(*) AS n FROM v
+        UNION ALL SELECT '2_click', count(*) FROM c
+        UNION ALL SELECT '3_purchase', count(*) FROM p
+        ORDER BY stage""")),
+
+    // q67: cohort retention — users bucketed by first-activity week,
+    // counted per week offset. Two hash aggregations and a broadcast join
+    // of the per-user cohort table.
+    QueryDef("q67_cohort_retention",
+      (s, d) => {
+        val e = ev(s, d).select(col("user_id"), date_trunc("week", col("ts")).as("w"))
+        val cohort = e.groupBy("user_id").agg(min("w").as("cohort_week"))
+        e.join(broadcast(cohort), "user_id")
+          .groupBy(col("cohort_week"),
+            (datediff(col("w"), col("cohort_week")) / 7).cast("int").as("week_offset"))
+          .agg(countDistinct("user_id").as("n_users"))
+          .orderBy("cohort_week", "week_offset")
+      },
+      Some("""WITH e AS (SELECT user_id, date_trunc('week', ts) w FROM events),
+        cohort AS (SELECT user_id, min(w) cohort_week FROM e GROUP BY 1)
+        SELECT CAST(cohort.cohort_week AS TIMESTAMP) AS cohort_week,
+          CAST(date_diff('day', cohort.cohort_week, e.w) / 7 AS INTEGER) AS week_offset,
+          count(DISTINCT e.user_id) AS n_users
+        FROM e JOIN cohort ON e.user_id = cohort.user_id
+        GROUP BY 1, 2 ORDER BY cohort_week, week_offset""")),
+
+    // q68: edit-distance fuzzy matching — integer Levenshtein is exactly
+    // portable. Bounded pair set (first 40 parts); at scale this runs
+    // behind a cheap length/prefix blocking filter.
+    QueryDef("q68_levenshtein",
+      (s, d) => {
+        val p = Tables.part(s, d).filter(col("p_partkey") <= 40)
+          .select(col("p_partkey").as("pk"), col("p_name").as("name"))
+        val q = p.select(col("pk").as("pk2"), col("name").as("name2"))
+        p.join(q, col("pk") < col("pk2"))
+          .withColumn("dist", levenshtein(col("name"), col("name2")))
+          .filter(col("dist") <= 15)
+          .select(col("pk"), col("pk2"), col("dist"))
+          .orderBy("pk", "pk2")
+      },
+      Some("""SELECT a.p_partkey AS pk, b.p_partkey AS pk2,
+          CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
+        FROM part a JOIN part b ON a.p_partkey < b.p_partkey
+        WHERE a.p_partkey <= 40 AND b.p_partkey <= 40
+          AND levenshtein(a.p_name, b.p_name) <= 15
+        ORDER BY pk, pk2""")),
+
+    // q69: value windows — ntile, percent_rank, cume_dist, first/nth value
+    // over a unique total order.
+    QueryDef("q69_value_windows",
+      (s, d) => {
+        val w = Window.partitionBy(col("c_mktsegment"))
+          .orderBy(col("c_acctbal").desc, col("c_custkey"))
+        val wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        cust(s, d).filter(col("c_custkey") <= 200)
+          .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+            ntile(4).over(w).as("quartile"),
+            round(percent_rank().over(w), 6).as("pct_rank"),
+            round(cume_dist().over(w), 6).as("cume"),
+            first(col("c_custkey")).over(wf).as("top_cust"),
+            nth_value(col("c_custkey"), 2).over(wf).as("second_cust"))
+          .orderBy("c_mktsegment", "pct_rank")
+      },
+      Some("""SELECT c_mktsegment, c_custkey, c_acctbal,
+          CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+          round(percent_rank() OVER w, 6) AS pct_rank,
+          round(cume_dist() OVER w, 6) AS cume,
+          first_value(c_custkey) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS top_cust,
+          nth_value(c_custkey, 2) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_cust
+        FROM customer WHERE c_custkey <= 200
+        WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+        ORDER BY c_mktsegment, pct_rank"""))
+  )
+}

@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 
 /** Structured-Streaming semantics on controlled MemoryStream input:
   * watermark late-data drop (the behavior q50–q52 declare but complete
@@ -66,5 +66,38 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2))).toSet
     assert(rows.contains((ts("2024-01-01 10:00:00"), 1L, 2L)))
     assert(rows.contains((ts("2024-01-01 11:30:00"), 1L, 1L)))
+  }
+
+  test("flatMapGroupsWithState: custom per-key state across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, Double)]
+    // running (count, sum) per user, emitted on every update
+    val updated = mem.toDS()
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Double), (Long, Long, Double)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, Double)], state: GroupState[(Long, Double)]) =>
+          val (c0, s0) = state.getOption.getOrElse((0L, 0.0))
+          val batch = rows.toSeq
+          val next = (c0 + batch.size, s0 + batch.map(_._2).sum)
+          state.update(next)
+          Iterator((user, next._1, next._2))
+      }
+      .toDF("user_id", "n", "total")
+    val q = updated.writeStream.format("memory").queryName("fmgws_test")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+
+    mem.addData((1L, 10.0), (1L, 5.0), (2L, 1.0))
+    q.processAllAvailable()
+    mem.addData((1L, 2.0)) // state must carry over: count 3, sum 17
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("fmgws_test")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(rows.contains((1L, 2L, 15.0)), "batch-1 emission for user 1")
+    assert(rows.contains((2L, 1L, 1.0)))
+    assert(rows.contains((1L, 3L, 17.0)), "state carried across batches")
   }
 }
