@@ -245,6 +245,31 @@ object Analytics {
           nth_value(c_custkey, 2) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_cust
         FROM customer WHERE c_custkey <= 200
         WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
-        ORDER BY c_mktsegment, pct_rank"""))
+        ORDER BY c_mktsegment, pct_rank""")),
+
+    // q70: salted two-phase aggregation — identical result to the direct
+    // agg (decomposable aggregates; l_quantity sums are exact on the value
+    // grid), but each of the 3 hot keys fans out over 16 reducers first.
+    // The skew pattern for low-cardinality keys where every key is hot.
+    QueryDef("q70_salted_agg",
+      (s, d) => graft.operators.Skew
+        .saltedCountSum(li(s, d), Seq("l_returnflag"), "l_quantity", 16)
+        .select(col("l_returnflag"), col("n"),
+          round(col("sum_l_quantity"), 2).as("sum_qty"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, count(*) AS n, round(sum(l_quantity),2) AS sum_qty
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // q71: approximate percentile sketch next to its exact oracle-of-record
+    // (sketch values are engine-specific ⇒ rows-only driver check; the
+    // exact column doubles as an in-row accuracy reference).
+    QueryDef("q71_approx_percentile",
+      (s, d) => ord(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          round(expr("approx_percentile(o_totalprice, 0.5, 1000)"), 2).as("p50_approx"),
+          round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50_exact"))
+        .orderBy("o_orderpriority"),
+      None)
   )
 }

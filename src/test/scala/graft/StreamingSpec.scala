@@ -100,4 +100,36 @@ class StreamingSpec extends SparkSpec {
     assert(rows.contains((2L, 1L, 1.0)))
     assert(rows.contains((1L, 3L, 17.0)), "state carried across batches")
   }
+
+  test("foreachBatch streaming upsert: incremental ingest converges to keyed table state") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert_sink").toString + "/t"
+    val mem = MemoryStream[(Int, String)]
+    val q = mem.toDF().toDF("k", "v").writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val incoming = batch.dropDuplicates("k")
+        val merged =
+          if (new java.io.File(dir).exists())
+            graft.operators.Upsert(spark.read.parquet(dir), incoming, Seq("k"))
+          else incoming
+        // rewrite table state (a real lake format would MERGE in place)
+        val staged = merged.cache()
+        staged.count()
+        staged.write.mode("overwrite").parquet(dir)
+        staged.unpersist()
+        ()
+      }
+      .trigger(Trigger.ProcessingTime(0)).start()
+
+    mem.addData((1, "a"), (2, "b"))
+    q.processAllAvailable()
+    mem.addData((2, "B2"), (3, "c")) // update + insert, reference U1 semantics
+    q.processAllAvailable()
+    q.stop()
+
+    val state = spark.read.parquet(dir).as[(Int, String)].collect().toMap
+    assert(state === Map(1 -> "a", 2 -> "B2", 3 -> "c"))
+  }
 }
