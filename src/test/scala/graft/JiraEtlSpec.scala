@@ -56,6 +56,16 @@ class JiraEtlSpec extends SparkSpec {
     assert(df.columns.contains("author_id") && df.columns.contains("issue_id"))
   }
 
+  test("config preconditions mirror the reference's env asserts (C3)") {
+    import graft.etl.EtlConfig
+    val ok = EtlConfig.fromEnv(Map("JIRA_DOMAIN" -> "x.example.net"))
+    assert(ok.issuesTable === "jira_issues" && ok.pageLimit === 100)
+    intercept[IllegalArgumentException] { EtlConfig.fromEnv(Map.empty) }
+    intercept[IllegalArgumentException] {
+      EtlConfig.fromEnv(Map("JIRA_DOMAIN" -> "x", "JIRA_PAGE_LIMIT" -> "0"))
+    }
+  }
+
   test("ingest lifecycle: re-fetching a page upserts instead of duplicating (daily re-run)") {
     val day1 = JiraEtl.readIssues(spark, fixture("issues_page_1.json"))
     val day2 = JiraEtl.readIssues(spark,
