@@ -270,6 +270,40 @@ object Analytics {
           round(expr("approx_percentile(o_totalprice, 0.5, 1000)"), 2).as("p50_approx"),
           round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50_exact"))
         .orderBy("o_orderpriority"),
-      None)
+      None),
+
+    // q72: null-safe equality (`<=>` / IS NOT DISTINCT FROM) over a
+    // constructed nullable column — NULL <=> NULL is true, NULL = NULL is
+    // NULL; both buckets counted to pin the three-valued-logic behavior.
+    QueryDef("q72_nullsafe_eq",
+      (s, d) => li(s, d)
+        .withColumn("d", when(col("l_discount") >= 0.05, col("l_discount")))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(when(col("d") <=> lit(null), 1L).otherwise(0L)).as("n_null_eq"),
+          sum(when(col("d") <=> 0.05, 1L).otherwise(0L)).as("n_at_5pct"),
+          sum(when(col("d") === lit(null), 1L).otherwise(0L)).as("n_plain_eq_null"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, count(*) AS n,
+          CAST(sum(CASE WHEN (CASE WHEN l_discount >= 0.05 THEN l_discount END) IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_eq,
+          CAST(sum(CASE WHEN (CASE WHEN l_discount >= 0.05 THEN l_discount END) IS NOT DISTINCT FROM 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_at_5pct,
+          CAST(sum(CASE WHEN ((CASE WHEN l_discount >= 0.05 THEN l_discount END) = NULL) THEN 1 ELSE 0 END) AS BIGINT) AS n_plain_eq_null
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // q73: from_json — full-struct parse of the props JSON column (q19
+    // covers path extraction; this is the schema'd parse the reference's
+    // input model implies, SURVEY §1).
+    QueryDef("q73_from_json",
+      (s, d) => ev(s, d)
+        .withColumn("p", from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT")))
+        .filter(col("p").isNotNull)
+        .groupBy((col("p.k") % 10).as("k_mod"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+        .orderBy("k_mod"),
+      Some("""SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_mod,
+          count(*) AS n, round(sum(value), 2) AS sum_value
+        FROM events WHERE props IS NOT NULL
+        GROUP BY 1 ORDER BY k_mod"""))
   )
 }

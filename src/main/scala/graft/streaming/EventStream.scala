@@ -57,10 +57,16 @@ object EventStream {
     */
   def runToTable(spark: SparkSession, df: DataFrame, mode: String): DataFrame = {
     val name = s"graft_stream_${counter.incrementAndGet()}"
+    // checkpoint on tmpfs when available: the WAL fsyncs per micro-batch
+    // and dominates wall clock for these small bounded streams
+    val ckptBase =
+      if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft_ckpt"
+      else System.getProperty("java.io.tmpdir") + "/graft_ckpt"
     val q = df.writeStream
       .format("memory")
       .queryName(name)
       .outputMode(mode)
+      .option("checkpointLocation", s"$ckptBase/$name-${System.nanoTime()}")
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
