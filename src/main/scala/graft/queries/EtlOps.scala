@@ -58,6 +58,26 @@ object EtlOps {
           count(*) AS n
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // q44: vector UDAF — per-label embedding centroid in one typed
+    // Aggregator pass (partial elementwise sums merge map-side; the
+    // shuffle carries one 64-dim buffer per partition per label, not rows).
+    QueryDef("q44_label_centroid",
+      (s, d) => {
+        val cen = udaf(graft.functions.CentroidAggregator,
+          org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Float]]())
+        Tables.embeddings(s, d)
+          .groupBy(col("label"))
+          .agg(cen(col("embedding")).as("centroid"))
+          .select(col("label"), posexplode(col("centroid")).as(Seq("dim", "c")))
+          .select(col("label"), col("dim").cast("int").as("dim"),
+            round(col("c"), 6).as("c"))
+          .orderBy("label", "dim")
+      },
+      Some("""SELECT label, CAST(i - 1 AS INTEGER) AS dim,
+          round(avg(embedding[i]), 6) AS c
+        FROM embeddings, (SELECT unnest(generate_series(1, 64)) i) ii
+        GROUP BY label, i ORDER BY label, dim""")),
+
     // q43: the P1–P3 flatten engine over a nested struct: raw-key prefix
     // chain + mapped leaf naming, '//' array join, unmapped-key projection
     // (o_comment is present in the struct but absent from the mapping →
