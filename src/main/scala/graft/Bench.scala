@@ -4,14 +4,19 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // shuffle width is a data-volume knob, not a core-count knob: at bench
+    // SF the partitions are tiny, so fewer/fatter partitions cut task-
+    // scheduling overhead (AQE still coalesces/splits adaptively at runtime)
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the session before the clock starts: codegen compiler, parquet
-    // reader + shuffle paths JIT. Uses only the tiny region table.
+    // reader + shuffle paths JIT. (Pinning tables in memory was measured —
+    // no gain: per-query cost here is planning/scheduling, not scan.)
     Tables.region(spark, sfDir).groupBy("r_name").count().count()
     spark.range(1000000).selectExpr("sum(id)").count()
     val results = SparkEntry.queries.map { case (name, fn) =>
