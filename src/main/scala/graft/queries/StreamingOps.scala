@@ -100,6 +100,26 @@ object StreamingOps {
           FROM x)
         SELECT CAST(min(ts) AS TIMESTAMP) AS session_start, user_id,
           count(*) AS n_events, round(sum(value), 2) AS sum_value
-        FROM g GROUP BY user_id, grp ORDER BY user_id, session_start"""))
+        FROM g GROUP BY user_id, grp ORDER BY user_id, session_start""")),
+
+    // q54: stream-static join — the streaming enrich pattern: each
+    // micro-batch joins against the (broadcast) static dimension, then a
+    // running aggregate. At scale the dim is re-broadcast per batch, never
+    // shuffled with the stream.
+    QueryDef("q54_stream_static_join",
+      (s, d) => {
+        val e = EventStream.readEvents(s, d)
+        val dims = Tables.customer(s, d)
+          .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+        val agg = e.join(broadcast(dims), Seq("user_id"))
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n"), sum("value").as("sv"))
+        EventStream.runToTable(s, agg, "complete")
+          .select(col("c_mktsegment"), col("n"), round(col("sv"), 2).as("sum_value"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment, count(*) AS n, round(sum(value), 2) AS sum_value
+        FROM events JOIN customer ON user_id = c_custkey
+        GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
   )
 }
