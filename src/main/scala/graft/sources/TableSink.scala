@@ -21,4 +21,15 @@ object TableSink {
 
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Live-DB parity option (reference sinks are Postgres/MySQL/MSSQL,
+    * `dags/jira/db_ops.py:102-112`): batch JDBC write of an
+    * [[graft.operators.Upsert]]-merged frame — set-based, one round trip
+    * per partition vs the reference's one per record. NOT exercised in
+    * this offline environment (no database); compiles against the stock
+    * JDBC connector.
+    */
+  def writeJdbc(df: DataFrame, url: String, table: String,
+      props: java.util.Properties, mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).jdbc(url, table, props)
 }

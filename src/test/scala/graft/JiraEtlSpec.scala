@@ -74,4 +74,15 @@ class JiraEtlSpec extends SparkSpec {
     assert(state.count() === 3)
     assert(state.select("issue_id").distinct().count() === 3)
   }
+
+  test("IngestJob end-to-end: two daily runs converge to 3-row table state") {
+    import graft.etl.IngestJob
+    val dir = java.nio.file.Files.createTempDirectory("graft_ingest").toString + "/issues"
+    val day1 = IngestJob.run(spark, "issues", Seq(fixture("issues_page_1.json")), dir)
+    assert(day1.count() === 2)
+    val day2 = IngestJob.run(spark, "issues",
+      Seq(fixture("issues_page_1.json"), fixture("issues_page_2.json")), dir)
+    assert(day2.count() === 3)
+    assert(day2.select("issue_id").distinct().count() === 3)
+  }
 }
