@@ -18,11 +18,14 @@ def main(sf_dir, out_dir):
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     with open(os.path.join(out_dir, "oracle_sql.json")) as f:
         oracle = json.load(f)
-    names = sorted(d for d in os.listdir(out_dir)
+    names = sorted(d[:-8] if d.endswith(".parquet") else d
+                   for d in os.listdir(out_dir)
                    if os.path.isdir(os.path.join(out_dir, d)))
     n_ok = n_bad = 0
     for name in names:
-        path = f"{out_dir}/{name}/*.parquet"
+        d = (f"{out_dir}/{name}.parquet"
+             if os.path.isdir(f"{out_dir}/{name}.parquet") else f"{out_dir}/{name}")
+        path = f"{d}/*.parquet"
         try:
             got = con.sql(f"SELECT * FROM '{path}'")
             gcols = sorted(zip(got.columns, [str(t) for t in got.types]))
