@@ -16,15 +16,22 @@ import org.apache.spark.sql.functions._
 object TextFns {
 
   /** Mersenne prime 2^31-1: modulus for the MinHash permutation family.
-    * Keeps a_j*h + b_j < 2^62, overflow-free in signed 64-bit arithmetic in
-    * BOTH engines (Spark long, DuckDB BIGINT).
+    * Keeps a_j*h + b_j < 2^62, overflow-free in signed 64-bit arithmetic.
     */
   val MinHashP: Long = 2147483647L
-  /** Knuth multiplicative constant reduced mod P — spreads the per-perm
-    * multipliers across the field.
+
+  /** Independent (a_j, b_j) per permutation, fixed seed. They MUST NOT be
+    * proportional across j: an earlier linear family (a_j = c·j, b_j = d·j)
+    * made every h_j(x) = j·(c·x+d) mod P — one permutation rescaled — which
+    * correlated all band rows and silently destroyed LSH recall (caught by
+    * the MLlib cross-check on real near-dup pairs, not by unit tests).
     */
-  val MulA: Long = 2654435761L % MinHashP // 507452114
-  val MulB: Long = 1013904223L
+  private val MaxPerms = 64
+  private[graft] val PermConsts: IndexedSeq[(Long, Long)] = {
+    val r = new scala.util.Random(2654435761L)
+    IndexedSeq.fill(MaxPerms)(
+      (1L + r.nextLong(MinHashP - 1), r.nextLong(MinHashP)))
+  }
 
   /** Lowercased whitespace tokens, empties removed. */
   def tokens(text: Column): Column =
@@ -55,8 +62,8 @@ object TextFns {
     conv(substring(md5(s), 1, 15), 16, 10).cast("long")
 
   /** MinHash signature (array of `perms` minima) over a shingle array.
-    * h_j(x) = (a_j * (x mod P) + b_j) mod P with a_j, b_j derived from the
-    * permutation index — identical integer arithmetic in the oracle.
+    * h_j(x) = (a_j * (x mod P) + b_j) mod P with per-j constants from
+    * [[PermConsts]].
     *
     * NB: callers on a hot path should materialize the hashed-shingle array
     * first and use [[minHashSignatureFromHashes]] — referencing the md5
@@ -67,12 +74,13 @@ object TextFns {
     minHashSignatureFromHashes(transform(shingleArr, s => hash32(s) % MinHashP), perms)
 
   /** Signature from pre-hashed shingles (each already reduced mod P). */
-  def minHashSignatureFromHashes(hashedArr: Column, perms: Int): Column =
-    transform(sequence(lit(1), lit(perms)), j => {
-      val a = (lit(MulA) * j) % MinHashP
-      val b = (lit(MulB) * j) % MinHashP
-      array_min(transform(hashedArr, h => (a * h + b) % MinHashP))
-    })
+  def minHashSignatureFromHashes(hashedArr: Column, perms: Int): Column = {
+    require(perms <= MaxPerms, s"at most $MaxPerms permutations")
+    array((0 until perms).map { j =>
+      val (a, b) = PermConsts(j)
+      array_min(transform(hashedArr, h => (lit(a) * h + lit(b)) % MinHashP))
+    }: _*)
+  }
 
   /** LSH band keys for a MinHash signature: md5 over each band's
     * comma-joined rows. Docs sharing any band key are near-dup candidates.

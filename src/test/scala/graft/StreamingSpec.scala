@@ -101,6 +101,30 @@ class StreamingSpec extends SparkSpec {
     assert(rows.contains((1L, 3L, 17.0)), "state carried across batches")
   }
 
+  test("stream-stream interval join with watermarks (view ⋈ click within 10 min)") {
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[(Timestamp, Long)]
+    val clicks = MemoryStream[(Timestamp, Long)]
+    val v = views.toDF().toDF("v_ts", "user_id").withWatermark("v_ts", "10 minutes")
+    val c = clicks.toDF().toDF("c_ts", "c_user").withWatermark("c_ts", "10 minutes")
+    val joined = v.join(c,
+      expr("user_id = c_user AND c_ts >= v_ts AND c_ts <= v_ts + interval 10 minutes"))
+    val q = joined.writeStream.format("memory").queryName("ssj_test")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+
+    views.addData((ts("2024-01-01 10:00:00"), 1L), (ts("2024-01-01 10:30:00"), 2L))
+    clicks.addData(
+      (ts("2024-01-01 10:05:00"), 1L),  // within window -> joins
+      (ts("2024-01-01 10:20:00"), 1L),  // outside 10 min -> dropped
+      (ts("2024-01-01 10:31:00"), 2L))  // within window -> joins
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("ssj_test")
+      .collect().map(r => (r.getLong(1), r.getTimestamp(2))).toSet
+    assert(rows === Set((1L, ts("2024-01-01 10:05:00")), (2L, ts("2024-01-01 10:31:00"))))
+  }
+
   test("foreachBatch streaming upsert: incremental ingest converges to keyed table state") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
