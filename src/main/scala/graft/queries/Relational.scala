@@ -236,16 +236,20 @@ object Relational {
     // q13: exact distinct aggregation (expand-based in Spark; the shuffle
     // key widens to include the distinct column — fine, it's the plan you
     // want at scale vs a two-pass self-join).
+    // sum (not avg) for the price metric: 2-decimal grid data keeps the
+    // true sum on-grid, immune to summation-order noise; avg over a group
+    // whose size is 2^a·5^b (e.g. 320 at sf0.001) terminates exactly on
+    // the rounding boundary and 1-ulp order noise flips it.
     QueryDef("q13_count_distinct",
       (s, d) => ord(s, d)
         .groupBy(col("o_orderpriority"))
         .agg(
           countDistinct(col("o_custkey")).as("n_cust"),
           count(lit(1)).as("n_orders"),
-          round(avg("o_totalprice"), 4).as("avg_price"))
+          round(sum("o_totalprice"), 2).as("sum_price"))
         .orderBy("o_orderpriority"),
       Some("""SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_cust,
-          count(*) AS n_orders, round(avg(o_totalprice),4) AS avg_price
+          count(*) AS n_orders, round(sum(o_totalprice),2) AS sum_price
         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
 
     // q14: global top-k — Spark's sort+limit runs as a per-partition top-k
@@ -321,14 +325,17 @@ object Relational {
 
     // q19: JSON extraction from events.props (the reference's nested-JSON
     // input model, S1/P2, applied to a string column).
+    // sum (not avg): input is a 2-decimal grid, so the true sum is on-grid
+    // and 2-dp rounding is immune to float-order noise; avg leaves the grid
+    // and power-of-two group sizes land exactly on the rounding boundary.
     QueryDef("q19_json_funcs",
       (s, d) => ev(s, d)
         .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
         .groupBy(col("k"))
-        .agg(count(lit(1)).as("n"), round(avg("value"), 4).as("avg_value"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
         .orderBy("k"),
       Some("""SELECT CAST(json_extract_string(props,'$.k') AS INTEGER) AS k,
-          count(*) AS n, round(avg("value"),4) AS avg_value
+          count(*) AS n, round(sum("value"),2) AS sum_value
         FROM events GROUP BY 1 ORDER BY k""")),
 
     // q20: CASE bucketing + multi-key aggregate.
@@ -422,6 +429,23 @@ object Relational {
           FROM orders)
         SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice),2) AS total
         FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // q26: supplier-side join slice (completes table coverage): revenue by
+    // supplier nation. supplier is mid-sized — left to AQE to pick
+    // broadcast here vs shuffle at scale; nation is always broadcast.
+    QueryDef("q26_supplier_join",
+      (s, d) => li(s, d)
+        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nat(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+        .orderBy("n_name"),
+      Some("""SELECT n_name, count(*) AS n_items,
+          round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY n_name ORDER BY n_name""")),
 
     // q24: approximate distinct (HLL++). Sketch values differ across
     // engines by design → rows-only driver check, no SQL oracle.
