@@ -43,6 +43,10 @@ object ScaleCheck {
         "q37_embedding_topk", "q39_embedding_pairs", "q53_session_window")) {
       time(q)(SparkEntry.queries(q)(spark, dst).count())
     }
+    // recall check at scale: the LSH path must reproduce the exact path
+    val exact = SparkEntry.queries("q34_ngram_jaccard")(spark, dst).collect().toSet
+    val lsh = SparkEntry.queries("q35_minhash_lsh")(spark, dst).collect().toSet
+    println(s"== lsh==exact at 10x: ${exact == lsh} (${exact.size} pairs)")
     spark.stop()
   }
 }
