@@ -242,22 +242,56 @@ object TextOps {
         ORDER BY id_a, id_b""")),
 
     // q40: document fingerprints — full-text md5, order-insensitive bag
-    // fingerprint (sorted distinct tokens), and 8-token prefix fingerprint.
-    // All map-side; the natural keys for incremental dedup at 100 TB.
+    // fingerprint (sorted distinct tokens), 8-token prefix fingerprint,
+    // and a Karp-Rabin rolling polynomial hash over the token-hash stream
+    // (H ← (H·B + h(tok)) mod P, left fold — the incremental form used for
+    // content-defined chunking). All map-side; the natural keys for
+    // incremental dedup at 100 TB.
     QueryDef("q40_fingerprint",
       (s, d) => {
         val t = TextFns.tokens(col("text"))
+        val B = 1000003L
+        val rolling = aggregate(
+          transform(t, x => TextFns.hash32(x) % TextFns.MinHashP),
+          lit(0L), (acc, h) => (acc * B + h) % TextFns.MinHashP)
         docs(s, d).select(
           col("doc_id"),
           md5(col("text")).as("fp_full"),
           md5(concat_ws(" ", array_sort(array_distinct(t)))).as("fp_bag"),
-          md5(concat_ws(" ", slice(t, 1, 8))).as("fp_prefix"))
+          md5(concat_ws(" ", slice(t, 1, 8))).as("fp_prefix"),
+          rolling.as("fp_rolling"))
           .orderBy("doc_id")
       },
       Some(s"""WITH x AS (SELECT doc_id, text, $OToks t FROM documents)
         SELECT doc_id, md5(text) AS fp_full,
           md5(array_to_string(list_sort(list_distinct(t)), ' ')) AS fp_bag,
-          md5(array_to_string(t[1:8], ' ')) AS fp_prefix
-        FROM x ORDER BY doc_id"""))
+          md5(array_to_string(t[1:8], ' ')) AS fp_prefix,
+          list_reduce(
+            list_prepend(0::BIGINT,
+              list_transform(t, x -> ('0x' || substr(md5(x), 1, 8))::BIGINT % 2147483647)),
+            (acc, h) -> (acc * 1000003 + h) % 2147483647) AS fp_rolling
+        FROM x ORDER BY doc_id""")),
+
+    // q74: BPE-ish regex tokenization beside whitespace tokenization — the
+    // token-counting pair from the north-star text-analysis list. The
+    // regex splits words / digit runs / single non-alnum symbols, the
+    // first-stage shape of byte-pair pretokenizers.
+    QueryDef("q74_regex_tokens",
+      (s, d) => {
+        val ws = TextFns.tokens(col("text"))
+        val bpe = regexp_extract_all(lower(col("text")),
+          lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))
+        docs(s, d).select(
+          col("doc_id"),
+          size(ws).as("n_ws_tokens"),
+          size(bpe).as("n_bpe_tokens"),
+          size(array_distinct(bpe)).as("n_bpe_distinct"))
+          .orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id,
+          CAST(len($OToks) AS INTEGER) AS n_ws_tokens,
+          CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS INTEGER) AS n_bpe_tokens,
+          CAST(len(list_distinct(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))) AS INTEGER) AS n_bpe_distinct
+        FROM documents ORDER BY doc_id"""))
   )
 }
