@@ -76,4 +76,41 @@ class TextFnsSpec extends SparkSpec {
       once == twice
     })
   }
+
+  test("property: upsert result has unique keys and contains every update row") {
+    val rowGen = Gen.listOfN(12, Gen.zip(Gen.choose(1, 6), Gen.alphaStr))
+    check(Prop.forAll(rowGen, rowGen) { (baseRows, updRows) =>
+      val base = baseRows.toDF("k", "v")
+      val upd = updRows.distinctBy(_._1).toDF("k", "v")
+      val out = graft.operators.Upsert(base, upd, Seq("k"))
+        .as[(Int, String)].collect().toSeq
+      val uniqueKeys = out.map(_._1).distinct.size == out.size
+      val updatesWin = updRows.distinctBy(_._1).forall(out.contains)
+      uniqueKeys && updatesWin
+    })
+  }
+
+  test("property: flatten(nest(x)) == x on generated flat rows (SURVEY §5.3)") {
+    import graft.etl.Flatten
+    import graft.etl.Flatten.{Leaf, Obj}
+    val cell = Gen.alphaNumStr.map(_.take(8))
+    val rowGen = Gen.listOfN(5, Gen.zip(cell, Gen.zip(cell, cell)))
+    check(Prop.forAll(rowGen) { rows =>
+      whenever(rows.nonEmpty) {
+        // nest: (a, (b, c)) -> {top: a, fields: {inner: {b, c}}}
+        val nested = rows.map { case (a, (b, c)) => (a, b, c) }
+          .toDF("a", "b", "c")
+          .select(col("a"),
+            struct(struct(col("b"), col("c")).as("inner")).as("fields"))
+        val flat = Flatten(nested, Obj(
+          "a" -> Leaf("a"),
+          "fields" -> Obj("inner" -> Obj("b" -> Leaf("b"), "c" -> Leaf("c")))))
+        val got = flat.select(col("a"), col("fields_inner_b"), col("fields_inner_c"))
+          .as[(String, String, String)].collect().toSeq.sorted
+        got == rows.map { case (a, (b, c)) => (a, b, c) }.sorted
+      }
+    })
+  }
+
+  private def whenever(b: Boolean)(body: => Boolean): Boolean = !b || body
 }
