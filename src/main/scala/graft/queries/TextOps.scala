@@ -292,6 +292,50 @@ object TextOps {
           CAST(len($OToks) AS INTEGER) AS n_ws_tokens,
           CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS INTEGER) AS n_bpe_tokens,
           CAST(len(list_distinct(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))) AS INTEGER) AS n_bpe_distinct
-        FROM documents ORDER BY doc_id"""))
+        FROM documents ORDER BY doc_id""")),
+
+    // q75: deterministic train/val/test split — hash-bucket the key
+    // (80/10/10), never rand(): reproducible across runs, clusters, and
+    // engines, and a doc keeps its split when the corpus grows. Map-side
+    // only; the oracle recomputes the same md5-derived bucket.
+    QueryDef("q75_hash_split",
+      (s, d) => {
+        val bucket = TextFns.hash32(concat(lit("split:"), col("doc_id"))) % 100
+        docs(s, d)
+          .withColumn("split",
+            when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+          .groupBy("lang", "split")
+          .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars"))
+          .orderBy("lang", "split")
+      },
+      Some("""WITH x AS (
+          SELECT *, ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS b
+          FROM documents)
+        SELECT lang,
+          CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+          count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars
+        FROM x GROUP BY 1, 2 ORDER BY lang, split""")),
+
+    // q76: balanced per-class sample — k docs per language, chosen by
+    // smallest key-hash (a deterministic uniform draw) with the id as the
+    // total-order tiebreak. The class-rebalancing primitive; one shuffle
+    // on the class key, WindowGroupLimit prunes map-side.
+    QueryDef("q76_balanced_sample",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("lang"))
+          .orderBy(TextFns.hash32(concat(lit("sample:"), col("doc_id"))), col("doc_id"))
+        docs(s, d)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 50)
+          .select(col("lang"), col("rn").cast("int").as("rn"), col("doc_id"))
+          .orderBy("lang", "rn")
+      },
+      Some("""SELECT lang, CAST(rn AS INTEGER) AS rn, doc_id FROM (
+          SELECT lang, doc_id,
+            row_number() OVER (PARTITION BY lang
+              ORDER BY ('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT, doc_id) AS rn
+          FROM documents) t
+        WHERE rn <= 50 ORDER BY lang, rn"""))
   )
 }
