@@ -28,10 +28,24 @@ object Bench {
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // The driver keeps only the LAST 2000 chars of combined output and
+    // needs the JSON line bare and COMPLETE inside that tail (sbt's final
+    // "[success] Total time..." line eats ~70 of those chars). Round 2's
+    // full-precision 63-query line was ~2.5k chars and got truncated →
+    // "parsed": null. Emit ms-rounded times and hard-cap the line: drop
+    // the slowest-last per-query entries if it would still overflow.
+    def fmt(v: Double): String = BigDecimal(v)
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def line(qs: Seq[(String, Double)]): String = {
+      val m = qs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$m,"sf":"$sfDir"}"""
+    }
+    var entries = results.toSeq
+    while (line(entries).length > 1800 && entries.nonEmpty)
+      entries = entries.sortBy(-_._2).dropRight(1)
+    println(line(entries))
     spark.stop()
   }
 }

@@ -63,7 +63,9 @@ def main(sf_dir, out_dir):
         except Exception as e:
             print(f"[ERROR] {name}: {e}")
             n_bad += 1
-    missing = set(oracle) - set(names)
+    # oracle_sql.json carries each key under both "name" and "name.parquet"
+    # (driver keys by file name); normalize before the missing-output check
+    missing = {k[:-8] if k.endswith(".parquet") else k for k in oracle} - set(names)
     if missing:
         print(f"[MISSING verify output] {sorted(missing)}")
     print(f"== {n_ok} ok, {n_bad} bad, {len(names) - n_ok - n_bad} rows-only ==")
