@@ -336,6 +336,79 @@ object TextOps {
             row_number() OVER (PARTITION BY lang
               ORDER BY ('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT, doc_id) AS rn
           FROM documents) t
-        WHERE rn <= 50 ORDER BY lang, rn"""))
+        WHERE rn <= 50 ORDER BY lang, rn""")),
+
+    // q77: duplicate clusters — connected components (iterative min-label
+    // propagation, O(diameter) shuffles; see operators.Components) over the
+    // exact-Jaccard near-dup pairs. The step that turns pairwise dedup
+    // output into canonical-survivor groups: a~b, b~c ⇒ one cluster {a,b,c}
+    // even when (a,c) itself scores below the threshold. Oracle: DuckDB
+    // recursive CTE computing the same min-reachable-id fixpoint.
+    QueryDef("q77_dup_clusters",
+      (s, d) => {
+        val pairs = Dedup.ngramJaccard(docs(s, d), "doc_id", "text", 3, 0.6)
+        graft.operators.Components.connectedComponents(pairs, "id_a", "id_b")
+          .withColumn("csize",
+            count(lit(1)).over(org.apache.spark.sql.expressions.Window
+              .partitionBy(col("cluster"))).cast("int"))
+          .select(col("id").as("doc_id"), col("cluster"), col("csize"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE
+          toks AS (SELECT doc_id, $OToks t FROM documents),
+          sets AS (SELECT doc_id, $OShingles sh FROM toks WHERE len(t) >= 3),
+          inv AS (SELECT doc_id, len(sh) n, unnest(sh) shingle FROM sets),
+          jp AS (
+            SELECT id_a, id_b FROM (
+              SELECT a.doc_id id_a, b.doc_id id_b, a.n na, b.n nb, count(*) inter
+              FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2, 3, 4) p
+            WHERE round(inter / (na + nb - inter), 4) >= 0.6),
+          edges AS (SELECT id_a s, id_b d FROM jp UNION ALL SELECT id_b, id_a FROM jp),
+          reach AS (
+            SELECT DISTINCT s AS id, s AS lbl FROM edges
+            UNION
+            SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.id),
+          cl AS (SELECT id AS doc_id, min(lbl) AS cluster FROM reach GROUP BY 1)
+        SELECT doc_id, cluster,
+               CAST(count(*) OVER (PARTITION BY cluster) AS INTEGER) csize
+        FROM cl ORDER BY doc_id""")),
+
+    // q78: TF-IDF top terms per document — the classic text-analysis
+    // ranking. IDF kept rational ((tf·N)/df, no log) so both engines do
+    // integer-exact arithmetic up to one identical double division —
+    // bit-portable, with the term as a total-order tiebreak. One shuffle
+    // for tf, a broadcast-sized df join (vocab ≪ corpus), window top-3.
+    QueryDef("q78_tfidf",
+      (s, d) => {
+        val dd = docs(s, d)
+        val n = dd.count()
+        val tf = dd
+          .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("term"))
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        val score = (col("tf") * lit(n)) / col("df")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(score.desc, col("term"))
+        tf.join(broadcast(df), "term")
+          .withColumn("rnk", row_number().over(w).cast("int"))
+          .filter(col("rnk") <= 3)
+          .select(col("doc_id"), col("term"), col("rnk"), col("tf"), col("df"),
+            round(score, 6).as("score"))
+          .orderBy("doc_id", "rnk")
+      },
+      Some(s"""WITH
+          toks AS (SELECT doc_id, unnest($OToks) tok FROM documents),
+          tf AS (SELECT doc_id, tok, count(*) tf FROM toks GROUP BY 1, 2),
+          df AS (SELECT tok, count(*) df FROM tf GROUP BY 1),
+          n AS (SELECT count(*) n FROM documents),
+          scored AS (
+            SELECT doc_id, tok, tf, df, round((tf * n) / df, 6) score,
+                   row_number() OVER (PARTITION BY doc_id
+                     ORDER BY (tf * n) / df DESC, tok) rnk
+            FROM tf JOIN df USING (tok) CROSS JOIN n)
+        SELECT doc_id, tok AS term, CAST(rnk AS INTEGER) rnk,
+               CAST(tf AS BIGINT) tf, CAST(df AS BIGINT) df, score
+        FROM scored WHERE rnk <= 3 ORDER BY doc_id, rnk"""))
   )
 }

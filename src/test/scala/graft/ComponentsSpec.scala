@@ -1,0 +1,34 @@
+package graft
+
+import graft.operators.Components
+
+/** Connected-components semantics: transitivity, direction-independence,
+  * convergence on a path graph longer than one propagation round.
+  */
+class ComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def cc(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Components.connectedComponents(edges.toDF("a", "b"), "a", "b")
+      .as[(Long, Long)].collect().toMap
+
+  test("triangle plus disjoint pair form two clusters labeled by min id") {
+    val out = cc(Seq((2L, 3L), (3L, 5L), (2L, 5L), (8L, 9L)))
+    assert(out === Map(2L -> 2L, 3L -> 2L, 5L -> 2L, 8L -> 8L, 9L -> 8L))
+  }
+
+  test("chain a-b, b-c clusters transitively even without an a-c edge") {
+    val out = cc(Seq((10L, 20L), (20L, 30L)))
+    assert(out.values.toSet === Set(10L))
+  }
+
+  test("long path converges to the single min label (multi-round propagation)") {
+    // path 1-2-...-12: min label must travel 11 hops, forcing >1 round
+    val out = cc((1L to 11L).map(i => (i + 1, i)))
+    assert(out === (1L to 12L).map(_ -> 1L).toMap)
+  }
+
+  test("edge direction is irrelevant") {
+    assert(cc(Seq((7L, 4L))) === Map(4L -> 4L, 7L -> 4L))
+  }
+}
