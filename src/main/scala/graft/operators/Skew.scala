@@ -31,4 +31,25 @@ object Skew {
       .groupBy(keys.map(col): _*)
       .agg(sum(col("_n")).as("n"), sum(col("_s")).as(s"sum_$valueCol"))
   }
+
+  /** Salted equi-join for a skewed big side against a small-but-not-
+    * broadcastable build side: each big-side row gets a salt in
+    * [0, buckets), the small side is replicated once per salt value, and
+    * the join key becomes (key, salt) — a hot key's rows now spread over
+    * `buckets` reducers instead of one. Result-identical to
+    * `big.join(small, key)` for any salt assignment, so the salt uses a
+    * row-unique hash (spreads evenly even when ALL rows share one key).
+    * Cost: small side shuffles buckets× — pick buckets ≈ the skew factor,
+    * not the cluster width. When the small side fits in memory prefer
+    * `broadcast()`; when only a few keys are hot prefer AQE's skew split
+    * (this helper is for the ALL-keys-hot / giant-build-side corner).
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+      buckets: Int = 16): DataFrame = {
+    val saltedBig = big.withColumn("_graft_salt",
+      pmod(crc32(monotonically_increasing_id().cast("string")), lit(buckets)))
+    val replicated = small.withColumn("_graft_salt",
+      explode(sequence(lit(0L), lit(buckets - 1L))))
+    saltedBig.join(replicated, Seq(key, "_graft_salt")).drop("_graft_salt")
+  }
 }

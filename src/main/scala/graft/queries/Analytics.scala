@@ -260,6 +260,27 @@ object Analytics {
       Some("""SELECT l_returnflag, count(*) AS n, round(sum(l_quantity),2) AS sum_qty
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // q79: salted skew JOIN — lineitem salted per row, supplier replicated
+    // per salt bucket, join key (suppkey, salt). Result-identical to the
+    // plain join (the oracle IS the plain join), so the whole salting
+    // mechanism is correctness-gated. The pattern for a skewed probe side
+    // against a build side too large to broadcast.
+    QueryDef("q79_salted_join",
+      (s, d) => {
+        val big = li(s, d).withColumnRenamed("l_suppkey", "suppkey")
+        val small = Tables.supplier(s, d).withColumnRenamed("s_suppkey", "suppkey")
+        graft.operators.Skew.saltedJoin(big, small, "suppkey", 8)
+          .groupBy(col("s_nationkey"))
+          .agg(count(lit(1)).as("n_items"),
+            round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+              .as("revenue"))
+          .orderBy("s_nationkey")
+      },
+      Some("""SELECT s_nationkey, count(*) AS n_items,
+          round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY s_nationkey ORDER BY s_nationkey""")),
+
     // q71: approximate percentile sketch next to its exact oracle-of-record
     // (sketch values are engine-specific ⇒ rows-only driver check; the
     // exact column doubles as an in-row accuracy reference).
