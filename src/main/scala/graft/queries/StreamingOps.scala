@@ -120,6 +120,40 @@ object StreamingOps {
       },
       Some("""SELECT c_mktsegment, count(*) AS n, round(sum(value), 2) AS sum_value
         FROM events JOIN customer ON user_id = c_custkey
-        GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+        GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    // q55: stream-stream interval join — view→purchase attribution within
+    // 30 min per user. Both sides carry watermarks and the join condition
+    // bounds event time on BOTH ends, so each side's state evicts once the
+    // other side's watermark passes view_ts + 30 min: bounded state, the
+    // only shuffle is the symmetric hash join's user_id exchange. Append
+    // mode (inner interval joins emit exactly once).
+    QueryDef("q55_stream_stream_join",
+      (s, d) => {
+        val views = EventStream.readEvents(s, d)
+          .filter(col("event_type") === "view")
+          .select(col("user_id"), col("ts").as("view_ts"))
+          .withWatermark("view_ts", "1 hour")
+        val purchases = EventStream.readEvents(s, d)
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user_id"), col("ts").as("purchase_ts"),
+            col("value"))
+          .withWatermark("purchase_ts", "1 hour")
+        val joined = views.join(purchases,
+          col("user_id") === col("p_user_id") &&
+            col("purchase_ts") > col("view_ts") &&
+            col("purchase_ts") <= col("view_ts") + expr("INTERVAL 30 MINUTES"))
+        EventStream.runToTable(s, joined, "append")
+          .select(col("user_id"), col("view_ts"), col("purchase_ts"),
+            round(col("value"), 2).as("value"))
+          .orderBy("user_id", "view_ts", "purchase_ts")
+      },
+      Some("""SELECT a.user_id, CAST(a.ts AS TIMESTAMP) AS view_ts,
+          CAST(b.ts AS TIMESTAMP) AS purchase_ts, round(b.value, 2) AS value
+        FROM events a JOIN events b
+          ON a.user_id = b.user_id AND a.event_type = 'view'
+         AND b.event_type = 'purchase'
+         AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+        ORDER BY 1, 2, 3"""))
   )
 }
