@@ -40,7 +40,9 @@ object ScaleCheck {
     }
     for (q <- Seq("q01_agg_pricing", "q04_factfact_join", "q30_dedup_exact",
         "q34_ngram_jaccard", "q35_minhash_lsh", "q36_simhash_pairs",
-        "q37_embedding_topk", "q39_embedding_pairs", "q53_session_window")) {
+        "q37_embedding_topk", "q39_embedding_pairs", "q53_session_window",
+        "q55_stream_stream_join", "q77_dup_clusters", "q78_tfidf",
+        "q79_salted_join")) {
       time(q)(SparkEntry.queries(q)(spark, dst).count())
     }
     // recall check at scale: the LSH path must reproduce the exact path

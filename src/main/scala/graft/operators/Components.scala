@@ -38,8 +38,15 @@ object Components {
     // round — analysis alone goes exponential past ~10 rounds. On a real
     // cluster swap for reliable checkpoint(): localCheckpoint pins lineage
     // to executor block storage and does not survive executor loss.
+    // labels only ever decrease ⇒ fixpoint iff the label multiset is
+    // unchanged; sum(cluster) is a sufficient monotone witness and costs
+    // one scalar per round (carried forward, not recomputed) instead of a
+    // row-level diff join. Decimal sum: a long sum of ~10^12 node ids
+    // would overflow at cluster scale.
+    val wit = sum(col("cluster").cast("decimal(38,0)"))
     var labels = both.select(col("s").as("id"), col("s").as("cluster"))
       .groupBy("id").agg(min("cluster").as("cluster")).localCheckpoint()
+    var witness = labels.agg(wit).first().getDecimal(0)
     var converged = false
     var iters = 0
     while (!converged && iters < maxIters) {
@@ -48,15 +55,10 @@ object Components {
         .select(col("d").as("id"), col("cluster"))
       val next = labels.select("id", "cluster").union(prop)
         .groupBy("id").agg(min("cluster").as("cluster")).localCheckpoint()
-      // labels only ever decrease ⇒ fixpoint iff the label multiset is
-      // unchanged; sum(cluster) is a sufficient monotone witness and costs
-      // one scalar per side instead of a row-level diff join. Decimal sum:
-      // a long sum of ~10^12 node ids would overflow at cluster scale.
-      val wit = sum(col("cluster").cast("decimal(38,0)"))
-      val before = labels.agg(wit).first().getDecimal(0)
-      val after = next.agg(wit).first().getDecimal(0)
+      val nextWitness = next.agg(wit).first().getDecimal(0)
       labels = next
-      converged = before == after
+      converged = witness == nextWitness
+      witness = nextWitness
       iters += 1
     }
     both.unpersist()

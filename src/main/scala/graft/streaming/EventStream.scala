@@ -41,14 +41,19 @@ object EventStream {
 
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(eventsRawSchema)
-      // the file source wants a directory basePath; point it at the sf dir
-      // and glob just the events table
-      .option("basePath", dir)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(s"$dir")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // The file source needs a directory. Driver testdata ships events as a
+    // single FILE ($dir/events.parquet) → stream $dir with a glob. A
+    // Spark-written table is a DIRECTORY of part files → stream it
+    // directly (the glob would match no leaf file and silently yield an
+    // empty stream — caught by the 10× ScaleCheck replica).
+    val table = new java.io.File(s"$dir/events.parquet")
+    val src =
+      if (table.isDirectory) spark.readStream.schema(eventsRawSchema)
+        .parquet(table.getPath)
+      else spark.readStream.schema(eventsRawSchema)
+        .option("basePath", dir).option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+    src.withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
   /** Run a streaming DataFrame to completion (AvailableNow) into a memory
