@@ -35,7 +35,7 @@ object Bench {
     // "parsed": null. Emit ms-rounded times and hard-cap the line: drop
     // the slowest-last per-query entries if it would still overflow.
     def fmt(v: Double): String = BigDecimal(v)
-      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+      .setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
     val total = if (results.nonEmpty) results.values.sum else 0.0
     def line(qs: Seq[(String, Double)]): String = {
       val m = qs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }

@@ -406,6 +406,31 @@ object Relational {
         GROUP BY p.event_id, p.user_id, p.ts
         ORDER BY p.event_id""")),
 
+    // q80: the SAME as-of semantics through the native custom operator
+    // (graft.plans: AsOfJoinPlan + AsOfJoinStrategy + AsOfJoinExec —
+    // SURVEY §2b preference (c), the full Catalyst extension stack), gated
+    // on q22's oracle. Sort-merge cost model: one exchange per side, one
+    // (key, time) sort each, O(1)-state forward merge.
+    QueryDef("q80_asof_native",
+      (s, d) => {
+        val e = ev(s, d)
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val signups = e.filter(col("event_type") === "signup")
+          .select(col("user_id").as("s_user_id"), col("ts").as("signup_ts"))
+        graft.plans.AsOfJoinNative(purchases, signups,
+          Seq("user_id"), Seq("s_user_id"), "ts", "signup_ts")
+          .select(col("event_id"), col("user_id"), col("ts"),
+            col("signup_ts").as("last_signup_ts"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT p.event_id, p.user_id, p.ts, max(s.ts) AS last_signup_ts
+        FROM events p LEFT JOIN events s
+          ON s.user_id = p.user_id AND s.event_type='signup' AND s.ts <= p.ts
+        WHERE p.event_type='purchase'
+        GROUP BY p.event_id, p.user_id, p.ts
+        ORDER BY p.event_id""")),
+
     // q23: keyed upsert (reference U1–U3): derived update batch replaces
     // every 7th order; merged via operators.Upsert (single shuffle window
     // merge), then aggregated.
