@@ -312,6 +312,49 @@ object Analytics {
           CAST(sum(CASE WHEN ((CASE WHEN l_discount >= 0.05 THEN l_discount END) = NULL) THEN 1 ELSE 0 END) AS BIGINT) AS n_plain_eq_null
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // q81: interval range frame — trailing-1h running stats per user over
+    // event time. rangeBetween needs a numeric order key: unix_micros
+    // keeps full timestamp precision (a seconds cast would disagree with
+    // the oracle's native-timestamp RANGE on sub-second boundaries).
+    // Window sums of 2-decimal data stay on the 0.01 grid → 2-dp round is
+    // order-noise-immune.
+    QueryDef("q81_range_frame",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(unix_micros(col("ts")))
+          .rangeBetween(-3600L * 1000000L, 0L)
+        ev(s, d).filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"),
+            count(lit(1)).over(w).as("n_prev_1h"),
+            round(sum("value").over(w), 2).as("sum_prev_1h"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id, CAST(ts AS TIMESTAMP) ts,
+          count(*) OVER w AS n_prev_1h,
+          round(sum(value) OVER w, 2) AS sum_prev_1h
+        FROM events WHERE event_type = 'click'
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+          RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        ORDER BY event_id""")),
+
+    // q82: correlated EXISTS subquery through the SQL front-end — Catalyst
+    // decorrelates it to a left-semi join (same physical shape as q06),
+    // exercising the rewrite rather than the pre-joined API form.
+    QueryDef("q82_exists_subquery",
+      (s, d) => {
+        ord(s, d).createOrReplaceTempView("graft_q82_orders")
+        li(s, d).createOrReplaceTempView("graft_q82_lineitem")
+        s.sql("""SELECT o_orderpriority, count(1) AS n_orders
+          FROM graft_q82_orders o
+          WHERE EXISTS (SELECT 1 FROM graft_q82_lineitem l
+                        WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+          GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n_orders
+        FROM orders o
+        WHERE EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
     // q73: from_json — full-struct parse of the props JSON column (q19
     // covers path extraction; this is the schema'd parse the reference's
     // input model implies, SURVEY §1).
