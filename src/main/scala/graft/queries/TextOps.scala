@@ -66,30 +66,42 @@ object TextOps {
     QueryDef("q31_text_quality",
       (s, d) => {
         val t = TextFns.tokens(col("text"))
-        val nt = size(t).cast("double")
-        val nd = size(array_distinct(t)).cast("double")
-        val sumLen = aggregate(t, lit(0L), (acc, x) => acc + length(x)).cast("double")
-        val stops = size(filter(t, x => x.isin("the", "a"))).cast("double")
+        val nt = size(t).cast("long")
+        val nd = size(array_distinct(t)).cast("long")
+        val sumLen = aggregate(t, lit(0L), (acc, x) => acc + length(x))
+        val stops = size(filter(t, x => x.isin("the", "a"))).cast("long")
+        // Every ratio is ONE division of exact integers — bit-identical
+        // doubles in both engines, so no rounding (and no rounding is
+        // safe here: nt ∈ {32, 48, 64, 80, ...} is 2^a·5^b-smooth, so the
+        // true quality lands EXACTLY on 4th-decimal half-boundaries
+        // (0.65875 at nt=80) where the engines' round() disagreed — 11
+        // docs flipped at sf0.1. quality ≡ 0.4·nd/nt + 0.3·(1−st/nt) +
+        // 0.3·min(nt,100)/100, over the common denominator 10000·nt.
+        val quality = (lit(4000L) * nd + lit(3000L) * (nt - stops)
+          + lit(30L) * least(nt, lit(100L)) * nt).cast("double") /
+          (lit(10000L) * nt).cast("double")
         docs(s, d).select(
           col("doc_id"),
           size(t).as("n_tokens"),
           size(array_distinct(t)).as("n_distinct"),
-          round(sumLen / nt, 4).as("avg_tok_len"),
-          round(stops / nt, 4).as("stopword_ratio"),
-          round(lit(0.4) * (nd / nt) + lit(0.3) * (lit(1.0) - stops / nt)
-            + lit(0.3) * least(nt / 100.0, lit(1.0)), 4).as("quality"))
+          (sumLen.cast("double") / nt.cast("double")).as("avg_tok_len"),
+          (stops.cast("double") / nt.cast("double")).as("stopword_ratio"),
+          quality.as("quality"))
           .orderBy("doc_id")
       },
-      Some(s"""WITH x AS (SELECT doc_id, $OToks t FROM documents)
+      Some(s"""WITH x AS (SELECT doc_id, $OToks t FROM documents),
+          m AS (SELECT doc_id, len(t) nt, len(list_distinct(t)) nd,
+                  list_sum(list_transform(t, x -> len(x))) sl,
+                  len(list_filter(t, x -> x IN ('the','a'))) st
+                FROM x)
         SELECT doc_id,
-          CAST(len(t) AS INTEGER) AS n_tokens,
-          CAST(len(list_distinct(t)) AS INTEGER) AS n_distinct,
-          round(list_sum(list_transform(t, x -> len(x)))::DOUBLE / len(t), 4) AS avg_tok_len,
-          round(len(list_filter(t, x -> x IN ('the','a')))::DOUBLE / len(t), 4) AS stopword_ratio,
-          round(0.4 * (len(list_distinct(t))::DOUBLE / len(t))
-              + 0.3 * (1.0 - len(list_filter(t, x -> x IN ('the','a')))::DOUBLE / len(t))
-              + 0.3 * least(len(t)::DOUBLE / 100.0, 1.0), 4) AS quality
-        FROM x ORDER BY doc_id""")),
+          CAST(nt AS INTEGER) AS n_tokens,
+          CAST(nd AS INTEGER) AS n_distinct,
+          sl::DOUBLE / nt::DOUBLE AS avg_tok_len,
+          st::DOUBLE / nt::DOUBLE AS stopword_ratio,
+          (4000*nd + 3000*(nt-st) + 30*least(nt,100)*nt)::DOUBLE
+            / (10000*nt)::DOUBLE AS quality
+        FROM m ORDER BY doc_id""")),
 
     // q32: corpus token frequency top-20 — explode + two-level hash agg
     // (partial map-side combine keeps the shuffle at |vocab| rows).
