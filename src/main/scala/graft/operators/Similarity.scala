@@ -71,8 +71,49 @@ object Similarity {
       isQuery: Column, k: Int, nCentroids: Int, nProbe: Int): DataFrame = {
     val base = vecs.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("nrm", l2norm(col("v")))
-    val cents = base.orderBy("id").limit(nCentroids)
-      .select(col("id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
+    val seeds = base.orderBy("id").limit(nCentroids)
+      .select(col("id").as("cid"), col("v").as("cv"))
+    ivfTopKWith(vecs, idCol, vecCol, isQuery, k, nProbe, seeds)
+  }
+
+  /** Lloyd's k-means over the vector column — IVF centroid training.
+    * Deterministic: seeds are the k lowest-id vectors, assignment ties
+    * break on cid, and the elementwise-mean UDAF
+    * ([[graft.functions.CentroidAggregator]]) does partial+final merge so
+    * only one vector per (bucket, partition) shuffles. Each round is one
+    * broadcast assign + one agg; lineage cut per round (localCheckpoint —
+    * iterative frames otherwise double their logical plan per iteration).
+    * Output: (cid, cv float-array) for [[ivfTopKWith]].
+    */
+  def kmeansCentroids(vecs: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): DataFrame = {
+    val centroidOf = udaf(graft.functions.CentroidAggregator)
+    val base = vecs.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("nrm", l2norm(col("v")))
+    var cents = base.orderBy("id").limit(k)
+      .select(col("id").as("cid"), col("v").as("cv")).localCheckpoint()
+    (1 to iters).foreach { _ =>
+      val cf = cents
+        .select(col("cid"), transform(col("cv"), _.cast("float")).as("cv"))
+        .withColumn("cn", l2norm(col("cv")))
+      val wA = Window.partitionBy(col("id")).orderBy(col("csim").desc, col("cid"))
+      val assigned = base.crossJoin(broadcast(cf))
+        .withColumn("csim", cosine(col("v"), col("cv"), col("nrm"), col("cn")))
+        .withColumn("crn", row_number().over(wA)).filter(col("crn") === 1)
+        .select(col("cid"), col("v"))
+      cents = assigned.groupBy("cid").agg(centroidOf(col("v")).as("cv"))
+        .localCheckpoint()
+    }
+    cents.select(col("cid"), transform(col("cv"), _.cast("float")).as("cv"))
+  }
+
+  /** IVF probe/scan against a supplied centroid table (cid, cv). */
+  def ivfTopKWith(vecs: DataFrame, idCol: String, vecCol: String,
+      isQuery: Column, k: Int, nProbe: Int, centroids: DataFrame): DataFrame = {
+    val base = vecs.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("nrm", l2norm(col("v")))
+    val cents = centroids.select(col("cid"), col("cv"))
+      .withColumn("cn", l2norm(col("cv")))
     // assign every vector to its nearest centroid (broadcast NL join, small)
     val wAssign = Window.partitionBy(col("id"))
       .orderBy(col("csim").desc, col("cid"))

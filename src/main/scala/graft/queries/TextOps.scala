@@ -222,16 +222,21 @@ object TextOps {
           FROM p) t
         WHERE rn <= 10 ORDER BY query_id, rnk""")),
 
-    // q38: IVF approximate top-10 (16 centroids, probe 4) — the ANN scale
-    // path: each query scans ~nProbe/nCentroids of the corpus. Approximate
-    // by design ⇒ rows-only driver check; recall vs q37 asserted in
+    // q38: IVF approximate top-10 (16 k-means-trained centroids, probe 4)
+    // — the ANN scale path: 2 Lloyd rounds refine the seed centroids, then
+    // each query scans ~nProbe/nCentroids of the corpus. Approximate by
+    // design ⇒ rows-only driver check; recall vs q37 asserted in
     // SimilaritySpec.
     QueryDef("q38_ann_ivf",
-      (s, d) => Similarity.ivfTopK(emb(s, d), "vec_id", "embedding",
-          col("id") < 20, 10, 16, 4)
-        .select(col("query_id"), col("rank").cast("int").as("rnk"),
-          col("neighbor_id"), col("cos"))
-        .orderBy("query_id", "rnk"),
+      (s, d) => {
+        val e = emb(s, d)
+        val cents = Similarity.kmeansCentroids(e, "vec_id", "embedding", 16, 2)
+        Similarity.ivfTopKWith(e, "vec_id", "embedding",
+            col("id") < 20, 10, 4, cents)
+          .select(col("query_id"), col("rank").cast("int").as("rnk"),
+            col("neighbor_id"), col("cos"))
+          .orderBy("query_id", "rnk")
+      },
       None),
 
     // q39: embedding near-dup pairs (cosine ≥ 0.45). Brute force at this
