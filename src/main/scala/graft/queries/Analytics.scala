@@ -355,6 +355,69 @@ object Analytics {
                       WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
         GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
 
+    // q83: SCD2 dimension build — changelog → validity intervals. The
+    // warehouse generalization of the reference's keyed upsert (U1–U3
+    // overwrite; SCD2 keeps history): collapse consecutive equal states
+    // per key (lag), then close each interval with the next change's
+    // timestamp (lead over the collapsed set); open intervals are current.
+    // Two window passes over one (key, time) sort — one shuffle.
+    QueryDef("q83_scd2",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        val changes = ord(s, d).filter(col("o_custkey") <= 300)
+          .withColumn("prev_status", lag(col("o_orderstatus"), 1).over(w))
+          .filter(col("prev_status").isNull ||
+            col("prev_status") =!= col("o_orderstatus"))
+        val w2 = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        changes
+          .withColumn("valid_to", lead(col("o_orderdate"), 1).over(w2))
+          .select(col("o_custkey").as("custkey"),
+            col("o_orderstatus").as("status"),
+            col("o_orderdate").as("valid_from"), col("valid_to"),
+            col("valid_to").isNull.cast("int").as("is_current"))
+          .orderBy("custkey", "valid_from", "status")
+      },
+      Some("""WITH h AS (
+          SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+                 lag(o_orderstatus) OVER w AS prev_status
+          FROM orders WHERE o_custkey <= 300
+          WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+         c AS (
+          SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey
+          FROM h WHERE prev_status IS NULL OR prev_status <> o_orderstatus)
+        SELECT o_custkey AS custkey, o_orderstatus AS status,
+          o_orderdate AS valid_from, lead(o_orderdate) OVER w2 AS valid_to,
+          CAST(lead(o_orderdate) OVER w2 IS NULL AS INTEGER) AS is_current
+        FROM c WINDOW w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        ORDER BY custkey, valid_from, status""")),
+
+    // q84: dynamic-bound equi-width histogram — two-pass: a broadcast
+    // (min, max) aggregate, then one map-side bucket assignment + hash
+    // agg. Bucket edges are identical doubles in both engines (exact
+    // 2-decimal inputs, one division each); floor() on both sides because
+    // DuckDB's int CAST rounds where Spark's truncates.
+    QueryDef("q84_histogram",
+      (s, d) => {
+        val b = ord(s, d).agg(min("o_totalprice").as("mn"),
+          max("o_totalprice").as("mx"))
+        ord(s, d).crossJoin(broadcast(b))
+          .withColumn("bucket",
+            least(floor((col("o_totalprice") - col("mn")) /
+              ((col("mx") - col("mn")) / 10)), lit(9L)).cast("int"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n"), round(min("mn"), 2).as("lo"),
+            round(max("mx"), 2).as("hi"))
+          .orderBy("bucket")
+      },
+      Some("""WITH b AS (SELECT min(o_totalprice) mn, max(o_totalprice) mx FROM orders),
+         x AS (SELECT least(floor((o_totalprice - mn) / ((mx - mn) / 10)), 9) AS bucket,
+                      mn, mx FROM orders, b)
+        SELECT CAST(bucket AS INTEGER) bucket, count(*) AS n,
+          round(min(mn),2) lo, round(max(mx),2) hi
+        FROM x GROUP BY bucket ORDER BY bucket""")),
+
     // q73: from_json — full-struct parse of the props JSON column (q19
     // covers path extraction; this is the schema'd parse the reference's
     // input model implies, SURVEY §1).
