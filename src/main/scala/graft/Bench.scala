@@ -34,8 +34,11 @@ object Bench {
     // full-precision 63-query line was ~2.5k chars and got truncated →
     // "parsed": null. Emit ms-rounded times and hard-cap the line: drop
     // the slowest-last per-query entries if it would still overflow.
-    def fmt(v: Double): String = BigDecimal(v)
-      .setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
+    def fmt(v: Double): String = {
+      val s = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
+      if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse
+      else s
+    }
     val total = if (results.nonEmpty) results.values.sum else 0.0
     def line(qs: Seq[(String, Double)]): String = {
       val m = qs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
@@ -43,7 +46,7 @@ object Bench {
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$m,"sf":"$sfDir"}"""
     }
     var entries = results.toSeq
-    while (line(entries).length > 1800 && entries.nonEmpty)
+    while (line(entries).length > 1850 && entries.nonEmpty)
       entries = entries.sortBy(-_._2).dropRight(1)
     println(line(entries))
     spark.stop()
