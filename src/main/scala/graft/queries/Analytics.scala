@@ -418,6 +418,54 @@ object Analytics {
           round(min(mn),2) lo, round(max(mx),2) hi
         FROM x GROUP BY bucket ORDER BY bucket""")),
 
+    // q86: snapshot diff — classify an incoming batch against the current
+    // table with ONE full-outer join on the key: inserts (right-only),
+    // unchanged (left-only), updates (both, any column differs), noops.
+    // The incremental-ingest planning step in front of the keyed upsert
+    // (q23); update prices use +1.0 (exact on the 2-decimal grid), never
+    // re-rounded products, so the equality test is float-portable.
+    QueryDef("q86_snapshot_diff",
+      (s, d) => {
+        val o = ord(s, d)
+        val cur = o.select(col("o_orderkey").as("ckey"),
+          col("o_totalprice").as("cprice"), col("o_orderstatus").as("cstatus"))
+        val upd = o.filter(col("o_orderkey") % 7 === 0)
+          .select(col("o_orderkey").as("ukey"),
+            (col("o_totalprice") + 1.0).as("uprice"), lit("U").as("ustatus"))
+          .unionByName(o.filter(col("o_orderkey") % 11 === 0)
+            .select((col("o_orderkey") + 1000000000L).as("ukey"),
+              lit(1.0).as("uprice"), lit("N").as("ustatus")))
+        cur.join(upd, col("ckey") === col("ukey"), "full_outer")
+          .withColumn("op",
+            when(col("ckey").isNull, "insert")
+              .when(col("ukey").isNull, "unchanged")
+              .when(col("cprice") =!= col("uprice") ||
+                col("cstatus") =!= col("ustatus"), "update")
+              .otherwise("noop"))
+          .groupBy("op")
+          .agg(count(lit(1)).as("n"),
+            min(coalesce(col("ckey"), col("ukey"))).as("min_key"),
+            max(coalesce(col("ckey"), col("ukey"))).as("max_key"))
+          .orderBy("op")
+      },
+      Some("""WITH cur AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders),
+         upd AS (
+           SELECT o_orderkey, o_totalprice + 1.0 AS o_totalprice, 'U' AS o_orderstatus
+           FROM orders WHERE o_orderkey % 7 = 0
+           UNION ALL
+           SELECT o_orderkey + 1000000000, 1.0, 'N' FROM orders WHERE o_orderkey % 11 = 0),
+         d AS (
+           SELECT coalesce(c.o_orderkey, u.o_orderkey) AS okey,
+             CASE WHEN c.o_orderkey IS NULL THEN 'insert'
+                  WHEN u.o_orderkey IS NULL THEN 'unchanged'
+                  WHEN c.o_totalprice <> u.o_totalprice
+                    OR c.o_orderstatus <> u.o_orderstatus THEN 'update'
+                  ELSE 'noop' END AS op
+           FROM cur c FULL OUTER JOIN upd u ON c.o_orderkey = u.o_orderkey)
+        SELECT op, count(*) AS n, CAST(min(okey) AS BIGINT) AS min_key,
+          CAST(max(okey) AS BIGINT) AS max_key
+        FROM d GROUP BY op ORDER BY op""")),
+
     // q73: from_json — full-struct parse of the props JSON column (q19
     // covers path extraction; this is the schema'd parse the reference's
     // input model implies, SURVEY §1).

@@ -391,6 +391,48 @@ object TextOps {
                CAST(count(*) OVER (PARTITION BY cluster) AS INTEGER) csize
         FROM cl ORDER BY doc_id""")),
 
+    // q85: dedup savings accounting — the step after q77's clusters: per
+    // cluster the canonical survivor (min id == the cluster label), member
+    // count, and bytes kept vs dropped. Closes the dedup pipeline story:
+    // pairs (q34/35/36) → clusters (q77) → survivors + storage savings.
+    QueryDef("q85_dedup_savings",
+      (s, d) => {
+        val pairs = Dedup.ngramJaccard(docs(s, d), "doc_id", "text", 3, 0.6)
+        val cl = graft.operators.Components
+          .connectedComponents(pairs, "id_a", "id_b")
+          .withColumnRenamed("id", "doc_id")
+        cl.join(docs(s, d).select(col("doc_id"), col("n_chars")), "doc_id")
+          .groupBy("cluster")
+          .agg(count(lit(1)).cast("int").as("n_members"),
+            sum("n_chars").as("chars_total"),
+            min(when(col("doc_id") === col("cluster"), col("n_chars")))
+              .as("chars_kept"))
+          .withColumn("chars_saved", col("chars_total") - col("chars_kept"))
+          .orderBy("cluster")
+      },
+      Some(s"""WITH RECURSIVE
+          toks AS (SELECT doc_id, $OToks t FROM documents),
+          sets AS (SELECT doc_id, $OShingles sh FROM toks WHERE len(t) >= 3),
+          inv AS (SELECT doc_id, len(sh) n, unnest(sh) shingle FROM sets),
+          jp AS (
+            SELECT id_a, id_b FROM (
+              SELECT a.doc_id id_a, b.doc_id id_b, a.n na, b.n nb, count(*) inter
+              FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2, 3, 4) p
+            WHERE round(inter / (na + nb - inter), 4) >= 0.6),
+          edges AS (SELECT id_a s, id_b d FROM jp UNION ALL SELECT id_b, id_a FROM jp),
+          reach AS (
+            SELECT DISTINCT s AS id, s AS lbl FROM edges
+            UNION
+            SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.id),
+          cl AS (SELECT id AS doc_id, min(lbl) AS cluster FROM reach GROUP BY 1)
+        SELECT cluster, CAST(count(*) AS INTEGER) AS n_members,
+          CAST(sum(n_chars) AS BIGINT) AS chars_total,
+          CAST(min(CASE WHEN doc_id = cluster THEN n_chars END) AS BIGINT) AS chars_kept,
+          CAST(sum(n_chars) - min(CASE WHEN doc_id = cluster THEN n_chars END) AS BIGINT) AS chars_saved
+        FROM cl JOIN documents USING (doc_id)
+        GROUP BY cluster ORDER BY cluster""")),
+
     // q78: TF-IDF top terms per document — the classic text-analysis
     // ranking. IDF kept rational ((tf·N)/df, no log) so both engines do
     // integer-exact arithmetic up to one identical double division —
