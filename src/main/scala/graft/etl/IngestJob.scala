@@ -1,6 +1,7 @@
 package graft.etl
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, Observation, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.{col, count, lit, sum}
 
 import graft.operators.Upsert
 
@@ -23,7 +24,17 @@ object IngestJob {
 
   /** Testable core: returns the merged table state after this batch. */
   def run(spark: SparkSession, entity: String, pagePaths: Seq[String],
-      tableDir: String): DataFrame = {
+      tableDir: String): DataFrame =
+    runWithMetrics(spark, entity, pagePaths, tableDir)._1
+
+  /** [[run]] plus single-pass ingest metrics via `observe`: row and
+    * null-key counts ride the materializing action itself — no second
+    * scan, which matters when the batch is a 100 TB read. (The reference
+    * has no ingest metrics at all; per-record INSERT made them free to
+    * hand-count, `dags/jira/db_ops.py:32-42`.)
+    */
+  def runWithMetrics(spark: SparkSession, entity: String,
+      pagePaths: Seq[String], tableDir: String): (DataFrame, Map[String, Long]) = {
     val key = keys.getOrElse(entity,
       throw new IllegalArgumentException(s"unknown entity '$entity'"))
     val incoming = entity match {
@@ -35,11 +46,18 @@ object IngestJob {
       if (new java.io.File(tableDir).exists())
         Upsert(spark.read.parquet(tableDir), incoming, Seq(key))
       else incoming
-    val staged = merged.cache()
+    val obs = Observation(s"graft_ingest_$entity")
+    val staged = merged
+      .observe(obs, count(lit(1)).as("rows"),
+        sum(col(key).isNull.cast("long")).as("null_keys"))
+      .cache()
     staged.count() // materialize before overwriting the input directory
+    val metrics = obs.get.map { case (k, v) =>
+      k -> Option(v).fold(0L)(_.asInstanceOf[Number].longValue)
+    }
     staged.write.mode(SaveMode.Overwrite).parquet(tableDir)
     staged.unpersist()
-    spark.read.parquet(tableDir)
+    (spark.read.parquet(tableDir), metrics)
   }
 
   def main(args: Array[String]): Unit = {

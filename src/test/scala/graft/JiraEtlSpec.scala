@@ -85,4 +85,35 @@ class JiraEtlSpec extends SparkSpec {
     assert(day2.count() === 3)
     assert(day2.select("issue_id").distinct().count() === 3)
   }
+
+  test("IngestJob observe metrics ride the materializing pass") {
+    import graft.etl.IngestJob
+    val dir = java.nio.file.Files.createTempDirectory("graft_obs").toString + "/issues"
+    val (table, metrics) = IngestJob.runWithMetrics(
+      spark, "issues", Seq(fixture("issues_page_1.json")), dir)
+    assert(metrics("rows") === table.count())
+    assert(metrics("null_keys") === 0L)
+  }
+
+  test("malformed page rows are quarantined, not fatal (PERMISSIVE corrupt column)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bad")
+    val f = dir.resolve("bad.json")
+    java.nio.file.Files.writeString(f,
+      """{"id": 1, "name": "ok"}
+        |{"id": oops not json
+        |{"id": 3, "name": "also ok"}
+        |""".stripMargin)
+    val schema = "id LONG, name STRING, _corrupt_record STRING"
+    val df = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(f.toString).cache()
+    try {
+      assert(df.count() === 3)
+      assert(df.filter(org.apache.spark.sql.functions.col("_corrupt_record").isNotNull).count() === 1)
+      val dropped = spark.read.schema("id LONG, name STRING")
+        .option("mode", "DROPMALFORMED").json(f.toString)
+      assert(dropped.count() === 2)
+    } finally df.unpersist()
+  }
 }
