@@ -20,7 +20,9 @@ import org.apache.spark.sql.graftshim.GraftSqlShim
   * equal keys and `rightTime <= leftTime`; left rows without a match keep
   * nulls on the right (left-outer). Keys compare by Catalyst ordering, so
   * null keys group together (IS NOT DISTINCT matching) — filter them out
-  * beforehand for SQL-join null semantics.
+  * beforehand for SQL-join null semantics. Among right rows tied on
+  * (keys, rightTime) the survivor is unspecified (the child sort has no
+  * further key): pre-aggregate the right side if (key, time) isn't unique.
   *
   * 100 TB posture: exactly the sort-merge-join cost model — each side
   * shuffles once on its keys (ClusteredDistribution lets EnsureRequirements

@@ -78,4 +78,27 @@ class AsOfJoinNativeSpec extends SparkSpec {
     assert(native.collect().toSet === composed.collect().toSet)
     assert(native.count() === purchases.count(), "left-outer: every left row survives")
   }
+
+  test("matches a driver-side reference on random inputs (property)") {
+    val rng = new scala.util.Random(7)
+    (1 to 5).foreach { round =>
+      // right rows unique per (key, time): the operator's tie order among
+      // equal (key, rightTime) rows is unspecified by design
+      val rights = rng.shuffle(
+        (for (k <- 0L to 3L; t <- 0L to 20L) yield (k, t))
+          .filter(_ => rng.nextBoolean()).toVector)
+        .map { case (k, t) => (k, t, k * 1000 + t) }
+      val lefts = (1 to 40).map(i =>
+        (rng.nextInt(5).toLong, rng.nextInt(22).toLong, i.toLong))
+      val expected = lefts.map { case (k, t, id) =>
+        val m = rights.filter(r => r._1 == k && r._2 <= t)
+        (id, if (m.isEmpty) None else Some(m.maxBy(_._2)._3))
+      }.toSet
+      val got = AsOfJoinNative(
+        lefts.toDF("lk", "lt", "lid"), rights.toDF("rk", "rt", "rv"),
+        Seq("lk"), Seq("rk"), "lt", "rt")
+        .select($"lid", $"rv").as[(Long, Option[Long])].collect().toSet
+      assert(got === expected, s"round $round: rights=$rights lefts=$lefts")
+    }
+  }
 }

@@ -31,4 +31,30 @@ class ComponentsSpec extends SparkSpec {
   test("edge direction is irrelevant") {
     assert(cc(Seq((7L, 4L))) === Map(4L -> 4L, 7L -> 4L))
   }
+
+  test("matches driver-side union-find on random graphs (property)") {
+    def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      // min-label normalization: root chosen as min via ordered union above
+      parent.keys.map(k => k -> find(k)).toMap
+    }
+    val rng = new scala.util.Random(42)
+    (1 to 5).foreach { _ =>
+      val n = 2 + rng.nextInt(30)
+      val edges = (1 to 1 + rng.nextInt(40))
+        .map(_ => (rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+      if (edges.nonEmpty) {
+        assert(cc(edges) === unionFind(edges), s"edges=$edges")
+      }
+    }
+  }
 }
