@@ -40,4 +40,19 @@ class FormatsSpec extends SparkSpec {
     assert(q.queryExecution.executedPlan.toString.contains("PartitionFilters"))
     assert(q.count() === orders.filter(col("o_orderstatus") === "F").count())
   }
+
+  test("schema evolution: mergeSchema unifies old and new parquet batches") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_evolve").toString + "/t"
+    // day 1: v1 schema; day 2 adds a column (the reference's MAPPING gains
+    // a field — old pages keep working)
+    Seq((1L, "a")).toDF("id", "name").write.parquet(s"$dir/batch=1")
+    Seq((2L, "b", 9.5)).toDF("id", "name", "score").write.parquet(s"$dir/batch=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet === Set("id", "name", "score", "batch"))
+    val rows = merged.select("id", "score").as[(Long, Option[Double])]
+      .collect().toMap
+    assert(rows === Map(1L -> None, 2L -> Some(9.5)),
+      "old rows surface the new column as null")
+  }
 }
