@@ -45,6 +45,37 @@ case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
     copy(left = newLeft, right = newRight)
 }
 
+/** Column pruning through [[AsOfJoinPlan]] — Catalyst's own ColumnPruning
+  * can't see inside an unknown binary node, so without this a
+  * `select(few)` above the join still scans every column of both sides.
+  * Pushes each child's referenced-or-required attributes (output ∩ (parent
+  * references ∪ keys ∪ time)) into a child Project; the parquet scan then
+  * prunes (`ReadSchema` shrinks). Injected beside the strategy.
+  */
+object AsOfJoinPruning
+  extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+
+  import org.apache.spark.sql.catalyst.expressions.AttributeSet
+  import org.apache.spark.sql.catalyst.plans.logical.Project
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+    case p @ Project(_, j: AsOfJoinPlan) =>
+      val needed = AttributeSet(p.references ++
+        j.leftKeys.flatMap(_.references) ++ j.rightKeys.flatMap(_.references) ++
+        j.leftTime.references ++ j.rightTime.references)
+      val lKeep = j.left.output.filter(needed.contains)
+      val rKeep = j.right.output.filter(needed.contains)
+      if (lKeep.length == j.left.output.length &&
+        rKeep.length == j.right.output.length) p
+      else {
+        // Rebuild the join over pruned children, then re-project: dropped
+        // right columns can't be referenced by p (they weren't in needed)
+        p.copy(child = j.copy(
+          left = Project(lKeep, j.left), right = Project(rKeep, j.right)))
+      }
+  }
+}
+
 /** Plans [[AsOfJoinPlan]] as [[AsOfJoinExec]]; injected via
   * `spark.experimental.extraStrategies` (see [[AsOfJoinNative.apply]]) or
   * [[GraftExtensions]].
@@ -152,6 +183,9 @@ object AsOfJoinNative {
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    if (!spark.experimental.extraOptimizations.contains(AsOfJoinPruning))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ AsOfJoinPruning
     // re-alias the right side: fresh output attribute ids keep a self-join
     // (same source both sides) unambiguous
     val r2 = right.select(right.columns.map(n => col(n).as(n)).toSeq: _*)

@@ -79,6 +79,25 @@ class AsOfJoinNativeSpec extends SparkSpec {
     assert(native.count() === purchases.count(), "left-outer: every left row survives")
   }
 
+  test("pruning rule pushes projections into the scans through the custom node") {
+    val e = Tables.events(spark, "/root/testdata/sf0.001")
+    // events carries 6 columns incl. a props json blob; the final select
+    // needs 3 — without AsOfJoinPruning both scans read everything
+    val left = e.filter($"event_type" === "purchase")
+    val right = e.filter($"event_type" === "signup")
+      .select($"user_id".as("r_user_id"), $"ts".as("r_ts"), $"props".as("r_props"),
+        $"value".as("r_value"))
+    val out = AsOfJoinNative(left, right, Seq("user_id"), Seq("r_user_id"), "ts", "r_ts")
+      .select($"event_id", $"user_id", $"r_ts")
+    val scans = "ReadSchema: struct<([^>]*)>".r
+      .findAllMatchIn(out.queryExecution.executedPlan.toString)
+      .map(_.group(1)).toList
+    assert(scans.nonEmpty)
+    assert(!scans.exists(_.contains("props")),
+      s"props must be pruned from every scan, got: $scans")
+    assert(out.count() > 0)
+  }
+
   test("matches a driver-side reference on random inputs (property)") {
     val rng = new scala.util.Random(7)
     (1 to 5).foreach { round =>
