@@ -125,6 +125,40 @@ class StreamingSpec extends SparkSpec {
     assert(rows === Set((1L, ts("2024-01-01 10:05:00")), (2L, ts("2024-01-01 10:31:00"))))
   }
 
+  test("AvailableNow + checkpoint resumes where the last run stopped (ref S2 incremental)") {
+    // the Spark-native form of the reference's resumable pagination
+    // (issue_processor.py startAt bookkeeping): each run processes exactly
+    // the files the checkpoint hasn't seen
+    val root = java.nio.file.Files.createTempDirectory("graft_inc").toString
+    val data = new java.io.File(root, "in"); data.mkdirs()
+    val ckpt = s"$root/ckpt"
+    def addFile(name: String, ids: Seq[Long]): Unit = {
+      val tmp = s"$root/stage_$name"
+      ids.toDF("id").coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        new java.io.File(data, s"$name.parquet").toPath)
+    }
+    def runOnce(): Set[Long] = {
+      val seen = scala.collection.mutable.Set.empty[Long]
+      val q = spark.readStream.schema("id LONG").parquet(data.getPath)
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          seen ++= df.select("id").as[Long].collect(); ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      seen.toSet
+    }
+    addFile("b1", Seq(1L, 2L, 3L))
+    assert(runOnce() === Set(1L, 2L, 3L))
+    addFile("b2", Seq(4L, 5L))
+    assert(runOnce() === Set(4L, 5L), "second run must see ONLY the new file")
+    assert(runOnce() === Set.empty, "no new files -> no reprocessing")
+  }
+
   test("foreachBatch streaming upsert: incremental ingest converges to keyed table state") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

@@ -30,6 +30,19 @@ class TableSinkSpec extends SparkSpec {
     assert(q.count() === expected)
   }
 
+  test("idempotent DDL: CREATE TABLE IF NOT EXISTS re-runs keep data (ref D1)") {
+    // the reference runs create_table as an upstream task EVERY dag run
+    // (dags/jira/db_ops.py:22-27) — re-execution must be a no-op
+    val ddl = """CREATE TABLE IF NOT EXISTS graft_d1 (id BIGINT, v STRING)
+                 USING parquet"""
+    try {
+      spark.sql(ddl)
+      spark.sql("INSERT INTO graft_d1 VALUES (1, 'a'), (2, 'b')")
+      spark.sql(ddl) // the daily re-run
+      assert(spark.table("graft_d1").count() === 2, "re-create must not wipe")
+    } finally spark.sql("DROP TABLE IF EXISTS graft_d1")
+  }
+
   test("partition column round-trips values (directory encoding)") {
     val dir = Files.createTempDirectory("graft_sink2").toString + "/orders_by_status"
     val orders = Tables.orders(spark, "/root/testdata/sf0.001")
