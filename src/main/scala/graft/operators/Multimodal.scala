@@ -83,6 +83,38 @@ object Multimodal {
     }(enc)
   }
 
+  /** Resize/downsample — the image-resize / audio-resample analog over the
+    * opaque payload: a deterministic stride subsample of the byte stream
+    * to at most `targetBytes`. Same mapPartitions batch shape as
+    * [[extractFeatures]] (codec state amortized per partition, streamed).
+    *
+    * STUB: a real implementation decodes, resamples (bilinear / sinc), and
+    * re-encodes; the Spark-side contract — schema, batching, deterministic
+    * output size — is what this exercises.
+    */
+  def resize(media: DataFrame, targetBytes: Int): DataFrame = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("n_bytes", IntegerType),
+      StructField("payload", org.apache.spark.sql.types.BinaryType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    media.select("media_id", "payload").mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val out =
+          if (bytes.length <= targetBytes) bytes
+          else {
+            // ceil-stride keeps the result within targetBytes
+            val stride = (bytes.length + targetBytes - 1) / targetBytes
+            Array.tabulate((bytes.length + stride - 1) / stride)(i => bytes(i * stride))
+          }
+        Row(id, out.length, out)
+      }
+    }(enc)
+  }
+
   /** STUB codec — deterministic byte-statistics "embedding", NOT a real
     * decoder. Replace with the actual media library call in production.
     */

@@ -46,4 +46,22 @@ class MultimodalSpec extends SparkSpec {
     val again = Multimodal.extractFeatures(m).filter(col("media_id") === 1L).head.getSeq[Float](2)
     assert(v === again)
   }
+
+  test("resize bounds payloads to targetBytes, passes short ones through") {
+    val m = Multimodal.asMedia(
+      Tables.documents(spark, "/root/testdata/sf0.001"), "doc_id", "text")
+    val sizes = Multimodal.resize(m, 16)
+      .select(col("media_id"), col("n_bytes"), length(col("payload")).as("len"))
+      .collect()
+    assert(sizes.nonEmpty)
+    sizes.foreach { r =>
+      assert(r.getInt(1) <= 16, s"media ${r.getLong(0)} resized to ${r.getInt(1)}")
+      assert(r.getInt(1) === r.getInt(2), "n_bytes must describe the payload")
+    }
+    // deterministic: same first byte as source (stride sampling keeps byte 0)
+    val src = m.filter(col("media_id") === 0L).head.getAs[Array[Byte]]("payload")
+    val out = Multimodal.resize(m, 16).filter(col("media_id") === 0L)
+      .head.getAs[Array[Byte]]("payload")
+    assert(out.head === src.head)
+  }
 }
