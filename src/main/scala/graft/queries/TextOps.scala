@@ -443,6 +443,51 @@ object TextOps {
         FROM cl JOIN documents USING (doc_id)
         GROUP BY cluster ORDER BY cluster""")),
 
+    // q87: text cleaning + PII redaction — the pre-tokenization scrub of a
+    // training-data pipeline: URL → <url>, email → <email>, punctuation →
+    // space, whitespace collapse, trim. The corpus has no natural
+    // URLs/emails, so the query plants doc_id-derived ones and the oracle
+    // must redact them identically; redaction counts are recovered by
+    // length arithmetic (exact ints). Pure map-side column work.
+    QueryDef("q87_text_clean",
+      (s, d) => {
+        val raw = concat(col("text"), lit(" contact user"), col("doc_id"),
+          lit("@example.com or https://ex.com/d/"), col("doc_id"), lit(" now"))
+        val cleaned = trim(regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(lower(raw), "https?://[^ ]+", "<url>"),
+              "[a-z0-9._%+-]+@[a-z0-9.-]+", "<email>"),
+            "[^a-z0-9<> ]", " "),
+          " +", " "))
+        docs(s, d).select(
+          col("doc_id"), cleaned.as("cleaned"),
+          length(raw).as("n_raw"), length(cleaned).as("n_clean"),
+          ((length(cleaned) - length(regexp_replace(cleaned, "<url>", ""))) / 5)
+            .cast("int").as("n_urls"),
+          ((length(cleaned) - length(regexp_replace(cleaned, "<email>", ""))) / 7)
+            .cast("int").as("n_emails"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH raw AS (
+          SELECT doc_id,
+            text || ' contact user' || doc_id || '@example.com or https://ex.com/d/' || doc_id || ' now' AS t
+          FROM documents),
+         c AS (
+          SELECT doc_id,
+            trim(regexp_replace(
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(lower(t), 'https?://[^ ]+', '<url>', 'g'),
+                  '[a-z0-9._%+-]+@[a-z0-9.-]+', '<email>', 'g'),
+                '[^a-z0-9<> ]', ' ', 'g'),
+              ' +', ' ', 'g')) AS cleaned, t FROM raw)
+        SELECT doc_id, cleaned, CAST(len(t) AS INTEGER) AS n_raw,
+          CAST(len(cleaned) AS INTEGER) AS n_clean,
+          CAST((len(cleaned) - len(replace(cleaned, '<url>', ''))) // 5 AS INTEGER) AS n_urls,
+          CAST((len(cleaned) - len(replace(cleaned, '<email>', ''))) // 7 AS INTEGER) AS n_emails
+        FROM c ORDER BY doc_id""")),
+
     // q78: TF-IDF top terms per document — the classic text-analysis
     // ranking. IDF kept rational ((tf·N)/df, no log) so both engines do
     // integer-exact arithmetic up to one identical double division —
