@@ -466,6 +466,30 @@ object Analytics {
           CAST(max(okey) AS BIGINT) AS max_key
         FROM d GROUP BY op ORDER BY op""")),
 
+    // q88: incremental aggregate maintenance — fold two event batches into
+    // a keyed count/sum state (operators.IncrementalAgg) instead of
+    // re-scanning history; the oracle IS the full recompute, so the
+    // associative-merge path is correctness-gated end-to-end. Sum of
+    // 2-decimal values → 2-dp round is grid-immune.
+    QueryDef("q88_incremental_agg",
+      (s, d) => {
+        val e = ev(s, d)
+        val cut = to_timestamp(lit("2024-01-15 00:00:00"))
+        val keys = Seq("event_type")
+        val state1 = graft.operators.IncrementalAgg
+          .partial(e.filter(col("ts") < cut), keys, "value")
+        val merged = graft.operators.IncrementalAgg.merge(
+          state1,
+          graft.operators.IncrementalAgg
+            .partial(e.filter(col("ts") >= cut), keys, "value"),
+          keys)
+        merged.select(col("event_type"), col("n"),
+          round(col("s"), 2).as("sum_value"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+
     // q73: from_json — full-struct parse of the props JSON column (q19
     // covers path extraction; this is the schema'd parse the reference's
     // input model implies, SURVEY §1).
