@@ -15,4 +15,14 @@ import org.apache.spark.sql.classic
 object GraftSqlShim {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Test-only: what an extensions installer registered (the build* fields
+    * of SparkSessionExtensions are private[sql]).
+    */
+  def installedRules(ext: org.apache.spark.sql.SparkSessionExtensions,
+      spark: SparkSession): Seq[Any] =
+    ext.buildOptimizerRules(spark)
+  def installedStrategies(ext: org.apache.spark.sql.SparkSessionExtensions,
+      spark: SparkSession): Seq[Any] =
+    ext.buildPlannerStrategies(spark)
 }

@@ -58,6 +58,17 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("GraftExtensions installer registers rules, strategy, and functions") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.plans.GraftExtensions().apply(ext)
+    import org.apache.spark.sql.graftshim.GraftSqlShim
+    val rules = GraftSqlShim.installedRules(ext, spark)
+    assert(rules.contains(graft.plans.DotProductRewrite))
+    assert(rules.contains(graft.plans.AsOfJoinPruning))
+    assert(GraftSqlShim.installedStrategies(ext, spark)
+      .contains(graft.plans.AsOfJoinStrategy))
+  }
+
   test("scala udf() registration path agrees with the native expression") {
     val cosUdf = udf((a: Seq[Float], b: Seq[Float]) => {
       var acc = 0.0; var i = 0
