@@ -3,9 +3,13 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Skew mitigation — explicit salting, for when a handful of hot keys
-  * overwhelm single reducers and AQE's skew-join split doesn't apply (e.g.
-  * low-cardinality aggregations where ALL keys are hot).
+/** Skew mitigation — explicit salting. The reference's data is naturally
+  * skewed this way: issue/worklog volume concentrates on a few active
+  * projects and accounts (`dags/fetch_jira_tempo_worklogs.py:82-91` keys
+  * worklogs by issue_id/author_id). Explicit salting is for when hot keys
+  * overwhelm single reducers and AQE's skew-join split doesn't apply
+  * (e.g. low-cardinality aggregations where ALL keys are hot — the
+  * few-hot-keys runtime path is AQE's, see AqeSkewJoinSpec).
   *
   * Two-phase decomposed aggregation: phase 1 groups by (keys, salt) so each
   * hot key fans out over `buckets` reducers; phase 2 merges the partials.

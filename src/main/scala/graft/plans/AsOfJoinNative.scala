@@ -11,7 +11,11 @@ import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.graftshim.GraftSqlShim
 
 /** Native as-of join — the full custom-operator stack (SURVEY §2b
-  * preference (c)): logical plan + planner strategy + physical operator,
+  * preference (c)): logical plan + planner strategy + physical operator.
+  * Reference motivation: joining each worklog to the latest user snapshot
+  * at-or-before its `start_date` (`dags/fetch_jira_tempo_worklogs.py:84-91`
+  * author_id → `dags/fetch_jira_users.py:75` account_id, re-upserted
+  * daily so history needs time alignment). Implemented
   * beside the compose-from-builtins formulation in
   * [[graft.operators.AsOfJoin]] (union + last-ignoreNulls window). Both are
   * correctness-gated against the same SQL oracle (q22 / q80).
