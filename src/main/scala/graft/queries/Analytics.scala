@@ -490,6 +490,24 @@ object Analytics {
       Some("""SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
         FROM events GROUP BY event_type ORDER BY event_type""")),
 
+    // q89: VARIANT ingestion (Spark 4) — parse_json to the binary variant
+    // encoding once, then typed variant_get extraction. The third JSON
+    // path beside q19 (string get_json_object) and q73 (from_json struct):
+    // at scale VARIANT amortizes parsing across many extractions and
+    // shreds columnar; the variant stays internal (plain types out).
+    QueryDef("q89_variant",
+      (s, d) => ev(s, d)
+        .withColumn("v", parse_json(col("props")))
+        .withColumn("k", variant_get(col("v"), "$.k", "int"))
+        .filter(col("k").isNotNull)
+        .groupBy((col("k") % 7).as("k_mod"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+        .orderBy("k_mod"),
+      Some("""SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 7 AS k_mod,
+          count(*) AS n, round(sum(value), 2) AS sum_value
+        FROM events WHERE props IS NOT NULL
+        GROUP BY 1 ORDER BY k_mod""")),
+
     // q73: from_json — full-struct parse of the props JSON column (q19
     // covers path extraction; this is the schema'd parse the reference's
     // input model implies, SURVEY §1).

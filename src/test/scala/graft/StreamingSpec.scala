@@ -159,6 +159,44 @@ class StreamingSpec extends SparkSpec {
     assert(runOnce() === Set.empty, "no new files -> no reprocessing")
   }
 
+  test("transformWithState (Spark 4 API): per-key running count via ValueState on RocksDB") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.streaming.{StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+    // the new arbitrary-state API requires the RocksDB state store
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      class CountProcessor extends StatefulProcessor[String, (String, Long), (String, Long)] {
+        @transient private var count: ValueState[Long] = _
+        override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+          count = getHandle.getValueState[Long]("count",
+            org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+        override def handleInputRows(key: String, rows: Iterator[(String, Long)],
+            timerValues: TimerValues): Iterator[(String, Long)] = {
+          val n = (if (count.exists()) count.get() else 0L) + rows.size
+          count.update(n)
+          Iterator.single((key, n))
+        }
+      }
+      val in = MemoryStream[(String, Long)]
+      val out = in.toDS().groupByKey(_._1)
+        .transformWithState(new CountProcessor,
+          TimeMode.None(), OutputMode.Update())
+      val q = out.toDF("k", "n").writeStream.format("memory")
+        .queryName("tws_test").outputMode("update")
+        .trigger(Trigger.ProcessingTime(0)).start()
+      in.addData(("a", 1L), ("a", 2L), ("b", 3L))
+      q.processAllAvailable()
+      in.addData(("a", 4L))
+      q.processAllAvailable()
+      q.stop()
+      val last = spark.table("tws_test").as[(String, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+      assert(last === Map("a" -> 3L, "b" -> 1L),
+        "state must carry the running count across micro-batches")
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("foreachBatch streaming upsert: incremental ingest converges to keyed table state") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
