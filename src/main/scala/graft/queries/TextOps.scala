@@ -507,8 +507,11 @@ object TextOps {
         tf.join(broadcast(df), "term")
           .withColumn("rnk", row_number().over(w).cast("int"))
           .filter(col("rnk") <= 3)
+          // raw double, no round: tf*N is integer-exact in a double and
+          // the single division is bit-identical in both engines — rounding
+          // could only ADD a half-boundary divergence (the q31 lesson)
           .select(col("doc_id"), col("term"), col("rnk"), col("tf"), col("df"),
-            round(score, 6).as("score"))
+            score.as("score"))
           .orderBy("doc_id", "rnk")
       },
       Some(s"""WITH
@@ -517,7 +520,7 @@ object TextOps {
           df AS (SELECT tok, count(*) df FROM tf GROUP BY 1),
           n AS (SELECT count(*) n FROM documents),
           scored AS (
-            SELECT doc_id, tok, tf, df, round((tf * n) / df, 6) score,
+            SELECT doc_id, tok, tf, df, (tf * n) / df AS score,
                    row_number() OVER (PARTITION BY doc_id
                      ORDER BY (tf * n) / df DESC, tok) rnk
             FROM tf JOIN df USING (tok) CROSS JOIN n)
