@@ -32,6 +32,19 @@ class ComponentsSpec extends SparkSpec {
     assert(cc(Seq((7L, 4L))) === Map(4L -> 4L, 7L -> 4L))
   }
 
+  test("cross-check: agrees with GraphX connectedComponents on real dedup pairs") {
+    import org.apache.spark.graphx.{Edge, Graph}
+    val pairs = graft.operators.Dedup.ngramJaccard(
+      Tables.documents(spark, "/root/testdata/sf0.01"), "doc_id", "text", 3, 0.6)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty)
+    val ours = cc(pairs.toSeq)
+    val graph = Graph.fromEdges(
+      spark.sparkContext.parallelize(pairs.map { case (a, b) => Edge(a, b, ()) }), ())
+    val graphx = graph.connectedComponents().vertices.collect().toMap
+    assert(ours === graphx, "GraphX min-id components must match ours")
+  }
+
   test("matches driver-side union-find on random graphs (property)") {
     def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
       val parent = scala.collection.mutable.Map.empty[Long, Long]
