@@ -488,6 +488,42 @@ object TextOps {
           CAST((len(cleaned) - len(replace(cleaned, '<email>', ''))) // 7 AS INTEGER) AS n_emails
         FROM c ORDER BY doc_id""")),
 
+    // q90: the composed data-prep pipeline — exact-dedup survivors →
+    // token-count quality gate → deterministic hash split → per-split
+    // stats, all one declarative plan (Catalyst fuses the stages; the
+    // only shuffles are the dedup fingerprint and the final tiny agg).
+    // The capstone the individual operators (q30/q31/q75) exist for.
+    QueryDef("q90_prep_pipeline",
+      (s, d) => {
+        val surv = Dedup.exact(docs(s, d), lower(col("text")), "doc_id")
+        val nt = size(TextFns.tokens(col("text")))
+        val bucket = TextFns.hash32(concat(lit("split:"), col("doc_id"))) % 100
+        surv
+          .withColumn("nt", nt).filter(col("nt") >= 32)
+          .withColumn("split",
+            when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+          .groupBy("split")
+          .agg(count(lit(1)).as("n_docs"), sum("nt").cast("long").as("n_tokens"),
+            min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+          .orderBy("split")
+      },
+      Some(s"""WITH surv AS (
+          SELECT doc_id, text FROM (
+            SELECT doc_id, text,
+              row_number() OVER (PARTITION BY md5(lower(text)) ORDER BY doc_id) rn
+            FROM documents) t WHERE rn = 1),
+         qual AS (
+          SELECT doc_id, len($OToks) nt FROM surv WHERE len($OToks) >= 32),
+         assigned AS (
+          SELECT doc_id, nt,
+            CASE WHEN ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 80 THEN 'train'
+                 WHEN ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 90 THEN 'val'
+                 ELSE 'test' END AS split
+          FROM qual)
+        SELECT split, count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens,
+          CAST(min(doc_id) AS BIGINT) AS min_doc, CAST(max(doc_id) AS BIGINT) AS max_doc
+        FROM assigned GROUP BY split ORDER BY split""")),
+
     // q78: TF-IDF top terms per document — the classic text-analysis
     // ranking. IDF kept rational ((tf·N)/df, no log) so both engines do
     // integer-exact arithmetic up to one identical double division —
