@@ -15,8 +15,11 @@ import graft.functions.TextFns
   *
   * Oracle portability rule: every hash the oracle must reproduce is
   * md5-derived (TextFns.hash32), every float is computed float→double per
-  * element and summed left-to-right, and every output is rounded + totally
-  * ordered. DuckDB SQL mirrors the computation op-for-op.
+  * element and summed left-to-right, and every output is totally ordered.
+  * Floats are either grid-immune rounded sums or RAW single-division
+  * doubles (bit-identical across engines — rounding a ratio whose
+  * denominator is 2^a·5^b-smooth flips at half-boundaries, see q31).
+  * DuckDB SQL mirrors the computation op-for-op.
   */
 object TextOps {
 
