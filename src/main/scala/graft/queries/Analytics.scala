@@ -393,6 +393,56 @@ object Analytics {
         FROM c WINDOW w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         ORDER BY custkey, valid_from, status""")),
 
+    // q91: SCD2 lookup THROUGH the native as-of join — enrich each event
+    // with the dimension state valid at its timestamp. Because validity
+    // intervals tile time per key, "latest valid_from <= ts" (as-of) IS
+    // interval containment — no non-equi range join. Same-date changes
+    // collapse to the last (by orderkey), matching the oracle's
+    // empty-interval exclusion; as-of ties are otherwise unspecified.
+    QueryDef("q91_scd2_lookup",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        val wDedup = Window.partitionBy(col("o_custkey"), col("o_orderdate"))
+          .orderBy(col("o_orderkey").desc)
+        val dim = ord(s, d).filter(col("o_custkey") <= 300)
+          .withColumn("prev_status", lag(col("o_orderstatus"), 1).over(w))
+          .filter(col("prev_status").isNull ||
+            col("prev_status") =!= col("o_orderstatus"))
+          .withColumn("rn", row_number().over(wDedup)).filter(col("rn") === 1)
+          .select(col("o_custkey").as("custkey"),
+            col("o_orderstatus").as("status"),
+            // parquet NTZ → session-UTC instant, matching the events ts type
+            col("o_orderdate").cast("timestamp").as("valid_from"))
+        val facts = ev(s, d).select(col("user_id"), col("ts"))
+        graft.plans.AsOfJoinNative(facts, dim,
+            Seq("user_id"), Seq("custkey"), "ts", "valid_from")
+          .filter(col("status").isNotNull)
+          .groupBy("status")
+          .agg(count(lit(1)).as("n_events"),
+            countDistinct("user_id").as("n_users"))
+          .orderBy("status")
+      },
+      Some("""WITH h AS (
+          SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+                 lag(o_orderstatus) OVER w AS prev_status
+          FROM orders WHERE o_custkey <= 300
+          WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+         c AS (
+          SELECT o_custkey, o_orderstatus, o_orderdate FROM h
+          WHERE prev_status IS NULL OR prev_status <> o_orderstatus),
+         iv AS (
+          SELECT o_custkey, o_orderstatus, o_orderdate AS valid_from,
+                 lead(o_orderdate) OVER (PARTITION BY o_custkey
+                   ORDER BY o_orderdate) AS valid_to
+          FROM c)
+        SELECT o_orderstatus AS status, count(*) AS n_events,
+          CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+        FROM events e JOIN iv
+          ON e.user_id = iv.o_custkey AND iv.valid_from <= e.ts
+         AND (iv.valid_to IS NULL OR e.ts < iv.valid_to)
+        GROUP BY 1 ORDER BY 1""")),
+
     // q84: dynamic-bound equi-width histogram — two-pass: a broadcast
     // (min, max) aggregate, then one map-side bucket assignment + hash
     // agg. Bucket edges are identical doubles in both engines (exact
