@@ -42,7 +42,8 @@ object ScaleCheck {
         "q34_ngram_jaccard", "q35_minhash_lsh", "q36_simhash_pairs",
         "q37_embedding_topk", "q39_embedding_pairs", "q53_session_window",
         "q55_stream_stream_join", "q77_dup_clusters", "q78_tfidf",
-        "q79_salted_join")) {
+        "q79_salted_join", "q80_asof_native", "q86_snapshot_diff",
+        "q90_prep_pipeline", "q91_scd2_lookup")) {
       time(q)(SparkEntry.queries(q)(spark, dst).count())
     }
     // recall check at scale: the LSH path must reproduce the exact path
