@@ -443,6 +443,21 @@ object Analytics {
          AND (iv.valid_to IS NULL OR e.ts < iv.valid_to)
         GROUP BY 1 ORDER BY 1""")),
 
+    // q92: deterministic offset pagination — the reference's startAt /
+    // maxResults page semantics (S2, issue_processor.py:114-167) as a
+    // query surface: total order, then page 3 of size 100. At scale
+    // prefer keyset pagination (WHERE key > last_seen) — OFFSET still
+    // sorts/skips the prefix; this exercises the API form (offset+limit
+    // plans as a single GlobalLimit, no full materialization).
+    QueryDef("q92_paged_scan",
+      (s, d) => ord(s, d)
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderdate"))
+        .offset(200).limit(100),
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+        FROM orders ORDER BY o_orderdate, o_orderkey LIMIT 100 OFFSET 200""")),
+
     // q84: dynamic-bound equi-width histogram — two-pass: a broadcast
     // (min, max) aggregate, then one map-side bucket assignment + hash
     // agg. Bucket edges are identical doubles in both engines (exact
