@@ -458,6 +458,22 @@ object Analytics {
       Some("""SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
         FROM orders ORDER BY o_orderdate, o_orderkey LIMIT 100 OFFSET 200""")),
 
+    // q93: ordered distinct string aggregation (LISTAGG/STRING_AGG) — the
+    // sorted-set form (concat_ws ∘ array_sort ∘ collect_set) is the
+    // deterministic one: collect_set order is partition-dependent, so the
+    // sort is what makes the result stable and oracle-comparable.
+    QueryDef("q93_string_agg",
+      (s, d) => li(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(concat_ws(",", array_sort(collect_set(col("l_linestatus"))))
+          .as("statuses"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+          string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus) AS statuses,
+          count(*) AS n
+        FROM lineitem GROUP BY 1 ORDER BY 1""")),
+
     // q84: dynamic-bound equi-width histogram — two-pass: a broadcast
     // (min, max) aggregate, then one map-side bucket assignment + hash
     // agg. Bucket edges are identical doubles in both engines (exact
