@@ -143,21 +143,72 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("id").as("neighbor_id"), col("cos"))
   }
 
-  /** Embedding near-duplicate pairs: cosine ≥ threshold, id_a < id_b.
-    * Brute force here; behind [[ivfTopK]]-style bucketing at scale.
+  /** Embedding near-duplicate pairs: cosine ≥ threshold, id_a < id_b —
+    * EXACT (recall 1), as a blocked equi-join rather than a nested-loop
+    * cross product.
+    *
+    * Plan shape (the 1-bucket-theta scheme, Okcan & Riedewald, SIGMOD'11):
+    * every vector gets a block id g = id mod `blocks`; the left side
+    * replicates each vector to cells (g, *), the right side to cells (*, g),
+    * and the join is an EQUI-join on the (cellA, cellB) pair — each ordered
+    * pair of vectors meets in exactly one of the blocks² cells, so `id_a <
+    * id_b` needs no dedup. The O(n²) cosine work is inherent to exactness,
+    * but it now shuffle-partitions across blocks² reducers instead of
+    * broadcasting one whole side through a BroadcastNestedLoopJoin — the
+    * shape that survives when neither side fits an executor. Replication
+    * cost: `blocks`× each side; pick blocks ≈ √parallelism.
+    *
+    * For approximate-but-sublinear candidate generation use
+    * [[cosinePairsLsh]]; on corpora where the threshold sits near the
+    * background angle (see HyperplaneBandKeys scaladoc) this exact plan is
+    * the honest choice.
     */
   def cosinePairs(vecs: DataFrame, idCol: String, vecCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double, blocks: Int = 6): DataFrame = {
     val withNorm = vecs.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("nrm", l2norm(col("v")))
-    val b = withNorm.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
-    // Both predicates written INTO the join condition, cheap one first:
-    // letting Catalyst push the cosine filter instead produces
-    // And(cos>=t, id<id_b), which evaluates the 64-dim dot product for
-    // every ordered pair before the short-circuiting id test (measured 2×
-    // slower on the nested-loop join).
-    val cos = round(cosine(col("v"), col("vb"), col("nrm"), col("nb")), 6)
-    withNorm.join(b, col("id") < col("id_b") && cos >= threshold)
-      .select(col("id").as("id_a"), col("id_b"), cos.as("cos"))
+      .withColumn("g", pmod(col("id"), lit(blocks)).cast("int"))
+    val grid = sequence(lit(0), lit(blocks - 1))
+    val x = withNorm.withColumn("cb", explode(grid)).as("x")
+    val y = withNorm.withColumn("ca", explode(grid)).as("y")
+    x.join(y,
+        col("x.g") === col("y.ca") && col("x.cb") === col("y.g") &&
+          col("x.id") < col("y.id"))
+      .withColumn("cos",
+        round(cosine(col("x.v"), col("y.v"), col("x.nrm"), col("y.nrm")), 6))
+      .filter(col("cos") >= threshold)
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"), col("cos"))
+  }
+
+  /** Approximate cosine pairs via random-hyperplane LSH banding + exact
+    * verification: band keys from [[graft.functions.HyperplaneBandKeys]],
+    * candidates from an equi-self-join on (band, key) carrying ids ONLY
+    * (vectors never ride the bands× explode), then the surviving (id_a,
+    * id_b) set — deduplicated to one row per pair — joins the vectors back
+    * for the exact thresholded cosine. Recall for a pair at bit-agreement
+    * p is 1−(1−p^rows)^bands; false candidates only cost verification work,
+    * never correctness.
+    */
+  def cosinePairsLsh(vecs: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, bands: Int = 32, rows: Int = 3,
+      seed: Long = 42L): DataFrame = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val withNorm = vecs.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("nrm", l2norm(col("v")))
+      .persist()
+    val sk = withNorm.select(col("id"),
+      posexplode(graft.functions.HyperplaneBandKeys.keys(
+        spark, col("v"), bands, rows, seed)).as(Seq("band", "key")))
+    val candIds = sk.as("x").join(sk.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    candIds
+      .join(withNorm.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na")), "id_a")
+      .join(withNorm.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")), "id_b")
+      .withColumn("cos", round(cosine(col("va"), col("vb"), col("na"), col("nb")), 6))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
   }
 }

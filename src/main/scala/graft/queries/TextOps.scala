@@ -58,6 +58,26 @@ object TextOps {
        FROM pairs WHERE round(inter / (na + nb - inter), 4) >= 0.6
        ORDER BY id_a, id_b"""
 
+  // DuckDB-side exact cosine pairs >= 0.45 (shared oracle for the exact
+  // blocked join AND the hyperplane-LSH path — with 32 bands × 3 rows the
+  // fixed-seed sketch's per-pair miss probability at the threshold is
+  // ~4e-5, and recall measured 1.0 at sf0.001/0.01/0.1; SimilaritySpec
+  // asserts LSH == exact on real embeddings).
+  private val OCosinePairs =
+    """WITH v AS (
+        SELECT vec_id, embedding,
+               sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) nrm
+        FROM embeddings)
+      SELECT a.vec_id id_a, b.vec_id id_b,
+        round(list_sum(list_transform(generate_series(1, len(a.embedding)),
+                i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+              / (a.nrm * b.nrm), 6) cos
+      FROM v a JOIN v b ON a.vec_id < b.vec_id
+      WHERE round(list_sum(list_transform(generate_series(1, len(a.embedding)),
+                i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+              / (a.nrm * b.nrm), 6) >= 0.45
+      ORDER BY id_a, id_b"""
+
   val defs: Seq[QueryDef] = Seq(
 
     // q30: exact dedup — one survivor (lowest doc_id) per md5 fingerprint
@@ -252,24 +272,28 @@ object TextOps {
       },
       None),
 
-    // q39: embedding near-dup pairs (cosine ≥ 0.45). Brute force at this
-    // scale; the IVF bucketing above is the 100 TB path.
+    // q39: embedding near-dup pairs (cosine ≥ 0.45), EXACT — a blocked
+    // equi-join (1-bucket-theta): O(n²) cosine work partitioned across
+    // blocks² shuffle cells, no BroadcastNestedLoopJoin anywhere in the
+    // plan. Sign-LSH cannot prune this corpus at 0.45 (bit-agreement 0.648
+    // vs 0.5 background keeps ~98% of pairs as candidates — measured, see
+    // SCALING.md), so exact-partitioned is the honest scale plan here.
     QueryDef("q39_embedding_pairs",
       (s, d) => Similarity.cosinePairs(emb(s, d), "vec_id", "embedding", 0.45)
         .orderBy("id_a", "id_b"),
-      Some("""WITH v AS (
-          SELECT vec_id, embedding,
-                 sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) nrm
-          FROM embeddings)
-        SELECT a.vec_id id_a, b.vec_id id_b,
-          round(list_sum(list_transform(generate_series(1, len(a.embedding)),
-                  i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
-                / (a.nrm * b.nrm), 6) cos
-        FROM v a JOIN v b ON a.vec_id < b.vec_id
-        WHERE round(list_sum(list_transform(generate_series(1, len(a.embedding)),
-                  i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
-                / (a.nrm * b.nrm), 6) >= 0.45
-        ORDER BY id_a, id_b""")),
+      Some(OCosinePairs)),
+
+    // q94: the same pair set through random-hyperplane LSH banding + exact
+    // verify — the sublinear candidate path for corpora/thresholds where
+    // the angle gap is real (cos ≥ 0.7 on near-orthogonal background).
+    // Candidates ride an equi-join on (band, key) carrying ids only; the
+    // exact cosine check re-joins vectors per surviving pair, so false
+    // candidates cost work, never rows. Exact oracle: recall measured 1.0
+    // at every SF with the fixed seed (miss prob ~4e-5/pair at 0.45).
+    QueryDef("q94_lsh_pairs",
+      (s, d) => Similarity.cosinePairsLsh(emb(s, d), "vec_id", "embedding", 0.45)
+        .orderBy("id_a", "id_b"),
+      Some(OCosinePairs)),
 
     // q40: document fingerprints — full-text md5, order-insensitive bag
     // fingerprint (sorted distinct tokens), 8-token prefix fingerprint,

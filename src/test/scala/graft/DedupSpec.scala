@@ -42,6 +42,20 @@ class DedupSpec extends SparkSpec {
     assert(lsh === exact)
   }
 
+  test("band self-join carries ids only — shingle arrays do not ride the explode") {
+    val out = Dedup.minHashLsh(docs, "doc_id", "text", 3, 0.5)
+    val joins = out.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.condition.exists(_.references.exists(_.name == "band")) => j
+    }
+    assert(joins.nonEmpty, "expected a band-key equi-self-join in the plan")
+    joins.foreach { j =>
+      assert(!(j.left.output ++ j.right.output).exists(_.name == "hs"),
+        "band-join inputs must not carry the hashed-shingle array — " +
+          "that is a bands× shuffle amplification of the widest column")
+    }
+  }
+
   test("identical docs have identical simhash; near-dups are close, unrelated far") {
     val sh = Dedup.simHash(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

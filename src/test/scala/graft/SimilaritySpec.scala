@@ -75,4 +75,28 @@ class SimilaritySpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSeq
     assert(out === Seq((0L, 1L)))
   }
+
+  test("cosinePairs plans as a partitioned equi-join — no nested-loop broadcast") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val out = Similarity.cosinePairs(emb, "vec_id", "embedding", 0.45)
+    assert(out.collect().length === 7) // collect() drives AQE to the final plan
+    val finalPlan = out.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan.toString
+      case p => p.toString
+    }
+    assert(!finalPlan.contains("BroadcastNestedLoopJoin"),
+      s"exact pair join must shuffle-partition, not broadcast-nested-loop:\n$finalPlan")
+  }
+
+  test("cosinePairsLsh matches the exact blocked join on real embeddings (sf0.001)") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val exact = Similarity.cosinePairs(emb, "vec_id", "embedding", 0.45)
+      .select("id_a", "id_b", "cos").collect().toSet
+    val lsh = Similarity.cosinePairsLsh(emb, "vec_id", "embedding", 0.45)
+      .select("id_a", "id_b", "cos").collect().toSet
+    assert(lsh === exact,
+      "32 bands × 3 rows gives per-pair miss prob ~4e-5 at the 0.45 " +
+        "threshold — the fixed-seed sketch must find every planted pair")
+  }
 }
