@@ -5,11 +5,13 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Multimodal column plumbing: media as opaque `binary` columns with typed
-  * metadata, batched per-partition "decode" (stubbed — no image/audio codecs
-  * in this environment), deterministic byte-range frame sampling, and
-  * content addressing. The Spark-side mechanics — schema, batching,
-  * partition-parallel decode, codegen'd byte slicing — are real and tested;
-  * only the codec call is a deterministic fake, clearly marked below.
+  * metadata, batched per-partition decode, deterministic byte-range frame
+  * sampling, and content addressing. The raster path is a REAL codec —
+  * [[PpmCodec]] parses/encodes binary PPM (P6) with exact pixel arithmetic
+  * and nearest-neighbor resize; no image libraries exist in this
+  * environment, so PPM (uncompressed, self-contained) is the honest decode
+  * target, and [[extractFeatures]]/[[resize]] remain the byte-generic
+  * plumbing for formats whose codecs would be external libraries.
   *
   * 100 TB posture: media bytes never shuffle — every op here is map-side;
   * decode parallelism is partition-parallelism (size input splits so one
@@ -67,9 +69,10 @@ object Multimodal {
     * Pandas-UDF `mapInPandas` decode: one iterator per partition, codec
     * state amortized across the batch, rows streamed (never collected).
     *
-    * STUB: `decodeBytes` is where a real codec (JPEG decode → CNN features,
-    * PCM → fbank, …) would run; here it derives a deterministic 8-float
-    * vector from byte statistics so tests are reproducible.
+    * For raster payloads the REAL decoder is [[decodePpm]]/[[ppmStats]];
+    * this generic path derives a deterministic 8-float byte-histogram
+    * feature, the fallback for formats whose codecs (JPEG, PCM, …) are
+    * external libraries absent here.
     */
   def extractFeatures(media: DataFrame): DataFrame = {
     val enc = org.apache.spark.sql.Encoders.row(featureSchema)
@@ -88,9 +91,9 @@ object Multimodal {
     * to at most `targetBytes`. Same mapPartitions batch shape as
     * [[extractFeatures]] (codec state amortized per partition, streamed).
     *
-    * STUB: a real implementation decodes, resamples (bilinear / sinc), and
-    * re-encodes; the Spark-side contract — schema, batching, deterministic
-    * output size — is what this exercises.
+    * For raster payloads the REAL resize is [[resizePpm]] (decode →
+    * nearest-neighbor → re-encode); this byte-stride path remains for
+    * opaque formats.
     */
   def resize(media: DataFrame, targetBytes: Int): DataFrame = {
     require(targetBytes > 0, "targetBytes must be positive")
@@ -115,8 +118,106 @@ object Multimodal {
     }(enc)
   }
 
-  /** STUB codec — deterministic byte-statistics "embedding", NOT a real
-    * decoder. Replace with the actual media library call in production.
+  /** Deterministic synthetic raster corpus: one `w`×`h` P6 image per input
+    * row, channel (x, y, c) = hash32(id:x:y:c) mod 256 where hash32 is the
+    * oracle-portable md5-prefix hash (first 8 hex chars as an integer) — so
+    * a SQL engine can recompute any pixel without the codec. mapPartitions
+    * with the digest instance amortized per partition, the same batch shape
+    * a real encoder uses.
+    */
+  def syntheticPpm(df: DataFrame, idCol: String, w: Int, h: Int): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("kind", StringType, nullable = false),
+      StructField("payload", BinaryType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType))))
+    df.select(col(idCol).cast("long").as("media_id")).mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def hash32(s: String): Long = {
+        md.reset()
+        val d = md.digest(s.getBytes("UTF-8"))
+        ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+          ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      }
+      it.map { r =>
+        val id = r.getLong(0)
+        val px = new Array[Byte](w * h * 3)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            var c = 0
+            while (c < 3) {
+              px((y * w + x) * 3 + c) = (hash32(s"$id:$x:$y:$c") % 256).toByte
+              c += 1
+            }
+            x += 1
+          }
+          y += 1
+        }
+        Row(id, "image/ppm", PpmCodec.encode(PpmCodec.Image(w, h, px)), w, h)
+      }
+    }(enc)
+  }
+
+  /** Real decode: parse each P6 payload into (dims, raw pixel bytes).
+    * Malformed payloads throw — compose with a quarantine filter upstream
+    * when the lake is untrusted.
+    */
+  def decodePpm(media: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("pixels", BinaryType))))
+    media.select("media_id", "payload").mapPartitions { it =>
+      it.map { r =>
+        val img = PpmCodec.decode(r.getAs[Array[Byte]](1))
+        Row(r.getLong(0), img.width, img.height, img.pixels)
+      }
+    }(enc)
+  }
+
+  /** Real raster resize: decode → nearest-neighbor to (dstW, dstH) →
+    * re-encode P6. Map-side; pixels never shuffle.
+    */
+  def resizePpm(media: DataFrame, dstW: Int, dstH: Int): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("kind", StringType),
+      StructField("payload", BinaryType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType))))
+    media.select("media_id", "payload").mapPartitions { it =>
+      it.map { r =>
+        val out = PpmCodec.resizeNearest(
+          PpmCodec.decode(r.getAs[Array[Byte]](1)), dstW, dstH)
+        Row(r.getLong(0), "image/ppm", PpmCodec.encode(out), dstW, dstH)
+      }
+    }(enc)
+  }
+
+  /** Per-image integer raster stats over decoded pixels: dims + channel-sum
+    * "luminance mass" (integer-exact in any order ⇒ oracle-safe).
+    */
+  def ppmStats(media: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("w", IntegerType),
+      StructField("h", IntegerType),
+      StructField("lum", LongType))))
+    media.select("media_id", "payload").mapPartitions { it =>
+      it.map { r =>
+        val img = PpmCodec.decode(r.getAs[Array[Byte]](1))
+        Row(r.getLong(0), img.width, img.height, PpmCodec.channelSum(img))
+      }
+    }(enc)
+  }
+
+  /** Byte-statistics embedding for opaque (non-PPM) payloads — a real
+    * byte-level feature, kept for formats whose decoders are external
+    * libraries; the raster path above decodes for real.
     */
   private def decodeBytes(bytes: Array[Byte]): Array[Float] = {
     val buckets = new Array[Float](8)

@@ -37,6 +37,28 @@ object EtlOps {
         FROM documents, (SELECT CAST(unnest(generate_series(0, 3)) AS INTEGER) i) f
         ORDER BY media_id, frame_idx""")),
 
+    // q95: the REAL raster codec end-to-end — synthesize an 8×6 P6 image
+    // per document (pixels = md5-derived, SQL-recomputable), ENCODE it,
+    // DECODE it back, nearest-neighbor resize to 4×3, and report integer
+    // raster stats of the resized image. The oracle recomputes the resized
+    // pixels straight from the generating formula (dst (x,y) maps to src
+    // (2x, 2y)), so a header-parse bug, a pixel-order bug, or a resize
+    // off-by-one all hash-mismatch. All map-side; pixels never shuffle.
+    QueryDef("q95_ppm_decode",
+      (s, d) => {
+        val media = Multimodal.syntheticPpm(Tables.documents(s, d), "doc_id", 8, 6)
+        Multimodal.ppmStats(Multimodal.resizePpm(media, 4, 3))
+          .select(col("media_id").as("doc_id"), col("w"), col("h"), col("lum"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH g AS (
+          SELECT d.doc_id, gx.x, gy.y, gc.c,
+            (('0x'||substr(md5(CAST(d.doc_id AS VARCHAR)||':'||CAST(gx.x*2 AS VARCHAR)||':'||CAST(gy.y*2 AS VARCHAR)||':'||CAST(gc.c AS VARCHAR)),1,8))::BIGINT) % 256 AS v
+          FROM documents d,
+               generate_series(0,3) AS gx(x), generate_series(0,2) AS gy(y), generate_series(0,2) AS gc(c))
+        SELECT doc_id, CAST(4 AS INTEGER) w, CAST(3 AS INTEGER) h, CAST(sum(v) AS BIGINT) lum
+        FROM g GROUP BY doc_id ORDER BY doc_id""")),
+
     // q42: Aggregator UDAF — quantity-weighted mean discount per flag.
     // Partial+final merge like built-in avg: one two-double buffer per
     // group shuffles, nothing else.

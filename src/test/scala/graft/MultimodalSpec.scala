@@ -2,10 +2,11 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.Multimodal
+import graft.operators.{Multimodal, PpmCodec}
 
 /** Multimodal plumbing: binary payload round-trip, frame sampling shape,
-  * and the batched (mapPartitions) stub decoder's schema + determinism.
+  * the batched (mapPartitions) byte-feature path, and the REAL raster
+  * codec — PPM encode/decode/resize asserted pixel-exact on known images.
   */
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
@@ -63,5 +64,63 @@ class MultimodalSpec extends SparkSpec {
     val out = Multimodal.resize(m, 16).filter(col("media_id") === 0L)
       .head.getAs[Array[Byte]]("payload")
     assert(out.head === src.head)
+  }
+
+  test("PPM codec round-trips pixels exactly and parses comments") {
+    val px = Array.tabulate[Byte](2 * 2 * 3)(i => (i * 37 % 256).toByte)
+    val img = PpmCodec.Image(2, 2, px)
+    val decoded = PpmCodec.decode(PpmCodec.encode(img))
+    assert(decoded.width === 2 && decoded.height === 2)
+    assert(decoded.pixels.toSeq === px.toSeq)
+    // header variant with comments and extra whitespace
+    val weird = "P6 #c1\n# full comment line\n 2\t2 #dims\n255\n".getBytes("US-ASCII") ++ px
+    val d2 = PpmCodec.decode(weird)
+    assert(d2.width === 2 && d2.pixels.toSeq === px.toSeq)
+  }
+
+  test("PPM decode rejects malformed payloads") {
+    intercept[IllegalArgumentException](PpmCodec.decode("P5\n1 1\n255\n.".getBytes))
+    intercept[IllegalArgumentException](PpmCodec.decode("P6\n2 2\n255\nxy".getBytes)) // short pixels
+    intercept[IllegalArgumentException](PpmCodec.decode("P6\n2 2\n65535\n".getBytes ++ new Array[Byte](12)))
+  }
+
+  test("nearest-neighbor resize picks exactly the floor-mapped source pixels") {
+    // 4x4 image whose pixel (x,y) has R=16x+y, G=0, B=255-R
+    val px = new Array[Byte](4 * 4 * 3)
+    for (y <- 0 until 4; x <- 0 until 4) {
+      val r = 16 * x + y
+      px((y * 4 + x) * 3) = r.toByte
+      px((y * 4 + x) * 3 + 2) = (255 - r).toByte
+    }
+    val half = PpmCodec.resizeNearest(PpmCodec.Image(4, 4, px), 2, 2)
+    // dst (x,y) ← src (2x, 2y): R values 0, 32, 2, 34
+    val rs = (0 until 4).map(i => half.pixels(i * 3) & 0xff)
+    assert(rs === Seq(0, 32, 2, 34))
+    val one = PpmCodec.resizeNearest(PpmCodec.Image(4, 4, px), 1, 1)
+    assert((one.pixels(0) & 0xff) === 0, "1x1 resize keeps src (0,0)")
+    // upscale duplicates source pixels (floor map)
+    val up = PpmCodec.resizeNearest(PpmCodec.Image(2, 2, half.pixels), 4, 4)
+    assert((up.pixels(0) & 0xff) === 0 && (up.pixels(3) & 0xff) === 0,
+      "dst (0,0) and (1,0) both map to src (0,0)")
+  }
+
+  test("synthetic PPM pipeline: encode → decode → resize matches the generating formula") {
+    val media = Multimodal.syntheticPpm(docs, "doc_id", 8, 6)
+    val dec = Multimodal.decodePpm(media).filter(col("media_id") === 1L).head
+    assert(dec.getInt(1) === 8 && dec.getInt(2) === 6)
+    val pixels = dec.getAs[Array[Byte]]("pixels")
+    def hash32(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    }
+    for (y <- Seq(0, 3, 5); x <- Seq(0, 4, 7); c <- 0 until 3)
+      assert((pixels(((y * 8) + x) * 3 + c) & 0xff) === (hash32(s"1:$x:$y:$c") % 256).toInt,
+        s"pixel ($x,$y,$c) must match the md5 formula")
+    // resized stats equal the formula applied at strided coordinates
+    val stats = Multimodal.ppmStats(Multimodal.resizePpm(media, 4, 3))
+      .filter(col("media_id") === 1L).head
+    val expect = (for (y <- 0 until 3; x <- 0 until 4; c <- 0 until 3)
+      yield hash32(s"1:${x * 2}:${y * 2}:$c") % 256).sum
+    assert(stats.getLong(3) === expect)
   }
 }
