@@ -36,6 +36,17 @@ import graft.etl.JiraEtl
   * for the relational shape. A live-HTTP variant would implement the same
   * Table with a page-cursor `InputPartition` enumeration; offline files
   * keep the engine hermetic (SURVEY §4 "defer; document as an extension").
+  *
+  * Fault tolerance (reference parity — the tenacity retry around the fetch,
+  * `dags/jira/jira_base_processor.py:14-17`, and the mid-scan `startAt`
+  * resume, `issues/issue_processor.py:103-104`): every page fetch goes
+  * through [[PageTransport.fetchWithRetry]] — bounded attempts with
+  * exponential backoff, `.option("retries", n)` /
+  * `.option("retryBackoffMs", ms)`. With `.option("mode", "cursor")` the
+  * scan walks pages sequentially behind a resumable cursor (the
+  * reference's exact access pattern): the cursor only advances past a page
+  * once it is fetched, so a transient failure retries the CURRENT page and
+  * never re-reads committed ones.
   */
 class JiraPagesSource extends TableProvider with DataSourceRegister {
 
@@ -56,10 +67,14 @@ class JiraPagesSource extends TableProvider with DataSourceRegister {
     }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
-    new JiraPagesTable(schema,
-      entity(new CaseInsensitiveStringMap(properties)),
-      paths(new CaseInsensitiveStringMap(properties)))
+      properties: util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    new JiraPagesTable(schema, entity(opts), paths(opts),
+      RetryConf(
+        maxAttempts = opts.getInt("retries", 3),
+        backoffMs = opts.getLong("retryBackoffMs", 100L),
+        cursorMode = "cursor".equalsIgnoreCase(opts.getOrDefault("mode", "parallel"))))
+  }
 
   private def paths(options: CaseInsensitiveStringMap): Seq[String] = {
     // DataFrameReader.load(paths*) passes either "path" or a JSON "paths"
@@ -72,69 +87,151 @@ class JiraPagesSource extends TableProvider with DataSourceRegister {
   }
 }
 
+/** Per-page fetch policy: bounded retry attempts, exponential backoff, and
+  * the sequential-cursor flag.
+  */
+private[graft] case class RetryConf(maxAttempts: Int, backoffMs: Long,
+    cursorMode: Boolean) {
+  require(maxAttempts >= 1, "retries must be >= 1")
+}
+
+/** Page fetch with bounded retry + exponential backoff — the engine-side
+  * analog of the reference's tenacity wrapper
+  * (`dags/jira/jira_base_processor.py:14-17`). Only transient I/O failures
+  * retry; malformed payloads fail fast. `faultInjector` is the
+  * fault-injection seam the spec uses to simulate a flaky endpoint (all
+  * executors share the JVM under local[*]); `fetchAttempts` counts
+  * attempts per path so resume semantics are assertable.
+  */
+private[graft] object PageTransport {
+  @volatile var faultInjector: (String, Int) => Unit = (_, _) => ()
+  val fetchAttempts = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
+  def resetForTest(): Unit = { faultInjector = (_, _) => (); fetchAttempts.clear() }
+
+  private def open(path: String): java.io.InputStream = {
+    val uri = new java.net.URI(path)
+    if (uri.getScheme == null || uri.getScheme == "file")
+      new java.io.FileInputStream(if (uri.getScheme == null) path else uri.getPath)
+    else uri.toURL.openStream()
+  }
+
+  def fetchWithRetry(path: String, conf: RetryConf): JsonNode = {
+    var attempt = 1
+    var result: JsonNode = null
+    while (result == null) {
+      fetchAttempts.merge(path, 1, (a, b) => a + b)
+      try {
+        faultInjector(path, attempt)
+        val stream = open(path)
+        result = try new ObjectMapper().readTree(stream) finally stream.close()
+      } catch {
+        case e: java.io.IOException =>
+          if (attempt >= conf.maxAttempts)
+            throw new java.io.IOException(
+              s"page fetch failed after ${conf.maxAttempts} attempts: $path", e)
+          Thread.sleep(conf.backoffMs << (attempt - 1))
+          attempt += 1
+      }
+    }
+    result
+  }
+
+  def records(root: JsonNode, entity: String): Iterator[JsonNode] = entity match {
+    case "issues" => Option(root.get("issues")).iterator.flatMap(_.elements().asScala)
+    case "worklogs" => Option(root.get("results")).iterator.flatMap(_.elements().asScala)
+    case "users" => root.elements().asScala // bare array response
+  }
+}
+
 private class JiraPagesTable(schema: StructType, entity: String,
-    paths: Seq[String]) extends Table with SupportsRead {
+    paths: Seq[String], retry: RetryConf) extends Table with SupportsRead {
   override def name(): String = s"graft-jira-pages($entity)"
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new JiraPagesScanBuilder(schema, entity, paths)
+    new JiraPagesScanBuilder(schema, entity, paths, retry)
 }
 
 private class JiraPagesScanBuilder(fullSchema: StructType, entity: String,
-    paths: Seq[String]) extends ScanBuilder with SupportsPushDownRequiredColumns {
+    paths: Seq[String], retry: RetryConf)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = fullSchema
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new JiraPagesScan(required, entity, paths)
+  override def build(): Scan = new JiraPagesScan(required, entity, paths, retry)
 }
 
 private class JiraPagesScan(schema: StructType, entity: String,
-    paths: Seq[String]) extends Scan with Batch {
+    paths: Seq[String], retry: RetryConf) extends Scan with Batch {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
-    paths.map(p => JiraPagePartition(p): InputPartition).toArray
+    if (retry.cursorMode) Array(JiraCursorPartition(paths))
+    else paths.map(p => JiraPagePartition(p): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    new JiraPageReaderFactory(schema, entity)
+    new JiraPageReaderFactory(schema, entity, retry)
 }
 
 private case class JiraPagePartition(path: String) extends InputPartition
+private case class JiraCursorPartition(paths: Seq[String]) extends InputPartition
 
-private class JiraPageReaderFactory(schema: StructType, entity: String)
-    extends PartitionReaderFactory {
+private class JiraPageReaderFactory(schema: StructType, entity: String,
+    retry: RetryConf) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new JiraPageReader(schema, entity,
-      partition.asInstanceOf[JiraPagePartition].path)
+    partition match {
+      case JiraPagePartition(p) => new JiraPageReader(schema, entity, p, retry)
+      case JiraCursorPartition(ps) => new JiraCursorReader(schema, entity, ps, retry)
+    }
 }
 
 /** Reads one page file: resolves the entity's record array from the page
   * envelope and converts each record against the (possibly pruned) schema.
+  * Transient fetch failures retry inside the task (cheaper than a Spark
+  * task retry, which would re-run scheduling, not just the fetch).
   */
-private class JiraPageReader(schema: StructType, entity: String, path: String)
-    extends PartitionReader[InternalRow] {
+private class JiraPageReader(schema: StructType, entity: String, path: String,
+    retry: RetryConf) extends PartitionReader[InternalRow] {
 
-  private val records: Iterator[JsonNode] = {
-    val uri = new java.net.URI(path)
-    val stream =
-      if (uri.getScheme == null || uri.getScheme == "file")
-        new java.io.FileInputStream(
-          if (uri.getScheme == null) path else uri.getPath)
-      else uri.toURL.openStream()
-    val root = try new ObjectMapper().readTree(stream) finally stream.close()
-    entity match {
-      case "issues" => Option(root.get("issues")).iterator.flatMap(_.elements().asScala)
-      case "worklogs" => Option(root.get("results")).iterator.flatMap(_.elements().asScala)
-      case "users" => root.elements().asScala // bare array response
-    }
-  }
+  private val records: Iterator[JsonNode] =
+    PageTransport.records(PageTransport.fetchWithRetry(path, retry), entity)
 
   private var current: InternalRow = _
 
   override def next(): Boolean =
     if (records.hasNext) { current = JsonToRow.convert(records.next(), schema); true }
     else false
+
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
+}
+
+/** Sequential page walk behind a resumable cursor — the reference's access
+  * pattern (`issue_processor.py:103-104` advances `startAt` only after a
+  * page lands). The cursor moves past a page exactly once its fetch
+  * succeeds; a transient failure retries the CURRENT page (with backoff)
+  * and committed pages are never re-read. Lazily fetches: a `LIMIT`-style
+  * early stop never touches the pages after the cursor.
+  */
+private class JiraCursorReader(schema: StructType, entity: String,
+    paths: Seq[String], retry: RetryConf) extends PartitionReader[InternalRow] {
+
+  private var cursor = 0
+  private var pageRecords: Iterator[JsonNode] = Iterator.empty
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    while (!pageRecords.hasNext && cursor < paths.length) {
+      pageRecords = PageTransport.records(
+        PageTransport.fetchWithRetry(paths(cursor), retry), entity)
+      cursor += 1 // page committed: fetched once, never re-read
+    }
+    if (pageRecords.hasNext) {
+      current = JsonToRow.convert(pageRecords.next(), schema)
+      true
+    } else false
+  }
 
   override def get(): InternalRow = current
   override def close(): Unit = ()

@@ -53,6 +53,47 @@ class JiraPagesSourceSpec extends SparkSpec {
       Seq(1L, 2L, 3L))
   }
 
+  test("transient page failures retry with backoff; committed pages are never re-read") {
+    import graft.sources.jira.PageTransport
+    PageTransport.resetForTest()
+    try {
+      val flaky = fixture("issues_page_2.json")
+      // page 2 fails on its first two attempts, then recovers
+      PageTransport.faultInjector = (path, attempt) =>
+        if (path == flaky && attempt <= 2)
+          throw new java.io.IOException(s"injected transient failure (attempt $attempt)")
+      val v2 = spark.read.format("graft-jira-pages")
+        .option("entity", "issues")
+        .option("mode", "cursor")
+        .option("retries", "3")
+        .option("retryBackoffMs", "1")
+        .load(fixture("issues_page_1.json"), flaky)
+      assert(v2.count() === 3, "the scan must complete through the transient failure")
+      assert(PageTransport.fetchAttempts.get(fixture("issues_page_1.json")) === 1,
+        "the committed page must not be re-read on the later page's retries")
+      assert(PageTransport.fetchAttempts.get(flaky) === 3,
+        "the flaky page retries exactly until it recovers")
+    } finally PageTransport.resetForTest()
+  }
+
+  test("retries exhaust into a terminal failure (no infinite retry loop)") {
+    import graft.sources.jira.PageTransport
+    PageTransport.resetForTest()
+    try {
+      PageTransport.faultInjector = (_, _) =>
+        throw new java.io.IOException("injected permanent failure")
+      val v2 = spark.read.format("graft-jira-pages")
+        .option("entity", "issues")
+        .option("retries", "2")
+        .option("retryBackoffMs", "1")
+        .load(fixture("issues_page_1.json"))
+      val e = intercept[org.apache.spark.SparkException](v2.count())
+      assert(e.getMessage.contains("failed after 2 attempts") ||
+        Option(e.getCause).exists(_.getMessage.contains("failed after 2 attempts")))
+      assert(PageTransport.fetchAttempts.get(fixture("issues_page_1.json")) >= 2)
+    } finally PageTransport.resetForTest()
+  }
+
   test("null/absent fields surface as SQL NULL (reference column-omission semantics)") {
     val v2 = readPages("issues", "issues_page_1.json")
     val r = v2.filter(col("id") === "10002")
