@@ -10,34 +10,42 @@ import org.apache.spark.sql.functions._
   * canonical id). The reference's upsert (`dags/jira/db_ops.py:29-43`)
   * collapses exact key matches only; this generalizes to similarity edges.
   *
-  * Algorithm: iterative min-label propagation to a fixpoint. Labels are
-  * monotonically non-increasing, so convergence needs at most `diameter`
-  * rounds; near-dup clusters in practice have diameter ≤ 3 (a dup of a dup
-  * of X is still a near-dup of X), so the loop runs 2–4 shuffles total.
+  * Algorithm: iterative min-label propagation to a fixpoint — one equi-join
+  * + one map-side-combined min-agg per round, convergence in O(diameter)
+  * rounds. Near-dup clusters in practice have diameter ≤ 3 (a dup of a dup
+  * of X is still a near-dup of X), so the loop normally runs 2–4 shuffles
+  * total. If propagation has not converged after [[PropagationRounds]]
+  * rounds the graph is high-diameter (adversarial paths force one round per
+  * hop), and the solver switches to the alternating large-star/small-star
+  * contraction of Kiveris et al. ("Connected Components in MapReduce and
+  * Beyond", SoCC'14), which converges in O(log² n) rounds on any graph.
+  * The partial propagation labels are not wasted: the graph is first
+  * CONTRACTED through them (edges mapped to label space — component-
+  * preserving), the alternating solver runs on the smaller quotient graph,
+  * and the result re-expands through one join.
   *
-  * 100 TB posture: each round is one equi-join on the edge src + one
-  * map-side-combined min-agg — both hash-partitioned on id, no cross
-  * product, edge list persisted once. The driver-side loop only compares
-  * two scalar counts per round (no collect of data rows). For adversarial
-  * high-diameter graphs (paths of length k force k rounds) the production
-  * fix is the large-star/small-star contraction of Kiveris et al.
-  * ("Connected Components in MapReduce and Beyond", SoCC'14), which
-  * converges in O(log²Δ) rounds; not needed for dedup-shaped graphs.
+  * 100 TB posture: every round of either algorithm is equi-joins +
+  * hash-aggregations on node ids — no cross products, no driver-side data
+  * (the loop compares scalar witnesses / counts only). localCheckpoint per
+  * round cuts the otherwise-exponential logical-plan growth; on a real
+  * cluster swap for reliable checkpoint() (localCheckpoint pins lineage to
+  * executor block storage and does not survive executor loss).
   */
 object Components {
+
+  /** Propagation rounds before falling back to the alternating algorithm:
+    * covers diameter ≤ 8 (dedup graphs are ≤ ~4) in the cheap path while
+    * bounding the adversarial worst case.
+    */
+  val PropagationRounds = 8
 
   /** (id, cluster) for every node incident to an edge; cluster = min node
     * id reachable. Input columns `srcCol`/`dstCol`; direction is ignored.
     */
   def connectedComponents(edges: DataFrame, srcCol: String,
-      dstCol: String, maxIters: Int = 20): DataFrame = {
+      dstCol: String, maxIters: Int = 50): DataFrame = {
     val e = edges.select(col(srcCol).cast("long").as("s"), col(dstCol).cast("long").as("d"))
     val both = e.union(e.select(col("d").as("s"), col("s").as("d"))).persist()
-    // localCheckpoint (not persist): each round's frame derives from the
-    // last, so without lineage truncation the logical plan doubles per
-    // round — analysis alone goes exponential past ~10 rounds. On a real
-    // cluster swap for reliable checkpoint(): localCheckpoint pins lineage
-    // to executor block storage and does not survive executor loss.
     // labels only ever decrease ⇒ fixpoint iff the label multiset is
     // unchanged; sum(cluster) is a sufficient monotone witness and costs
     // one scalar per round (carried forward, not recomputed) instead of a
@@ -49,7 +57,7 @@ object Components {
     var witness = labels.agg(wit).first().getDecimal(0)
     var converged = false
     var iters = 0
-    while (!converged && iters < maxIters) {
+    while (!converged && iters < math.min(PropagationRounds, maxIters)) {
       // label(x) := min(label(x), min over neighbors n of label(n))
       val prop = labels.join(both, labels("id") === both("s"))
         .select(col("d").as("id"), col("cluster"))
@@ -62,6 +70,77 @@ object Components {
       iters += 1
     }
     both.unpersist()
-    labels
+    if (converged) labels
+    else {
+      // High-diameter graph: contract through the partial labels, solve the
+      // quotient graph by star contraction, re-expand. Quotient nodes
+      // isolated by the contraction (whole component already collapsed)
+      // are absent from the quotient solution — the left join keeps their
+      // partial label, which is already the component min.
+      val quotient = e
+        .join(labels.select(col("id").as("s"), col("cluster").as("qs")), "s")
+        .join(labels.select(col("id").as("d"), col("cluster").as("qd")), "d")
+        .select(col("qs").as("s"), col("qd").as("d"))
+      val (qLabels, _) = alternating(quotient, maxIters - iters)
+      labels
+        .join(qLabels.select(col("id").as("cluster"), col("cluster").as("root")),
+          Seq("cluster"), "left")
+        .select(col("id"), coalesce(col("root"), col("cluster")).as("cluster"))
+    }
+  }
+
+  /** Alternating large-star/small-star contraction (Kiveris et al.,
+    * SoCC'14): each round replaces the edge set with edges toward
+    * per-neighborhood minima — large-star hangs every larger neighbor of u
+    * under min(Γ(u) ∪ u), small-star re-hangs u and its smaller neighbors
+    * under their min — until the edge set is a fixpoint (a star forest
+    * rooted at component minima). O(log² n) rounds on any graph. Returns
+    * (labels, rounds); labels cover every node incident to an input edge.
+    */
+  private[graft] def alternating(edges: DataFrame,
+      maxIters: Int): (DataFrame, Int) = {
+    val nodes = edges.select(col("s").as("id"))
+      .union(edges.select(col("d").as("id"))).distinct().localCheckpoint()
+    // canonical undirected set: u > v, self-loops dropped
+    var e = edges.filter(col("s") =!= col("d"))
+      .select(greatest(col("s"), col("d")).as("u"), least(col("s"), col("d")).as("v"))
+      .distinct().localCheckpoint()
+    var eCount = e.count()
+    var converged = eCount == 0
+    var iters = 0
+    while (!converged && iters < maxIters) {
+      // large-star: for each node u emit (v, m) for larger neighbors v,
+      // m = min(Γ(u) ∪ u). Output is canonical already: m ≤ u < v.
+      val both = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val lmins = both.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      val afterLarge = both.join(lmins, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+      // small-star: for each node u with smaller neighbors, emit (v, m)
+      // for those neighbors plus (u, m), m = their min (≤ every v < u).
+      val both2 = afterLarge
+        .union(afterLarge.select(col("v").as("u"), col("u").as("v")))
+      val smaller = both2.filter(col("v") < col("u"))
+      val smins = smaller.groupBy("u").agg(min("v").as("m"))
+      val next = smaller.join(smins, "u")
+        .select(col("v").as("u"), col("m").as("v")).filter(col("u") =!= col("v"))
+        .union(smins.select(col("u"), col("m").as("v")))
+        .distinct().localCheckpoint()
+      val nextCount = next.count()
+      // sound fixpoint test on canonical distinct sets: equal size and an
+      // empty one-sided difference ⇒ identical edge sets
+      converged = nextCount == eCount && next.except(e).isEmpty
+      e = next
+      eCount = nextCount
+      iters += 1
+    }
+    require(converged, s"star contraction did not converge in $maxIters rounds")
+    // star forest: every non-root has edges only to its component min
+    val leaf = e.groupBy("u").agg(min("v").as("cluster"))
+      .select(col("u").as("id"), col("cluster"))
+    val labels = nodes.join(leaf, Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
+    (labels, iters)
   }
 }

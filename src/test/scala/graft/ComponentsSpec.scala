@@ -32,6 +32,28 @@ class ComponentsSpec extends SparkSpec {
     assert(cc(Seq((7L, 4L))) === Map(4L -> 4L, 7L -> 4L))
   }
 
+  test("star contraction solves a 300-node path in O(log² n) rounds, equal to union-find") {
+    val edges = (1L to 299L).map(i => (i + 1, i)).toDF("s", "d")
+    val (labels, rounds) = Components.alternating(edges, 50)
+    assert(labels.as[(Long, Long)].collect().toMap ===
+      (1L to 300L).map(_ -> 1L).toMap)
+    assert(rounds <= 20,
+      s"a 300-node path must converge in O(log² n) star rounds, took $rounds " +
+        "(propagation would need 299)")
+  }
+
+  test("high-diameter fallback: 200-hop shuffled-id path converges through contraction") {
+    // ids shuffled so label propagation cannot ride monotone adjacency;
+    // propagation alone would need ~200 rounds — the PropagationRounds cap
+    // triggers the quotient + star-contraction path.
+    val rng = new scala.util.Random(7)
+    val ids = rng.shuffle((0L to 200L).toVector)
+    val edges = ids.sliding(2).map(p => (p(0), p(1))).toSeq
+    val out = cc(edges)
+    assert(out.keySet === (0L to 200L).toSet)
+    assert(out.values.toSet === Set(0L), "single component labeled by min id")
+  }
+
   test("cross-check: agrees with GraphX connectedComponents on real dedup pairs") {
     import org.apache.spark.graphx.{Edge, Graph}
     val pairs = graft.operators.Dedup.ngramJaccard(
