@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+/** Plan-regression guards for the headline joins: the asserted shapes are
+  * the ones the 100 TB design depends on (broadcast dims, no nested-loop
+  * or cartesian fallbacks, bounded exchange counts). A config or upgrade
+  * that silently flips a broadcast to a shuffle — or worse, to a nested
+  * loop — fails here rather than in a 60× slower bench.
+  */
+class PlanGuardSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def finalPlan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    df.collect() // collect() drives this Dataset's own QE through AQE finalization
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+      case p => p.toString
+    }
+  }
+
+  private def count(pat: String, plan: String): Int =
+    pat.r.findAllIn(plan).size
+
+  test("q03 star join: all dims broadcast, no sort-merge, single agg exchange") {
+    val p = finalPlan("q03_star_join_broadcast")
+    assert(count("BroadcastHashJoin", p) === 3,
+      s"customer, nation and region must all broadcast at this SF:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(count("Exchange hashpartitioning", p) <= 1,
+      s"only the final aggregation may exchange:\n$p")
+  }
+
+  test("q04 fact-fact join: equi-join machinery only, bounded exchanges") {
+    val p = finalPlan("q04_factfact_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    // two join inputs + distinct-agg re-exchange is the worst acceptable
+    assert(count("Exchange hashpartitioning", p) <= 3,
+      s"fact-fact join must not grow extra exchanges:\n$p")
+  }
+
+  test("q26 supplier join: nation broadcast, no nested loop") {
+    val p = finalPlan("q26_supplier_join")
+    assert(count("BroadcastHashJoin", p) >= 1, s"nation must broadcast:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("q39 exact pair join: partitioned equi-join, no nested loop, no cartesian") {
+    val p = finalPlan("q39_embedding_pairs")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"the blocked pair join must stay an equi-join:\n$p")
+  }
+}
