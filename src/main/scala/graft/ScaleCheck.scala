@@ -13,6 +13,7 @@ object ScaleCheck {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true") // events ts stays raw INT64
+    if (args.contains("exponents")) { exponents(spark); spark.stop(); return }
     val src = "/root/testdata/sf0.1"
     val dst = "/tmp/graft_sf1"
     val k = 10
@@ -51,5 +52,84 @@ object ScaleCheck {
     val lsh = SparkEntry.queries("q35_minhash_lsh")(spark, dst).collect().toSet
     println(s"== lsh==exact at 10x: ${exact == lsh} (${exact.size} pairs)")
     spark.stop()
+  }
+
+  /** Fitted scaling exponents for the similarity family: corpora at 1×/2×/4×
+    * of sf0.1 where every copy is DISTINCT-ified, so true-pair output grows
+    * linearly and the exponent measures candidate-generation cost, not
+    * output size (the 10× replica run above conflates the two — every
+    * replica is a true near-dup, so output itself is quadratic there).
+    * Documents: copy i replaces every third token (offset by i) with a
+    * copy-unique token — ~⅓ mutation pushes 3-gram jaccard far below the
+    * 0.6 threshold, so copies are not near-dups of their source, while the
+    * surviving shingles still multiply df (q34's Σdf² shows its documented
+    * quadratic). Embeddings: copy i rotates dimensions by 7i — within-copy
+    * cosines (and the planted pairs) are exactly preserved, cross-copy
+    * cosines drop to background. Exponent = log(t₄/t₁)/log 4, min of 2
+    * runs each.
+    */
+  private def exponents(spark: SparkSession): Unit = {
+    val src = "/root/testdata/sf0.1"
+    // k=2 as the baseline: k=1 timings sit on the fixed JVM/scheduling
+    // floor (~0.3-1 s) and flatten every fitted exponent toward zero
+    val ks = Seq(2, 4, 8)
+    val queries = Seq("q34_ngram_jaccard", "q35_minhash_lsh",
+      "q36_simhash_pairs", "q37_embedding_topk", "q38_ann_ivf",
+      "q39_embedding_pairs", "q94_lsh_pairs")
+    for (k <- ks) {
+      val dst = s"/tmp/graft_scale_k$k"
+      val docs = spark.read.parquet(s"$src/documents.parquet")
+      val dcopies = (0 until k).map { i =>
+        if (i == 0) docs
+        else docs
+          .withColumn("doc_id", col("doc_id") + lit(i * 1000000L))
+          .withColumn("text", array_join(
+            zip_with(split(col("text"), " "),
+              sequence(lit(0), size(split(col("text"), " ")) - 1),
+              (t, p) => when(pmod(p + lit(7 * i), lit(3)) === 0,
+                concat(lit(s"z${i}x"), p)).otherwise(t)), " "))
+      }
+      dcopies.reduce(_ unionByName _).write.mode("overwrite")
+        .parquet(s"$dst/documents.parquet")
+      val emb = spark.read.parquet(s"$src/embeddings.parquet")
+      val ecopies = (0 until k).map { i =>
+        if (i == 0) emb
+        else {
+          val rot = (i * 7) % 64
+          emb
+            .withColumn("vec_id", col("vec_id") + lit(i * 1000000L))
+            .withColumn("embedding", concat(
+              slice(col("embedding"), rot + 1, 64 - rot),
+              slice(col("embedding"), 1, rot)))
+        }
+      }
+      ecopies.reduce(_ unionByName _).write.mode("overwrite")
+        .parquet(s"$dst/embeddings.parquet")
+    }
+    val times = scala.collection.mutable.Map.empty[(String, Int), Double]
+    for (q <- queries; k <- ks) {
+      val dir = s"/tmp/graft_scale_k$k"
+      // q34 through SparkEntry would hit the memoized session pair-index
+      // (q34/q77/q85 share it) — time the operator fresh instead
+      def run(): Long =
+        if (q == "q34_ngram_jaccard")
+          graft.operators.Dedup.ngramJaccard(
+            Tables.documents(spark, dir), "doc_id", "text", 3, 0.6).count()
+        else SparkEntry.queries(q)(spark, dir).count()
+      val t = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        run()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      times((q, k)) = t
+      println(f"== $q k=$k t=$t%.2fs")
+    }
+    println(f"\n| query | 2x | 4x | 8x | fitted exponent |")
+    println(f"|---|---|---|---|---|")
+    for (q <- queries) {
+      val (t2, t4, t8) = (times((q, 2)), times((q, 4)), times((q, 8)))
+      val e = math.log(t8 / t2) / math.log(4.0)
+      println(f"| $q | $t2%.2f s | $t4%.2f s | $t8%.2f s | $e%.2f |")
+    }
   }
 }

@@ -295,6 +295,47 @@ object TextOps {
         .orderBy("id_a", "id_b"),
       Some(OCosinePairs)),
 
+    // q96: intra-document repetition signals — the Gopher-rule family
+    // (Rae et al. 2021 §A1.1): top-token frequency and duplicate 2-/3-gram
+    // fractions, the filters a training-data pipeline applies before any
+    // cross-doc dedup. One explode + hash-aggs per signal, all map-side
+    // shuffles on doc_id; fractions are single int/int divisions (bit-
+    // identical across engines, no rounding needed).
+    QueryDef("q96_repetition",
+      (s, d) => {
+        graft.functions.ShingleGenerator.register(s)
+        val toks = docs(s, d).select(col("doc_id"), TextFns.tokens(col("text")).as("t"))
+        def grams(n: Int, suf: String) = toks
+          .select(col("doc_id"),
+            call_function(graft.functions.ShingleGenerator.name, col("t"), lit(n)))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as(s"n$suf"), countDistinct(col("shingle")).as(s"d$suf"))
+        val top = toks.select(col("doc_id"), explode(col("t")).as("tok"))
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id").agg(max("c").as("top_tok_n"))
+        toks.select(col("doc_id"), size(col("t")).cast("long").as("n_toks"))
+          .join(top, Seq("doc_id"), "left")
+          .join(grams(2, "2"), Seq("doc_id"), "left")
+          .join(grams(3, "3"), Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_toks"), col("top_tok_n"),
+            when(col("n2") > 0, (col("n2") - col("d2")) / col("n2")).as("dup2_frac"),
+            when(col("n3") > 0, (col("n3") - col("d3")) / col("n3")).as("dup3_frac"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH x AS (SELECT doc_id, $OToks t FROM documents),
+        g AS (SELECT doc_id, len(t) n_toks,
+                [array_to_string(t[i:i+1], ' ') for i in generate_series(1, len(t)-1)] g2,
+                [array_to_string(t[i:i+2], ' ') for i in generate_series(1, len(t)-2)] g3
+              FROM x),
+        tc AS (SELECT doc_id, CAST(max(c) AS BIGINT) top_tok_n FROM (
+                SELECT doc_id, tok, count(*) c
+                FROM (SELECT doc_id, unnest(t) tok FROM x) GROUP BY 1, 2) GROUP BY 1)
+        SELECT g.doc_id AS doc_id, CAST(n_toks AS BIGINT) n_toks, top_tok_n,
+          CASE WHEN len(g2) > 0 THEN (len(g2) - len(list_distinct(g2))) / len(g2) END AS dup2_frac,
+          CASE WHEN len(g3) > 0 THEN (len(g3) - len(list_distinct(g3))) / len(g3) END AS dup3_frac
+        FROM g JOIN tc ON g.doc_id = tc.doc_id
+        ORDER BY doc_id""")),
+
     // q40: document fingerprints — full-text md5, order-insensitive bag
     // fingerprint (sorted distinct tokens), 8-token prefix fingerprint,
     // and a Karp-Rabin rolling polynomial hash over the token-hash stream
