@@ -169,8 +169,15 @@ object Similarity {
       .withColumn("nrm", l2norm(col("v")))
       .withColumn("g", pmod(col("id"), lit(blocks)).cast("int"))
     val grid = sequence(lit(0), lit(blocks - 1))
-    val x = withNorm.withColumn("cb", explode(grid)).as("x")
-    val y = withNorm.withColumn("ca", explode(grid)).as("y")
+    // explicit repartition by the cell key, one partition per cell: AQE's
+    // byte-based partition coalescing would otherwise merge these tiny-by-
+    // bytes but O(|cell|²)-by-compute shuffle partitions onto 1-2 cores
+    // (measured 2.9 s → 0.8 s at sf0.1); REPARTITION_BY_NUM is exempt
+    // from coalescing, and the join reuses the distribution
+    val x = withNorm.withColumn("cb", explode(grid))
+      .repartition(blocks * blocks, col("g"), col("cb")).as("x")
+    val y = withNorm.withColumn("ca", explode(grid))
+      .repartition(blocks * blocks, col("ca"), col("g")).as("y")
     x.join(y,
         col("x.g") === col("y.ca") && col("x.cb") === col("y.g") &&
           col("x.id") < col("y.id"))
