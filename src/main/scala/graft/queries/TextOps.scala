@@ -295,6 +295,30 @@ object TextOps {
         .orderBy("id_a", "id_b"),
       Some(OCosinePairs)),
 
+    // q97: benchmark decontamination — train docs sharing ≥3 distinct
+    // 3-grams with any eval doc (deterministic doc_id%20 split stands in
+    // for the benchmark set). Inverted-index equi-join on the shingle
+    // hash; cost Σ df_train·df_eval is linear in the corpus for a small
+    // probe set. The canonical pre-training hygiene step next to dedup.
+    QueryDef("q97_decontamination",
+      (s, d) => {
+        val all = docs(s, d)
+        Dedup.contamination(
+            all.filter(col("doc_id") % 20 =!= 0),
+            all.filter(col("doc_id") % 20 === 0),
+            "doc_id", "text", 3, 3)
+          .orderBy("train_id", "eval_id")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, $OToks t FROM documents),
+        sets AS (SELECT doc_id, $OShingles sh FROM toks WHERE len(t) >= 3),
+        inv AS (SELECT doc_id, unnest(sh) shingle FROM sets),
+        ev AS (SELECT * FROM inv WHERE doc_id % 20 = 0),
+        tr AS (SELECT * FROM inv WHERE doc_id % 20 != 0)
+        SELECT tr.doc_id train_id, ev.doc_id eval_id, count(*) n_shared
+        FROM tr JOIN ev ON tr.shingle = ev.shingle
+        GROUP BY 1, 2 HAVING count(*) >= 3
+        ORDER BY train_id, eval_id""")),
+
     // q96: intra-document repetition signals — the Gopher-rule family
     // (Rae et al. 2021 §A1.1): top-token frequency and duplicate 2-/3-gram
     // fractions, the filters a training-data pipeline applies before any

@@ -56,6 +56,16 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("contamination finds the train docs overlapping the probe set") {
+    val out = Dedup.contamination(
+        docs.filter(col("doc_id") =!= 1L), // train: 2,3,4,5
+        docs.filter(col("doc_id") === 1L), // probe: 1
+        "doc_id", "text", 3, 3)
+      .select("train_id", "eval_id").as[(Long, Long)].collect().toSet
+    // 2 and 4 share nearly all 3-grams with 1; 3 and 5 share none
+    assert(out === Set((2L, 1L), (4L, 1L)))
+  }
+
   test("identical docs have identical simhash; near-dups are close, unrelated far") {
     val sh = Dedup.simHash(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
