@@ -161,6 +161,60 @@ object Multimodal {
     }(enc)
   }
 
+  /** Deterministic synthetic audio corpus: one mono PCM16 RIFF/WAVE payload
+    * per input row, sample(i) = hash32(id:i) mod 65536 − 32768 where hash32
+    * is the oracle-portable md5-prefix hash — so a SQL engine can recompute
+    * any sample without the codec, mirroring [[syntheticPpm]]'s design.
+    * mapPartitions with the digest amortized per partition.
+    */
+  def syntheticWav(df: DataFrame, idCol: String, nSamples: Int,
+      sampleRate: Int): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("kind", StringType, nullable = false),
+      StructField("payload", BinaryType),
+      StructField("duration_ms", LongType))))
+    df.select(col(idCol).cast("long").as("media_id")).mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def hash32(s: String): Long = {
+        md.reset()
+        val d = md.digest(s.getBytes("UTF-8"))
+        ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+          ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      }
+      it.map { r =>
+        val id = r.getLong(0)
+        val samples = Array.tabulate(nSamples)(i =>
+          (hash32(s"$id:$i") % 65536 - 32768).toShort)
+        Row(id, "audio/wav",
+          WavCodec.encode(WavCodec.Audio(sampleRate, samples)),
+          nSamples.toLong * 1000 / sampleRate)
+      }
+    }(enc)
+  }
+
+  /** Real audio decode + frame features: parse each RIFF/WAVE payload
+    * (header + chunk walk in [[WavCodec.decode]]), then integer L1 energy
+    * and zero-crossing count per `frameLen`-sample frame — integer-exact in
+    * any order, hence oracle-safe. Map-side; samples never shuffle.
+    */
+  def wavFrameFeatures(media: DataFrame, frameLen: Int): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("frame_idx", IntegerType),
+      StructField("l1", LongType),
+      StructField("zc", LongType))))
+    media.select("media_id", "payload").mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        val audio = WavCodec.decode(r.getAs[Array[Byte]](1))
+        WavCodec.frameFeatures(audio, frameLen).map {
+          case (f, l1, zc) => Row(id, f, l1, zc)
+        }
+      }
+    }(enc)
+  }
+
   /** Real decode: parse each P6 payload into (dims, raw pixel bytes).
     * Malformed payloads throw — compose with a quarantine filter upstream
     * when the lake is untrusted.

@@ -59,6 +59,32 @@ object EtlOps {
         SELECT doc_id, CAST(4 AS INTEGER) w, CAST(3 AS INTEGER) h, CAST(sum(v) AS BIGINT) lum
         FROM g GROUP BY doc_id ORDER BY doc_id""")),
 
+    // q98: the REAL audio codec end-to-end — synthesize 64 PCM16 samples
+    // per document (sample = md5-derived, SQL-recomputable), ENCODE as
+    // RIFF/WAVE, DECODE back (magic + chunk walk + little-endian sample
+    // extraction), then integer frame features (L1 energy + zero
+    // crossings) over 16-sample frames. The oracle recomputes the samples
+    // straight from the generating formula, so a header off-by-one, an
+    // endianness flip, or a sign-extension bug all hash-mismatch. The
+    // audio analog of q95; all map-side, samples never shuffle.
+    QueryDef("q98_wav_decode",
+      (s, d) => {
+        val media = Multimodal.syntheticWav(Tables.documents(s, d), "doc_id", 64, 8000)
+        Multimodal.wavFrameFeatures(media, 16)
+          .select(col("media_id").as("doc_id"), col("frame_idx"),
+            col("l1"), col("zc"))
+          .orderBy("doc_id", "frame_idx")
+      },
+      Some("""WITH s AS (
+          SELECT d.doc_id, g.i,
+            (('0x'||substr(md5(CAST(d.doc_id AS VARCHAR)||':'||CAST(g.i AS VARCHAR)),1,8))::BIGINT) % 65536 - 32768 AS v
+          FROM documents d, (SELECT CAST(unnest(generate_series(0, 63)) AS INTEGER) i) g),
+        w AS (SELECT doc_id, i, v, lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv FROM s)
+        SELECT doc_id, CAST(i // 16 AS INTEGER) AS frame_idx,
+          CAST(sum(abs(v)) AS BIGINT) AS l1,
+          CAST(sum(CASE WHEN i % 16 > 0 AND (v < 0) <> (pv < 0) THEN 1 ELSE 0 END) AS BIGINT) AS zc
+        FROM w GROUP BY doc_id, frame_idx ORDER BY doc_id, frame_idx""")),
+
     // q42: Aggregator UDAF — quantity-weighted mean discount per flag.
     // Partial+final merge like built-in avg: one two-double buffer per
     // group shuffles, nothing else.

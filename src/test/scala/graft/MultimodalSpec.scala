@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Multimodal, PpmCodec}
+import graft.operators.{Multimodal, PpmCodec, WavCodec}
 
 /** Multimodal plumbing: binary payload round-trip, frame sampling shape,
   * the batched (mapPartitions) byte-feature path, and the REAL raster
@@ -102,6 +102,66 @@ class MultimodalSpec extends SparkSpec {
     val up = PpmCodec.resizeNearest(PpmCodec.Image(2, 2, half.pixels), 4, 4)
     assert((up.pixels(0) & 0xff) === 0 && (up.pixels(3) & 0xff) === 0,
       "dst (0,0) and (1,0) both map to src (0,0)")
+  }
+
+  test("WAV codec round-trips samples exactly, incl. negative and boundary values") {
+    val samples = Array[Short](0, 1, -1, Short.MaxValue, Short.MinValue, 12345, -12345)
+    val a = WavCodec.Audio(8000, samples)
+    val back = WavCodec.decode(WavCodec.encode(a))
+    assert(back.sampleRate === 8000)
+    assert(back.samples.toSeq === samples.toSeq)
+  }
+
+  test("WAV decode skips unknown chunks (incl. odd-size word alignment)") {
+    val a = WavCodec.Audio(44100, Array[Short](7, -7, 300))
+    val enc = WavCodec.encode(a)
+    // splice a 3-byte (odd → padded) unknown chunk between fmt and data
+    val fmtEnd = 12 + 8 + 16
+    val junk = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](3, 0, 0, 0) ++ Array[Byte](9, 9, 9, 0) // payload + pad
+    val spliced = enc.take(fmtEnd) ++ junk ++ enc.drop(fmtEnd)
+    val back = WavCodec.decode(spliced)
+    assert(back.sampleRate === 44100)
+    assert(back.samples.toSeq === Seq[Short](7, -7, 300))
+  }
+
+  test("WAV decode rejects malformed payloads") {
+    intercept[IllegalArgumentException](WavCodec.decode("RIFX....WAVE".getBytes ++ new Array[Byte](40)))
+    // truncated data chunk: claims 8 bytes, carries 2
+    val a = WavCodec.encode(WavCodec.Audio(8000, Array[Short](1, 2, 3, 4)))
+    intercept[IllegalArgumentException](WavCodec.decode(a.dropRight(6)))
+    // stereo and non-PCM rejected
+    val stereo = a.clone(); stereo(22) = 2 // channels field in fmt chunk
+    intercept[IllegalArgumentException](WavCodec.decode(stereo))
+    val ulaw = a.clone(); ulaw(20) = 7 // audioFormat field
+    intercept[IllegalArgumentException](WavCodec.decode(ulaw))
+  }
+
+  test("frameFeatures: integer L1 + zero crossings, trailing partial frame kept") {
+    val a = WavCodec.Audio(8000, Array[Short](5, -3, 2, -2, 4, -9))
+    val f = WavCodec.frameFeatures(a, 4)
+    // frame 0: |5|+|3|+|2|+|2|=12, crossings at 1,2,3 → 3
+    // frame 1 (partial): |4|+|9|=13, crossing at idx 5 within frame → 1
+    assert(f === Seq((0, 12L, 3L), (1, 13L, 1L)))
+  }
+
+  test("synthetic WAV pipeline: encode → decode → frame features match the generating formula") {
+    val media = Multimodal.syntheticWav(docs, "doc_id", 64, 8000)
+    def hash32(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    }
+    val expected = Array.tabulate(64)(i => (hash32(s"2:$i") % 65536 - 32768).toShort)
+    val dec = WavCodec.decode(
+      media.filter(col("media_id") === 2L).head.getAs[Array[Byte]]("payload"))
+    assert(dec.samples.toSeq === expected.toSeq)
+    val feats = Multimodal.wavFrameFeatures(media, 16)
+      .filter(col("media_id") === 2L).orderBy("frame_idx").collect()
+    assert(feats.length === 4)
+    val manual = WavCodec.frameFeatures(WavCodec.Audio(8000, expected), 16)
+    feats.zip(manual).foreach { case (row, (f, l1, zc)) =>
+      assert(row.getInt(1) === f && row.getLong(2) === l1 && row.getLong(3) === zc)
+    }
   }
 
   test("synthetic PPM pipeline: encode → decode → resize matches the generating formula") {
