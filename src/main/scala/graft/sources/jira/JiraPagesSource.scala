@@ -33,9 +33,17 @@ import graft.etl.JiraEtl
   *     .load(paths: _*)
   *
   * Rows are the raw (nested) API objects; compose with `graft.etl.Flatten`
-  * for the relational shape. A live-HTTP variant would implement the same
-  * Table with a page-cursor `InputPartition` enumeration; offline files
-  * keep the engine hermetic (SURVEY §4 "defer; document as an extension").
+  * for the relational shape. Pages may be files OR live http(s) URLs: the
+  * transport sends `Authorization: Basic|Bearer <token>` per
+  * `.option("authType")` + `.option("token")`/`.option("tokenEnv")`
+  * (reference `dags/jira/jira_fetcher.py:9-17,19-37`), and HTTP >= 400
+  * goes through the same bounded-retry path as a connection failure.
+  *
+  * With `.option("discover", "true")` in cursor mode the page CHAIN is
+  * discovered from the envelope at runtime — the reference's exact
+  * pagination: worklogs follow `metadata.next`, issues expand
+  * `startAt/maxResults/total` through `.option("pageTemplate",
+  * ".../issues?startAt={startAt}")` — so only the seed address is needed.
   *
   * Fault tolerance (reference parity — the tenacity retry around the fetch,
   * `dags/jira/jira_base_processor.py:14-17`, and the mid-scan `startAt`
@@ -73,8 +81,31 @@ class JiraPagesSource extends TableProvider with DataSourceRegister {
       RetryConf(
         maxAttempts = opts.getInt("retries", 3),
         backoffMs = opts.getLong("retryBackoffMs", 100L),
-        cursorMode = "cursor".equalsIgnoreCase(opts.getOrDefault("mode", "parallel"))))
+        cursorMode = "cursor".equalsIgnoreCase(opts.getOrDefault("mode", "parallel")),
+        authHeader = authHeader(opts),
+        discover = opts.getBoolean("discover", false),
+        pageTemplate = Option(opts.get("pageTemplate"))))
   }
+
+  /** `Authorization: Basic|Bearer <token>` on every fetch — reference
+    * parity with `dags/jira/jira_fetcher.py:9-17,19-37` (Basic for the
+    * Jira API, Bearer for Tempo). The token comes from `.option("token")`
+    * or, to keep secrets out of plans/configs, `.option("tokenEnv")`
+    * naming an environment variable.
+    */
+  private def authHeader(opts: CaseInsensitiveStringMap): Option[String] =
+    Option(opts.get("authType")).map { t =>
+      val token = Option(opts.get("token"))
+        .orElse(Option(opts.get("tokenEnv")).flatMap(e => sys.env.get(e)))
+        .getOrElse(throw new IllegalArgumentException(
+          "authType set but neither token nor a resolvable tokenEnv given"))
+      t.toLowerCase match {
+        case "basic" => s"Basic $token"
+        case "bearer" => s"Bearer $token"
+        case other => throw new IllegalArgumentException(
+          s"unknown authType '$other' (expected basic|bearer)")
+      }
+    }
 
   private def paths(options: CaseInsensitiveStringMap): Seq[String] = {
     // DataFrameReader.load(paths*) passes either "path" or a JSON "paths"
@@ -87,11 +118,14 @@ class JiraPagesSource extends TableProvider with DataSourceRegister {
   }
 }
 
-/** Per-page fetch policy: bounded retry attempts, exponential backoff, and
-  * the sequential-cursor flag.
+/** Per-page fetch policy: bounded retry attempts, exponential backoff, the
+  * sequential-cursor flag, the optional pre-built Authorization header, and
+  * the envelope-driven discovery knobs (`discover` + the issues-mode
+  * `{startAt}` page template).
   */
 private[graft] case class RetryConf(maxAttempts: Int, backoffMs: Long,
-    cursorMode: Boolean) {
+    cursorMode: Boolean, authHeader: Option[String] = None,
+    discover: Boolean = false, pageTemplate: Option[String] = None) {
   require(maxAttempts >= 1, "retries must be >= 1")
 }
 
@@ -109,11 +143,26 @@ private[graft] object PageTransport {
 
   def resetForTest(): Unit = { faultInjector = (_, _) => (); fetchAttempts.clear() }
 
-  private def open(path: String): java.io.InputStream = {
+  private def open(path: String, conf: RetryConf): java.io.InputStream = {
     val uri = new java.net.URI(path)
-    if (uri.getScheme == null || uri.getScheme == "file")
-      new java.io.FileInputStream(if (uri.getScheme == null) path else uri.getPath)
-    else uri.toURL.openStream()
+    uri.getScheme match {
+      case null => new java.io.FileInputStream(path)
+      case "file" => new java.io.FileInputStream(uri.getPath)
+      case "http" | "https" =>
+        val conn = uri.toURL.openConnection()
+          .asInstanceOf[java.net.HttpURLConnection]
+        conf.authHeader.foreach(h => conn.setRequestProperty("Authorization", h))
+        val code = conn.getResponseCode
+        if (code >= 400) {
+          conn.disconnect()
+          // IOException → goes through the same bounded-retry/backoff path
+          // as a connection failure (the reference's tenacity wrapper
+          // retries failed HTTP fetches the same way)
+          throw new java.io.IOException(s"HTTP $code fetching $path")
+        }
+        conn.getInputStream
+      case _ => uri.toURL.openStream()
+    }
   }
 
   def fetchWithRetry(path: String, conf: RetryConf): JsonNode = {
@@ -123,7 +172,7 @@ private[graft] object PageTransport {
       fetchAttempts.merge(path, 1, (a, b) => a + b)
       try {
         faultInjector(path, attempt)
-        val stream = open(path)
+        val stream = open(path, conf)
         result = try new ObjectMapper().readTree(stream) finally stream.close()
       } catch {
         case e: java.io.IOException =>
@@ -217,20 +266,53 @@ private class JiraPageReader(schema: StructType, entity: String, path: String,
 private class JiraCursorReader(schema: StructType, entity: String,
     paths: Seq[String], retry: RetryConf) extends PartitionReader[InternalRow] {
 
-  private var cursor = 0
+  // addresses known but not yet fetched; with `discover` the envelope
+  // itself appends to this list at runtime
+  private var pending: List[String] = paths.toList
+  private var planned = false
   private var pageRecords: Iterator[JsonNode] = Iterator.empty
   private var current: InternalRow = _
 
   override def next(): Boolean = {
-    while (!pageRecords.hasNext && cursor < paths.length) {
-      pageRecords = PageTransport.records(
-        PageTransport.fetchWithRetry(paths(cursor), retry), entity)
-      cursor += 1 // page committed: fetched once, never re-read
+    while (!pageRecords.hasNext && pending.nonEmpty) {
+      val path = pending.head
+      val root = PageTransport.fetchWithRetry(path, retry)
+      pending = pending.tail // page committed: fetched once, never re-read
+      if (retry.discover) pending = discoverNext(path, root) ::: pending
+      pageRecords = PageTransport.records(root, entity)
     }
     if (pageRecords.hasNext) {
       current = JsonToRow.convert(pageRecords.next(), schema)
       true
     } else false
+  }
+
+  /** Dynamic page-chain discovery from the envelope itself — the
+    * reference's runtime pagination: worklogs follow `metadata.next`
+    * (`dags/jira/worklogs/worklog_processor.py:106`), issues read
+    * `total` from the first page and advance `startAt` by the SERVER's
+    * returned `maxResults` (`issues/issue_processor.py:141-164`), expanded
+    * through the `{startAt}` page template. The `nextStart < total` bound
+    * means a corpus with `total % maxResults == 0` never fetches a
+    * trailing empty page (SURVEY §2a S2's boundary).
+    */
+  private def discoverNext(path: String,
+      root: JsonNode): List[String] = entity match {
+    case "worklogs" =>
+      Option(root.at("/metadata/next"))
+        .filter(n => n.isTextual && n.asText.nonEmpty)
+        .map(n => new java.net.URI(path).resolve(n.asText).toString)
+        .toList
+    case "issues" if !planned =>
+      planned = true
+      val template = retry.pageTemplate.getOrElse(throw new IllegalArgumentException(
+        "issues discovery requires .option(\"pageTemplate\", \"...{startAt}...\")"))
+      val start = root.path("startAt").asLong(0L)
+      val step = math.max(root.path("maxResults").asLong(1L), 1L)
+      val total = root.path("total").asLong(0L)
+      Iterator.iterate(start + step)(_ + step).takeWhile(_ < total)
+        .map(s => template.replace("{startAt}", s.toString)).toList
+    case _ => Nil
   }
 
   override def get(): InternalRow = current

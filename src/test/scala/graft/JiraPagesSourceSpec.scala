@@ -94,6 +94,136 @@ class JiraPagesSourceSpec extends SparkSpec {
     } finally PageTransport.resetForTest()
   }
 
+  // ---- real-HTTP cases: an in-process loopback server keeps these hermetic ----
+
+  /** Minimal loopback HTTP fixture: serves `routes` (request path+query →
+    * body), optionally failing the first `failFirst(route)` hits with 503;
+    * records hit counts and the Authorization header of every request.
+    */
+  private class LoopbackServer(routes: Map[String, String],
+      failFirst: Map[String, Int] = Map.empty) {
+    val hits = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+    val auths = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[(String, String)]())
+    private val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", new com.sun.net.httpserver.HttpHandler {
+      override def handle(ex: com.sun.net.httpserver.HttpExchange): Unit = {
+        val key = ex.getRequestURI.toString
+        val n = hits.merge(key, 1, (a, b) => a + b)
+        auths.add(key ->
+          Option(ex.getRequestHeaders.getFirst("Authorization")).getOrElse(""))
+        if (n <= failFirst.getOrElse(key, 0)) ex.sendResponseHeaders(503, -1)
+        else routes.get(key) match {
+          case Some(body) =>
+            val bytes = body.getBytes("UTF-8")
+            ex.sendResponseHeaders(200, bytes.length)
+            ex.getResponseBody.write(bytes)
+          case None => ex.sendResponseHeaders(404, -1)
+        }
+        ex.close()
+      }
+    })
+    server.start()
+    val base: String = s"http://127.0.0.1:${server.getAddress.getPort}"
+    def stop(): Unit = server.stop(0)
+  }
+
+  private def fixtureBody(name: String): String = {
+    val src = scala.io.Source.fromURL(fixture(name), "UTF-8")
+    try src.mkString finally src.close()
+  }
+
+  test("HTTP transport sends the Authorization header (Basic/Bearer, token + tokenEnv)") {
+    val srv = new LoopbackServer(Map("/issues?startAt=0" -> fixtureBody("issues_page_1.json")))
+    try {
+      def read(extra: (String, String)*) = {
+        var r = spark.read.format("graft-jira-pages").option("entity", "issues")
+        extra.foreach { case (k, v) => r = r.option(k, v) }
+        r.load(s"${srv.base}/issues?startAt=0").count()
+      }
+      assert(read("authType" -> "bearer", "token" -> "sekrit-123") === 2)
+      assert(srv.auths.get(0)._2 === "Bearer sekrit-123")
+      // tokenEnv keeps the literal out of options: resolved from the env
+      assert(read("authType" -> "basic", "tokenEnv" -> "HOME") === 2)
+      assert(srv.auths.get(1)._2 === s"Basic ${sys.env("HOME")}")
+      assert(read() === 2) // no auth options → no header
+      assert(srv.auths.get(2)._2 === "")
+    } finally srv.stop()
+  }
+
+  test("HTTP 5xx retries with backoff until success, then exhausts terminally") {
+    val route = "/issues?startAt=0"
+    val srv = new LoopbackServer(
+      Map(route -> fixtureBody("issues_page_1.json")), failFirst = Map(route -> 2))
+    try {
+      val ok = spark.read.format("graft-jira-pages").option("entity", "issues")
+        .option("retries", "3").option("retryBackoffMs", "1")
+        .load(s"${srv.base}$route")
+      assert(ok.count() === 2, "two 503s then success must succeed within 3 attempts")
+      assert(srv.hits.get(route) === 3)
+    } finally srv.stop()
+    val dead = new LoopbackServer(Map.empty) // every route 404s
+    try {
+      val v2 = spark.read.format("graft-jira-pages").option("entity", "issues")
+        .option("retries", "2").option("retryBackoffMs", "1")
+        .load(s"${dead.base}$route")
+      val e = intercept[org.apache.spark.SparkException](v2.count())
+      val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(_.getMessage).mkString("; ")
+      assert(msgs.contains("failed after 2 attempts") && msgs.contains("HTTP 404"))
+      assert(dead.hits.get(route) === 2)
+    } finally dead.stop()
+  }
+
+  test("cursor discovery: worklogs follow metadata.next over real HTTP; committed pages not re-read") {
+    val p1 = "/worklogs?offset=0&limit=2"
+    val p2 = "/worklogs?offset=2&limit=2"
+    // rewrite the fixture's absolute next-URL to a relative one; the cursor
+    // resolves it against the current page's URI
+    val page1 = fixtureBody("worklogs_page_1.json")
+      .replace("https://t.example.net/worklogs?offset=2&limit=2", p2)
+    val srv = new LoopbackServer(
+      Map(p1 -> page1, p2 -> fixtureBody("worklogs_page_2.json")),
+      failFirst = Map(p2 -> 1)) // next page 503s once: current page retries
+    try {
+      val wl = spark.read.format("graft-jira-pages")
+        .option("entity", "worklogs").option("mode", "cursor")
+        .option("discover", "true")
+        .option("retries", "3").option("retryBackoffMs", "1")
+        .load(s"${srv.base}$p1")
+      assert(wl.count() === 3, "the chain is walked from the seed alone")
+      assert(srv.hits.get(p1) === 1, "committed page must not be re-read on the next page's retry")
+      assert(srv.hits.get(p2) === 2, "503 then success")
+      assert(srv.hits.size() === 2, "no other page fetched: chain ends at empty metadata")
+    } finally srv.stop()
+  }
+
+  test("cursor discovery: issues walk startAt/maxResults/total incl. the exact-boundary last page") {
+    def page(startAt: Int, total: Int, ids: Seq[Int]) =
+      s"""{"startAt": $startAt, "maxResults": 2, "total": $total, "issues": [${
+        ids.map(i => s"""{"id": "$i", "key": "A-$i"}""").mkString(", ")}]}"""
+    // total=4 with maxResults=2: pages at startAt 0 and 2 ONLY — the
+    // total % maxResults == 0 boundary must not fetch startAt=4
+    val srv = new LoopbackServer(Map(
+      "/issues?startAt=0" -> page(0, 4, Seq(1, 2)),
+      "/issues?startAt=2" -> page(2, 4, Seq(3, 4)),
+      "/issues?startAt=4" -> page(4, 4, Seq())))
+    try {
+      val issues = spark.read.format("graft-jira-pages")
+        .option("entity", "issues").option("mode", "cursor")
+        .option("discover", "true")
+        .option("pageTemplate", s"${srv.base}/issues?startAt={startAt}")
+        .load(s"${srv.base}/issues?startAt=0")
+      assert(issues.select("key").collect().map(_.getString(0)).sorted.toSeq ===
+        Seq("A-1", "A-2", "A-3", "A-4"))
+      assert(srv.hits.get("/issues?startAt=0") === 1)
+      assert(srv.hits.get("/issues?startAt=2") === 1)
+      assert(!srv.hits.containsKey("/issues?startAt=4"),
+        "exact-boundary chain must stop at total, not fetch an empty page")
+    } finally srv.stop()
+  }
+
   test("null/absent fields surface as SQL NULL (reference column-omission semantics)") {
     val v2 = readPages("issues", "issues_page_1.json")
     val r = v2.filter(col("id") === "10002")
