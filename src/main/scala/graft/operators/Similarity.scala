@@ -187,6 +187,41 @@ object Similarity {
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"), col("cos"))
   }
 
+  /** Probability that an UNCORRELATED pair (cos ≈ 0, sign-bit agreement
+    * 1/2) collides in at least one band — the fraction of the O(n²)
+    * background the banding scheme FAILS to prune. A property of
+    * (bands, rows) alone; when it is high, LSH candidate generation is
+    * all-pairs-plus-overhead and the exact blocked join dominates.
+    */
+  def lshBackgroundRetention(bands: Int, rows: Int): Double =
+    1.0 - math.pow(1.0 - math.pow(0.5, rows), bands)
+
+  /** Expected recall of a pair at cosine `t` under the scheme: sign-bit
+    * agreement p = 1 − arccos(t)/π (Charikar), collide-in-≥1-band
+    * 1 − (1 − p^rows)^bands.
+    */
+  def lshRecallAt(t: Double, bands: Int, rows: Int): Double = {
+    val p = 1.0 - math.acos(math.min(math.max(t, -1.0), 1.0)) / math.Pi
+    1.0 - math.pow(1.0 - math.pow(p, rows), bands)
+  }
+
+  /** LSH candidate (id_a, id_b) pairs — the pre-verification set an
+    * equi-self-join on (band, key) produces, ids only. Public so recall /
+    * pruning-power claims are measurable in specs and scale checks.
+    */
+  def lshCandidates(vecs: DataFrame, idCol: String, vecCol: String,
+      bands: Int, rows: Int, seed: Long = 42L): DataFrame = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val sk = vecs.select(col(idCol).as("id"),
+      posexplode(graft.functions.HyperplaneBandKeys.keys(
+        spark, col(vecCol), bands, rows, seed)).as(Seq("band", "key")))
+    sk.as("x").join(sk.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+  }
+
   /** Approximate cosine pairs via random-hyperplane LSH banding + exact
     * verification: band keys from [[graft.functions.HyperplaneBandKeys]],
     * candidates from an equi-self-join on (band, key) carrying ids ONLY
@@ -195,22 +230,39 @@ object Similarity {
     * for the exact thresholded cosine. Recall for a pair at bit-agreement
     * p is 1−(1−p^rows)^bands; false candidates only cost verification work,
     * never correctness.
+    *
+    * SELF-PROTECTING: when [[lshBackgroundRetention]] of (bands, rows)
+    * exceeds `maxBackgroundRetention`, banding cannot prune the O(n²)
+    * background (measured: exponent 1.46 vs the blocked join's 0.93 at
+    * retention 0.99 — SCALING.md), so the operator logs the regime and
+    * delegates to the exact [[cosinePairs]] plan, which returns the
+    * identical result for strictly less work. Pass
+    * `maxBackgroundRetention = 1.0` to force the LSH plan regardless.
+    *
+    * Cache scope: the norm'd projection is materialized once
+    * (localCheckpoint) instead of persist() — nothing is left registered
+    * in the session cache manager after the call, and the blocks are
+    * reclaimed by the context cleaner once the result is dereferenced
+    * (the long-lived-service posture).
     */
   def cosinePairsLsh(vecs: DataFrame, idCol: String, vecCol: String,
       threshold: Double, bands: Int = 32, rows: Int = 3,
-      seed: Long = 42L): DataFrame = {
-    val spark = org.apache.spark.sql.SparkSession.active
+      seed: Long = 42L, maxBackgroundRetention: Double = 0.25): DataFrame = {
+    val bg = lshBackgroundRetention(bands, rows)
+    if (bg > maxBackgroundRetention) {
+      log.warn(f"cosinePairsLsh: background retention $bg%.3f of " +
+        f"(bands=$bands, rows=$rows) exceeds $maxBackgroundRetention%.2f — " +
+        "banding cannot prune this regime; delegating to the exact blocked join")
+      return cosinePairs(vecs, idCol, vecCol, threshold)
+    }
+    log.info(f"cosinePairsLsh: background retention $bg%.4f, recall at " +
+      f"threshold ${lshRecallAt(threshold, bands, rows)}%.4f")
+    // one-row-per-vector staging, materialized once: the band explode and
+    // both verification rejoins read it without recomputing norms
     val withNorm = vecs.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("nrm", l2norm(col("v")))
-      .persist()
-    val sk = withNorm.select(col("id"),
-      posexplode(graft.functions.HyperplaneBandKeys.keys(
-        spark, col("v"), bands, rows, seed)).as(Seq("band", "key")))
-    val candIds = sk.as("x").join(sk.as("y"),
-        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
-          col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
-      .dropDuplicates("id_a", "id_b")
+      .localCheckpoint()
+    val candIds = lshCandidates(withNorm, "id", "v", bands, rows, seed)
     candIds
       .join(withNorm.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na")), "id_a")
       .join(withNorm.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")), "id_b")
@@ -218,4 +270,6 @@ object Similarity {
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
   }
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 }

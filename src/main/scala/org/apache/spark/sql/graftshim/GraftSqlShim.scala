@@ -25,4 +25,10 @@ object GraftSqlShim {
   def installedStrategies(ext: org.apache.spark.sql.SparkSessionExtensions,
       spark: SparkSession): Seq[Any] =
     ext.buildPlannerStrategies(spark)
+
+  /** Test-only: whether the session's cache manager holds any entries —
+    * the cache-hygiene probe (CacheManager is private[sql]).
+    */
+  def cacheIsEmpty(spark: SparkSession): Boolean =
+    spark.asInstanceOf[classic.SparkSession].sharedState.cacheManager.isEmpty
 }

@@ -99,4 +99,64 @@ class SimilaritySpec extends SparkSpec {
       "32 bands × 3 rows gives per-pair miss prob ~4e-5 at the 0.45 " +
         "threshold — the fixed-seed sketch must find every planted pair")
   }
+
+  test("LSH regime math: background retention and recall formulas") {
+    // 32 bands × 3 rows: 1 − (1 − 0.5³)³² — the measured ~98% anti-regime
+    assert(math.abs(Similarity.lshBackgroundRetention(32, 3) - 0.9862) < 0.001)
+    // 12 bands × 6 rows prunes: < 25% of the background survives banding
+    assert(Similarity.lshBackgroundRetention(12, 6) < 0.25)
+    // ...while keeping near-certain recall for genuinely similar pairs
+    assert(Similarity.lshRecallAt(0.95, 12, 6) > 0.999)
+    assert(Similarity.lshRecallAt(0.97, 12, 6) > 0.9999)
+  }
+
+  test("anti-regime banding auto-delegates to the exact blocked join (self-protection)") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    // default 32×3 cannot prune (retention 0.986 > 0.25) → delegate
+    val lsh = Similarity.cosinePairsLsh(emb, "vec_id", "embedding", 0.45)
+    assert(!lsh.queryExecution.analyzed.toString.toLowerCase.contains("hyperplane"),
+      "delegated plan must not band at all")
+    // forcing the LSH plan anyway is still possible (and still correct)
+    val forced = Similarity.cosinePairsLsh(emb, "vec_id", "embedding", 0.45,
+      maxBackgroundRetention = 1.0)
+    assert(forced.queryExecution.analyzed.toString.toLowerCase.contains("hyperplane"))
+    assert(forced.select("id_a", "id_b", "cos").collect().toSet ===
+      lsh.select("id_a", "id_b", "cos").collect().toSet)
+  }
+
+  test("favorable regime: planted high-cosine pairs — the LSH plan prunes the background") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val dim = 64
+    def unit(): Array[Float] = {
+      val v = Array.fill(dim)(rnd.nextGaussian().toFloat)
+      val n = math.sqrt(v.map(x => x * x.toDouble).sum).toFloat
+      v.map(_ / n)
+    }
+    // 200 random unit vectors (near-orthogonal background: max |cos| ≪ 0.85
+    // at dim 64) + 10 planted pairs at cos ≈ 0.97 (σ=0.03 per-dim noise) —
+    // the regime the driver corpus cannot express (its max cos ≈ 0.6)
+    val background = (0 until 200).map(i => (i.toLong, unit()))
+    val planted = (0 until 10).flatMap { i =>
+      val b = unit()
+      val noisy = b.map(x => x + (rnd.nextGaussian() * 0.03).toFloat)
+      val n = math.sqrt(noisy.map(x => x * x.toDouble).sum).toFloat
+      Seq((1000L + i, b), (2000L + i, noisy.map(_ / n)))
+    }
+    val df = (background ++ planted).toDF("vec_id", "embedding")
+    val exact = Similarity.cosinePairs(df, "vec_id", "embedding", 0.85)
+      .select("id_a", "id_b", "cos").collect().toSet
+    assert(exact.size === 10, "exactly the planted pairs clear the threshold")
+    val lsh = Similarity.cosinePairsLsh(df, "vec_id", "embedding", 0.85,
+      bands = 12, rows = 6)
+    assert(lsh.queryExecution.analyzed.toString.toLowerCase.contains("hyperplane"),
+      "retention 0.172 < 0.25 → the LSH plan itself must run, no delegation")
+    assert(lsh.select("id_a", "id_b", "cos").collect().toSet === exact)
+    // the point of LSH: strictly fewer verified candidates than the
+    // blocked-exact plan's all-pairs comparisons
+    val n = 220L
+    val candidates = Similarity.lshCandidates(df, "vec_id", "embedding", 12, 6).count()
+    assert(candidates < n * (n - 1) / 2 / 2,
+      s"banding must prune > half the ${n * (n - 1) / 2} background pairs, kept $candidates")
+  }
 }
