@@ -75,7 +75,8 @@ object ScaleCheck {
     val ks = Seq(2, 4, 8)
     val queries = Seq("q34_ngram_jaccard", "q35_minhash_lsh",
       "q36_simhash_pairs", "q37_embedding_topk", "q38_ann_ivf",
-      "q39_embedding_pairs", "q94_lsh_pairs")
+      "q39_embedding_pairs", "q94_lsh_pairs", "q94_lsh_forced",
+      "q97_decontamination")
     for (k <- ks) {
       val dst = s"/tmp/graft_scale_k$k"
       val docs = spark.read.parquet(s"$src/documents.parquet")
@@ -110,12 +111,27 @@ object ScaleCheck {
     for (q <- queries; k <- ks) {
       val dir = s"/tmp/graft_scale_k$k"
       // q34 through SparkEntry would hit the memoized session pair-index
-      // (q34/q77/q85 share it) — time the operator fresh instead
-      def run(): Long =
-        if (q == "q34_ngram_jaccard")
+      // (q34/q77/q85 share it) — time the operator fresh instead.
+      // q97: corpus grows, probe FIXED from base sf0.1 (benchmarks don't
+      // grow with training data) — the linear-in-corpus claim under test.
+      // q94_lsh_forced: the LSH plan itself (no delegation) in a scheme
+      // that prunes (12×6, retention 0.17) — the favorable-regime exponent
+      // next to the registered q94, which now measures the delegated plan.
+      def run(): Long = q match {
+        case "q34_ngram_jaccard" =>
           graft.operators.Dedup.ngramJaccard(
             Tables.documents(spark, dir), "doc_id", "text", 3, 0.6).count()
-        else SparkEntry.queries(q)(spark, dir).count()
+        case "q97_decontamination" =>
+          graft.operators.Dedup.contamination(
+            Tables.documents(spark, dir),
+            Tables.documents(spark, src).filter(col("doc_id") % 20 === 0),
+            "doc_id", "text", 3, 3).count()
+        case "q94_lsh_forced" =>
+          graft.operators.Similarity.cosinePairsLsh(
+            Tables.embeddings(spark, dir), "vec_id", "embedding",
+            0.85, bands = 12, rows = 6, maxBackgroundRetention = 1.0).count()
+        case _ => SparkEntry.queries(q)(spark, dir).count()
+      }
       val t = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         run()
