@@ -69,8 +69,89 @@ case class FloatDotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Scalar (max-abs) int8 quantization of a float vector — the 4× memory /
+  * bandwidth lever for embedding search at 100 TB: q_i = ⌊x_i·127/amax +
+  * 0.5⌋ with amax = max|x_i|, emitted as integer-VALUED floats so the
+  * codegen'd [[FloatDotProduct]] consumes them unchanged (|q_i| ≤ 127 ⇒
+  * 64-dim int dots ≤ ~10⁶, exact in float and in the double widening).
+  *
+  * One pass computes amax, a second emits the array — a single codegen'd
+  * loop pair per row. The naive `transform(v, x -> ... aggregate(v...))`
+  * formulation would re-evaluate the amax aggregate per ELEMENT (projection
+  * collapse inlines referenced columns into every lambda body, and
+  * higher-order functions run interpreted with no CSE — the measured trap
+  * behind FloatDotProduct's existence).
+  *
+  * Numeric contract (shared with the DuckDB oracle): amax and the scale
+  * division in double, `floor(x·127/amax + 0.5)` — floor is exact, so the
+  * quantized values are bit-identical across engines; downstream integer
+  * dots are exact in any order. A zero vector (amax = 0) quantizes to all
+  * zeros rather than NaN.
+  */
+case class Int8Quantize(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_quantize_i8 expects array<float>, got ${t.sql}")
+  }
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    var amax = 0.0
+    var i = 0
+    while (i < n) {
+      val x = math.abs(v.getFloat(i).toDouble)
+      if (x > amax) amax = x
+      i += 1
+    }
+    val out = new Array[Float](n)
+    if (amax > 0.0) {
+      i = 0
+      while (i < n) {
+        out(i) = math.floor(v.getFloat(i).toDouble * 127.0 / amax + 0.5).toFloat
+        i += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val amax = ctx.freshName("amax")
+      val x = ctx.freshName("x")
+      val out = ctx.freshName("out")
+      s"""
+         |int $n = $a.numElements();
+         |double $amax = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = java.lang.Math.abs((double) $a.getFloat($i));
+         |  if ($x > $amax) $amax = $x;
+         |}
+         |float[] $out = new float[$n];
+         |if ($amax > 0.0) {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $out[$i] = (float) java.lang.Math.floor(
+         |      ((double) $a.getFloat($i)) * 127.0 / $amax + 0.5);
+         |  }
+         |}
+         |${ev.value} =
+         |  new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Int8Quantize =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   private val FnName = "graft_dot"
+  private val QuantName = "graft_quantize_i8"
 
   /** Idempotently register the expression in the session's function
     * registry (temp function → callable from both the Column API and SQL).
@@ -83,5 +164,14 @@ object VectorExpressions {
   def dot(spark: SparkSession, a: Column, b: Column): Column = {
     register(spark)
     call_function(FnName, a, b)
+  }
+
+  /** Max-abs int8 quantization as a codegen'd column (integer-valued
+    * floats, [[FloatDotProduct]]-compatible).
+    */
+  def quantizeInt8(spark: SparkSession, a: Column): Column = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      QuantName, exprs => Int8Quantize(exprs(0)), "scala_udf")
+    call_function(QuantName, a)
   }
 }

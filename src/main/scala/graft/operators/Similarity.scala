@@ -59,6 +59,26 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("id").as("neighbor_id"), col("cos"))
   }
 
+  /** Int8-quantized brute-force cosine top-k — the compressed-domain
+    * variant of [[bruteForceTopK]]: vectors are max-abs scalar-quantized
+    * map-side ([[graft.functions.Int8Quantize]], one codegen'd pass) to
+    * integer-valued floats, so every pair dot is integer-exact and the
+    * whole ranking is reproducible bit-for-bit from the quantization
+    * formula alone. At 100 TB this is the 4× memory/bandwidth lever for
+    * embedding search (int8 at rest; staged as floats here to reuse the
+    * codegen'd dot); recall vs. the float ranking is asserted in
+    * SimilaritySpec. Zero vectors (amax = 0) are dropped, mirroring the
+    * oracle's `amax > 0` guard.
+    */
+  def quantizedTopK(vecs: DataFrame, idCol: String, vecCol: String,
+      isQuery: Column, k: Int): DataFrame = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val q = vecs.select(col(idCol).as("id"),
+        graft.functions.VectorExpressions.quantizeInt8(spark, col(vecCol)).as("qv"))
+      .filter(exists(col("qv"), _ =!= lit(0f)))
+    bruteForceTopK(q, "id", "qv", isQuery, k)
+  }
+
   /** IVF (inverted-file) approximate top-k: vectors are bucketed by nearest
     * of `nCentroids` seed centroids (deterministically: the rows with the
     * lowest ids); each query probes its `nProbe` nearest centroid buckets

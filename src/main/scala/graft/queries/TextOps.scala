@@ -255,6 +255,38 @@ object TextOps {
           FROM p) t
         WHERE rn <= 10 ORDER BY query_id, rnk""")),
 
+    // q99: int8-quantized brute-force cosine top-10 — the compressed-
+    // domain exact baseline. Max-abs scalar quantization (a single-pass
+    // codegen'd expression) emits integer-valued vectors whose pair dots
+    // are integer-exact, so the oracle recomputes the IDENTICAL doubles
+    // from the same floor(x*127/amax + 0.5) formula: a hash-matched
+    // oracle for the compressed path (q38's IVF is the scan-fraction
+    // lever; quantization is the 4x memory/bandwidth lever at 100 TB).
+    QueryDef("q99_quantized_topk",
+      (s, d) => Similarity.quantizedTopK(emb(s, d), "vec_id", "embedding",
+          col("id") < 20, 10)
+        .select(col("query_id"), col("rank").cast("int").as("rnk"),
+          col("neighbor_id"), col("cos").as("qcos"))
+        .orderBy("query_id", "rnk"),
+      Some("""WITH qv AS (
+          SELECT vec_id,
+            list_transform(embedding, x -> floor(x::DOUBLE * 127.0 / amax + 0.5)) q
+          FROM (SELECT vec_id, embedding,
+                  list_max(list_transform(embedding, x -> abs(x::DOUBLE))) amax
+                FROM embeddings)
+          WHERE amax > 0),
+        v AS (SELECT vec_id, q, sqrt(list_sum(list_transform(q, x -> x * x))) nrm FROM qv),
+        p AS (
+          SELECT a.vec_id query_id, n.vec_id neighbor_id,
+            round(list_sum(list_transform(generate_series(1, len(a.q)),
+                    i -> a.q[i] * n.q[i])) / (a.nrm * n.nrm), 6) qcos
+          FROM v a JOIN v n ON n.vec_id != a.vec_id
+          WHERE a.vec_id < 20)
+        SELECT query_id, CAST(rn AS INTEGER) rnk, neighbor_id, qcos FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY qcos DESC, neighbor_id) rn
+          FROM p) t
+        WHERE rn <= 10 ORDER BY query_id, rnk""")),
+
     // q38: IVF approximate top-10 (16 k-means-trained centroids, probe 4)
     // — the ANN scale path: 2 Lloyd rounds refine the seed centroids, then
     // each query scans ~nProbe/nCentroids of the corpus. Approximate by

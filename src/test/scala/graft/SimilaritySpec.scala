@@ -100,6 +100,34 @@ class SimilaritySpec extends SparkSpec {
         "threshold — the fixed-seed sketch must find every planted pair")
   }
 
+  test("int8 quantization: integer-valued, bounded, zero-safe; recall@10 vs float ranking") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = emb.select(col("vec_id"),
+      graft.functions.VectorExpressions.quantizeInt8(spark, col("embedding")).as("qv"))
+    q.limit(50).collect().foreach { r =>
+      val v = r.getSeq[Float](1)
+      assert(v.forall(x => x == math.floor(x) && math.abs(x) <= 127f),
+        "quantized values must be integers in [-127, 127]")
+      assert(v.exists(x => math.abs(x) == 127f), "max-abs scaling must hit ±127")
+    }
+    // a zero vector quantizes to zeros (not NaN) and is dropped from top-k
+    import spark.implicits._
+    val z = Seq((1L, Array.fill(4)(0f))).toDF("vec_id", "embedding")
+    val zq = z.select(graft.functions.VectorExpressions
+      .quantizeInt8(spark, col("embedding"))).head.getSeq[Float](0)
+    assert(zq.forall(_ === 0f))
+    // compressed-domain ranking stays close to the float ranking
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", col("id") < 20, 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val quant = Similarity.quantizedTopK(emb, "vec_id", "embedding", col("id") < 20, 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & quant).size.toDouble / exact.size
+    assert(recall >= 0.8, s"int8 recall@10 vs float ranking = $recall")
+  }
+
   test("LSH regime math: background retention and recall formulas") {
     // 32 bands × 3 rows: 1 − (1 − 0.5³)³² — the measured ~98% anti-regime
     assert(math.abs(Similarity.lshBackgroundRetention(32, 3) - 0.9862) < 0.001)
