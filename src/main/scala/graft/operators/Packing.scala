@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+
+/** Context-window preparation for LLM training data: overlapping token
+  * chunking (the retrieval / fine-tuning shape) and GPT-style
+  * concat-and-split sequence packing (the pre-training shape). Both are
+  * deterministic column pipelines — no UDFs, no driver loops — and the
+  * packing prefix-sum is two-phase so no global single-partition window
+  * appears anywhere in the plan.
+  */
+object Packing {
+
+  /** Overlapping token chunks: chunk `i` of a document covers tokens
+    * `[i·stride, i·stride + chunkSize)` with `stride = chunkSize −
+    * overlap`; the last chunk may be short, and every token belongs to at
+    * least one chunk. Chunk count `1 + ⌈max(n − chunkSize, 0) / stride⌉`
+    * — a document shorter than one chunk still emits its single (short)
+    * chunk. Map-side only: tokenize → sequence-explode → slice, all
+    * codegen'd; chunks shuffle nowhere.
+    */
+  def chunk(docs: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int, overlap: Int): DataFrame = {
+    require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,
+      "need 0 <= overlap < chunkSize")
+    val stride = chunkSize - overlap
+    docs.select(col(idCol).as("id"), TextFns.tokens(col(textCol)).as("t"))
+      .withColumn("n", size(col("t")))
+      .withColumn("k", (lit(1) + floor(
+        (greatest(col("n") - chunkSize, lit(0)) + lit(stride - 1)) /
+          lit(stride.toDouble))).cast("int"))
+      .select(col("id"), col("t"),
+        explode(sequence(lit(0), col("k") - 1)).as("i"))
+      .select(col("id"), col("i").cast("int").as("chunk_idx"),
+        concat_ws(" ",
+          slice(col("t"), col("i") * stride + 1, lit(chunkSize))).as("chunk_text"),
+        size(slice(col("t"), col("i") * stride + 1, lit(chunkSize))).as("n_tokens"))
+  }
+
+  /** GPT-style sequence packing: conceptually concatenate all documents in
+    * `idCol` order and split the token stream every `seqLen` tokens; each
+    * document is accounted to the sequence its FIRST token lands in, and
+    * `split_docs` counts documents straddling a sequence boundary (the
+    * attention-mask / document-leakage accounting a packing step owes its
+    * pipeline).
+    *
+    * Scale posture — the global running offset is a two-phase distributed
+    * prefix sum, NOT a global-window sort: documents range-bucket by id
+    * (order-preserving), per-bucket token totals aggregate to `buckets`
+    * rows whose running offsets compute in a single tiny window (buckets
+    * rows, not documents), broadcast back, and the within-bucket cumsum
+    * runs partition-parallel. No stage materializes a single global
+    * partition of the corpus.
+    */
+  def packSequences(docs: DataFrame, idCol: String, textCol: String,
+      seqLen: Int, buckets: Int = 32): DataFrame = {
+    require(seqLen > 0 && buckets > 0, "need positive seqLen and buckets")
+    val base = docs.select(col(idCol).cast("long").as("id"),
+      size(TextFns.tokens(col(textCol))).cast("long").as("n"))
+    val Row(minId: Long, maxId: Long) = base.agg(min("id"), max("id")).head
+    val bWidth = math.max((maxId - minId + 1 + buckets - 1) / buckets, 1L)
+    val bucketed = base.withColumn("b",
+      floor((col("id") - minId) / lit(bWidth.toDouble)).cast("long"))
+    // phase 1: per-bucket totals → running bucket offsets. The unpartitioned
+    // window is over `buckets` rows (one per bucket), not the corpus.
+    val offsets = bucketed.groupBy("b").agg(sum("n").as("bn"))
+      .withColumn("off", coalesce(sum(col("bn")).over(
+        Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("b", "off")
+    // phase 2: within-bucket cumsum (partition-parallel) + bucket offset
+    val cum = bucketed.join(broadcast(offsets), "b")
+      .withColumn("s", sum(col("n")).over(
+        Window.partitionBy("b").orderBy("id")
+          .rowsBetween(Window.unboundedPreceding, 0)) + col("off"))
+      .withColumn("start", col("s") - col("n"))
+      .withColumn("bin", floor(col("start") / lit(seqLen.toDouble)).cast("long"))
+      .withColumn("straddle",
+        (floor(col("start") / lit(seqLen.toDouble)) =!=
+          floor((col("s") - 1) / lit(seqLen.toDouble))).cast("long"))
+    cum.groupBy("bin").agg(
+      count(lit(1)).as("n_docs"),
+      sum("n").as("n_tokens"),
+      min("id").as("first_doc"),
+      max("id").as("last_doc"),
+      sum("straddle").as("split_docs"))
+  }
+}

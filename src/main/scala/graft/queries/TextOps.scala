@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Packing, Similarity}
 import graft.functions.TextFns
 
 /** LLM-data-pipeline closure over `documents` and `embeddings` (north star,
@@ -444,6 +444,45 @@ object TextOps {
           CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS INTEGER) AS n_bpe_tokens,
           CAST(len(list_distinct(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))) AS INTEGER) AS n_bpe_distinct
         FROM documents ORDER BY doc_id""")),
+
+    // q100: overlapping context-window chunking — 32-token chunks with
+    // 8-token overlap (stride 24), the retrieval / fine-tuning prep shape.
+    // Map-side only (tokenize → sequence-explode → slice, all codegen'd);
+    // chunks shuffle nowhere. Every token is covered; the last chunk may
+    // be short; sub-chunk docs emit their single short chunk.
+    QueryDef("q100_chunking",
+      (s, d) => Packing.chunk(docs(s, d), "doc_id", "text", 32, 8)
+        .select(col("id").as("doc_id"), col("chunk_idx"),
+          col("chunk_text"), col("n_tokens"))
+        .orderBy("doc_id", "chunk_idx"),
+      Some(s"""WITH x AS (SELECT doc_id, $OToks t FROM documents),
+        c AS (SELECT doc_id, t,
+                1 + CAST(floor((greatest(len(t) - 32, 0) + 23) / 24.0) AS INTEGER) k FROM x),
+        g AS (SELECT doc_id, t, CAST(unnest(generate_series(0, k - 1)) AS INTEGER) i FROM c)
+        SELECT doc_id, i AS chunk_idx,
+          array_to_string(list_slice(t, i*24 + 1, i*24 + 32), ' ') AS chunk_text,
+          CAST(len(list_slice(t, i*24 + 1, i*24 + 32)) AS INTEGER) AS n_tokens
+        FROM g ORDER BY doc_id, chunk_idx""")),
+
+    // q101: GPT-style concat-and-split sequence packing — concatenate the
+    // corpus in doc_id order, split every 2048 tokens, account each doc
+    // to the sequence holding its first token, and count boundary-
+    // straddling docs (the attention-mask accounting). The global offset
+    // is a TWO-PHASE distributed prefix sum (range-bucket → per-bucket
+    // totals → tiny offsets window → partition-parallel within-bucket
+    // cumsum) — no global single-partition window anywhere in the plan;
+    // the oracle's single-node window computes the same stream.
+    QueryDef("q101_seq_packing",
+      (s, d) => Packing.packSequences(docs(s, d), "doc_id", "text", 2048)
+        .orderBy("bin"),
+      Some(s"""WITH x AS (SELECT doc_id, len($OToks) n FROM documents),
+        c AS (SELECT doc_id, n, sum(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) s FROM x),
+        b AS (SELECT doc_id, n, CAST(floor((s - n) / 2048.0) AS BIGINT) bin,
+                CASE WHEN floor((s - n) / 2048.0) <> floor((s - 1) / 2048.0) THEN 1 ELSE 0 END st
+              FROM c)
+        SELECT bin, CAST(count(*) AS BIGINT) n_docs, CAST(sum(n) AS BIGINT) n_tokens,
+          min(doc_id) first_doc, max(doc_id) last_doc, CAST(sum(st) AS BIGINT) split_docs
+        FROM b GROUP BY bin ORDER BY bin""")),
 
     // q75: deterministic train/val/test split — hash-bucket the key
     // (80/10/10), never rand(): reproducible across runs, clusters, and

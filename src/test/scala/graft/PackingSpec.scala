@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Packing
+
+/** Chunking and sequence-packing invariants: coverage/overlap arithmetic on
+  * known token counts, and — the load-bearing property of the two-phase
+  * prefix sum — bucket-count independence of the packing result.
+  */
+class PackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def doc(id: Long, n: Int) = (id, (1 to n).map(i => s"w$i").mkString(" "))
+
+  test("chunk: coverage, overlap, short docs, exact boundaries") {
+    val docs = Seq(doc(1, 5), doc(2, 32), doc(3, 33), doc(4, 56), doc(5, 57))
+      .toDF("doc_id", "text")
+    val out = Packing.chunk(docs, "doc_id", "text", 32, 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+    val byDoc = out.groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    assert(byDoc(1L).map(_._4).toSeq === Seq(5), "sub-chunk doc emits one short chunk")
+    assert(byDoc(2L).map(_._4).toSeq === Seq(32), "exactly one chunk at the boundary")
+    assert(byDoc(3L).map(_._4).toSeq === Seq(32, 9), "one extra token forces a second chunk")
+    assert(byDoc(4L).map(_._4).toSeq === Seq(32, 32), "56 = 32 + 24: two full chunks")
+    assert(byDoc(5L).map(_._4).toSeq === Seq(32, 32, 9))
+    // chunk i starts at token i*stride + 1; overlap region repeats
+    assert(byDoc(3L)(1)._3.startsWith("w25 "), "second chunk starts at token 25 (stride 24)")
+    assert(byDoc(3L)(0)._3.endsWith(" w32") && byDoc(3L)(1)._3.contains("w32"),
+      "the 8-token overlap region appears in both chunks")
+    // every token covered exactly: union of chunk tokens = all tokens
+    val covered = byDoc(5L).flatMap(_._3.split(" ")).toSet
+    assert(covered === (1 to 57).map(i => s"w$i").toSet)
+  }
+
+  test("packSequences: token conservation, bin arithmetic, straddle accounting") {
+    // 10 docs x 100 tokens, seqLen 256: stream is 1000 tokens -> bins 0..3
+    val docs = (0L until 10L).map(i => doc(i, 100)).toDF("doc_id", "text")
+    val out = Packing.packSequences(docs, "doc_id", "text", 256)
+      .orderBy("bin").collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(0L, 1L, 2L, 3L))
+    assert(out.map(_.getLong(2)).sum === 1000L, "every token accounted to exactly one bin")
+    // doc 2 spans tokens [200, 300) -> straddles the 256 boundary
+    assert(out(0).getLong(1) === 3 && out(0).getLong(5) === 1,
+      "bin 0 holds docs 0-2 and exactly one straddler")
+    assert(out.map(_.getLong(5)).sum === 3, "boundaries at 256/512/768 each split one doc")
+  }
+
+  test("packSequences is bucket-count independent (two-phase prefix sum is exact)") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val ref = Packing.packSequences(docs, "doc_id", "text", 512, buckets = 1)
+      .orderBy("bin").collect().toSeq
+    for (b <- Seq(3, 7, 32)) {
+      val got = Packing.packSequences(docs, "doc_id", "text", 512, buckets = b)
+        .orderBy("bin").collect().toSeq
+      assert(got === ref, s"buckets=$b must reproduce the buckets=1 packing exactly")
+    }
+  }
+}
