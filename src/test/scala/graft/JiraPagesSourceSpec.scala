@@ -224,6 +224,28 @@ class JiraPagesSourceSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("live-HTTP end-to-end: discovered cursor scan → flatten matches the file-based ETL") {
+    val srv = new LoopbackServer(Map(
+      "/issues?startAt=0" -> fixtureBody("issues_page_1.json"),
+      "/issues?startAt=2" -> fixtureBody("issues_page_2.json")))
+    try {
+      val v2 = spark.read.format("graft-jira-pages")
+        .option("entity", "issues").option("mode", "cursor")
+        .option("discover", "true")
+        .option("pageTemplate", s"${srv.base}/issues?startAt={startAt}")
+        .option("authType", "bearer").option("token", "tkn")
+        .load(s"${srv.base}/issues?startAt=0")
+      val flat = Flatten(v2, JiraEtl.issueMapping)
+      val viaJson = JiraEtl.readIssues(spark,
+        fixture("issues_page_1.json"), fixture("issues_page_2.json"))
+      assert(flat.orderBy("issue_id").collect().toSeq ===
+        viaJson.orderBy("issue_id").collect().toSeq,
+        "the live-API path and the offline-file path must produce identical rows")
+      assert((0 until srv.auths.size()).forall(i => srv.auths.get(i)._2 === "Bearer tkn"),
+        "every page fetch of the chain must carry the auth header")
+    } finally srv.stop()
+  }
+
   test("null/absent fields surface as SQL NULL (reference column-omission semantics)") {
     val v2 = readPages("issues", "issues_page_1.json")
     val r = v2.filter(col("id") === "10002")

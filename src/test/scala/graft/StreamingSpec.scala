@@ -68,6 +68,33 @@ class StreamingSpec extends SparkSpec {
     assert(rows.contains((ts("2024-01-01 11:30:00"), 1L, 1L)))
   }
 
+  test("streaming content-fingerprint dedup drops re-sent documents across batches") {
+    // in-flight dedup of a document stream (re-crawls, retries, replays):
+    // per-row normalized-content fingerprint + dropDuplicatesWithinWatermark
+    // — one stateful op, state bounded by the watermark horizon
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val deduped = mem.toDF().toDF("ts", "doc_id", "text")
+      .withColumn("fp", md5(regexp_replace(lower(col("text")), "\\s+", " ")))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("fp")
+    val q = deduped.writeStream.format("memory").queryName("fp_dedup")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    mem.addData(
+      (ts("2024-01-01 10:00:00"), 1L, "the quick brown fox"),
+      (ts("2024-01-01 10:01:00"), 2L, "jumps over the dog"))
+    q.processAllAvailable()
+    // batch 2: doc 3 re-sends doc 1's content (modulo case/whitespace,
+    // which the normalization folds) + one genuinely new doc
+    mem.addData(
+      (ts("2024-01-01 10:10:00"), 3L, "The  quick   BROWN fox"),
+      (ts("2024-01-01 10:11:00"), 4L, "fresh content here"))
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("fp_dedup").select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept === Seq(1L, 2L, 4L), "re-sent content must be dropped in-flight")
+  }
+
   test("flatMapGroupsWithState: custom per-key state across batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
