@@ -445,6 +445,28 @@ object TextOps {
           CAST(len(list_distinct(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))) AS INTEGER) AS n_bpe_distinct
         FROM documents ORDER BY doc_id""")),
 
+    // q102: Misra-Gries heavy-hitter tokens — the one-pass O(k)-state
+    // sketch next to q32's exact full-shuffle top-k: partials merge
+    // map-side, only k-entry summaries cross the wire. On this bounded-
+    // vocabulary corpus distinct tokens < k = 64, so no decrement ever
+    // fires and the sketch is EXACT (scaladoc documents why) — giving a
+    // deterministic hash-matched oracle; the eviction-regime guarantee
+    // (freq > n/(k+1) always surfaces) is spec-asserted on synthetic data.
+    QueryDef("q102_heavy_hitters",
+      (s, d) => {
+        val hh = udaf(graft.functions.HeavyHitters(64),
+          org.apache.spark.sql.Encoders.STRING)
+        docs(s, d).select(explode(TextFns.tokens(col("text"))).as("tok"))
+          .agg(hh(col("tok")).as("hh"))
+          .select(explode(col("hh")).as("e"))
+          .select(col("e._1").as("token"), col("e._2").as("cnt"))
+          .orderBy(desc("cnt"), col("token"))
+          .limit(20)
+      },
+      Some(s"""SELECT token, CAST(count(*) AS BIGINT) cnt
+        FROM (SELECT unnest($OToks) token FROM documents) t
+        GROUP BY token ORDER BY cnt DESC, token LIMIT 20""")),
+
     // q100: overlapping context-window chunking — 32-token chunks with
     // 8-token overlap (stride 24), the retrieval / fine-tuning prep shape.
     // Map-side only (tokenize → sequence-explode → slice, all codegen'd);

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{HeavyHitters, MGState, TextFns}
+
+/** Misra–Gries sketch: exactness below the counter budget (any
+  * partitioning), the n/(k+1) undercount guarantee in the eviction
+  * regime, and merge validity.
+  */
+class HeavyHittersSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exact below the counter budget, independent of partitioning") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val toks = docs.select(explode(TextFns.tokens(col("text"))).as("tok"))
+    val exact = toks.groupBy("tok").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(exact.size <= 64, "corpus must sit below the counter budget for this test")
+    val hh = udaf(HeavyHitters(64), org.apache.spark.sql.Encoders.STRING)
+    for (parts <- Seq(1, 7, 32)) {
+      val sketch = toks.repartition(parts).agg(hh(col("tok")).as("hh"))
+        .select(explode(col("hh")).as("e"))
+        .select(col("e._1"), col("e._2"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(sketch === exact, s"no-eviction sketch must be exact at $parts partitions")
+    }
+  }
+
+  test("eviction regime: every item with freq > n/(k+1) surfaces, estimates undercount <= n/(k+1)") {
+    // 3 hot items (300 each) in a sea of 600 distinct singletons; k = 8
+    // n = 1500, n/(k+1) ≈ 166 < 300 → all hot items MUST survive
+    val items = (1 to 3).flatMap(h => Seq.fill(300)(s"hot$h")) ++
+      (1 to 600).map(i => s"cold$i")
+    val k = 8
+    val hh = udaf(HeavyHitters(k), org.apache.spark.sql.Encoders.STRING)
+    for (parts <- Seq(1, 13)) {
+      val out = items.toDF("tok").repartition(parts)
+        .agg(hh(col("tok")).as("hh"))
+        .select(explode(col("hh")).as("e"))
+        .select(col("e._1"), col("e._2"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(out.size <= k)
+      for (h <- 1 to 3) {
+        val est = out.getOrElse(s"hot$h", 0L)
+        assert(est > 0, s"hot$h must survive at $parts partitions")
+        assert(est <= 300 && 300 - est <= items.size / (k + 1),
+          s"hot$h estimate $est outside the MG undercount bound")
+      }
+    }
+  }
+
+  test("merge keeps at most k counters and the total-count invariant") {
+    val agg = HeavyHitters(4)
+    val a = ('a' to 'j').foldLeft(agg.zero)((s, c) => agg.reduce(s, c.toString))
+    val b = Seq("x", "x", "x", "y", "z", "w", "v").foldLeft(agg.zero)(agg.reduce)
+    val m = agg.merge(a, b)
+    assert(m.counters.size <= 4)
+    assert(m.n === a.n + b.n)
+    assert(m.counters.values.forall(_ > 0))
+  }
+}
