@@ -52,4 +52,30 @@ class PlanGuardSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       s"the blocked pair join must stay an equi-join:\n$p")
   }
+
+  test("q99 quantized top-k: codegen'd quantize in the scan stage, query side broadcast") {
+    val p = finalPlan("q99_quantized_topk")
+    assert(!p.contains("CartesianProduct"), p)
+    // the deliberate broadcast: the tiny query side rides a BroadcastNLJ
+    // against the corpus scan (same shape as q37); the corpus side must
+    // never shuffle its vectors before the cosine is computed
+    assert(p.contains("BroadcastExchange"),
+      s"query side must broadcast, corpus must stream map-side:\n$p")
+    assert(p.contains("graft_quantize_i8") || p.contains("int8quantize") ||
+      p.toLowerCase.contains("quantize"),
+      s"quantization must run inside the plan, not a pre-collected table:\n$p")
+  }
+
+  test("q101 sequence packing: the only unpartitioned window is the bucket-offsets frame") {
+    val df = SparkEntry.queries("q101_seq_packing")(spark, dir)
+    df.collect()
+    val analyzed = df.queryExecution.optimizedPlan.toString
+    // two windows total: the per-bucket cumsum (partitioned by b) and the
+    // offsets window over the aggregated bucket totals (unpartitioned by
+    // design — `buckets` rows, never the corpus)
+    val windows = "windowspecdefinition\\(".r.findAllIn(analyzed).size
+    assert(windows >= 2, s"expected the two-phase prefix-sum windows:\n$analyzed")
+    assert(analyzed.contains("windowspecdefinition(b#"),
+      s"the corpus-side cumsum must be partitioned by bucket:\n$analyzed")
+  }
 }
