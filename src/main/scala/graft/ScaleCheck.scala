@@ -44,7 +44,9 @@ object ScaleCheck {
         "q37_embedding_topk", "q39_embedding_pairs", "q53_session_window",
         "q55_stream_stream_join", "q77_dup_clusters", "q78_tfidf",
         "q79_salted_join", "q80_asof_native", "q86_snapshot_diff",
-        "q90_prep_pipeline", "q91_scd2_lookup")) {
+        "q90_prep_pipeline", "q91_scd2_lookup", "q97_decontamination",
+        "q98_wav_decode", "q99_quantized_topk", "q100_chunking",
+        "q101_seq_packing", "q102_heavy_hitters")) {
       time(q)(SparkEntry.queries(q)(spark, dst).count())
     }
     // recall check at scale: the LSH path must reproduce the exact path
