@@ -26,14 +26,16 @@ object TextOps {
   private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
 
   // Shared dedup index: q34, q77 and q85 all consume the exact-Jaccard
-  // pair set — memoized per (session, sf dir) and persisted, the way a
-  // real pipeline materializes its candidate-pair index once. Bounded:
-  // one tiny (pairs ≪ docs) frame per data dir per session.
+  // pair set — memoized per (session, sf dir) and materialized once
+  // (localCheckpoint, like the operator-internal staging), the way a real
+  // pipeline materializes its candidate-pair index. Bounded: one tiny
+  // (pairs ≪ docs) frame per data dir per session; no cache-manager entry,
+  // so a caller's clearCache() cannot silently de-materialize it.
   private val pairsCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), org.apache.spark.sql.DataFrame]
   private def jaccardPairs(s: SparkSession, d: String) =
     pairsCache.getOrElseUpdate((s, d),
-      Dedup.ngramJaccard(docs(s, d), "doc_id", "text", 3, 0.6).persist())
+      Dedup.ngramJaccard(docs(s, d), "doc_id", "text", 3, 0.6).localCheckpoint())
   private def emb(s: SparkSession, d: String) = Tables.embeddings(s, d)
 
   // DuckDB-side token pipeline shared by several oracles.
