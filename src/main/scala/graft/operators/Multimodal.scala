@@ -193,6 +193,26 @@ object Multimodal {
     }(enc)
   }
 
+  /** Real audio resample: decode → nearest-neighbor to `dstRate` →
+    * re-encode RIFF/WAVE — the audio mirror of [[resizePpm]]. Map-side;
+    * samples never shuffle.
+    */
+  def wavResample(media: DataFrame, dstRate: Int): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("kind", StringType),
+      StructField("payload", BinaryType),
+      StructField("duration_ms", LongType))))
+    media.select("media_id", "payload").mapPartitions { it =>
+      it.map { r =>
+        val out = WavCodec.resampleNearest(
+          WavCodec.decode(r.getAs[Array[Byte]](1)), dstRate)
+        Row(r.getLong(0), "audio/wav", WavCodec.encode(out),
+          out.samples.length.toLong * 1000 / dstRate)
+      }
+    }(enc)
+  }
+
   /** Real audio decode + frame features: parse each RIFF/WAVE payload
     * (header + chunk walk in [[WavCodec.decode]]), then integer L1 energy
     * and zero-crossing count per `frameLen`-sample frame — integer-exact in

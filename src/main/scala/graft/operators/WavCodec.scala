@@ -80,6 +80,27 @@ object WavCodec {
     Audio(rate, samples)
   }
 
+  /** Nearest-neighbor resample to `dstRate` — the audio analog of
+    * [[PpmCodec.resizeNearest]]'s floor map: output sample `i` is input
+    * sample `⌊i·srcRate/dstRate⌋`, output length `⌊n·dstRate/srcRate⌋`
+    * (an exact-rate identity round-trips bit-for-bit). Integer arithmetic
+    * only — deterministic and oracle-safe.
+    */
+  def resampleNearest(a: Audio, dstRate: Int): Audio = {
+    require(dstRate > 0, "dstRate must be positive")
+    if (dstRate == a.sampleRate) a
+    else {
+      val n = ((a.samples.length.toLong * dstRate) / a.sampleRate).toInt
+      val out = new Array[Short](n)
+      var i = 0
+      while (i < n) {
+        out(i) = a.samples(((i.toLong * a.sampleRate) / dstRate).toInt)
+        i += 1
+      }
+      Audio(dstRate, out)
+    }
+  }
+
   /** Integer frame features over `frameLen`-sample windows: per frame, the
     * sum of absolute sample values (L1 energy) and the zero-crossing
     * count — both integer-exact in any order, so safe for the

@@ -60,25 +60,28 @@ object EtlOps {
         FROM g GROUP BY doc_id ORDER BY doc_id""")),
 
     // q98: the REAL audio codec end-to-end — synthesize 64 PCM16 samples
-    // per document (sample = md5-derived, SQL-recomputable), ENCODE as
-    // RIFF/WAVE, DECODE back (magic + chunk walk + little-endian sample
-    // extraction), then integer frame features (L1 energy + zero
-    // crossings) over 16-sample frames. The oracle recomputes the samples
-    // straight from the generating formula, so a header off-by-one, an
-    // endianness flip, or a sign-extension bug all hash-mismatch. The
-    // audio analog of q95; all map-side, samples never shuffle.
+    // per document at 8 kHz (sample = md5-derived, SQL-recomputable),
+    // ENCODE as RIFF/WAVE, DECODE back (magic + chunk walk + little-
+    // endian sample extraction), RESAMPLE nearest-neighbor to 4 kHz
+    // (output sample i = source sample 2i, the floor map), re-encode,
+    // decode again, then integer frame features (L1 energy + zero
+    // crossings) over 16-sample frames. The oracle recomputes the
+    // resampled stream straight from the generating formula at the
+    // strided indices, so a header off-by-one, an endianness flip, a
+    // sign-extension bug, or a resample off-by-one all hash-mismatch.
+    // The audio mirror of q95; all map-side, samples never shuffle.
     QueryDef("q98_wav_decode",
       (s, d) => {
         val media = Multimodal.syntheticWav(Tables.documents(s, d), "doc_id", 64, 8000)
-        Multimodal.wavFrameFeatures(media, 16)
+        Multimodal.wavFrameFeatures(Multimodal.wavResample(media, 4000), 16)
           .select(col("media_id").as("doc_id"), col("frame_idx"),
             col("l1"), col("zc"))
           .orderBy("doc_id", "frame_idx")
       },
       Some("""WITH s AS (
           SELECT d.doc_id, g.i,
-            (('0x'||substr(md5(CAST(d.doc_id AS VARCHAR)||':'||CAST(g.i AS VARCHAR)),1,8))::BIGINT) % 65536 - 32768 AS v
-          FROM documents d, (SELECT CAST(unnest(generate_series(0, 63)) AS INTEGER) i) g),
+            (('0x'||substr(md5(CAST(d.doc_id AS VARCHAR)||':'||CAST(g.i*2 AS VARCHAR)),1,8))::BIGINT) % 65536 - 32768 AS v
+          FROM documents d, (SELECT CAST(unnest(generate_series(0, 31)) AS INTEGER) i) g),
         w AS (SELECT doc_id, i, v, lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv FROM s)
         SELECT doc_id, CAST(i // 16 AS INTEGER) AS frame_idx,
           CAST(sum(abs(v)) AS BIGINT) AS l1,

@@ -68,6 +68,24 @@ class CodecPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("WAV resampleNearest: floor-map contract, length, and identity at equal rates") {
+    val gen = for {
+      a <- genAudio
+      if a.sampleRate <= 96000
+      dst <- Gen.choose(1, 96000)
+    } yield (a, dst)
+    check("wav resample", Prop.forAll(gen) { case (a, dst) =>
+      val out = WavCodec.resampleNearest(a, dst)
+      val expectLen = ((a.samples.length.toLong * dst) / a.sampleRate).toInt
+      out.sampleRate == dst && out.samples.length == expectLen &&
+        out.samples.indices.forall(i =>
+          out.samples(i) == a.samples(((i.toLong * a.sampleRate) / dst).toInt))
+    })
+    check("wav resample identity", Prop.forAll(genAudio) { a =>
+      WavCodec.resampleNearest(a, a.sampleRate).samples.toSeq == a.samples.toSeq
+    })
+  }
+
   test("WAV frameFeatures conservation: frame count, total L1, crossing bounds") {
     val gen = for {
       a <- genAudio

@@ -162,6 +162,11 @@ class MultimodalSpec extends SparkSpec {
     feats.zip(manual).foreach { case (row, (f, l1, zc)) =>
       assert(row.getInt(1) === f && row.getLong(2) === l1 && row.getLong(3) === zc)
     }
+    // resample stage: 8 kHz → 4 kHz keeps exactly the even-index samples
+    val res = WavCodec.decode(Multimodal.wavResample(media, 4000)
+      .filter(col("media_id") === 2L).head.getAs[Array[Byte]]("payload"))
+    assert(res.sampleRate === 4000)
+    assert(res.samples.toSeq === (0 until 32).map(i => expected(2 * i)))
   }
 
   test("synthetic PPM pipeline: encode → decode → resize matches the generating formula") {
