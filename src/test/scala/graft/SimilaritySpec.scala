@@ -100,6 +100,22 @@ class SimilaritySpec extends SparkSpec {
         "threshold — the fixed-seed sketch must find every planted pair")
   }
 
+  test("compressed IVF: int8 quantization composes with IVF bucketing at comparable recall") {
+    // the production ANN stack at 100 TB — quantize (4× memory/bandwidth)
+    // THEN bucket (nProbe/nCentroids scan fraction); the two levers are
+    // independent, so the composition must hold recall near plain IVF's
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", col("id") < 10, 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val q = emb.select(col("vec_id"),
+      graft.functions.VectorExpressions.quantizeInt8(spark, col("embedding")).as("qv"))
+    val compressed = Similarity.ivfTopK(q, "vec_id", "qv", col("id") < 10, 10, 16, 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & compressed).size.toDouble / exact.size
+    assert(recall >= 0.4, s"quantized-IVF recall vs float brute force was $recall")
+  }
+
   test("int8 quantization: integer-valued, bounded, zero-safe; recall@10 vs float ranking") {
     import org.apache.spark.sql.functions.col
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
