@@ -22,6 +22,35 @@ object TableSink {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Training-data export: size-bounded JSONL shards plus a `_MANIFEST`
+    * completeness record — the handoff format an LLM training pipeline
+    * consumes. `maxRecordsPerFile` bounds every shard (a trainer's reader
+    * wants uniform units of work); the manifest (one tiny JSON file beside
+    * the shards) records per-shard row counts and the total, so a consumer
+    * can verify it received ALL shards before training starts — at 100 TB
+    * a silent partial copy is the failure mode manifests exist for.
+    * Returns (shards, totalRows).
+    */
+  def exportJsonl(df: DataFrame, path: String,
+      maxRecordsPerFile: Int): (Long, Long) = {
+    val spark = df.sparkSession
+    df.write.mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", maxRecordsPerFile.toString)
+      .json(path)
+    import org.apache.spark.sql.functions._
+    val perShard = spark.read.json(path)
+      .groupBy(input_file_name().as("shard"))
+      .agg(count(lit(1)).as("rows"))
+    val manifest = perShard.agg(
+      count(lit(1)).as("n_shards"),
+      sum("rows").as("total_rows"),
+      max("rows").as("max_shard_rows"))
+    manifest.repartition(1).write.mode(SaveMode.Overwrite)
+      .json(s"$path/_MANIFEST")
+    val m = manifest.head
+    (m.getLong(0), m.getLong(1))
+  }
+
   /** Live-DB parity option (reference sinks are Postgres/MySQL/MSSQL,
     * `dags/jira/db_ops.py:102-112`): batch JDBC write of an
     * [[graft.operators.Upsert]]-merged frame — set-based, one round trip

@@ -10,6 +10,48 @@ import org.apache.spark.sql.functions._
   */
 class FormatsSpec extends SparkSpec {
 
+  test("JSONL export: size-bounded shards, manifest completeness, lossless round-trip") {
+    val dir = Files.createTempDirectory("graft_jsonl").toString + "/docs"
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "lang", "text")
+    val n = docs.count()
+    val (shards, total) = graft.sources.TableSink.exportJsonl(docs, dir, 100)
+    assert(total === n, "manifest total must equal the source row count")
+    assert(shards >= n / 100, s"500 rows at <=100/shard needs >= 5 shards, got $shards")
+    // every shard honors the bound (the manifest's own max confirms it)
+    val m = spark.read.json(s"$dir/_MANIFEST").head()
+    assert(m.getAs[Long]("max_shard_rows") <= 100)
+    // underscore-prefixed manifest is invisible to the reader; data round-trips
+    val back = spark.read.json(dir)
+    assert(back.count() === n)
+    assert(back.select("doc_id").as[Long](org.apache.spark.sql.Encoders.scalaLong)
+      .collect().sorted.toSeq ===
+      docs.select("doc_id").as[Long](org.apache.spark.sql.Encoders.scalaLong)
+        .collect().sorted.toSeq)
+  }
+
+  test("gzipped JSONL ingests transparently but is UNSPLITTABLE - one partition per file") {
+    // web-scraped corpora arrive as .jsonl.gz; Spark reads the codec
+    // transparently, but gzip cannot split: each file is one task however
+    // large. The 100 TB consequence: shard the COMPRESSED corpus at write
+    // time (many ~100 MB-1 GB files), or pay single-task scans per file.
+    val dir = Files.createTempDirectory("graft_gz").toString
+    val f = new java.io.File(dir, "part-0.json.gz")
+    val out = new java.util.zip.GZIPOutputStream(new java.io.FileOutputStream(f))
+    (0 until 1000).foreach(i => out.write(s"""{"id": $i, "t": "doc $i"}\n""".getBytes("UTF-8")))
+    out.close()
+    val df = spark.read.json(dir + "/part-0.json.gz")
+    assert(df.count() === 1000, "gzip codec must decode transparently")
+    assert(df.rdd.getNumPartitions === 1,
+      "a gzip file is one partition - the unsplittability every ingest plan must budget for")
+    // the same data as N plain files scans with N-way parallelism
+    // the same data as plain files scans in parallel (Spark bin-packs
+    // tiny files by size, so "parallel" here means more than gzip's 1)
+    val plainDir = Files.createTempDirectory("graft_plain").toString + "/out"
+    df.repartition(4).write.json(plainDir)
+    assert(spark.read.json(plainDir).rdd.getNumPartitions > 1)
+  }
+
   test("orc round-trip preserves rows and schema") {
     val dir = Files.createTempDirectory("graft_orc").toString + "/nation"
     val nation = Tables.nation(spark, "/root/testdata/sf0.001")
