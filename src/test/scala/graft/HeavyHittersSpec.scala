@@ -50,6 +50,20 @@ class HeavyHittersSpec extends SparkSpec {
     }
   }
 
+  test("grouped usage: per-language sketches match per-language exact counts") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val toks = docs.select(col("lang"),
+      explode(TextFns.tokens(col("text"))).as("tok"))
+    val exact = toks.groupBy("lang", "tok").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val hh = udaf(HeavyHitters(64), org.apache.spark.sql.Encoders.STRING)
+    val grouped = toks.groupBy("lang").agg(hh(col("tok")).as("hh"))
+      .select(col("lang"), explode(col("hh")).as("e"))
+      .select(col("lang"), col("e._1"), col("e._2"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(grouped === exact, "below the budget each group's sketch is exact")
+  }
+
   test("merge keeps at most k counters and the total-count invariant") {
     val agg = HeavyHitters(4)
     val a = ('a' to 'j').foldLeft(agg.zero)((s, c) => agg.reduce(s, c.toString))
