@@ -55,16 +55,29 @@ object Packing {
     * rows, not documents), broadcast back, and the within-bucket cumsum
     * runs partition-parallel. No stage materializes a single global
     * partition of the corpus.
+    *
+    * Bucket bounds come from the OBSERVED id distribution (approxQuantile
+    * cut points at i/buckets), not from the id RANGE: snowflake ids with
+    * epoch gaps, hash-prefixed ids, or one tenant owning 99% of an id range
+    * would collapse a range-width scheme's token mass into one bucket and
+    * degenerate phase 2 toward the global window this operator exists to
+    * avoid. Quantile bounds cap any bucket's row share at ~1/buckets
+    * (±0.1% rank error) regardless of id shape, and any monotone-in-id
+    * assignment leaves the packing result bit-identical (the
+    * bucket-count-independence property PackingSpec pins). Note: deriving
+    * the bounds runs one eager Spark job at operator-construction time —
+    * the only operator here that does, since the split points must be data
+    * before the plan is built.
     */
   def packSequences(docs: DataFrame, idCol: String, textCol: String,
       seqLen: Int, buckets: Int = 32): DataFrame = {
     require(seqLen > 0 && buckets > 0, "need positive seqLen and buckets")
     val base = docs.select(col(idCol).cast("long").as("id"),
       size(TextFns.tokens(col(textCol))).cast("long").as("n"))
-    val Row(minId: Long, maxId: Long) = base.agg(min("id"), max("id")).head
-    val bWidth = math.max((maxId - minId + 1 + buckets - 1) / buckets, 1L)
-    val bucketed = base.withColumn("b",
-      floor((col("id") - minId) / lit(bWidth.toDouble)).cast("long"))
+    // empty input -> empty result with the output schema (the agg-based
+    // min/max scheme this replaces threw MatchError on Row(null, null))
+    if (base.head(1).isEmpty) return emptyPacking(docs)
+    val bucketed = assignBuckets(base, buckets)
     // phase 1: per-bucket totals → running bucket offsets. The unpartitioned
     // window is over `buckets` rows (one per bucket), not the corpus.
     val offsets = bucketed.groupBy("b").agg(sum("n").as("bn"))
@@ -87,5 +100,40 @@ object Packing {
       min("id").as("first_doc"),
       max("id").as("last_doc"),
       sum("straddle").as("split_docs"))
+  }
+
+  /** Monotone-in-id bucket assignment over (id, n) rows: internal cut
+    * points at ranks 1/buckets .. (buckets-1)/buckets from approxQuantile
+    * (±0.1% rank error), then `b = #{cut points <= id}` — a codegen'd sum
+    * of comparisons against at most buckets−1 literals. Quantile (not
+    * range-width) bounds cap any bucket's row share at ~1/buckets for ANY
+    * id shape; duplicate cut points merely leave buckets empty.
+    */
+  private def assignBuckets(base: DataFrame, buckets: Int): DataFrame = {
+    val cuts = if (buckets > 1) base.stat.approxQuantile("id",
+      (1 until buckets).map(_.toDouble / buckets).toArray, 1e-3)
+    else Array.empty[Double]
+    base.withColumn("b",
+      cuts.map(c => when(col("id") >= lit(c), 1L).otherwise(0L))
+        .reduceOption(_ + _).getOrElse(lit(0L)))
+  }
+
+  /** The (id, n, b) bucket assignment [[packSequences]] runs on — exposed
+    * so specs can assert the skew bound (max bucket token share) directly.
+    */
+  private[graft] def bucketAssignments(docs: DataFrame, idCol: String,
+      textCol: String, buckets: Int): DataFrame =
+    assignBuckets(docs.select(col(idCol).cast("long").as("id"),
+      size(TextFns.tokens(col(textCol))).cast("long").as("n")), buckets)
+
+  /** Zero-row frame with [[packSequences]]'s output schema. */
+  private def emptyPacking(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("bin", LongType), StructField("n_docs", LongType, nullable = false),
+      StructField("n_tokens", LongType), StructField("first_doc", LongType),
+      StructField("last_doc", LongType), StructField("split_docs", LongType)))
+    docs.sparkSession.createDataFrame(
+      docs.sparkSession.sparkContext.emptyRDD[Row], schema)
   }
 }

@@ -46,6 +46,36 @@ class PackingSpec extends SparkSpec {
     assert(out.map(_.getLong(5)).sum === 3, "boundaries at 256/512/768 each split one doc")
   }
 
+  test("packSequences bucketing survives pathological id distributions") {
+    // the id shapes real pipelines produce: 990 docs crammed into 1% of the
+    // id range (one tenant owning its prefix), plus one far outlier that
+    // stretches the range 100x. A range-width scheme lands 99.9% of the
+    // token mass in one bucket; quantile bounds must keep every bucket's
+    // share near 1/buckets.
+    val ids = (0L until 990L) :+ 100000L
+    val docs = ids.map(i => doc(i, 10)).toDF("doc_id", "text")
+    val buckets = 8
+    val shares = Packing.bucketAssignments(docs, "doc_id", "text", buckets)
+      .groupBy("b").agg(sum("n").as("bn")).collect()
+      .map(_.getLong(1).toDouble / (ids.size * 10))
+    assert(shares.max <= 2.0 / buckets,
+      f"max bucket token share ${shares.max}%.3f exceeds 2/buckets")
+    // and the packing result itself is still the buckets=1 reference
+    val ref = Packing.packSequences(docs, "doc_id", "text", 512, buckets = 1)
+      .orderBy("bin").collect().toSeq
+    val got = Packing.packSequences(docs, "doc_id", "text", 512, buckets = buckets)
+      .orderBy("bin").collect().toSeq
+    assert(got === ref, "quantile bucketing must not change the packing")
+  }
+
+  test("packSequences on an empty frame returns an empty result, not MatchError") {
+    val docs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val out = Packing.packSequences(docs, "doc_id", "text", 256)
+    assert(out.columns.toSeq ===
+      Seq("bin", "n_docs", "n_tokens", "first_doc", "last_doc", "split_docs"))
+    assert(out.count() === 0)
+  }
+
   test("packSequences is bucket-count independent (two-phase prefix sum is exact)") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val ref = Packing.packSequences(docs, "doc_id", "text", 512, buckets = 1)
