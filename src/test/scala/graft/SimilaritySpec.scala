@@ -67,6 +67,46 @@ class SimilaritySpec extends SparkSpec {
       s"trained recall too low: seed=$rSeed trained=$rTrained")
   }
 
+  test("IVF index lifecycle: build once, probe many, no assignment pass on probe") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cents = Similarity.kmeansCentroids(emb, "vec_id", "embedding", 16, 2)
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
+    Similarity.buildIvfIndex(emb, "vec_id", "embedding", cents, path)
+    // bucket table is directory-partitioned: the nProbe/nCentroids scan
+    // fraction is physical
+    val parts = new java.io.File(s"$path/buckets").listFiles()
+      .filter(_.getName.startsWith("bucket=")).map(_.getName)
+    assert(parts.length > 1, s"expected bucket=N partition dirs, got ${parts.toSeq}")
+
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "neighbor_id", "cos").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    // two query batches against the SAME saved index — no rebuild between
+    for ((lo, hi) <- Seq((0L, 10L), (10L, 20L))) {
+      val inline = Similarity.ivfTopKWith(emb, "vec_id", "embedding",
+        col("id") >= lo && col("id") < hi, 10, 4, cents)
+      val batch = emb.filter(col("vec_id") >= lo && col("vec_id") < hi)
+      val indexed = Similarity.ivfTopKIndexed(spark, path, batch,
+        "vec_id", "embedding", 10, 4)
+      assert(rows(indexed) === rows(inline),
+        s"saved-index probe must reproduce the inline path for batch [$lo,$hi)")
+      // the corpus-wide assignment pass (the inline path's `csim` window
+      // over every corpus vector) must be absent: the only centroid
+      // crossJoin left is the query batch's probe
+      val finalPlan = indexed.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan.toString
+        case p => p.toString
+      }
+      assert(!finalPlan.contains("csim"),
+        s"probe plan must not re-assign the corpus to centroids:\n$finalPlan")
+      // and the nProbe scan fraction is physical: the probed bucket set is
+      // runtime-pushed into the index scan as a partition filter (DPP)
+      assert(finalPlan.contains("dynamicpruning"),
+        s"bucket partition pruning must reach the index FileScan:\n$finalPlan")
+    }
+  }
+
   test("cosinePairs is symmetric-free (id_a < id_b) and thresholded") {
     val vecs = Seq(
       (0L, Array(1f, 0f)), (1L, Array(1f, 0.01f)), (2L, Array(0f, 1f)))
