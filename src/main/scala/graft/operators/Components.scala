@@ -26,10 +26,11 @@ import org.apache.spark.sql.functions._
   *
   * 100 TB posture: every round of either algorithm is equi-joins +
   * hash-aggregations on node ids — no cross products, no driver-side data
-  * (the loop compares scalar witnesses / counts only). localCheckpoint per
-  * round cuts the otherwise-exponential logical-plan growth; on a real
-  * cluster swap for reliable checkpoint() (localCheckpoint pins lineage to
-  * executor block storage and does not survive executor loss).
+  * (the loop compares scalar witnesses / counts only). [[Checkpoints.cut]]
+  * per round cuts the otherwise-exponential logical-plan growth —
+  * executor-local by default, reliable `checkpoint()` when
+  * `graft.checkpoint.dir` is set (the cluster posture) — and superseded
+  * rounds' files are released as the loop advances.
   */
 object Components {
 
@@ -52,8 +53,8 @@ object Components {
     // row-level diff join. Decimal sum: a long sum of ~10^12 node ids
     // would overflow at cluster scale.
     val wit = sum(col("cluster").cast("decimal(38,0)"))
-    var labels = both.select(col("s").as("id"), col("s").as("cluster"))
-      .groupBy("id").agg(min("cluster").as("cluster")).localCheckpoint()
+    var labels = Checkpoints.cut(both.select(col("s").as("id"), col("s").as("cluster"))
+      .groupBy("id").agg(min("cluster").as("cluster")))
     var witness = labels.agg(wit).first().getDecimal(0)
     var converged = false
     var iters = 0
@@ -61,9 +62,10 @@ object Components {
       // label(x) := min(label(x), min over neighbors n of label(n))
       val prop = labels.join(both, labels("id") === both("s"))
         .select(col("d").as("id"), col("cluster"))
-      val next = labels.select("id", "cluster").union(prop)
-        .groupBy("id").agg(min("cluster").as("cluster")).localCheckpoint()
+      val next = Checkpoints.cut(labels.select("id", "cluster").union(prop)
+        .groupBy("id").agg(min("cluster").as("cluster")))
       val nextWitness = next.agg(wit).first().getDecimal(0)
+      Checkpoints.release(labels) // round n is materialized; n−1's files are dead
       labels = next
       converged = witness == nextWitness
       witness = nextWitness
@@ -99,12 +101,12 @@ object Components {
     */
   private[graft] def alternating(edges: DataFrame,
       maxIters: Int): (DataFrame, Int) = {
-    val nodes = edges.select(col("s").as("id"))
-      .union(edges.select(col("d").as("id"))).distinct().localCheckpoint()
+    val nodes = Checkpoints.cut(edges.select(col("s").as("id"))
+      .union(edges.select(col("d").as("id"))).distinct())
     // canonical undirected set: u > v, self-loops dropped
-    var e = edges.filter(col("s") =!= col("d"))
+    var e = Checkpoints.cut(edges.filter(col("s") =!= col("d"))
       .select(greatest(col("s"), col("d")).as("u"), least(col("s"), col("d")).as("v"))
-      .distinct().localCheckpoint()
+      .distinct())
     var eCount = e.count()
     var converged = eCount == 0
     var iters = 0
@@ -123,14 +125,15 @@ object Components {
         .union(afterLarge.select(col("v").as("u"), col("u").as("v")))
       val smaller = both2.filter(col("v") < col("u"))
       val smins = smaller.groupBy("u").agg(min("v").as("m"))
-      val next = smaller.join(smins, "u")
+      val next = Checkpoints.cut(smaller.join(smins, "u")
         .select(col("v").as("u"), col("m").as("v")).filter(col("u") =!= col("v"))
         .union(smins.select(col("u"), col("m").as("v")))
-        .distinct().localCheckpoint()
+        .distinct())
       val nextCount = next.count()
       // sound fixpoint test on canonical distinct sets: equal size and an
       // empty one-sided difference ⇒ identical edge sets
       converged = nextCount == eCount && next.except(e).isEmpty
+      Checkpoints.release(e)
       e = next
       eCount = nextCount
       iters += 1

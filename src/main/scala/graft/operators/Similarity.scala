@@ -101,8 +101,9 @@ object Similarity {
     * break on cid, and the elementwise-mean UDAF
     * ([[graft.functions.CentroidAggregator]]) does partial+final merge so
     * only one vector per (bucket, partition) shuffles. Each round is one
-    * broadcast assign + one agg; lineage cut per round (localCheckpoint —
-    * iterative frames otherwise double their logical plan per iteration).
+    * broadcast assign + one agg; lineage cut per round via
+    * [[Checkpoints.cut]] (iterative frames otherwise double their logical
+    * plan per iteration), with superseded rounds released.
     * Output: (cid, cv float-array) for [[ivfTopKWith]].
     */
   def kmeansCentroids(vecs: DataFrame, idCol: String, vecCol: String,
@@ -110,8 +111,8 @@ object Similarity {
     val centroidOf = udaf(graft.functions.CentroidAggregator)
     val base = vecs.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("nrm", l2norm(col("v")))
-    var cents = base.orderBy("id").limit(k)
-      .select(col("id").as("cid"), col("v").as("cv")).localCheckpoint()
+    var cents = Checkpoints.cut(base.orderBy("id").limit(k)
+      .select(col("id").as("cid"), col("v").as("cv")))
     (1 to iters).foreach { _ =>
       val cf = cents
         .select(col("cid"), transform(col("cv"), _.cast("float")).as("cv"))
@@ -121,8 +122,10 @@ object Similarity {
         .withColumn("csim", cosine(col("v"), col("cv"), col("nrm"), col("cn")))
         .withColumn("crn", row_number().over(wA)).filter(col("crn") === 1)
         .select(col("cid"), col("v"))
-      cents = assigned.groupBy("cid").agg(centroidOf(col("v")).as("cv"))
-        .localCheckpoint()
+      val next = Checkpoints.cut(
+        assigned.groupBy("cid").agg(centroidOf(col("v")).as("cv")))
+      Checkpoints.release(cents)
+      cents = next
     }
     cents.select(col("cid"), transform(col("cv"), _.cast("float")).as("cv"))
   }
@@ -322,10 +325,11 @@ object Similarity {
     * `maxBackgroundRetention = 1.0` to force the LSH plan regardless.
     *
     * Cache scope: the norm'd projection is materialized once
-    * (localCheckpoint) instead of persist() — nothing is left registered
-    * in the session cache manager after the call, and the blocks are
-    * reclaimed by the context cleaner once the result is dereferenced
-    * (the long-lived-service posture).
+    * ([[Checkpoints.cut]]: executor-local by default, reliable
+    * checkpoint() when `graft.checkpoint.dir` is set) instead of
+    * persist() — nothing is left registered in the session cache manager
+    * after the call, and the blocks are reclaimed by the context cleaner
+    * once the result is dereferenced (the long-lived-service posture).
     */
   def cosinePairsLsh(vecs: DataFrame, idCol: String, vecCol: String,
       threshold: Double, bands: Int = 32, rows: Int = 3,
@@ -341,9 +345,9 @@ object Similarity {
       f"threshold ${lshRecallAt(threshold, bands, rows)}%.4f")
     // one-row-per-vector staging, materialized once: the band explode and
     // both verification rejoins read it without recomputing norms
-    val withNorm = vecs.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("nrm", l2norm(col("v")))
-      .localCheckpoint()
+    val withNorm = Checkpoints.cut(
+      vecs.select(col(idCol).as("id"), col(vecCol).as("v"))
+        .withColumn("nrm", l2norm(col("v"))))
     val candIds = lshCandidates(withNorm, "id", "v", bands, rows, seed)
     candIds
       .join(withNorm.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na")), "id_a")

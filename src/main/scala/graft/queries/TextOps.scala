@@ -26,16 +26,19 @@ object TextOps {
   private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
 
   // Shared dedup index: q34, q77 and q85 all consume the exact-Jaccard
-  // pair set — memoized per (session, sf dir) and materialized once
-  // (localCheckpoint, like the operator-internal staging), the way a real
-  // pipeline materializes its candidate-pair index. Bounded: one tiny
-  // (pairs ≪ docs) frame per data dir per session; no cache-manager entry,
-  // so a caller's clearCache() cannot silently de-materialize it.
+  // pair set — memoized per (session, sf dir) and persist()'d, the way a
+  // real pipeline materializes its candidate-pair index. persist, NOT
+  // localCheckpoint, deliberately: this frame is SESSION-lived, and a
+  // memo that survives the session must survive executor loss — persist
+  // recomputes lost blocks from lineage, where localCheckpoint's truncated
+  // lineage would hand every later caller a permanently poisoned frame.
+  // (A clearCache() de-materializes it; it transparently recomputes.)
+  // Bounded: one tiny (pairs ≪ docs) frame per data dir per session.
   private val pairsCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), org.apache.spark.sql.DataFrame]
   private def jaccardPairs(s: SparkSession, d: String) =
     pairsCache.getOrElseUpdate((s, d),
-      Dedup.ngramJaccard(docs(s, d), "doc_id", "text", 3, 0.6).localCheckpoint())
+      Dedup.ngramJaccard(docs(s, d), "doc_id", "text", 3, 0.6).persist())
   private def emb(s: SparkSession, d: String) = Tables.embeddings(s, d)
 
   // DuckDB-side token pipeline shared by several oracles.
