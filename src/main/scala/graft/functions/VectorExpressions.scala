@@ -19,7 +19,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * Numeric contract (shared with the DuckDB oracle): each float is widened
   * to double, multiplied in double, and accumulated strictly left-to-right —
   * bit-identical to `list_sum(list_transform(...))` in the oracle SQL and to
-  * the previous HOF formulation.
+  * the previous HOF formulation. Null ELEMENTS (parquet array slots are
+  * containsNull at the schema level even when the data has none) contribute
+  * exactly 0 to the sum — defined behavior, not a raw read of the null slot.
   */
 case class FloatDotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -43,7 +45,9 @@ case class FloatDotProduct(left: Expression, right: Expression)
     var acc = 0.0
     var i = 0
     while (i < n) {
-      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      if (!x.isNullAt(i) && !y.isNullAt(i)) {
+        acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      }
       i += 1
     }
     acc
@@ -58,7 +62,9 @@ case class FloatDotProduct(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |    $acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |  }
          |}
          |${ev.value} = $acc;
        """.stripMargin
@@ -86,7 +92,9 @@ case class FloatDotProduct(left: Expression, right: Expression)
   * division in double, `floor(x·127/amax + 0.5)` — floor is exact, so the
   * quantized values are bit-identical across engines; downstream integer
   * dots are exact in any order. A zero vector (amax = 0) quantizes to all
-  * zeros rather than NaN.
+  * zeros rather than NaN. Null ELEMENTS read as exactly 0f in both passes
+  * (previously they were raw-read as arbitrary slot bytes), so the declared
+  * containsNull = false output is honest for any input.
   */
 case class Int8Quantize(child: Expression)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
@@ -104,15 +112,18 @@ case class Int8Quantize(child: Expression)
     var amax = 0.0
     var i = 0
     while (i < n) {
-      val x = math.abs(v.getFloat(i).toDouble)
-      if (x > amax) amax = x
+      if (!v.isNullAt(i)) {
+        val x = math.abs(v.getFloat(i).toDouble)
+        if (x > amax) amax = x
+      }
       i += 1
     }
     val out = new Array[Float](n)
     if (amax > 0.0) {
       i = 0
       while (i < n) {
-        out(i) = math.floor(v.getFloat(i).toDouble * 127.0 / amax + 0.5).toFloat
+        val x = if (v.isNullAt(i)) 0.0 else v.getFloat(i).toDouble
+        out(i) = math.floor(x * 127.0 / amax + 0.5).toFloat
         i += 1
       }
     }
@@ -130,14 +141,16 @@ case class Int8Quantize(child: Expression)
          |int $n = $a.numElements();
          |double $amax = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  double $x = java.lang.Math.abs((double) $a.getFloat($i));
-         |  if ($x > $amax) $amax = $x;
+         |  if (!$a.isNullAt($i)) {
+         |    double $x = java.lang.Math.abs((double) $a.getFloat($i));
+         |    if ($x > $amax) $amax = $x;
+         |  }
          |}
          |float[] $out = new float[$n];
          |if ($amax > 0.0) {
          |  for (int $i = 0; $i < $n; $i++) {
          |    $out[$i] = (float) java.lang.Math.floor(
-         |      ((double) $a.getFloat($i)) * 127.0 / $amax + 0.5);
+         |      ($a.isNullAt($i) ? 0.0 : (double) $a.getFloat($i)) * 127.0 / $amax + 0.5);
          |  }
          |}
          |${ev.value} =

@@ -184,6 +184,22 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"int8 recall@10 vs float ranking = $recall")
   }
 
+  test("null array elements are defined: 0 in dots, 0f in quantization") {
+    // parquet array slots are containsNull at the schema level; a null
+    // element must contribute exactly 0, not a raw read of the slot bytes
+    val vecs = Seq((1L, Seq[java.lang.Float](2f, null, 4f)))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val d = vecs.select(
+      graft.functions.VectorExpressions.dot(spark, col("embedding"), col("embedding")))
+      .head.getDouble(0)
+    assert(d === 20.0, "null slot must contribute 0 to the dot product")
+    val q = vecs.select(
+      graft.functions.VectorExpressions.quantizeInt8(spark, col("embedding")))
+      .head.getSeq[Float](0)
+    assert(q === Seq(64f, 0f, 127f), "null slot must quantize to 0f")
+  }
+
   test("LSH regime math: background retention and recall formulas") {
     // 32 bands × 3 rows: 1 − (1 − 0.5³)³² — the measured ~98% anti-regime
     assert(math.abs(Similarity.lshBackgroundRetention(32, 3) - 0.9862) < 0.001)
