@@ -22,33 +22,69 @@ object TableSink {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Per-shard manifest entry: file name, codec (from the extension),
+    * rows, uncompressed line bytes (payload + newline).
+    */
+  case class ShardEntry(file: String, codec: String, rows: Long,
+      uncompressed_bytes: Long)
+
   /** Training-data export: size-bounded JSONL shards plus a `_MANIFEST`
     * completeness record — the handoff format an LLM training pipeline
     * consumes. `maxRecordsPerFile` bounds every shard (a trainer's reader
     * wants uniform units of work); the manifest (one tiny JSON file beside
-    * the shards) records per-shard row counts and the total, so a consumer
-    * can verify it received ALL shards before training starts — at 100 TB
-    * a silent partial copy is the failure mode manifests exist for.
+    * the shards) records the totals plus one entry per shard — codec and
+    * UNCOMPRESSED byte count included — so a consumer can verify it
+    * received ALL shards, whole, before training starts: at 100 TB a
+    * silent partial copy is the failure mode manifests exist for.
+    *
+    * `compression` = `gzip`/`zstd` writes compressed shards — real
+    * training-data interchange ships compressed, and because gzip is
+    * unsplittable at read time (FormatsSpec), the shard size chosen HERE
+    * is the read parallelism forever; `maxRecordsPerFile` is that choice.
+    *
+    * The manifest is built from ONE read-back pass (per-shard line counts
+    * and octet lengths, collected driver-side at shard granularity — tiny
+    * metadata, not data), and an empty input short-circuits to an explicit
+    * zero-row manifest instead of failing schema inference on zero files.
     * Returns (shards, totalRows).
     */
-  def exportJsonl(df: DataFrame, path: String,
-      maxRecordsPerFile: Int): (Long, Long) = {
+  def exportJsonl(df: DataFrame, path: String, maxRecordsPerFile: Int,
+      compression: String = "none"): (Long, Long) = {
     val spark = df.sparkSession
-    df.write.mode(SaveMode.Overwrite)
-      .option("maxRecordsPerFile", maxRecordsPerFile.toString)
-      .json(path)
     import org.apache.spark.sql.functions._
-    val perShard = spark.read.json(path)
+    import spark.implicits._
+    val writer = df.write.mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", maxRecordsPerFile.toString)
+    if (compression != "none") writer.option("compression", compression)
+    writer.json(path)
+    def writeManifest(m: DataFrame): Unit =
+      m.repartition(1).write.mode(SaveMode.Overwrite).json(s"$path/_MANIFEST")
+    if (df.head(1).isEmpty) {
+      writeManifest(Seq((0L, 0L, 0L, compression, 0L, Seq.empty[ShardEntry]))
+        .toDF("n_shards", "total_rows", "max_shard_rows", "codec",
+          "uncompressed_bytes", "shards"))
+      return (0L, 0L)
+    }
+    // one pass over the export (text read decompresses transparently):
+    // rows + uncompressed octets per shard, one driver row per shard
+    val perShard = spark.read.text(path)
       .groupBy(input_file_name().as("shard"))
-      .agg(count(lit(1)).as("rows"))
-    val manifest = perShard.agg(
-      count(lit(1)).as("n_shards"),
-      sum("rows").as("total_rows"),
-      max("rows").as("max_shard_rows"))
-    manifest.repartition(1).write.mode(SaveMode.Overwrite)
-      .json(s"$path/_MANIFEST")
-    val m = manifest.head
-    (m.getLong(0), m.getLong(1))
+      .agg(count(lit(1)).as("rows"),
+        sum(octet_length(col("value")) + lit(1)).as("bytes"))
+      .collect()
+    def codecOf(f: String) =
+      if (f.endsWith(".gz")) "gzip" else if (f.endsWith(".zst")) "zstd" else "none"
+    val entries = perShard.map { r =>
+      val file = r.getString(0).substring(r.getString(0).lastIndexOf('/') + 1)
+      ShardEntry(file, codecOf(file), r.getLong(1), r.getLong(2))
+    }.sortBy(_.file).toSeq
+    val totalRows = entries.map(_.rows).sum
+    writeManifest(Seq((entries.length.toLong, totalRows,
+        entries.map(_.rows).max, compression,
+        entries.map(_.uncompressed_bytes).sum, entries))
+      .toDF("n_shards", "total_rows", "max_shard_rows", "codec",
+        "uncompressed_bytes", "shards"))
+    (entries.length.toLong, totalRows)
   }
 
   /** Live-DB parity option (reference sinks are Postgres/MySQL/MSSQL,

@@ -30,6 +30,46 @@ class FormatsSpec extends SparkSpec {
         .collect().sorted.toSeq)
   }
 
+  test("compressed JSONL export: gzip shards, manifest codec + uncompressed bytes reconcile") {
+    val dir = Files.createTempDirectory("graft_jsonl_gz").toString + "/docs"
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "lang", "text")
+    val n = docs.count()
+    val (shards, total) = graft.sources.TableSink.exportJsonl(docs, dir, 100,
+      compression = "gzip")
+    assert(total === n)
+    val files = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".gz"))
+    assert(files.length.toLong === shards, "every shard must be a .gz file")
+    val m = spark.read.json(s"$dir/_MANIFEST").head()
+    assert(m.getAs[String]("codec") === "gzip")
+    assert(m.getAs[Long]("uncompressed_bytes") > files.map(_.length()).sum,
+      "uncompressed manifest bytes must exceed the compressed on-disk bytes")
+    // per-shard entries reconcile with the summary and carry the codec
+    val entries = spark.read.json(s"$dir/_MANIFEST")
+      .select(explode(col("shards")).as("s"))
+      .select("s.file", "s.codec", "s.rows", "s.uncompressed_bytes")
+      .collect()
+    assert(entries.length.toLong === shards)
+    assert(entries.map(_.getAs[Long]("rows")).sum === total)
+    assert(entries.forall(_.getAs[String]("codec") === "gzip"))
+    // compressed shards still round-trip transparently
+    val back = spark.read.json(dir)
+    assert(back.count() === n)
+  }
+
+  test("exportJsonl on an empty frame writes an explicit zero-row manifest") {
+    val dir = Files.createTempDirectory("graft_jsonl_empty").toString + "/docs"
+    val empty = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "lang", "text").filter(lit(false))
+    val (shards, total) = graft.sources.TableSink.exportJsonl(empty, dir, 100)
+    assert(shards === 0L && total === 0L)
+    val m = spark.read.json(s"$dir/_MANIFEST").head()
+    assert(m.getAs[Long]("n_shards") === 0L)
+    assert(m.getAs[Long]("total_rows") === 0L)
+    assert(m.getAs[Long]("uncompressed_bytes") === 0L)
+  }
+
   test("gzipped JSONL ingests transparently but is UNSPLITTABLE - one partition per file") {
     // web-scraped corpora arrive as .jsonl.gz; Spark reads the codec
     // transparently, but gzip cannot split: each file is one task however
