@@ -115,8 +115,14 @@ object Analytics {
 
     // q65: time-series gap-fill + forward fill: hourly spine via sequence()
     // (generated, never collected), left join the hourly rollup, carry the
-    // last observed sum forward with last(ignoreNulls) — the standard
-    // resample/ffill for sensor-style data.
+    // last observed sum forward — the standard resample/ffill for
+    // sensor-style data. The fill is TWO-PHASE (the q101 bucket-carry
+    // pattern): the spine buckets by calendar day (order-preserving);
+    // phase 1 reduces each bucket to its last observation and runs the
+    // carry window over the tiny per-bucket frame (#days rows, broadcast
+    // back); phase 2 fills within buckets partition-parallel. No
+    // unpartitioned window ever sees the spine — an unbounded time range
+    // cannot collapse the fill onto one core.
     QueryDef("q65_timeseries_gapfill",
       (s, d) => {
         val hourly = ev(s, d).filter(col("user_id") < 20)
@@ -127,11 +133,26 @@ object Analytics {
             date_trunc("hour", max(col("ts"))).as("hi"))
         val spine = bounds.select(
           explode(sequence(col("lo"), col("hi"), expr("interval 1 hour"))).as("h"))
-        val w = Window.orderBy("h").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        spine.join(hourly, Seq("h"), "left")
+        val joined = spine.join(hourly, Seq("h"), "left")
+          .withColumn("b", date_trunc("day", col("h")))
+        // phase 1: per-bucket last observation (max over (h, value) structs
+        // of observed hours), then the running carry across PRECEDING
+        // buckets — the only unpartitioned window, over #days rows
+        val wB = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+        val carries = joined.groupBy("b")
+          .agg(max(when(col("sum_value").isNotNull,
+            struct(col("h"), col("sum_value")))).as("s"))
+          .withColumn("carry", last(col("s.sum_value"), ignoreNulls = true).over(wB))
+          .select("b", "carry")
+        // phase 2: within-bucket fill, partition-parallel; bucket-leading
+        // gaps take the carried value
+        val wIn = Window.partitionBy("b").orderBy("h")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        joined.join(broadcast(carries), Seq("b"))
           .select(col("h").as("hour"),
             coalesce(col("n"), lit(0L)).as("n"),
-            last(col("sum_value"), ignoreNulls = true).over(w).as("filled_sum"))
+            coalesce(last(col("sum_value"), ignoreNulls = true).over(wIn),
+              col("carry")).as("filled_sum"))
           .orderBy("hour")
       },
       Some("""WITH e AS (SELECT * FROM events WHERE user_id < 20),

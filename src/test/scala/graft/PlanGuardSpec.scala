@@ -66,6 +66,19 @@ class PlanGuardSpec extends SparkSpec {
       s"quantization must run inside the plan, not a pre-collected table:\n$p")
   }
 
+  test("q65 gap-fill: no unpartitioned window over the spine") {
+    val df = SparkEntry.queries("q65_timeseries_gapfill")(spark, dir)
+    df.collect()
+    val analyzed = df.queryExecution.optimizedPlan.toString
+    // the spine-side fill must be partitioned by the day bucket...
+    assert("windowspecdefinition\\(b#\\d+L?, h#\\d+".r.findFirstIn(analyzed).isDefined,
+      s"within-bucket fill must be partitioned by bucket:\n$analyzed")
+    // ...and no window may order the raw spine hours unpartitioned (the
+    // carry window orders the per-bucket frame, #days rows, which is fine)
+    assert("windowspecdefinition\\(h#\\d+".r.findFirstIn(analyzed).isEmpty,
+      s"found an unpartitioned window over the spine:\n$analyzed")
+  }
+
   test("q101 sequence packing: the only unpartitioned window is the bucket-offsets frame") {
     val df = SparkEntry.queries("q101_seq_packing")(spark, dir)
     df.collect()
