@@ -2,11 +2,12 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.functions.{HeavyHitters, MGState, TextFns}
+import graft.functions.{HeavyHitters, MGSummary, TextFns}
 
 /** Misra–Gries sketch: exactness below the counter budget (any
   * partitioning), the n/(k+1) undercount guarantee in the eviction
-  * regime, and merge validity.
+  * regime, merge validity, and serialization round-trip (the
+  * TypedImperativeAggregate shuffle path).
   */
 class HeavyHittersSpec extends SparkSpec {
   import spark.implicits._
@@ -17,9 +18,9 @@ class HeavyHittersSpec extends SparkSpec {
     val exact = toks.groupBy("tok").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(exact.size <= 64, "corpus must sit below the counter budget for this test")
-    val hh = udaf(HeavyHitters(64), org.apache.spark.sql.Encoders.STRING)
     for (parts <- Seq(1, 7, 32)) {
-      val sketch = toks.repartition(parts).agg(hh(col("tok")).as("hh"))
+      val sketch = toks.repartition(parts)
+        .agg(HeavyHitters.sketch(spark, col("tok"), 64).as("hh"))
         .select(explode(col("hh")).as("e"))
         .select(col("e._1"), col("e._2"))
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -33,10 +34,9 @@ class HeavyHittersSpec extends SparkSpec {
     val items = (1 to 3).flatMap(h => Seq.fill(300)(s"hot$h")) ++
       (1 to 600).map(i => s"cold$i")
     val k = 8
-    val hh = udaf(HeavyHitters(k), org.apache.spark.sql.Encoders.STRING)
     for (parts <- Seq(1, 13)) {
       val out = items.toDF("tok").repartition(parts)
-        .agg(hh(col("tok")).as("hh"))
+        .agg(HeavyHitters.sketch(spark, col("tok"), k).as("hh"))
         .select(explode(col("hh")).as("e"))
         .select(col("e._1"), col("e._2"))
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -56,8 +56,8 @@ class HeavyHittersSpec extends SparkSpec {
       explode(TextFns.tokens(col("text"))).as("tok"))
     val exact = toks.groupBy("lang", "tok").count()
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
-    val hh = udaf(HeavyHitters(64), org.apache.spark.sql.Encoders.STRING)
-    val grouped = toks.groupBy("lang").agg(hh(col("tok")).as("hh"))
+    val grouped = toks.groupBy("lang")
+      .agg(HeavyHitters.sketch(spark, col("tok"), 64).as("hh"))
       .select(col("lang"), explode(col("hh")).as("e"))
       .select(col("lang"), col("e._1"), col("e._2"))
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
@@ -65,12 +65,22 @@ class HeavyHittersSpec extends SparkSpec {
   }
 
   test("merge keeps at most k counters and the total-count invariant") {
-    val agg = HeavyHitters(4)
-    val a = ('a' to 'j').foldLeft(agg.zero)((s, c) => agg.reduce(s, c.toString))
-    val b = Seq("x", "x", "x", "y", "z", "w", "v").foldLeft(agg.zero)(agg.reduce)
-    val m = agg.merge(a, b)
-    assert(m.counters.size <= 4)
-    assert(m.n === a.n + b.n)
-    assert(m.counters.values.forall(_ > 0))
+    val a = new MGSummary(4)
+    ('a' to 'j').foreach(c => a.update(c.toString))
+    val b = new MGSummary(4)
+    Seq("x", "x", "x", "y", "z", "w", "v").foreach(b.update)
+    a.mergeIn(b)
+    assert(a.sorted.size <= 4)
+    assert(a.total === 17L)
+    assert(a.sorted.forall(_._2 > 0))
+  }
+
+  test("serialization round-trips the summary exactly (the shuffle path)") {
+    val s = new MGSummary(6)
+    Seq("p", "p", "p", "q", "q", "r", "s", "t", "u", "v", "w").foreach(s.update)
+    val back = MGSummary.deserialize(s.serialized)
+    assert(back.k === s.k)
+    assert(back.total === s.total)
+    assert(back.sorted === s.sorted)
   }
 }
