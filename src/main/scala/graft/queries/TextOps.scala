@@ -41,6 +41,11 @@ object TextOps {
       Dedup.ngramJaccard(docs(s, d), "doc_id", "text", 3, 0.6).persist())
   private def emb(s: SparkSession, d: String) = Tables.embeddings(s, d)
 
+  // q103's saved IVF index, built once per (session, sf dir) — the
+  // build-once/probe-many lifecycle; later calls are pure probes.
+  private val ivfIndexCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
   // DuckDB-side token pipeline shared by several oracles.
   private val OToks =
     """list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)"""
@@ -309,6 +314,32 @@ object TextOps {
       },
       None),
 
+    // q103: the materialized-index IVF lifecycle as a driver-visible query:
+    // the session's FIRST call builds the bucket-partitioned index (k-means
+    // centroids + one assignment pass, persisted via TableSink); every
+    // later call probes the saved index with no corpus re-assignment —
+    // the probed bucket set reaches the index scan as a runtime partition
+    // filter. The build-once/probe-many shape an ANN service runs at
+    // 100 TB. Approximate by design ⇒ rows-only driver check; identity
+    // with the inline path and the assignment-free plan are asserted in
+    // SimilaritySpec.
+    QueryDef("q103_ivf_indexed",
+      (s, d) => {
+        val path = ivfIndexCache.getOrElseUpdate((s, d), {
+          val e = emb(s, d)
+          val cents = Similarity.kmeansCentroids(e, "vec_id", "embedding", 16, 2)
+          val p = java.nio.file.Files.createTempDirectory("graft_ivf_q103").toString
+          Similarity.buildIvfIndex(e, "vec_id", "embedding", cents, p)
+          p
+        })
+        Similarity.ivfTopKIndexed(s, path, emb(s, d).filter(col("vec_id") < 20),
+            "vec_id", "embedding", 10, 4)
+          .select(col("query_id"), col("rank").cast("int").as("rnk"),
+            col("neighbor_id"), col("cos"))
+          .orderBy("query_id", "rnk")
+      },
+      None),
+
     // q39: embedding near-dup pairs (cosine ≥ 0.45), EXACT — a blocked
     // equi-join (1-bucket-theta): O(n²) cosine work partitioned across
     // blocks² shuffle cells, no BroadcastNestedLoopJoin anywhere in the
@@ -459,10 +490,8 @@ object TextOps {
     // (freq > n/(k+1) always surfaces) is spec-asserted on synthetic data.
     QueryDef("q102_heavy_hitters",
       (s, d) => {
-        val hh = udaf(graft.functions.HeavyHitters(64),
-          org.apache.spark.sql.Encoders.STRING)
         docs(s, d).select(explode(TextFns.tokens(col("text"))).as("tok"))
-          .agg(hh(col("tok")).as("hh"))
+          .agg(graft.functions.HeavyHitters.sketch(s, col("tok"), 64).as("hh"))
           .select(explode(col("hh")).as("e"))
           .select(col("e._1").as("token"), col("e._2").as("cnt"))
           .orderBy(desc("cnt"), col("token"))
