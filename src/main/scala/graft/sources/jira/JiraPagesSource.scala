@@ -84,7 +84,9 @@ class JiraPagesSource extends TableProvider with DataSourceRegister {
         cursorMode = "cursor".equalsIgnoreCase(opts.getOrDefault("mode", "parallel")),
         authHeader = authHeader(opts),
         discover = opts.getBoolean("discover", false),
-        pageTemplate = Option(opts.get("pageTemplate"))))
+        pageTemplate = Option(opts.get("pageTemplate")),
+        httpTimeoutMs = opts.getLong("httpTimeoutMs", 30000L),
+        maxPageBytes = opts.getLong("maxPageBytes", 64L << 20)))
   }
 
   /** `Authorization: Basic|Bearer <token>` on every fetch — reference
@@ -125,9 +127,18 @@ class JiraPagesSource extends TableProvider with DataSourceRegister {
   */
 private[graft] case class RetryConf(maxAttempts: Int, backoffMs: Long,
     cursorMode: Boolean, authHeader: Option[String] = None,
-    discover: Boolean = false, pageTemplate: Option[String] = None) {
+    discover: Boolean = false, pageTemplate: Option[String] = None,
+    httpTimeoutMs: Long = 30000L, maxPageBytes: Long = 64L << 20) {
   require(maxAttempts >= 1, "retries must be >= 1")
+  require(httpTimeoutMs > 0 && httpTimeoutMs <= Int.MaxValue, "httpTimeoutMs out of range")
+  require(maxPageBytes > 0, "maxPageBytes must be positive")
 }
+
+/** Non-retryable page failure: retrying cannot change the outcome (auth
+  * rejection, page over the size budget), so the scan fails immediately
+  * with an actionable message instead of burning the retry budget.
+  */
+private[graft] class FatalPageException(msg: String) extends RuntimeException(msg)
 
 /** Page fetch with bounded retry + exponential backoff — the engine-side
   * analog of the reference's tenacity wrapper
@@ -151,8 +162,18 @@ private[graft] object PageTransport {
       case "http" | "https" =>
         val conn = uri.toURL.openConnection()
           .asInstanceOf[java.net.HttpURLConnection]
+        // a hung or black-holed server must surface as a (retryable)
+        // SocketTimeoutException, not stall the Spark task forever
+        conn.setConnectTimeout(conf.httpTimeoutMs.toInt)
+        conn.setReadTimeout(conf.httpTimeoutMs.toInt)
         conf.authHeader.foreach(h => conn.setRequestProperty("Authorization", h))
         val code = conn.getResponseCode
+        if (code == 401 || code == 403) {
+          conn.disconnect()
+          // retrying the same credentials cannot succeed — fail fast
+          throw new FatalPageException(s"HTTP $code (auth rejected) fetching " +
+            s"$path — check the authType/token/tokenEnv options; not retrying")
+        }
         if (code >= 400) {
           conn.disconnect()
           // IOException → goes through the same bounded-retry/backoff path
@@ -160,10 +181,39 @@ private[graft] object PageTransport {
           // retries failed HTTP fetches the same way)
           throw new java.io.IOException(s"HTTP $code fetching $path")
         }
+        val len = conn.getContentLengthLong
+        if (len > conf.maxPageBytes) {
+          conn.disconnect()
+          throw new FatalPageException(s"page $path is $len bytes, over " +
+            s"maxPageBytes=${conf.maxPageBytes} — raise the option or shrink " +
+            "the page size server-side; not retrying")
+        }
         conn.getInputStream
       case _ => uri.toURL.openStream()
     }
   }
+
+  /** Guard against oversized pages on transports with no (trustworthy)
+    * length header: counts bytes as the JSON parser consumes them and
+    * fails fast — a multi-GB page would otherwise OOM the task long after
+    * the size budget was blown.
+    */
+  private def bounded(in: java.io.InputStream, path: String,
+      cap: Long): java.io.InputStream =
+    new java.io.FilterInputStream(in) {
+      private var seen = 0L
+      private def count(k: Int): Int = {
+        if (k > 0) {
+          seen += k
+          if (seen > cap) throw new FatalPageException(
+            s"page $path exceeds maxPageBytes=$cap after $seen bytes; not retrying")
+        }
+        k
+      }
+      override def read(): Int = { val b = super.read(); if (b >= 0) count(1); b }
+      override def read(buf: Array[Byte], off: Int, len: Int): Int =
+        count(super.read(buf, off, len))
+    }
 
   def fetchWithRetry(path: String, conf: RetryConf): JsonNode = {
     var attempt = 1
@@ -172,7 +222,7 @@ private[graft] object PageTransport {
       fetchAttempts.merge(path, 1, (a, b) => a + b)
       try {
         faultInjector(path, attempt)
-        val stream = open(path, conf)
+        val stream = bounded(open(path, conf), path, conf.maxPageBytes)
         result = try new ObjectMapper().readTree(stream) finally stream.close()
       } catch {
         case e: java.io.IOException =>

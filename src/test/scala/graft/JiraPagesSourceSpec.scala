@@ -101,7 +101,9 @@ class JiraPagesSourceSpec extends SparkSpec {
     * records hit counts and the Authorization header of every request.
     */
   private class LoopbackServer(routes: Map[String, String],
-      failFirst: Map[String, Int] = Map.empty) {
+      failFirst: Map[String, Int] = Map.empty,
+      statusFor: Map[String, Int] = Map.empty,
+      delayMs: Map[String, Long] = Map.empty) {
     val hits = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
     val auths = java.util.Collections.synchronizedList(
       new java.util.ArrayList[(String, String)]())
@@ -113,13 +115,17 @@ class JiraPagesSourceSpec extends SparkSpec {
         val n = hits.merge(key, 1, (a, b) => a + b)
         auths.add(key ->
           Option(ex.getRequestHeaders.getFirst("Authorization")).getOrElse(""))
+        delayMs.get(key).foreach(Thread.sleep)
         if (n <= failFirst.getOrElse(key, 0)) ex.sendResponseHeaders(503, -1)
-        else routes.get(key) match {
-          case Some(body) =>
-            val bytes = body.getBytes("UTF-8")
-            ex.sendResponseHeaders(200, bytes.length)
-            ex.getResponseBody.write(bytes)
-          case None => ex.sendResponseHeaders(404, -1)
+        else statusFor.get(key) match {
+          case Some(code) => ex.sendResponseHeaders(code, -1)
+          case None => routes.get(key) match {
+            case Some(body) =>
+              val bytes = body.getBytes("UTF-8")
+              ex.sendResponseHeaders(200, bytes.length)
+              ex.getResponseBody.write(bytes)
+            case None => ex.sendResponseHeaders(404, -1)
+          }
         }
         ex.close()
       }
@@ -174,6 +180,88 @@ class JiraPagesSourceSpec extends SparkSpec {
       assert(msgs.contains("failed after 2 attempts") && msgs.contains("HTTP 404"))
       assert(dead.hits.get(route) === 2)
     } finally dead.stop()
+  }
+
+  test("HTTP 401 fails fast with an actionable auth message — no retry burn") {
+    val route = "/issues?startAt=0"
+    val srv = new LoopbackServer(Map.empty, statusFor = Map(route -> 401))
+    try {
+      val df = spark.read.format("graft-jira-pages").option("entity", "issues")
+        .option("retries", "5").option("retryBackoffMs", "1")
+        .option("authType", "bearer").option("token", "wrong")
+        .load(s"${srv.base}$route")
+      val e = intercept[org.apache.spark.SparkException](df.count())
+      val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(_.getMessage).mkString("; ")
+      assert(msgs.contains("auth rejected") && msgs.contains("authType"),
+        s"401 must name the auth options: $msgs")
+      assert(srv.hits.get(route) === 1,
+        "retrying the same credentials cannot succeed — exactly one attempt")
+    } finally srv.stop()
+  }
+
+  test("oversized page fails fast with the maxPageBytes budget in the message") {
+    val route = "/issues?startAt=0"
+    val srv = new LoopbackServer(Map(route -> fixtureBody("issues_page_1.json")))
+    try {
+      val df = spark.read.format("graft-jira-pages").option("entity", "issues")
+        .option("retries", "5").option("retryBackoffMs", "1")
+        .option("maxPageBytes", "64")
+        .load(s"${srv.base}$route")
+      val e = intercept[org.apache.spark.SparkException](df.count())
+      val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(_.getMessage).mkString("; ")
+      assert(msgs.contains("maxPageBytes"), s"message must name the budget: $msgs")
+      assert(srv.hits.get(route) === 1, "a too-large page must not retry")
+    } finally srv.stop()
+  }
+
+  test("hung server surfaces as a retryable timeout, not a stalled task") {
+    val route = "/issues?startAt=0"
+    val srv = new LoopbackServer(Map(route -> fixtureBody("issues_page_1.json")),
+      delayMs = Map(route -> 3000L))
+    try {
+      val df = spark.read.format("graft-jira-pages").option("entity", "issues")
+        .option("retries", "2").option("retryBackoffMs", "1")
+        .option("httpTimeoutMs", "150")
+        .load(s"${srv.base}$route")
+      val t0 = System.nanoTime()
+      val e = intercept[org.apache.spark.SparkException](df.count())
+      val elapsedMs = (System.nanoTime() - t0) / 1e6
+      val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(_.getMessage).mkString("; ")
+      assert(msgs.contains("failed after 2 attempts"),
+        s"a stalled fetch must reach the bounded-retry path: $msgs")
+      // the server's single-threaded dispatcher is still asleep, so count
+      // attempts client-side: both went out, both timed out
+      assert(graft.sources.jira.PageTransport.fetchAttempts
+        .get(s"${srv.base}$route") === 2,
+        "the timeout must be retried like any IO failure")
+      assert(elapsedMs >= 280, f"two 150 ms timeouts must elapse ($elapsedMs%.0f ms)")
+      assert(elapsedMs < 2500, f"timeouts must bound the stall ($elapsedMs%.0f ms)")
+    } finally srv.stop()
+  }
+
+  test("worklog chain ends on absent metadata AND on explicit null next (no error, no extra fetch)") {
+    // the reference treats a missing metadata.next as end-of-scan
+    // (worklog_processor.py:106); an explicit {"next": null} must end the
+    // same way, not throw or fetch a 'null' URL
+    val pAbsent = "/worklogs?case=absent"
+    val pNull = "/worklogs?case=null"
+    val srv = new LoopbackServer(Map(
+      pAbsent -> """{"results": [{"tempoWorklogId": 1, "timeSpentSeconds": 60}]}""",
+      pNull -> """{"results": [{"tempoWorklogId": 2, "timeSpentSeconds": 30}],
+                   "metadata": {"next": null}}"""))
+    try {
+      for ((seed, expected) <- Seq(pAbsent -> 1L, pNull -> 1L)) {
+        val wl = spark.read.format("graft-jira-pages")
+          .option("entity", "worklogs").option("mode", "cursor")
+          .option("discover", "true").option("retryBackoffMs", "1")
+          .load(s"${srv.base}$seed")
+        assert(wl.count() === expected, s"chain from $seed must end after its only page")
+      }
+      assert(srv.hits.size() === 2, "no phantom next-page fetch for either termination")
+    } finally srv.stop()
   }
 
   test("cursor discovery: worklogs follow metadata.next over real HTTP; committed pages not re-read") {
