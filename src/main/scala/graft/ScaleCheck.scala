@@ -49,11 +49,65 @@ object ScaleCheck {
         "q101_seq_packing", "q102_heavy_hitters")) {
       time(q)(SparkEntry.queries(q)(spark, dst).count())
     }
+    // eviction-REGIME heavy hitters: q102's bounded vocabulary never
+    // evicts, so time the sketch where the non-tracked-arrival path
+    // dominates — high-cardinality keys (token × doc bucket), k=16
+    time("q102_eviction_regime") {
+      spark.read.parquet(s"$dst/documents.parquet")
+        .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("t"))
+        .select(concat(col("t"), lit("_"), pmod(col("doc_id"), lit(50000))).as("tok"))
+        .agg(graft.functions.HeavyHitters.sketch(spark, col("tok"), 16).as("hh"))
+        .select(explode(col("hh"))).count()
+    }
+    // reduce-path microbench: shipped amortized eviction vs the per-row
+    // immutable-Map rebuild it replaced (inlined as the reference)
+    evictionMicrobench()
     // recall check at scale: the LSH path must reproduce the exact path
     val exact = SparkEntry.queries("q34_ngram_jaccard")(spark, dst).collect().toSet
     val lsh = SparkEntry.queries("q35_minhash_lsh")(spark, dst).collect().toSet
     println(s"== lsh==exact at 10x: ${exact == lsh} (${exact.size} pairs)")
     spark.stop()
+  }
+
+  /** Driver-side ns/row: the shipped mutable MGSummary update (the
+    * TypedImperativeAggregate buffer path — one in-place hash op per row)
+    * vs the r5 typed-Aggregator reduce, inlined as the reference — an
+    * immutable Map rebuild per eviction PLUS, in the real Spark path, an
+    * encoder round-trip of the whole k-entry buffer around every row
+    * (simulated here by re-materializing the map per row, which is what
+    * the UDAF buffer serialization amounts to). Stream: 1 in 10 arrivals
+    * hot, the rest distinct cold — the head-tracked/tail-arriving shape.
+    */
+  private def evictionMicrobench(): Unit = {
+    val n = 2000000
+    val k = 20
+    def rebuildReduce(c: Map[String, Long], tok: String): Map[String, Long] =
+      if (c.contains(tok)) c.updated(tok, c(tok) + 1)
+      else if (c.size < k) c.updated(tok, 1L)
+      else c.flatMap { case (t, v) => if (v > 1) Some(t -> (v - 1)) else None }
+    def tok(i: Int): String = if (i % 10 == 0) "h" + (i % (10 * k) / 10) else "c" + i
+    def timeNs(f: () => Unit): Double =
+      (1 to 2).map { _ => val t0 = System.nanoTime(); f(); (System.nanoTime() - t0).toDouble }.min
+    def runNew(): Unit = {
+      val s = new graft.functions.MGSummary(k)
+      var i = 0
+      while (i < n) { s.update(tok(i)); i += 1 }
+    }
+    def runOld(): Unit = {
+      var c = Map.empty[String, Long]
+      var i = 0
+      while (i < n) {
+        c = rebuildReduce(c, tok(i))
+        // the Aggregator buffer encoder round-trip: the k-entry map is
+        // rebuilt from its serialized form around every input row
+        c = c.toSeq.toMap
+        i += 1
+      }
+    }
+    runNew(); runOld()
+    val tNew = timeNs(() => runNew()) / n
+    val tOld = timeNs(() => runOld()) / n
+    println(f"== hh_eviction_microbench imperative=$tNew%.0f ns/row r5_aggregator=$tOld%.0f ns/row (${tOld / tNew}%.1fx)")
   }
 
   /** Fitted scaling exponents for the similarity family: corpora at 1×/2×/4×
@@ -77,8 +131,8 @@ object ScaleCheck {
     val ks = Seq(2, 4, 8)
     val queries = Seq("q34_ngram_jaccard", "q35_minhash_lsh",
       "q36_simhash_pairs", "q37_embedding_topk", "q38_ann_ivf",
-      "q39_embedding_pairs", "q94_lsh_pairs", "q94_lsh_forced",
-      "q97_decontamination")
+      "q38_ivf_probe_only", "q39_embedding_pairs", "q94_lsh_pairs",
+      "q94_lsh_forced", "q97_decontamination", "q97_probe_growth")
     for (k <- ks) {
       val dst = s"/tmp/graft_scale_k$k"
       val docs = spark.read.parquet(s"$src/documents.parquet")
@@ -109,6 +163,16 @@ object ScaleCheck {
       ecopies.reduce(_ unionByName _).write.mode("overwrite")
         .parquet(s"$dst/embeddings.parquet")
     }
+    // build-once IVF indexes so the probe-only lifecycle is measurable
+    // against the inline (assign-every-call) q38 row
+    for (k <- ks) {
+      val dst = s"/tmp/graft_scale_k$k"
+      val emb = Tables.embeddings(spark, dst)
+      val cents = graft.operators.Similarity.kmeansCentroids(
+        emb, "vec_id", "embedding", 16, 2)
+      graft.operators.Similarity.buildIvfIndex(
+        emb, "vec_id", "embedding", cents, s"$dst/ivf_index")
+    }
     val times = scala.collection.mutable.Map.empty[(String, Int), Double]
     for (q <- queries; k <- ks) {
       val dir = s"/tmp/graft_scale_k$k"
@@ -116,9 +180,15 @@ object ScaleCheck {
       // (q34/q77/q85 share it) — time the operator fresh instead.
       // q97: corpus grows, probe FIXED from base sf0.1 (benchmarks don't
       // grow with training data) — the linear-in-corpus claim under test.
+      // q97_probe_growth: the TRANSPOSE — corpus fixed at sf0.1, probe set
+      // grows with k — bounds the benchmark-suite-growth direction
+      // (expected exponent ≈ 1: work is Σ df_train·df_eval, linear in the
+      // probe's df).
       // q94_lsh_forced: the LSH plan itself (no delegation) in a scheme
       // that prunes (12×6, retention 0.17) — the favorable-regime exponent
       // next to the registered q94, which now measures the delegated plan.
+      // q38_ivf_probe_only: probe-many half of the materialized index —
+      // no assignment pass, partition-pruned bucket reads.
       def run(): Long = q match {
         case "q34_ngram_jaccard" =>
           graft.operators.Dedup.ngramJaccard(
@@ -132,6 +202,15 @@ object ScaleCheck {
           graft.operators.Similarity.cosinePairsLsh(
             Tables.embeddings(spark, dir), "vec_id", "embedding",
             0.85, bands = 12, rows = 6, maxBackgroundRetention = 1.0).count()
+        case "q97_probe_growth" =>
+          graft.operators.Dedup.contamination(
+            Tables.documents(spark, src),
+            Tables.documents(spark, dir).filter(col("doc_id") % 20 === 0),
+            "doc_id", "text", 3, 3).count()
+        case "q38_ivf_probe_only" =>
+          graft.operators.Similarity.ivfTopKIndexed(spark, s"$dir/ivf_index",
+            Tables.embeddings(spark, dir).filter(col("vec_id") < 10),
+            "vec_id", "embedding", 10, 4).count()
         case _ => SparkEntry.queries(q)(spark, dir).count()
       }
       val t = (1 to 2).map { _ =>
