@@ -208,6 +208,25 @@ object Similarity {
       .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$path/centroids")
   }
 
+  /** Incremental third of the lifecycle: assign ONLY the new vectors
+    * against the saved (frozen) centroids and append them to the bucket
+    * table — the daily-ingest path. The existing corpus is never
+    * re-scanned: bucket membership depends only on the centroids, so
+    * append-then-probe is exactly a full rebuild over the union (spec-
+    * asserted). Retrain centroids and [[buildIvfIndex]] afresh only when
+    * drift degrades recall — that cadence is an offline decision, not a
+    * per-ingest cost.
+    */
+  def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      newVecs: DataFrame, idCol: String, vecCol: String): Unit = {
+    val cents = normCentroids(spark.read.parquet(s"$path/centroids"))
+    val base = newVecs.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("nrm", l2norm(col("v")))
+    graft.sources.TableSink.writePartitioned(
+      assignToBuckets(base, cents), s"$path/buckets", Seq("bucket"),
+      mode = org.apache.spark.sql.SaveMode.Append)
+  }
+
   /** Probe-many half: top-k for a fresh query batch against a saved
     * [[buildIvfIndex]] index. No corpus pass, no assignment join — the only
     * crossJoin is the query batch against the k-row centroid frame; the

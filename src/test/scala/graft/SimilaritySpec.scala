@@ -107,6 +107,26 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("IVF incremental append: new vectors join the index without a corpus re-scan") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cents = Similarity.kmeansCentroids(emb, "vec_id", "embedding", 16, 2)
+    // full rebuild over everything = the reference result
+    val full = java.nio.file.Files.createTempDirectory("graft_ivf_full").toString
+    Similarity.buildIvfIndex(emb, "vec_id", "embedding", cents, full)
+    // build on the old half, append the new half (the daily-ingest path)
+    val incr = java.nio.file.Files.createTempDirectory("graft_ivf_incr").toString
+    Similarity.buildIvfIndex(emb.filter(col("vec_id") % 2 === 0),
+      "vec_id", "embedding", cents, incr)
+    Similarity.appendToIvfIndex(spark, incr,
+      emb.filter(col("vec_id") % 2 === 1), "vec_id", "embedding")
+    val q = emb.filter(col("vec_id") < 10)
+    def probe(path: String) =
+      Similarity.ivfTopKIndexed(spark, path, q, "vec_id", "embedding", 10, 4)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(probe(incr) === probe(full),
+      "append-then-probe must equal a full rebuild: buckets depend only on the frozen centroids")
+  }
+
   test("cosinePairs is symmetric-free (id_a < id_b) and thresholded") {
     val vecs = Seq(
       (0L, Array(1f, 0f)), (1L, Array(1f, 0.01f)), (2L, Array(0f, 1f)))
