@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Dedup, Packing, Similarity}
+import graft.operators.{Dedup, Mixture, Packing, Similarity}
 import graft.functions.TextFns
 
 /** LLM-data-pipeline closure over `documents` and `embeddings` (north star,
@@ -781,6 +781,38 @@ object TextOps {
             FROM tf JOIN df USING (tok) CROSS JOIN n)
         SELECT doc_id, tok AS term, CAST(rnk AS INTEGER) rnk,
                CAST(tf AS BIGINT) tf, CAST(df AS BIGINT) df, score
-        FROM scored WHERE rnk <= 3 ORDER BY doc_id, rnk"""))
+        FROM scored WHERE rnk <= 3 ORDER BY doc_id, rnk""")),
+
+    // q104: temperature-based mixture resampling (α = 0.5) — per-source
+    // ⌊√mass⌋ weights split a 30% global token budget, documents admitted
+    // in id order under a two-phase per-source prefix sum. Every step
+    // integer-exact (⌊√⌋, long multiply, integer div), so even the budget
+    // boundaries hash-match the oracle. The mixture-rebalancing step a
+    // multi-source pretraining corpus runs after dedup.
+    QueryDef("q104_temperature_mix",
+      (s, d) => Mixture.temperatureSampleSummary(
+          docs(s, d), "doc_id", "source", "text", 3, 10)
+        .select(col("grp").as("source"), col("docs_kept"), col("toks_kept"),
+          col("budget_toks"))
+        .orderBy("source"),
+      Some(s"""WITH base AS (
+          SELECT doc_id, source, CAST(len($OToks) AS BIGINT) n FROM documents),
+        masses AS (SELECT source, CAST(sum(n) AS BIGINT) m FROM base GROUP BY 1),
+        wts AS (SELECT source, m, CAST(floor(sqrt(m)) AS BIGINT) w FROM masses),
+        tot AS (SELECT CAST(sum(m) AS BIGINT) tot, CAST(sum(w) AS BIGINT) wsum FROM wts),
+        budgets AS (
+          SELECT source, (w * ((tot * 3) // 10)) // wsum AS budget_toks
+          FROM wts, tot),
+        cum AS (
+          SELECT doc_id, source, n,
+            CAST(sum(n) OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) cum_toks
+          FROM base),
+        kept AS (
+          SELECT c.source, c.n, b.budget_toks
+          FROM cum c JOIN budgets b USING (source)
+          WHERE c.cum_toks <= b.budget_toks)
+        SELECT source, count(*) AS docs_kept, CAST(sum(n) AS BIGINT) AS toks_kept,
+          budget_toks
+        FROM kept GROUP BY source, budget_toks ORDER BY source"""))
   )
 }
