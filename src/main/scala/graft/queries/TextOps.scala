@@ -813,6 +813,69 @@ object TextOps {
           WHERE c.cum_toks <= b.budget_toks)
         SELECT source, count(*) AS docs_kept, CAST(sum(n) AS BIGINT) AS toks_kept,
           budget_toks
-        FROM kept GROUP BY source, budget_toks ORDER BY source"""))
+        FROM kept GROUP BY source, budget_toks ORDER BY source""")),
+
+    // q105: bloom-prefiltered incremental dedup — the daily-ingest step:
+    // even-id docs play yesterday's corpus, odd-id docs today's batch; a
+    // bloom filter over history fingerprints passes guaranteed-new docs
+    // through shuffle-free and only the maybe-seen sliver pays the exact
+    // anti-join. EXACT despite the sketch (bloom has no false negatives),
+    // so it hash-matches a plain NOT EXISTS oracle.
+    QueryDef("q105_incremental_dedup",
+      (s, d) => {
+        val dd = docs(s, d)
+        Dedup.incrementalNew(
+            dd.filter(col("doc_id") % 2 === 0),
+            dd.filter(col("doc_id") % 2 === 1),
+            lower(col("text")), expectedItems = 100000L, fpp = 0.01)
+          .select(col("doc_id"), col("fingerprint"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT b.doc_id, md5(lower(b.text)) AS fingerprint
+        FROM documents b
+        WHERE b.doc_id % 2 = 1 AND NOT EXISTS (
+          SELECT 1 FROM documents h
+          WHERE h.doc_id % 2 = 0 AND md5(lower(h.text)) = md5(lower(b.text)))
+        ORDER BY doc_id""")),
+
+    // q106: rare-bigram novelty scoring — the n-gram-LM quality-filter
+    // analog (CCNet-style perplexity gating, restated over exact corpus
+    // statistics so it oracles): per document, the fraction of bigram
+    // OCCURRENCES whose corpus document-frequency is 1. High ratio = novel
+    // or noisy text; low ratio = boilerplate. Map-side bigram explode with
+    // per-(doc,bigram) combine, a vocabulary-sized df aggregate, one
+    // bigram-keyed join (AQE broadcasts the df side when small), and a
+    // single long/long → double division (bit-portable, q78 lesson).
+    QueryDef("q106_rare_bigrams",
+      (s, d) => {
+        val toks = docs(s, d)
+          .select(col("doc_id"), TextFns.tokens(col("text")).as("t"))
+          .filter(size(col("t")) >= 2)
+        val big = toks.select(col("doc_id"),
+          explode(transform(sequence(lit(1), size(col("t")) - 1),
+            i => concat_ws(" ", element_at(col("t"), i),
+              element_at(col("t"), i + 1)))).as("bg"))
+        val occ = big.groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+        val df = occ.groupBy("bg").agg(count(lit(1)).as("df"))
+        occ.join(df, "bg")
+          .groupBy("doc_id")
+          .agg(sum("c").as("n_bigrams"),
+            sum(when(col("df") === 1, col("c")).otherwise(0L)).as("rare_bigrams"))
+          .withColumn("rare_ratio", col("rare_bigrams") / col("n_bigrams"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, $OToks t FROM documents),
+        big AS (
+          SELECT doc_id,
+            unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) bg
+          FROM toks WHERE len(t) >= 2),
+        occ AS (SELECT doc_id, bg, count(*) c FROM big GROUP BY 1, 2),
+        df AS (SELECT bg, count(*) df FROM occ GROUP BY 1)
+        SELECT o.doc_id, CAST(sum(o.c) AS BIGINT) n_bigrams,
+          CAST(sum(CASE WHEN d.df = 1 THEN o.c ELSE 0 END) AS BIGINT) rare_bigrams,
+          CAST(sum(CASE WHEN d.df = 1 THEN o.c ELSE 0 END) AS BIGINT)
+            / CAST(sum(o.c) AS BIGINT) AS rare_ratio
+        FROM occ o JOIN df d USING (bg)
+        GROUP BY o.doc_id ORDER BY o.doc_id"""))
   )
 }

@@ -86,4 +86,57 @@ class DedupSpec extends SparkSpec {
     } yield (a, b)).toSet
     assert(viaBanding === bruteForce, "pigeonhole banding must have perfect recall")
   }
+
+  test("incrementalNew is exact: equals the plain anti-join, bloom in the plan") {
+    // 200 history docs; a 300-doc batch where every third doc repeats a
+    // history text (the duplicates the bloom must never miss)
+    // through parquet, not toDF: on a LocalRelation the optimizer folds the
+    // bloom probe away driver-side (still correct, but the plan assert
+    // below would see nothing)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_incr").toString
+    (0L until 200L).map(i => (i, s"history document number $i"))
+      .toDF("doc_id", "text").write.parquet(s"$tmp/history")
+    (200L until 500L).map { i =>
+      val t = if (i % 3 == 0) s"history document number ${i % 200}"
+      else s"fresh document number $i"
+      (i, t)
+    }.toDF("doc_id", "text").write.parquet(s"$tmp/batch")
+    val history = spark.read.parquet(s"$tmp/history")
+    val batch = spark.read.parquet(s"$tmp/batch")
+    val out = Dedup.incrementalNew(history, batch, lower(col("text")), 10000L)
+    val expected = batch.withColumn("fingerprint", md5(lower(col("text"))))
+      .join(history.select(md5(lower(col("text"))).as("fingerprint")),
+        Seq("fingerprint"), "left_anti")
+      .select("doc_id").as[Long].collect().toSet
+    assert(out.select("doc_id").as[Long].collect().toSet === expected)
+    assert(out.count() === expected.size,
+      "no document may be admitted twice (sure-new and verified overlap)")
+    // every history-duplicated batch doc is dropped (no false negatives)
+    assert(!out.select("doc_id").as[Long].collect().exists(_ % 3 == 0))
+    // the fast path is real: the bloom probe appears in the executed plan
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("bloommightcontain"),
+      s"expected a bloom probe in the plan:\n$plan")
+  }
+
+  test("incrementalNew self-protects: oversized filter delegates to exact join") {
+    val history = (0L until 50L).map(i => (i, s"h$i")).toDF("doc_id", "text")
+    val batch = (50L until 100L).map(i => (i, if (i % 2 == 0) s"h${i - 50}" else s"b$i"))
+      .toDF("doc_id", "text")
+    val small = Dedup.incrementalNew(history, batch, col("text"), 50L)
+      .select("doc_id").as[Long].collect().toSet
+    // a budget the optimal filter cannot fit -> plain anti-join, same result
+    val delegated = Dedup.incrementalNew(history, batch, col("text"),
+      expectedItems = 1L << 40, maxBloomBytes = 1024)
+    assert(delegated.select("doc_id").as[Long].collect().toSet === small)
+    assert(!delegated.queryExecution.executedPlan.toString
+      .toLowerCase.contains("bloommightcontain"))
+  }
+
+  test("incrementalNew with empty history admits the whole batch") {
+    val history = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val batch = (0L until 10L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    assert(Dedup.incrementalNew(history, batch, col("text"), 100L)
+      .count() === 10L)
+  }
 }
