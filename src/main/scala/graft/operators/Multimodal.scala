@@ -289,6 +289,76 @@ object Multimodal {
     }(enc)
   }
 
+  /** Perceptual difference-hash (dHash) over decoded rasters: decode →
+    * nearest-neighbor resample to a (gridW+1)×gridH grid → integer
+    * grayscale `(r+g+b) div 3` → one bit per grid cell, `bit(x,y) =
+    * gray(x+1,y) > gray(x,y)` at index `y·gridW + x`. Near-duplicate
+    * images (re-encodes, small edits, minor noise) land within a few bits
+    * of hamming distance; the standard image-dedup fingerprint.
+    *
+    * The 64 bits ship as two unsigned 32-bit halves `(h_hi, h_lo)` — no
+    * sign-bit games, and a SQL engine can recompute both halves of a
+    * synthetic image's hash from the pixel formula (q107's oracle). All
+    * map-side: pixels never shuffle, one row out per image.
+    */
+  def dhash(media: DataFrame, gridW: Int = 8, gridH: Int = 8): DataFrame = {
+    require(gridW * gridH == 64, "dHash is a 64-bit fingerprint: gridW*gridH == 64")
+    val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("h_hi", LongType),
+      StructField("h_lo", LongType))))
+    media.select("media_id", "payload").mapPartitions { it =>
+      it.map { r =>
+        val g = PpmCodec.resizeNearest(
+          PpmCodec.decode(r.getAs[Array[Byte]](1)), gridW + 1, gridH)
+        def gray(x: Int, y: Int): Int = {
+          val s = (y * (gridW + 1) + x) * 3
+          ((g.pixels(s) & 0xff) + (g.pixels(s + 1) & 0xff) +
+            (g.pixels(s + 2) & 0xff)) / 3
+        }
+        var hash = 0L
+        var y = 0
+        while (y < gridH) {
+          var x = 0
+          while (x < gridW) {
+            if (gray(x + 1, y) > gray(x, y))
+              hash |= 1L << (y * gridW + x)
+            x += 1
+          }
+          y += 1
+        }
+        Row(r.getLong(0), hash >>> 32, hash & 0xffffffffL)
+      }
+    }(enc)
+  }
+
+  /** Image near-duplicate pairs by dHash hamming distance ≤ `maxHamming`,
+    * candidates by pigeonhole banding over the 64-bit hash (maxHamming+1
+    * blocks: any pair within budget agrees on ≥1 whole block — perfect
+    * recall, equi-join candidate generation, no all-pairs compare). The
+    * image twin of [[Dedup.simHashPairs]].
+    */
+  def dhashPairs(hashes: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 7, "need 0 <= maxHamming <= 7")
+    val nBlocks = maxHamming + 1
+    val blockBits = 64 / nBlocks
+    val full = hashes.select(col("media_id").as("id"),
+      (shiftleft(col("h_hi"), 32).bitwiseOR(col("h_lo"))).as("dh"))
+    val blocks = full.select(col("id"), col("dh"),
+        explode(sequence(lit(0), lit(nBlocks - 1))).as("blk"))
+      .withColumn("bval",
+        call_function("shiftrightunsigned", col("dh"), col("blk") * blockBits)
+          .bitwiseAND(if (blockBits == 64) lit(-1L)
+            else lit((1L << blockBits) - 1)))
+    blocks.as("x").join(blocks.as("y"),
+        col("x.blk") === col("y.blk") && col("x.bval") === col("y.bval") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        bit_count(col("x.dh").bitwiseXOR(col("y.dh"))).as("hamming"))
+      .dropDuplicates("id_a", "id_b")
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Byte-statistics embedding for opaque (non-PPM) payloads — a real
     * byte-level feature, kept for formats whose decoders are external
     * libraries; the raster path above decodes for real.

@@ -88,6 +88,39 @@ object EtlOps {
           CAST(sum(CASE WHEN i % 16 > 0 AND (v < 0) <> (pv < 0) THEN 1 ELSE 0 END) AS BIGINT) AS zc
         FROM w GROUP BY doc_id, frame_idx ORDER BY doc_id, frame_idx""")),
 
+    // q107: perceptual image hash (dHash) through the REAL raster codec —
+    // synthesize a 16×12 P6 image per document (md5-formula pixels), decode,
+    // nearest-neighbor resample to the 9×8 dHash grid, integer grayscale,
+    // adjacent-column comparison bits → two unsigned 32-bit halves. The
+    // oracle recomputes every grid pixel from the generating formula at the
+    // resample's floor-mapped source coordinates (sx = gx·16 div 9,
+    // sy = gy·12 div 8), so a resize off-by-one, a channel-order bug, or a
+    // bit-index flip all hash-mismatch. The image-dedup fingerprint;
+    // near-dup pairing over it is MultimodalSpec's planted-duplicate case.
+    QueryDef("q107_image_dhash",
+      (s, d) => {
+        val media = Multimodal.syntheticPpm(Tables.documents(s, d), "doc_id", 16, 12)
+        Multimodal.dhash(media, 8, 8)
+          .select(col("media_id").as("doc_id"), col("h_hi"), col("h_lo"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH grid AS (
+          SELECT d.doc_id, gx.x, gy.y, CAST(sum(
+              ('0x'||substr(md5(CAST(d.doc_id AS VARCHAR)||':'||CAST(gx.x*16//9 AS VARCHAR)||':'||CAST(gy.y*12//8 AS VARCHAR)||':'||CAST(gc.c AS VARCHAR)),1,8))::BIGINT % 256
+            ) // 3 AS BIGINT) gray
+          FROM documents d, generate_series(0,8) AS gx(x),
+               generate_series(0,7) AS gy(y), generate_series(0,2) AS gc(c)
+          GROUP BY d.doc_id, gx.x, gy.y),
+        bits AS (
+          SELECT a.doc_id, a.y*8 + a.x AS idx,
+                 CASE WHEN b.gray > a.gray THEN 1 ELSE 0 END AS bit
+          FROM grid a JOIN grid b ON b.doc_id = a.doc_id AND b.y = a.y AND b.x = a.x + 1
+          WHERE a.x < 8)
+        SELECT doc_id,
+          CAST(sum(CASE WHEN idx >= 32 THEN bit * (1::BIGINT << (idx - 32)) ELSE 0 END) AS BIGINT) h_hi,
+          CAST(sum(CASE WHEN idx < 32 THEN bit * (1::BIGINT << idx) ELSE 0 END) AS BIGINT) h_lo
+        FROM bits GROUP BY doc_id ORDER BY doc_id""")),
+
     // q42: Aggregator UDAF — quantity-weighted mean discount per flag.
     // Partial+final merge like built-in avg: one two-double buffer per
     // group shuffles, nothing else.

@@ -188,4 +188,55 @@ class MultimodalSpec extends SparkSpec {
       yield hash32(s"1:${x * 2}:${y * 2}:$c") % 256).sum
     assert(stats.getLong(3) === expect)
   }
+
+  // controlled raster corpus for the dHash cases: a horizontal gradient
+  // (strictly increasing gray, wide margins), a lightly-noised copy of it
+  // (the near-duplicate a re-encode or lossy pass produces), and the
+  // reversed gradient (structurally opposite)
+  private def gradientImage(w: Int, h: Int, reverse: Boolean, noise: Int): Array[Byte] = {
+    val px = new Array[Byte](w * h * 3)
+    for (y <- 0 until h; x <- 0 until w; c <- 0 until 3) {
+      val base = if (reverse) (w - 1 - x) * 20 else x * 20
+      val v = math.min(255, base + (if ((x + y + c) % 5 == 0) noise else 0))
+      px((y * w + x) * 3 + c) = v.toByte
+    }
+    px
+  }
+
+  test("dhash: identical images collide, near-dups are close, reversed gradients far") {
+    val imgs = Seq(
+      (1L, gradientImage(16, 12, reverse = false, noise = 0)),
+      (2L, gradientImage(16, 12, reverse = false, noise = 1)), // near-dup of 1
+      (3L, gradientImage(16, 12, reverse = true, noise = 0)),  // opposite structure
+      (4L, gradientImage(16, 12, reverse = false, noise = 0))  // exact dup of 1
+    ).map { case (id, px) =>
+      (id, "image/ppm", PpmCodec.encode(PpmCodec.Image(16, 12, px)), 16, 12)
+    }.toDF("media_id", "kind", "payload", "width", "height")
+    val h = Multimodal.dhash(imgs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1) << 32) | r.getLong(2))).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(h(1L) === h(4L), "bit-identical images must collide")
+    assert(ham(h(1L), h(2L)) <= 3, "±1 channel noise on wide-margin gradients stays within budget")
+    assert(ham(h(1L), h(3L)) > 20, "reversed gradient flips most comparison bits")
+    // a gradient increasing in x has every comparison bit set
+    assert(h(1L) === -1L, "strictly increasing gray ⇒ all 64 dHash bits set")
+  }
+
+  test("dhashPairs pigeonhole banding has perfect recall vs brute force") {
+    val imgs = (0L until 12L).map { i =>
+      val px = gradientImage(16, 12, reverse = i % 3 == 2, noise = (i % 4).toInt)
+      (i, "image/ppm", PpmCodec.encode(PpmCodec.Image(16, 12, px)), 16, 12)
+    }.toDF("media_id", "kind", "payload", "width", "height")
+    val hashes = Multimodal.dhash(imgs)
+    val viaBanding = Multimodal.dhashPairs(hashes, 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val h = hashes.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1) << 32) | r.getLong(2))).toMap
+    val brute = (for {
+      a <- h.keys; b <- h.keys if a < b
+      if java.lang.Long.bitCount(h(a) ^ h(b)) <= 3
+    } yield (a, b)).toSet
+    assert(viaBanding === brute, "banding must find every pair within the hamming budget")
+    assert(brute.nonEmpty, "corpus must actually contain near-dup pairs for this test to bite")
+  }
 }
