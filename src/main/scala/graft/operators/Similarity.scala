@@ -376,5 +376,44 @@ object Similarity {
       .select("id_a", "id_b", "cos")
   }
 
+  /** SemDeDup-style semantic dedup (cluster-then-prune; Abbas et al. 2023,
+    * arXiv:2303.09540): k-means the corpus into `k` semantic clusters,
+    * then WITHIN each cluster drop every vector that has a higher-priority
+    * neighbor at cosine ≥ `threshold` (priority = lowest id — the paper
+    * keeps one representative per ε-ball; lowest-id is the deterministic,
+    * re-run-stable choice of representative). Cross-cluster near-dups are
+    * deliberately out of scope — that approximation is the entire point:
+    * it shrinks the candidate space from O(n²) to Σ|cluster|².
+    *
+    * Scale posture: clustering is [[kmeansCentroids]] (broadcast assign +
+    * mergeable centroid UDAF per round); the intra-cluster pair join is
+    * keyed on (bucket, grid-cell) — the [[cosinePairs]] blocked-grid
+    * refinement APPLIED PER CLUSTER, so one mega-cluster (skewed data) still
+    * spreads its |c|² pair-work across `blocks`² reducers instead of one.
+    * Output: the SURVIVORS (id, bucket), one row per kept vector.
+    */
+  def semDedup(vecs: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, k: Int, iters: Int = 2, blocks: Int = 4): DataFrame = {
+    val cents = normCentroids(kmeansCentroids(vecs, idCol, vecCol, k, iters))
+    val base = vecs.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("nrm", l2norm(col("v")))
+    val assigned = Checkpoints.cut(assignToBuckets(base, cents))
+    val withCell = assigned.withColumn("g", pmod(col("id"), lit(blocks)).cast("int"))
+    val grid = sequence(lit(0), lit(blocks - 1))
+    val x = withCell.withColumn("cb", explode(grid))
+      .repartition(blocks * blocks, col("bucket"), col("g"), col("cb")).as("x")
+    val y = withCell.withColumn("ca", explode(grid))
+      .repartition(blocks * blocks, col("bucket"), col("ca"), col("g")).as("y")
+    val dropped = x.join(y,
+        col("x.bucket") === col("y.bucket") &&
+          col("x.g") === col("y.ca") && col("x.cb") === col("y.g") &&
+          col("x.id") < col("y.id"))
+      .filter(cosine(col("x.v"), col("y.v"), col("x.nrm"), col("y.nrm"))
+        >= threshold)
+      .select(col("y.id").as("id")).distinct()
+    assigned.join(dropped, Seq("id"), "left_anti")
+      .select(col("id"), col("bucket"))
+  }
+
   private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 }

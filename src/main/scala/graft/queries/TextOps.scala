@@ -876,6 +876,18 @@ object TextOps {
           CAST(sum(CASE WHEN d.df = 1 THEN o.c ELSE 0 END) AS BIGINT)
             / CAST(sum(o.c) AS BIGINT) AS rare_ratio
         FROM occ o JOIN df d USING (bg)
-        GROUP BY o.doc_id ORDER BY o.doc_id"""))
+        GROUP BY o.doc_id ORDER BY o.doc_id""")),
+
+    // q108: SemDeDup — semantic (embedding-space) dedup: k-means clusters,
+    // then drop any vector with a lower-id neighbor at cos ≥ 0.5 inside its
+    // cluster; intra-cluster pair-work spread per (bucket, grid-cell).
+    // Rows-only by design (k-means is not SQL-expressible); exactness on
+    // planted duplicate structure is SimilaritySpec's semDedup case.
+    QueryDef("q108_semdedup",
+      (s, d) => Similarity.semDedup(emb(s, d), "vec_id", "embedding",
+          threshold = 0.5, k = 8, iters = 2)
+        .select(col("id").as("vec_id"), col("bucket"))
+        .orderBy("vec_id"),
+      None)
   )
 }

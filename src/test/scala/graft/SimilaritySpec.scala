@@ -279,4 +279,45 @@ class SimilaritySpec extends SparkSpec {
     assert(candidates < n * (n - 1) / 2 / 2,
       s"banding must prune > half the ${n * (n - 1) / 2} background pairs, kept $candidates")
   }
+
+  test("semDedup drops exactly the planted in-cluster near-dups, keeps lowest ids") {
+    // three orthogonal cluster directions; ids 0..2 are the bases (and the
+    // k-means seeds), so Lloyd converges onto the true clusters. Planted:
+    // exact copies (cos 1), near copies (cos ≈ 0.9999), and same-cluster
+    // distinct members below the 0.95 threshold (cos ≈ 0.71).
+    def v(a: Float, b: Float, c: Float, d: Float) = Array(a, b, c, d)
+    val vecs = Seq(
+      0L -> v(1, 0, 0, 0), 1L -> v(0, 1, 0, 0), 2L -> v(0, 0, 1, 0),
+      10L -> v(1, 0, 0, 0),          // exact dup of 0 -> drop
+      11L -> v(0.999f, 0.04f, 0, 0), // near dup of 0 -> drop
+      12L -> v(0.7f, 0, 0.7f, 0),    // cluster-0ish but cos 0.7 -> keep
+      20L -> v(0, 1, 0, 0),          // exact dup of 1 -> drop
+      21L -> v(0, 0.7f, 0, 0.7f)     // below threshold -> keep
+    ).map { case (id, arr) => (id, arr.toSeq) }.toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        col("embedding").cast("array<float>").as("embedding"))
+    val kept = Similarity.semDedup(vecs, "vec_id", "embedding",
+        threshold = 0.95, k = 3, iters = 2)
+      .select("id").as[Long].collect().toSet
+    assert(kept === Set(0L, 1L, 2L, 12L, 21L))
+  }
+
+  test("semDedup survivors are unique and pruning is cluster-local") {
+    // two tight clusters far apart: every member of each cluster is within
+    // threshold of its base -> exactly one survivor per cluster (lowest id)
+    def near(base: Array[Float], eps: Float, slot: Int) = {
+      val a = base.clone(); a(slot) = a(slot) + eps; a
+    }
+    val a0 = Array(1f, 0f, 0f, 0f); val b0 = Array(0f, 0f, 1f, 0f)
+    val vecs = (
+      (0 until 5).map(i => (i.toLong, near(a0, i * 0.001f, 1).toSeq)) ++
+        (10 until 15).map(i => (i.toLong, near(b0, (i - 10) * 0.001f, 3).toSeq))
+      ).toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        col("embedding").cast("array<float>").as("embedding"))
+    val kept = Similarity.semDedup(vecs, "vec_id", "embedding",
+        threshold = 0.99, k = 2, iters = 2)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(kept === Seq(0L, 10L), "one lowest-id representative per semantic cluster")
+  }
 }
