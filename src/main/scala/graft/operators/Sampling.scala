@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+
+/** Weighted corpus subsampling for training-data curation.
+  *
+  * [[prioritySample]] is Duffield–Lund–Thorup priority sampling (JACM 54(6),
+  * 2007): each item draws a deterministic pseudo-uniform `u` from a salted
+  * md5 of its id, gets priority `q = w / u`, and the sample is the top-k by
+  * priority. The (k+1)-th priority τ yields the unbiased weight estimator
+  * `ŵ = max(w, τ)` — Σŵ over the sample estimates Σw over the corpus with
+  * variance optimal among k-sample estimators, which is what a
+  * quality-weighted corpus subsample owes downstream mixture accounting
+  * (the q104 temperature resampler solves the per-SOURCE budget problem;
+  * this solves the per-DOCUMENT one).
+  *
+  * Scale posture: priorities are map-side column math; the top-k is a
+  * TakeOrderedAndProject (per-partition heaps + a k-row driver merge), so
+  * the corpus is never globally sorted and never shuffles. The only window
+  * runs over the ≤ k+1 surviving rows.
+  *
+  * Oracle portability: the pseudo-uniform is `u/2³²` with integer `u`
+  * (md5-derived, [1, 2³²]), so `q = w/(u/2³²)` is computed as the LONG
+  * numerator `w·2³²` divided by `u` — ONE correctly-rounded IEEE division
+  * of exactly-representable integers, bit-identical in any engine (the q31
+  * lesson) — and the selected set, priorities, and estimators hash-match.
+  */
+object Sampling {
+
+  /** Top-`k` priority sample of `df` by integer weight `weightCol`.
+    * Output: (id, weight, priority, est_weight), the DLT estimator
+    * `est_weight = max(weight, τ)` with τ = (k+1)-th priority (0 when the
+    * corpus has ≤ k rows — then the sample is exhaustive and ŵ = w).
+    * Ties (same priority) break by id: impossible for distinct (w, u)
+    * pairs to collide in practice, but the determinism is free.
+    */
+  def prioritySample(df: DataFrame, idCol: String, weightCol: String,
+      k: Int, salt: String = "prio"): DataFrame = {
+    require(k > 0, "need positive sample size k")
+    val base = df.select(col(idCol).as("id"),
+        col(weightCol).cast("long").as("weight"))
+      .withColumn("u",
+        TextFns.hash32(concat(lit(salt + ":"), col("id"))) + lit(1L))
+      .withColumn("priority",
+        (col("weight") * lit(4294967296L)).cast("double") /
+          col("u").cast("double"))
+    // top k+1 — TakeOrderedAndProject; the +1 row exists only to expose τ
+    val top = base.orderBy(col("priority").desc, col("id")).limit(k + 1)
+    val rn = row_number().over(
+      Window.orderBy(col("priority").desc, col("id")))
+    top.withColumn("rn", rn)
+      .withColumn("tau",
+        max(when(col("rn") === k + 1, col("priority")))
+          .over(Window.partitionBy(lit(1))))
+      .filter(col("rn") <= k)
+      .select(col("id"), col("weight"), col("priority"),
+        greatest(col("weight").cast("double"),
+          coalesce(col("tau"), lit(0.0))).as("est_weight"))
+  }
+}

@@ -4,8 +4,8 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Dedup, Mixture, Packing, Similarity}
-import graft.functions.TextFns
+import graft.operators.{Dedup, Mixture, Packing, Sampling, Similarity}
+import graft.functions.{SketchExpressions, TextFns}
 
 /** LLM-data-pipeline closure over `documents` and `embeddings` (north star,
   * /root/repo/BASELINE.json): dedup (exact, MinHash-LSH, SimHash, exact
@@ -888,6 +888,98 @@ object TextOps {
           threshold = 0.5, k = 8, iters = 2)
         .select(col("id").as("vec_id"), col("bucket"))
         .orderBy("vec_id"),
-      None)
+      None),
+
+    // q109: Duffield–Lund–Thorup priority sampling — deterministic
+    // quality-weighted corpus subsample (k=20 by n_chars) with the
+    // unbiased max(w, τ) weight estimator. Priorities are ONE
+    // correctly-rounded long/long division (bit-portable, q31 lesson);
+    // the top-k is TakeOrderedAndProject so the corpus never globally
+    // sorts; the only window runs over the k+1 surviving rows.
+    QueryDef("q109_priority_sample",
+      (s, d) => Sampling.prioritySample(docs(s, d), "doc_id", "n_chars", 20)
+        .select(col("id").as("doc_id"), col("weight"),
+          col("priority"), col("est_weight"))
+        .orderBy("doc_id"),
+      Some("""WITH w AS (SELECT doc_id, n_chars AS weight,
+            ('0x' || substr(md5('prio:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 1 AS u
+          FROM documents),
+        p AS (SELECT doc_id, weight,
+                (weight * 4294967296)::DOUBLE / u::DOUBLE AS priority FROM w),
+        r AS (SELECT doc_id, weight, priority,
+                row_number() OVER (ORDER BY priority DESC, doc_id) rn FROM p),
+        t AS (SELECT max(CASE WHEN rn = 21 THEN priority END) AS tau FROM r)
+        SELECT doc_id, weight, priority,
+          greatest(weight::DOUBLE, coalesce(tau, 0.0)) AS est_weight
+        FROM r, t WHERE rn <= 20 ORDER BY doc_id""")),
+
+    // q110: count-min sketch point frequencies — Spark's codegen'd
+    // count_min_sketch aggregate over the token stream (ε=1e-4 → width
+    // 20000, conf 0.9999 → depth 10, fixed seed) probed PLAN-SIDE by the
+    // CmsEstimate expression: no driver collect anywhere. On this corpus
+    // the estimates are provably exact — 31-token vocabulary vs 20000
+    // counters/row puts P(a token collides in all 10 rows) below 1e-28 —
+    // so the oracle states true counts and the hash-match verifies
+    // build + serialization + probe end-to-end; the ε·N error bound
+    // itself is CountMinSketchSpec's contract.
+    QueryDef("q110_cms_frequency",
+      (s, d) => {
+        import s.implicits._
+        val probes = Seq("join", "hash", "row", "the", "a", "query",
+          "dup", "zzz_absent")
+        val sk = docs(s, d)
+          .select(explode(TextFns.tokens(col("text"))).as("tok"))
+          .agg(count_min_sketch(col("tok"), lit(0.0001d), lit(0.9999d),
+            lit(42)).as("cms"))
+        probes.toDF("token").crossJoin(broadcast(sk))
+          .select(col("token"),
+            SketchExpressions.cmsEstimate(s, col("cms"), col("token"))
+              .as("est_count"))
+          .orderBy("token")
+      },
+      Some(s"""WITH tf AS (SELECT tok, CAST(count(*) AS BIGINT) c FROM (
+            SELECT unnest($OToks) tok FROM documents) GROUP BY tok)
+        SELECT p.token, coalesce(tf.c, 0) AS est_count
+        FROM (VALUES ('join'),('hash'),('row'),('the'),('a'),('query'),
+              ('dup'),('zzz_absent')) p(token)
+        LEFT JOIN tf ON tf.tok = p.token
+        ORDER BY token""")),
+
+    // q111: cross-document duplicated-span scrubbing — the scalable
+    // restatement of suffix-array substring dedup (Lee et al. ACL 2022) /
+    // CCNet paragraph dedup: 16-token spans, corpus-wide distinct-doc
+    // counts on the 60-bit span hash (one combine shuffle), every
+    // occurrence of a span shared by ≥2 docs dropped, survivors
+    // reassembled in order. Whole-doc dedup drops documents; this scrubs
+    // boilerplate INSIDE them. Intra-doc repetition is deliberately kept
+    // (that signal is q96's).
+    QueryDef("q111_span_scrub",
+      (s, d) => Dedup.spanScrub(docs(s, d), "doc_id", "text", 16)
+        .select(col("id").as("doc_id"), col("n_spans"), col("dropped_spans"),
+          col("dropped_tokens"), col("kept_tokens"), col("clean_text"))
+        .orderBy("doc_id"),
+      Some(s"""WITH x AS (SELECT doc_id, $OToks t FROM documents),
+        sp AS (SELECT doc_id, t,
+                CAST(unnest(generate_series(0, CAST(ceil(len(t) / 16.0) AS INTEGER) - 1)) AS INTEGER) i
+              FROM x WHERE len(t) > 0),
+        g AS (SELECT doc_id, i,
+                array_to_string(list_slice(t, i*16 + 1, i*16 + 16), ' ') seg,
+                len(list_slice(t, i*16 + 1, i*16 + 16)) stok
+              FROM sp),
+        c AS (SELECT seg, count(DISTINCT doc_id) ndocs FROM g GROUP BY 1),
+        j AS (SELECT g.doc_id, g.i, g.seg, g.stok, c.ndocs
+              FROM g JOIN c USING (seg)),
+        a AS (SELECT doc_id, CAST(count(*) AS BIGINT) n_spans,
+                CAST(sum(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT) dropped_spans,
+                CAST(sum(CASE WHEN ndocs > 1 THEN stok ELSE 0 END) AS BIGINT) dropped_tokens,
+                CAST(sum(CASE WHEN ndocs = 1 THEN stok ELSE 0 END) AS BIGINT) kept_tokens,
+                string_agg(CASE WHEN ndocs = 1 THEN seg END, ' ' ORDER BY i) clean_text
+              FROM j GROUP BY doc_id)
+        SELECT d.doc_id, coalesce(n_spans, 0) AS n_spans,
+          coalesce(dropped_spans, 0) AS dropped_spans,
+          coalesce(dropped_tokens, 0) AS dropped_tokens,
+          coalesce(kept_tokens, 0) AS kept_tokens,
+          coalesce(clean_text, '') AS clean_text
+        FROM documents d LEFT JOIN a USING (doc_id) ORDER BY doc_id"""))
   )
 }

@@ -73,4 +73,29 @@ class CountMinSketchSpec extends SparkSpec {
       assert(est >= c && est <= c + math.ceil(0.005 * corpus.size).toLong)
     }
   }
+
+  test("CmsEstimate probes the sketch plan-side, matching driver-side estimates") {
+    import spark.implicits._
+    val sk = df.agg(
+      count_min_sketch(col("tok"), lit(0.005d), lit(0.9999d), lit(42)).as("s"))
+    val probes = (1 to 50).map(k => s"tok$k") :+ "never-seen"
+    val est = probes.toDF("token")
+      .crossJoin(broadcast(sk))
+      .select(col("token"),
+        graft.functions.SketchExpressions.cmsEstimate(
+          spark, col("s"), col("token")).as("est"))
+      .as[(String, Long)].collect().toMap
+    val driverSide = sketchOf(df)
+    probes.foreach { p =>
+      assert(est(p) === driverSide.estimateCount(p),
+        s"plan-side estimate for $p diverges from CountMinSketch.estimateCount")
+    }
+    // and no collect hides in the plan: the probe is a broadcast join over
+    // the one-row aggregate
+    val plan = probes.toDF("token").crossJoin(broadcast(sk))
+      .select(graft.functions.SketchExpressions.cmsEstimate(
+        spark, col("s"), col("token"))).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("Broadcast"),
+      s"expected broadcast probe plan:\n$plan")
+  }
 }

@@ -139,4 +139,58 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.incrementalNew(history, batch, col("text"), 100L)
       .count() === 10L)
   }
+
+  // --- spanScrub: cross-document duplicated-span removal ---
+
+  private def words(prefix: String, n: Int): String =
+    (1 to n).map(i => s"$prefix$i").mkString(" ")
+
+  test("spanScrub drops exactly the cross-doc spans and reassembles in order") {
+    val boiler = words("b", 4) // a shared 4-token block = one span at span=4
+    val corpus = Seq(
+      (1L, s"${words("x", 4)} $boiler ${words("y", 4)}"),
+      (2L, s"${words("z", 4)} $boiler ${words("v", 4)}"),
+      (3L, words("solo", 8))
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanScrub(corpus, "doc_id", "text", 4)
+      .select("id", "n_spans", "dropped_spans", "dropped_tokens",
+        "kept_tokens", "clean_text")
+      .as[(Long, Long, Long, Long, Long, String)].collect()
+      .sortBy(_._1)
+    assert(out(0) === ((1L, 3L, 1L, 4L, 8L, s"${words("x", 4)} ${words("y", 4)}")))
+    assert(out(1) === ((2L, 3L, 1L, 4L, 8L, s"${words("z", 4)} ${words("v", 4)}")))
+    assert(out(2) === ((3L, 2L, 0L, 0L, 8L, words("solo", 8))))
+  }
+
+  test("spanScrub keeps intra-doc repetition (distinct-doc count, not occurrences)") {
+    val rep = words("r", 4)
+    val corpus = Seq((1L, s"$rep $rep ${words("u", 4)}")).toDF("doc_id", "text")
+    val out = Dedup.spanScrub(corpus, "doc_id", "text", 4)
+      .select("dropped_spans", "clean_text")
+      .as[(Long, String)].head()
+    assert(out === ((0L, s"$rep $rep ${words("u", 4)}")))
+  }
+
+  test("spanScrub conserves tokens and passes empty/short docs through") {
+    val corpus = Seq(
+      (1L, ""), // zero tokens
+      (2L, "one"), // sub-span doc
+      (3L, words("a", 10)), // ragged tail span
+      (4L, words("a", 10)) // full dup of 3 -> everything dropped
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanScrub(corpus, "doc_id", "text", 4)
+      .select("id", "n_spans", "dropped_tokens", "kept_tokens", "clean_text")
+      .as[(Long, Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(out(0) === ((1L, 0L, 0L, 0L, "")))
+    assert(out(1) === ((2L, 1L, 0L, 1L, "one")))
+    assert(out(2) === ((3L, 3L, 10L, 0L, "")), "full dup must scrub to empty")
+    assert(out(3) === ((4L, 3L, 10L, 0L, "")))
+    // conservation: kept + dropped == token count, every doc
+    out.foreach { case (id, _, drop, kept, _) =>
+      val n = corpus.where(col("doc_id") === id)
+        .select(size(graft.functions.TextFns.tokens(col("text"))))
+        .as[Int].head()
+      assert(drop + kept === n.toLong, s"token leak in doc $id")
+    }
+  }
 }
