@@ -102,6 +102,48 @@ object Packing {
       sum("straddle").as("split_docs"))
   }
 
+  /** Deterministic seeded corpus shuffle: a reproducible global training
+    * order. Each document gets a portable 32-bit hash of `seed:id`
+    * (TextFns.hash32, md5-derived so an external consumer — or the DuckDB
+    * oracle — can recompute it), and `pos` is the document's contiguous
+    * 0-based rank in `(h, id)` order: the order a trainer reads shards in.
+    *
+    * Scale posture: positions come from the same two-phase scheme as
+    * [[packSequences]] — NO global-window `row_number` over the corpus.
+    * Documents bucket by quantile cut points on `h` (monotone in `h`, so
+    * bucket order extends hash order; ±0.1% rank error only moves bucket
+    * BOUNDARIES, never changes `pos`), per-bucket counts roll into running
+    * offsets in one `buckets`-row window, and within-bucket ranks run
+    * partition-parallel. Re-running with the same seed reproduces the
+    * permutation bit-for-bit on any cluster size — the property that makes
+    * a training run resumable and an ablation comparable.
+    */
+  def deterministicShuffle(docs: DataFrame, idCol: String, seed: String,
+      buckets: Int = 32): DataFrame = {
+    require(buckets > 0, "need positive buckets")
+    val base = docs.select(col(idCol).cast("long").as("id"))
+      .withColumn("h", TextFns.hash32(concat(lit(seed + ":"), col("id"))))
+    if (base.head(1).isEmpty)
+      return base.withColumn("pos", lit(0L)).limit(0)
+    val cuts = if (buckets > 1) base.stat.approxQuantile("h",
+      (1 until buckets).map(_.toDouble / buckets).toArray, 1e-3)
+    else Array.empty[Double]
+    val bucketed = base.withColumn("b",
+      cuts.map(c => when(col("h") >= lit(c), 1L).otherwise(0L))
+        .reduceOption(_ + _).getOrElse(lit(0L)))
+    // phase 1: per-bucket counts → running offsets (buckets rows, tiny)
+    val offsets = bucketed.groupBy("b").agg(count(lit(1)).as("bn"))
+      .withColumn("off", coalesce(sum(col("bn")).over(
+        Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("b", "off")
+    // phase 2: within-bucket rank (partition-parallel) + bucket offset
+    bucketed.join(broadcast(offsets), "b")
+      .withColumn("pos",
+        row_number().over(Window.partitionBy("b").orderBy("h", "id"))
+          .cast("long") - 1L + col("off"))
+      .select("id", "h", "pos")
+  }
+
   /** Monotone-in-id bucket assignment over (id, n) rows: internal cut
     * points at ranks 1/buckets .. (buckets-1)/buckets from approxQuantile
     * (±0.1% rank error), then `b = #{cut points <= id}` — a codegen'd sum

@@ -980,6 +980,120 @@ object TextOps {
           coalesce(dropped_tokens, 0) AS dropped_tokens,
           coalesce(kept_tokens, 0) AS kept_tokens,
           coalesce(clean_text, '') AS clean_text
-        FROM documents d LEFT JOIN a USING (doc_id) ORDER BY doc_id"""))
+        FROM documents d LEFT JOIN a USING (doc_id) ORDER BY doc_id""")),
+
+    // q112: BM25 term ranking (Robertson/Sparck Jones, k1=1.2 b=0.75) —
+    // q78's TF-IDF with the two refinements retrieval actually uses: tf
+    // saturation and doc-length normalization. Log-free RATIO idf
+    // ((N−df+0.5)/(df+0.5)) keeps every operation +,−,×,÷ — all IEEE
+    // correctly-rounded and bit-identical across engines, where ln() is
+    // library-dependent — and the oracle pins every fractional literal
+    // ::DOUBLE so DuckDB can't run the numerator in exact DECIMAL and
+    // round differently. Same scale shape as q78: one tf shuffle, a
+    // broadcast df join, per-doc top-3 window.
+    QueryDef("q112_bm25",
+      (s, d) => {
+        val ta = docs(s, d)
+          .select(col("doc_id"), TextFns.tokens(col("text")).as("t"))
+        val st = ta.agg(count(lit(1)), sum(size(col("t")))).head
+        val n = st.getLong(0)
+        val avgdl = st.getLong(1).toDouble / n
+        val tf = ta
+          .select(col("doc_id"), size(col("t")).cast("long").as("dl"),
+            explode(col("t")).as("term"))
+          .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+        val dfc = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        val idf = (lit(n) - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+        val norm = lit(0.25) + lit(0.75) * (col("dl") / lit(avgdl))
+        val sat = (col("tf") * lit(2.2)) / (col("tf") + lit(1.2) * norm)
+        val score = idf * sat
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(score.desc, col("term"))
+        tf.join(broadcast(dfc), "term")
+          .withColumn("rnk", row_number().over(w).cast("int"))
+          .filter(col("rnk") <= 3)
+          .select(col("doc_id"), col("term"), col("rnk"), col("tf"),
+            col("df"), col("dl"), score.as("score"))
+          .orderBy("doc_id", "rnk")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $OToks t FROM documents),
+          n AS (SELECT count(*) n,
+                  CAST(sum(len(t)) AS DOUBLE) / count(*) avgdl FROM t),
+          toks AS (SELECT doc_id, CAST(len(t) AS BIGINT) dl, unnest(t) term FROM t),
+          tf AS (SELECT doc_id, dl, term, count(*) tf FROM toks GROUP BY 1, 2, 3),
+          df AS (SELECT term, count(*) df FROM tf GROUP BY 1),
+          scored AS (
+            SELECT doc_id, term, tf, df, dl,
+              ((n - df + 0.5::DOUBLE) / (df + 0.5::DOUBLE))
+                * ((tf * 2.2::DOUBLE)
+                   / (tf + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE * (dl / avgdl)))) score,
+              row_number() OVER (PARTITION BY doc_id ORDER BY
+                ((n - df + 0.5::DOUBLE) / (df + 0.5::DOUBLE))
+                  * ((tf * 2.2::DOUBLE)
+                     / (tf + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE * (dl / avgdl)))) DESC,
+                term) rnk
+            FROM tf JOIN df USING (term) CROSS JOIN n)
+        SELECT doc_id, term, CAST(rnk AS INTEGER) rnk, CAST(tf AS BIGINT) tf,
+          CAST(df AS BIGINT) df, dl, score
+        FROM scored WHERE rnk <= 3 ORDER BY doc_id, rnk""")),
+
+    // q113: vocabulary construction + OOV accounting — the tokenizer-prep
+    // step: top-V terms by (count DESC, term) become the vocab with dense
+    // ids 0..V−1, then every document reports token count, OOV count,
+    // the integer-exact sum of its in-vocab token ids (pins the id
+    // assignment itself into the hash-match), and the OOV rate (one
+    // long/long division). V=16 < the corpus vocabulary so the OOV path
+    // is genuinely exercised. Scale: top-V is TakeOrderedAndProject (no
+    // global sort), the only window runs over the V-row vocab, and the
+    // vocab joins back broadcast.
+    QueryDef("q113_vocab_oov",
+      (s, d) => {
+        val toks = docs(s, d)
+          .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("term"))
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("c").desc, col("term"))
+        val vocab = toks.groupBy("term").agg(count(lit(1)).as("c"))
+          .orderBy(col("c").desc, col("term")).limit(16)
+          .withColumn("token_id", row_number().over(w).cast("long") - 1L)
+        toks.join(broadcast(vocab.select("term", "token_id")), Seq("term"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(when(col("token_id").isNull, 1L).otherwise(0L)).as("n_oov"),
+            coalesce(sum("token_id"), lit(0L)).as("vocab_id_sum"))
+          .withColumn("oov_rate", col("n_oov") / col("n_tokens"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, unnest($OToks) term FROM documents),
+          counts AS (SELECT term, count(*) c FROM toks GROUP BY 1),
+          vocab AS (SELECT term,
+              CAST(row_number() OVER (ORDER BY c DESC, term) - 1 AS BIGINT) token_id
+            FROM counts ORDER BY c DESC, term LIMIT 16)
+        SELECT doc_id, CAST(count(*) AS BIGINT) n_tokens,
+          CAST(sum(CASE WHEN token_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) n_oov,
+          CAST(coalesce(sum(token_id), 0) AS BIGINT) vocab_id_sum,
+          CAST(sum(CASE WHEN token_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            / CAST(count(*) AS BIGINT) AS oov_rate
+        FROM toks LEFT JOIN vocab USING (term)
+        GROUP BY doc_id ORDER BY doc_id""")),
+
+    // q114: deterministic seeded corpus shuffle — the reproducible global
+    // training order (hash32("shuf:"||id), contiguous 0-based positions).
+    // Positions come from Packing.deterministicShuffle's two-phase rank:
+    // quantile-bucketed by hash, per-bucket counts → a buckets-row offset
+    // window, within-bucket ranks partition-parallel — the corpus never
+    // passes through a single-partition window, yet the result is
+    // bit-identical to the oracle's global row_number (PackingSpec pins
+    // bucket-count independence; PlanGuardSpec pins the window shape).
+    QueryDef("q114_corpus_shuffle",
+      (s, d) => graft.operators.Packing
+        .deterministicShuffle(docs(s, d), "doc_id", "shuf", 32)
+        .select(col("id").as("doc_id"), col("h"), col("pos"))
+        .orderBy("doc_id"),
+      Some("""WITH h AS (SELECT doc_id,
+            ('0x' || substr(md5('shuf:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h
+          FROM documents)
+        SELECT doc_id, h,
+          CAST(row_number() OVER (ORDER BY h, doc_id) - 1 AS BIGINT) AS pos
+        FROM h ORDER BY doc_id"""))
   )
 }

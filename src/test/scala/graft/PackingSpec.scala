@@ -86,4 +86,50 @@ class PackingSpec extends SparkSpec {
       assert(got === ref, s"buckets=$b must reproduce the buckets=1 packing exactly")
     }
   }
+
+  test("deterministicShuffle: positions are a contiguous permutation in (h, id) order") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = Packing.deterministicShuffle(docs, "doc_id", "shuf", 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val n = docs.count()
+    assert(out.map(_._3).sorted.toSeq === (0L until n).toSeq,
+      "pos must be exactly 0..N-1, no gaps or duplicates")
+    // pos order == (h, id) lexicographic order
+    val byPos = out.sortBy(_._3).map(t => (t._2, t._1)).toSeq
+    assert(byPos === byPos.sorted, "pos must rank documents in (h, id) order")
+  }
+
+  test("deterministicShuffle is bucket-count independent and seed-reproducible") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val ref = Packing.deterministicShuffle(docs, "doc_id", "shuf", 1)
+      .orderBy("id").collect().toSeq
+    for (b <- Seq(5, 32)) {
+      val got = Packing.deterministicShuffle(docs, "doc_id", "shuf", b)
+        .orderBy("id").collect().toSeq
+      assert(got === ref, s"buckets=$b must reproduce the buckets=1 permutation")
+    }
+    // a different seed is a different permutation (with overwhelming prob.)
+    val other = Packing.deterministicShuffle(docs, "doc_id", "shuf2", 8)
+      .orderBy("id").collect().toSeq
+    assert(other.map(r => r.getLong(2)) !== ref.map(r => r.getLong(2)),
+      "changing the seed must change the permutation")
+  }
+
+  test("deterministicShuffle survives pathological id distributions and empty input") {
+    val ids = (0L until 990L) :+ 100000L
+    val docs = ids.map(i => doc(i, 1)).toDF("doc_id", "text")
+    val buckets = 8
+    val out = Packing.deterministicShuffle(docs, "doc_id", "s", buckets)
+    val shares = out.groupBy(floor(col("pos") * buckets / ids.size).as("g"))
+      .count().collect().map(_.getLong(1).toDouble / ids.size)
+    assert(out.select(countDistinct("pos")).head.getLong(0) === ids.size.toLong)
+    // quantile cuts on h (uniform by construction) keep buckets balanced
+    // regardless of the id shape; the permutation stays contiguous
+    assert(out.agg(min("pos"), max("pos")).head ===
+      org.apache.spark.sql.Row(0L, ids.size.toLong - 1))
+    assert(shares.nonEmpty)
+    val empty = Packing.deterministicShuffle(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "doc_id", "s", 8)
+    assert(empty.columns.toSeq === Seq("id", "h", "pos") && empty.count() === 0)
+  }
 }

@@ -91,4 +91,15 @@ class PlanGuardSpec extends SparkSpec {
     assert(analyzed.contains("windowspecdefinition(b#"),
       s"the corpus-side cumsum must be partitioned by bucket:\n$analyzed")
   }
+
+  test("q114 corpus shuffle: the corpus-side rank window is bucket-partitioned") {
+    val df = SparkEntry.queries("q114_corpus_shuffle")(spark, dir)
+    df.collect()
+    val analyzed = df.queryExecution.optimizedPlan.toString
+    // same two-phase shape as q101: the row_number over documents must be
+    // partitioned by bucket; the only unpartitioned window is the
+    // buckets-row offsets frame
+    assert(analyzed.contains("windowspecdefinition(b#"),
+      s"the corpus-side rank must be partitioned by bucket:\n$analyzed")
+  }
 }
