@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Components, Dedup, IncrementalAgg, Mixture, Packing,
+  Sampling, Similarity, Skew, Upsert}
+
+/** Zero-row inputs across the operator family. An empty partition, an
+  * empty daily delta, or a filter that matched nothing is routine at
+  * scale — every operator must return an empty (or identity) result with
+  * its normal schema, never throw. This is the regression guard for the
+  * head(1)/null-aggregate short-circuits scattered through the operators
+  * (packSequences' former MatchError on agg(min,max) of zero rows is the
+  * canonical failure mode).
+  */
+class EmptyInputSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def emptyDocs: DataFrame =
+    Seq.empty[(Long, String)].toDF("doc_id", "text")
+  private def emptyVecs: DataFrame =
+    Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+  private def someDocs: DataFrame =
+    Seq((1L, "alpha beta gamma delta"), (2L, "beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+  private def someVecs: DataFrame =
+    Seq((1L, Array(1f, 0f)), (2L, Array(0f, 1f))).toDF("vec_id", "embedding")
+
+  test("text/dedup operators return empty results on an empty corpus") {
+    assert(Dedup.exact(emptyDocs, lower(col("text")), "doc_id").count() === 0)
+    assert(Dedup.minHashLsh(emptyDocs, "doc_id", "text", 3, 0.6).count() === 0)
+    assert(Dedup.ngramJaccard(emptyDocs, "doc_id", "text", 3, 0.6).count() === 0)
+    assert(Dedup.simHashPairs(emptyDocs, "doc_id", "text", 3).count() === 0)
+    assert(Dedup.spanScrub(emptyDocs, "doc_id", "text", 16).count() === 0)
+    assert(Packing.chunk(emptyDocs, "doc_id", "text", 32, 8).count() === 0)
+    assert(Mixture.temperatureSampleSummary(
+      emptyDocs, "doc_id", "text", "text", 3, 10).count() === 0)
+    assert(Sampling.prioritySample(
+      emptyDocs.withColumn("w", lit(1L)), "doc_id", "w", 5).count() === 0)
+  }
+
+  test("asymmetric operators: one empty side behaves as identity/empty") {
+    // empty probe / empty corpus for decontamination
+    assert(Dedup.contamination(someDocs, emptyDocs, "doc_id", "text", 3, 1)
+      .count() === 0)
+    assert(Dedup.contamination(emptyDocs, someDocs, "doc_id", "text", 3, 1)
+      .count() === 0)
+    // empty history -> whole batch is new; empty batch -> nothing new
+    assert(Dedup.incrementalNew(emptyDocs, someDocs, lower(col("text")), 100)
+      .count() === 2)
+    assert(Dedup.incrementalNew(someDocs, emptyDocs, lower(col("text")), 100)
+      .count() === 0)
+    // upsert: empty updates = base unchanged; empty base = updates
+    assert(Upsert(someDocs, emptyDocs, Seq("doc_id")).count() === 2)
+    assert(Upsert(emptyDocs, someDocs, Seq("doc_id")).count() === 2)
+    assert(IncrementalAgg.merge(
+      IncrementalAgg.partial(someDocs.withColumn("v", lit(1L)), Seq("doc_id"), "v"),
+      IncrementalAgg.partial(emptyDocs.withColumn("v", lit(1L)), Seq("doc_id"), "v"),
+      Seq("doc_id")).count() === 2)
+  }
+
+  test("similarity operators return empty results on an empty corpus") {
+    assert(Similarity.bruteForceTopK(emptyVecs, "vec_id", "embedding",
+      col("vec_id") < 0, 5).count() === 0)
+    assert(Similarity.quantizedTopK(emptyVecs, "vec_id", "embedding",
+      col("vec_id") < 0, 5).count() === 0)
+    assert(Similarity.ivfTopK(emptyVecs, "vec_id", "embedding",
+      col("vec_id") < 0, 5, 4, 2).count() === 0)
+    assert(Similarity.kmeansCentroids(emptyVecs, "vec_id", "embedding", 4, 2)
+      .count() === 0)
+    assert(Similarity.cosinePairs(emptyVecs, "vec_id", "embedding", 0.5)
+      .count() === 0)
+    assert(Similarity.cosinePairsLsh(emptyVecs, "vec_id", "embedding", 0.5)
+      .count() === 0)
+    assert(Similarity.semDedup(emptyVecs, "vec_id", "embedding", 0.5, 4)
+      .count() === 0)
+    // no queries at all: an empty query set yields an empty result even
+    // over a non-empty corpus
+    assert(Similarity.bruteForceTopK(someVecs, "vec_id", "embedding",
+      lit(false), 5).count() === 0)
+  }
+
+  test("graph/skew operators tolerate empty inputs") {
+    val emptyEdges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(Components.connectedComponents(emptyEdges, "src", "dst").count() === 0)
+    assert(Skew.saltedCountSum(
+      emptyDocs.withColumn("v", lit(1L)), Seq("doc_id"), "v").count() === 0)
+    assert(Skew.saltedJoin(emptyDocs, someDocs.select(col("doc_id"),
+      col("text").as("t2")), "doc_id").count() === 0)
+    assert(Skew.saltedJoin(someDocs, emptyDocs.select(col("doc_id"),
+      col("text").as("t2")), "doc_id").count() === 0)
+  }
+}

@@ -152,6 +152,43 @@ class StreamingSpec extends SparkSpec {
     assert(rows === Set((1L, ts("2024-01-01 10:05:00")), (2L, ts("2024-01-01 10:31:00"))))
   }
 
+  test("stream-stream LEFT OUTER interval join: unmatched rows emit null-padded after watermark close") {
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[(Timestamp, Long)]
+    val clicks = MemoryStream[(Timestamp, Long)]
+    val v = views.toDF().toDF("v_ts", "user_id").withWatermark("v_ts", "10 minutes")
+    val c = clicks.toDF().toDF("c_ts", "c_user").withWatermark("c_ts", "10 minutes")
+    val joined = v.join(c,
+      expr("user_id = c_user AND c_ts >= v_ts AND c_ts <= v_ts + interval 10 minutes"),
+      "left_outer")
+    val q = joined.writeStream.format("memory").queryName("ssoj_test")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+
+    views.addData((ts("2024-01-01 10:00:00"), 1L), (ts("2024-01-01 10:00:00"), 2L))
+    clicks.addData((ts("2024-01-01 10:05:00"), 1L))
+    q.processAllAvailable()
+    // user 2 is unmatched, but its join window only closes once the
+    // watermark passes v_ts + 10 min interval + 10 min delay — it must
+    // NOT emit early (emitting an outer row that a late click could still
+    // match would be wrong)
+    assert(spark.table("ssoj_test").filter("c_ts IS NULL").count() === 0,
+      "unmatched row must not emit before the watermark closes its window")
+    // far-future activity advances both watermarks; the next batch after
+    // the advance evicts user 2's state and emits the null-padded row
+    views.addData((ts("2024-01-01 12:00:00"), 9L))
+    clicks.addData((ts("2024-01-01 12:00:00"), 9L))
+    q.processAllAvailable()
+    views.addData((ts("2024-01-01 12:01:00"), 9L))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("ssoj_test").collect()
+      .map(r => (r.getLong(1), Option(r.getTimestamp(2)))).toSet
+    assert(rows.contains((1L, Some(ts("2024-01-01 10:05:00")))), "matched row emits once")
+    assert(rows.contains((2L, None)),
+      "unmatched row emits null-padded after its window closes")
+  }
+
   test("AvailableNow + checkpoint resumes where the last run stopped (ref S2 incremental)") {
     // the Spark-native form of the reference's resumable pagination
     // (issue_processor.py startAt bookkeeping): each run processes exactly
