@@ -125,11 +125,53 @@ object Packing {
       .withColumn("h", TextFns.hash32(concat(lit(seed + ":"), col("id"))))
     if (base.head(1).isEmpty)
       return base.withColumn("pos", lit(0L)).limit(0)
-    val cuts = if (buckets > 1) base.stat.approxQuantile("h",
+    twoPhaseRank(base, "h", buckets).select("id", "h", "pos")
+  }
+
+  /** Length-bucketed batch packing: rank documents by (token count, id),
+    * cut the ranking into fixed-size batches, and account the padding each
+    * batch would pay (`n_seqs · max_len − sum_len`) — the dynamic-batching
+    * step that minimizes pad-token waste when batches are padded to their
+    * longest member (the reason training input pipelines length-sort at
+    * all). Output: one row per batch — (batch, n_seqs, min_len, max_len,
+    * sum_len, padding); the trailing batch may be short.
+    *
+    * Same two-phase rank as [[deterministicShuffle]], keyed on length:
+    * equal lengths always share a bucket (assignment depends only on the
+    * key), so the global (len, id) order is exactly reproduced with no
+    * single-partition window over the corpus.
+    */
+  def lengthBatches(docs: DataFrame, idCol: String, textCol: String,
+      batchSize: Int, buckets: Int = 32): DataFrame = {
+    require(batchSize > 0 && buckets > 0, "need positive batchSize and buckets")
+    val base = docs.select(col(idCol).cast("long").as("id"),
+      size(TextFns.tokens(col(textCol))).cast("long").as("len"))
+    if (base.head(1).isEmpty)
+      return base.select(lit(0L).as("batch"), lit(0L).as("n_seqs"),
+        col("len").as("min_len"), col("len").as("max_len"),
+        col("len").as("sum_len"), lit(0L).as("padding")).limit(0)
+    twoPhaseRank(base, "len", buckets)
+      .withColumn("batch", floor(col("pos") / lit(batchSize.toDouble)).cast("long"))
+      .groupBy("batch")
+      .agg(count(lit(1)).as("n_seqs"), min("len").as("min_len"),
+        max("len").as("max_len"), sum("len").as("sum_len"))
+      .withColumn("padding", col("n_seqs") * col("max_len") - col("sum_len"))
+  }
+
+  /** Contiguous 0-based rank of every row in (`keyCol`, id) order, with no
+    * global window: quantile cut points bucket rows monotonically in the
+    * key (equal keys can never straddle a bucket boundary), per-bucket
+    * counts roll into running offsets in one `buckets`-row window, and
+    * within-bucket ranks run partition-parallel. Input needs (id, keyCol);
+    * output adds `pos`.
+    */
+  private def twoPhaseRank(base: DataFrame, keyCol: String,
+      buckets: Int): DataFrame = {
+    val cuts = if (buckets > 1) base.stat.approxQuantile(keyCol,
       (1 until buckets).map(_.toDouble / buckets).toArray, 1e-3)
     else Array.empty[Double]
     val bucketed = base.withColumn("b",
-      cuts.map(c => when(col("h") >= lit(c), 1L).otherwise(0L))
+      cuts.map(c => when(col(keyCol) >= lit(c), 1L).otherwise(0L))
         .reduceOption(_ + _).getOrElse(lit(0L)))
     // phase 1: per-bucket counts → running offsets (buckets rows, tiny)
     val offsets = bucketed.groupBy("b").agg(count(lit(1)).as("bn"))
@@ -139,9 +181,9 @@ object Packing {
     // phase 2: within-bucket rank (partition-parallel) + bucket offset
     bucketed.join(broadcast(offsets), "b")
       .withColumn("pos",
-        row_number().over(Window.partitionBy("b").orderBy("h", "id"))
+        row_number().over(Window.partitionBy("b").orderBy(keyCol, "id"))
           .cast("long") - 1L + col("off"))
-      .select("id", "h", "pos")
+      .drop("b", "off")
   }
 
   /** Monotone-in-id bucket assignment over (id, n) rows: internal cut

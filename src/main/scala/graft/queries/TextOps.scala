@@ -1094,6 +1094,27 @@ object TextOps {
           FROM documents)
         SELECT doc_id, h,
           CAST(row_number() OVER (ORDER BY h, doc_id) - 1 AS BIGINT) AS pos
-        FROM h ORDER BY doc_id"""))
+        FROM h ORDER BY doc_id""")),
+
+    // q115: length-bucketed batch packing — rank by (token count, id),
+    // cut into 64-sequence batches, account the padding each batch pays
+    // when padded to its longest member: the dynamic-batching step that
+    // makes length-sorting worth doing in a training input pipeline. The
+    // ranking reuses the two-phase scheme (equal lengths never straddle a
+    // bucket boundary), so the batch boundaries are bit-identical to the
+    // oracle's global row_number without any corpus-wide window.
+    QueryDef("q115_length_batches",
+      (s, d) => graft.operators.Packing
+        .lengthBatches(docs(s, d), "doc_id", "text", 64)
+        .orderBy("batch"),
+      Some(s"""WITH base AS (
+          SELECT doc_id, CAST(len($OToks) AS BIGINT) len FROM documents),
+        r AS (SELECT doc_id, len,
+                row_number() OVER (ORDER BY len, doc_id) - 1 AS pos FROM base),
+        b AS (SELECT CAST(pos // 64 AS BIGINT) batch, len FROM r)
+        SELECT batch, CAST(count(*) AS BIGINT) n_seqs, min(len) min_len,
+          max(len) max_len, CAST(sum(len) AS BIGINT) sum_len,
+          CAST(count(*) * max(len) - sum(len) AS BIGINT) padding
+        FROM b GROUP BY batch ORDER BY batch"""))
   )
 }

@@ -115,6 +115,34 @@ class PackingSpec extends SparkSpec {
       "changing the seed must change the permutation")
   }
 
+  test("lengthBatches: batch arithmetic, padding accounting, bucket independence") {
+    // lengths 1..10 repeated: with batchSize 4, ranks group sorted lengths
+    val docs = (0L until 20L).map(i => doc(i, (i % 10).toInt + 1)).toDF("doc_id", "text")
+    val out = Packing.lengthBatches(docs, "doc_id", "text", 4, buckets = 8)
+      .orderBy("batch").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out.map(_._2).sum === 20L, "every sequence lands in exactly one batch")
+    assert(out.map(_._1).toSeq === (0L until 5L).toSeq, "20 seqs / 4 = 5 batches")
+    // sorted lengths are 1,1,2,2,...,10,10 -> batch 0 = (1,1,2,2): padding 2
+    assert(out(0) === ((0L, 4L, 1L, 2L, 6L, 2L)))
+    // per-batch padding identity holds everywhere
+    out.foreach { case (_, n, _, mx, sm, pad) => assert(pad === n * mx - sm) }
+    // and the result is bucket-count independent
+    val ref = Packing.lengthBatches(docs, "doc_id", "text", 4, buckets = 1)
+      .orderBy("batch").collect().toSeq
+    assert(Packing.lengthBatches(docs, "doc_id", "text", 4, buckets = 8)
+      .orderBy("batch").collect().toSeq === ref)
+    // length-sorted batching must never pad more than unsorted id-order
+    val unsortedPad = docs
+      .selectExpr("doc_id", "size(filter(split(lower(text), '\\\\s+'), x -> length(x) > 0)) len")
+      .selectExpr("cast(floor(doc_id / 4) as long) batch", "len")
+      .groupBy("batch").agg(count(lit(1)).as("n"), max("len").as("mx"), sum("len").as("sm"))
+      .selectExpr("sum(n * mx - sm)").head.getLong(0)
+    assert(out.map(_._6).sum <= unsortedPad,
+      "length-sorting must not increase total padding")
+  }
+
   test("deterministicShuffle survives pathological id distributions and empty input") {
     val ids = (0L until 990L) :+ 100000L
     val docs = ids.map(i => doc(i, 1)).toDF("doc_id", "text")
