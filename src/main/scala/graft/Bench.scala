@@ -19,10 +19,17 @@ object Bench {
     // no gain: per-query cost here is planning/scheduling, not scan.)
     Tables.region(spark, sfDir).groupBy("r_name").count().count()
     spark.range(1000000).selectExpr("sum(id)").count()
+    // dev-only subset filter (comma-separated name prefixes): lets a local
+    // run isolate session-accumulation effects; the driver never sets it
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").toSet)
     // min of 2 runs per query: single-shot timings flagged >=3 false
     // sub-second "regressions" every round (scheduling noise on a 32-core
     // local run); the min is the reproducible cost of the plan
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = SparkEntry.queries
+      .filter { case (name, _) =>
+        only.forall(_.exists(p => name.startsWith(p))) }
+      .map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         try {

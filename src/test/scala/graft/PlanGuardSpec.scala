@@ -102,4 +102,12 @@ class PlanGuardSpec extends SparkSpec {
     assert(analyzed.contains("windowspecdefinition(b#"),
       s"the corpus-side rank must be partitioned by bucket:\n$analyzed")
   }
+
+  test("q115 length batching: the corpus-side rank window is bucket-partitioned") {
+    val df = SparkEntry.queries("q115_length_batches")(spark, dir)
+    df.collect()
+    val analyzed = df.queryExecution.optimizedPlan.toString
+    assert(analyzed.contains("windowspecdefinition(b#"),
+      s"the corpus-side rank must be partitioned by bucket:\n$analyzed")
+  }
 }
