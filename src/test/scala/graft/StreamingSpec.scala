@@ -261,6 +261,57 @@ class StreamingSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("streaming Misra-Gries heavy hitters: MGSummary rides transformWithState state") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.streaming.{StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+    import graft.functions.MGSummary
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // the batch sketch's O(k) summary object IS the streaming state:
+      // serialize/deserialize around each micro-batch, update in place,
+      // emit the current tracked set. Per-key state stays k entries no
+      // matter how many tokens stream through — the property that makes
+      // a per-source rolling vocabulary tractable on an unbounded stream.
+      class HHProcessor(k: Int)
+          extends StatefulProcessor[String, (String, String), (String, String, Long)] {
+        @transient private var st: ValueState[Array[Byte]] = _
+        override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+          st = getHandle.getValueState[Array[Byte]]("mg",
+            org.apache.spark.sql.Encoders.BINARY, TTLConfig.NONE)
+        override def handleInputRows(key: String, rows: Iterator[(String, String)],
+            timerValues: TimerValues): Iterator[(String, String, Long)] = {
+          val s = if (st.exists()) MGSummary.deserialize(st.get()) else new MGSummary(k)
+          rows.foreach(r => s.update(r._2))
+          st.update(s.serialized)
+          s.sorted.iterator.map { case (tok, c) => (key, tok, c) }
+        }
+      }
+      val in = MemoryStream[(String, String)]
+      val out = in.toDS().groupByKey(_._1)
+        .transformWithState(new HHProcessor(3), TimeMode.None(), OutputMode.Update())
+      val q = out.toDF("grp", "tok", "est").writeStream.format("memory")
+        .queryName("shh_test").outputMode("update")
+        .trigger(Trigger.ProcessingTime(0)).start()
+      // batch 1: 6x hot + 4 distinct cold in group g; separate group h
+      in.addData(Seq.fill(6)(("g", "hot")) ++
+        Seq(("g", "c1"), ("g", "c2"), ("g", "c3"), ("g", "c4"), ("h", "x")): _*)
+      q.processAllAvailable()
+      // batch 2: more hot + more cold — state must carry across batches
+      in.addData(Seq.fill(4)(("g", "hot")) ++ Seq(("g", "c5"), ("g", "c6")): _*)
+      q.processAllAvailable()
+      q.stop()
+      val rows = spark.table("shh_test").as[(String, String, Long)].collect()
+      val latestHot = rows.filter(r => r._1 == "g" && r._2 == "hot").map(_._3).max
+      // MG guarantee over the full 16-token g-stream with k=3:
+      // est >= true - n/(k+1) = 10 - 4 = 6; and never over-counts
+      assert(latestHot >= 6L && latestHot <= 10L,
+        s"hot estimate $latestHot violates the Misra-Gries bound")
+      assert(rows.exists(r => r._1 == "h" && r._2 == "x" && r._3 == 1L),
+        "per-key state: group h tracks its own summary")
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("foreachBatch streaming upsert: incremental ingest converges to keyed table state") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
