@@ -483,6 +483,34 @@ object Relational {
         .orderBy("l_returnflag"),
       None),
 
+    // q116: hierarchical HLL sketch ROLLUP (DataSketches hll_sketch_agg /
+    // hll_union_agg / hll_sketch_estimate) — the pre-aggregated-sketch
+    // pattern a 100 TB warehouse lives on: fine-grain (nation-level)
+    // sketches are built ONCE in one shuffle and stored as mergeable
+    // binary state; every coarser rollup (region, global) is a cheap
+    // union over sketch bytes, never a re-scan of the fact table.
+    // HLL register state is max-based ⇒ order-independent and
+    // merge-associative, so union-of-sketches ≡ sketch-of-union exactly
+    // (SketchToleranceSpec pins that identity and the ±2% accuracy);
+    // estimates are approximate ⇒ driver rows-only, like q24/q71.
+    QueryDef("q116_hll_rollup",
+      (s, d) => {
+        val perNation = cust(s, d)
+          .groupBy(col("c_nationkey"))
+          .agg(hll_sketch_agg(col("c_custkey"), lit(12)).as("sk"),
+            countDistinct(col("c_custkey")).as("exact"))
+        perNation
+          .join(broadcast(nat(s, d).select(col("n_nationkey"), col("n_regionkey"))),
+            col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(reg(s, d).select(col("r_regionkey"), col("r_name"))),
+            col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"))
+          .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_customers"),
+            sum(col("exact")).as("exact_customers"))
+          .orderBy("r_name")
+      },
+      None),
+
     // q25: GROUPING SETS via the SQL front-end (distinct region / nation /
     // grand-total levels in one pass over the join).
     QueryDef("q25_grouping_sets",
