@@ -530,6 +530,140 @@ object Relational {
         FROM customer JOIN nation ON c_nationkey=n_nationkey
         JOIN region ON n_regionkey=r_regionkey
         GROUP BY GROUPING SETS ((r_name),(n_name),())
-        ORDER BY region, nation"""))
+        ORDER BY region, nation""")),
+
+    // q117: collation-aware grouping (Spark 4 collations GA): group
+    // case-insensitively via COLLATE UTF8_LCASE — the engine-level
+    // answer to mixed-case feeds, replacing the lower()-everywhere
+    // workaround. The group representative is min(original) — a
+    // deterministic byte-order choice both engines share — so the result
+    // hash-matches even though the collated grouping key itself has no
+    // canonical display form. Mixed case is planted by partkey parity.
+    QueryDef("q117_collated_group",
+      (s, d) => {
+        val b = when(pmod(col("p_partkey"), lit(2)) === 0,
+          upper(col("p_brand"))).otherwise(lower(col("p_brand")))
+        Tables.part(s, d).select(b.as("b"))
+          .groupBy(expr("collate(b, 'UTF8_LCASE')").as("bc"))
+          .agg(min("b").as("brand_repr"), count(lit(1)).as("n"))
+          .select(col("brand_repr"), col("n"))
+          .orderBy("brand_repr")
+      },
+      Some("""WITH x AS (SELECT CASE WHEN p_partkey % 2 = 0
+            THEN upper(p_brand) ELSE lower(p_brand) END b FROM part)
+        SELECT min(b) AS brand_repr, count(*) AS n
+        FROM x GROUP BY lower(b) ORDER BY brand_repr""")),
+
+    // ------------------------------------------------------------------
+    // q118-q120: TPC-H composition showcases (Q3/Q5/Q10 adapted to the
+    // testdata's trimmed columns) — multi-join + filter + agg + top-k
+    // plans Catalyst must get right end-to-end: dim filters push into
+    // scans, small sides broadcast, the top-k is TakeOrderedAndProject.
+    // Revenue uses the INTEGER-EXACT cents idiom: round(price·100) and
+    // round(discount·100) recover the 2-decimal source grid exactly, so
+    // Σ cents·(100−disc) is a long — order-independent, engine-portable —
+    // and the one final /10000.0 division is IEEE-identical in both
+    // engines. No float-sum-order or round-half hazard anywhere, and the
+    // top-k ranks on the integer.
+
+    // q118: TPC-H Q3 — shipping-priority top 10 (BUILDING segment,
+    // orders before / shipments after the cutoff).
+    QueryDef("q118_tpch_q3",
+      (s, d) => cust(s, d).filter(col("c_mktsegment") === "BUILDING")
+        .join(ord(s, d), col("o_custkey") === col("c_custkey"))
+        .filter(col("o_orderdate") < lit("1998-01-01"))
+        .join(li(s, d), col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > lit("1998-01-01"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long") *
+          (lit(100L) - round(col("l_discount") * 100).cast("long")))
+          .as("rev_micro"))
+        .orderBy(col("rev_micro").desc, col("l_orderkey")).limit(10)
+        .select(col("l_orderkey"),
+          (col("rev_micro") / lit(10000.0)).as("revenue"), col("o_orderdate")),
+      Some("""SELECT l_orderkey,
+          sum(CAST(round(l_extendedprice*100) AS BIGINT)
+              * (100 - CAST(round(l_discount*100) AS BIGINT))) / 10000.0::DOUBLE
+            AS revenue,
+          CAST(o_orderdate AS TIMESTAMP) AS o_orderdate
+        FROM customer
+        JOIN orders ON o_custkey = c_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+          AND l_shipdate > TIMESTAMP '1998-01-01'
+        GROUP BY l_orderkey, o_orderdate
+        ORDER BY sum(CAST(round(l_extendedprice*100) AS BIGINT)
+              * (100 - CAST(round(l_discount*100) AS BIGINT))) DESC, l_orderkey
+        LIMIT 10""")),
+
+    // q119: TPC-H Q5 — local-supplier volume (ASIA, 1996): six-table
+    // join where customer and supplier must share a nation.
+    QueryDef("q119_tpch_q5",
+      (s, d) => cust(s, d)
+        .join(ord(s, d), col("o_custkey") === col("c_custkey"))
+        .filter(col("o_orderdate") >= lit("1996-01-01") &&
+          col("o_orderdate") < lit("1997-01-01"))
+        .join(li(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nat(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA")
+        .groupBy(col("n_name"))
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long") *
+          (lit(100L) - round(col("l_discount") * 100).cast("long")))
+          .as("rev_micro"))
+        .select(col("n_name"), (col("rev_micro") / lit(10000.0)).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name")),
+      Some("""SELECT n_name,
+          sum(CAST(round(l_extendedprice*100) AS BIGINT)
+              * (100 - CAST(round(l_discount*100) AS BIGINT))) / 10000.0::DOUBLE
+            AS revenue
+        FROM customer
+        JOIN orders ON o_custkey = c_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY n_name ORDER BY revenue DESC, n_name""")),
+
+    // q120: TPC-H Q10 — returned-item top customers (one quarter of
+    // returns, top 20 by lost revenue).
+    QueryDef("q120_tpch_q10",
+      (s, d) => cust(s, d)
+        .join(ord(s, d), col("o_custkey") === col("c_custkey"))
+        .filter(col("o_orderdate") >= lit("1996-01-01") &&
+          col("o_orderdate") < lit("1996-04-01"))
+        .join(li(s, d), col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_returnflag") === "R")
+        .join(broadcast(nat(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long") *
+          (lit(100L) - round(col("l_discount") * 100).cast("long")))
+          .as("rev_micro"))
+        .orderBy(col("rev_micro").desc, col("c_custkey")).limit(20)
+        .select(col("c_custkey"), col("c_name"),
+          (col("rev_micro") / lit(10000.0)).as("revenue"),
+          col("c_acctbal"), col("n_name")),
+      Some("""SELECT c_custkey, c_name,
+          sum(CAST(round(l_extendedprice*100) AS BIGINT)
+              * (100 - CAST(round(l_discount*100) AS BIGINT))) / 10000.0::DOUBLE
+            AS revenue,
+          c_acctbal, n_name
+        FROM customer
+        JOIN orders ON o_custkey = c_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1996-04-01'
+        GROUP BY c_custkey, c_name, c_acctbal, n_name
+        ORDER BY sum(CAST(round(l_extendedprice*100) AS BIGINT)
+              * (100 - CAST(round(l_discount*100) AS BIGINT))) DESC, c_custkey
+        LIMIT 20"""))
   )
 }
