@@ -46,7 +46,8 @@ object ScaleCheck {
         "q79_salted_join", "q80_asof_native", "q86_snapshot_diff",
         "q90_prep_pipeline", "q91_scd2_lookup", "q97_decontamination",
         "q98_wav_decode", "q99_quantized_topk", "q100_chunking",
-        "q101_seq_packing", "q102_heavy_hitters")) {
+        "q101_seq_packing", "q102_heavy_hitters", "q118_tpch_q3",
+        "q119_tpch_q5", "q120_tpch_q10")) {
       time(q)(SparkEntry.queries(q)(spark, dst).count())
     }
     // eviction-REGIME heavy hitters: q102's bounded vocabulary never
