@@ -17,6 +17,10 @@ object ScaleCheck {
     val src = "/root/testdata/sf0.1"
     val dst = "/tmp/graft_sf1"
     val k = 10
+    // dev re-runs: `noreplicate` reuses an existing /tmp replica;
+    // `only=<name>` times just that query (repeated, for variance checks)
+    val noReplicate = args.contains("noreplicate")
+    val onlyQ = args.collectFirst { case a if a.startsWith("only=") => a.drop(5) }
     def replicate(name: String, keyCols: Seq[String], offset: Long): Unit = {
       val base = spark.read.parquet(s"$src/$name.parquet")
       val copies = (0 until k).map { i =>
@@ -25,14 +29,16 @@ object ScaleCheck {
       copies.reduce(_ unionByName _).write.mode("overwrite")
         .parquet(s"$dst/$name.parquet")
     }
-    replicate("lineitem", Seq("l_orderkey"), 100000000L)
-    replicate("orders", Seq("o_orderkey"), 100000000L)
-    replicate("documents", Seq("doc_id"), 1000000L)
-    replicate("embeddings", Seq("vec_id"), 1000000L)
-    replicate("events", Seq("event_id", "user_id"), 10000000L)
-    Seq("region", "nation", "customer", "supplier", "part").foreach { t =>
-      spark.read.parquet(s"$src/$t.parquet").write.mode("overwrite")
-        .parquet(s"$dst/$t.parquet")
+    if (!noReplicate) {
+      replicate("lineitem", Seq("l_orderkey"), 100000000L)
+      replicate("orders", Seq("o_orderkey"), 100000000L)
+      replicate("documents", Seq("doc_id"), 1000000L)
+      replicate("embeddings", Seq("vec_id"), 1000000L)
+      replicate("events", Seq("event_id", "user_id"), 10000000L)
+      Seq("region", "nation", "customer", "supplier", "part").foreach { t =>
+        spark.read.parquet(s"$src/$t.parquet").write.mode("overwrite")
+          .parquet(s"$dst/$t.parquet")
+      }
     }
     def time(name: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()
@@ -47,9 +53,14 @@ object ScaleCheck {
         "q90_prep_pipeline", "q91_scd2_lookup", "q97_decontamination",
         "q98_wav_decode", "q99_quantized_topk", "q100_chunking",
         "q101_seq_packing", "q102_heavy_hitters", "q118_tpch_q3",
-        "q119_tpch_q5", "q120_tpch_q10")) {
-      time(q)(SparkEntry.queries(q)(spark, dst).count())
+        "q119_tpch_q5", "q120_tpch_q10")
+        if onlyQ.forall(_ == q)) {
+      val reps = if (onlyQ.isDefined) 3 else 1
+      (1 to reps).foreach { _ =>
+        time(q)(SparkEntry.queries(q)(spark, dst).count())
+      }
     }
+    if (onlyQ.isDefined) { spark.stop(); return }
     // eviction-REGIME heavy hitters: q102's bounded vocabulary never
     // evicts, so time the sketch where the non-tracked-arrival path
     // dominates — high-cardinality keys (token × doc bucket), k=16
