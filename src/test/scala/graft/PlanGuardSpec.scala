@@ -110,4 +110,16 @@ class PlanGuardSpec extends SparkSpec {
     assert(analyzed.contains("windowspecdefinition(b#"),
       s"the corpus-side rank must be partitioned by bucket:\n$analyzed")
   }
+
+  test("q118/q120 TPC-H top-k: TakeOrderedAndProject, never a global sort") {
+    for (q <- Seq("q118_tpch_q3", "q120_tpch_q10")) {
+      val df = SparkEntry.queries(q)(spark, dir)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("TakeOrderedAndProject"),
+        s"$q: top-k must plan as TakeOrderedAndProject:\n$plan")
+      assert(!plan.contains("GlobalSort"),
+        s"$q: no global sort may appear:\n$plan")
+    }
+  }
 }
