@@ -6,6 +6,16 @@ import org.apache.spark.sql.functions._
   * largest SF. Run: sbt "runMain graft.ScaleCheck".
   */
 object ScaleCheck {
+  private val TimedQueries = Seq("q01_agg_pricing", "q04_factfact_join",
+    "q30_dedup_exact", "q34_ngram_jaccard", "q35_minhash_lsh",
+    "q36_simhash_pairs", "q37_embedding_topk", "q39_embedding_pairs",
+    "q53_session_window", "q55_stream_stream_join", "q77_dup_clusters",
+    "q78_tfidf", "q79_salted_join", "q80_asof_native", "q86_snapshot_diff",
+    "q90_prep_pipeline", "q91_scd2_lookup", "q97_decontamination",
+    "q98_wav_decode", "q99_quantized_topk", "q100_chunking",
+    "q101_seq_packing", "q102_heavy_hitters", "q118_tpch_q3",
+    "q119_tpch_q5", "q120_tpch_q10")
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -21,6 +31,8 @@ object ScaleCheck {
     // `only=<name>` times just that query (repeated, for variance checks)
     val noReplicate = args.contains("noreplicate")
     val onlyQ = args.collectFirst { case a if a.startsWith("only=") => a.drop(5) }
+    onlyQ.foreach { q => require(TimedQueries.contains(q),
+      s"only=$q matches no timed query; valid: ${TimedQueries.mkString(", ")}") }
     def replicate(name: String, keyCols: Seq[String], offset: Long): Unit = {
       val base = spark.read.parquet(s"$src/$name.parquet")
       val copies = (0 until k).map { i =>
@@ -45,16 +57,7 @@ object ScaleCheck {
       val n = f
       println(f"== $name rows=$n t=${(System.nanoTime() - t0) / 1e9}%.1fs")
     }
-    for (q <- Seq("q01_agg_pricing", "q04_factfact_join", "q30_dedup_exact",
-        "q34_ngram_jaccard", "q35_minhash_lsh", "q36_simhash_pairs",
-        "q37_embedding_topk", "q39_embedding_pairs", "q53_session_window",
-        "q55_stream_stream_join", "q77_dup_clusters", "q78_tfidf",
-        "q79_salted_join", "q80_asof_native", "q86_snapshot_diff",
-        "q90_prep_pipeline", "q91_scd2_lookup", "q97_decontamination",
-        "q98_wav_decode", "q99_quantized_topk", "q100_chunking",
-        "q101_seq_packing", "q102_heavy_hitters", "q118_tpch_q3",
-        "q119_tpch_q5", "q120_tpch_q10")
-        if onlyQ.forall(_ == q)) {
+    for (q <- TimedQueries if onlyQ.forall(_ == q)) {
       val reps = if (onlyQ.isDefined) 3 else 1
       (1 to reps).foreach { _ =>
         time(q)(SparkEntry.queries(q)(spark, dst).count())

@@ -66,8 +66,9 @@ object Packing {
     * assignment leaves the packing result bit-identical (the
     * bucket-count-independence property PackingSpec pins). Note: deriving
     * the bounds runs one eager Spark job at operator-construction time —
-    * the only operator here that does, since the split points must be data
-    * before the plan is built.
+    * true of every quantile-bucketed operator in this file
+    * ([[deterministicShuffle]] and [[lengthBatches]] likewise), since the
+    * split points must be data before the plan is built.
     */
   def packSequences(docs: DataFrame, idCol: String, textCol: String,
       seqLen: Int, buckets: Int = 32): DataFrame = {
@@ -167,12 +168,7 @@ object Packing {
     */
   private def twoPhaseRank(base: DataFrame, keyCol: String,
       buckets: Int): DataFrame = {
-    val cuts = if (buckets > 1) base.stat.approxQuantile(keyCol,
-      (1 until buckets).map(_.toDouble / buckets).toArray, 1e-3)
-    else Array.empty[Double]
-    val bucketed = base.withColumn("b",
-      cuts.map(c => when(col(keyCol) >= lit(c), 1L).otherwise(0L))
-        .reduceOption(_ + _).getOrElse(lit(0L)))
+    val bucketed = quantileBuckets(base, keyCol, buckets)
     // phase 1: per-bucket counts → running offsets (buckets rows, tiny)
     val offsets = bucketed.groupBy("b").agg(count(lit(1)).as("bn"))
       .withColumn("off", coalesce(sum(col("bn")).over(
@@ -186,6 +182,22 @@ object Packing {
       .drop("b", "off")
   }
 
+  /** The shared monotone quantile bucketing: internal cut points at ranks
+    * i/buckets on `keyCol` (±0.1% rank error; one eager approxQuantile
+    * job), then `b = #{cuts <= key}` — a codegen'd sum of comparisons.
+    * Monotone in the key, so equal keys never straddle a bucket boundary
+    * and any downstream order-by-(key, id) extends across buckets.
+    */
+  private def quantileBuckets(base: DataFrame, keyCol: String,
+      buckets: Int): DataFrame = {
+    val cuts = if (buckets > 1) base.stat.approxQuantile(keyCol,
+      (1 until buckets).map(_.toDouble / buckets).toArray, 1e-3)
+    else Array.empty[Double]
+    base.withColumn("b",
+      cuts.map(c => when(col(keyCol) >= lit(c), 1L).otherwise(0L))
+        .reduceOption(_ + _).getOrElse(lit(0L)))
+  }
+
   /** Monotone-in-id bucket assignment over (id, n) rows: internal cut
     * points at ranks 1/buckets .. (buckets-1)/buckets from approxQuantile
     * (±0.1% rank error), then `b = #{cut points <= id}` — a codegen'd sum
@@ -193,14 +205,8 @@ object Packing {
     * range-width) bounds cap any bucket's row share at ~1/buckets for ANY
     * id shape; duplicate cut points merely leave buckets empty.
     */
-  private def assignBuckets(base: DataFrame, buckets: Int): DataFrame = {
-    val cuts = if (buckets > 1) base.stat.approxQuantile("id",
-      (1 until buckets).map(_.toDouble / buckets).toArray, 1e-3)
-    else Array.empty[Double]
-    base.withColumn("b",
-      cuts.map(c => when(col("id") >= lit(c), 1L).otherwise(0L))
-        .reduceOption(_ + _).getOrElse(lit(0L)))
-  }
+  private def assignBuckets(base: DataFrame, buckets: Int): DataFrame =
+    quantileBuckets(base, "id", buckets)
 
   /** The (id, n, b) bucket assignment [[packSequences]] runs on — exposed
     * so specs can assert the skew bound (max bucket token share) directly.

@@ -997,7 +997,9 @@ object TextOps {
           .select(col("doc_id"), TextFns.tokens(col("text")).as("t"))
         val st = ta.agg(count(lit(1)), sum(size(col("t")))).head
         val n = st.getLong(0)
-        val avgdl = st.getLong(1).toDouble / n
+        // empty corpus: sum() is null and n is 0 — any avgdl works, every
+        // downstream frame is empty anyway (EmptyInputSpec pins this)
+        val avgdl = if (st.isNullAt(1)) 1.0 else st.getLong(1).toDouble / n
         val tf = ta
           .select(col("doc_id"), size(col("t")).cast("long").as("dl"),
             explode(col("t")).as("term"))

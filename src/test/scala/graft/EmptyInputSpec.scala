@@ -81,6 +81,16 @@ class EmptyInputSpec extends SparkSpec {
       lit(false), 5).count() === 0)
   }
 
+  test("q112 BM25 on an empty corpus returns empty, not NPE") {
+    // the corpus-stats head() sees Row(0, null) here — the avgdl guard
+    // must absorb it (sum over zero rows is null, n is 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_empty_sf").toString
+    Seq.empty[(Long, String, String, String, Long)]
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    assert(SparkEntry.queries("q112_bm25")(spark, dir).count() === 0)
+  }
+
   test("graph/skew operators tolerate empty inputs") {
     val emptyEdges = Seq.empty[(Long, Long)].toDF("src", "dst")
     assert(Components.connectedComponents(emptyEdges, "src", "dst").count() === 0)

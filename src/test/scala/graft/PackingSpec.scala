@@ -148,14 +148,22 @@ class PackingSpec extends SparkSpec {
     val docs = ids.map(i => doc(i, 1)).toDF("doc_id", "text")
     val buckets = 8
     val out = Packing.deterministicShuffle(docs, "doc_id", "s", buckets)
-    val shares = out.groupBy(floor(col("pos") * buckets / ids.size).as("g"))
-      .count().collect().map(_.getLong(1).toDouble / ids.size)
     assert(out.select(countDistinct("pos")).head.getLong(0) === ids.size.toLong)
-    // quantile cuts on h (uniform by construction) keep buckets balanced
-    // regardless of the id shape; the permutation stays contiguous
+    // the permutation stays contiguous regardless of the id shape
     assert(out.agg(min("pos"), max("pos")).head ===
       org.apache.spark.sql.Row(0L, ids.size.toLong - 1))
-    assert(shares.nonEmpty)
+    // and the internal quantile bucketing on h stays balanced: recompute
+    // the same cut assignment from the emitted hashes and bound every
+    // bucket's share (this is the property that keeps phase 2
+    // partition-parallel on hostile id spaces)
+    val cuts = out.stat.approxQuantile("h",
+      (1 until buckets).map(_.toDouble / buckets).toArray, 1e-3)
+    val bCol = cuts.map(c => when(col("h") >= lit(c), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val shares = out.groupBy(bCol.as("g")).count().collect()
+      .map(_.getLong(1).toDouble / ids.size)
+    assert(shares.max <= 2.0 / buckets,
+      f"max hash-bucket share ${shares.max}%.3f exceeds 2/buckets")
     val empty = Packing.deterministicShuffle(
       Seq.empty[(Long, String)].toDF("doc_id", "text"), "doc_id", "s", 8)
     assert(empty.columns.toSeq === Seq("id", "h", "pos") && empty.count() === 0)

@@ -118,7 +118,9 @@ class PlanGuardSpec extends SparkSpec {
       val plan = df.queryExecution.executedPlan.toString
       assert(plan.contains("TakeOrderedAndProject"),
         s"$q: top-k must plan as TakeOrderedAndProject:\n$plan")
-      assert(!plan.contains("GlobalSort"),
+      // SortExec prints as `Sort [keys], global, offset` — forbid any
+      // global=true sort anywhere in the tree (the shape top-k avoids)
+      assert(!"Sort \\[[^\\]]*\\], true,".r.findFirstIn(plan).isDefined,
         s"$q: no global sort may appear:\n$plan")
     }
   }
