@@ -92,6 +92,26 @@ class FormatsSpec extends SparkSpec {
     assert(spark.read.json(plainDir).rdd.getNumPartitions > 1)
   }
 
+  test("_metadata hidden columns expose file lineage without schema pollution") {
+    // per-file provenance (which shard did this row come from, when was it
+    // written) is free at scan time via the reserved _metadata struct —
+    // the lineage/debugging hook a 100 TB table audit reaches for first,
+    // with zero storage cost and zero presence in the declared schema
+    val dir = Files.createTempDirectory("graft_meta").toString + "/t"
+    Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "lang").repartition(3).write.parquet(dir)
+    val df = spark.read.parquet(dir)
+    assert(!df.columns.contains("_metadata"), "hidden unless selected")
+    val withMeta = df.select(col("doc_id"),
+      col("_metadata.file_path").as("fp"),
+      col("_metadata.file_size").as("fs"))
+    val files = withMeta.select("fp").distinct().collect().map(_.getString(0))
+    assert(files.length === 3, "one lineage path per written file")
+    assert(files.forall(f => f.contains(dir.replace("/t", "") ) || f.contains("/t/")),
+      "paths point at the scanned files")
+    assert(withMeta.filter(col("fs") <= 0).count() === 0, "real file sizes")
+  }
+
   test("orc round-trip preserves rows and schema") {
     val dir = Files.createTempDirectory("graft_orc").toString + "/nation"
     val nation = Tables.nation(spark, "/root/testdata/sf0.001")

@@ -261,6 +261,42 @@ class StreamingSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("chained stateful aggregations: window-over-window re-aggregation in append mode") {
+    implicit val sqlCtx = spark.sqlContext
+    // two stateful operators in ONE query (Spark 3.5+/4): per-(window,
+    // user) sums feed a second aggregation keyed on the same event-time
+    // window column; both levels hold state and append emits only once
+    // the watermark closes the window at BOTH levels. The hierarchical
+    // rollup (device → user → window) every metrics pipeline wants
+    // without a foreachBatch seam.
+    val mem = MemoryStream[(Timestamp, Long, Double)]
+    val e = mem.toDF().toDF("ts", "user_id", "value")
+      .withWatermark("ts", "10 minutes")
+    val perUser = e.groupBy(window(col("ts"), "10 minutes"), col("user_id"))
+      .agg(sum("value").as("user_sum"))
+    val perWindow = perUser.groupBy(col("window"))
+      .agg(count(lit(1)).as("n_users"), sum("user_sum").as("total"))
+    val q = perWindow
+      .select(col("window.start").as("ws"), col("n_users"), col("total"))
+      .writeStream.format("memory").queryName("chain_test")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    mem.addData((ts("2024-01-01 10:01:00"), 1L, 2.0),
+      (ts("2024-01-01 10:02:00"), 2L, 3.0),
+      (ts("2024-01-01 10:03:00"), 1L, 5.0))
+    q.processAllAvailable()
+    assert(spark.table("chain_test").count() === 0,
+      "append emits nothing before the watermark closes the window")
+    mem.addData((ts("2024-01-01 11:00:00"), 9L, 1.0))
+    q.processAllAvailable()
+    mem.addData((ts("2024-01-01 11:01:00"), 9L, 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("chain_test").collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(rows === Set((ts("2024-01-01 10:00:00"), 2L, 10.0)),
+      "the closed 10:00 window rolls up 2 users totalling 10.0; open windows stay held")
+  }
+
   test("streaming Misra-Gries heavy hitters: MGSummary rides transformWithState state") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.streaming.{StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
