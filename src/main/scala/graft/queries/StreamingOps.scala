@@ -154,6 +154,36 @@ object StreamingOps {
           ON a.user_id = b.user_id AND a.event_type = 'view'
          AND b.event_type = 'purchase'
          AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
-        ORDER BY 1, 2, 3"""))
+        ORDER BY 1, 2, 3""")),
+
+    // q121: CHAINED stateful aggregations (Spark 3.5+/4 multi-stateful) —
+    // per-(window, event_type) sums re-aggregated per window in the SAME
+    // query: the hierarchical metrics rollup without a foreachBatch seam.
+    // Chaining REQUIRES append mode, so unlike q50/q51 the trailing
+    // windows the final watermark (max ts − 1 h) has not closed are
+    // correctly withheld — the oracle applies the same cutoff. State at
+    // scale: one row per (window, type) at level 1, one per window at
+    // level 2, both watermark-evicted.
+    QueryDef("q121_stream_chained_agg",
+      (s, d) => {
+        val e = EventStream.readEvents(s, d)
+        val lvl1 = e.withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(sum("value").as("type_sum"))
+        val lvl2 = lvl1.groupBy(col("window"))
+          .agg(count(lit(1)).as("n_types"), sum("type_sum").as("sv"))
+        EventStream.runToTable(s, lvl2, "append")
+          .select(col("window.start").as("window_start"), col("n_types"),
+            round(col("sv"), 2).as("sum_value"))
+          .orderBy("window_start")
+      },
+      Some("""WITH m AS (SELECT max(ts) - INTERVAL 1 HOUR AS wm FROM events),
+          w AS (SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) ws,
+                  event_type, value FROM events)
+        SELECT ws AS window_start,
+          CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+          round(sum(value), 2) AS sum_value
+        FROM w, m WHERE ws + INTERVAL 1 HOUR <= wm
+        GROUP BY ws ORDER BY ws"""))
   )
 }
