@@ -85,20 +85,14 @@ object Mixture {
       .agg(count(lit(1)).as("docs_kept"), sum("n_toks").as("toks_kept"),
         max("budget_toks").as("budget_toks"))
 
-  /** Monotone-in-id quantile bucket assignment (the q101 scheme): global
-    * cut points at ranks i/buckets, `b = #{cuts ≤ id}`. Global (not
-    * per-source) cuts keep the pass one approxQuantile job; within any
-    * source the assignment is still monotone in id, which is all the
-    * two-phase cumsum needs.
+  /** Monotone-in-id quantile bucket assignment — [[Packing.quantileBuckets]]
+    * on the id column (one shared implementation for every quantile-bucketed
+    * operator). Global (not per-source) cuts keep the pass one
+    * approxQuantile job; within any source the assignment is still
+    * monotone in id, which is all the two-phase cumsum needs.
     */
-  private def assignBuckets(base: DataFrame, buckets: Int): DataFrame = {
-    val cuts = if (buckets > 1) base.stat.approxQuantile("id",
-      (1 until buckets).map(_.toDouble / buckets).toArray, 1e-3)
-    else Array.empty[Double]
-    base.withColumn("b",
-      cuts.map(c => when(col("id") >= lit(c), 1L).otherwise(0L))
-        .reduceOption(_ + _).getOrElse(lit(0L)))
-  }
+  private def assignBuckets(base: DataFrame, buckets: Int): DataFrame =
+    Packing.quantileBuckets(base, "id", buckets)
 
   private def emptySample(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.types._

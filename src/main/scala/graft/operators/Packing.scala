@@ -188,7 +188,7 @@ object Packing {
     * Monotone in the key, so equal keys never straddle a bucket boundary
     * and any downstream order-by-(key, id) extends across buckets.
     */
-  private def quantileBuckets(base: DataFrame, keyCol: String,
+  private[operators] def quantileBuckets(base: DataFrame, keyCol: String,
       buckets: Int): DataFrame = {
     val cuts = if (buckets > 1) base.stat.approxQuantile(keyCol,
       (1 until buckets).map(_.toDouble / buckets).toArray, 1e-3)
