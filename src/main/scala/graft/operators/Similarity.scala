@@ -415,5 +415,141 @@ object Similarity {
       .select(col("id"), col("bucket"))
   }
 
+  // ------------------------------------------------------------------
+  // Product quantization (Jégou, Douze & Schmid, "Product Quantization
+  // for Nearest Neighbor Search", TPAMI 2011): split the d dimensions
+  // into m subspaces, k-means each subspace, and store every vector as m
+  // small codebook indices — m·log₂(kCodes) bits instead of 4·d bytes
+  // (64-dim float → 8 bytes at the standard m=8, kCodes=256 "PQ8": a 32×
+  // compression). Assignment is euclidean (the paper's rule — and the one
+  // the reconstruction-dot objective wants minimized);
+  // search scores queries against the RECONSTRUCTED corpus vectors,
+  // which equals the classic ADC lookup-table sum exactly
+  // (dot(q, x̂) = Σ_sub dot(q_sub, codeword_sub)) while reusing the
+  // codegen'd FloatDotProduct — deterministic accumulation order, unlike
+  // an explode+groupBy lookup-table sum whose partial-merge order is not.
+  // At scale the codes are the at-rest/shuffled form; reconstruction is
+  // a map-side broadcast-codebook decode in the scan stage.
+
+  /** One subvector row per (vector, subspace): (id, sub, sv). */
+  private def pqSubvectors(vecs: DataFrame, idCol: String, vecCol: String,
+      m: Int, sw: Int): DataFrame =
+    vecs.select(col(idCol).cast("long").as("id"),
+      posexplode(transform(sequence(lit(0), lit(m - 1)),
+        s => slice(col(vecCol), s * sw + 1, lit(sw)))).as(Seq("sub", "sv")))
+
+  /** Euclidean nearest-codeword assignment: argmin ‖sv − cv‖² =
+    * argmax (sv·cv − ‖cv‖²/2) — the classic PQ rule, which is also what
+    * the reconstruction-dot search objective wants minimized. The argmax
+    * is a hash AGGREGATION over a lexicographic (score, −code, …) struct
+    * — deterministic (ties take the lowest code) and map-side combining,
+    * where a row_number window over the kCodes-way exploded join was a
+    * full sort of n·m·kCodes rows (measured 4× the whole query).
+    * Output: (id, sub, sv, code, cv) of the winner.
+    */
+  private def pqAssign(subs: DataFrame, cents: DataFrame): DataFrame =
+    subs.join(broadcast(cents
+        .withColumn("h", dot(col("cv"), col("cv")) / 2)), "sub")
+      .withColumn("score", dot(col("sv"), col("cv")) - col("h"))
+      .groupBy("id", "sub")
+      .agg(max(struct(col("score"), (-col("code")).as("nc"), col("code"),
+        col("cv"))).as("w"),
+        first(col("sv")).as("sv")) // sv is constant within the group
+      .select(col("id"), col("sub"), col("sv"),
+        col("w.code").as("code"), col("w.cv").as("cv"))
+
+  /** Train the PQ codebook: (sub, code, cv) — `m` euclidean k-means run
+    * as ONE grouped Lloyd over all subspaces (a single exploded frame,
+    * one broadcast-assign + one mergeable-centroid agg per round — not m
+    * sequential trainings). Deterministic: seeds are each subspace's
+    * kCodes lowest-id subvectors, ties on code. One eager size() probe
+    * fixes d; on a real corpus, train on a sample — the codebook is the
+    * model, not the data.
+    */
+  def pqTrain(vecs: DataFrame, idCol: String, vecCol: String,
+      m: Int, kCodes: Int, iters: Int = 2): DataFrame = {
+    require(m > 0 && kCodes > 1, "need positive m and kCodes > 1")
+    if (vecs.head(1).isEmpty)
+      return vecs.select(lit(0).as("sub"), lit(0).as("code"),
+        transform(col(vecCol), _.cast("float")).as("cv")).limit(0)
+    val d = vecs.select(size(col(vecCol))).head.getInt(0)
+    require(d % m == 0, s"dim $d must divide into m=$m subspaces")
+    val subs = Checkpoints.cut(pqSubvectors(vecs, idCol, vecCol, m, d / m))
+    val wSeed = Window.partitionBy(col("sub")).orderBy(col("id"))
+    val centroidOf = udaf(graft.functions.CentroidAggregator)
+    var cents = Checkpoints.cut(subs
+      .withColumn("rn", row_number().over(wSeed)).filter(col("rn") <= kCodes)
+      .select(col("sub"), (col("rn") - 1).cast("int").as("code"),
+        col("sv").as("cv")))
+    (1 to iters).foreach { _ =>
+      val next = Checkpoints.cut(pqAssign(subs, cents)
+        .groupBy("sub", "code").agg(centroidOf(col("sv")).as("cv"))
+        .select(col("sub"), col("code"),
+          transform(col("cv"), _.cast("float")).as("cv")))
+      Checkpoints.release(cents)
+      cents = next
+    }
+    Checkpoints.release(subs)
+    cents
+  }
+
+  /** Encode every vector as its m nearest-codeword indices, and carry the
+    * reconstruction: (id, codes array<int>, decoded array<float>). The
+    * codes (m small ints — the at-rest form) are what a 100 TB corpus
+    * stores and shuffles; `decoded` here is the broadcast-codebook
+    * reconstruction a scan stage would materialize map-side.
+    */
+  def pqEncode(vecs: DataFrame, idCol: String, vecCol: String,
+      codebook: DataFrame): DataFrame = {
+    if (codebook.head(1).isEmpty || vecs.head(1).isEmpty)
+      return vecs.select(col(idCol).cast("long").as("id"),
+        array().cast("array<int>").as("codes"),
+        transform(col(vecCol), _.cast("float")).as("decoded")).limit(0)
+    val m = codebook.agg(max("sub")).head.getInt(0) + 1
+    val d = vecs.select(size(col(vecCol))).head.getInt(0)
+    pqAssign(pqSubvectors(vecs, idCol, vecCol, m, d / m), codebook)
+      .groupBy("id")
+      .agg(array_sort(collect_list(struct(col("sub"), col("code"), col("cv"))))
+        .as("parts"))
+      .select(col("id"),
+        transform(col("parts"), p => p.getField("code")).as("codes"),
+        flatten(transform(col("parts"), p => p.getField("cv"))).as("decoded"))
+  }
+
+  /** PQ approximate cosine top-k: train → encode → score queries' FULL
+    * vectors against the reconstructed corpus (= ADC). Approximate ⇒
+    * rows-only driver check; recall vs brute force is PqSpec's contract.
+    */
+  def pqTopK(vecs: DataFrame, idCol: String, vecCol: String,
+      isQuery: Column, k: Int, m: Int = 8, kCodes: Int = 256,
+      iters: Int = 2, trainMod: Int = 1): DataFrame = {
+    // trainMod > 1 trains the codebook on the deterministic id-mod sample
+    // (standard PQ practice — the codebook is a model; Lloyd on the full
+    // 100 TB corpus buys nothing over a representative sample) while the
+    // ENCODE pass still covers every vector
+    val trainSet =
+      if (trainMod > 1) vecs.filter(pmod(col(idCol), lit(trainMod)) === 0)
+      else vecs
+    val cb = pqTrain(trainSet, idCol, vecCol, m, kCodes, iters)
+    val enc = Checkpoints.cut(pqEncode(vecs, idCol, vecCol, cb)
+      .withColumn("dn", l2norm(col("decoded"))))
+    val q = vecs.filter(isQuery)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("qn", l2norm(col("qv")))
+    val pairs = enc.join(broadcast(q), col("id") =!= col("query_id"))
+      .withColumn("cos",
+        round(cosine(col("qv"), col("decoded"), col("qn"), col("dn")), 6))
+      .select("query_id", "id", "cos")
+    val local = Window.partitionBy(col("query_id"), spark_partition_id())
+      .orderBy(col("cos").desc, col("id"))
+    val global = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("id"))
+    pairs
+      .withColumn("_lrn", row_number().over(local)).filter(col("_lrn") <= k)
+      .withColumn("rank", row_number().over(global)).filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("id").as("neighbor_id"),
+        col("cos"))
+  }
+
   private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 }

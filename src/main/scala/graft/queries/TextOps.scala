@@ -1098,6 +1098,26 @@ object TextOps {
           CAST(row_number() OVER (ORDER BY h, doc_id) - 1 AS BIGINT) AS pos
         FROM h ORDER BY doc_id""")),
 
+    // q122: product-quantization ANN top-k (Jégou et al. TPAMI 2011) —
+    // codebook trained as ONE grouped Lloyd over all subspaces, corpus
+    // stored as m small codes, queries scored against the
+    // broadcast-codebook reconstruction (≡ the ADC lookup-table sum, in
+    // deterministic codegen'd order). This query runs the WHOLE lifecycle
+    // (sampled train → full encode → search) per call, so it sizes the
+    // codebook at 6-bit/sub (64 codewords, id-mod-8 training sample);
+    // PqSpec exercises the standard 8-bit PQ8 and pins recall. A real
+    // deployment materializes the codes once (the q103 IVF lifecycle
+    // argument) and amortizes everything but the search. Approximate ⇒
+    // rows-only; recall and determinism are PqSpec's contract.
+    QueryDef("q122_pq_topk",
+      (s, d) => graft.operators.Similarity
+        .pqTopK(emb(s, d), "vec_id", "embedding", col("vec_id") < 20, 10,
+          m = 8, kCodes = 64, iters = 2, trainMod = 8)
+        .select(col("query_id"), col("rank").cast("int").as("rnk"),
+          col("neighbor_id"), col("cos"))
+        .orderBy("query_id", "rnk"),
+      None),
+
     // q115: length-bucketed batch packing — rank by (token count, id),
     // cut into 64-sequence batches, account the padding each batch pays
     // when padded to its longest member: the dynamic-batching step that

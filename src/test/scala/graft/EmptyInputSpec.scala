@@ -75,6 +75,10 @@ class EmptyInputSpec extends SparkSpec {
       .count() === 0)
     assert(Similarity.semDedup(emptyVecs, "vec_id", "embedding", 0.5, 4)
       .count() === 0)
+    assert(Similarity.pqTopK(emptyVecs, "vec_id", "embedding",
+      col("vec_id") < 0, 5, m = 2, kCodes = 4).count() === 0)
+    assert(Similarity.pqEncode(emptyVecs, "vec_id", "embedding",
+      Similarity.pqTrain(emptyVecs, "vec_id", "embedding", 2, 4)).count() === 0)
     // no queries at all: an empty query set yields an empty result even
     // over a non-empty corpus
     assert(Similarity.bruteForceTopK(someVecs, "vec_id", "embedding",

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+/** Product-quantization contracts: codebook shape, code-range and
+  * reconstruction invariants, run-to-run determinism, and — the reason the
+  * driver check is rows-only — recall of the compressed ranking against
+  * the exact brute-force top-k on the real embeddings.
+  */
+class PqSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def emb = Tables.embeddings(spark, dir)
+
+  test("pqTrain/pqEncode: codebook shape, dense code range, reconstruction arity") {
+    val m = 8; val kCodes = 16
+    val cb = Similarity.pqTrain(emb, "vec_id", "embedding", m, kCodes)
+    val perSub = cb.groupBy("sub").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(perSub.keySet === (0 until m).toSet, "one codebook per subspace")
+    assert(perSub.values.forall(c => c > 0 && c <= kCodes),
+      "each subspace trains at most kCodes codewords")
+    val enc = Similarity.pqEncode(emb, "vec_id", "embedding", cb)
+    val n = emb.count()
+    assert(enc.count() === n, "every vector encodes")
+    val bad = enc.filter(size(col("codes")) =!= m ||
+      exists(col("codes"), c => c < 0 || c >= kCodes) ||
+      size(col("decoded")) =!= 64).count()
+    assert(bad === 0, "codes are m dense indices in [0, kCodes); decoded is d-dim")
+    // compression accounting: m byte-wide codes ≪ d float32s
+    assert(m <= 64 * 4 / 8, "m one-byte codes must undercut 256 raw bytes")
+  }
+
+  test("pqTopK is deterministic and recalls the exact top-k") {
+    val isQ = col("vec_id") < 20
+    val k = 10
+    val pq = Similarity.pqTopK(emb, "vec_id", "embedding", isQ, k,
+      m = 8, kCodes = 256, iters = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val pq2 = Similarity.pqTopK(emb, "vec_id", "embedding", isQ, k,
+      m = 8, kCodes = 256, iters = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(pq === pq2, "PQ ranking must be re-run stable")
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", isQ, k)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val approx = pq.map { case (q, _, nb) => (q, nb) }
+    val recall = approx.count(exact.contains).toDouble / exact.size
+    // PQ8 (8 subquantizers x 8-bit codebooks = 8 bytes/vector, 32x
+    // compression) is still lossy; the floor catches a broken
+    // codebook/assignment, not codec noise
+    assert(recall >= 0.5, f"PQ recall@10 $recall%.2f below floor")
+  }
+}
