@@ -148,7 +148,7 @@ object ScaleCheck {
       "q36_simhash_pairs", "q37_embedding_topk", "q38_ann_ivf",
       "q38_ivf_probe_only", "q39_embedding_pairs", "q94_lsh_pairs",
       "q94_lsh_forced", "q97_decontamination", "q97_probe_growth",
-      "q112_bm25", "q113_vocab_oov", "q114_corpus_shuffle")
+      "q112_bm25", "q113_vocab_oov", "q114_corpus_shuffle", "q122_pq_topk")
     for (k <- ks) {
       val dst = s"/tmp/graft_scale_k$k"
       val docs = spark.read.parquet(s"$src/documents.parquet")
