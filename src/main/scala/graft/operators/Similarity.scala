@@ -48,7 +48,14 @@ object Similarity {
     val pairs = withNorm.join(broadcast(q), col("id") =!= col("query_id"))
       .withColumn("cos", round(cosine(col("qv"), col("v"), col("qn"), col("nrm")), 6))
       .select("query_id", "id", "cos")
-    // two-phase top-k: local prune to k per (query, partition), then final
+    twoPhaseTopK(pairs, k)
+  }
+
+  /** Two-phase per-query top-k over (query_id, id, cos): local prune to k
+    * per (query, partition), then the final per-query window — only
+    * k·partitions rows reach the last exchange, never a global sort.
+    */
+  private def twoPhaseTopK(pairs: DataFrame, k: Int): DataFrame = {
     val local = Window.partitionBy(col("query_id"), spark_partition_id())
       .orderBy(col("cos").desc, col("id"))
     val global = Window.partitionBy(col("query_id"))
@@ -475,12 +482,19 @@ object Similarity {
     val d = vecs.select(size(col(vecCol))).head.getInt(0)
     require(d % m == 0, s"dim $d must divide into m=$m subspaces")
     val subs = Checkpoints.cut(pqSubvectors(vecs, idCol, vecCol, m, d / m))
-    val wSeed = Window.partitionBy(col("sub")).orderBy(col("id"))
     val centroidOf = udaf(graft.functions.CentroidAggregator)
-    var cents = Checkpoints.cut(subs
-      .withColumn("rn", row_number().over(wSeed)).filter(col("rn") <= kCodes)
-      .select(col("sub"), (col("rn") - 1).cast("int").as("code"),
-        col("sv").as("cv")))
+    // seeds: the subvectors of the kCodes lowest-id vectors —
+    // TakeOrderedAndProject on the VECTOR frame, then a window over the
+    // tiny kCodes·m seed frame; never a row_number sort of all n·m
+    // subvector rows (m-way parallelism on a full-corpus sort is the
+    // shape this family avoids)
+    val seedVecs = vecs
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .orderBy("id").limit(kCodes)
+    val wSeed = Window.partitionBy(col("sub")).orderBy(col("id"))
+    var cents = Checkpoints.cut(pqSubvectors(seedVecs, "id", "v", m, d / m)
+      .withColumn("code", row_number().over(wSeed).cast("int") - 1)
+      .select(col("sub"), col("code"), col("sv").as("cv")))
     (1 to iters).foreach { _ =>
       val next = Checkpoints.cut(pqAssign(subs, cents)
         .groupBy("sub", "code").agg(centroidOf(col("sv")).as("cv"))
@@ -507,6 +521,8 @@ object Similarity {
         transform(col(vecCol), _.cast("float")).as("decoded")).limit(0)
     val m = codebook.agg(max("sub")).head.getInt(0) + 1
     val d = vecs.select(size(col(vecCol))).head.getInt(0)
+    require(d % m == 0,
+      s"dim $d does not divide into the codebook's m=$m subspaces")
     pqAssign(pqSubvectors(vecs, idCol, vecCol, m, d / m), codebook)
       .groupBy("id")
       .agg(array_sort(collect_list(struct(col("sub"), col("code"), col("cv"))))
@@ -526,10 +542,13 @@ object Similarity {
     // trainMod > 1 trains the codebook on the deterministic id-mod sample
     // (standard PQ practice — the codebook is a model; Lloyd on the full
     // 100 TB corpus buys nothing over a representative sample) while the
-    // ENCODE pass still covers every vector
-    val trainSet =
+    // ENCODE pass still covers every vector. An id space the mod misses
+    // entirely falls back to full-corpus training — never a silent empty
+    // result over a non-empty corpus.
+    val sample =
       if (trainMod > 1) vecs.filter(pmod(col(idCol), lit(trainMod)) === 0)
       else vecs
+    val trainSet = if (trainMod > 1 && sample.head(1).isEmpty) vecs else sample
     val cb = pqTrain(trainSet, idCol, vecCol, m, kCodes, iters)
     val enc = Checkpoints.cut(pqEncode(vecs, idCol, vecCol, cb)
       .withColumn("dn", l2norm(col("decoded"))))
@@ -540,15 +559,7 @@ object Similarity {
       .withColumn("cos",
         round(cosine(col("qv"), col("decoded"), col("qn"), col("dn")), 6))
       .select("query_id", "id", "cos")
-    val local = Window.partitionBy(col("query_id"), spark_partition_id())
-      .orderBy(col("cos").desc, col("id"))
-    val global = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("id"))
-    pairs
-      .withColumn("_lrn", row_number().over(local)).filter(col("_lrn") <= k)
-      .withColumn("rank", row_number().over(global)).filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("id").as("neighbor_id"),
-        col("cos"))
+    twoPhaseTopK(pairs, k)
   }
 
   private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)

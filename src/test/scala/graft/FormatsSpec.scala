@@ -107,8 +107,8 @@ class FormatsSpec extends SparkSpec {
       col("_metadata.file_size").as("fs"))
     val files = withMeta.select("fp").distinct().collect().map(_.getString(0))
     assert(files.length === 3, "one lineage path per written file")
-    assert(files.forall(f => f.contains(dir.replace("/t", "") ) || f.contains("/t/")),
-      "paths point at the scanned files")
+    assert(files.forall(f => f.contains(dir) && f.contains("part-")),
+      s"paths must point at the scanned files under $dir: ${files.toSeq}")
     assert(withMeta.filter(col("fs") <= 0).count() === 0, "real file sizes")
   }
 

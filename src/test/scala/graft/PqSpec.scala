@@ -29,8 +29,18 @@ class PqSpec extends SparkSpec {
       exists(col("codes"), c => c < 0 || c >= kCodes) ||
       size(col("decoded")) =!= 64).count()
     assert(bad === 0, "codes are m dense indices in [0, kCodes); decoded is d-dim")
-    // compression accounting: m byte-wide codes ≪ d float32s
-    assert(m <= 64 * 4 / 8, "m one-byte codes must undercut 256 raw bytes")
+  }
+
+  test("pqTopK with a trainMod the id space misses falls back to full training") {
+    import spark.implicits._
+    // all-odd ids: pmod(id, 2) === 0 matches nothing — the fallback must
+    // still produce a ranking over the non-empty corpus
+    val vecs = Seq(1L, 3L, 5L, 7L, 9L)
+      .map(i => (i, Array.tabulate(4)(j => (i + j).toFloat)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.pqTopK(vecs, "vec_id", "embedding",
+      col("vec_id") === 1L, 3, m = 2, kCodes = 4, iters = 1, trainMod = 2)
+    assert(out.count() === 3, "non-empty corpus must never yield an empty ranking")
   }
 
   test("pqTopK is deterministic and recalls the exact top-k") {
