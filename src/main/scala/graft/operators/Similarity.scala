@@ -562,5 +562,49 @@ object Similarity {
     twoPhaseTopK(pairs, k)
   }
 
+  /** IVF-PQ (the FAISS-style pairing): coarse IVF buckets bound WHICH
+    * vectors each query scans (`nProbe/nCentroids` of the corpus), PQ
+    * codes bound WHAT is stored and scanned per vector (m bytes, scored
+    * against the broadcast-codebook reconstruction). Composition of the
+    * existing pieces — coarse k-means + bucket assignment from the IVF
+    * path, codebook/encode/ADC from the PQ path — so both compression
+    * levers stack: scan fraction × 32 bytes-per-vector. (Classic IVF-PQ
+    * encodes residuals v − coarse_centroid; this variant encodes raw
+    * vectors — simpler, and the recall contract is PqSpec's to pin.)
+    * Approximate ⇒ rows-only driver check.
+    */
+  def ivfPqTopK(vecs: DataFrame, idCol: String, vecCol: String,
+      isQuery: Column, k: Int, nCentroids: Int = 16, nProbe: Int = 4,
+      m: Int = 8, kCodes: Int = 64, iters: Int = 2,
+      trainMod: Int = 1): DataFrame = {
+    val base = vecs.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("nrm", l2norm(col("v")))
+    if (base.head(1).isEmpty)
+      return base.select(col("id").as("query_id"), lit(1).as("rank"),
+        col("id").as("neighbor_id"), lit(0.0).as("cos")).limit(0)
+    val coarse = normCentroids(
+      kmeansCentroids(vecs, idCol, vecCol, nCentroids, iters))
+    val sample =
+      if (trainMod > 1) vecs.filter(pmod(col(idCol), lit(trainMod)) === 0)
+      else vecs
+    val trainSet = if (trainMod > 1 && sample.head(1).isEmpty) vecs else sample
+    val cb = pqTrain(trainSet, idCol, vecCol, m, kCodes, iters)
+    // the stored index row: (bucket, id, codes→decoded, norm) — what a
+    // materialized IVF-PQ table persists (codes at rest; decode map-side)
+    val enc = Checkpoints.cut(
+      assignToBuckets(base, coarse).select("id", "bucket")
+        .join(pqEncode(vecs, idCol, vecCol, cb), "id")
+        .withColumn("dn", l2norm(col("decoded"))))
+    val queries = base.filter(isQuery)
+      .select(col("id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val probes = probeBuckets(queries, coarse, nProbe)
+    val pairs = enc.join(broadcast(probes), Seq("bucket"))
+      .filter(col("id") =!= col("query_id"))
+      .withColumn("cos",
+        round(cosine(col("qv"), col("decoded"), col("qn"), col("dn")), 6))
+      .select("query_id", "id", "cos")
+    twoPhaseTopK(pairs, k)
+  }
+
   private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 }

@@ -1118,6 +1118,22 @@ object TextOps {
         .orderBy("query_id", "rnk"),
       None),
 
+    // q123: IVF-PQ ANN top-k — the FAISS-style pairing of both ANN
+    // levers: coarse IVF buckets bound WHICH vectors each query scans
+    // (nProbe/nCentroids of the corpus), PQ codes bound WHAT is stored
+    // and scanned per vector (m bytes vs 4·d). Composition of q38's
+    // bucketing and q122's codebooks; rows-only, recall + determinism in
+    // PqSpec.
+    QueryDef("q123_ivfpq_topk",
+      (s, d) => graft.operators.Similarity
+        .ivfPqTopK(emb(s, d), "vec_id", "embedding", col("vec_id") < 20, 10,
+          nCentroids = 16, nProbe = 4, m = 8, kCodes = 64, iters = 2,
+          trainMod = 8)
+        .select(col("query_id"), col("rank").cast("int").as("rnk"),
+          col("neighbor_id"), col("cos"))
+        .orderBy("query_id", "rnk"),
+      None),
+
     // q115: length-bucketed batch packing — rank by (token count, id),
     // cut into 64-sequence batches, account the padding each batch pays
     // when padded to its longest member: the dynamic-batching step that

@@ -31,6 +31,25 @@ class PqSpec extends SparkSpec {
     assert(bad === 0, "codes are m dense indices in [0, kCodes); decoded is d-dim")
   }
 
+  test("ivfPqTopK: both compression levers stack and still recall the exact top-k") {
+    val isQ = col("vec_id") < 20
+    val k = 10
+    val got = Similarity.ivfPqTopK(emb, "vec_id", "embedding", isQ, k,
+      nCentroids = 16, nProbe = 4, m = 8, kCodes = 256, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val again = Similarity.ivfPqTopK(emb, "vec_id", "embedding", isQ, k,
+      nCentroids = 16, nProbe = 4, m = 8, kCodes = 256, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(got === again, "IVF-PQ ranking must be re-run stable")
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", isQ, k)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = got.count(exact.contains).toDouble / exact.size
+    // the nProbe=4/16 candidate restriction stacks ON TOP of the lossy
+    // code, so the floor sits below the pure-PQ one; it still catches a
+    // broken bucket routing or codebook outright
+    assert(recall >= 0.35, f"IVF-PQ recall@10 $recall%.2f below floor")
+  }
+
   test("pqTopK with a trainMod the id space misses falls back to full training") {
     import spark.implicits._
     // all-odd ids: pmod(id, 2) === 0 matches nothing — the fallback must
