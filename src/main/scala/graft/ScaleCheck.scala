@@ -148,7 +148,8 @@ object ScaleCheck {
       "q36_simhash_pairs", "q37_embedding_topk", "q38_ann_ivf",
       "q38_ivf_probe_only", "q39_embedding_pairs", "q94_lsh_pairs",
       "q94_lsh_forced", "q97_decontamination", "q97_probe_growth",
-      "q112_bm25", "q113_vocab_oov", "q114_corpus_shuffle", "q122_pq_topk")
+      "q112_bm25", "q113_vocab_oov", "q114_corpus_shuffle", "q122_pq_topk",
+      "q124_bpe_merges", "q127_mmr_rerank")
     for (k <- ks) {
       val dst = s"/tmp/graft_scale_k$k"
       val docs = spark.read.parquet(s"$src/documents.parquet")
@@ -227,6 +228,13 @@ object ScaleCheck {
           graft.operators.Similarity.ivfTopKIndexed(spark, s"$dir/ivf_index",
             Tables.embeddings(spark, dir).filter(col("vec_id") < 10),
             "vec_id", "embedding", 10, 4).count()
+        // q124 through SparkEntry would hit the per-(session, dir) model
+        // memo on the second rep — train fresh. The mutated copies add
+        // copy-unique tokens, so the distinct-word table (every round's
+        // input) genuinely grows with k.
+        case "q124_bpe_merges" =>
+          graft.operators.Bpe.learn(
+            Tables.documents(spark, dir), "text", 20, 2).merges.size.toLong
         case _ => SparkEntry.queries(q)(spark, dir).count()
       }
       val t = (1 to 2).map { _ =>

@@ -1,0 +1,142 @@
+package graft.operators
+
+import java.util.regex.{Matcher, Pattern}
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+
+/** Distributed byte-pair-encoding vocabulary training (Sennrich et al.,
+  * ACL 2016) — the tokenizer-learning step of an LLM data pipeline,
+  * restated for Spark's execution model.
+  *
+  * Scale posture: the corpus is touched exactly ONCE — tokenize → explode →
+  * word-frequency aggregation (map-side partial combine; the same shuffle
+  * shape as q32's token counting). Every merge round after that runs on the
+  * DISTINCT-WORD table, which Heap's law keeps orders of magnitude smaller
+  * than the corpus (~100 M rows for a 100 TB corpus — still distributed,
+  * never collected). A round is: adjacent-pair explode → hash-agg of
+  * freq-weighted pair counts → 1-row argmax to the driver (a scalar
+  * witness, the same pattern as [[Components]]' convergence probe) →
+  * codegen'd leftmost-nonoverlapping merge rewrite of the symbol column.
+  * Lineage is cut per round via [[Checkpoints.cut]] with superseded rounds
+  * released, so the logical plan stays O(1) deep across any merge count.
+  *
+  * The merge rewrite is a single `regexp_replace` over the space-joined
+  * symbol string: Java's replaceAll scans left-to-right and resumes AFTER
+  * each match, which is exactly BPE's greedy leftmost-nonoverlapping merge
+  * ("a a a" under merge (a,a) → "aa a", not "aa aa"). `(?<!\S)`/`(?!\S)`
+  * anchors keep matches on whole symbols; symbols never contain whitespace
+  * ([[TextFns.tokens]] splits on it), so the space-joined form is lossless.
+  *
+  * Determinism: pair argmax breaks ties (count desc, left asc, right asc);
+  * re-running on any partitioning yields the identical merge list.
+  */
+object Bpe {
+
+  /** One learned merge: rank 1..n, the adjacent pair it joins, and the
+    * freq-weighted adjacent-pair count that made it the argmax (counted
+    * with overlaps, per the reference algorithm's get_stats).
+    */
+  final case class Merge(rank: Int, left: String, right: String, count: Long)
+
+  /** The trained model: the driver-side merge list (k rows — it arrives on
+    * the driver one argmax row per round by construction) plus the final
+    * distributed word-segmentation table (word, freq, syms) whose `syms`
+    * concatenation is always exactly `word`.
+    */
+  final case class Model(merges: Seq[Merge], segments: DataFrame)
+
+  /** Corpus word-frequency table — the one corpus-sized pass. */
+  def wordCounts(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(TextFns.tokens(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+
+  /** Learn up to `numMerges` BPE merges over `textCol`; stops early when
+    * the best remaining adjacent pair occurs fewer than `minCount` times
+    * (freq-weighted). Initial symbols are single characters.
+    */
+  def learn(docs: DataFrame, textCol: String, numMerges: Int,
+      minCount: Long = 2L): Model = {
+    require(numMerges >= 0 && minCount >= 1, "need numMerges >= 0, minCount >= 1")
+    var words = Checkpoints.cut(
+      wordCounts(docs, textCol).withColumn("syms",
+        filter(split(col("word"), ""), s => length(s) > 0)))
+    val merges = Seq.newBuilder[Merge]
+    var rank = 1
+    var done = rank > numMerges
+    while (!done) {
+      // freq-weighted adjacent-pair counts (overlaps included), argmax with
+      // a total-order tiebreak; the 1-row head() is the per-round scalar
+      // witness that drives the loop
+      val best = words.filter(size(col("syms")) >= 2)
+        .select(col("freq"), explode(zipAdjacent(col("syms"))).as("p"))
+        .groupBy(col("p.l"), col("p.r")).agg(sum("freq").as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .head(1)
+      best match {
+        case Array(Row(l: String, r: String, cnt: Long)) if cnt >= minCount =>
+          merges += Merge(rank, l, r, cnt)
+          val next = Checkpoints.cut(
+            words.withColumn("syms", mergePair(col("syms"), l, r)))
+          Checkpoints.release(words)
+          words = next
+          rank += 1
+          done = rank > numMerges
+        case _ => done = true
+      }
+    }
+    Model(merges.result(), words)
+  }
+
+  /** Adjacent symbol pairs of a symbol array, as (l, r) structs — zip of
+    * the array against itself shifted by one. Requires size >= 2 upstream
+    * (zip_with pads the SHORTER side with nulls, so unequal slices would
+    * otherwise fabricate a null-tailed pair).
+    */
+  private def zipAdjacent(syms: org.apache.spark.sql.Column) =
+    zip_with(
+      slice(syms, lit(1), size(syms) - 1),
+      slice(syms, lit(2), size(syms) - 1),
+      (a, b) => struct(a.as("l"), b.as("r")))
+
+  /** Greedy leftmost-nonoverlapping merge of adjacent (l, r) into l+r —
+    * one codegen'd regexp_replace on the space-joined symbols, guarded so
+    * words lacking either symbol skip the regex entirely.
+    */
+  private def mergePair(syms: org.apache.spark.sql.Column,
+      l: String, r: String) = {
+    val pat = "(?<!\\S)" + Pattern.quote(l) + " " + Pattern.quote(r) + "(?!\\S)"
+    when(array_contains(syms, l) && array_contains(syms, r),
+      split(regexp_replace(concat_ws(" ", syms), pat,
+        Matcher.quoteReplacement(l + r)), " "))
+      .otherwise(syms)
+  }
+
+  /** The learned merges as a driver-checkable DataFrame:
+    * (rank, left, right, merged, pair_count), one row per merge.
+    */
+  def mergesDf(spark: org.apache.spark.sql.SparkSession,
+      merges: Seq[Merge]): DataFrame = {
+    import spark.implicits._
+    merges.toDF("rank", "left", "right", "pair_count")
+      .select(col("rank"), col("left"), col("right"),
+        concat(col("left"), col("right")).as("merged"), col("pair_count"))
+  }
+
+  /** Corpus-wide vocabulary statistics under the trained segmentation:
+    * one row per final symbol — total occurrences (freq-weighted), the
+    * number of distinct words it appears in, and its character length.
+    * This is "encode the corpus with the learned tokenizer and count
+    * tokens": the training segmentation already IS the encoding of every
+    * corpus word, so no second corpus pass is needed.
+    */
+  def vocabStats(model: Model): DataFrame =
+    model.segments
+      .select(col("word"), col("freq"), explode(col("syms")).as("sym"))
+      .groupBy("sym")
+      .agg(sum("freq").as("occurrences"),
+        countDistinct(col("word")).as("n_words"))
+      .withColumn("sym_len", length(col("sym")))
+}

@@ -144,14 +144,16 @@ object Similarity {
     * materialized index exists to amortize. Broadcast NL join against the
     * k-row centroid frame; ties break on cid.
     */
-  private def assignToBuckets(base: DataFrame, cents: DataFrame): DataFrame = {
+  private def assignToBuckets(base: DataFrame, cents: DataFrame,
+      meta: Seq[String] = Nil): DataFrame = {
     val wAssign = Window.partitionBy(col("id"))
       .orderBy(col("csim").desc, col("cid"))
     base.crossJoin(broadcast(cents))
       .withColumn("csim", cosine(col("v"), col("cv"), col("nrm"), col("cn")))
       .withColumn("crn", row_number().over(wAssign))
       .filter(col("crn") === 1)
-      .select(col("id"), col("v"), col("nrm"), col("cid").as("bucket"))
+      .select(col("id") +: col("v") +: col("nrm") +:
+        col("cid").as("bucket") +: meta.map(col): _*)
   }
 
   /** Each query's nProbe nearest centroid buckets: (query_id, qv, qn, bucket). */
@@ -205,11 +207,12 @@ object Similarity {
     * makes the scan fraction physical, not just logical).
     */
   def buildIvfIndex(vecs: DataFrame, idCol: String, vecCol: String,
-      centroids: DataFrame, path: String): Unit = {
-    val base = vecs.select(col(idCol).as("id"), col(vecCol).as("v"))
+      centroids: DataFrame, path: String, metaCols: Seq[String] = Nil): Unit = {
+    val base = vecs.select(
+      (col(idCol).as("id") +: col(vecCol).as("v") +: metaCols.map(col)): _*)
       .withColumn("nrm", l2norm(col("v")))
     graft.sources.TableSink.writePartitioned(
-      assignToBuckets(base, normCentroids(centroids)),
+      assignToBuckets(base, normCentroids(centroids), metaCols),
       s"$path/buckets", Seq("bucket"))
     centroids.select(col("cid"), col("cv")).write
       .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$path/centroids")
@@ -244,12 +247,18 @@ object Similarity {
     */
   def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
       queries: DataFrame, idCol: String, vecCol: String,
-      k: Int, nProbe: Int): DataFrame = {
+      k: Int, nProbe: Int, pred: Column = lit(true)): DataFrame = {
     val cents = normCentroids(spark.read.parquet(s"$path/centroids"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .withColumn("qn", l2norm(col("qv")))
+    // `pred` is FILTERED vector search done right: the predicate lands on
+    // the index scan itself (PushedFilters — FilteredAnnSpec asserts it), so
+    // top-k ranks only rows that satisfy it. Post-filtering an unfiltered
+    // top-k would instead return FEWER than k (or zero) matches whenever the
+    // neighborhood is dominated by non-matching rows. Predicate columns must
+    // have been materialized into the index via buildIvfIndex(metaCols).
     // partition-column read-back infers int; restore the centroid-id type
-    val assigned = spark.read.parquet(s"$path/buckets")
+    val assigned = spark.read.parquet(s"$path/buckets").filter(pred)
       .select(col("id"), col("v"), col("nrm"), col("bucket").cast("long").as("bucket"))
     topKOverBuckets(assigned, probeBuckets(q, cents, nProbe), k)
   }
@@ -604,6 +613,91 @@ object Similarity {
         round(cosine(col("qv"), col("decoded"), col("qn"), col("dn")), 6))
       .select("query_id", "id", "cos")
     twoPhaseTopK(pairs, k)
+  }
+
+  /** Maximal-marginal-relevance re-ranking (Carbonell & Goldstein,
+    * SIGIR'98) over an exact top-`poolSize` candidate pool: greedily pick k
+    * results maximizing `λ·rel(c) − (1−λ)·max_{s∈selected} cos(c, s)` — the
+    * diversity pass a retrieval pipeline runs between ANN and the consumer
+    * so near-duplicate neighbors don't crowd out distinct ones.
+    *
+    * Scale posture: the distributed part — candidate generation — reuses
+    * [[bruteForceTopK]]'s map-side-dot/two-phase-top-k shape (swap in the
+    * IVF path upstream for approximate pools); the greedy selection is
+    * inherently sequential PER QUERY but embarrassingly parallel ACROSS
+    * queries, so it runs as a grouped flatMap over `poolSize`-bounded
+    * candidate lists (bounded memory per task, queries partition-parallel).
+    * This is per-group imperative logic, not a driver loop — no collect.
+    *
+    * Deterministic: pool ties break on id (inherited), selection ties break
+    * on (score desc, id asc); `rel` is the pool's rounded cosine and
+    * pairwise cosines use the same per-element double-cast accumulation as
+    * [[dot]]. Output: (query_id, rank, neighbor_id, score) with `score` the
+    * MMR objective at selection time, rounded to 6 dp (rank 1's score is
+    * just λ·rel — nothing is selected yet to repel from).
+    */
+  def mmrRerank(vecs: DataFrame, idCol: String, vecCol: String,
+      isQuery: Column, k: Int, poolSize: Int, lambda: Double): DataFrame = {
+    require(k >= 1 && poolSize >= k, "need 1 <= k <= poolSize")
+    require(lambda >= 0.0 && lambda <= 1.0, "need lambda in [0, 1]")
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val pool = bruteForceTopK(vecs, idCol, vecCol, isQuery, poolSize)
+    val side = vecs.select(col(idCol).cast("long").as("nid"), col(vecCol).as("nv"))
+    val cands = pool
+      .join(side, col("neighbor_id") === col("nid"))
+      .groupBy(col("query_id").cast("long").as("query_id"))
+      .agg(collect_list(struct(col("neighbor_id").cast("long").as("_1"),
+        col("nv").as("_2"), col("cos").as("_3"))).as("cands"))
+      .as[(Long, Seq[(Long, Seq[Float], Double)])]
+    cands.flatMap { case (qid, plist) =>
+      val arr = plist.sortBy { case (id, _, rel) => (-rel, id) }.toArray
+      val n = arr.length
+      val sel = Array.fill(n)(false)
+      val out = Seq.newBuilder[(Long, Int, Long, Double)]
+      // max cosine to any already-selected candidate, updated incrementally
+      val repel = Array.fill(n)(0.0)
+      var rank = 1
+      val kk = math.min(k, n)
+      while (rank <= kk) {
+        var bi = -1; var bs = Double.NegativeInfinity
+        var i = 0
+        while (i < n) {
+          if (!sel(i)) {
+            val s = lambda * arr(i)._3 -
+              (if (rank == 1) 0.0 else (1.0 - lambda) * repel(i))
+            // strict > plus rel-desc/id-asc scan order = (score, -rel, id) tiebreak
+            if (s > bs) { bs = s; bi = i }
+          }
+          i += 1
+        }
+        out += ((qid, rank, arr(bi)._1, math.rint(bs * 1e6) / 1e6))
+        sel(bi) = true
+        val bv = arr(bi)._2
+        i = 0
+        while (i < n) {
+          if (!sel(i)) repel(i) = math.max(repel(i), jvmCosine(arr(i)._2, bv))
+          i += 1
+        }
+        rank += 1
+      }
+      out.result()
+    }.toDF("query_id", "rank", "neighbor_id", "score")
+  }
+
+  /** Plain-JVM cosine with the same per-element double-cast, left-to-right
+    * accumulation as [[dot]] — used inside [[mmrRerank]]'s per-group loop.
+    */
+  private def jvmCosine(a: Seq[Float], b: Seq[Float]): Double = {
+    var d = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      d += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else d / (math.sqrt(na) * math.sqrt(nb))
   }
 
   private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)

@@ -46,6 +46,26 @@ object TextOps {
   private val ivfIndexCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
 
+  // q126's metadata-carrying IVF index (label materialized for filtered
+  // search) — same build-once lifecycle, separate table: a production
+  // deployment decides at BUILD time which predicate columns the index
+  // carries, so the two shapes are genuinely different indexes.
+  private val ivfMetaIndexCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  // q124/q125's trained BPE model, learned once per (session, sf dir): the
+  // merge list is driver-sized by construction (one argmax row per round);
+  // the segmentation table stays distributed. Durability of the memoized
+  // segments frame follows Checkpoints' mode: with graft.checkpoint.dir set
+  // (the cluster posture) the final round is a reliable checkpoint that
+  // survives executor loss; in localCheckpoint mode it is single-node
+  // session state, same as every iterative operator here.
+  private val bpeModelCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), graft.operators.Bpe.Model]
+  private def bpeModel(s: SparkSession, d: String) =
+    bpeModelCache.getOrElseUpdate((s, d),
+      graft.operators.Bpe.learn(docs(s, d), "text", numMerges = 20, minCount = 2))
+
   // DuckDB-side token pipeline shared by several oracles.
   private val OToks =
     """list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)"""
@@ -1153,6 +1173,70 @@ object TextOps {
         SELECT batch, CAST(count(*) AS BIGINT) n_seqs, min(len) min_len,
           max(len) max_len, CAST(sum(len) AS BIGINT) sum_len,
           CAST(count(*) * max(len) - sum(len) AS BIGINT) padding
-        FROM b GROUP BY batch ORDER BY batch"""))
+        FROM b GROUP BY batch ORDER BY batch""")),
+
+    // q124: distributed BPE vocabulary training (Sennrich ACL'16) — the
+    // tokenizer-learning step of an LLM pipeline. The corpus is scanned
+    // ONCE into a word-frequency table; every merge round then runs on the
+    // Heap's-law-small distinct-word table (pair explode → weighted
+    // hash-agg → 1-row argmax scalar witness → codegen'd regex merge),
+    // lineage cut per round. Iterative argmax is not SQL-expressible ⇒
+    // rows-only; BpeSpec pins exact equality with the reference algorithm,
+    // greedy-merge semantics, and the monotone-count invariant.
+    QueryDef("q124_bpe_merges",
+      (s, d) => graft.operators.Bpe.mergesDf(s, bpeModel(s, d).merges)
+        .orderBy("rank"),
+      None),
+
+    // q125: corpus token statistics under the trained BPE segmentation —
+    // "encode the corpus and count tokens" without a second corpus pass:
+    // training's final word-segmentation table IS the encoding of every
+    // corpus word, so vocab stats are one explode + hash-agg over it.
+    // Depends on the learned merges ⇒ rows-only; conservation invariants
+    // (Σ occurrences = Σ freq·|syms|, concat(syms) = word) are BpeSpec's.
+    QueryDef("q125_bpe_vocab",
+      (s, d) => graft.operators.Bpe.vocabStats(bpeModel(s, d))
+        .orderBy(col("occurrences").desc, col("sym")),
+      None),
+
+    // q126: FILTERED vector search — the predicate is pushed INTO the
+    // saved IVF index scan (label is materialized into the bucket table at
+    // build time; PushedFilters asserted in FilteredAnnSpec), so top-k
+    // ranks only matching rows. Post-filtering an unfiltered top-k would
+    // under-return whenever a neighborhood is dominated by non-matching
+    // vectors (~90% here). Approximate ⇒ rows-only; exact identity with
+    // the assign-after-filter inline path is FilteredAnnSpec's contract.
+    QueryDef("q126_filtered_ann",
+      (s, d) => {
+        val path = ivfMetaIndexCache.getOrElseUpdate((s, d), {
+          val e = emb(s, d)
+          val cents = Similarity.kmeansCentroids(e, "vec_id", "embedding", 16, 2)
+          val p = java.nio.file.Files.createTempDirectory("graft_ivf_q126").toString
+          Similarity.buildIvfIndex(e, "vec_id", "embedding", cents, p,
+            metaCols = Seq("label"))
+          p
+        })
+        Similarity.ivfTopKIndexed(s, path,
+            emb(s, d).filter(col("label") === 1 && col("vec_id") < 30),
+            "vec_id", "embedding", 10, 4, pred = col("label") === 1)
+          .select(col("query_id"), col("rank").cast("int").as("rnk"),
+            col("neighbor_id"), col("cos"))
+          .orderBy("query_id", "rnk")
+      },
+      None),
+
+    // q127: MMR diversity re-ranking (Carbonell & Goldstein SIGIR'98) over
+    // an exact top-30 pool: λ·rel − (1−λ)·max-cos-to-selected, greedy —
+    // the pass that stops near-duplicate neighbors crowding a result list.
+    // Candidate generation is the distributed two-phase top-k; selection is
+    // per-query imperative logic over a 30-bounded list, queries
+    // partition-parallel. Iterative greedy ⇒ rows-only; the λ=1 ≡
+    // relevance-ranking identity and a hand-checked diversity case are
+    // FilteredAnnSpec's contract.
+    QueryDef("q127_mmr_rerank",
+      (s, d) => Similarity.mmrRerank(emb(s, d), "vec_id", "embedding",
+          col("id") < 10, k = 10, poolSize = 30, lambda = 0.5)
+        .orderBy("query_id", "rank"),
+      None)
   )
 }

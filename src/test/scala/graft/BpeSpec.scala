@@ -1,0 +1,158 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Bpe
+
+/** BPE vocabulary training, checked against an in-JVM reference
+  * implementation of the textbook algorithm (Sennrich ACL'16: weighted
+  * adjacent-pair counts with overlaps, greedy leftmost-nonoverlapping
+  * merge), plus the model invariants that must hold at any scale.
+  */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- reference implementation (driver-side, test-only) ----------------
+
+  private def refPairCounts(words: Map[Vector[String], Long])
+      : Map[(String, String), Long] =
+    words.toSeq.flatMap { case (syms, f) =>
+      syms.zip(syms.drop(1)).map(p => p -> f)
+    }.groupBy(_._1).map { case (p, fs) => p -> fs.map(_._2).sum }
+
+  private def refMergeWord(syms: Vector[String], l: String, r: String)
+      : Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+        out += (l + r); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.result()
+  }
+
+  /** (merge list, final segmentations) per the reference algorithm. */
+  private def refBpe(corpus: Seq[String], numMerges: Int, minCount: Long)
+      : (Seq[(String, String, Long)], Map[String, Vector[String]]) = {
+    var words = corpus.flatMap(_.toLowerCase.split("\\s+")).filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, ws) =>
+        w.split("").filter(_.nonEmpty).toVector -> ws.size.toLong
+      }
+    val merges = Seq.newBuilder[(String, String, Long)]
+    var rank = 0
+    var stop = false
+    while (rank < numMerges && !stop) {
+      val counts = refPairCounts(words)
+      if (counts.isEmpty) stop = true
+      else {
+        val ((l, r), c) = counts.minBy { case ((a, b), n) => (-n, a, b) }
+        if (c < minCount) stop = true
+        else {
+          merges += ((l, r, c))
+          words = words.toSeq.map { case (syms, f) =>
+            refMergeWord(syms, l, r) -> f
+          }.groupBy(_._1).map { case (s, fs) => s -> fs.map(_._2).sum }
+          rank += 1
+        }
+      }
+    }
+    (merges.result(), words.map { case (syms, _) => syms.mkString -> syms })
+  }
+
+  // ---- specs -------------------------------------------------------------
+
+  private val corpus = Seq(
+    "low low low low low",
+    "lower lower newest newest",
+    "newest newest newest newest",
+    "widest widest widest",
+    "the quick brown fox the lazy dog the end")
+
+  test("learned merges match the reference algorithm exactly") {
+    val docs = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val model = Bpe.learn(docs, "text", numMerges = 12, minCount = 2)
+    val (refMerges, refSegs) = refBpe(corpus, 12, 2)
+
+    assert(model.merges.map(m => (m.left, m.right, m.count)) === refMerges)
+    assert(model.merges.map(_.rank) === (1 to model.merges.size))
+
+    val segs = model.segments.select("word", "syms").as[(String, Seq[String])]
+      .collect().toMap
+    assert(segs.view.mapValues(_.toVector).toMap === refSegs)
+  }
+
+  test("model invariants: symbol concatenation, monotone counts, freq conservation") {
+    val docs = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val model = Bpe.learn(docs, "text", numMerges = 8, minCount = 2)
+
+    // merging never loses characters: concat(syms) == word, every word
+    val broken = model.segments
+      .filter(concat_ws("", col("syms")) =!= col("word")).count()
+    assert(broken === 0L)
+
+    // the best-pair count is non-increasing in rank: a merge only creates
+    // pairs at most as frequent as itself and only removes count elsewhere
+    val counts = model.merges.map(_.count)
+    assert(counts.zip(counts.drop(1)).forall { case (a, b) => a >= b })
+
+    // every recorded count respects minCount
+    assert(counts.forall(_ >= 2L))
+
+    // word frequencies are untouched by training
+    val total = model.segments.agg(sum("freq")).head().getLong(0)
+    val expected = corpus.flatMap(_.split("\\s+")).count(_.nonEmpty).toLong
+    assert(total === expected)
+  }
+
+  test("greedy leftmost-nonoverlapping merge: 'aaa' under (a,a) becomes [aa, a]") {
+    val docs = Seq((1L, "aaa aaaa")).toDF("doc_id", "text")
+    val model = Bpe.learn(docs, "text", numMerges = 1, minCount = 1)
+    assert(model.merges.map(m => (m.left, m.right)) === Seq(("a", "a")))
+    // count is with overlaps: "aaa" has 2, "aaaa" has 3
+    assert(model.merges.head.count === 5L)
+    val segs = model.segments.select("word", "syms").as[(String, Seq[String])]
+      .collect().toMap
+    assert(segs("aaa") === Seq("aa", "a"))
+    assert(segs("aaaa") === Seq("aa", "aa"))
+  }
+
+  test("regex metacharacters in symbols are treated literally") {
+    val docs = Seq((1L, "a+b a+b a+b (c) (c)")).toDF("doc_id", "text")
+    val model = Bpe.learn(docs, "text", numMerges = 6, minCount = 2)
+    val segs = model.segments.select("word", "syms").as[(String, Seq[String])]
+      .collect().toMap
+    assert(segs("a+b") === Seq("a+b"), "merges through + must be literal")
+    assert(segs("(c)") === Seq("(c)"), "merges through parens must be literal")
+  }
+
+  test("early stop on minCount and empty input") {
+    val docs = Seq((1L, "ab cd ef")).toDF("doc_id", "text")
+    val model = Bpe.learn(docs, "text", numMerges = 10, minCount = 2)
+    assert(model.merges.isEmpty, "all pairs are singletons under minCount 2")
+
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val m2 = Bpe.learn(empty, "text", numMerges = 5)
+    assert(m2.merges.isEmpty && m2.segments.count() === 0L)
+  }
+
+  test("vocabStats aggregates the trained segmentation") {
+    val docs = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val model = Bpe.learn(docs, "text", numMerges = 12, minCount = 2)
+    val stats = Bpe.vocabStats(model)
+      .select("sym", "occurrences", "n_words", "sym_len")
+      .as[(String, Long, Long, Int)].collect()
+
+    // total symbol occurrences == sum over words of freq * |syms|
+    val expected = model.segments
+      .agg(sum(col("freq") * size(col("syms")))).head().getLong(0)
+    assert(stats.map(_._2).sum === expected)
+    // "newest" dominates the corpus; its full merge should be a symbol
+    assert(stats.exists(s => s._1.length > 1 && s._4 === s._1.length))
+    // n_words counts distinct words, not occurrences
+    assert(stats.forall(_._3 >= 1L))
+  }
+}
