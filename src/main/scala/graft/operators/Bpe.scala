@@ -125,6 +125,70 @@ object Bpe {
         concat(col("left"), col("right")).as("merged"), col("pair_count"))
   }
 
+  /** Encode arbitrary text with a trained merge list — the inference half
+    * of the tokenizer lifecycle (training's segmentation table only covers
+    * the words training saw; this handles unseen corpora, with unseen words
+    * falling back to characters plus whatever learned merges apply).
+    * Output: (id, n_tokens, toks array<string>).
+    *
+    * Semantics: merges apply strictly in rank order, each with the same
+    * greedy leftmost-nonoverlapping rewrite as training — so encoding the
+    * training corpus reproduces the training segmentation exactly
+    * (BpeSpec asserts the identity). Map-side ONLY: tokenize, then a
+    * per-partition imperative merge loop over a broadcast merge array —
+    * the same mapPartitions posture as the multimodal codecs (an opaque
+    * per-value algorithm Catalyst buys nothing on), no shuffle anywhere.
+    * A per-partition word→tokens memo exploits Zipf: each distinct word
+    * per partition pays the O(merges·len) fold once (capped so a
+    * pathological all-distinct corpus cannot grow the memo unboundedly).
+    */
+  def encode(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[Merge]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ranked = merges.sortBy(_.rank).map(m => (m.left, m.right)).toArray
+    val bc = spark.sparkContext.broadcast(ranked)
+    docs.select(col(idCol).cast("long").as("id"),
+        TextFns.tokens(col(textCol)).as("t"))
+      .as[(Long, Seq[String])]
+      .mapPartitions { it =>
+        val ms = bc.value
+        val memo = scala.collection.mutable.HashMap.empty[String, Array[String]]
+        it.map { case (id, words) =>
+          val toks = words.iterator.flatMap { w =>
+            if (memo.size < 1000000) memo.getOrElseUpdate(w, applyMerges(w, ms))
+            else memo.getOrElse(w, applyMerges(w, ms))
+          }.toArray
+          (id, toks.length.toLong, toks)
+        }
+      }.toDF("id", "n_tokens", "toks")
+  }
+
+  /** Fold the ranked merges over one word: per merge, the greedy
+    * leftmost-nonoverlapping scan (identical semantics to training's regex
+    * rewrite), with a cheap containment pre-check.
+    */
+  private def applyMerges(word: String,
+      merges: Array[(String, String)]): Array[String] = {
+    var syms: Array[String] = word.split("").filter(_.nonEmpty)
+    var mi = 0
+    while (mi < merges.length && syms.length >= 2) {
+      val (l, r) = merges(mi)
+      if (syms.contains(l) && syms.contains(r)) {
+        val out = Array.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+            out += (l + r); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.result()
+      }
+      mi += 1
+    }
+    syms
+  }
+
   /** Corpus-wide vocabulary statistics under the trained segmentation:
     * one row per final symbol — total occurrences (freq-weighted), the
     * number of distinct words it appears in, and its character length.

@@ -1237,6 +1237,20 @@ object TextOps {
       (s, d) => Similarity.mmrRerank(emb(s, d), "vec_id", "embedding",
           col("id") < 10, k = 10, poolSize = 30, lambda = 0.5)
         .orderBy("query_id", "rank"),
+      None),
+
+    // q128: BPE corpus encoding (inference) — apply the trained merge list
+    // to documents: tokenize → per-partition rank-order merge fold against
+    // the broadcast merges, unseen words fall back to chars + applicable
+    // merges. Map-side only, no shuffle; a per-partition word→tokens memo
+    // exploits Zipf. Depends on learned merges ⇒ rows-only; the
+    // encode≡training-segmentation identity and OOV fallback are BpeSpec's.
+    QueryDef("q128_bpe_encode",
+      (s, d) => graft.operators.Bpe.encode(docs(s, d), "doc_id", "text",
+          bpeModel(s, d).merges)
+        .select(col("id").as("doc_id"), col("n_tokens"),
+          concat_ws(" ", slice(col("toks"), 1, 8)).as("tok_prefix"))
+        .orderBy("doc_id"),
       None)
   )
 }

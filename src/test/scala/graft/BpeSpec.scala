@@ -138,6 +138,44 @@ class BpeSpec extends SparkSpec {
     assert(m2.merges.isEmpty && m2.segments.count() === 0L)
   }
 
+  test("encode reproduces the training segmentation on the training corpus") {
+    val docs = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val model = Bpe.learn(docs, "text", numMerges = 12, minCount = 2)
+    val encoded = Bpe.encode(docs, "doc_id", "text", model.merges)
+    // total token count identity: Σ n_tokens == Σ freq · |syms|
+    val total = encoded.agg(sum("n_tokens")).head().getLong(0)
+    val expected = model.segments
+      .agg(sum(col("freq") * size(col("syms")))).head().getLong(0)
+    assert(total === expected)
+    // word-level identity: every encoded word matches its training syms
+    val perWord = encoded.select(explode(col("toks")).as("sym")).groupBy("sym")
+      .count().as[(String, Long)].collect().toMap
+    val fromSegs = Bpe.vocabStats(model)
+      .select("sym", "occurrences").as[(String, Long)].collect().toMap
+    assert(perWord === fromSegs)
+  }
+
+  test("encode handles unseen words: char fallback plus applicable merges") {
+    val train = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val model = Bpe.learn(train, "text", numMerges = 12, minCount = 2)
+    val unseen = Seq((100L, "lowly snowy plow zzz"), (101L, "")).toDF("doc_id", "text")
+    val got = Bpe.encode(unseen, "doc_id", "text", model.merges)
+      .select("id", "toks").as[(Long, Seq[String])].collect().toMap
+
+    // reference: fold the learned merges in rank order over each word
+    def ref(w: String): Vector[String] =
+      model.merges.sortBy(_.rank).foldLeft(
+        w.split("").filter(_.nonEmpty).toVector)((s, m) =>
+        refMergeWord(s, m.left, m.right))
+    val expect = "lowly snowy plow zzz".split(" ").flatMap(ref).toSeq
+    assert(got(100L) === expect)
+    assert(got(101L) === Seq.empty, "empty doc encodes to zero tokens")
+    // no characters lost on OOV words
+    assert(got(100L).mkString === "lowlysnowyplowzzz")
+  }
+
   test("vocabStats aggregates the trained segmentation") {
     val docs = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
       .toDF("doc_id", "text")
