@@ -23,7 +23,14 @@ object ScaleCheck {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true") // events ts stays raw INT64
-    if (args.contains("exponents")) { exponents(spark); spark.stop(); return }
+    if (args.contains("exponents")) {
+      // dev flags mirror the replica run: `noreplicate` reuses the
+      // /tmp/graft_scale_k* corpora (and their saved IVF indexes);
+      // `eq=<name>` times only that query
+      exponents(spark, args.contains("noreplicate"),
+        args.collectFirst { case a if a.startsWith("eq=") => a.drop(3) })
+      spark.stop(); return
+    }
     val src = "/root/testdata/sf0.1"
     val dst = "/tmp/graft_sf1"
     val k = 10
@@ -139,7 +146,8 @@ object ScaleCheck {
     * cosines drop to background. Exponent = log(t₄/t₁)/log 4, min of 2
     * runs each.
     */
-  private def exponents(spark: SparkSession): Unit = {
+  private def exponents(spark: SparkSession, noReplicate: Boolean = false,
+      onlyQ: Option[String] = None): Unit = {
     val src = "/root/testdata/sf0.1"
     // k=2 as the baseline: k=1 timings sit on the fixed JVM/scheduling
     // floor (~0.3-1 s) and flatten every fitted exponent toward zero
@@ -150,7 +158,9 @@ object ScaleCheck {
       "q94_lsh_forced", "q97_decontamination", "q97_probe_growth",
       "q112_bm25", "q113_vocab_oov", "q114_corpus_shuffle", "q122_pq_topk",
       "q124_bpe_merges", "q127_mmr_rerank")
-    for (k <- ks) {
+    onlyQ.foreach { q => require(queries.contains(q),
+      s"eq=$q matches no exponent query; valid: ${queries.mkString(", ")}") }
+    for (k <- ks if !noReplicate) {
       val dst = s"/tmp/graft_scale_k$k"
       val docs = spark.read.parquet(s"$src/documents.parquet")
       val dcopies = (0 until k).map { i =>
@@ -182,7 +192,7 @@ object ScaleCheck {
     }
     // build-once IVF indexes so the probe-only lifecycle is measurable
     // against the inline (assign-every-call) q38 row
-    for (k <- ks) {
+    for (k <- ks if !noReplicate) {
       val dst = s"/tmp/graft_scale_k$k"
       val emb = Tables.embeddings(spark, dst)
       val cents = graft.operators.Similarity.kmeansCentroids(
@@ -191,7 +201,7 @@ object ScaleCheck {
         emb, "vec_id", "embedding", cents, s"$dst/ivf_index")
     }
     val times = scala.collection.mutable.Map.empty[(String, Int), Double]
-    for (q <- queries; k <- ks) {
+    for (q <- queries if onlyQ.forall(_ == q); k <- ks) {
       val dir = s"/tmp/graft_scale_k$k"
       // q34 through SparkEntry would hit the memoized session pair-index
       // (q34/q77/q85 share it) — time the operator fresh instead.
@@ -247,7 +257,7 @@ object ScaleCheck {
     }
     println(f"\n| query | 2x | 4x | 8x | fitted exponent |")
     println(f"|---|---|---|---|---|")
-    for (q <- queries) {
+    for (q <- queries if onlyQ.forall(_ == q)) {
       val (t2, t4, t8) = (times((q, 2)), times((q, 4)), times((q, 8)))
       val e = math.log(t8 / t2) / math.log(4.0)
       println(f"| $q | $t2%.2f s | $t4%.2f s | $t8%.2f s | $e%.2f |")
