@@ -1251,6 +1251,46 @@ object TextOps {
         .select(col("id").as("doc_id"), col("n_tokens"),
           concat_ws(" ", slice(col("toks"), 1, 8)).as("tok_prefix"))
         .orderBy("doc_id"),
-      None)
+      None),
+
+    // q129: hashed-feature linear quality classifier — the fasttext-shaped
+    // model-based filtering step of an LLM pipeline (score every document
+    // with a linear model over hashed unigram+bigram features, keep/drop on
+    // the sign). Weights here are md5-derived pseudo-random integers so the
+    // WHOLE inference path — feature extraction, 4096-bucket hashing,
+    // weight lookup, integer score — is portable and the oracle
+    // hash-matches; swapping in trained weights is a broadcast-join change,
+    // not a plan change. Map-side explode → one hash-agg by doc_id (partial
+    // combine; shuffle carries (doc_id, partial sums), never features).
+    QueryDef("q129_quality_classifier",
+      (s, d) => {
+        val t = TextFns.tokens(col("text"))
+        val bigrams = when(size(t) >= 2,
+          zip_with(slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+            (a, b) => concat(a, lit(" "), b)))
+          .otherwise(array().cast("array<string>"))
+        val bucket = pmod(TextFns.hash32(col("feat")), lit(4096L))
+        val weight = TextFns.hash32(concat(lit("w:"), bucket.cast("string"))) %
+          lit(2001L) - lit(1000L)
+        docs(s, d)
+          .select(col("doc_id"), explode(concat(t, bigrams)).as("feat"))
+          .select(col("doc_id"), weight.as("w"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_feats"), sum("w").as("score"))
+          .withColumn("keep", col("score") > 0)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH x AS (SELECT doc_id, $OToks t FROM documents),
+          f AS (SELECT doc_id, unnest(t ||
+                  [t[i] || ' ' || t[i+1] for i in generate_series(1, len(t)-1)]) feat
+                FROM x),
+          w AS (SELECT doc_id,
+                  ('0x' || substr(md5('w:' || CAST(
+                    ('0x' || substr(md5(feat), 1, 8))::BIGINT % 4096
+                  AS VARCHAR)), 1, 8))::BIGINT % 2001 - 1000 AS w
+                FROM f)
+        SELECT doc_id, count(*) AS n_feats, CAST(sum(w) AS BIGINT) AS score,
+          sum(w) > 0 AS keep
+        FROM w GROUP BY doc_id ORDER BY doc_id"""))
   )
 }
