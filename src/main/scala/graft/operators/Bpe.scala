@@ -114,6 +114,18 @@ object Bpe {
       .otherwise(syms)
   }
 
+  /** One string per Unicode code point (surrogate pairs kept whole). */
+  private def splitCodePoints(word: String): Array[String] = {
+    val out = Array.newBuilder[String]
+    var i = 0
+    while (i < word.length) {
+      val n = Character.charCount(word.codePointAt(i))
+      out += word.substring(i, i + n)
+      i += n
+    }
+    out.result()
+  }
+
   /** The learned merges as a driver-checkable DataFrame:
     * (rank, left, right, merged, pair_count), one row per merge.
     */
@@ -167,10 +179,17 @@ object Bpe {
   /** Fold the ranked merges over one word: per merge, the greedy
     * leftmost-nonoverlapping scan (identical semantics to training's regex
     * rewrite), with a cheap containment pre-check.
+    *
+    * Initial symbols are CODE POINTS, not UTF-16 code units: Java's
+    * `split("")` would cut a surrogate pair into two lone-surrogate
+    * strings, and a lone surrogate cannot survive the JVM→UTF8String
+    * boundary (Catalyst re-encodes it as '?'), silently corrupting every
+    * supplementary character — emoji, rare CJK — in the corpus. BpeSpec's
+    * unicode case pins the losslessness.
     */
   private def applyMerges(word: String,
       merges: Array[(String, String)]): Array[String] = {
-    var syms: Array[String] = word.split("").filter(_.nonEmpty)
+    var syms: Array[String] = splitCodePoints(word)
     var mi = 0
     while (mi < merges.length && syms.length >= 2) {
       val (l, r) = merges(mi)

@@ -176,6 +176,19 @@ class BpeSpec extends SparkSpec {
     assert(got(100L).mkString === "lowlysnowyplowzzz")
   }
 
+  test("unicode text: character conservation holds (incl. surrogate pairs)") {
+    val docs = Seq((1L, "日本語 データ処理 😀😀 naïve café"),
+      (2L, "日本語 naïve 😀😀")).toDF("doc_id", "text")
+    val model = Bpe.learn(docs, "text", numMerges = 6, minCount = 1)
+    val broken = model.segments
+      .filter(concat_ws("", col("syms")) =!= col("word")).count()
+    assert(broken === 0L, "merging must never lose or reorder code units")
+    val enc = Bpe.encode(docs, "doc_id", "text", model.merges)
+      .select("id", "toks").as[(Long, Seq[String])].collect().toMap
+    assert(enc(1L).mkString === "日本語データ処理😀😀naïvecafé")
+    assert(enc(2L).mkString === "日本語naïve😀😀")
+  }
+
   test("vocabStats aggregates the trained segmentation") {
     val docs = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
       .toDF("doc_id", "text")

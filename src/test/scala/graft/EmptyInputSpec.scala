@@ -83,6 +83,24 @@ class EmptyInputSpec extends SparkSpec {
     // over a non-empty corpus
     assert(Similarity.bruteForceTopK(someVecs, "vec_id", "embedding",
       lit(false), 5).count() === 0)
+    // MMR: empty corpus and empty query set both yield empty, not a throw
+    assert(Similarity.mmrRerank(emptyVecs, "vec_id", "embedding",
+      col("vec_id") < 0, 3, 5, 0.5).count() === 0)
+    assert(Similarity.mmrRerank(someVecs, "vec_id", "embedding",
+      lit(false), 3, 5, 0.5).count() === 0)
+  }
+
+  test("BPE: empty merge list and empty corpus through encode/vocabStats") {
+    import graft.operators.Bpe
+    // no merges: encode is pure char-splitting, lossless
+    val out = Bpe.encode(someDocs, "doc_id", "text", Seq.empty)
+      .select("id", "toks").as[(Long, Seq[String])].collect().toMap
+    assert(out(1L).mkString === "alphabetagammadelta")
+    assert(out(1L).forall(_.length === 1))
+    // empty model: vocabStats of a zero-word segmentation is empty
+    val empty = Bpe.learn(emptyDocs, "text", 3)
+    assert(Bpe.vocabStats(empty).count() === 0)
+    assert(Bpe.encode(emptyDocs, "doc_id", "text", empty.merges).count() === 0)
   }
 
   test("q112 BM25 on an empty corpus returns empty, not NPE") {
