@@ -160,8 +160,12 @@ object Bpe {
     import spark.implicits._
     val ranked = merges.sortBy(_.rank).map(m => (m.left, m.right)).toArray
     val bc = spark.sparkContext.broadcast(ranked)
+    // null text encodes to zero tokens (tokens(null) is a null array, and a
+    // null Seq would NPE in the fold below — learn() never sees the row
+    // because explode drops it, so encode must also not die on it)
     docs.select(col(idCol).cast("long").as("id"),
-        TextFns.tokens(col(textCol)).as("t"))
+        coalesce(TextFns.tokens(col(textCol)),
+          array().cast("array<string>")).as("t"))
       .as[(Long, Seq[String])]
       .mapPartitions { it =>
         val ms = bc.value

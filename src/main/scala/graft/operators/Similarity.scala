@@ -33,8 +33,18 @@ object Similarity {
 
   def l2norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Zero-norm vectors (no direction, no signal) score 0 against
+    * everything instead of dividing by zero — under Spark 4's default ANSI
+    * mode a bare division would otherwise turn ONE malformed embedding in
+    * a corpus scan into a job-killing DIVIDE_BY_ZERO (FilteredAnnSpec's
+    * zero-vector case pins the tolerant behavior). The guard compares
+    * norms already computed for the division; on well-formed data the
+    * result is bit-identical to the bare quotient, so the oracles are
+    * untouched.
+    */
   def cosine(a: Column, b: Column, normA: Column, normB: Column): Column =
-    dot(a, b) / (normA * normB)
+    when(normA === 0.0 || normB === 0.0, lit(0.0))
+      .otherwise(dot(a, b) / (normA * normB))
 
   /** Exact cosine top-k: for each query row (filtered by `isQuery`), the k
     * nearest other rows. Output: (query_id, rank, neighbor_id, cos).
@@ -230,10 +240,17 @@ object Similarity {
   def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       newVecs: DataFrame, idCol: String, vecCol: String): Unit = {
     val cents = normCentroids(spark.read.parquet(s"$path/centroids"))
-    val base = newVecs.select(col(idCol).as("id"), col(vecCol).as("v"))
+    // carry whatever metadata columns the index was BUILT with — appended
+    // rows missing them would read back null and silently fall out of every
+    // filtered search (buildIvfIndex(metaCols) decides the index shape once;
+    // an append that cannot supply those columns fails analysis loudly here)
+    val metaCols = spark.read.parquet(s"$path/buckets").schema.fieldNames
+      .filterNot(Set("id", "v", "nrm", "bucket")).toSeq
+    val base = newVecs.select(
+      (col(idCol).as("id") +: col(vecCol).as("v") +: metaCols.map(col)): _*)
       .withColumn("nrm", l2norm(col("v")))
     graft.sources.TableSink.writePartitioned(
-      assignToBuckets(base, cents), s"$path/buckets", Seq("bucket"),
+      assignToBuckets(base, cents, metaCols), s"$path/buckets", Seq("bucket"),
       mode = org.apache.spark.sql.SaveMode.Append)
   }
 
@@ -651,7 +668,12 @@ object Similarity {
         col("nv").as("_2"), col("cos").as("_3"))).as("cands"))
       .as[(Long, Seq[(Long, Seq[Float], Double)])]
     cands.flatMap { case (qid, plist) =>
-      val arr = plist.sortBy { case (id, _, rel) => (-rel, id) }.toArray
+      // a zero vector in the corpus reaches the pool with cos NaN (0/0;
+      // descending NaN sorts first) — map it below every real cosine so the
+      // argmax below stays total and the greedy loop can never strand
+      val arr = plist.map { case (id, v, rel) =>
+        (id, v, if (rel.isNaN) -2.0 else rel)
+      }.sortBy { case (id, _, rel) => (-rel, id) }.toArray
       val n = arr.length
       val sel = Array.fill(n)(false)
       val out = Seq.newBuilder[(Long, Int, Long, Double)]
@@ -664,10 +686,9 @@ object Similarity {
         var i = 0
         while (i < n) {
           if (!sel(i)) {
-            val s = lambda * arr(i)._3 -
-              (if (rank == 1) 0.0 else (1.0 - lambda) * repel(i))
+            val s = lambda * arr(i)._3 - (1.0 - lambda) * repel(i)
             // strict > plus rel-desc/id-asc scan order = (score, -rel, id) tiebreak
-            if (s > bs) { bs = s; bi = i }
+            if (s > bs || bi == -1) { bs = s; bi = i }
           }
           i += 1
         }

@@ -172,6 +172,17 @@ class BpeSpec extends SparkSpec {
     val expect = "lowly snowy plow zzz".split(" ").flatMap(ref).toSeq
     assert(got(100L) === expect)
     assert(got(101L) === Seq.empty, "empty doc encodes to zero tokens")
+    // null text behaves like an empty doc, not an executor NPE
+    val withNull = spark.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row(102L, null)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType))))
+    val nt = Bpe.encode(withNull, "doc_id", "text", model.merges)
+      .select("n_tokens").as[Long].head()
+    assert(nt === 0L)
     // no characters lost on OOV words
     assert(got(100L).mkString === "lowlysnowyplowzzz")
   }

@@ -107,6 +107,56 @@ class FilteredAnnSpec extends SparkSpec {
     assert(math.abs(mmr(2)._2 - (0.4 * 0.96 - 0.6 * 0.96)) < 1e-6)
   }
 
+  test("zero vector in the corpus: cosine is 0, not an ANSI divide-by-zero") {
+    // under Spark 4 ANSI mode a bare dot/(|a||b|) would kill the whole scan
+    // on ONE malformed embedding; the guarded cosine scores it 0 (no
+    // direction, no signal) and every vector op keeps running
+    val vecs = Seq(
+      (0L, Array(1f, 0f)),  // query
+      (1L, Array(1f, 0f)),
+      (2L, Array(0.6f, 0.8f)),
+      (3L, Array(0f, 0f))   // zero vector: |v| = 0
+    ).toDF("vec_id", "embedding")
+    val brute = Similarity.bruteForceTopK(vecs, "vec_id", "embedding",
+        col("id") === 0L, 3)
+      .orderBy("rank").select("neighbor_id", "cos")
+      .as[(Long, Double)].collect()
+    assert(brute.map(_._1).toSeq === Seq(1L, 2L, 3L))
+    assert(brute.last._2 === 0.0, "zero vector scores cosine 0 everywhere")
+    // MMR at k == poolSize: no stranding, and cos-0 means maximally
+    // diverse — at lambda 0.5 the zero vector legitimately outranks the
+    // near-duplicate of rank 1
+    val mmr = Similarity.mmrRerank(vecs, "vec_id", "embedding",
+        col("id") === 0L, k = 3, poolSize = 3, lambda = 0.5)
+      .orderBy("rank").select("neighbor_id").as[Long].collect().toSeq
+    assert(mmr === Seq(1L, 3L, 2L))
+  }
+
+  test("append to a metadata index carries the metadata; filtered probe sees appended rows") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cents = Similarity.kmeansCentroids(emb, "vec_id", "embedding", 16, 2)
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_meta3").toString
+    val old = emb.filter(col("vec_id") % 2 === 0)
+    val fresh = emb.filter(col("vec_id") % 2 =!= 0)
+    Similarity.buildIvfIndex(old, "vec_id", "embedding", cents, path,
+      metaCols = Seq("label"))
+    Similarity.appendToIvfIndex(spark, path, fresh, "vec_id", "embedding")
+
+    val batch = emb.filter(col("label") === 1 && col("vec_id") < 30)
+    val probed = Similarity.ivfTopKIndexed(spark, path, batch,
+      "vec_id", "embedding", 10, 4, pred = col("label") === 1)
+    // identical to a from-scratch metadata build over the union
+    val full = java.nio.file.Files.createTempDirectory("graft_ivf_meta4").toString
+    Similarity.buildIvfIndex(emb, "vec_id", "embedding", cents, full,
+      metaCols = Seq("label"))
+    val direct = Similarity.ivfTopKIndexed(spark, full, batch,
+      "vec_id", "embedding", 10, 4, pred = col("label") === 1)
+    assert(rows(probed) === rows(direct))
+    // and appended (odd-id) label-1 neighbors actually surface
+    assert(probed.filter(col("neighbor_id") % 2 =!= 0).count() > 0L,
+      "appended rows must be findable through the filter")
+  }
+
   test("MMR at lambda = 1 is exactly the relevance ranking") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val mmr = Similarity.mmrRerank(emb, "vec_id", "embedding",
