@@ -53,42 +53,176 @@ object Bpe {
     docs.select(explode(TextFns.tokens(col(textCol))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
 
+  /** Freq-weighted adjacent-pair counts of a segmentation table —
+    * (l, r, cnt), overlaps included (the reference algorithm's get_stats).
+    */
+  private def pairCountsOf(words: DataFrame): DataFrame =
+    words.filter(size(col("syms")) >= 2)
+      .select(col("freq"), explode(zipAdjacent(col("syms"))).as("p"))
+      .groupBy(col("p.l"), col("p.r")).agg(sum("freq").as("cnt"))
+
+  /** How many of the top slice rows the driver pulls per round to pick a
+    * merge batch from. The slice is metadata (3 small columns), never data.
+    */
+  private val SliceSize = 64
+
   /** Learn up to `numMerges` BPE merges over `textCol`; stops early when
     * the best remaining adjacent pair occurs fewer than `minCount` times
-    * (freq-weighted). Initial symbols are single characters.
+    * (freq-weighted). Initial symbols are single CODE POINTS, produced by
+    * the same splitter [[encode]]'s fallback uses ([[splitCodePoints]] as
+    * a UDF over the distinct-word table) — the encode ≡ training identity
+    * is structural, not a coincidence of two splitter implementations.
+    *
+    * Result-identical to the sequential textbook loop (BpeSpec pins exact
+    * equality, ties and overlaps included), but restated so cost per merge
+    * falls instead of staying flat:
+    *
+    *  - INCREMENTAL pair counts (Sennrich's own fast-BPE refinement): the
+    *    (l, r, cnt) table is maintained by DELTA — after a merge, only the
+    *    words whose segmentation actually changed recompute their pair
+    *    contributions (−old +new on that sliver), then fold into the pair
+    *    table with one small union-agg. The full-table pair explode +
+    *    corpus-wide hash-agg the naive loop pays per round happens exactly
+    *    once, at round zero.
+    *  - BATCHED rounds: each driver round trip pulls the top [[SliceSize]]
+    *    pairs and applies the longest prefix that provably behaves as if
+    *    merged one-at-a-time (see [[selectBatch]] — pairwise
+    *    symbol-disjoint, cut at the first count that a sharing pair's
+    *    post-merge growth could tie or beat). B merges then cost ONE
+    *    narrow chained-rewrite pass + one delta agg instead of B of each,
+    *    and the per-merge share of the ~2-job round floor shrinks by B.
     */
   def learn(docs: DataFrame, textCol: String, numMerges: Int,
       minCount: Long = 2L): Model = {
     require(numMerges >= 0 && minCount >= 1, "need numMerges >= 0, minCount >= 1")
     var words = Checkpoints.cut(
       wordCounts(docs, textCol).withColumn("syms",
-        filter(split(col("word"), ""), s => length(s) > 0)))
+        splitCodePointsUdf(col("word"))))
+    if (numMerges == 0) return Model(Nil, words)
+    // driver-side symbol vocabulary: initial code points now, plus every
+    // merged symbol as it is learned. Bounded (distinct code points +
+    // numMerges) and needed by selectBatch's collision rule: a merge whose
+    // result STRING already exists as a symbol can INCREASE other pairs'
+    // counts, which invalidates any batch member after it.
+    val symbols = scala.collection.mutable.Set.empty[String]
+    words.select(explode(col("syms")).as("s")).distinct()
+      .collect().foreach(r => symbols += r.getString(0))
+    var pairs = Checkpoints.cut(pairCountsOf(words))
     val merges = Seq.newBuilder[Merge]
     var rank = 1
-    var done = rank > numMerges
-    while (!done) {
-      // freq-weighted adjacent-pair counts (overlaps included), argmax with
-      // a total-order tiebreak; the 1-row head() is the per-round scalar
-      // witness that drives the loop
-      val best = words.filter(size(col("syms")) >= 2)
-        .select(col("freq"), explode(zipAdjacent(col("syms"))).as("p"))
-        .groupBy(col("p.l"), col("p.r")).agg(sum("freq").as("cnt"))
-        .orderBy(col("cnt").desc, col("l"), col("r"))
-        .head(1)
-      best match {
-        case Array(Row(l: String, r: String, cnt: Long)) if cnt >= minCount =>
+    var done = false
+    while (!done && rank <= numMerges) {
+      val top = pairs.orderBy(col("cnt").desc, col("l"), col("r"))
+        .head(SliceSize)
+        .map { case Row(l: String, r: String, cnt: Long) => (l, r, cnt) }
+      val batch = selectBatch(top, numMerges - rank + 1, minCount, symbols)
+      if (batch.isEmpty) done = true
+      else {
+        batch.foreach { case (l, r, cnt) =>
           merges += Merge(rank, l, r, cnt)
-          val next = Checkpoints.cut(
-            words.withColumn("syms", mergePair(col("syms"), l, r)))
-          Checkpoints.release(words)
-          words = next
+          symbols += (l + r)
           rank += 1
-          done = rank > numMerges
-        case _ => done = true
+        }
+        // one narrow pass applies the whole batch in rank order (chained
+        // greedy rewrites — disjointness makes it ≡ one-at-a-time)
+        val merged = batch.foldLeft(col("syms")) { case (c, (l, r, _)) =>
+          mergePair(c, l, r)
+        }
+        val rewritten = words.withColumn("nsyms", merged)
+        // delta maintenance: only words whose segmentation CHANGED move
+        // pair counts — −freq on their old pairs, +freq on their new ones
+        val changed = rewritten.filter(not(col("nsyms") <=> col("syms")))
+        val delta = changed.filter(size(col("syms")) >= 2)
+          .select((-col("freq")).as("freq"),
+            explode(zipAdjacent(col("syms"))).as("p"))
+          .unionAll(changed.filter(size(col("nsyms")) >= 2)
+            .select(col("freq"),
+              explode(zipAdjacent(col("nsyms"))).as("p")))
+          .groupBy(col("p.l"), col("p.r")).agg(sum("freq").as("cnt"))
+        val nextPairs = Checkpoints.cut(
+          pairs.unionAll(delta).groupBy("l", "r").agg(sum("cnt").as("cnt"))
+            .filter(col("cnt") > 0))
+        val nextWords = Checkpoints.cut(
+          rewritten.select(col("word"), col("freq"),
+            col("nsyms").as("syms")))
+        Checkpoints.release(pairs)
+        Checkpoints.release(words)
+        pairs = nextPairs
+        words = nextWords
       }
     }
     Model(merges.result(), words)
   }
+
+  /** The longest prefix of the sorted (cnt desc, l, r) top slice that is
+    * provably identical to merging one pair at a time:
+    *
+    *  - the head is the true argmax — always safe;
+    *  - selection stops at the first candidate SHARING a symbol with an
+    *    already-selected pair (its own count may have just changed, so its
+    *    sequential position is unknowable without recounting);
+    *  - selection stops after a merge whose result string collides with an
+    *    existing symbol OR with a symbol an earlier batch member creates
+    *    (two sources feeding one symbol lets pairs involving it GROW past
+    *    the single-sharing-pair bound, so nothing after it is safe this
+    *    round);
+    *  - finally the tail is truncated to counts STRICTLY above the
+    *    barrier: the highest count among slice pairs that share a symbol
+    *    with the selection, or the slice's last row when the slice is full
+    *    (unseen pairs below it may share). Merging a selected pair can
+    *    create new pairs with count up to its sharing pairs' counts, and a
+    *    tie can win the (l, r) tiebreak — strictness closes that corner.
+    *
+    * Disjoint pairs' counts cannot change under each other's merges (an
+    * occurrence overlap would need a shared symbol), so every kept member
+    * is still the argmax at its turn; its recorded count is its sequential
+    * count.
+    */
+  private def selectBatch(top: Array[(String, String, Long)], maxB: Int,
+      minCount: Long, symbols: scala.collection.Set[String])
+      : Seq[(String, String, Long)] = {
+    val selected = Seq.newBuilder[(String, String, Long)]
+    var nSel = 0
+    val used = scala.collection.mutable.Set.empty[String]
+    val created = scala.collection.mutable.Set.empty[String]
+    var i = 0
+    var stop = false
+    while (!stop && i < top.length && nSel < maxB) {
+      val (l, r, cnt) = top(i)
+      if (cnt < minCount) stop = true
+      else if (nSel > 0 && (used.contains(l) || used.contains(r))) stop = true
+      else {
+        selected += top(i)
+        nSel += 1
+        used += l
+        used += r
+        // collision: this merge's symbol gains occurrences from a second
+        // source, so pairs involving it can grow — end the batch here
+        if (symbols.contains(l + r) || created.contains(l + r)) stop = true
+        created += (l + r)
+      }
+      i += 1
+    }
+    val picked = selected.result()
+    if (picked.isEmpty) return picked
+    val inBatch = picked.toSet
+    val sharing = top.iterator.filterNot(inBatch)
+      .filter { case (l, r, _) => used.contains(l) || used.contains(r) }
+      .map(_._3)
+    val unseen =
+      if (top.length == SliceSize) Iterator.single(top.last._3)
+      else Iterator.empty
+    val barrier = (sharing ++ unseen).foldLeft(Long.MinValue)(math.max)
+    picked.head +: picked.tail.takeWhile(_._3 > barrier)
+  }
+
+  /** [[splitCodePoints]] as a column function — used for training's
+    * initial symbols so training and [[encode]] share ONE splitter. A UDF
+    * is acceptable here: it runs once per DISTINCT word (the Heap's-law
+    * table), never per corpus row.
+    */
+  private lazy val splitCodePointsUdf =
+    udf((w: String) => splitCodePoints(w))
 
   /** Adjacent symbol pairs of a symbol array, as (l, r) structs — zip of
     * the array against itself shifted by one. Requires size >= 2 upstream

@@ -1,7 +1,10 @@
 package graft.operators
 
+import java.lang.ref.{ReferenceQueue, WeakReference}
+
 import scala.collection.concurrent.TrieMap
 
+import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.DataFrame
 
@@ -20,21 +23,44 @@ import org.apache.spark.sql.DataFrame
   *     and dynamic-allocation decommission; the cluster posture.
   *
   * Each reliable cut goes to its own subdirectory (Spark stamps a fresh
-  * UUID per `setCheckpointDir` call) and is recorded so iterative loops can
-  * [[release]] superseded rounds as they advance — a long k-means or
-  * star-contraction run holds at most one round of checkpoint files per
-  * live frame instead of accumulating all of them. CheckpointModeSpec
-  * asserts both modes return identical results and that released rounds'
-  * files are actually deleted.
+  * UUID per `setCheckpointDir` call). Directory lifecycle, two layers:
+  *
+  *   - EXPLICIT: iterative loops [[release]] superseded rounds as they
+  *     advance, and one-shot operators [[sealAndRelease]] their staging
+  *     cuts once the result is sealed — a long k-means run or a long-lived
+  *     service holds at most the live frames' files, never an accumulating
+  *     history.
+  *   - WEAK BACKSTOP: every reliable cut is also registered under a WEAK
+  *     key — the checkpointed RDD that every consumer plan references — so
+  *     when the last frame reading a cut is garbage-collected, the next
+  *     [[cut]]/[[release]]/[[sweep]] deletes its directory. Frames nobody
+  *     can read anymore never pin files.
+  *
+  * CheckpointModeSpec asserts both modes return identical results, that
+  * released rounds' files are actually deleted, and the one-shot
+  * staging-release contract.
   */
 object Checkpoints {
 
   /** Runtime conf key; set it via `spark.conf.set(DirConf, path)`. */
   val DirConf = "graft.checkpoint.dir"
 
-  // Dataset does not override equals/hashCode, so this keys by identity —
-  // exactly the "this particular cut frame" semantics release() needs.
-  private val cutDirs = TrieMap.empty[DataFrame, String]
+  // The registry key is the checkpoint's RDD: every logical-plan copy of
+  // the cut frame (including analyzer newInstance() copies on self-joins)
+  // shares that RDD by reference, so the entry stays strongly reachable
+  // exactly as long as SOME live frame can still read the files. Keying the
+  // Dataset wrapper instead would free the key the moment the operator
+  // returns, while the returned result still lazily reads the files.
+  private final class Entry(key: AnyRef, val dir: String,
+      val conf: Configuration) extends WeakReference[AnyRef](key, refQueue)
+  private val refQueue = new ReferenceQueue[AnyRef]
+  private val entries = TrieMap.empty[Entry, Unit]
+
+  private def keyOf(df: DataFrame): AnyRef =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      case other => other
+    }
 
   /** Cut `df`'s lineage and materialize it, mode per [[DirConf]]. */
   def cut(df: DataFrame): DataFrame = {
@@ -45,7 +71,8 @@ object Checkpoints {
         sc.setCheckpointDir(root) // Spark appends a fresh UUID subdir
         val dir = sc.getCheckpointDir.get
         val out = df.checkpoint()
-        cutDirs.put(out, dir)
+        entries.put(new Entry(keyOf(out), dir, sc.hadoopConfiguration), ())
+        sweep()
         out
       case None => df.localCheckpoint()
     }
@@ -54,12 +81,53 @@ object Checkpoints {
   /** Delete the checkpoint files behind a superseded [[cut]] frame (no-op
     * in localCheckpoint mode, or for frames not produced by [[cut]]). Only
     * call once nothing live reads `df` — iterative loops call it on round
-    * n−1 after round n is materialized.
+    * n−1 after round n is materialized; one-shot operators via
+    * [[sealAndRelease]] after the result frame is sealed.
     */
-  def release(df: DataFrame): Unit =
-    cutDirs.remove(df).foreach { dir =>
-      val p = new Path(dir)
-      p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
-        .delete(p, true)
+  def release(df: DataFrame): Unit = {
+    val key = keyOf(df)
+    entries.keys.find(e => e.get eq key).foreach { e =>
+      if (entries.remove(e).isDefined) delete(e)
     }
+    sweep()
+  }
+
+  /** One-shot operators' end-of-life: in reliable mode, seal `result`
+    * behind its own cut (materializing it) and eagerly release the
+    * `staging` cuts it was derived from — without the seal, the lazy
+    * result would still read the staging files, and a long-lived service
+    * accumulates one directory per operator call for its session lifetime.
+    * In localCheckpoint mode this is a NO-OP: there are no directories to
+    * leak, the result deliberately stays lazy (plan-shape assertions and
+    * zero extra materialization), and the staging blocks are reclaimed by
+    * the context cleaner once the result is dereferenced.
+    */
+  def sealAndRelease(result: DataFrame, staging: DataFrame*): DataFrame =
+    result.sparkSession.conf.getOption(DirConf).filter(_.nonEmpty) match {
+      case Some(_) =>
+        val out = cut(result)
+        staging.foreach(release)
+        out
+      case None => result
+    }
+
+  /** Delete directories of cut frames no longer reachable from any live
+    * plan (the weak backstop). Runs piggybacked on every [[cut]]/
+    * [[release]]; public so tests and long-lived services can force it.
+    */
+  def sweep(): Unit = {
+    var r = refQueue.poll()
+    while (r != null) {
+      r match {
+        case e: Entry => if (entries.remove(e).isDefined) delete(e)
+        case _ =>
+      }
+      r = refQueue.poll()
+    }
+  }
+
+  private def delete(e: Entry): Unit = {
+    val p = new Path(e.dir)
+    p.getFileSystem(e.conf).delete(p, true)
+  }
 }

@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -20,6 +21,12 @@ import org.apache.spark.sql.functions._
   * triples (not vectors) enter the top-k exchange. Top-k is two-phase:
   * per-partition row_number prunes to k·partitions rows before the final
   * per-query window — no global sort of the full pair set.
+  *
+  * `isQuery` contract (uniform across every entry point): the predicate is
+  * applied to the CALLER's frame, before any internal rename — write it
+  * against the columns you passed in (`col("vec_id") < 20`, or any other
+  * column of your frame). It never sees internal names like `id`/`v`/`nrm`,
+  * so an internal rename or name collision cannot silently rebind it.
   */
 object Similarity {
 
@@ -53,8 +60,9 @@ object Similarity {
       isQuery: Column, k: Int): DataFrame = {
     val withNorm = vecs.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("nrm", l2norm(col("v")))
-    val q = withNorm.filter(isQuery)
-      .select(col("id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val q = vecs.filter(isQuery) // caller's frame — see the isQuery contract
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("qn", l2norm(col("qv")))
     val pairs = withNorm.join(broadcast(q), col("id") =!= col("query_id"))
       .withColumn("cos", round(cosine(col("qv"), col("v"), col("qn"), col("nrm")), 6))
       .select("query_id", "id", "cos")
@@ -90,10 +98,12 @@ object Similarity {
   def quantizedTopK(vecs: DataFrame, idCol: String, vecCol: String,
       isQuery: Column, k: Int): DataFrame = {
     val spark = org.apache.spark.sql.SparkSession.active
-    val q = vecs.select(col(idCol).as("id"),
-        graft.functions.VectorExpressions.quantizeInt8(spark, col(vecCol)).as("qv"))
-      .filter(exists(col("qv"), _ =!= lit(0f)))
-    bruteForceTopK(q, "id", "qv", isQuery, k)
+    // quantize IN PLACE of the vector column, keeping every other caller
+    // column, so isQuery still resolves against the caller's namespace
+    val q = vecs.withColumn(vecCol,
+        graft.functions.VectorExpressions.quantizeInt8(spark, col(vecCol)))
+      .filter(exists(col(vecCol), _ =!= lit(0f)))
+    bruteForceTopK(q, idCol, vecCol, isQuery, k)
   }
 
   /** IVF (inverted-file) approximate top-k: vectors are bucketed by nearest
@@ -201,8 +211,9 @@ object Similarity {
     val base = vecs.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("nrm", l2norm(col("v")))
     val cents = normCentroids(centroids)
-    val queries = base.filter(isQuery)
-      .select(col("id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val queries = vecs.filter(isQuery) // caller's frame — isQuery contract
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("qn", l2norm(col("qv")))
     topKOverBuckets(assignToBuckets(base, cents),
       probeBuckets(queries, cents, nProbe), k)
   }
@@ -226,6 +237,46 @@ object Similarity {
       s"$path/buckets", Seq("bucket"))
     centroids.select(col("cid"), col("cv")).write
       .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$path/centroids")
+    writeIndexMeta(vecs.sparkSession, path, "ivf", metaCols)
+  }
+
+  // ------------------------------------------------------------------
+  // Index metadata: a tiny `_graft_index` file beside the parquet dirs
+  // records the index KIND and its metadata-column list EXPLICITLY, so (a)
+  // append validates against what the index was BUILT with instead of
+  // inferring "any column not in the internal set" — a future internal
+  // column can never be misclassified as user metadata — and (b) probing
+  // or appending to a path that holds no index fails with a domain
+  // message, not a parquet read error. Format: line 1 = kind, one metadata
+  // column name per following line (column names cannot contain newlines).
+
+  private def indexMetaPath(path: String) = new Path(s"$path/_graft_index")
+
+  private def writeIndexMeta(spark: org.apache.spark.sql.SparkSession,
+      path: String, kind: String, metaCols: Seq[String]): Unit = {
+    val p = indexMetaPath(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write((kind +: metaCols).mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def readIndexMeta(spark: org.apache.spark.sql.SparkSession,
+      path: String, expectKind: String): Seq[String] = {
+    val p = indexMetaPath(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p),
+      s"no graft vector index at $path (missing ${p.getName}) — build one " +
+        "with buildIvfIndex/buildPqIndex before appending or probing")
+    val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+    val in = fs.open(p)
+    try in.readFully(0, buf) finally in.close()
+    val text = new String(buf, java.nio.charset.StandardCharsets.UTF_8)
+    val lines = text.split("\n", -1).toSeq
+    require(lines.head == expectKind,
+      s"index at $path is kind '${lines.head}', expected '$expectKind'")
+    lines.tail.filter(_.nonEmpty)
   }
 
   /** Incremental third of the lifecycle: assign ONLY the new vectors
@@ -239,19 +290,59 @@ object Similarity {
     */
   def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       newVecs: DataFrame, idCol: String, vecCol: String): Unit = {
+    // carry exactly the metadata columns the index was BUILT with — the
+    // recorded list, not schema inference, so internal layout columns can
+    // never be misclassified as user metadata. Appended rows missing a
+    // recorded column would read back null and silently fall out of every
+    // filtered search; validate up front with a domain message instead.
+    val metaCols = readIndexMeta(spark, path, "ivf")
+    val missing = metaCols.filterNot(newVecs.columns.contains)
+    require(missing.isEmpty,
+      s"index at $path was built with metadata columns $metaCols; the " +
+        s"appended frame lacks ${missing.mkString(", ")}")
     val cents = normCentroids(spark.read.parquet(s"$path/centroids"))
-    // carry whatever metadata columns the index was BUILT with — appended
-    // rows missing them would read back null and silently fall out of every
-    // filtered search (buildIvfIndex(metaCols) decides the index shape once;
-    // an append that cannot supply those columns fails analysis loudly here)
-    val metaCols = spark.read.parquet(s"$path/buckets").schema.fieldNames
-      .filterNot(Set("id", "v", "nrm", "bucket")).toSeq
     val base = newVecs.select(
       (col(idCol).as("id") +: col(vecCol).as("v") +: metaCols.map(col)): _*)
       .withColumn("nrm", l2norm(col("v")))
     graft.sources.TableSink.writePartitioned(
       assignToBuckets(base, cents, metaCols), s"$path/buckets", Seq("bucket"),
       mode = org.apache.spark.sql.SaveMode.Append)
+  }
+
+  /** Index maintenance: compact the bucket table's small files. Daily
+    * [[appendToIvfIndex]] batches land one file per batch per bucket
+    * directory, and at 100 TB scan cost is dominated by file count once
+    * files shrink below the FS block size. One shuffle hash-keyed by
+    * `bucket` puts each bucket wholly in one task → one output file per
+    * directory; the rewrite goes to a sibling staging dir and is swapped
+    * in with two renames, so a concurrent reader never sees a half-written
+    * table. Probe results are identical before/after (vectors and norms
+    * round-trip parquet exactly — spec-asserted). Returns (parquet files
+    * before, after).
+    */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): (Int, Int) = {
+    readIndexMeta(spark, path, "ivf") // domain check: this IS an ivf index
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def parquetCount(p: Path): Int = {
+      val it = fs.listFiles(p, true)
+      var n = 0
+      while (it.hasNext) if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+      n
+    }
+    val live = new Path(s"$path/buckets")
+    val before = parquetCount(live)
+    val staging = new Path(s"$path/buckets_compacting")
+    fs.delete(staging, true) // a crashed previous compact leaves no debris
+    graft.sources.TableSink.writePartitioned(
+      spark.read.parquet(live.toString).repartition(col("bucket")),
+      staging.toString, Seq("bucket"))
+    val retired = new Path(s"$path/buckets_retired")
+    fs.delete(retired, true)
+    require(fs.rename(live, retired), s"could not retire $live")
+    require(fs.rename(staging, live), s"could not publish $staging")
+    fs.delete(retired, true)
+    (before, parquetCount(live))
   }
 
   /** Probe-many half: top-k for a fresh query batch against a saved
@@ -265,6 +356,7 @@ object Similarity {
   def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
       queries: DataFrame, idCol: String, vecCol: String,
       k: Int, nProbe: Int, pred: Column = lit(true)): DataFrame = {
+    readIndexMeta(spark, path, "ivf") // domain message if no index is here
     val cents = normCentroids(spark.read.parquet(s"$path/centroids"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .withColumn("qn", l2norm(col("qv")))
@@ -401,12 +493,16 @@ object Similarity {
       vecs.select(col(idCol).as("id"), col(vecCol).as("v"))
         .withColumn("nrm", l2norm(col("v"))))
     val candIds = lshCandidates(withNorm, "id", "v", bands, rows, seed)
-    candIds
+    val verified = candIds
       .join(withNorm.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na")), "id_a")
       .join(withNorm.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")), "id_b")
       .withColumn("cos", round(cosine(col("va"), col("vb"), col("na"), col("nb")), 6))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
+    // reliable mode: seal the (small) pair result and release the staging
+    // directory now — a long-lived service must not accumulate one staging
+    // dir per call (no-op in localCheckpoint mode; blocks are cleaner-owned)
+    Checkpoints.sealAndRelease(verified, withNorm)
   }
 
   /** SemDeDup-style semantic dedup (cluster-then-prune; Abbas et al. 2023,
@@ -444,8 +540,9 @@ object Similarity {
       .filter(cosine(col("x.v"), col("y.v"), col("x.nrm"), col("y.nrm"))
         >= threshold)
       .select(col("y.id").as("id")).distinct()
-    assigned.join(dropped, Seq("id"), "left_anti")
+    val survivors = assigned.join(dropped, Seq("id"), "left_anti")
       .select(col("id"), col("bucket"))
+    Checkpoints.sealAndRelease(survivors, assigned)
   }
 
   // ------------------------------------------------------------------
@@ -585,7 +682,7 @@ object Similarity {
       .withColumn("cos",
         round(cosine(col("qv"), col("decoded"), col("qn"), col("dn")), 6))
       .select("query_id", "id", "cos")
-    twoPhaseTopK(pairs, k)
+    Checkpoints.sealAndRelease(twoPhaseTopK(pairs, k), enc)
   }
 
   /** IVF-PQ (the FAISS-style pairing): coarse IVF buckets bound WHICH
@@ -603,28 +700,116 @@ object Similarity {
       isQuery: Column, k: Int, nCentroids: Int = 16, nProbe: Int = 4,
       m: Int = 8, kCodes: Int = 64, iters: Int = 2,
       trainMod: Int = 1): DataFrame = {
-    val base = vecs.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("nrm", l2norm(col("v")))
-    if (base.head(1).isEmpty)
-      return base.select(col("id").as("query_id"), lit(1).as("rank"),
-        col("id").as("neighbor_id"), lit(0.0).as("cos")).limit(0)
-    val coarse = normCentroids(
-      kmeansCentroids(vecs, idCol, vecCol, nCentroids, iters))
+    if (vecs.head(1).isEmpty)
+      return vecs.select(col(idCol).cast("long").as("query_id"),
+        lit(1).as("rank"), col(idCol).cast("long").as("neighbor_id"),
+        lit(0.0).as("cos")).limit(0)
+    val coarse = kmeansCentroids(vecs, idCol, vecCol, nCentroids, iters)
     val sample =
       if (trainMod > 1) vecs.filter(pmod(col(idCol), lit(trainMod)) === 0)
       else vecs
     val trainSet = if (trainMod > 1 && sample.head(1).isEmpty) vecs else sample
     val cb = pqTrain(trainSet, idCol, vecCol, m, kCodes, iters)
+    ivfPqTopKWith(vecs, idCol, vecCol, isQuery, k, nProbe, coarse, cb)
+  }
+
+  /** IVF-PQ probe/scan against SUPPLIED coarse centroids and codebook —
+    * the training-free core [[ivfPqTopK]] wraps and the identity anchor
+    * for the materialized index: [[buildPqIndex]] + [[ivfPqTopKIndexed]]
+    * over the same (centroids, codebook) reproduce this exactly
+    * (PqSpec-asserted; codes, reconstructions and norms round-trip
+    * parquet bit-exactly).
+    */
+  def ivfPqTopKWith(vecs: DataFrame, idCol: String, vecCol: String,
+      isQuery: Column, k: Int, nProbe: Int, coarseCentroids: DataFrame,
+      codebook: DataFrame): DataFrame = {
+    val base = vecs.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("nrm", l2norm(col("v")))
+    val coarse = normCentroids(coarseCentroids)
     // the stored index row: (bucket, id, codes→decoded, norm) — what a
     // materialized IVF-PQ table persists (codes at rest; decode map-side)
     val enc = Checkpoints.cut(
       assignToBuckets(base, coarse).select("id", "bucket")
-        .join(pqEncode(vecs, idCol, vecCol, cb), "id")
+        .join(pqEncode(vecs, idCol, vecCol, codebook), "id")
         .withColumn("dn", l2norm(col("decoded"))))
-    val queries = base.filter(isQuery)
-      .select(col("id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val queries = vecs.filter(isQuery) // caller's frame — isQuery contract
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("qn", l2norm(col("qv")))
     val probes = probeBuckets(queries, coarse, nProbe)
     val pairs = enc.join(broadcast(probes), Seq("bucket"))
+      .filter(col("id") =!= col("query_id"))
+      .withColumn("cos",
+        round(cosine(col("qv"), col("decoded"), col("qn"), col("dn")), 6))
+      .select("query_id", "id", "cos")
+    Checkpoints.sealAndRelease(twoPhaseTopK(pairs, k), enc)
+  }
+
+  /** Build-once half of the PQ lifecycle — the IVF index lifecycle
+    * ([[buildIvfIndex]]) one compression lever up: persist
+    * `path/codebook` (sub, code, cv), `path/centroids` (cid, cv), and a
+    * bucket-partitioned `path/buckets` table of (id, codes, meta…) rows.
+    * The corpus is stored as m small code indices per vector — the
+    * at-rest form is m·log₂(kCodes) bits instead of 4·d bytes — and the
+    * expensive passes (codebook training upstream, corpus encode here)
+    * run ONCE instead of per query batch. `metaCols` materializes
+    * predicate columns for filtered search, as in [[buildIvfIndex]].
+    */
+  def buildPqIndex(vecs: DataFrame, idCol: String, vecCol: String,
+      coarseCentroids: DataFrame, codebook: DataFrame, path: String,
+      metaCols: Seq[String] = Nil): Unit = {
+    val base = vecs.select(
+      (col(idCol).as("id") +: col(vecCol).as("v") +: metaCols.map(col)): _*)
+      .withColumn("nrm", l2norm(col("v")))
+    val buckets = assignToBuckets(base, normCentroids(coarseCentroids), metaCols)
+      .select(col("id") +: col("bucket") +: metaCols.map(col): _*)
+    val coded = buckets
+      .join(pqEncode(vecs, idCol, vecCol, codebook).select("id", "codes"), "id")
+    graft.sources.TableSink.writePartitioned(coded, s"$path/buckets",
+      Seq("bucket"))
+    codebook.select(col("sub"), col("code"), col("cv")).write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$path/codebook")
+    coarseCentroids.select(col("cid"), col("cv")).write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$path/centroids")
+    writeIndexMeta(vecs.sparkSession, path, "ivfpq", metaCols)
+  }
+
+  /** Probe-many half: IVF-PQ top-k for a fresh query batch against a saved
+    * [[buildPqIndex]] index — no codebook training, no corpus encode, no
+    * assignment pass. The bucket table is read through its partition key
+    * (probed buckets prune unread directories at runtime), `pred` lands on
+    * the index scan as in [[ivfTopKIndexed]], and the stored codes are
+    * decoded MAP-SIDE in the scan stage against the broadcast codebook
+    * (one k-row crossJoin of nested code→codeword maps — the ADC posture:
+    * codes are what rests and ships; floats exist only inside the scan).
+    * Identical results to [[ivfPqTopKWith]] over the same centroids and
+    * codebook.
+    */
+  def ivfPqTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, nProbe: Int, pred: Column = lit(true)): DataFrame = {
+    readIndexMeta(spark, path, "ivfpq") // domain message if no index here
+    val cents = normCentroids(spark.read.parquet(s"$path/centroids"))
+    // one row of nested maps sub → (code → codeword): order-insensitive
+    // lookup by KEY, so sparse codebooks (codes lost to empty Lloyd
+    // clusters) decode exactly — a positional array would mis-align them
+    val cbMap = spark.read.parquet(s"$path/codebook")
+      .groupBy("sub")
+      .agg(map_from_entries(collect_list(struct(col("code"), col("cv"))))
+        .as("cm"))
+      .groupBy()
+      .agg(map_from_entries(collect_list(struct(col("sub"), col("cm"))))
+        .as("cb"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("qn", l2norm(col("qv")))
+    val probes = probeBuckets(q, cents, nProbe)
+    val idx = spark.read.parquet(s"$path/buckets").filter(pred)
+      .select(col("id"), col("codes"),
+        col("bucket").cast("long").as("bucket"))
+    val decoded = idx.crossJoin(broadcast(cbMap))
+      .withColumn("decoded", flatten(transform(col("codes"),
+        (c, i) => element_at(element_at(col("cb"), i), c))))
+      .withColumn("dn", l2norm(col("decoded")))
+    val pairs = decoded.join(broadcast(probes), Seq("bucket"))
       .filter(col("id") =!= col("query_id"))
       .withColumn("cos",
         round(cosine(col("qv"), col("decoded"), col("qn"), col("dn")), 6))
@@ -655,11 +840,25 @@ object Similarity {
     */
   def mmrRerank(vecs: DataFrame, idCol: String, vecCol: String,
       isQuery: Column, k: Int, poolSize: Int, lambda: Double): DataFrame = {
-    require(k >= 1 && poolSize >= k, "need 1 <= k <= poolSize")
+    require(poolSize >= k, "need poolSize >= k")
+    mmrRerank(vecs, idCol, vecCol,
+      bruteForceTopK(vecs, idCol, vecCol, isQuery, poolSize), k, lambda)
+  }
+
+  /** MMR over a CALLER-SUPPLIED candidate pool of (query_id, neighbor_id,
+    * cos) — the [[bruteForceTopK]]/[[ivfTopKIndexed]]/[[ivfPqTopKIndexed]]
+    * output shape (extra columns such as `rank` are ignored), so any ANN
+    * front-end composes with the diversity pass: pool from an approximate
+    * index, re-rank exactly. `cos` is taken as the relevance score; the
+    * pairwise repulsion cosines are recomputed exactly from `vecs`, which
+    * must contain every pooled neighbor id.
+    */
+  def mmrRerank(vecs: DataFrame, idCol: String, vecCol: String,
+      pool: DataFrame, k: Int, lambda: Double): DataFrame = {
+    require(k >= 1, "need k >= 1")
     require(lambda >= 0.0 && lambda <= 1.0, "need lambda in [0, 1]")
     val spark = vecs.sparkSession
     import spark.implicits._
-    val pool = bruteForceTopK(vecs, idCol, vecCol, isQuery, poolSize)
     val side = vecs.select(col(idCol).cast("long").as("nid"), col(vecCol).as("nv"))
     val cands = pool
       .join(side, col("neighbor_id") === col("nid"))
@@ -668,9 +867,11 @@ object Similarity {
         col("nv").as("_2"), col("cos").as("_3"))).as("cands"))
       .as[(Long, Seq[(Long, Seq[Float], Double)])]
     cands.flatMap { case (qid, plist) =>
-      // a zero vector in the corpus reaches the pool with cos NaN (0/0;
-      // descending NaN sorts first) — map it below every real cosine so the
-      // argmax below stays total and the greedy loop can never strand
+      // graft's own top-k pools never carry NaN (the zero-norm cosine
+      // guard scores degenerate vectors 0.0), but this overload accepts
+      // EXTERNAL pools whose relevance column may — map NaN below every
+      // real cosine so the argmax stays total and the greedy loop can
+      // never strand (descending NaN would otherwise sort first)
       val arr = plist.map { case (id, v, rel) =>
         (id, v, if (rel.isNaN) -2.0 else rel)
       }.sortBy { case (id, _, rel) => (-rel, id) }.toArray

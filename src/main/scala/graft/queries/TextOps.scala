@@ -53,6 +53,12 @@ object TextOps {
   private val ivfMetaIndexCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
 
+  // q130's materialized IVF-PQ index: coarse k-means + codebook training +
+  // corpus encode all happen once per (session, sf dir); probes read codes
+  // through partition pruning and decode map-side.
+  private val ivfPqIndexCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
   // q124/q125's trained BPE model, learned once per (session, sf dir): the
   // merge list is driver-sized by construction (one argmax row per round);
   // the segmentation table stays distributed. Durability of the memoized
@@ -265,7 +271,7 @@ object TextOps {
     // ANN baseline. Query side broadcast; two-phase top-k (see Similarity).
     QueryDef("q37_embedding_topk",
       (s, d) => Similarity.bruteForceTopK(emb(s, d), "vec_id", "embedding",
-          col("id") < 20, 10)
+          col("vec_id") < 20, 10)
         .select(col("query_id"), col("rank").cast("int").as("rnk"),
           col("neighbor_id"), col("cos"))
         .orderBy("query_id", "rnk"),
@@ -294,7 +300,7 @@ object TextOps {
     // lever; quantization is the 4x memory/bandwidth lever at 100 TB).
     QueryDef("q99_quantized_topk",
       (s, d) => Similarity.quantizedTopK(emb(s, d), "vec_id", "embedding",
-          col("id") < 20, 10)
+          col("vec_id") < 20, 10)
         .select(col("query_id"), col("rank").cast("int").as("rnk"),
           col("neighbor_id"), col("cos").as("qcos"))
         .orderBy("query_id", "rnk"),
@@ -327,7 +333,7 @@ object TextOps {
         val e = emb(s, d)
         val cents = Similarity.kmeansCentroids(e, "vec_id", "embedding", 16, 2)
         Similarity.ivfTopKWith(e, "vec_id", "embedding",
-            col("id") < 20, 10, 4, cents)
+            col("vec_id") < 20, 10, 4, cents)
           .select(col("query_id"), col("rank").cast("int").as("rnk"),
             col("neighbor_id"), col("cos"))
           .orderBy("query_id", "rnk")
@@ -1154,6 +1160,34 @@ object TextOps {
         .orderBy("query_id", "rnk"),
       None),
 
+    // q130: the materialized IVF-PQ index lifecycle — q123's whole
+    // training+encode pipeline (coarse k-means, grouped-Lloyd codebook,
+    // corpus encode, bucket assignment) runs ONCE per (session, dir) into
+    // a saved index whose at-rest form is m=8 one-byte codes per vector;
+    // every later call is a pure probe: partition-pruned bucket reads +
+    // map-side broadcast-codebook decode (ADC). The shape an ANN service
+    // actually runs at 100 TB — the corpus-encode scan is never paid per
+    // query batch. Approximate ⇒ rows-only; exact identity with the inline
+    // ivfPqTopKWith over the same centroids/codebook is PqSpec's contract.
+    QueryDef("q130_ivfpq_indexed",
+      (s, d) => {
+        val path = ivfPqIndexCache.getOrElseUpdate((s, d), {
+          val e = emb(s, d)
+          val coarse = Similarity.kmeansCentroids(e, "vec_id", "embedding", 16, 2)
+          val sample = e.filter(pmod(col("vec_id"), lit(8)) === 0)
+          val cb = Similarity.pqTrain(sample, "vec_id", "embedding", 8, 64, 2)
+          val p = java.nio.file.Files.createTempDirectory("graft_ivfpq_q130").toString
+          Similarity.buildPqIndex(e, "vec_id", "embedding", coarse, cb, p)
+          p
+        })
+        Similarity.ivfPqTopKIndexed(s, path,
+            emb(s, d).filter(col("vec_id") < 20), "vec_id", "embedding", 10, 4)
+          .select(col("query_id"), col("rank").cast("int").as("rnk"),
+            col("neighbor_id"), col("cos"))
+          .orderBy("query_id", "rnk")
+      },
+      None),
+
     // q115: length-bucketed batch packing — rank by (token count, id),
     // cut into 64-sequence batches, account the padding each batch pays
     // when padded to its longest member: the dynamic-batching step that
@@ -1235,7 +1269,7 @@ object TextOps {
     // FilteredAnnSpec's contract.
     QueryDef("q127_mmr_rerank",
       (s, d) => Similarity.mmrRerank(emb(s, d), "vec_id", "embedding",
-          col("id") < 10, k = 10, poolSize = 30, lambda = 0.5)
+          col("vec_id") < 10, k = 10, poolSize = 30, lambda = 0.5)
         .orderBy("query_id", "rank"),
       None),
 

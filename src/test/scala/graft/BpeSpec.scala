@@ -83,6 +83,49 @@ class BpeSpec extends SparkSpec {
     assert(segs.view.mapValues(_.toVector).toMap === refSegs)
   }
 
+  test("batched rounds stay exactly sequential: tie traps, symbol collisions, random corpus") {
+    // each corpus is an adversarial case for merge BATCHING (r7: top-slice
+    // prefix batching + incremental pair counts) — all must still equal the
+    // one-at-a-time reference exactly, ties and all
+    val corpora: Seq[Seq[String]] = Seq(
+      // tie trap (hand-built): (a,z)=100 ties (b,b)=100; merging (a,z)
+      // destroys (z,y) but creates (az,y)=100, which STILL ties (b,b) and
+      // wins the tiebreak ("az" < "b") — a naive disjoint batch
+      // [(a,z),(b,b)] would misorder; the strict barrier must cut after
+      // the head
+      Seq.fill(100)("azy") ++ Seq.fill(100)("bb"),
+      // everything tied at the same count across a dense 2-letter
+      // alphabet: maximal tie + symbol-sharing pressure on the prefix rule
+      Seq.fill(30)("abab") ++ Seq.fill(30)("baba") ++
+        Seq.fill(30)("aabb") ++ Seq.fill(30)("bbaa"),
+      // random 3-letter words: merged symbols recombine organically —
+      // collisions, overlapping counts, reappearing adjacency
+      { val rnd = new scala.util.Random(11)
+        (0 until 1500).map { _ =>
+          val n = 2 + rnd.nextInt(7)
+          (0 until n).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString } },
+      // wider alphabet, longer words: many disjoint pairs per round (the
+      // regime batching exists for)
+      { val rnd = new scala.util.Random(42)
+        (0 until 1000).map { _ =>
+          val n = 3 + rnd.nextInt(9)
+          (0 until n).map(_ => ('a' + rnd.nextInt(6)).toChar).mkString } }
+    )
+    for ((wordSeq, ci) <- corpora.zipWithIndex; numMerges <- Seq(5, 40)) {
+      val corpus = wordSeq.grouped(10).map(_.mkString(" ")).toSeq
+      val docs = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val model = Bpe.learn(docs, "text", numMerges, minCount = 2)
+      val (refMerges, refSegs) = refBpe(corpus, numMerges, 2)
+      assert(model.merges.map(m => (m.left, m.right, m.count)) === refMerges,
+        s"corpus $ci, numMerges $numMerges: merge list diverged from sequential reference")
+      val segs = model.segments.select("word", "syms")
+        .as[(String, Seq[String])].collect().toMap
+      assert(segs.view.mapValues(_.toVector).toMap === refSegs,
+        s"corpus $ci, numMerges $numMerges: segmentation diverged")
+    }
+  }
+
   test("model invariants: symbol concatenation, monotone counts, freq conservation") {
     val docs = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
       .toDF("doc_id", "text")

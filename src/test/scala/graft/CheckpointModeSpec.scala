@@ -43,6 +43,38 @@ class CheckpointModeSpec extends SparkSpec {
     }
   }
 
+  test("one-shot operators release staging cuts; the sealed result is swept on GC") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val root = java.nio.file.Files.createTempDirectory("graft_ckpt3").toFile
+    spark.conf.set(Checkpoints.DirConf, root.toString)
+    try {
+      // run in a narrower scope so the result frame is unreachable after
+      // return — only its collected rows survive
+      def run(): Int =
+        graft.operators.Similarity.cosinePairsLsh(emb, "vec_id", "embedding",
+          0.45, maxBackgroundRetention = 1.0).collect().length
+      assert(run() === 7)
+      // end-of-operator: the staging cut (the norm'd projection read three
+      // times) was released; only the sealed RESULT's directory remains
+      assert(uuidDirs(root).length === 1,
+        s"staging dirs must be released at operator end, found ${uuidDirs(root).length}")
+      // the result is now unreachable: the weak backstop deletes its
+      // directory once the JVM collects the checkpointed RDD
+      var tries = 0
+      while (uuidDirs(root).nonEmpty && tries < 40) {
+        System.gc()
+        Checkpoints.sweep()
+        Thread.sleep(50)
+        tries += 1
+      }
+      assert(uuidDirs(root).isEmpty,
+        "an unreachable sealed cut must be swept (weak-keyed registry)")
+    } finally {
+      spark.conf.unset(Checkpoints.DirConf)
+    }
+  }
+
   test("staged (non-iterative) operators are mode-identical too") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again"),

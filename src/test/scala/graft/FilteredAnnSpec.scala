@@ -37,7 +37,7 @@ class FilteredAnnSpec extends SparkSpec {
     val filtered = Similarity.ivfTopKIndexed(spark, path, batch,
       "vec_id", "embedding", 10, 4, pred = col("label") === 1)
     val inline = Similarity.ivfTopKWith(emb.filter(col("label") === 1),
-      "vec_id", "embedding", col("id") < 30, 10, 4, cents)
+      "vec_id", "embedding", col("vec_id") < 30, 10, 4, cents)
     assert(rows(filtered) === rows(inline))
 
     // every returned neighbor satisfies the predicate
@@ -97,7 +97,7 @@ class FilteredAnnSpec extends SparkSpec {
     ).toDF("vec_id", "embedding")
 
     val mmr = Similarity.mmrRerank(vecs, "vec_id", "embedding",
-        col("id") === 0L, k = 3, poolSize = 3, lambda = 0.4)
+        col("vec_id") === 0L, k = 3, poolSize = 3, lambda = 0.4)
       .orderBy("rank")
       .select("neighbor_id", "score").as[(Long, Double)].collect()
     assert(mmr.map(_._1).toSeq === Seq(1L, 3L, 2L))
@@ -118,7 +118,7 @@ class FilteredAnnSpec extends SparkSpec {
       (3L, Array(0f, 0f))   // zero vector: |v| = 0
     ).toDF("vec_id", "embedding")
     val brute = Similarity.bruteForceTopK(vecs, "vec_id", "embedding",
-        col("id") === 0L, 3)
+        col("vec_id") === 0L, 3)
       .orderBy("rank").select("neighbor_id", "cos")
       .as[(Long, Double)].collect()
     assert(brute.map(_._1).toSeq === Seq(1L, 2L, 3L))
@@ -127,7 +127,7 @@ class FilteredAnnSpec extends SparkSpec {
     // diverse — at lambda 0.5 the zero vector legitimately outranks the
     // near-duplicate of rank 1
     val mmr = Similarity.mmrRerank(vecs, "vec_id", "embedding",
-        col("id") === 0L, k = 3, poolSize = 3, lambda = 0.5)
+        col("vec_id") === 0L, k = 3, poolSize = 3, lambda = 0.5)
       .orderBy("rank").select("neighbor_id").as[Long].collect().toSeq
     assert(mmr === Seq(1L, 3L, 2L))
   }
@@ -157,13 +157,38 @@ class FilteredAnnSpec extends SparkSpec {
       "appended rows must be findable through the filter")
   }
 
+  test("MMR composes with an indexed-ANN pool: lambda = 1 reproduces the pool's ranking") {
+    // the documented composition (ANN candidate generation → exact MMR
+    // re-rank): pool from the saved IVF index, not brute force
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cents = Similarity.kmeansCentroids(emb, "vec_id", "embedding", 16, 2)
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_mmr").toString
+    Similarity.buildIvfIndex(emb, "vec_id", "embedding", cents, path)
+    val pool = Similarity.ivfTopKIndexed(spark, path,
+      emb.filter(col("vec_id") < 5), "vec_id", "embedding", 25, 4)
+    val mmr = Similarity.mmrRerank(emb, "vec_id", "embedding", pool,
+        k = 10, lambda = 1.0)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+    // λ=1 MMR over the pool == the pool's own top-10 by (cos desc, id)
+    val expect = pool.filter(col("rank") <= 10)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+    assert(mmr.except(expect).count() === 0L &&
+      expect.except(mmr).count() === 0L)
+    // and with diversity on, selection still draws only from the pool
+    val div = Similarity.mmrRerank(emb, "vec_id", "embedding", pool,
+      k = 10, lambda = 0.3)
+    assert(div.join(pool.select(col("query_id"), col("neighbor_id")),
+      Seq("query_id", "neighbor_id"), "left_anti").count() === 0L,
+      "MMR must never select outside its candidate pool")
+  }
+
   test("MMR at lambda = 1 is exactly the relevance ranking") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val mmr = Similarity.mmrRerank(emb, "vec_id", "embedding",
-        col("id") < 5, k = 10, poolSize = 25, lambda = 1.0)
+        col("vec_id") < 5, k = 10, poolSize = 25, lambda = 1.0)
       .select(col("query_id"), col("rank"), col("neighbor_id"))
     val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
-        col("id") < 5, 10)
+        col("vec_id") < 5, 10)
       .select(col("query_id"), col("rank"), col("neighbor_id"))
     assert(mmr.except(brute).count() === 0L && brute.except(mmr).count() === 0L)
   }

@@ -50,6 +50,43 @@ class PqSpec extends SparkSpec {
     assert(recall >= 0.35, f"IVF-PQ recall@10 $recall%.2f below floor")
   }
 
+  test("materialized IVF-PQ index: build once, probe == inline, no training on probe") {
+    val coarse = Similarity.kmeansCentroids(emb, "vec_id", "embedding", 16, 2)
+    val cb = Similarity.pqTrain(emb, "vec_id", "embedding", 8, 64, 2)
+    val path = java.nio.file.Files.createTempDirectory("graft_pq_idx").toString
+    Similarity.buildPqIndex(emb, "vec_id", "embedding", coarse, cb, path)
+    // codes at rest: the bucket table holds (id, codes, bucket) — no floats
+    val stored = spark.read.parquet(s"$path/buckets")
+    assert(stored.columns.toSet === Set("id", "codes", "bucket"),
+      s"index rows must store codes, not vectors: ${stored.columns.toSeq}")
+
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    // two query batches against the SAME saved index — training and the
+    // corpus encode are never re-run (identity vs the training-free inline
+    // core over the same centroids/codebook pins exactness of the decode)
+    for ((lo, hi) <- Seq((0L, 10L), (10L, 20L))) {
+      val inline = Similarity.ivfPqTopKWith(emb, "vec_id", "embedding",
+        col("vec_id") >= lo && col("vec_id") < hi, 10, 4, coarse, cb)
+      val batch = emb.filter(col("vec_id") >= lo && col("vec_id") < hi)
+      val indexed = Similarity.ivfPqTopKIndexed(spark, path, batch,
+        "vec_id", "embedding", 10, 4)
+      assert(rows(indexed) === rows(inline),
+        s"saved-index IVF-PQ probe must reproduce the inline path for [$lo,$hi)")
+      // the probe plan must not contain the corpus assignment pass
+      val finalPlan = indexed.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan.toString
+        case p => p.toString
+      }
+      assert(!finalPlan.contains("csim"),
+        s"probe must not re-assign the corpus to centroids:\n$finalPlan")
+      assert(finalPlan.contains("dynamicpruning"),
+        s"probed buckets must prune the index scan:\n$finalPlan")
+    }
+  }
+
   test("pqTopK with a trainMod the id space misses falls back to full training") {
     import spark.implicits._
     // all-odd ids: pmod(id, 2) === 0 matches nothing — the fallback must

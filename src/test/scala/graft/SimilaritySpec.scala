@@ -19,7 +19,7 @@ class SimilaritySpec extends SparkSpec {
       (3L, Array(0f, 1f)),   // orthogonal
       (4L, Array(-1f, 0f))   // opposite
     ).toDF("vec_id", "embedding")
-    val out = Similarity.bruteForceTopK(vecs, "vec_id", "embedding", col("id") === 0L, 4)
+    val out = Similarity.bruteForceTopK(vecs, "vec_id", "embedding", col("vec_id") === 0L, 4)
       .orderBy("rank").select("neighbor_id").as[Long].collect().toSeq
     assert(out === Seq(1L, 2L, 3L, 4L))
   }
@@ -27,16 +27,16 @@ class SimilaritySpec extends SparkSpec {
   test("cosine of a vector with itself is 1") {
     val vecs = Seq((0L, Array(0.3f, -0.7f, 0.2f)), (1L, Array(0.3f, -0.7f, 0.2f)))
       .toDF("vec_id", "embedding")
-    val out = Similarity.bruteForceTopK(vecs, "vec_id", "embedding", col("id") === 0L, 1)
+    val out = Similarity.bruteForceTopK(vecs, "vec_id", "embedding", col("vec_id") === 0L, 1)
       .select("cos").as[Double].head()
     assert(out === 1.0)
   }
 
   test("IVF ANN recall@10 >= 0.5 vs brute force on real embeddings (sf0.001)") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
-    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", col("id") < 10, 10)
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", col("vec_id") < 10, 10)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
-    val approx = Similarity.ivfTopK(emb, "vec_id", "embedding", col("id") < 10, 10, 16, 4)
+    val approx = Similarity.ivfTopK(emb, "vec_id", "embedding", col("vec_id") < 10, 10, 16, 4)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val recall = (exact & approx).size.toDouble / exact.size
     assert(recall >= 0.5, s"IVF nProbe=4/16 recall was $recall")
@@ -45,11 +45,11 @@ class SimilaritySpec extends SparkSpec {
 
   test("k-means-trained centroids keep IVF recall at least at seed level") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
-    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", col("id") < 10, 10)
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", col("vec_id") < 10, 10)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     def recallOf(cents: org.apache.spark.sql.DataFrame): Double = {
       val approx = Similarity.ivfTopKWith(emb, "vec_id", "embedding",
-          col("id") < 10, 10, 4, cents)
+          col("vec_id") < 10, 10, 4, cents)
         .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
       (exact & approx).size.toDouble / exact.size
     }
@@ -84,7 +84,7 @@ class SimilaritySpec extends SparkSpec {
     // two query batches against the SAME saved index — no rebuild between
     for ((lo, hi) <- Seq((0L, 10L), (10L, 20L))) {
       val inline = Similarity.ivfTopKWith(emb, "vec_id", "embedding",
-        col("id") >= lo && col("id") < hi, 10, 4, cents)
+        col("vec_id") >= lo && col("vec_id") < hi, 10, 4, cents)
       val batch = emb.filter(col("vec_id") >= lo && col("vec_id") < hi)
       val indexed = Similarity.ivfTopKIndexed(spark, path, batch,
         "vec_id", "embedding", 10, 4)
@@ -127,6 +127,65 @@ class SimilaritySpec extends SparkSpec {
       "append-then-probe must equal a full rebuild: buckets depend only on the frozen centroids")
   }
 
+  test("IVF maintenance: appends accumulate small files, compact bounds them, probes identical") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cents = Similarity.kmeansCentroids(emb, "vec_id", "embedding", 16, 2)
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_cmp").toString
+    Similarity.buildIvfIndex(emb.filter(col("vec_id") % 12 === 0),
+      "vec_id", "embedding", cents, path)
+    // ten daily-ingest appends: one file per batch per touched bucket dir
+    (1 to 10).foreach { i =>
+      Similarity.appendToIvfIndex(spark, path,
+        emb.filter(col("vec_id") % 12 === i), "vec_id", "embedding")
+    }
+    val q = emb.filter(col("vec_id") < 10)
+    def probe() = Similarity.ivfTopKIndexed(spark, path, q,
+        "vec_id", "embedding", 10, 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val before = probe()
+    val (nBefore, nAfter) = Similarity.compactIvfIndex(spark, path)
+    assert(nAfter < nBefore,
+      s"compact must shrink the file count ($nBefore -> $nAfter)")
+    // bounded: one output file per bucket directory (one hash task each)
+    val bucketDirs = new java.io.File(s"$path/buckets").listFiles()
+      .filter(_.getName.startsWith("bucket="))
+    assert(bucketDirs.nonEmpty && bucketDirs.forall(
+      d => d.listFiles().count(_.getName.endsWith(".parquet")) === 1),
+      "each bucket directory must compact to a single file")
+    assert(probe() === before, "compaction must not change probe results")
+  }
+
+  test("index meta is explicit: append validates columns, non-index paths are domain errors") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cents = Similarity.kmeansCentroids(emb, "vec_id", "embedding", 8, 1)
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_meta_v").toString
+    Similarity.buildIvfIndex(emb.filter(col("vec_id") % 2 === 0),
+      "vec_id", "embedding", cents, path, metaCols = Seq("label"))
+    // an append that cannot supply the RECORDED metadata columns fails
+    // with a domain message, not a null-filled silent success
+    val e1 = intercept[IllegalArgumentException] {
+      Similarity.appendToIvfIndex(spark, path,
+        emb.filter(col("vec_id") % 2 === 1).drop("label"),
+        "vec_id", "embedding")
+    }
+    assert(e1.getMessage.contains("metadata columns"), e1.getMessage)
+    // probing / appending where no index exists: domain error, not a
+    // parquet stack trace
+    val empty = java.nio.file.Files.createTempDirectory("graft_no_idx").toString
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.ivfTopKIndexed(spark, empty, emb.limit(1),
+        "vec_id", "embedding", 5, 2)
+    }
+    assert(e2.getMessage.contains("no graft vector index"), e2.getMessage)
+    // an IVF index probed as IVF-PQ (or vice versa) is also a domain error
+    val e3 = intercept[IllegalArgumentException] {
+      Similarity.ivfPqTopKIndexed(spark, path, emb.limit(1),
+        "vec_id", "embedding", 5, 2)
+    }
+    assert(e3.getMessage.contains("kind"), e3.getMessage)
+  }
+
   test("cosinePairs is symmetric-free (id_a < id_b) and thresholded") {
     val vecs = Seq(
       (0L, Array(1f, 0f)), (1L, Array(1f, 0.01f)), (2L, Array(0f, 1f)))
@@ -166,11 +225,11 @@ class SimilaritySpec extends SparkSpec {
     // independent, so the composition must hold recall near plain IVF's
     import org.apache.spark.sql.functions.col
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
-    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", col("id") < 10, 10)
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", col("vec_id") < 10, 10)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val q = emb.select(col("vec_id"),
       graft.functions.VectorExpressions.quantizeInt8(spark, col("embedding")).as("qv"))
-    val compressed = Similarity.ivfTopK(q, "vec_id", "qv", col("id") < 10, 10, 16, 4)
+    val compressed = Similarity.ivfTopK(q, "vec_id", "qv", col("vec_id") < 10, 10, 16, 4)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val recall = (exact & compressed).size.toDouble / exact.size
     assert(recall >= 0.4, s"quantized-IVF recall vs float brute force was $recall")
@@ -194,10 +253,10 @@ class SimilaritySpec extends SparkSpec {
       .quantizeInt8(spark, col("embedding"))).head.getSeq[Float](0)
     assert(zq.forall(_ === 0f))
     // compressed-domain ranking stays close to the float ranking
-    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", col("id") < 20, 10)
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", col("vec_id") < 20, 10)
       .select("query_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val quant = Similarity.quantizedTopK(emb, "vec_id", "embedding", col("id") < 20, 10)
+    val quant = Similarity.quantizedTopK(emb, "vec_id", "embedding", col("vec_id") < 20, 10)
       .select("query_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (exact & quant).size.toDouble / exact.size
