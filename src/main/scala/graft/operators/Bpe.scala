@@ -1,7 +1,5 @@
 package graft.operators
 
-import java.util.regex.{Matcher, Pattern}
-
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 
@@ -16,19 +14,20 @@ import graft.functions.TextFns
   * shape as q32's token counting). Every merge round after that runs on the
   * DISTINCT-WORD table, which Heap's law keeps orders of magnitude smaller
   * than the corpus (~100 M rows for a 100 TB corpus — still distributed,
-  * never collected). A round is: adjacent-pair explode → hash-agg of
-  * freq-weighted pair counts → 1-row argmax to the driver (a scalar
-  * witness, the same pattern as [[Components]]' convergence probe) →
-  * codegen'd leftmost-nonoverlapping merge rewrite of the symbol column.
-  * Lineage is cut per round via [[Checkpoints.cut]] with superseded rounds
-  * released, so the logical plan stays O(1) deep across any merge count.
+  * never collected). A round is: pull the top pair slice to the driver
+  * (metadata — the same scalar-witness pattern as [[Components]]'
+  * convergence probe), select the longest provably sequential-equivalent
+  * merge BATCH from it, rewrite the symbol column in ONE narrow JVM-scan
+  * pass, and fold the changed words' −old/+new pair contributions into
+  * the standing (l, r, cnt) table — the full pair explode happens once,
+  * at round zero (see [[learn]]). Lineage is cut per round via
+  * [[Checkpoints.cut]] with superseded rounds released, so the logical
+  * plan stays O(1) deep across any merge count.
   *
-  * The merge rewrite is a single `regexp_replace` over the space-joined
-  * symbol string: Java's replaceAll scans left-to-right and resumes AFTER
-  * each match, which is exactly BPE's greedy leftmost-nonoverlapping merge
-  * ("a a a" under merge (a,a) → "aa a", not "aa aa"). `(?<!\S)`/`(?!\S)`
-  * anchors keep matches on whole symbols; symbols never contain whitespace
-  * ([[TextFns.tokens]] splits on it), so the space-joined form is lossless.
+  * The merge rewrite is [[applyMergesToSyms]]'s greedy
+  * leftmost-nonoverlapping scan ("a a a" under merge (a,a) → "aa a", not
+  * "aa aa") — the SAME function [[encode]] folds over unseen words, so
+  * training and inference cannot drift.
   *
   * Determinism: pair argmax breaks ties (count desc, left asc, right asc);
   * re-running on any partitioning yields the identical merge list.
@@ -98,6 +97,9 @@ object Bpe {
     var words = Checkpoints.cut(
       wordCounts(docs, textCol).withColumn("syms",
         splitCodePointsUdf(col("word"))))
+    // the CUT frame behind `words` (which may be a projection of it) —
+    // what release() must be handed when the round advances
+    var wordsCut = words
     if (numMerges == 0) return Model(Nil, words)
     // driver-side symbol vocabulary: initial code points now, plus every
     // merged symbol as it is learned. Bounded (distinct code points +
@@ -123,32 +125,42 @@ object Bpe {
           symbols += (l + r)
           rank += 1
         }
-        // one narrow pass applies the whole batch in rank order (chained
-        // greedy rewrites — disjointness makes it ≡ one-at-a-time)
-        val merged = batch.foldLeft(col("syms")) { case (c, (l, r, _)) =>
-          mergePair(c, l, r)
-        }
-        val rewritten = words.withColumn("nsyms", merged)
+        // one narrow pass applies the whole batch in rank order via the
+        // same greedy JVM scan encode uses (disjointness makes it ≡
+        // one-at-a-time). NOT a chained when/regexp expression: that
+        // duplicates its child 4× per level, so a B-merge batch builds a
+        // 4^B-node expression tree and large batches blow up analysis.
+        // The round materializes the word table ONCE, carrying BOTH the
+        // old and new segmentation, so the delta below reads changed rows
+        // from these blocks instead of re-running the rewrite per consumer.
+        val batchPairs = batch.map { case (l, r, _) => (l, r) }.toArray
+        val merged = udf((syms: Seq[String]) =>
+          applyMergesToSyms(syms.toArray, batchPairs))
+        val staged = Checkpoints.cut(words.select(col("word"), col("freq"),
+          col("syms"), merged(col("syms")).as("nsyms")))
         // delta maintenance: only words whose segmentation CHANGED move
-        // pair counts — −freq on their old pairs, +freq on their new ones
-        val changed = rewritten.filter(not(col("nsyms") <=> col("syms")))
-        val delta = changed.filter(size(col("syms")) >= 2)
-          .select((-col("freq")).as("freq"),
-            explode(zipAdjacent(col("syms"))).as("p"))
-          .unionAll(changed.filter(size(col("nsyms")) >= 2)
-            .select(col("freq"),
-              explode(zipAdjacent(col("nsyms"))).as("p")))
-          .groupBy(col("p.l"), col("p.r")).agg(sum("freq").as("cnt"))
+        // pair counts — −freq on their old pairs, +freq on their new
+        // ones, both sides exploded in a SINGLE scan of the sliver
+        val delta = staged.filter(not(col("nsyms") <=> col("syms")))
+          .select(explode(concat(
+            transform(zipAdjacent(col("syms")), p =>
+              struct(p.getField("l").as("l"), p.getField("r").as("r"),
+                (-col("freq")).as("w"))),
+            transform(zipAdjacent(col("nsyms")), p =>
+              struct(p.getField("l").as("l"), p.getField("r").as("r"),
+                col("freq").as("w"))))).as("d"))
+          .groupBy(col("d.l"), col("d.r")).agg(sum(col("d.w")).as("cnt"))
         val nextPairs = Checkpoints.cut(
           pairs.unionAll(delta).groupBy("l", "r").agg(sum("cnt").as("cnt"))
             .filter(col("cnt") > 0))
-        val nextWords = Checkpoints.cut(
-          rewritten.select(col("word"), col("freq"),
-            col("nsyms").as("syms")))
         Checkpoints.release(pairs)
-        Checkpoints.release(words)
+        Checkpoints.release(wordsCut)
         pairs = nextPairs
-        words = nextWords
+        wordsCut = staged
+        // the next round's word table is a lazy PROJECTION of the staged
+        // blocks — no second materialization of the rewrite
+        words = staged.select(col("word"), col("freq"),
+          col("nsyms").as("syms"))
       }
     }
     Model(merges.result(), words)
@@ -235,19 +247,6 @@ object Bpe {
       slice(syms, lit(2), size(syms) - 1),
       (a, b) => struct(a.as("l"), b.as("r")))
 
-  /** Greedy leftmost-nonoverlapping merge of adjacent (l, r) into l+r —
-    * one codegen'd regexp_replace on the space-joined symbols, guarded so
-    * words lacking either symbol skip the regex entirely.
-    */
-  private def mergePair(syms: org.apache.spark.sql.Column,
-      l: String, r: String) = {
-    val pat = "(?<!\\S)" + Pattern.quote(l) + " " + Pattern.quote(r) + "(?!\\S)"
-    when(array_contains(syms, l) && array_contains(syms, r),
-      split(regexp_replace(concat_ws(" ", syms), pat,
-        Matcher.quoteReplacement(l + r)), " "))
-      .otherwise(syms)
-  }
-
   /** One string per Unicode code point (surrogate pairs kept whole). */
   private def splitCodePoints(word: String): Array[String] = {
     val out = Array.newBuilder[String]
@@ -326,8 +325,17 @@ object Bpe {
     * unicode case pins the losslessness.
     */
   private def applyMerges(word: String,
+      merges: Array[(String, String)]): Array[String] =
+    applyMergesToSyms(splitCodePoints(word), merges)
+
+  /** Fold ranked merges over a symbol array: per merge, the greedy
+    * leftmost-nonoverlapping scan with a cheap containment pre-check.
+    * ONE shared implementation behind training's per-round rewrite AND
+    * encode's fallback — the training ≡ encode identity is structural.
+    */
+  private def applyMergesToSyms(syms0: Array[String],
       merges: Array[(String, String)]): Array[String] = {
-    var syms: Array[String] = splitCodePoints(word)
+    var syms = syms0
     var mi = 0
     while (mi < merges.length && syms.length >= 2) {
       val (l, r) = merges(mi)

@@ -78,16 +78,25 @@ object Checkpoints {
     }
   }
 
-  /** Delete the checkpoint files behind a superseded [[cut]] frame (no-op
-    * in localCheckpoint mode, or for frames not produced by [[cut]]). Only
-    * call once nothing live reads `df` — iterative loops call it on round
-    * n−1 after round n is materialized; one-shot operators via
+  /** Free the storage behind a superseded [[cut]] frame. Reliable mode:
+    * delete its checkpoint directory. Local mode: unpersist its blocks
+    * NOW instead of waiting for the GC-driven context cleaner — a
+    * many-round iterative loop (k-means, BPE's merge rounds, star
+    * contraction) otherwise piles up hundreds of truncated-lineage block
+    * sets until the store starts evicting one a LIVE frame still needs,
+    * which is unrecoverable (localCheckpoint cannot recompute). Only call
+    * once nothing live reads `df` — iterative loops call it on round n−1
+    * after round n is materialized; one-shot operators via
     * [[sealAndRelease]] after the result frame is sealed.
     */
   def release(df: DataFrame): Unit = {
     val key = keyOf(df)
-    entries.keys.find(e => e.get eq key).foreach { e =>
-      if (entries.remove(e).isDefined) delete(e)
+    entries.keys.find(e => e.get eq key) match {
+      case Some(e) => if (entries.remove(e).isDefined) delete(e)
+      case None => key match {
+        case rdd: org.apache.spark.rdd.RDD[_] => rdd.unpersist(blocking = false)
+        case _ =>
+      }
     }
     sweep()
   }

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+/** Content pinning for the DETERMINISTIC rows-only queries. The
+  * approximate/iterative family has no SQL oracle, so the driver's check
+  * is row-count only — but q103/q126/q127/q130 are fully deterministic
+  * given their inputs (fixed seeds, total-order tiebreaks everywhere), so
+  * a silent ranking regression could hide behind a stable row count. Pin
+  * an md5 of the canonicalized sf0.01 output instead; when a DELIBERATE
+  * semantic change moves a hash, regenerate it here (printed on failure)
+  * in the same commit that changes the semantics.
+  */
+class GoldenHashSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.01"
+
+  /** Order-insensitive canonical hash: rows rendered with sorted columns,
+    * doubles at 6 dp (every pinned query rounds to 6 dp already), rows
+    * sorted, md5 over the join.
+    */
+  private def canon(df: DataFrame): String = {
+    val cols = df.columns.sorted
+    val rows = df.select(cols.map(col): _*).collect().map { r =>
+      (0 until r.length).map { i =>
+        r.get(i) match {
+          case d: java.lang.Double =>
+            String.format(java.util.Locale.ROOT, "%.6f", d)
+          case x => String.valueOf(x)
+        }
+      }.mkString("|")
+    }.sorted
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(rows.mkString("\n").getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+  }
+
+  private def pinned(name: String, expected: String): Unit =
+    test(s"$name sf0.01 content hash is pinned") {
+      val got = canon(SparkEntry.queries(name)(spark, dir))
+      assert(got === expected,
+        s"$name content changed: got $got — if the semantic change is " +
+          "deliberate, update the pinned hash in this spec in the same commit")
+    }
+
+  pinned("q103_ivf_indexed", "9853d621f69c123006e207290ec73154")
+  pinned("q126_filtered_ann", "e8d4889a119ccdd0b239e5e9207ee108")
+  pinned("q127_mmr_rerank", "c627628a788aeb40afb5cc6dda22cbff")
+  pinned("q130_ivfpq_indexed", "af1af1378987da38c43a141374409b4e")
+}
