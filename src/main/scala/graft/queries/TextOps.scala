@@ -1325,6 +1325,149 @@ object TextOps {
                 FROM f)
         SELECT doc_id, count(*) AS n_feats, CAST(sum(w) AS BIGINT) AS score,
           sum(w) > 0 AS keep
-        FROM w GROUP BY doc_id ORDER BY doc_id"""))
+        FROM w GROUP BY doc_id ORDER BY doc_id""")),
+
+    // q131: bigram-LM fluency scoring — the perplexity-shaped fluency
+    // filter of an LLM pipeline (CCNet scores documents with a KenLM
+    // n-gram model; Wenzek et al., LREC 2020), restated integer-portable
+    // so the WHOLE train+score path hash-matches the oracle instead of
+    // going rows-only: the model is the corpus's own bigram table, and a
+    // bigram instance scores floor(1e6 · c(l,r) / c(l)) — exact integer
+    // counts, then one IEEE multiply + divide + floor, each bit-portable
+    // across engines (ln/exp would not be — the log-space perplexity is
+    // deliberately traded for a monotone-equivalent rational score).
+    // Shape: two count tables built with map-side partial combine; the
+    // conditional-rate table joins bigram INSTANCES once (shuffle keyed on
+    // the bigram — the rate side is vocabulary-sized, Heap's-law bounded,
+    // NOT corpus-sized); then one doc_id hash-agg carrying partial sums.
+    QueryDef("q131_lm_fluency",
+      (s, d) => {
+        val x = docs(s, d).select(col("doc_id"),
+          TextFns.tokens(col("text")).as("t"))
+        val inst = x.filter(size(col("t")) >= 2)
+          .select(col("doc_id"), explode(zip_with(
+            slice(col("t"), lit(1), size(col("t")) - 1),
+            slice(col("t"), lit(2), size(col("t")) - 1),
+            (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+          .select(col("doc_id"), col("p.l").as("l"), col("p.r").as("r"))
+        val uni = x.select(explode(col("t")).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("cu"))
+        val bi = inst.groupBy("l", "r").agg(count(lit(1)).as("cb"))
+        val rate = bi.join(uni, col("l") === col("w"))
+          .select(col("l"), col("r"),
+            floor(lit(1e6) * (col("cb") / col("cu"))).as("part"))
+        val per = inst.join(rate, Seq("l", "r"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("nb"), sum("part").as("ss"))
+        x.select("doc_id").join(per, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("nb"), lit(0L)).cast("int").as("n_bigrams"),
+            coalesce(col("ss"), lit(0L)).as("score_sum"),
+            when(col("nb").isNull, lit(0L))
+              .otherwise(floor(col("ss") / col("nb"))).as("fluency_micro"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH x AS (SELECT doc_id, $OToks t FROM documents),
+          f AS (SELECT doc_id,
+                  unnest([struct_pack(l := t[i], r := t[i+1])
+                          for i in generate_series(1, len(t)-1)]) p
+                FROM x),
+          inst AS (SELECT doc_id, p.l AS l, p.r AS r FROM f),
+          uni AS (SELECT w, count(*) AS cu
+                  FROM (SELECT unnest(t) AS w FROM x) GROUP BY 1),
+          bi AS (SELECT l, r, count(*) AS cb FROM inst GROUP BY 1, 2),
+          rate AS (SELECT l, r,
+                     CAST(floor(1000000.0 * (cb::DOUBLE / cu::DOUBLE))
+                       AS BIGINT) AS part
+                   FROM bi JOIN uni ON bi.l = uni.w),
+          per AS (SELECT doc_id, count(*) AS nb,
+                    CAST(sum(part) AS BIGINT) AS ss
+                  FROM inst JOIN rate USING (l, r) GROUP BY 1)
+        SELECT x.doc_id,
+          CAST(coalesce(nb, 0) AS INTEGER) AS n_bigrams,
+          coalesce(ss, 0) AS score_sum,
+          CAST(CASE WHEN nb IS NULL THEN 0
+            ELSE floor(ss::DOUBLE / nb::DOUBLE) END AS BIGINT)
+            AS fluency_micro
+        FROM x LEFT JOIN per ON x.doc_id = per.doc_id
+        ORDER BY x.doc_id""")),
+
+    // q132: hashed n-gram importance weighting for domain selection — the
+    // DSIR step of an LLM pipeline (Xie et al., NeurIPS 2023: weight raw
+    // documents by how target-like their hashed-ngram distribution is,
+    // then resample). Target here is the lang='en' slice; features are
+    // unigram+bigram instances hashed into 4096 buckets (q129's md5
+    // bucketing, so the oracle mirrors bit-for-bit); per-bucket importance
+    // is the add-1-smoothed probability ratio, kept as floor(1e6·ratio)
+    // whose three IEEE divides + multiply are bit-portable — DSIR's
+    // log-space product is deliberately traded for a rational per-feature
+    // sum so the WHOLE train+score path hash-matches instead of going
+    // rows-only. Shape: ONE feature-instance pass feeds both distributions
+    // (count + count-if-target per bucket, map-side combine to ≤4096
+    // rows); totals are a 1-row broadcast witness; the ≤4096-row rate
+    // table broadcast-joins back to instances; one doc_id hash-agg.
+    QueryDef("q132_dsir_weights",
+      (s, d) => {
+        val t = TextFns.tokens(col("text"))
+        val bigrams = when(size(t) >= 2,
+          zip_with(slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+            (a, b) => concat(a, lit(" "), b)))
+          .otherwise(array().cast("array<string>"))
+        val inst = docs(s, d)
+          .select(col("doc_id"), col("lang"), explode(concat(t, bigrams)).as("feat"))
+          .select(col("doc_id"), col("lang"),
+            pmod(TextFns.hash32(col("feat")), lit(4096L)).as("b"))
+        val isT = (col("lang") <=> "en").cast("long") // null lang → 0, matching the oracle's CASE/coalesce
+        val buckets = inst.groupBy("b")
+          .agg(count(lit(1)).as("cs"), sum(isT).as("ct"))
+        val totals = buckets.agg(sum("cs").as("ns"), sum("ct").as("nt"))
+        val rate = buckets.crossJoin(broadcast(totals))
+          .select(col("b"), floor(lit(1e6) *
+            (((col("ct") + 1) / (col("nt") + 4096)) /
+              ((col("cs") + 1) / (col("ns") + 4096)))).as("part"))
+        val per = inst.join(broadcast(rate), Seq("b"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("nf"), sum("part").as("ws"))
+        docs(s, d).select("doc_id", "lang").join(per, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("lang"),
+            coalesce(col("nf"), lit(0L)).cast("int").as("n_feats"),
+            coalesce(col("ws"), lit(0L)).as("weight_sum"),
+            when(col("nf").isNull, lit(0L))
+              .otherwise(floor(col("ws") / col("nf"))).as("weight_micro"))
+          .withColumn("targetlike", col("weight_micro") >= lit(1000000L))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH x AS (SELECT doc_id, lang, $OToks t FROM documents),
+          f AS (SELECT doc_id, lang, unnest(t ||
+                  [t[i] || ' ' || t[i+1] for i in generate_series(1, len(t)-1)]) feat
+                FROM x),
+          inst AS (SELECT doc_id, lang,
+                     ('0x' || substr(md5(feat), 1, 8))::BIGINT % 4096 AS b
+                   FROM f),
+          buckets AS (SELECT b, count(*) AS cs,
+                        coalesce(sum(CASE WHEN lang = 'en' THEN 1 END), 0) AS ct
+                      FROM inst GROUP BY 1),
+          totals AS (SELECT CAST(sum(cs) AS BIGINT) AS ns,
+                       CAST(sum(ct) AS BIGINT) AS nt FROM buckets),
+          rate AS (SELECT b,
+                     CAST(floor(1000000.0 *
+                       (((ct + 1)::DOUBLE / (nt + 4096)::DOUBLE) /
+                        ((cs + 1)::DOUBLE / (ns + 4096)::DOUBLE)))
+                       AS BIGINT) AS part
+                   FROM buckets, totals),
+          per AS (SELECT doc_id, count(*) AS nf,
+                    CAST(sum(part) AS BIGINT) AS ws
+                  FROM inst JOIN rate USING (b) GROUP BY 1)
+        SELECT x.doc_id, x.lang,
+          CAST(coalesce(nf, 0) AS INTEGER) AS n_feats,
+          coalesce(ws, 0) AS weight_sum,
+          CAST(CASE WHEN nf IS NULL THEN 0
+            ELSE floor(ws::DOUBLE / nf::DOUBLE) END AS BIGINT)
+            AS weight_micro,
+          (CASE WHEN nf IS NULL THEN 0
+            ELSE floor(ws::DOUBLE / nf::DOUBLE) END) >= 1000000
+            AS targetlike
+        FROM x LEFT JOIN per ON x.doc_id = per.doc_id
+        ORDER BY x.doc_id"""))
   )
 }
