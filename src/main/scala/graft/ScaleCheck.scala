@@ -170,12 +170,25 @@ object ScaleCheck {
       "q103_ivf_indexed (saved index)" ->
         S.ivfTopKIndexed(spark, s"$dir/ivf_index", emb.filter(isQ),
           "vec_id", "embedding", 10, 4),
-      "q122_pq (m=8, 64 codes)" ->
+      "q122_pq (m=8, 64 codes, ADC only)" ->
         S.pqTopK(emb, "vec_id", "embedding", isQ, 10,
           m = 8, kCodes = 64, iters = 2, trainMod = 8),
-      "q123_ivfpq (16c/4probe + m=8/64)" ->
+      "q122_pq + refine 50 (registered config)" ->
+        S.pqTopK(emb, "vec_id", "embedding", isQ, 10,
+          m = 8, kCodes = 64, iters = 2, trainMod = 8, refine = 50),
+      "q122_pq + refine 500" ->
+        S.pqTopK(emb, "vec_id", "embedding", isQ, 10,
+          m = 8, kCodes = 64, iters = 2, trainMod = 8, refine = 500),
+      "q122_pq + refine 5000 (1% of corpus)" ->
+        S.pqTopK(emb, "vec_id", "embedding", isQ, 10,
+          m = 8, kCodes = 64, iters = 2, trainMod = 8, refine = 5000),
+      "q123_ivfpq (16c/4probe + m=8/64, ADC only)" ->
         S.ivfPqTopK(emb, "vec_id", "embedding", isQ, 10, nCentroids = 16,
-          nProbe = 4, m = 8, kCodes = 64, iters = 2, trainMod = 8))
+          nProbe = 4, m = 8, kCodes = 64, iters = 2, trainMod = 8),
+      "q123_ivfpq + refine 50 (registered config)" ->
+        S.ivfPqTopK(emb, "vec_id", "embedding", isQ, 10, nCentroids = 16,
+          nProbe = 4, m = 8, kCodes = 64, iters = 2, trainMod = 8,
+          refine = 50))
     println("| ANN variant | recall@10 at 8x (~480k vectors) |")
     println("|---|---|")
     rows.foreach { case (name, df) =>

@@ -263,7 +263,7 @@ object Similarity {
   }
 
   private def readIndexMeta(spark: org.apache.spark.sql.SparkSession,
-      path: String, expectKind: String): Seq[String] = {
+      path: String, expectKinds: String*): Seq[String] = {
     val p = indexMetaPath(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(p),
@@ -274,8 +274,9 @@ object Similarity {
     try in.readFully(0, buf) finally in.close()
     val text = new String(buf, java.nio.charset.StandardCharsets.UTF_8)
     val lines = text.split("\n", -1).toSeq
-    require(lines.head == expectKind,
-      s"index at $path is kind '${lines.head}', expected '$expectKind'")
+    require(expectKinds.contains(lines.head),
+      s"index at $path is kind '${lines.head}', expected " +
+        expectKinds.mkString("one of ", "/", ""))
     lines.tail.filter(_.nonEmpty)
   }
 
@@ -322,7 +323,10 @@ object Similarity {
     */
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): (Int, Int) = {
-    readIndexMeta(spark, path, "ivf") // domain check: this IS an ivf index
+    // layout-agnostic over both bucket-partitioned index kinds: (id, v,
+    // nrm, meta…) IVF rows and (id, codes, meta…) IVF-PQ rows compact the
+    // same way — one shuffle keyed on bucket, one file per directory
+    readIndexMeta(spark, path, "ivf", "ivfpq")
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     def parquetCount(p: Path): Int = {
       val it = fs.listFiles(p, true)
@@ -655,13 +659,43 @@ object Similarity {
         flatten(transform(col("parts"), p => p.getField("cv"))).as("decoded"))
   }
 
+  /** FAISS-style exact re-ranking stage (IndexRefineFlat; the DiskANN
+    * serving split): the compressed-domain ranking SELECTS a candidate
+    * superset, exact cosine over the survivors DECIDES the final top k.
+    * Motivated by measurement, not taste: ADC-only ranking at 32×
+    * compression prices the top-10 boundary wrong (recall@10 0.17–0.18 on
+    * the 8× ScaleCheck corpus; SCALING.md), and re-ranking `refine`
+    * candidates per query restores it for the cost of nq·refine exact
+    * dots. The corpus-sized `exact` side streams ONCE through a
+    * broadcast-hash join against the tiny candidate-id set — full vectors
+    * never shuffle, and only candidate rows pay a dot product.
+    *
+    * `cands` is [[twoPhaseTopK]] output over compressed-domain scores;
+    * `queries` is (query_id, qv, qn); `exact` is the source-of-truth
+    * vector table (id, v, nrm).
+    */
+  private def refineExact(cands: DataFrame, queries: DataFrame,
+      exact: DataFrame, k: Int): DataFrame = {
+    val pairs = exact
+      .join(broadcast(cands.select(col("query_id"), col("neighbor_id"))),
+        col("id") === col("neighbor_id"))
+      .join(broadcast(queries), Seq("query_id"))
+      .withColumn("cos",
+        round(cosine(col("qv"), col("v"), col("qn"), col("nrm")), 6))
+      .select("query_id", "id", "cos")
+    twoPhaseTopK(pairs, k)
+  }
+
   /** PQ approximate cosine top-k: train → encode → score queries' FULL
     * vectors against the reconstructed corpus (= ADC). Approximate ⇒
     * rows-only driver check; recall vs brute force is PqSpec's contract.
+    * `refine > k` re-ranks the top-`refine` ADC candidates with exact
+    * cosine ([[refineExact]]); `refine >= corpus` makes the result
+    * IDENTICAL to [[bruteForceTopK]] (PqSpec pins that identity).
     */
   def pqTopK(vecs: DataFrame, idCol: String, vecCol: String,
       isQuery: Column, k: Int, m: Int = 8, kCodes: Int = 256,
-      iters: Int = 2, trainMod: Int = 1): DataFrame = {
+      iters: Int = 2, trainMod: Int = 1, refine: Int = 0): DataFrame = {
     // trainMod > 1 trains the codebook on the deterministic id-mod sample
     // (standard PQ practice — the codebook is a model; Lloyd on the full
     // 100 TB corpus buys nothing over a representative sample) while the
@@ -682,7 +716,14 @@ object Similarity {
       .withColumn("cos",
         round(cosine(col("qv"), col("decoded"), col("qn"), col("dn")), 6))
       .select("query_id", "id", "cos")
-    Checkpoints.sealAndRelease(twoPhaseTopK(pairs, k), enc)
+    val adc = twoPhaseTopK(pairs, math.max(k, refine))
+    val out =
+      if (refine > k)
+        refineExact(adc, q,
+          vecs.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+            .withColumn("nrm", l2norm(col("v"))), k)
+      else adc
+    Checkpoints.sealAndRelease(out, enc)
   }
 
   /** IVF-PQ (the FAISS-style pairing): coarse IVF buckets bound WHICH
@@ -699,7 +740,7 @@ object Similarity {
   def ivfPqTopK(vecs: DataFrame, idCol: String, vecCol: String,
       isQuery: Column, k: Int, nCentroids: Int = 16, nProbe: Int = 4,
       m: Int = 8, kCodes: Int = 64, iters: Int = 2,
-      trainMod: Int = 1): DataFrame = {
+      trainMod: Int = 1, refine: Int = 0): DataFrame = {
     if (vecs.head(1).isEmpty)
       return vecs.select(col(idCol).cast("long").as("query_id"),
         lit(1).as("rank"), col(idCol).cast("long").as("neighbor_id"),
@@ -710,7 +751,7 @@ object Similarity {
       else vecs
     val trainSet = if (trainMod > 1 && sample.head(1).isEmpty) vecs else sample
     val cb = pqTrain(trainSet, idCol, vecCol, m, kCodes, iters)
-    ivfPqTopKWith(vecs, idCol, vecCol, isQuery, k, nProbe, coarse, cb)
+    ivfPqTopKWith(vecs, idCol, vecCol, isQuery, k, nProbe, coarse, cb, refine)
   }
 
   /** IVF-PQ probe/scan against SUPPLIED coarse centroids and codebook —
@@ -722,7 +763,7 @@ object Similarity {
     */
   def ivfPqTopKWith(vecs: DataFrame, idCol: String, vecCol: String,
       isQuery: Column, k: Int, nProbe: Int, coarseCentroids: DataFrame,
-      codebook: DataFrame): DataFrame = {
+      codebook: DataFrame, refine: Int = 0): DataFrame = {
     val base = vecs.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("nrm", l2norm(col("v")))
     val coarse = normCentroids(coarseCentroids)
@@ -741,7 +782,10 @@ object Similarity {
       .withColumn("cos",
         round(cosine(col("qv"), col("decoded"), col("qn"), col("dn")), 6))
       .select("query_id", "id", "cos")
-    Checkpoints.sealAndRelease(twoPhaseTopK(pairs, k), enc)
+    val adc = twoPhaseTopK(pairs, math.max(k, refine))
+    val out =
+      if (refine > k) refineExact(adc, queries, base, k) else adc
+    Checkpoints.sealAndRelease(out, enc)
   }
 
   /** Build-once half of the PQ lifecycle — the IVF index lifecycle
@@ -786,7 +830,14 @@ object Similarity {
     */
   def ivfPqTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
       queries: DataFrame, idCol: String, vecCol: String,
-      k: Int, nProbe: Int, pred: Column = lit(true)): DataFrame = {
+      k: Int, nProbe: Int, pred: Column = lit(true),
+      refine: Int = 0, exactVecs: Option[DataFrame] = None): DataFrame = {
+    // refine needs source-of-truth vectors the index deliberately does not
+    // store (codes ARE the at-rest form): the caller passes the corpus
+    // table — the DiskANN split, compressed codes serve candidates, the
+    // flat table serves the re-rank. Column names follow idCol/vecCol.
+    require(refine <= k || exactVecs.isDefined,
+      s"refine=$refine > k=$k needs exactVecs (the index stores codes, not vectors)")
     readIndexMeta(spark, path, "ivfpq") // domain message if no index here
     val cents = normCentroids(spark.read.parquet(s"$path/centroids"))
     // one row of nested maps sub → (code → codeword): order-insensitive
@@ -814,7 +865,12 @@ object Similarity {
       .withColumn("cos",
         round(cosine(col("qv"), col("decoded"), col("qn"), col("dn")), 6))
       .select("query_id", "id", "cos")
-    twoPhaseTopK(pairs, k)
+    val adc = twoPhaseTopK(pairs, math.max(k, refine))
+    if (refine > k)
+      refineExact(adc, q,
+        exactVecs.get.select(col(idCol).as("id"), col(vecCol).as("v"))
+          .withColumn("nrm", l2norm(col("v"))), k)
+    else adc
   }
 
   /** Maximal-marginal-relevance re-ranking (Carbonell & Goldstein,

@@ -1133,12 +1133,17 @@ object TextOps {
     // codebook at 6-bit/sub (64 codewords, id-mod-8 training sample);
     // PqSpec exercises the standard 8-bit PQ8 and pins recall. A real
     // deployment materializes the codes once (the q103 IVF lifecycle
-    // argument) and amortizes everything but the search. Approximate ⇒
-    // rows-only; recall and determinism are PqSpec's contract.
+    // argument) and amortizes everything but the search. refine=50
+    // re-ranks the ADC top-50 with exact cosine (FAISS IndexRefineFlat
+    // posture): refine recall is capped by ADC candidate COVERAGE, a
+    // corpus-relative knob — measured at the 8x ScaleCheck corpus:
+    // ADC-only 0.18, R=50 0.37, R=500 (~0.1% of corpus) 0.87, R=5000
+    // (1%) 1.00 (SCALING.md). Approximate ⇒ rows-only; recall and
+    // determinism are PqSpec's contract.
     QueryDef("q122_pq_topk",
       (s, d) => graft.operators.Similarity
         .pqTopK(emb(s, d), "vec_id", "embedding", col("vec_id") < 20, 10,
-          m = 8, kCodes = 64, iters = 2, trainMod = 8)
+          m = 8, kCodes = 64, iters = 2, trainMod = 8, refine = 50)
         .select(col("query_id"), col("rank").cast("int").as("rnk"),
           col("neighbor_id"), col("cos"))
         .orderBy("query_id", "rnk"),
@@ -1148,13 +1153,14 @@ object TextOps {
     // levers: coarse IVF buckets bound WHICH vectors each query scans
     // (nProbe/nCentroids of the corpus), PQ codes bound WHAT is stored
     // and scanned per vector (m bytes vs 4·d). Composition of q38's
-    // bucketing and q122's codebooks; rows-only, recall + determinism in
-    // PqSpec.
+    // bucketing and q122's codebooks, with q122's exact refine stage on
+    // top (candidates from probed buckets only, then nq·50 exact dots);
+    // rows-only, recall + determinism in PqSpec.
     QueryDef("q123_ivfpq_topk",
       (s, d) => graft.operators.Similarity
         .ivfPqTopK(emb(s, d), "vec_id", "embedding", col("vec_id") < 20, 10,
           nCentroids = 16, nProbe = 4, m = 8, kCodes = 64, iters = 2,
-          trainMod = 8)
+          trainMod = 8, refine = 50)
         .select(col("query_id"), col("rank").cast("int").as("rnk"),
           col("neighbor_id"), col("cos"))
         .orderBy("query_id", "rnk"),
@@ -1164,7 +1170,9 @@ object TextOps {
     // training+encode pipeline (coarse k-means, grouped-Lloyd codebook,
     // corpus encode, bucket assignment) runs ONCE per (session, dir) into
     // a saved index whose at-rest form is m=8 one-byte codes per vector;
-    // every later call is a pure probe: partition-pruned bucket reads +
+    // every later call is a probe (+ the refine re-rank against the
+    // source vector table — the DiskANN split: codes serve candidates,
+    // the flat table serves nq·50 exact dots): partition-pruned bucket reads +
     // map-side broadcast-codebook decode (ADC). The shape an ANN service
     // actually runs at 100 TB — the corpus-encode scan is never paid per
     // query batch. Approximate ⇒ rows-only; exact identity with the inline
@@ -1181,7 +1189,8 @@ object TextOps {
           p
         })
         Similarity.ivfPqTopKIndexed(s, path,
-            emb(s, d).filter(col("vec_id") < 20), "vec_id", "embedding", 10, 4)
+            emb(s, d).filter(col("vec_id") < 20), "vec_id", "embedding", 10, 4,
+            refine = 50, exactVecs = Some(emb(s, d)))
           .select(col("query_id"), col("rank").cast("int").as("rnk"),
             col("neighbor_id"), col("cos"))
           .orderBy("query_id", "rnk")

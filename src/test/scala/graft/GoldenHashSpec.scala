@@ -47,5 +47,7 @@ class GoldenHashSpec extends SparkSpec {
   pinned("q103_ivf_indexed", "9853d621f69c123006e207290ec73154")
   pinned("q126_filtered_ann", "e8d4889a119ccdd0b239e5e9207ee108")
   pinned("q127_mmr_rerank", "c627628a788aeb40afb5cc6dda22cbff")
-  pinned("q130_ivfpq_indexed", "af1af1378987da38c43a141374409b4e")
+  // regenerated when q130 gained the exact refine stage (refine=50) —
+  // the ranking deliberately moved from ADC-only to refined order
+  pinned("q130_ivfpq_indexed", "e8cff9b0886a22264a92823985ae35bc")
 }

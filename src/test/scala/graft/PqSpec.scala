@@ -118,4 +118,79 @@ class PqSpec extends SparkSpec {
     // codebook/assignment, not codec noise
     assert(recall >= 0.5, f"PQ recall@10 $recall%.2f below floor")
   }
+
+  test("refine >= corpus makes pqTopK identical to the exact brute force") {
+    // with every corpus vector in the candidate set, the exact re-rank IS
+    // bruteForceTopK — same cosine, same rounding, same tiebreak — so the
+    // refine stage's scoring can never drift from the exact baseline
+    val isQ = col("vec_id") < 10
+    val refined = Similarity.pqTopK(emb, "vec_id", "embedding", isQ, 10,
+      m = 8, kCodes = 16, iters = 1, refine = 1000000)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", isQ, 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(refined === exact,
+      "full-corpus refine must reproduce bruteForceTopK exactly, ranks and scores included")
+  }
+
+  test("refine lifts weak-codebook recall; refined ranking stays deterministic") {
+    val isQ = col("vec_id") < 20
+    val k = 10
+    def recallOf(refine: Int) = {
+      val got = Similarity.pqTopK(emb, "vec_id", "embedding", isQ, k,
+        m = 8, kCodes = 64, iters = 2, trainMod = 8, refine = refine)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", isQ, k)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      got.count(exact.contains).toDouble / exact.size
+    }
+    val adcOnly = recallOf(0)
+    val refined = recallOf(5 * k)
+    assert(refined >= adcOnly,
+      f"refine must not lose recall: $refined%.2f < $adcOnly%.2f")
+    assert(refined >= 0.7,
+      f"refined recall@10 $refined%.2f below floor (q122's registered config)")
+  }
+
+  test("indexed refine == inline refine; missing exactVecs is a domain error") {
+    val coarse = Similarity.kmeansCentroids(emb, "vec_id", "embedding", 16, 2)
+    val cb = Similarity.pqTrain(emb, "vec_id", "embedding", 8, 64, 2)
+    val path = java.nio.file.Files.createTempDirectory("graft_pq_refine").toString
+    Similarity.buildPqIndex(emb, "vec_id", "embedding", coarse, cb, path)
+    val isQ = col("vec_id") < 10
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val inline = Similarity.ivfPqTopKWith(emb, "vec_id", "embedding",
+      isQ, 10, 4, coarse, cb, refine = 30)
+    val indexed = Similarity.ivfPqTopKIndexed(spark, path, emb.filter(isQ),
+      "vec_id", "embedding", 10, 4, refine = 30, exactVecs = Some(emb))
+    assert(rows(indexed) === rows(inline),
+      "saved-index refine must reproduce the inline refined path")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.ivfPqTopKIndexed(spark, path, emb.filter(isQ),
+        "vec_id", "embedding", 10, 4, refine = 30)
+    }
+    assert(e.getMessage.contains("exactVecs"))
+  }
+
+  test("compactIvfIndex serves the PQ index too: probes identical, one file per bucket") {
+    val coarse = Similarity.kmeansCentroids(emb, "vec_id", "embedding", 16, 2)
+    val cb = Similarity.pqTrain(emb, "vec_id", "embedding", 8, 64, 2)
+    val path = java.nio.file.Files.createTempDirectory("graft_pq_cmp").toString
+    Similarity.buildPqIndex(emb, "vec_id", "embedding", coarse, cb, path)
+    def probe() = Similarity.ivfPqTopKIndexed(spark, path,
+        emb.filter(col("vec_id") < 10), "vec_id", "embedding", 10, 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val before = probe()
+    val (_, nAfter) = Similarity.compactIvfIndex(spark, path)
+    val bucketDirs = new java.io.File(s"$path/buckets").listFiles()
+      .filter(_.getName.startsWith("bucket="))
+    assert(bucketDirs.nonEmpty && bucketDirs.forall(
+      d => d.listFiles().count(_.getName.endsWith(".parquet")) === 1),
+      "each bucket directory must compact to a single file")
+    assert(nAfter === bucketDirs.length)
+    assert(probe() === before, "compaction must not change PQ probe results")
+  }
 }
