@@ -817,6 +817,35 @@ object Similarity {
     writeIndexMeta(vecs.sparkSession, path, "ivfpq", metaCols)
   }
 
+  /** Incremental third of the PQ lifecycle, mirroring
+    * [[appendToIvfIndex]]: encode ONLY the new vectors against the FROZEN
+    * saved codebook and coarse centroids, and append their
+    * (id, codes, meta…) rows to the bucket table. Both the bucket
+    * assignment and the code assignment are deterministic functions of
+    * the frozen model, so append-then-probe is exactly a rebuild over the
+    * union with the same codebook (spec-asserted) — probes see one index,
+    * never two generations. Retraining cadence stays an offline decision.
+    */
+  def appendToPqIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      newVecs: DataFrame, idCol: String, vecCol: String): Unit = {
+    val metaCols = readIndexMeta(spark, path, "ivfpq")
+    val missing = metaCols.filterNot(newVecs.columns.contains)
+    require(missing.isEmpty,
+      s"index at $path was built with metadata columns $metaCols; the " +
+        s"appended frame lacks ${missing.mkString(", ")}")
+    val cents = normCentroids(spark.read.parquet(s"$path/centroids"))
+    val cb = spark.read.parquet(s"$path/codebook")
+    val base = newVecs.select(
+      (col(idCol).as("id") +: col(vecCol).as("v") +: metaCols.map(col)): _*)
+      .withColumn("nrm", l2norm(col("v")))
+    val buckets = assignToBuckets(base, cents, metaCols)
+      .select(col("id") +: col("bucket") +: metaCols.map(col): _*)
+    val coded = buckets.join(
+      pqEncode(newVecs, idCol, vecCol, cb).select("id", "codes"), "id")
+    graft.sources.TableSink.writePartitioned(coded, s"$path/buckets",
+      Seq("bucket"), mode = org.apache.spark.sql.SaveMode.Append)
+  }
+
   /** Probe-many half: IVF-PQ top-k for a fresh query batch against a saved
     * [[buildPqIndex]] index — no codebook training, no corpus encode, no
     * assignment pass. The bucket table is read through its partition key

@@ -623,6 +623,68 @@ object Analytics {
       Some("""SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_mod,
           count(*) AS n, round(sum(value), 2) AS sum_value
         FROM events WHERE props IS NOT NULL
-        GROUP BY 1 ORDER BY k_mod"""))
+        GROUP BY 1 ORDER BY k_mod""")),
+
+    // q133: ordered turn/trajectory assembly — the conversation-building
+    // step of an SFT/agent-trace pipeline: sessionize each user's event
+    // stream (30-min idle gap), then assemble the ORDERED per-session
+    // transcript plus sequence-validation signals (adjacent-type
+    // alternation count, error presence). Ordering inside groups is the
+    // hard part distributed: collect_list is partition-order-dependent, so
+    // the transcript sorts (ts, event_id) structs post-collect —
+    // deterministic under ties — and the gap test compares unix_micros
+    // (integer µs, bit-portable; a timestamp subtraction in double would
+    // not be). Session numbering is the classic two-window lag→flag→
+    // running-sum, partitioned by user — the sessionization shuffle is the
+    // only exchange, and the per-user window is the op's semantics (q53's
+    // session_window covers the agg-only form; this materializes the
+    // sequence itself).
+    QueryDef("q133_turn_assembly",
+      (s, d) => {
+        val wOrd = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val us = unix_micros(col("ts"))
+        val gap = us - lag(us, 1).over(wOrd)
+        val e = ev(s, d)
+          .withColumn("brk",
+            when(gap.isNull || gap > lit(1800000000L), 1L).otherwise(0L))
+          .withColumn("session_no",
+            sum("brk").over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+        val g = e.groupBy("user_id", "session_no")
+          .agg(sort_array(collect_list(
+            struct(col("ts"), col("event_id"), col("event_type")))).as("evs"))
+          .withColumn("types", transform(col("evs"), x => x.getField("event_type")))
+        g.select(col("user_id"),
+            col("session_no").cast("int").as("session_no"),
+            size(col("types")).as("n_turns"),
+            size(filter(
+              zip_with(slice(col("types"), lit(1), size(col("types")) - 1),
+                slice(col("types"), lit(2), size(col("types")) - 1),
+                (a, b) => a =!= b), x => x)).as("n_alt"),
+            concat_ws(">", col("types")).as("transcript"),
+            array_contains(col("types"), "error").as("has_error"))
+          .orderBy("user_id", "session_no")
+      },
+      Some("""WITH e AS (SELECT user_id, ts, event_id, event_type,
+            CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 > 1800000000
+                 OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   IS NULL
+            THEN 1 ELSE 0 END brk
+          FROM events),
+        s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id
+                ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) sess
+              FROM e),
+        g AS (SELECT user_id, sess,
+                list(event_type ORDER BY ts, event_id) tl
+              FROM s GROUP BY 1, 2)
+        SELECT user_id, CAST(sess AS INTEGER) session_no,
+          CAST(len(tl) AS INTEGER) n_turns,
+          CAST(len(list_filter(generate_series(1, len(tl)-1),
+                 i -> tl[i] != tl[i+1])) AS INTEGER) n_alt,
+          array_to_string(tl, '>') transcript,
+          list_contains(tl, 'error') has_error
+        FROM g ORDER BY user_id, session_no"""))
   )
 }

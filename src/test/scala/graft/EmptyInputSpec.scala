@@ -103,6 +103,15 @@ class EmptyInputSpec extends SparkSpec {
     assert(Bpe.encode(emptyDocs, "doc_id", "text", empty.merges).count() === 0)
   }
 
+  test("q131/q132 LM scoring on an empty corpus returns empty, not a throw") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_empty_lm").toString
+    Seq.empty[(Long, String, String, String, Long)]
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    assert(SparkEntry.queries("q131_lm_fluency")(spark, dir).count() === 0)
+    assert(SparkEntry.queries("q132_dsir_weights")(spark, dir).count() === 0)
+  }
+
   test("q112 BM25 on an empty corpus returns empty, not NPE") {
     // the corpus-stats head() sees Row(0, null) here — the avgdl guard
     // must absorb it (sum over zero rows is null, n is 0)

@@ -174,6 +174,34 @@ class PqSpec extends SparkSpec {
     assert(e.getMessage.contains("exactVecs"))
   }
 
+  test("appendToPqIndex: append == rebuild under the frozen model; wrong kind is a domain error") {
+    val coarse = Similarity.kmeansCentroids(emb, "vec_id", "embedding", 16, 2)
+    val cb = Similarity.pqTrain(emb, "vec_id", "embedding", 8, 64, 2)
+    val grown = java.nio.file.Files.createTempDirectory("graft_pq_app").toString
+    val full = java.nio.file.Files.createTempDirectory("graft_pq_full").toString
+    // build on a third of the corpus, append the rest in daily batches
+    Similarity.buildPqIndex(emb.filter(col("vec_id") % 3 === 0),
+      "vec_id", "embedding", coarse, cb, grown)
+    (1 to 2).foreach { i =>
+      Similarity.appendToPqIndex(spark, grown,
+        emb.filter(col("vec_id") % 3 === i), "vec_id", "embedding")
+    }
+    Similarity.buildPqIndex(emb, "vec_id", "embedding", coarse, cb, full)
+    def probe(path: String) = Similarity.ivfPqTopKIndexed(spark, path,
+        emb.filter(col("vec_id") < 10), "vec_id", "embedding", 10, 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(probe(grown) === probe(full),
+      "build-then-append must probe exactly like a full rebuild with the same model")
+    // appending PQ rows into an IVF index (or vice versa) is a kind error
+    val ivfPath = java.nio.file.Files.createTempDirectory("graft_pq_kind").toString
+    Similarity.buildIvfIndex(emb, "vec_id", "embedding", coarse, ivfPath)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.appendToPqIndex(spark, ivfPath, emb, "vec_id", "embedding")
+    }
+    assert(e.getMessage.contains("kind"), e.getMessage)
+  }
+
   test("compactIvfIndex serves the PQ index too: probes identical, one file per bucket") {
     val coarse = Similarity.kmeansCentroids(emb, "vec_id", "embedding", 16, 2)
     val cb = Similarity.pqTrain(emb, "vec_id", "embedding", 8, 64, 2)
