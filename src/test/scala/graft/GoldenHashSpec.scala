@@ -50,4 +50,21 @@ class GoldenHashSpec extends SparkSpec {
   // regenerated when q130 gained the exact refine stage (refine=50) —
   // the ranking deliberately moved from ADC-only to refined order
   pinned("q130_ivfpq_indexed", "e8cff9b0886a22264a92823985ae35bc")
+  // the rest of the rows-only family is equally deterministic (fixed
+  // seeds, documented tiebreaks, 6-dp rounding), so pin it all: sketches
+  pinned("q24_approx_distinct", "ad0f304e0c8ac17f38ae68cd552a7e01")
+  pinned("q71_approx_percentile", "fe1073955889a7c4877c61d6d5cf0ef0")
+  pinned("q116_hll_rollup", "5ce97db935b4765a524eedba20818540")
+  // ANN (inline-lifecycle variants). Note the built-in cross-identities:
+  // q38 pins the SAME hash as q103 (saved IVF index ≡ inline) and q123
+  // the same as q130 (saved IVF-PQ index ≡ inline) — the lifecycle
+  // identity contracts, visible at the content-hash level.
+  pinned("q38_ann_ivf", "9853d621f69c123006e207290ec73154")
+  pinned("q108_semdedup", "b80d3565fbb36dd2f32567cc4db70933")
+  pinned("q122_pq_topk", "dc4ea57bea31bff0b50ace855de15ce8")
+  pinned("q123_ivfpq_topk", "e8cff9b0886a22264a92823985ae35bc")
+  // BPE (trained model is memoized per (session, dir) but deterministic)
+  pinned("q124_bpe_merges", "745b2478fd0a41d21d2c6091854964ca")
+  pinned("q125_bpe_vocab", "2b4248cbcf31510e4f90c62755ca97df")
+  pinned("q128_bpe_encode", "4081f18b06185ea16f845be6646121f3")
 }
