@@ -388,4 +388,45 @@ class StreamingSpec extends SparkSpec {
     val state = spark.read.parquet(dir).as[(Int, String)].collect().toMap
     assert(state === Map(1 -> "a", 2 -> "B2", 3 -> "c"))
   }
+
+  test("streaming index freshness: foreachBatch appends embeddings to the saved IVF index") {
+    // the serving composition: the ANN index stays fresh as vectors
+    // stream in — each micro-batch runs the appendToIvfIndex path (encode
+    // ONLY the batch against the frozen centroids), and a probe after the
+    // stream sees exactly what a bulk rebuild over the union would serve
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cents = graft.operators.Similarity.kmeansCentroids(
+      emb, "vec_id", "embedding", 8, 1)
+    val streamed = java.nio.file.Files.createTempDirectory("graft_ivf_stream").toString
+    val bulk = java.nio.file.Files.createTempDirectory("graft_ivf_bulk").toString
+    graft.operators.Similarity.buildIvfIndex(
+      emb.filter(col("vec_id") % 3 === 0), "vec_id", "embedding", cents, streamed)
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = mem.toDF().toDF("vec_id", "embedding").writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.operators.Similarity.appendToIvfIndex(
+          spark, streamed, batch, "vec_id", "embedding")
+      }
+      .trigger(Trigger.ProcessingTime(0)).start()
+    // two "days" of arrivals
+    val rest = emb.filter(col("vec_id") % 3 =!= 0)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect()
+    val (day1, day2) = rest.partition(_._1 % 3 == 1)
+    mem.addData(day1.toSeq); q.processAllAvailable()
+    mem.addData(day2.toSeq); q.processAllAvailable()
+    q.stop()
+    graft.operators.Similarity.buildIvfIndex(
+      emb, "vec_id", "embedding", cents, bulk)
+    def probe(path: String) = graft.operators.Similarity.ivfTopKIndexed(
+        spark, path, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", 10, 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(probe(streamed) === probe(bulk),
+      "stream-appended index must probe exactly like a bulk rebuild")
+  }
 }
