@@ -149,12 +149,11 @@ object ScaleCheck {
     val emb = Tables.embeddings(spark, dir)
     val isQ = col("vec_id") < 20
     val S = graft.operators.Similarity
-    // an index built by pre-r7 code lacks the _graft_index meta file and
-    // fails probe validation — rebuild with the exponents-run parameters
-    if (!new java.io.File(s"$dir/ivf_index/_graft_index").exists()) {
-      val c = S.kmeansCentroids(emb, "vec_id", "embedding", 16, 2)
-      S.buildIvfIndex(emb, "vec_id", "embedding", c, s"$dir/ivf_index")
-    }
+    // ONE k-means training serves both the q38 inline row and (when the
+    // cached index predates the _graft_index meta file) the index rebuild
+    val cents = S.kmeansCentroids(emb, "vec_id", "embedding", 16, 2)
+    if (!new java.io.File(s"$dir/ivf_index/_graft_index").exists())
+      S.buildIvfIndex(emb, "vec_id", "embedding", cents, s"$dir/ivf_index")
     val exact = S.bruteForceTopK(emb, "vec_id", "embedding", isQ, 10)
       .select("query_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -163,7 +162,6 @@ object ScaleCheck {
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       (s & exact).size.toDouble / exact.size
     }
-    val cents = S.kmeansCentroids(emb, "vec_id", "embedding", 16, 2)
     val rows = Seq(
       "q38_ivf_inline (16c, probe 4)" ->
         S.ivfTopKWith(emb, "vec_id", "embedding", isQ, 10, 4, cents),

@@ -211,6 +211,14 @@ object Bpe {
         // collision: this merge's symbol gains occurrences from a second
         // source, so pairs involving it can grow — end the batch here
         if (symbols.contains(l + r) || created.contains(l + r)) stop = true
+        // SELF-pair (l == r): merging a run "a a a a" creates (aa, aa) and
+        // (aa, a) pairs whose counts are bounded by this pair's OWN count —
+        // not by any sharing pair's, which is all the barrier below
+        // measures (it excludes batch members) — so a later disjoint
+        // member could outrank a pair this merge just created. End the
+        // batch here too; the next round recounts. BpeSpec's
+        // "a"*10 + "xy"*3 corpus pins the corner.
+        if (l == r) stop = true
         created += (l + r)
       }
       i += 1

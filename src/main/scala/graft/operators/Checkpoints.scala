@@ -69,8 +69,18 @@ object Checkpoints {
       case Some(root) =>
         val sc = spark.sparkContext
         sc.setCheckpointDir(root) // Spark appends a fresh UUID subdir
-        val dir = sc.getCheckpointDir.get
         val out = df.checkpoint()
+        // record the RDD's OWN checkpoint directory (".../rdd-N"), never a
+        // re-read of the context-global getCheckpointDir: two concurrent
+        // cuts race on that single SparkContext field, and recording the
+        // other thread's UUID dir would make release()/sweep() of one
+        // frame delete the other's still-live files. The rdd-scoped dir is
+        // exact — deleting it can only ever touch this cut's own blocks.
+        val dir = keyOf(out) match {
+          case rdd: org.apache.spark.rdd.RDD[_] if rdd.getCheckpointFile.isDefined =>
+            rdd.getCheckpointFile.get
+          case _ => sc.getCheckpointDir.get // fallback; pre-r7 behavior
+        }
         entries.put(new Entry(keyOf(out), dir, sc.hadoopConfiguration), ())
         sweep()
         out
@@ -137,6 +147,15 @@ object Checkpoints {
 
   private def delete(e: Entry): Unit = {
     val p = new Path(e.dir)
-    p.getFileSystem(e.conf).delete(p, true)
+    val fs = p.getFileSystem(e.conf)
+    fs.delete(p, true)
+    // rdd-scoped dirs live inside the UUID dir Spark stamped per
+    // setCheckpointDir call; try removing that parent once it is empty
+    // (non-recursive delete refuses non-empty dirs, so a concurrent cut
+    // still living there is safe). Fallback entries record the UUID dir
+    // itself — skip, its parent is the user's configured root.
+    if (p.getName.startsWith("rdd-"))
+      try { fs.delete(p.getParent, false); () }
+      catch { case _: java.io.IOException => }
   }
 }

@@ -316,10 +316,16 @@ object Similarity {
     * files shrink below the FS block size. One shuffle hash-keyed by
     * `bucket` puts each bucket wholly in one task → one output file per
     * directory; the rewrite goes to a sibling staging dir and is swapped
-    * in with two renames, so a concurrent reader never sees a half-written
-    * table. Probe results are identical before/after (vectors and norms
-    * round-trip parquet exactly — spec-asserted). Returns (parquet files
-    * before, after).
+    * in with two renames — CRASH-safe (a reader never sees a half-WRITTEN
+    * table, and a crashed compact leaves the live table untouched), but
+    * not concurrent-reader-safe: between the two renames the buckets path
+    * is briefly absent, and a probe that listed files just before the
+    * swap can lose them to the retired-dir delete — on object stores,
+    * where "rename" is a copy, the window widens further. Run compaction
+    * in a maintenance window, or front the path with a manifest/table
+    * format when probes cannot pause. Probe results are identical
+    * before/after (vectors, norms and codes round-trip parquet exactly —
+    * spec-asserted). Returns (parquet files before, after).
     */
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): (Int, Int) = {
@@ -957,9 +963,16 @@ object Similarity {
       // EXTERNAL pools whose relevance column may — map NaN below every
       // real cosine so the argmax stays total and the greedy loop can
       // never strand (descending NaN would otherwise sort first)
+      // EXTERNAL pools may also list a neighbor twice for one query (e.g.
+      // a union of two ANN sources): selection is tracked per array slot,
+      // so a duplicate would re-win the very next rank and the output
+      // would repeat an id. Dedup on id keeping the best (rel, then the
+      // NaN-mapped value) — deterministic whatever the pool's row order.
       val arr = plist.map { case (id, v, rel) =>
         (id, v, if (rel.isNaN) -2.0 else rel)
-      }.sortBy { case (id, _, rel) => (-rel, id) }.toArray
+      }.groupBy(_._1).valuesIterator
+        .map(_.maxBy(_._3)).toSeq
+        .sortBy { case (id, _, rel) => (-rel, id) }.toArray
       val n = arr.length
       val sel = Array.fill(n)(false)
       val out = Seq.newBuilder[(Long, Int, Long, Double)]

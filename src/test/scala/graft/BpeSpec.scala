@@ -109,7 +109,15 @@ class BpeSpec extends SparkSpec {
       { val rnd = new scala.util.Random(42)
         (0 until 1000).map { _ =>
           val n = 3 + rnd.nextInt(9)
-          (0 until n).map(_ => ('a' + rnd.nextInt(6)).toChar).mkString } }
+          (0 until n).map(_ => ('a' + rnd.nextInt(6)).toChar).mkString } },
+      // SELF-pair trap (r7 review): merging (a,a) on a long run creates
+      // (aa,aa)=4 > (x,y)=3, but (x,y) is symbol-disjoint from (a,a) and
+      // no slice pair SHARES a symbol with it, so a barrier that only
+      // measures sharing pairs would wrongly batch [(a,a),(x,y)] — the
+      // true second merge is (aa,aa)
+      Seq("aaaaaaaaaa") ++ Seq.fill(3)("xy"),
+      // same trap one level deeper: self-pair of a merged symbol
+      Seq.fill(2)("cccccccc") ++ Seq.fill(5)("pq")
     )
     for ((wordSeq, ci) <- corpora.zipWithIndex; numMerges <- Seq(5, 40)) {
       val corpus = wordSeq.grouped(10).map(_.mkString(" ")).toSeq
