@@ -178,6 +178,10 @@ object Bpe {
     *    (two sources feeding one symbol lets pairs involving it GROW past
     *    the single-sharing-pair bound, so nothing after it is safe this
     *    round);
+    *  - selection stops after a SELF-pair (l == r): its merge turns runs
+    *    "a a a a" into pairs (aa, aa)/(aa, a) whose counts are bounded by
+    *    the pair's OWN count — which the sharing barrier below cannot see
+    *    (it excludes batch members) — so nothing after it is safe either;
     *  - finally the tail is truncated to counts STRICTLY above the
     *    barrier: the highest count among slice pairs that share a symbol
     *    with the selection, or the slice's last row when the slice is full
