@@ -97,16 +97,22 @@ object JiraEtl {
     StructField("startAt", LongType), StructField("maxResults", LongType),
     StructField("total", LongType), StructField("issues", ArrayType(issueSchema))))
 
-  /** All pages → flat issue rows (the reference's per-page map+persist loop
-    * as one scan: explode the page array, then the P1–P3 flatten).
+  /** Parsed pages (issuePageSchema rows) → flat issue rows: explode the
+    * page array, then the P1–P3 flatten. Split out from [[readIssues]] so
+    * any page source — JSON files, the DSv2 HTTP-page source, a synthetic
+    * corpus — feeds the same mapping engine.
     */
-  def readIssues(spark: SparkSession, paths: String*): DataFrame = {
-    val pages = spark.read.schema(issuePageSchema)
-      .option("multiLine", "true").json(paths: _*)
+  def issuesFromPages(pages: DataFrame): DataFrame =
     Flatten(
       pages.select(explode(col("issues")).as("issue")).select(col("issue.*")),
       issueMapping)
-  }
+
+  /** All pages → flat issue rows (the reference's per-page map+persist loop
+    * as one scan).
+    */
+  def readIssues(spark: SparkSession, paths: String*): DataFrame =
+    issuesFromPages(spark.read.schema(issuePageSchema)
+      .option("multiLine", "true").json(paths: _*))
 
   // ---- users ------------------------------------------------------------
   val userMapping: Obj = Obj(
@@ -125,11 +131,13 @@ object JiraEtl {
     StructField("displayName", StringType),
     StructField("active", BooleanType)))
 
+  /** Parsed user objects (userSchema rows) → flat user rows. */
+  def usersFromRows(rows: DataFrame): DataFrame = Flatten(rows, userMapping)
+
   /** Bare JSON array response (`users_processor.py:82`). */
   def readUsers(spark: SparkSession, paths: String*): DataFrame =
-    Flatten(
-      spark.read.schema(userSchema).option("multiLine", "true").json(paths: _*),
-      userMapping)
+    usersFromRows(
+      spark.read.schema(userSchema).option("multiLine", "true").json(paths: _*))
 
   // ---- worklogs ---------------------------------------------------------
   val worklogMapping: Obj = Obj(
@@ -167,14 +175,20 @@ object JiraEtl {
     StructField("results", ArrayType(worklogSchema)),
     StructField("metadata", StructType(Seq(StructField("next", StringType))))))
 
-  def readWorklogs(spark: SparkSession, paths: String*): DataFrame = {
-    val pages = spark.read.schema(worklogPageSchema)
-      .option("multiLine", "true").json(paths: _*)
+  /** Parsed pages (worklogPageSchema rows) → flat worklog rows, with the
+    * sink-side date/timestamp casts the reference's DDL implies
+    * (`fetch_jira_tempo_worklogs.py:86-88`: start_date DATE, created_at /
+    * updated_at TIMESTAMP).
+    */
+  def worklogsFromPages(pages: DataFrame): DataFrame =
     Flatten(
       pages.select(explode(col("results")).as("w")).select(col("w.*")),
       worklogMapping)
       .withColumn("start_date", to_date(col("start_date")))
       .withColumn("created_at", to_timestamp(col("created_at")))
       .withColumn("updated_at", to_timestamp(col("updated_at")))
-  }
+
+  def readWorklogs(spark: SparkSession, paths: String*): DataFrame =
+    worklogsFromPages(spark.read.schema(worklogPageSchema)
+      .option("multiLine", "true").json(paths: _*))
 }
