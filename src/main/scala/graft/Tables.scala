@@ -21,16 +21,40 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized reader
-    * rejects; read it as a long (legacy conf) and floor-convert to the µs
-    * TimestampType — exactly what DuckDB does when it narrows ns→µs, so the
-    * oracle sees identical values.
+  /** events.parquet is driver-owned and has shipped `ts` under two physical
+    * layouts across regenerations: TIMESTAMP(NANOS) (which Spark's reader
+    * only surfaces as a long under the legacy conf) and TIMESTAMP(MICROS)
+    * NTZ. Physical type is data, not a constant — read, then normalize on
+    * the loaded schema ([[normalizeEventTs]]). The legacy conf is a no-op
+    * on non-NANOS files.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    normalizeEventTs(table(s, d, "events"))
+  }
+
+  /** Normalize `ts` to session-TZ TimestampType whatever layout the file
+    * shipped, so batch and streaming ([[graft.streaming.EventStream]])
+    * share ONE conversion and can never disagree:
+    *  - already TimestampType: pass through;
+    *  - TIMESTAMP_NTZ (µs testdata): cast — with the session TZ pinned to
+    *    UTC (Verify/Bench/SparkSpec builders) this is a micros-identity,
+    *    matching DuckDB's naive read of the same file;
+    *  - LongType (old NANOS layout under nanosAsLong): floor ns→µs exactly
+    *    as DuckDB narrows;
+    *  - anything else: fail loudly rather than compute on a misread column.
+    */
+  def normalizeEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    df.schema("ts").dataType match {
+      case TimestampType    => df
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case other => throw new IllegalArgumentException(
+        s"events.ts arrived as unsupported type $other; " +
+          "expected TIMESTAMP, TIMESTAMP_NTZ, or NANOS-as-long")
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

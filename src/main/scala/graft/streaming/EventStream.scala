@@ -27,18 +27,6 @@ object EventStream {
 
   private val counter = new AtomicInteger(0)
 
-  /** events.parquet physical schema — ts is TIMESTAMP(NANOS) which Spark's
-    * reader only surfaces as long (legacy conf); floor-converted to µs like
-    * Tables.events so streaming and batch agree with the DuckDB oracle.
-    */
-  val eventsRawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // The file source needs a directory. Driver testdata ships events as a
@@ -47,13 +35,20 @@ object EventStream {
     // directly (the glob would match no leaf file and silently yield an
     // empty stream — caught by the 10× ScaleCheck replica).
     val table = new java.io.File(s"$dir/events.parquet")
+    // Streaming needs a declared schema, but ts's physical layout is the
+    // file's choice, not ours (the testdata has shipped both NANOS and
+    // µs-NTZ across regenerations). Peek the batch reader's resolved
+    // schema for the same path — footer metadata only, no data scan — then
+    // share Tables.normalizeEventTs with the batch loader so the two paths
+    // cannot diverge on the conversion.
+    val rawSchema: StructType = spark.read.parquet(table.getPath).schema
     val src =
-      if (table.isDirectory) spark.readStream.schema(eventsRawSchema)
+      if (table.isDirectory) spark.readStream.schema(rawSchema)
         .parquet(table.getPath)
-      else spark.readStream.schema(eventsRawSchema)
+      else spark.readStream.schema(rawSchema)
         .option("basePath", dir).option("pathGlobFilter", "events.parquet")
         .parquet(dir)
-    src.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.Tables.normalizeEventTs(src)
   }
 
   /** Run a streaming DataFrame to completion (AvailableNow) into a memory
