@@ -171,21 +171,62 @@ object JiraCorpus {
 
   // ---- flat tables through the real parse + flatten path ----------------
 
-  def issues(spark: SparkSession, dir: String): DataFrame =
+  /** Full ingestion path, re-synthesized on every call — the pipeline
+    * proof (JiraEtlSpec, JiraCorpusSpec). Queries should read the
+    * materialized form ([[issues]]) instead: a reference user ingests once
+    * per day (`fetch_jira_issues.py:15` schedule) and queries all day, so
+    * paying page assembly + the JSON round trip per QUERY would be
+    * re-running ingestion at read time — the definition of a scale-killer
+    * at 100 TB.
+    */
+  def issuesRaw(spark: SparkSession, dir: String): DataFrame =
     JiraEtl.issuesFromPages(
       issuePagesJson(spark, dir)
         .select(from_json(col("json"), JiraEtl.issuePageSchema).as("p"))
         .select(col("p.*")))
 
-  def worklogs(spark: SparkSession, dir: String): DataFrame =
+  def worklogsRaw(spark: SparkSession, dir: String): DataFrame =
     JiraEtl.worklogsFromPages(
       worklogPagesJson(spark, dir)
         .select(from_json(col("json"), JiraEtl.worklogPageSchema).as("p"))
         .select(col("p.*")))
 
-  def users(spark: SparkSession, dir: String): DataFrame =
+  def usersRaw(spark: SparkSession, dir: String): DataFrame =
     JiraEtl.usersFromRows(
       userRowsJson(spark, dir)
         .select(from_json(col("json"), JiraEtl.userSchema).as("u"))
         .select(col("u.*")))
+
+  // ---- ingest-once materialization ---------------------------------------
+
+  // source dir -> temp parquet root holding the three flattened tables.
+  // The corpus is deterministic in `dir`, so one synthesis per JVM serves
+  // every query; parquet (not localCheckpoint) so the at-rest form is the
+  // same partitioned columnar layout the engine's own sink produces, and
+  // the read-back plan gets pushdown/pruning like any other table.
+  private val materialized = scala.collection.mutable.Map.empty[String, String]
+
+  private def tableRoot(spark: SparkSession, dir: String): String =
+    synchronized {
+      materialized.getOrElseUpdate(dir, {
+        val base = java.nio.file.Files
+          .createTempDirectory("graft_jira_corpus").toString
+        issuesRaw(spark, dir).write.parquet(s"$base/issues")
+        worklogsRaw(spark, dir).write.parquet(s"$base/worklogs")
+        usersRaw(spark, dir).write.parquet(s"$base/users")
+        base
+      })
+    }
+
+  /** Flattened issues table, materialized once per source dir. */
+  def issues(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"${tableRoot(spark, dir)}/issues")
+
+  /** Flattened worklogs table, materialized once per source dir. */
+  def worklogs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"${tableRoot(spark, dir)}/worklogs")
+
+  /** Flattened users table, materialized once per source dir. */
+  def users(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"${tableRoot(spark, dir)}/users")
 }
