@@ -90,9 +90,12 @@ object TableSink {
   /** Live-DB parity option (reference sinks are Postgres/MySQL/MSSQL,
     * `dags/jira/db_ops.py:102-112`): batch JDBC write of an
     * [[graft.operators.Upsert]]-merged frame — set-based, one round trip
-    * per partition vs the reference's one per record. NOT exercised in
-    * this offline environment (no database); compiles against the stock
-    * JDBC connector.
+    * per partition vs the reference's one per record. Round-tripped
+    * against embedded Derby in DerbyJdbcSinkSpec (write → keyed upsert →
+    * read back, last-writer-wins), proving U1–U3 semantics on a real SQL
+    * sink. NOTE: a read-modify-Overwrite on one table must snapshot the
+    * read side first — the JDBC scan is lazy and Overwrite drops the
+    * table before the plan runs.
     */
   def writeJdbc(df: DataFrame, url: String, table: String,
       props: java.util.Properties, mode: SaveMode = SaveMode.Overwrite): Unit =
