@@ -429,4 +429,48 @@ class StreamingSpec extends SparkSpec {
     assert(probe(streamed) === probe(bulk),
       "stream-appended index must probe exactly like a bulk rebuild")
   }
+
+  test("streaming index freshness: foreachBatch appends codes to the saved IVF-PQ index") {
+    // same serving composition for the codes-at-rest index: each
+    // micro-batch encodes ONLY its vectors against the FROZEN coarse
+    // centroids + codebook (appendToPqIndex), so the probe after the
+    // stream equals a bulk rebuild over the union under the same model —
+    // one index generation, retraining stays an offline decision
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val coarse = graft.operators.Similarity.kmeansCentroids(
+      emb, "vec_id", "embedding", 8, 1)
+    val cb = graft.operators.Similarity.pqTrain(
+      emb, "vec_id", "embedding", 8, 64, 1)
+    val streamed = java.nio.file.Files.createTempDirectory("graft_pq_stream").toString
+    val bulk = java.nio.file.Files.createTempDirectory("graft_pq_sbulk").toString
+    graft.operators.Similarity.buildPqIndex(
+      emb.filter(col("vec_id") % 3 === 0), "vec_id", "embedding",
+      coarse, cb, streamed)
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = mem.toDF().toDF("vec_id", "embedding").writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.operators.Similarity.appendToPqIndex(
+          spark, streamed, batch, "vec_id", "embedding")
+      }
+      .trigger(Trigger.ProcessingTime(0)).start()
+    val rest = emb.filter(col("vec_id") % 3 =!= 0)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect()
+    val (day1, day2) = rest.partition(_._1 % 3 == 1)
+    mem.addData(day1.toSeq); q.processAllAvailable()
+    mem.addData(day2.toSeq); q.processAllAvailable()
+    q.stop()
+    graft.operators.Similarity.buildPqIndex(
+      emb, "vec_id", "embedding", coarse, cb, bulk)
+    def probe(path: String) = graft.operators.Similarity.ivfPqTopKIndexed(
+        spark, path, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", 10, 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(probe(streamed) === probe(bulk),
+      "stream-appended PQ index must probe exactly like a bulk rebuild")
+  }
 }
