@@ -159,6 +159,48 @@ object Packing {
       .withColumn("padding", col("n_seqs") * col("max_len") - col("sum_len"))
   }
 
+  /** Curriculum construction: order the corpus easy→hard in `stages`
+    * difficulty stages with a deterministic seeded interleave inside each
+    * stage (Bengio et al. 2009 curriculum learning; length staging as in
+    * the common short→long schedules). Difficulty here is token count —
+    * callers wanting model-scored difficulty feed the same machinery a
+    * different key.
+    *
+    * Exactness contract: the approx-quantile bucketing is INTERNAL
+    * partitioning only — stage, hash, and final position are exact
+    * functions of (token count, id, seed), reproducible by a SQL oracle:
+    *  - difficulty rank `dr` = exact (n_toks, id) rank via [[twoPhaseRank]]
+    *    (no single-partition window);
+    *  - `stage` = ⌊dr·stages/N⌋ — the equal-fill cut, N from a broadcast
+    *    1-row total;
+    *  - within-stage order = md5-derived 32-bit hash of `seed:id`
+    *    ([[graft.functions.TextFns.hash32]], portable), so each stage is a
+    *    reproducible shuffle — adjacent batches mix content, but all of
+    *    stage k precedes any of stage k+1;
+    *  - final `pos` = exact rank of (stage·2³² + h, id), again two-phase.
+    * Scale posture: two bounded shuffles + one broadcast; no corpus-wide
+    * window, no collect.
+    */
+  def curriculumOrder(docs: DataFrame, idCol: String, textCol: String,
+      stages: Int, seed: String, buckets: Int = 32): DataFrame = {
+    require(stages > 0 && buckets > 0, "need positive stages and buckets")
+    val base = docs.select(col(idCol).cast("long").as("id"),
+      size(TextFns.tokens(col(textCol))).cast("long").as("n_toks"))
+    if (base.head(1).isEmpty)
+      return base.select(col("id"), col("n_toks"), lit(0L).as("stage"),
+        lit(0L).as("h"), lit(0L).as("pos")).limit(0)
+    val total = base.agg(count(lit(1)).as("n_total"))
+    val staged = twoPhaseRank(base, "n_toks", buckets)
+      .withColumnRenamed("pos", "dr")
+      .crossJoin(broadcast(total))
+      .withColumn("stage", expr(s"(dr * $stages) div n_total"))
+      .withColumn("h", TextFns.hash32(concat(lit(seed + ":"), col("id"))))
+      .withColumn("ck", col("stage") * lit(4294967296L) + col("h"))
+      .select("id", "n_toks", "stage", "h", "ck")
+    twoPhaseRank(staged, "ck", buckets)
+      .select("id", "n_toks", "stage", "h", "pos")
+  }
+
   /** Contiguous 0-based rank of every row in (`keyCol`, id) order, with no
     * global window: quantile cut points bucket rows monotonically in the
     * key (equal keys can never straddle a bucket boundary), per-bucket

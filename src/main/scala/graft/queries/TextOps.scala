@@ -1477,6 +1477,54 @@ object TextOps {
             ELSE floor(ws::DOUBLE / nf::DOUBLE) END) >= 1000000
             AS targetlike
         FROM x LEFT JOIN per ON x.doc_id = per.doc_id
-        ORDER BY x.doc_id"""))
+        ORDER BY x.doc_id""")),
+
+    // q137: compression-ratio repetition proxy — deflate the UTF-8 text
+    // (codegen'd native Expression over the JDK's zlib) and score
+    // ratio_micro = ⌊1e6·deflated/raw⌋; templated/repetitive docs
+    // collapse, near-random text doesn't (Gopher §A.1.1 / RefinedWeb use
+    // this as a cheap corpus-quality lever). Deterministic per zlib build
+    // but not SQL-portable → rows-only, content-pinned in GoldenHashSpec,
+    // with constructed-case semantics in CompressionSpec. One map-side
+    // pass; the only shuffle is the presentation orderBy.
+    QueryDef("q137_compression_ratio",
+      (s, d) => {
+        val dl = graft.functions.TextCompression.deflatedLen(s, col("text"))
+        docs(s, d).select(col("doc_id"),
+            octet_length(col("text")).cast("long").as("n_bytes"),
+            dl.cast("long").as("n_deflate"))
+          .withColumn("ratio_micro",
+            when(col("n_bytes") > 0,
+              expr("(1000000 * n_deflate) div n_bytes")).otherwise(lit(0L)))
+          .withColumn("repetitive", col("ratio_micro") < 400000L)
+          .orderBy("doc_id")
+      },
+      None),
+
+    // q138: curriculum construction — easy→hard staging by token count
+    // with a deterministic seeded interleave inside each stage
+    // (Packing.curriculumOrder; Bengio'09 curriculum, short→long length
+    // schedule). Stage and position are EXACT ranks (two-phase, no global
+    // window) so the full schedule hash-matches the oracle's
+    // row_number-over-everything formulation.
+    QueryDef("q138_curriculum_order",
+      (s, d) => graft.operators.Packing
+        .curriculumOrder(docs(s, d), "doc_id", "text", 4, "curr", 32)
+        .select(col("id").as("doc_id"), col("n_toks"), col("stage"),
+          col("h"), col("pos"))
+        .orderBy("doc_id"),
+      Some(s"""WITH base AS (
+          SELECT doc_id, CAST(len($OToks) AS BIGINT) n_toks FROM documents),
+        r AS (SELECT doc_id, n_toks,
+                row_number() OVER (ORDER BY n_toks, doc_id) - 1 AS dr,
+                count(*) OVER () AS n_total
+              FROM base),
+        s AS (SELECT doc_id, n_toks,
+                CAST((dr * 4) // n_total AS BIGINT) AS stage,
+                ('0x' || substr(md5('curr:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h
+              FROM r)
+        SELECT doc_id, n_toks, stage, h,
+          CAST(row_number() OVER (ORDER BY stage, h, doc_id) - 1 AS BIGINT) AS pos
+        FROM s ORDER BY doc_id"""))
   )
 }

@@ -67,4 +67,8 @@ class GoldenHashSpec extends SparkSpec {
   pinned("q124_bpe_merges", "745b2478fd0a41d21d2c6091854964ca")
   pinned("q125_bpe_vocab", "2b4248cbcf31510e4f90c62755ca97df")
   pinned("q128_bpe_encode", "4081f18b06185ea16f845be6646121f3")
+  // compression ratio: deterministic per zlib build (the container's JDK),
+  // not SQL-portable — the pin is the whole correctness story beyond
+  // CompressionSpec's constructed cases
+  pinned("q137_compression_ratio", "cf92c263274cb8a3aceadd759d937525")
 }

@@ -168,4 +168,46 @@ class PackingSpec extends SparkSpec {
       Seq.empty[(Long, String)].toDF("doc_id", "text"), "doc_id", "s", 8)
     assert(empty.columns.toSeq === Seq("id", "h", "pos") && empty.count() === 0)
   }
+
+  test("curriculumOrder: stage-monotone, equal-fill stages, seeded intra-stage shuffle") {
+    // 40 docs with token counts 1..40 — difficulty rank == n_toks - 1
+    val docs = (1L to 40L).map(i => doc(i, i.toInt)).toDF("doc_id", "text")
+    val out = Packing.curriculumOrder(docs, "doc_id", "text", 4, "s", 8)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("n_toks"),
+        r.getAs[Long]("stage"), r.getAs[Long]("h"), r.getAs[Long]("pos")))
+    assert(out.length === 40)
+    // positions are a contiguous permutation
+    assert(out.map(_._5).sorted.toSeq === (0L until 40L))
+    // equal-fill: 4 stages x 10 docs, stage = (rank*4) div 40
+    val byStage = out.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(byStage === Map(0L -> 10, 1L -> 10, 2L -> 10, 3L -> 10))
+    // stage-monotone in difficulty: every doc in stage k is shorter than
+    // every doc in stage k+1 (token counts are unique here)
+    for (k <- 0L to 2L) {
+      val maxK = out.filter(_._3 == k).map(_._2).max
+      val minK1 = out.filter(_._3 == k + 1).map(_._2).min
+      assert(maxK < minK1, s"stage $k overlaps stage ${k + 1}")
+    }
+    // all of stage k precedes any of stage k+1 in the curriculum order
+    for (k <- 0L to 2L) {
+      val lastK = out.filter(_._3 == k).map(_._5).max
+      val firstK1 = out.filter(_._3 == k + 1).map(_._5).min
+      assert(lastK < firstK1)
+    }
+    // within a stage the order follows the seeded hash, not the length
+    val s0 = out.filter(_._3 == 0L).sortBy(_._5)
+    assert(s0.map(_._4).toSeq === s0.map(_._4).sorted.toSeq,
+      "intra-stage order must follow the seeded hash")
+    // a different seed permutes within stages but keeps the same stages
+    val other = Packing.curriculumOrder(docs, "doc_id", "text", 4, "t", 8)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("stage"),
+        r.getAs[Long]("pos")))
+    assert(other.map(t => t._1 -> t._2).toMap === out.map(t => t._1 -> t._3).toMap)
+    assert(other.map(t => t._1 -> t._3).toMap !== out.map(t => t._1 -> t._5).toMap)
+    // empty input keeps the schema
+    val empty = Packing.curriculumOrder(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "doc_id", "text", 4, "s", 8)
+    assert(empty.columns.toSeq === Seq("id", "n_toks", "stage", "h", "pos")
+      && empty.count() === 0)
+  }
 }
