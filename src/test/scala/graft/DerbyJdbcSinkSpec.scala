@@ -58,6 +58,38 @@ class DerbyJdbcSinkSpec extends SparkSpec {
       (104L, "To Do", 1L)))       // new key inserted
   }
 
+  test("streaming foreachBatch upserts micro-batches into the SQL sink") {
+    // the reference's daily DAG shape end-to-end: incremental arrivals →
+    // keyed merge → SQL database, as a stream. Each micro-batch snapshots
+    // the table, Upsert-merges, and overwrites — converging to the same
+    // keyed state a batch run would produce.
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val seed = Seq((1L, "To Do")).toDF("issue_id", "status")
+    TableSink.writeJdbc(seed, url, "stream_sink", props)
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("issue_id", "status").writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val base = spark.read.jdbc(url, "stream_sink", props)
+          .localCheckpoint(true)
+        TableSink.writeJdbc(Upsert(base, batch, Seq("issue_id")),
+          url, "stream_sink", props)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      .start()
+    mem.addData((1L, "In Progress"), (2L, "To Do"))
+    q.processAllAvailable()
+    mem.addData((2L, "Done"), (3L, "To Do"))
+    q.processAllAvailable()
+    q.stop()
+    val state = spark.read.jdbc(url, "stream_sink", props)
+      .select(col("issue_id"), col("status").cast("string"))
+      .as[(Long, String)].collect().toMap
+    assert(state === Map(1L -> "In Progress", 2L -> "Done", 3L -> "To Do"))
+  }
+
   test("column omitted from updates surfaces as NULL, like the reference") {
     import spark.implicits._
     val base = Seq((1L, "a", 10L)).toDF("k", "s", "v")

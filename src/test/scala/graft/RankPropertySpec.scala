@@ -76,4 +76,30 @@ class RankPropertySpec extends SparkSpec {
       got == expected
     })
   }
+
+  test("curriculumOrder == global (stage, h, id) rank for arbitrary corpora") {
+    val genDocs: Gen[List[(Long, Int)]] = for {
+      ids <- genIds
+      lens <- Gen.listOfN(ids.size, Gen.choose(0, 25))
+    } yield ids.zip(lens)
+    check("curriculum rank", Prop.forAll(genDocs, Gen.choose(1, 6),
+      Gen.choose(1, 16), Gen.oneOf("c1", "seed", "zz")) {
+      (docsSpec, stages, buckets, seed) =>
+      val docs = docsSpec.map { case (i, k) => (i, Seq.fill(k)("w").mkString(" ")) }
+        .toDF("doc_id", "text")
+      val got = Packing.curriculumOrder(docs, "doc_id", "text", stages, seed, buckets)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))
+        .sortBy(_._1).toList
+      val n = docsSpec.size
+      val expected = docsSpec.map { case (i, k) => (i, k.toLong) }
+        .sortBy(t => (t._2, t._1)).zipWithIndex
+        .map { case ((id, len), dr) =>
+          (id, len, dr.toLong * stages / n, md5h32(s"$seed:$id")) }
+        .sortBy { case (id, _, stage, h) => (stage, h, id) }.zipWithIndex
+        .map { case ((id, len, stage, h), p) => (id, len, stage, h, p.toLong) }
+        .sortBy(_._1)
+      got == expected
+    })
+  }
 }
