@@ -14,7 +14,8 @@ object ScaleCheck {
     "q90_prep_pipeline", "q91_scd2_lookup", "q97_decontamination",
     "q98_wav_decode", "q99_quantized_topk", "q100_chunking",
     "q101_seq_packing", "q102_heavy_hitters", "q118_tpch_q3",
-    "q119_tpch_q5", "q120_tpch_q10")
+    "q119_tpch_q5", "q120_tpch_q10", "q137_compression_ratio",
+    "q138_curriculum_order")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
@@ -22,7 +23,10 @@ object ScaleCheck {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true") // events ts stays raw INT64
+    // legacy-NANOS testdata only; a no-op for the current µs-NTZ layout.
+    // The replica writes whatever type the read surfaced and
+    // Tables.normalizeEventTs adapts either way.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     if (args.contains("exponents")) {
       // dev flags mirror the replica run: `noreplicate` reuses the
       // /tmp/graft_scale_k* corpora (and their saved IVF indexes);
