@@ -210,11 +210,19 @@ object JiraCorpus {
     synchronized {
       materialized.getOrElseUpdate(dir, {
         val base = java.nio.file.Files
-          .createTempDirectory("graft_jira_corpus").toString
+          .createTempDirectory("graft_jira_corpus")
+        // session-scoped scratch, not a published table: delete on JVM
+        // exit so repeated driver runs don't accumulate /tmp debris
+        sys.addShutdownHook {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+          }
+          rm(base.toFile)
+        }
         issuesRaw(spark, dir).write.parquet(s"$base/issues")
         worklogsRaw(spark, dir).write.parquet(s"$base/worklogs")
         usersRaw(spark, dir).write.parquet(s"$base/users")
-        base
+        base.toString
       })
     }
 
