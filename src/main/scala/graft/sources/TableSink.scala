@@ -100,4 +100,16 @@ object TableSink {
   def writeJdbc(df: DataFrame, url: String, table: String,
       props: java.util.Properties, mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode).jdbc(url, table, props)
+
+  /** In-place keyed upsert into a live SQL table — speaks the reference's
+    * three dialect statements (`ON CONFLICT` / `ON DUPLICATE KEY UPDATE` /
+    * `MERGE`, `dags/jira/db_ops.py:29-100`) chosen from the JDBC URL, batched
+    * per partition. The table is never dropped: the MATCHED/NOT MATCHED
+    * branches update or insert row-keyed, exactly the reference's write
+    * behavior. Prefer this over [[writeJdbc]]+Overwrite when the target is a
+    * shared serving database. See [[JdbcUpsert]].
+    */
+  def upsertJdbc(df: DataFrame, url: String, table: String,
+      props: java.util.Properties, uniqueColumn: String): Unit =
+    JdbcUpsert.upsertInPlace(df, url, table, props, uniqueColumn)
 }

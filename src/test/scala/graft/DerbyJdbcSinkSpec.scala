@@ -6,7 +6,7 @@ import org.apache.spark.sql.SaveMode
 import org.apache.spark.sql.functions._
 
 import graft.operators.Upsert
-import graft.sources.TableSink
+import graft.sources.{JdbcUpsert, TableSink}
 
 /** Live-SQL-sink parity: the reference's real sink is a SQL database with
   * per-record `INSERT ... ON CONFLICT (key) DO UPDATE`
@@ -99,5 +99,149 @@ class DerbyJdbcSinkSpec extends SparkSpec {
     val row = spark.read.jdbc(url, "omission_sink", props).head()
     assert(row.getAs[String]("s") === "b")
     assert(row.isNullAt(row.fieldIndex("v")))
+  }
+
+  // ------------------------------------------------------------------
+  // dialect-specific in-place upsert SQL — the reference's actual sink
+  // statements (db_ops.py:29-100), generated shape-for-shape
+  // ------------------------------------------------------------------
+
+  private val cols = Seq("issue_id", "status", "hours")
+
+  test("Postgres dialect pins the reference's ON CONFLICT statement shape") {
+    // db_ops.py:36-41, `?` in place of DB-API `%s`
+    assert(JdbcUpsert.Postgres.statement("issues", cols, "issue_id") ===
+      "INSERT INTO issues (issue_id, status, hours) VALUES (?, ?, ?) " +
+        "ON CONFLICT (issue_id) DO UPDATE " +
+        "SET status = EXCLUDED.status, hours = EXCLUDED.hours")
+    assert(JdbcUpsert.Postgres.bindColumns(cols, "issue_id") === cols)
+  }
+
+  test("MySQL dialect pins the reference's ON DUPLICATE KEY UPDATE shape") {
+    // db_ops.py:63-68
+    assert(JdbcUpsert.MySql.statement("issues", cols, "issue_id") ===
+      "INSERT INTO issues (issue_id, status, hours) VALUES (?, ?, ?) " +
+        "ON DUPLICATE KEY UPDATE " +
+        "status = VALUES(status), hours = VALUES(hours)")
+    assert(JdbcUpsert.MySql.bindColumns(cols, "issue_id") === cols)
+  }
+
+  test("MSSQL dialect pins the reference's MERGE shape, row bound twice") {
+    // db_ops.py:90-98: USING (SELECT …) AS source carries one bound copy of
+    // the row, the INSERT branch the second — bind order = columns ++ columns
+    assert(JdbcUpsert.MsSql.statement("issues", cols, "issue_id") ===
+      "MERGE INTO issues AS target " +
+        "USING (SELECT ?, ?, ?) AS source (issue_id, status, hours) " +
+        "ON target.issue_id = source.issue_id " +
+        "WHEN MATCHED THEN UPDATE SET " +
+        "target.status = source.status, target.hours = source.hours " +
+        "WHEN NOT MATCHED THEN INSERT (issue_id, status, hours) " +
+        "VALUES (?, ?, ?);")
+    assert(JdbcUpsert.MsSql.bindColumns(cols, "issue_id") === cols ++ cols)
+  }
+
+  test("Derby dialect phrases the MERGE against SYSIBM.SYSDUMMY1") {
+    assert(JdbcUpsert.Derby.statement("issues", cols, "issue_id") ===
+      "MERGE INTO issues AS target USING SYSIBM.SYSDUMMY1 AS source " +
+        "ON target.issue_id = ? " +
+        "WHEN MATCHED THEN UPDATE SET status = ?, hours = ? " +
+        "WHEN NOT MATCHED THEN INSERT (issue_id, status, hours) " +
+        "VALUES (?, ?, ?)")
+    assert(JdbcUpsert.Derby.bindColumns(cols, "issue_id") ===
+      Seq("issue_id", "status", "hours", "issue_id", "status", "hours"))
+  }
+
+  test("factory dispatches on conn-id prefix like the reference") {
+    // db_ops.py:102-112
+    assert(JdbcUpsert.forConnId("postgres_default") === JdbcUpsert.Postgres)
+    assert(JdbcUpsert.forConnId("mysql_jira") === JdbcUpsert.MySql)
+    assert(JdbcUpsert.forConnId("mssql_prod") === JdbcUpsert.MsSql)
+    assert(JdbcUpsert.forConnId("derby_test") === JdbcUpsert.Derby)
+    assertThrows[IllegalArgumentException](JdbcUpsert.forConnId("oracle_x"))
+    assert(JdbcUpsert.forUrl("jdbc:postgresql://h/db") === JdbcUpsert.Postgres)
+    assert(JdbcUpsert.forUrl("jdbc:mysql://h/db") === JdbcUpsert.MySql)
+    assert(JdbcUpsert.forUrl("jdbc:sqlserver://h") === JdbcUpsert.MsSql)
+    assert(JdbcUpsert.forUrl(url) === JdbcUpsert.Derby)
+    assertThrows[IllegalArgumentException](JdbcUpsert.forUrl("jdbc:oracle:x"))
+  }
+
+  test("MERGE executes in place on Derby: update with no table swap") {
+    import spark.implicits._
+    // the table is created HERE, with a primary key the Spark writer would
+    // not produce — if any code path dropped/recreated it, the PK vanishes
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      conn.createStatement().execute(
+        "CREATE TABLE issues_inplace (issue_id BIGINT NOT NULL PRIMARY KEY, " +
+          "status VARCHAR(32), hours BIGINT)")
+    } finally conn.close()
+
+    def primaryKeyCols(): Seq[String] = {
+      val c = java.sql.DriverManager.getConnection(url)
+      try {
+        val rs = c.getMetaData.getPrimaryKeys(null, null, "ISSUES_INPLACE")
+        val b = Seq.newBuilder[String]
+        while (rs.next()) b += rs.getString("COLUMN_NAME")
+        b.result()
+      } finally c.close()
+    }
+
+    val day1 = Seq(
+      (101L, "To Do", 5L),
+      (102L, "In Progress", 7L),
+      (103L, "Done", 2L)).toDF("issue_id", "status", "hours")
+    JdbcUpsert.upsertInPlace(day1, url, "issues_inplace", props, "issue_id")
+
+    val day2 = Seq(
+      (102L, "Done", 9L),   // existing key: MATCHED branch updates in place
+      (104L, "To Do", 1L)). // new key: NOT MATCHED branch inserts
+      toDF("issue_id", "status", "hours")
+    JdbcUpsert.upsertInPlace(day2, url, "issues_inplace", props, "issue_id")
+
+    val back = spark.read.jdbc(url, "issues_inplace", props)
+      .select(col("issue_id"), col("status").cast("string"), col("hours"))
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(back.toSeq === Seq(
+      (101L, "To Do", 5L),
+      (102L, "Done", 9L),
+      (103L, "Done", 2L),
+      (104L, "To Do", 1L)))
+    // no table swap: the hand-made PK survived both upserts
+    assert(primaryKeyCols() === Seq("ISSUE_ID"))
+  }
+
+  test("in-place upsert: omitted column NULL on insert, kept on update") {
+    import spark.implicits._
+    // reference semantics (db_ops.py): the record's keys decide the column
+    // list, so an omitted column is NULL for fresh inserts and UNTOUCHED for
+    // matched updates — narrower than the set-based Upsert's whole-row
+    // replacement, and pinned here as the dialect behavior
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      conn.createStatement().execute(
+        "CREATE TABLE omission_inplace (k BIGINT NOT NULL PRIMARY KEY, " +
+          "s VARCHAR(32), v BIGINT)")
+    } finally conn.close()
+    val base = Seq((1L, "a", 10L)).toDF("k", "s", "v")
+    JdbcUpsert.upsertInPlace(base, url, "omission_inplace", props, "k")
+    val updates = Seq((1L, "b"), (2L, "c")).toDF("k", "s") // no `v`
+    JdbcUpsert.upsertInPlace(updates, url, "omission_inplace", props, "k")
+    val back = spark.read.jdbc(url, "omission_inplace", props)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).sortBy(_._1)
+    assert(back.toSeq === Seq(
+      (1L, "b", Some(10L)), // matched: v untouched
+      (2L, "c", None)))     // inserted: v NULL
+  }
+
+  test("key-only records degrade like the reference would need them to") {
+    assert(JdbcUpsert.Postgres.statement("t", Seq("k"), "k") ===
+      "INSERT INTO t (k) VALUES (?) ON CONFLICT (k) DO NOTHING")
+    assert(JdbcUpsert.MySql.statement("t", Seq("k"), "k") ===
+      "INSERT INTO t (k) VALUES (?) ON DUPLICATE KEY UPDATE k = k")
+    assert(JdbcUpsert.Derby.statement("t", Seq("k"), "k") ===
+      "MERGE INTO t AS target USING SYSIBM.SYSDUMMY1 AS source " +
+        "ON target.k = ? " +
+        "WHEN NOT MATCHED THEN INSERT (k) VALUES (?)")
   }
 }
