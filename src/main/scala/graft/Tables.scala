@@ -50,7 +50,21 @@ object Tables {
     df.schema("ts").dataType match {
       case TimestampType    => df
       case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
-      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case LongType =>
+        // A long here is trusted to be NANOS-as-long — but if the driver
+        // ever ships plain INT64 µs (no logical type), dividing by 1000
+        // would repeat the round-8 1000×-collapse silently. Epoch-ns for
+        // any sane year is ~1e18 (µs is ~1e15, s is ~1e9): values outside
+        // [1990, 2100) in ns fail per-row, loudly, in the codegen'd path.
+        val loNs = 631152000000000000L  // 1990-01-01 in epoch-ns
+        val hiNs = 4102444800000000000L // 2100-01-01 in epoch-ns
+        df.withColumn("ts",
+          when(col("ts").between(loNs, hiNs),
+            timestamp_micros(expr("ts div 1000")))
+          .otherwise(raise_error(concat(
+            lit("events.ts long value outside plausible epoch-ns range "),
+            lit("(is the file µs-as-plain-INT64? see TestdataSchemaGuardSpec): "),
+            col("ts").cast("string"))).cast(TimestampType)))
       case other => throw new IllegalArgumentException(
         s"events.ts arrived as unsupported type $other; " +
           "expected TIMESTAMP, TIMESTAMP_NTZ, or NANOS-as-long")
