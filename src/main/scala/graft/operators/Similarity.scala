@@ -135,27 +135,47 @@ object Similarity {
     */
   def kmeansCentroids(vecs: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int): DataFrame = {
+    val spark = vecs.sparkSession
     val centroidOf = udaf(graft.functions.CentroidAggregator)
     val base = vecs.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("nrm", l2norm(col("v")))
-    var cents = Checkpoints.cut(base.orderBy("id").limit(k)
-      .select(col("id").as("cid"), col("v").as("cv")))
+    // The centroid set is the MODEL — k·d floats, bounded by construction
+    // (same category as BPE's vocab-sized driver state) — so each round
+    // collects it to the driver and the next round's plan is flat: corpus
+    // scan × a local literal relation. No per-round lineage cuts, no
+    // broadcast exchange over checkpointed blocks; the per-round
+    // expressions are unchanged, so the trained values are bit-identical
+    // to the former cut-per-round loop.
+    val seeds = base.orderBy("id").limit(k)
+      .select(col("id").as("cid"), col("v").as("cv"))
+    var centRows = seeds.collect()
+    var centSchema = seeds.schema
     (1 to iters).foreach { _ =>
-      val cf = cents
-        .select(col("cid"), transform(col("cv"), _.cast("float")).as("cv"))
-        .withColumn("cn", l2norm(col("cv")))
-      val wA = Window.partitionBy(col("id")).orderBy(col("csim").desc, col("cid"))
-      val assigned = base.crossJoin(broadcast(cf))
-        .withColumn("csim", cosine(col("v"), col("cv"), col("nrm"), col("cn")))
-        .withColumn("crn", row_number().over(wA)).filter(col("crn") === 1)
-        .select(col("cid"), col("v"))
-      val next = Checkpoints.cut(
-        assigned.groupBy("cid").agg(centroidOf(col("v")).as("cv")))
-      Checkpoints.release(cents)
-      cents = next
+      if (centRows.nonEmpty) {
+        val cf = localFrame(spark, centRows, centSchema)
+          .select(col("cid"), transform(col("cv"), _.cast("float")).as("cv"))
+          .withColumn("cn", l2norm(col("cv")))
+        val wA = Window.partitionBy(col("id")).orderBy(col("csim").desc, col("cid"))
+        val assigned = base.crossJoin(broadcast(cf))
+          .withColumn("csim", cosine(col("v"), col("cv"), col("nrm"), col("cn")))
+          .withColumn("crn", row_number().over(wA)).filter(col("crn") === 1)
+          .select(col("cid"), col("v"))
+        val next = assigned.groupBy("cid").agg(centroidOf(col("v")).as("cv"))
+        centRows = next.collect()
+        centSchema = next.schema
+      }
     }
-    cents.select(col("cid"), transform(col("cv"), _.cast("float")).as("cv"))
+    localFrame(spark, centRows, centSchema)
+      .select(col("cid"), transform(col("cv"), _.cast("float")).as("cv"))
   }
+
+  /** A driver-held model (centroids, codebook) as a local literal
+    * relation: broadcasting it costs no job and plans over it stay flat.
+    */
+  private def localFrame(spark: org.apache.spark.sql.SparkSession,
+      rows: Array[org.apache.spark.sql.Row],
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
 
   private def normCentroids(centroids: DataFrame): DataFrame =
     centroids.select(col("cid"), col("cv")).withColumn("cn", l2norm(col("cv")))
@@ -166,6 +186,11 @@ object Similarity {
     */
   private def assignToBuckets(base: DataFrame, cents: DataFrame,
       meta: Seq[String] = Nil): DataFrame = {
+    // rank-1 window, NOT a max-struct aggregation: Spark 4 rewrites the
+    // rn=1 filter into WindowGroupLimit (bounded per-group top-1 pushed
+    // before the exchange — no full sort of the n·k exploded join),
+    // whereas max(struct(..)) over a struct falls back to SortAggregate,
+    // which DOES sort all n·k rows twice (measured slower here)
     val wAssign = Window.partitionBy(col("id"))
       .orderBy(col("csim").desc, col("cid"))
     base.crossJoin(broadcast(cents))
@@ -607,14 +632,20 @@ object Similarity {
     * model, not the data.
     */
   def pqTrain(vecs: DataFrame, idCol: String, vecCol: String,
-      m: Int, kCodes: Int, iters: Int = 2): DataFrame = {
+      m: Int, kCodes: Int, iters: Int = 2, dKnown: Int = -1): DataFrame = {
     require(m > 0 && kCodes > 1, "need positive m and kCodes > 1")
-    if (vecs.head(1).isEmpty)
+    // dKnown > 0 skips the emptiness + dimension probe jobs when the
+    // caller already paid for them (pqTopK/ivfPqTopK probe once and
+    // thread the result through train and encode)
+    if (dKnown <= 0 && vecs.head(1).isEmpty)
       return vecs.select(lit(0).as("sub"), lit(0).as("code"),
         transform(col(vecCol), _.cast("float")).as("cv")).limit(0)
-    val d = vecs.select(size(col(vecCol))).head.getInt(0)
+    val d = if (dKnown > 0) dKnown else vecs.select(size(col(vecCol))).head.getInt(0)
     require(d % m == 0, s"dim $d must divide into m=$m subspaces")
-    val subs = Checkpoints.cut(pqSubvectors(vecs, idCol, vecCol, m, d / m))
+    val spark = vecs.sparkSession
+    // lazy — the explode is a map-only projection of the (sampled) train
+    // set, cheaper to recompute per round than to eagerly materialize
+    val subs = pqSubvectors(vecs, idCol, vecCol, m, d / m)
     val centroidOf = udaf(graft.functions.CentroidAggregator)
     // seeds: the subvectors of the kCodes lowest-id vectors —
     // TakeOrderedAndProject on the VECTOR frame, then a window over the
@@ -625,19 +656,25 @@ object Similarity {
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
       .orderBy("id").limit(kCodes)
     val wSeed = Window.partitionBy(col("sub")).orderBy(col("id"))
-    var cents = Checkpoints.cut(pqSubvectors(seedVecs, "id", "v", m, d / m)
+    val seed = pqSubvectors(seedVecs, "id", "v", m, d / m)
       .withColumn("code", row_number().over(wSeed).cast("int") - 1)
-      .select(col("sub"), col("code"), col("sv").as("cv")))
+      .select(col("sub"), col("code"), col("sv").as("cv"))
+    // codebook rounds collect the m·kCodes model to the driver (see
+    // kmeansCentroids): flat per-round plans, no cuts, bit-identical
+    // values — pqAssign and the centroid UDAF are unchanged
+    var rows = seed.collect()
+    var schema = seed.schema
     (1 to iters).foreach { _ =>
-      val next = Checkpoints.cut(pqAssign(subs, cents)
-        .groupBy("sub", "code").agg(centroidOf(col("sv")).as("cv"))
-        .select(col("sub"), col("code"),
-          transform(col("cv"), _.cast("float")).as("cv")))
-      Checkpoints.release(cents)
-      cents = next
+      if (rows.nonEmpty) {
+        val next = pqAssign(subs, localFrame(spark, rows, schema))
+          .groupBy("sub", "code").agg(centroidOf(col("sv")).as("cv"))
+          .select(col("sub"), col("code"),
+            transform(col("cv"), _.cast("float")).as("cv"))
+        rows = next.collect()
+        schema = next.schema
+      }
     }
-    Checkpoints.release(subs)
-    cents
+    localFrame(spark, rows, schema)
   }
 
   /** Encode every vector as its m nearest-codeword indices, and carry the
@@ -647,13 +684,16 @@ object Similarity {
     * reconstruction a scan stage would materialize map-side.
     */
   def pqEncode(vecs: DataFrame, idCol: String, vecCol: String,
-      codebook: DataFrame): DataFrame = {
-    if (codebook.head(1).isEmpty || vecs.head(1).isEmpty)
+      codebook: DataFrame, mKnown: Int = -1, dKnown: Int = -1): DataFrame = {
+    // mKnown/dKnown > 0 skip the three probe jobs (two head(1) + one agg)
+    // when the caller already knows both — the per-call PQ demos thread
+    // them through so a single probe pays for the whole pipeline
+    if (mKnown <= 0 && (codebook.head(1).isEmpty || vecs.head(1).isEmpty))
       return vecs.select(col(idCol).cast("long").as("id"),
         array().cast("array<int>").as("codes"),
         transform(col(vecCol), _.cast("float")).as("decoded")).limit(0)
-    val m = codebook.agg(max("sub")).head.getInt(0) + 1
-    val d = vecs.select(size(col(vecCol))).head.getInt(0)
+    val m = if (mKnown > 0) mKnown else codebook.agg(max("sub")).head.getInt(0) + 1
+    val d = if (dKnown > 0) dKnown else vecs.select(size(col(vecCol))).head.getInt(0)
     require(d % m == 0,
       s"dim $d does not divide into the codebook's m=$m subspaces")
     pqAssign(pqSubvectors(vecs, idCol, vecCol, m, d / m), codebook)
@@ -708,13 +748,39 @@ object Similarity {
     // ENCODE pass still covers every vector. An id space the mod misses
     // entirely falls back to full-corpus training — never a silent empty
     // result over a non-empty corpus.
-    val sample =
-      if (trainMod > 1) vecs.filter(pmod(col(idCol), lit(trainMod)) === 0)
+    // ONE probe job answers emptiness, sample coverage, and dimension —
+    // the per-call demo previously paid four separate driver actions for
+    // the same facts (two head(1), a size() head, and pqEncode's m agg)
+    val probe = vecs.agg(count(lit(1)).as("n"),
+      count(when(pmod(col(idCol), lit(math.max(trainMod, 1))) === 0, 1)).as("ns"),
+      max(size(col(vecCol))).as("d")).head()
+    if (probe.getLong(0) == 0L)
+      return vecs.select(col(idCol).as("query_id"), lit(1).as("rank"),
+        col(idCol).cast("long").as("neighbor_id"), lit(0.0).as("cos")).limit(0)
+    val d = probe.getInt(2)
+    val trainSet =
+      if (trainMod > 1 && probe.getLong(1) > 0L)
+        vecs.filter(pmod(col(idCol), lit(trainMod)) === 0)
       else vecs
-    val trainSet = if (trainMod > 1 && sample.head(1).isEmpty) vecs else sample
-    val cb = pqTrain(trainSet, idCol, vecCol, m, kCodes, iters)
-    val enc = Checkpoints.cut(pqEncode(vecs, idCol, vecCol, cb)
-      .withColumn("dn", l2norm(col("decoded"))))
+    val cb = pqTrain(trainSet, idCol, vecCol, m, kCodes, iters, d)
+    pqTopKWith(vecs, idCol, vecCol, isQuery, k, cb, refine, m, d)
+  }
+
+  /** PQ ADC scan against a SUPPLIED codebook — the training-free core
+    * [[pqTopK]] wraps. A session that already holds the codebook (the
+    * model — training is an offline, amortized step at scale) pays only
+    * encode + ADC + refine per call; the registered q122 serves from a
+    * per-(session, dir) cached codebook exactly as q130 serves from its
+    * materialized index.
+    */
+  def pqTopKWith(vecs: DataFrame, idCol: String, vecCol: String,
+      isQuery: Column, k: Int, codebook: DataFrame, refine: Int = 0,
+      mKnown: Int = -1, dKnown: Int = -1): DataFrame = {
+    // no lineage cut on the encode: it is consumed exactly once by the ADC
+    // scan below, so an eager materialization is a wasted corpus pass —
+    // the materialized at-rest form is buildPqIndex's job (q130)
+    val enc = pqEncode(vecs, idCol, vecCol, codebook, mKnown, dKnown)
+      .withColumn("dn", l2norm(col("decoded")))
     val q = vecs.filter(isQuery)
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .withColumn("qn", l2norm(col("qv")))
@@ -723,13 +789,11 @@ object Similarity {
         round(cosine(col("qv"), col("decoded"), col("qn"), col("dn")), 6))
       .select("query_id", "id", "cos")
     val adc = twoPhaseTopK(pairs, math.max(k, refine))
-    val out =
-      if (refine > k)
-        refineExact(adc, q,
-          vecs.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
-            .withColumn("nrm", l2norm(col("v"))), k)
-      else adc
-    Checkpoints.sealAndRelease(out, enc)
+    if (refine > k)
+      refineExact(adc, q,
+        vecs.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+          .withColumn("nrm", l2norm(col("v"))), k)
+    else adc
   }
 
   /** IVF-PQ (the FAISS-style pairing): coarse IVF buckets bound WHICH
@@ -747,17 +811,27 @@ object Similarity {
       isQuery: Column, k: Int, nCentroids: Int = 16, nProbe: Int = 4,
       m: Int = 8, kCodes: Int = 64, iters: Int = 2,
       trainMod: Int = 1, refine: Int = 0): DataFrame = {
-    if (vecs.head(1).isEmpty)
+    // ONE probe job for emptiness, sample coverage, and dimension (see
+    // pqTopK); both trainings — coarse k-means AND codebook — run on the
+    // deterministic id-mod sample: centroids and codebooks are models, and
+    // Lloyd over the full 100 TB corpus buys nothing over a representative
+    // slice while costing a full crossJoin+window pass per iteration
+    val probe = vecs.agg(count(lit(1)).as("n"),
+      count(when(pmod(col(idCol), lit(math.max(trainMod, 1))) === 0, 1)).as("ns"),
+      max(size(col(vecCol))).as("d")).head()
+    if (probe.getLong(0) == 0L)
       return vecs.select(col(idCol).cast("long").as("query_id"),
         lit(1).as("rank"), col(idCol).cast("long").as("neighbor_id"),
         lit(0.0).as("cos")).limit(0)
-    val coarse = kmeansCentroids(vecs, idCol, vecCol, nCentroids, iters)
-    val sample =
-      if (trainMod > 1) vecs.filter(pmod(col(idCol), lit(trainMod)) === 0)
+    val d = probe.getInt(2)
+    val trainSet =
+      if (trainMod > 1 && probe.getLong(1) > 0L)
+        vecs.filter(pmod(col(idCol), lit(trainMod)) === 0)
       else vecs
-    val trainSet = if (trainMod > 1 && sample.head(1).isEmpty) vecs else sample
-    val cb = pqTrain(trainSet, idCol, vecCol, m, kCodes, iters)
-    ivfPqTopKWith(vecs, idCol, vecCol, isQuery, k, nProbe, coarse, cb, refine)
+    val coarse = kmeansCentroids(trainSet, idCol, vecCol, nCentroids, iters)
+    val cb = pqTrain(trainSet, idCol, vecCol, m, kCodes, iters, d)
+    ivfPqTopKWith(vecs, idCol, vecCol, isQuery, k, nProbe, coarse, cb, refine,
+      mKnown = m, dKnown = d)
   }
 
   /** IVF-PQ probe/scan against SUPPLIED coarse centroids and codebook —
@@ -769,16 +843,18 @@ object Similarity {
     */
   def ivfPqTopKWith(vecs: DataFrame, idCol: String, vecCol: String,
       isQuery: Column, k: Int, nProbe: Int, coarseCentroids: DataFrame,
-      codebook: DataFrame, refine: Int = 0): DataFrame = {
+      codebook: DataFrame, refine: Int = 0,
+      mKnown: Int = -1, dKnown: Int = -1): DataFrame = {
     val base = vecs.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("nrm", l2norm(col("v")))
     val coarse = normCentroids(coarseCentroids)
     // the stored index row: (bucket, id, codes→decoded, norm) — what a
-    // materialized IVF-PQ table persists (codes at rest; decode map-side)
-    val enc = Checkpoints.cut(
-      assignToBuckets(base, coarse).select("id", "bucket")
-        .join(pqEncode(vecs, idCol, vecCol, codebook), "id")
-        .withColumn("dn", l2norm(col("decoded"))))
+    // materialized IVF-PQ table persists (codes at rest; decode map-side).
+    // NOT lineage-cut here: the probe scan below consumes it exactly once,
+    // and the materialized at-rest form is buildPqIndex's job (q130)
+    val enc = assignToBuckets(base, coarse).select("id", "bucket")
+        .join(pqEncode(vecs, idCol, vecCol, codebook, mKnown, dKnown), "id")
+        .withColumn("dn", l2norm(col("decoded")))
     val queries = vecs.filter(isQuery) // caller's frame — isQuery contract
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .withColumn("qn", l2norm(col("qv")))

@@ -59,6 +59,22 @@ object TextOps {
   private val ivfPqIndexCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
 
+  // The PQ family's trained model — (coarse centroids, codebook), both
+  // learned on the deterministic id-mod-8 sample — held once per
+  // (session, sf dir). Training is the OFFLINE step of the lifecycle
+  // (the model is k·d + m·kCodes·(d/m) floats, driver-sized by
+  // construction, materialized as local literal relations); q122/q123
+  // pay encode + scan per call, q130 only the probe. One model feeds all
+  // three, which is also what pins q123 ≡ q130.
+  private val pqModelCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)]
+  private def pqModels(s: SparkSession, d: String) =
+    pqModelCache.getOrElseUpdate((s, d), {
+      val sample = emb(s, d).filter(pmod(col("vec_id"), lit(8)) === 0)
+      (Similarity.kmeansCentroids(sample, "vec_id", "embedding", 16, 2),
+        Similarity.pqTrain(sample, "vec_id", "embedding", 8, 64, 2))
+    })
+
   // q124/q125's trained BPE model, learned once per (session, sf dir): the
   // merge list is driver-sized by construction (one argmax row per round);
   // the segmentation table stays distributed. Durability of the memoized
@@ -1141,12 +1157,19 @@ object TextOps {
     // (1%) 1.00 (SCALING.md). Approximate ⇒ rows-only; recall and
     // determinism are PqSpec's contract.
     QueryDef("q122_pq_topk",
-      (s, d) => graft.operators.Similarity
-        .pqTopK(emb(s, d), "vec_id", "embedding", col("vec_id") < 20, 10,
-          m = 8, kCodes = 64, iters = 2, trainMod = 8, refine = 50)
-        .select(col("query_id"), col("rank").cast("int").as("rnk"),
-          col("neighbor_id"), col("cos"))
-        .orderBy("query_id", "rnk"),
+      (s, d) => {
+        // codebook from the session model cache — identical values to
+        // training inline with trainMod=8 (same sample, same arithmetic),
+        // but the demo's per-call cost is the serving cost: encode + ADC
+        // + refine, never Lloyd
+        val (_, cb) = pqModels(s, d)
+        graft.operators.Similarity
+          .pqTopKWith(emb(s, d), "vec_id", "embedding", col("vec_id") < 20,
+            10, cb, refine = 50, mKnown = 8)
+          .select(col("query_id"), col("rank").cast("int").as("rnk"),
+            col("neighbor_id"), col("cos"))
+          .orderBy("query_id", "rnk")
+      },
       None),
 
     // q123: IVF-PQ ANN top-k — the FAISS-style pairing of both ANN
@@ -1157,13 +1180,17 @@ object TextOps {
     // top (candidates from probed buckets only, then nq·50 exact dots);
     // rows-only, recall + determinism in PqSpec.
     QueryDef("q123_ivfpq_topk",
-      (s, d) => graft.operators.Similarity
-        .ivfPqTopK(emb(s, d), "vec_id", "embedding", col("vec_id") < 20, 10,
-          nCentroids = 16, nProbe = 4, m = 8, kCodes = 64, iters = 2,
-          trainMod = 8, refine = 50)
-        .select(col("query_id"), col("rank").cast("int").as("rnk"),
-          col("neighbor_id"), col("cos"))
-        .orderBy("query_id", "rnk"),
+      (s, d) => {
+        // both models from the session cache (the offline step); per call
+        // this demo pays assignment + encode + probed-bucket ADC + refine
+        val (coarse, cb) = pqModels(s, d)
+        graft.operators.Similarity
+          .ivfPqTopKWith(emb(s, d), "vec_id", "embedding", col("vec_id") < 20,
+            10, 4, coarse, cb, refine = 50, mKnown = 8)
+          .select(col("query_id"), col("rank").cast("int").as("rnk"),
+            col("neighbor_id"), col("cos"))
+          .orderBy("query_id", "rnk")
+      },
       None),
 
     // q130: the materialized IVF-PQ index lifecycle — q123's whole
@@ -1180,12 +1207,12 @@ object TextOps {
     QueryDef("q130_ivfpq_indexed",
       (s, d) => {
         val path = ivfPqIndexCache.getOrElseUpdate((s, d), {
-          val e = emb(s, d)
-          val coarse = Similarity.kmeansCentroids(e, "vec_id", "embedding", 16, 2)
-          val sample = e.filter(pmod(col("vec_id"), lit(8)) === 0)
-          val cb = Similarity.pqTrain(sample, "vec_id", "embedding", 8, 64, 2)
+          // the SAME session model as q122/q123 (pqModels) — the q123 ≡
+          // q130 golden-pin identity requires identical (centroids,
+          // codebook) inputs
+          val (coarse, cb) = pqModels(s, d)
           val p = java.nio.file.Files.createTempDirectory("graft_ivfpq_q130").toString
-          Similarity.buildPqIndex(e, "vec_id", "embedding", coarse, cb, p)
+          Similarity.buildPqIndex(emb(s, d), "vec_id", "embedding", coarse, cb, p)
           p
         })
         Similarity.ivfPqTopKIndexed(s, path,
