@@ -7,10 +7,61 @@ Registers the sf parquet tables as DuckDB views, runs each oracle SQL from
 oracle_sql.json, and diffs against the Verify parquet dump: schema (sorted
 column names + types) and exact multiset row equality (EXCEPT ALL both ways).
 """
-import duckdb, sys, json, os
+import ast, duckdb, sys, json, os
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
+
+DAG_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "..", "deploy", "airflow_graft_dag.py")
+
+def check_dag(path=DAG_PATH):
+    """Parse-validate the orchestration DAG artifact: it must compile, carry
+    the expected dag_id/schedule, define the four task ids, and declare at
+    least one `>>` dependency edge. Returns True if valid (prints [dag-ok]),
+    False otherwise (prints [FAIL-dag])."""
+    try:
+        with open(path) as f:
+            tree = ast.parse(f.read(), filename=path)  # SyntaxError on broken DAG
+        dag_kw = {}
+        task_ids, edges = set(), 0
+        for node in ast.walk(tree):
+            if isinstance(node, ast.Call):
+                for kw in node.keywords:
+                    if kw.arg in ("dag_id", "schedule") and \
+                            isinstance(kw.value, ast.Constant):
+                        dag_kw[kw.arg] = kw.value.value
+                # task ids: first positional arg of the submit() helper, and
+                # any explicit task_id= keyword
+                if isinstance(node.func, ast.Name) and node.func.id == "submit" \
+                        and node.args and isinstance(node.args[0], ast.Constant):
+                    task_ids.add(node.args[0].value)
+                for kw in node.keywords:
+                    if kw.arg == "task_id" and isinstance(kw.value, ast.Constant):
+                        task_ids.add(kw.value.value)
+            if isinstance(node, ast.BinOp) and isinstance(node.op, ast.RShift):
+                edges += 1
+        problems = []
+        if dag_kw.get("dag_id") != "graft_jira_etl":
+            problems.append(f"dag_id={dag_kw.get('dag_id')!r}")
+        if "schedule" not in dag_kw:
+            problems.append("no schedule")
+        expected = {"ingest_issues", "ingest_users", "ingest_worklogs",
+                    "refresh_marts"}
+        if not expected <= task_ids:
+            problems.append(f"missing tasks {sorted(expected - task_ids)}")
+        if edges == 0:
+            problems.append("no >> dependency edges")
+        if problems:
+            print(f"[FAIL-dag] {os.path.basename(path)}: {'; '.join(problems)}")
+            return False
+        print(f"[dag-ok] {os.path.basename(path)}: dag_id=graft_jira_etl "
+              f"schedule={dag_kw['schedule']!r} tasks={len(task_ids)} "
+              f"edges={edges}")
+        return True
+    except (OSError, SyntaxError) as e:
+        print(f"[FAIL-dag] {path}: {e}")
+        return False
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
@@ -22,6 +73,8 @@ def main(sf_dir, out_dir):
                    for d in os.listdir(out_dir)
                    if os.path.isdir(os.path.join(out_dir, d)))
     n_ok = n_bad = 0
+    if not check_dag():
+        n_bad += 1
     for name in names:
         d = (f"{out_dir}/{name}.parquet"
              if os.path.isdir(f"{out_dir}/{name}.parquet") else f"{out_dir}/{name}")
