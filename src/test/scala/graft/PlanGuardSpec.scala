@@ -124,4 +124,32 @@ class PlanGuardSpec extends SparkSpec {
         s"$q: no global sort may appear:\n$plan")
     }
   }
+
+  test("q118-q120 TPC-H showcases: broadcast dims, date predicates pushed") {
+    // the headline compositions must keep the 100 TB shape even as
+    // Catalyst/conf evolve: dims broadcast (never sort-merge or nested
+    // loop), and every date/segment predicate reaches its parquet scan —
+    // hashes staying green cannot certify these, only the plan can
+    val cases = Seq(
+      // (query, min broadcast joins, predicates that must be pushed)
+      ("q118_tpch_q3", 2, Seq(
+        "EqualTo(c_mktsegment,BUILDING)",
+        "LessThan(o_orderdate", "GreaterThan(l_shipdate")),
+      ("q119_tpch_q5", 3, Seq(
+        "EqualTo(r_name,ASIA)",
+        "GreaterThanOrEqual(o_orderdate", "LessThan(o_orderdate")),
+      ("q120_tpch_q10", 2, Seq(
+        "EqualTo(l_returnflag,R)",
+        "GreaterThanOrEqual(o_orderdate", "LessThan(o_orderdate")))
+    for ((q, minBc, pushed) <- cases) {
+      val p = finalPlan(q)
+      assert(count("BroadcastHashJoin", p) >= minBc,
+        s"$q: expected >= $minBc broadcast joins:\n$p")
+      assert(count("BroadcastNestedLoopJoin|CartesianProduct", p) === 0,
+        s"$q: no nested-loop/cartesian fallback allowed:\n$p")
+      for (pred <- pushed)
+        assert(p.contains(pred),
+          s"$q: predicate $pred must be pushed to the scan:\n$p")
+    }
+  }
 }
