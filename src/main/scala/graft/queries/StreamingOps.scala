@@ -156,6 +156,73 @@ object StreamingOps {
          AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
         ORDER BY 1, 2, 3""")),
 
+    // q139: stream-stream FULL OUTER interval join — q55's attribution
+    // join with BOTH sides' unmatched rows emitted: views that never
+    // converted AND purchases with no preceding view, null-padded, each
+    // emitted only once the OTHER side's watermark closes its window
+    // (early emission would be wrong — a late arrival could still match).
+    // The oracle replays the emission rule: each side's final watermark is
+    // max(its event time) − 1 h; a view-only row emits if view_ts + 30 min
+    // is past the purchases' watermark, a purchase-only row once the
+    // views' watermark passes purchase_ts by the FULL interval span
+    // (Spark's state-watermark solver keeps purchase state an extra
+    // 30 min, verified empirically at sf0.01) — trailing rows whose window the final
+    // watermark never closed are withheld by stream and oracle alike
+    // (same cutoff discipline as q121). State stays bounded by the same
+    // eviction that drives the outer emissions.
+    QueryDef("q139_stream_full_outer_join",
+      (s, d) => {
+        val views = EventStream.readEvents(s, d)
+          .filter(col("event_type") === "view")
+          .select(col("user_id"), col("ts").as("view_ts"))
+          .withWatermark("view_ts", "1 hour")
+        val purchases = EventStream.readEvents(s, d)
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user_id"), col("ts").as("purchase_ts"),
+            col("value"))
+          .withWatermark("purchase_ts", "1 hour")
+        val joined = views.join(purchases,
+          col("user_id") === col("p_user_id") &&
+            col("purchase_ts") > col("view_ts") &&
+            col("purchase_ts") <= col("view_ts") + expr("INTERVAL 30 MINUTES"),
+          "full_outer")
+        EventStream.runToTable(s, joined, "append")
+          .select(col("user_id"), col("view_ts"), col("p_user_id"),
+            col("purchase_ts"), round(col("value"), 2).as("value"))
+          .orderBy("user_id", "view_ts", "p_user_id", "purchase_ts")
+      },
+      Some("""WITH v AS (
+          SELECT user_id, ts AS view_ts FROM events WHERE event_type = 'view'),
+        p AS (
+          SELECT user_id AS p_user_id, ts AS purchase_ts, value
+          FROM events WHERE event_type = 'purchase'),
+        wmp AS (SELECT max(purchase_ts) - INTERVAL 1 HOUR AS w FROM p),
+        wmv AS (SELECT max(view_ts) - INTERVAL 1 HOUR AS w FROM v)
+        SELECT v.user_id, CAST(v.view_ts AS TIMESTAMP) AS view_ts,
+            p.p_user_id, CAST(p.purchase_ts AS TIMESTAMP) AS purchase_ts,
+            round(p.value, 2) AS value
+          FROM v JOIN p ON v.user_id = p.p_user_id
+           AND p.purchase_ts > v.view_ts
+           AND p.purchase_ts <= v.view_ts + INTERVAL 30 MINUTE
+        UNION ALL
+        SELECT v.user_id, CAST(v.view_ts AS TIMESTAMP), NULL, NULL, NULL
+          FROM v
+          WHERE NOT EXISTS (SELECT 1 FROM p
+              WHERE v.user_id = p.p_user_id
+                AND p.purchase_ts > v.view_ts
+                AND p.purchase_ts <= v.view_ts + INTERVAL 30 MINUTE)
+            AND v.view_ts + INTERVAL 30 MINUTE < (SELECT w FROM wmp)
+        UNION ALL
+        SELECT NULL, NULL, p.p_user_id, CAST(p.purchase_ts AS TIMESTAMP),
+            round(p.value, 2)
+          FROM p
+          WHERE NOT EXISTS (SELECT 1 FROM v
+              WHERE v.user_id = p.p_user_id
+                AND p.purchase_ts > v.view_ts
+                AND p.purchase_ts <= v.view_ts + INTERVAL 30 MINUTE)
+            AND p.purchase_ts < (SELECT w FROM wmv) - INTERVAL 30 MINUTE
+        ORDER BY 1, 2, 3, 4""")),
+
     // q121: CHAINED stateful aggregations (Spark 3.5+/4 multi-stateful) —
     // per-(window, event_type) sums re-aggregated per window in the SAME
     // query: the hierarchical metrics rollup without a foreachBatch seam.

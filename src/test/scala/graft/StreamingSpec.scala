@@ -189,6 +189,55 @@ class StreamingSpec extends SparkSpec {
       "unmatched row emits null-padded after its window closes")
   }
 
+  test("stream-stream FULL OUTER interval join: both sides' unmatched rows emit at watermark close") {
+    // the last join-emission mode: inner emits on match, and EACH side's
+    // unmatched rows emit null-padded once the watermark closes their
+    // window — a view with no click AND a click with no view both survive
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[(Timestamp, Long)]
+    val clicks = MemoryStream[(Timestamp, Long)]
+    val v = views.toDF().toDF("v_ts", "user_id").withWatermark("v_ts", "10 minutes")
+    val c = clicks.toDF().toDF("c_ts", "c_user").withWatermark("c_ts", "10 minutes")
+    val joined = v.join(c,
+      expr("user_id = c_user AND c_ts >= v_ts AND c_ts <= v_ts + interval 10 minutes"),
+      "full_outer")
+    val q = joined.writeStream.format("memory").queryName("ssfoj_test")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+
+    views.addData(
+      (ts("2024-01-01 10:00:00"), 1L),  // matches user 1's click
+      (ts("2024-01-01 10:00:00"), 2L))  // view-only -> left-unmatched
+    clicks.addData(
+      (ts("2024-01-01 10:05:00"), 1L),  // within window -> inner match
+      (ts("2024-01-01 10:05:00"), 3L))  // click-only -> right-unmatched
+    q.processAllAvailable()
+    // neither unmatched side may emit before the watermark closes its
+    // window — a late arrival could still complete either of them
+    assert(spark.table("ssfoj_test")
+      .filter("v_ts IS NULL OR c_ts IS NULL").count() === 0,
+      "no outer row may emit before the watermark closes its window")
+    // far-future activity on both streams advances both watermarks; the
+    // batch after the advance evicts state and emits BOTH outer rows
+    views.addData((ts("2024-01-01 12:00:00"), 9L))
+    clicks.addData((ts("2024-01-01 12:00:00"), 9L))
+    q.processAllAvailable()
+    views.addData((ts("2024-01-01 12:01:00"), 9L))
+    clicks.addData((ts("2024-01-01 12:01:00"), 9L))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("ssfoj_test")
+      .filter("user_id = 1 OR user_id = 2 OR c_user = 3 OR user_id IS NULL")
+      .collect()
+      .map(r => (Option(r.getTimestamp(0)).map(_ => r.getLong(1)),
+        Option(r.getTimestamp(2)).map(_ => r.getLong(3)))).toSet
+    assert(rows === Set(
+      (Some(1L), Some(1L)),  // inner match emitted on arrival
+      (Some(2L), None),      // view-only: left outer after close
+      (None, Some(3L))),     // click-only: right outer after close
+      "full outer must emit the match plus BOTH sides' unmatched rows")
+  }
+
   test("AvailableNow + checkpoint resumes where the last run stopped (ref S2 incremental)") {
     // the Spark-native form of the reference's resumable pagination
     // (issue_processor.py startAt bookkeeping): each run processes exactly
