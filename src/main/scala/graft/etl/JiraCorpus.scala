@@ -204,27 +204,30 @@ object JiraCorpus {
   // every query; parquet (not localCheckpoint) so the at-rest form is the
   // same partitioned columnar layout the engine's own sink produces, and
   // the read-back plan gets pushdown/pruning like any other table.
-  private val materialized = scala.collection.mutable.Map.empty[String, String]
+  // Memoized PER DIR (computeIfAbsent locks only that dir's entry): a
+  // concurrent first read of a different source dir materializes
+  // independently instead of queueing behind an unrelated multi-second
+  // synthesis.
+  private val materialized =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
 
   private def tableRoot(spark: SparkSession, dir: String): String =
-    synchronized {
-      materialized.getOrElseUpdate(dir, {
-        val base = java.nio.file.Files
-          .createTempDirectory("graft_jira_corpus")
-        // session-scoped scratch, not a published table: delete on JVM
-        // exit so repeated driver runs don't accumulate /tmp debris
-        sys.addShutdownHook {
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-          }
-          rm(base.toFile)
+    materialized.computeIfAbsent(dir, { _ =>
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_jira_corpus")
+      // session-scoped scratch, not a published table: delete on JVM
+      // exit so repeated driver runs don't accumulate /tmp debris
+      sys.addShutdownHook {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
         }
-        issuesRaw(spark, dir).write.parquet(s"$base/issues")
-        worklogsRaw(spark, dir).write.parquet(s"$base/worklogs")
-        usersRaw(spark, dir).write.parquet(s"$base/users")
-        base.toString
-      })
-    }
+        rm(base.toFile)
+      }
+      issuesRaw(spark, dir).write.parquet(s"$base/issues")
+      worklogsRaw(spark, dir).write.parquet(s"$base/worklogs")
+      usersRaw(spark, dir).write.parquet(s"$base/users")
+      base.toString
+    })
 
   /** Flattened issues table, materialized once per source dir. */
   def issues(spark: SparkSession, dir: String): DataFrame =

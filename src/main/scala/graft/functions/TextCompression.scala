@@ -19,19 +19,27 @@ import org.apache.spark.unsafe.types.UTF8String
   * SQL oracle) with a GoldenHashSpec content pin.
   */
 object CompressionOps {
+  // One Deflater per executor thread, reset() between rows: construction
+  // allocates native zlib state and was the dominant non-compression cost
+  // when paid per document. Thread-locals live for the executor thread's
+  // lifetime — bounded by thread count, reused across tasks.
+  private val localDeflater = new ThreadLocal[java.util.zip.Deflater] {
+    override def initialValue(): java.util.zip.Deflater =
+      new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION)
+  }
+
   /** zlib-DEFLATE byte length of `bytes` at the default level — called
     * from both interpreted eval and generated code.
     */
   def deflatedLength(bytes: Array[Byte]): Int = {
-    val d = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION)
-    try {
-      d.setInput(bytes)
-      d.finish()
-      val buf = new Array[Byte](8192)
-      var total = 0
-      while (!d.finished()) total += d.deflate(buf)
-      total
-    } finally d.end()
+    val d = localDeflater.get()
+    d.reset()
+    d.setInput(bytes)
+    d.finish()
+    val buf = new Array[Byte](8192)
+    var total = 0
+    while (!d.finished()) total += d.deflate(buf)
+    total
   }
 }
 

@@ -25,6 +25,27 @@ object TextOps {
 
   private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
 
+  /** q137's scoring, exposed for spec-level semantics: deflate the UTF-8
+    * text (codegen'd zlib Expression) and score ratio_micro =
+    * ⌊1e6·deflated/raw⌋; repetitive ⇔ ratio < 0.4. Empty text is a
+    * SEPARATE case, not maximal repetition: ratio and flag are NULL for
+    * n_bytes=0 (Gopher-style filters treat empties with a dedicated
+    * length gate, and ratio 0 would have tagged them repetitive=true).
+    */
+  def compressionRatio(s: SparkSession,
+      documents: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val dl = graft.functions.TextCompression.deflatedLen(s, col("text"))
+    documents.select(col("doc_id"),
+        octet_length(col("text")).cast("long").as("n_bytes"),
+        dl.cast("long").as("n_deflate"))
+      .withColumn("ratio_micro",
+        when(col("n_bytes") > 0,
+          expr("(1000000 * n_deflate) div n_bytes")).otherwise(lit(null)))
+      .withColumn("repetitive",
+        when(col("n_bytes") > 0, col("ratio_micro") < 400000L)
+          .otherwise(lit(null)))
+  }
+
   // Shared dedup index: q34, q77 and q85 all consume the exact-Jaccard
   // pair set — memoized per (session, sf dir) and persist()'d, the way a
   // real pipeline materializes its candidate-pair index. persist, NOT
@@ -1515,17 +1536,7 @@ object TextOps {
     // with constructed-case semantics in CompressionSpec. One map-side
     // pass; the only shuffle is the presentation orderBy.
     QueryDef("q137_compression_ratio",
-      (s, d) => {
-        val dl = graft.functions.TextCompression.deflatedLen(s, col("text"))
-        docs(s, d).select(col("doc_id"),
-            octet_length(col("text")).cast("long").as("n_bytes"),
-            dl.cast("long").as("n_deflate"))
-          .withColumn("ratio_micro",
-            when(col("n_bytes") > 0,
-              expr("(1000000 * n_deflate) div n_bytes")).otherwise(lit(0L)))
-          .withColumn("repetitive", col("ratio_micro") < 400000L)
-          .orderBy("doc_id")
-      },
+      (s, d) => compressionRatio(s, docs(s, d)).orderBy("doc_id"),
       None),
 
     // q138: curriculum construction — easy→hard staging by token count

@@ -45,4 +45,40 @@ class CompressionSpec extends SparkSpec {
       TextCompression.deflatedLen(spark, col("text")).as("n")).head()
     assert(r.isNullAt(0), "null text must yield null, not a crash")
   }
+
+  test("q137 semantics: empty text scores NULL, not repetitive") {
+    // zero-byte docs are a separate case — deflate's fixed header would
+    // otherwise make ratio 0 (or garbage) and flag empties as maximal
+    // repetition, which Gopher-style filters never do
+    val df = Seq((1L, ""), (2L, "spam ham " * 500)).toDF("doc_id", "text")
+    val rows = graft.queries.TextOps.compressionRatio(spark, df)
+      .orderBy("doc_id").collect()
+    assert(rows(0).isNullAt(rows(0).fieldIndex("ratio_micro")),
+      "empty doc: ratio must be NULL")
+    assert(rows(0).isNullAt(rows(0).fieldIndex("repetitive")),
+      "empty doc: flag must be NULL")
+    assert(rows(1).getBoolean(rows(1).fieldIndex("repetitive")),
+      "repetitive doc still flags true")
+  }
+
+  test("thread-local deflater resets between rows: per-row results independent") {
+    // the Deflater is reused per executor thread with reset() between
+    // rows — results must equal the fresh-instance computation for every
+    // row regardless of what the same thread compressed before
+    val texts = (1 to 200).map(i => (i.toLong, ("ab" * i) + s"unique$i"))
+    val df = texts.toDF("id", "text")
+    val got = df.select(col("id"),
+        TextCompression.deflatedLen(spark, col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    texts.foreach { case (i, t) =>
+      val fresh = new java.util.zip.Deflater(
+        java.util.zip.Deflater.DEFAULT_COMPRESSION)
+      fresh.setInput(t.getBytes("UTF-8")); fresh.finish()
+      val buf = new Array[Byte](8192)
+      var total = 0
+      while (!fresh.finished()) total += fresh.deflate(buf)
+      fresh.end()
+      assert(got(i) === total, s"row $i diverged from fresh-deflater result")
+    }
+  }
 }
