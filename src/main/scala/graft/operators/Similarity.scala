@@ -84,6 +84,34 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("id").as("neighbor_id"), col("cos"))
   }
 
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009) —
+    * the standard hybrid-retrieval combiner: each input ranking
+    * contributes 1/(rrfK + rank) per (query, doc), summed across
+    * rankings, fused top-k by score. Rank-based, so heterogeneous score
+    * scales (BM25 vs cosine vs quantized cosine) fuse without
+    * calibration; rrfK = 60 is the paper's constant. Deterministic given
+    * deterministic inputs: scores are rounded to 6 dp BEFORE ranking and
+    * ties break on neighbor_id, so the fused order is engine-portable
+    * (q140 hash-matches a full DuckDB oracle).
+    *
+    * Scale posture: inputs are already per-query top-k frames (bounded:
+    * Σ k_i candidates per query), so the fuse is one hash-agg plus a
+    * per-query window over ≤ Σ k_i rows — never touches the corpus.
+    * Inputs must carry (query_id, rank, neighbor_id).
+    */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int, rrfK: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking to fuse")
+    val tagged = rankings
+      .map(_.select(col("query_id"), col("rank"), col("neighbor_id")))
+      .reduce(_ unionByName _)
+    val scored = tagged.groupBy("query_id", "neighbor_id")
+      .agg(round(sum(lit(1.0) / (lit(rrfK) + col("rank"))), 6).as("rrf"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("rrf").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("rrf"))
+  }
+
   /** Int8-quantized brute-force cosine top-k — the compressed-domain
     * variant of [[bruteForceTopK]]: vectors are max-abs scalar-quantized
     * map-side ([[graft.functions.Int8Quantize]], one codegen'd pass) to

@@ -80,6 +80,18 @@ object TextOps {
   private val ivfPqIndexCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
 
+  // The IVF family's trained centroids (full-corpus Lloyd, 16×2 — the
+  // training inputs q38/q103/q126 have always shared), held once per
+  // (session, sf dir): q38's per-call cost becomes assignment + probed
+  // scan, and the q38 ≡ q103 pin identity is free because build and
+  // inline consume the SAME frame. Driver-sized local literal relation
+  // (see Similarity.kmeansCentroids).
+  private val ivfCentroidCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), org.apache.spark.sql.DataFrame]
+  private def ivfCentroids(s: SparkSession, d: String) =
+    ivfCentroidCache.getOrElseUpdate((s, d),
+      Similarity.kmeansCentroids(emb(s, d), "vec_id", "embedding", 16, 2))
+
   // The PQ family's trained model — (coarse centroids, codebook), both
   // learned on the deterministic id-mod-8 sample — held once per
   // (session, sf dir). Training is the OFFLINE step of the lifecycle
@@ -360,6 +372,72 @@ object TextOps {
           FROM p) t
         WHERE rn <= 10 ORDER BY query_id, rnk""")),
 
+    // q140: hybrid retrieval via reciprocal-rank fusion — the exact float
+    // ranking (q37's path) and the int8-quantized ranking (q99's path)
+    // each contribute their top-20 per query; RRF (1/(60+rank), Cormack
+    // SIGIR'09) fuses them into a final top-10. Rank-based fusion needs
+    // no score calibration across the two scales, and because both input
+    // rankings are deterministic the fused order is too — full DuckDB
+    // oracle replays both rankings and the fuse. At scale the inputs are
+    // any two ANN/term rankings (IVF-PQ + BM25 being the production pair);
+    // the fuse itself only ever sees Σk candidates per query.
+    QueryDef("q140_rrf_fusion",
+      (s, d) => {
+        val e = emb(s, d)
+        val isQ = col("vec_id") < 20
+        graft.operators.Similarity.rrfFuse(Seq(
+            graft.operators.Similarity.bruteForceTopK(e, "vec_id", "embedding", isQ, 20),
+            graft.operators.Similarity.quantizedTopK(e, "vec_id", "embedding", isQ, 20)),
+          k = 10)
+          .select(col("query_id"), col("rank").cast("int").as("rnk"),
+            col("neighbor_id"), col("rrf"))
+          .orderBy("query_id", "rnk")
+      },
+      Some("""WITH v AS (
+          SELECT vec_id, embedding,
+                 sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) nrm
+          FROM embeddings),
+        p AS (
+          SELECT q.vec_id query_id, n.vec_id neighbor_id,
+            round(list_sum(list_transform(generate_series(1, len(q.embedding)),
+                    i -> q.embedding[i]::DOUBLE * n.embedding[i]::DOUBLE))
+                  / (q.nrm * n.nrm), 6) cos
+          FROM v q JOIN v n ON n.vec_id != q.vec_id
+          WHERE q.vec_id < 20),
+        exact_r AS (
+          SELECT query_id, neighbor_id, rn FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY cos DESC, neighbor_id) rn FROM p) t
+          WHERE rn <= 20),
+        qv AS (
+          SELECT vec_id,
+            list_transform(embedding, x -> floor(x::DOUBLE * 127.0 / amax + 0.5)) q
+          FROM (SELECT vec_id, embedding,
+                  list_max(list_transform(embedding, x -> abs(x::DOUBLE))) amax
+                FROM embeddings)
+          WHERE amax > 0),
+        v2 AS (SELECT vec_id, q, sqrt(list_sum(list_transform(q, x -> x * x))) nrm FROM qv),
+        p2 AS (
+          SELECT a.vec_id query_id, n.vec_id neighbor_id,
+            round(list_sum(list_transform(generate_series(1, len(a.q)),
+                    i -> a.q[i] * n.q[i])) / (a.nrm * n.nrm), 6) qcos
+          FROM v2 a JOIN v2 n ON n.vec_id != a.vec_id
+          WHERE a.vec_id < 20),
+        quant_r AS (
+          SELECT query_id, neighbor_id, rn FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY qcos DESC, neighbor_id) rn FROM p2) t
+          WHERE rn <= 20),
+        u AS (SELECT * FROM exact_r UNION ALL SELECT * FROM quant_r),
+        f AS (
+          SELECT query_id, neighbor_id,
+            round(sum(1.0 / (60 + rn)), 6) rrf
+          FROM u GROUP BY query_id, neighbor_id)
+        SELECT query_id, CAST(rn AS INTEGER) rnk, neighbor_id, rrf FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY rrf DESC, neighbor_id) rn FROM f) t
+        WHERE rn <= 10 ORDER BY query_id, rnk""")),
+
     // q38: IVF approximate top-10 (16 k-means-trained centroids, probe 4)
     // — the ANN scale path: 2 Lloyd rounds refine the seed centroids, then
     // each query scans ~nProbe/nCentroids of the corpus. Approximate by
@@ -368,9 +446,11 @@ object TextOps {
     QueryDef("q38_ann_ivf",
       (s, d) => {
         val e = emb(s, d)
-        val cents = Similarity.kmeansCentroids(e, "vec_id", "embedding", 16, 2)
+        // centroids from the session model cache (identical values to
+        // training inline — same full-corpus Lloyd); per call this demo
+        // pays assignment + the probed-bucket scan
         Similarity.ivfTopKWith(e, "vec_id", "embedding",
-            col("vec_id") < 20, 10, 4, cents)
+            col("vec_id") < 20, 10, 4, ivfCentroids(s, d))
           .select(col("query_id"), col("rank").cast("int").as("rnk"),
             col("neighbor_id"), col("cos"))
           .orderBy("query_id", "rnk")
@@ -389,10 +469,9 @@ object TextOps {
     QueryDef("q103_ivf_indexed",
       (s, d) => {
         val path = ivfIndexCache.getOrElseUpdate((s, d), {
-          val e = emb(s, d)
-          val cents = Similarity.kmeansCentroids(e, "vec_id", "embedding", 16, 2)
           val p = java.nio.file.Files.createTempDirectory("graft_ivf_q103").toString
-          Similarity.buildIvfIndex(e, "vec_id", "embedding", cents, p)
+          Similarity.buildIvfIndex(emb(s, d), "vec_id", "embedding",
+            ivfCentroids(s, d), p)
           p
         })
         Similarity.ivfTopKIndexed(s, path, emb(s, d).filter(col("vec_id") < 20),
@@ -1300,11 +1379,9 @@ object TextOps {
     QueryDef("q126_filtered_ann",
       (s, d) => {
         val path = ivfMetaIndexCache.getOrElseUpdate((s, d), {
-          val e = emb(s, d)
-          val cents = Similarity.kmeansCentroids(e, "vec_id", "embedding", 16, 2)
           val p = java.nio.file.Files.createTempDirectory("graft_ivf_q126").toString
-          Similarity.buildIvfIndex(e, "vec_id", "embedding", cents, p,
-            metaCols = Seq("label"))
+          Similarity.buildIvfIndex(emb(s, d), "vec_id", "embedding",
+            ivfCentroids(s, d), p, metaCols = Seq("label"))
           p
         })
         Similarity.ivfTopKIndexed(s, path,

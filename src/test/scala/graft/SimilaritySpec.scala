@@ -379,4 +379,28 @@ class SimilaritySpec extends SparkSpec {
       .select("id").as[Long].collect().sorted.toSeq
     assert(kept === Seq(0L, 10L), "one lowest-id representative per semantic cluster")
   }
+
+  test("rrfFuse: hand-checkable fusion, ties on neighbor_id, scores exact") {
+    // ranking A: q1 -> [10, 11, 12]; ranking B: q1 -> [11, 13, 10]
+    // rrf(11) = 1/62 + 1/61, rrf(10) = 1/61 + 1/63, rrf(12) = 1/63,
+    // rrf(13) = 1/62 -> order 11, 10, 13, 12 (13 > 12: 1/62 > 1/63)
+    val a = Seq((1L, 1, 10L), (1L, 2, 11L), (1L, 3, 12L))
+      .toDF("query_id", "rank", "neighbor_id")
+    val b = Seq((1L, 1, 11L), (1L, 2, 13L), (1L, 3, 10L))
+      .toDF("query_id", "rank", "neighbor_id")
+    val fused = Similarity.rrfFuse(Seq(a, b), k = 4)
+      .orderBy("rank")
+      .collect().map(r => (r.getInt(r.fieldIndex("rank")),
+        r.getLong(r.fieldIndex("neighbor_id")),
+        r.getDouble(r.fieldIndex("rrf"))))
+    assert(fused.map(_._2).toSeq === Seq(11L, 10L, 13L, 12L))
+    def rrf(rs: Int*) = BigDecimal(rs.map(r => 1.0 / (60 + r)).sum)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(fused.map(_._3).toSeq === Seq(rrf(2, 1), rrf(1, 3), rrf(2), rrf(3)))
+    // a doc both rankings agree is #1 must fuse first even against a doc
+    // that is #2 in both (1/61+1/61 > 1/62+1/62)
+    val c = Seq((7L, 1, 100L), (7L, 2, 200L)).toDF("query_id", "rank", "neighbor_id")
+    val top = Similarity.rrfFuse(Seq(c, c), k = 1).head()
+    assert(top.getLong(top.fieldIndex("neighbor_id")) === 100L)
+  }
 }

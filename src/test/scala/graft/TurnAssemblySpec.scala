@@ -7,9 +7,14 @@ package graft
 class TurnAssemblySpec extends SparkSpec {
   import spark.implicits._
 
+  // fixtures sit on a real epoch base: the NANOS loader range-probes every
+  // value against plausible epoch-ns bounds (Tables.normalizeEventTs), so
+  // a 1970-relative synthetic timestamp is — by design — a loud failure
+  private val base = 1704067200L // 2024-01-01T00:00:00Z, seconds
+
   test("q133: gap splits sessions, ties order by event_id, signals hand-check") {
     val dir = java.nio.file.Files.createTempDirectory("graft_turns").toString
-    def ns(sec: Long) = sec * 1000000000L
+    def ns(sec: Long) = (base + sec) * 1000000000L
     // user 1: three events inside one session (two with TIED timestamps,
     // event_id must break the tie), then a 2000 s gap opens session 2;
     // user 2: one lone event
@@ -34,10 +39,11 @@ class TurnAssemblySpec extends SparkSpec {
 
   test("q133: an exactly-30-minute gap does NOT split; 30 min + 1 us does") {
     val dir = java.nio.file.Files.createTempDirectory("graft_turns_edge").toString
+    val b = base * 1000000000L
     Seq(
-      (1L, 0L, 1L, "view", 1.0, "{}"),
-      (2L, 1800L * 1000000000L, 1L, "click", 1.0, "{}"),
-      (3L, (3600L * 1000000000L) + 1000L, 1L, "view", 1.0, "{}"))
+      (1L, b, 1L, "view", 1.0, "{}"),
+      (2L, b + 1800L * 1000000000L, 1L, "click", 1.0, "{}"),
+      (3L, b + (3600L * 1000000000L) + 1000L, 1L, "view", 1.0, "{}"))
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .write.parquet(s"$dir/events.parquet")
     val out = SparkEntry.queries("q133_turn_assembly")(spark, dir)
