@@ -292,6 +292,29 @@ object TextOps {
         .orderBy("id_a", "id_b"),
       Some(OJaccardPairs)),
 
+    // q141: n-gram CONTAINMENT pairs — the asymmetric companion to q34's
+    // Jaccard: |sh(A)∩sh(B)|/|sh(A)| ≥ 0.8 emits (contained, container)
+    // DIRECTED (both directions of a mutual near-dup pass). Catches the
+    // quoted-small-doc-inside-aggregation-page class symmetric Jaccard
+    // structurally misses. Same inverted index, same Σdf² cost envelope
+    // (gold-standard path; LSH banding stays the scale path for search).
+    QueryDef("q141_ngram_containment",
+      (s, d) => Dedup.ngramContainment(docs(s, d), "doc_id", "text", 3, 0.8)
+        .orderBy("contained_id", "container_id"),
+      Some(s"""WITH toks AS (SELECT doc_id, $OToks t FROM documents),
+        sets AS (SELECT doc_id, $OShingles sh FROM toks WHERE len(t) >= 3),
+        inv AS (SELECT doc_id, len(sh) n, unnest(sh) shingle FROM sets),
+        pairs AS (
+          SELECT a.doc_id contained_id, b.doc_id container_id, a.n na,
+            count(*) inter
+          FROM inv a JOIN inv b
+            ON a.shingle = b.shingle AND a.doc_id != b.doc_id
+          GROUP BY 1, 2, 3)
+        SELECT contained_id, container_id,
+          round(inter / na, 4) AS containment
+        FROM pairs WHERE round(inter / na, 4) >= 0.8
+        ORDER BY contained_id, container_id""")),
+
     // q36: SimHash near-dup — 32-bit weighted sketch, hamming ≤ 1 pairs via
     // pigeonhole banding (2×16-bit blocks, perfect recall for ≤1).
     QueryDef("q36_simhash_pairs",

@@ -162,6 +162,34 @@ class DedupSpec extends SparkSpec {
     assert(out(2) === ((3L, 2L, 0L, 0L, 8L, words("solo", 8))))
   }
 
+  test("ngramContainment: quoted-small-in-big detected; Jaccard misses it") {
+    // doc 1 = 10 tokens, fully quoted inside doc 2's 100-token page plus
+    // 90 tokens of filler -> containment(1 in 2) = 1.0 while Jaccard is
+    // tiny; doc 3 is unrelated
+    val small = words("q", 10)
+    val corpus = Seq(
+      (1L, small),
+      (2L, s"$small ${words("filler", 90)}"),
+      (3L, words("other", 20))).toDF("doc_id", "text")
+    val cont = Dedup.ngramContainment(corpus, "doc_id", "text", 3, 0.8)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(cont.contains((1L, 2L, 1.0)), "quoted doc must be contained")
+    assert(!cont.exists(_._1 == 2L), "big page is NOT contained in the quote")
+    assert(!cont.exists(t => t._1 == 3L || t._2 == 3L))
+    val jac = Dedup.ngramJaccard(corpus, "doc_id", "text", 3, 0.6)
+      .as[(Long, Long, Double)].collect()
+    assert(!jac.exists(p => Set(p._1, p._2) == Set(1L, 2L)),
+      "symmetric Jaccard at 0.6 structurally misses the quotation pair")
+  }
+
+  test("ngramContainment: mutual near-dups emit both directions") {
+    val a = words("m", 12)
+    val corpus = Seq((1L, a), (2L, a)).toDF("doc_id", "text")
+    val cont = Dedup.ngramContainment(corpus, "doc_id", "text", 3, 0.8)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(cont === Set((1L, 2L, 1.0), (2L, 1L, 1.0)))
+  }
+
   test("spanScrub keeps intra-doc repetition (distinct-doc count, not occurrences)") {
     val rep = words("r", 4)
     val corpus = Seq((1L, s"$rep $rep ${words("u", 4)}")).toDF("doc_id", "text")
