@@ -640,16 +640,21 @@ object Similarity {
     * full sort of n·m·kCodes rows (measured 4× the whole query).
     * Output: (id, sub, sv, code, cv) of the winner.
     */
-  private def pqAssign(subs: DataFrame, cents: DataFrame): DataFrame =
+  private def pqAssign(subs: DataFrame, cents: DataFrame): DataFrame = {
+    // rank-1 window over the kCodes-way join: Spark 4 rewrites the rn=1
+    // filter into WindowGroupLimit — a bounded per-(id, sub) top-1 kept
+    // map-side before any exchange — where the previous max(struct(..))
+    // aggregation fell back to SortAggregate and sorted all n·m·kCodes
+    // rows twice (partial+final). Winner identical: max score, ties
+    // lowest code.
+    val w = Window.partitionBy(col("id"), col("sub"))
+      .orderBy(col("score").desc, col("code"))
     subs.join(broadcast(cents
         .withColumn("h", dot(col("cv"), col("cv")) / 2)), "sub")
       .withColumn("score", dot(col("sv"), col("cv")) - col("h"))
-      .groupBy("id", "sub")
-      .agg(max(struct(col("score"), (-col("code")).as("nc"), col("code"),
-        col("cv"))).as("w"),
-        first(col("sv")).as("sv")) // sv is constant within the group
-      .select(col("id"), col("sub"), col("sv"),
-        col("w.code").as("code"), col("w.cv").as("cv"))
+      .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+      .select(col("id"), col("sub"), col("sv"), col("code"), col("cv"))
+  }
 
   /** Train the PQ codebook: (sub, code, cv) — `m` euclidean k-means run
     * as ONE grouped Lloyd over all subspaces (a single exploded frame,
