@@ -38,6 +38,13 @@ import org.apache.spark.sql.types._
   * sequentially from one process): keys should be unique within `df` —
   * duplicate keys landing in different partitions apply in nondeterministic
   * order. Merge first ([[graft.operators.Upsert]]) when updates may repeat.
+  *
+  * Identifier case: statements are UNQUOTED, like the reference's —
+  * db_ops.py interpolates bare names — so the target table must use the
+  * database's default-case identifiers (the reference's hand-written
+  * `create_table` DDL does). A table created by Spark's JDBC writer has
+  * QUOTED lower-case columns and will not resolve; create serving tables
+  * with explicit DDL (IngestBench shows the pattern).
   */
 object JdbcUpsert {
 
@@ -177,7 +184,11 @@ object JdbcUpsert {
   /** Execute the dialect's upsert for every row of `df`, in place: the
     * target table is never dropped or truncated. One connection + prepared
     * statement per partition; rows travel in `executeBatch` groups of
-    * `batchSize`; one commit per partition.
+    * `batchSize`, committed per group — the reference's commit-per-page
+    * rhythm, and what keeps per-transaction lock counts bounded when many
+    * partitions write the same table concurrently (embedded Derby
+    * escalates to table locks past a few thousand row locks; Postgres/
+    * MySQL fare better but short transactions are still the right shape).
     */
   def upsertInPlace(df: DataFrame, url: String, table: String,
       props: Properties, uniqueColumn: String,
@@ -210,10 +221,17 @@ object JdbcUpsert {
               }
               ps.addBatch()
               pending += 1
-              if (pending >= batchSize) { ps.executeBatch(); pending = 0 }
+              if (pending >= batchSize) {
+                ps.executeBatch(); conn.commit(); pending = 0
+              }
             }
-            if (pending > 0) ps.executeBatch()
-            conn.commit()
+            if (pending > 0) { ps.executeBatch(); conn.commit() }
+          } catch {
+            case e: Throwable =>
+              // roll back the open group so close() cannot mask `e` with
+              // "transaction still active"
+              try conn.rollback() catch { case _: java.sql.SQLException => }
+              throw e
           } finally ps.close()
         } finally conn.close()
       }
