@@ -208,7 +208,7 @@ object Packing {
     * within-bucket ranks run partition-parallel. Input needs (id, keyCol);
     * output adds `pos`.
     */
-  private def twoPhaseRank(base: DataFrame, keyCol: String,
+  private[operators] def twoPhaseRank(base: DataFrame, keyCol: String,
       buckets: Int): DataFrame = {
     val bucketed = quantileBuckets(base, keyCol, buckets)
     // phase 1: per-bucket counts → running offsets (buckets rows, tiny)

@@ -315,6 +315,37 @@ object TextOps {
         FROM pairs WHERE round(inter / na, 4) >= 0.8
         ORDER BY contained_id, container_id""")),
 
+    // q142: sorted-neighborhood near-dup — the THIRD blocking family
+    // (deterministic windowed, Hernández–Stolfo SNM) next to q35's LSH
+    // and q34's inverted index: rank by text length (two-phase, no global
+    // window), verify exact Jaccard only within ±10 rank positions via a
+    // banded rank-block equi-join. O(n·w) candidates by construction;
+    // recall vs the exact path measured in DedupSpec. Fully deterministic
+    // ⇒ full DuckDB oracle replays rank, window and Jaccard.
+    QueryDef("q142_snm_pairs",
+      (s, d) => Dedup.snmPairs(docs(s, d), "doc_id", "text", 3, 10, 0.6)
+        .orderBy("id_a", "id_b"),
+      Some(s"""WITH toks AS (SELECT doc_id, $OToks t
+          FROM documents),
+        sets AS (SELECT doc_id, $OShingles sh FROM toks
+          WHERE len(t) >= 3),
+        rw AS (SELECT doc_id,
+            row_number() OVER (ORDER BY length(text), doc_id) - 1 AS pos
+          FROM documents),
+        cand AS (
+          SELECT a.doc_id ia, b.doc_id ib FROM rw a JOIN rw b
+          ON b.pos > a.pos AND b.pos <= a.pos + 10),
+        scored AS (
+          SELECT least(c.ia, c.ib) id_a, greatest(c.ia, c.ib) id_b,
+            round(len(list_intersect(x.sh, y.sh)) /
+              (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))),
+              4) AS jaccard
+          FROM cand c
+          JOIN sets x ON x.doc_id = c.ia
+          JOIN sets y ON y.doc_id = c.ib)
+        SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.6
+        ORDER BY id_a, id_b""")),
+
     // q36: SimHash near-dup — 32-bit weighted sketch, hamming ≤ 1 pairs via
     // pigeonhole banding (2×16-bit blocks, perfect recall for ≤1).
     QueryDef("q36_simhash_pairs",

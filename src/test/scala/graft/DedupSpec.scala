@@ -190,6 +190,44 @@ class DedupSpec extends SparkSpec {
     assert(cont === Set((1L, 2L, 1.0), (2L, 1L, 1.0)))
   }
 
+  test("snmPairs: adjacent-rank dups found, beyond-window pair missed by design") {
+    // 16 docs, ALL the same character length (20 four-char tokens), so the
+    // (len, id) rank order is exactly id order: doc 1 and doc 15 are true
+    // near-dups 14 rank positions apart (> window 10 -> MISSED, the
+    // documented SNM trade), docs 15/16 are identical and adjacent ->
+    // found. Fillers are token-disjoint.
+    def tok(p: String, i: Int) = f"$p$i%03d"
+    def doc(p: String) = (0 until 20).map(tok(p, _)).mkString(" ")
+    val base = doc("aa")
+    val variant = base.replace(tok("aa", 10), tok("zz", 10)) // same length
+    val rows = Seq((1L, base)) ++
+      (2L to 14L).map(i => (i, doc("b" + ('a' + i - 2).toChar))) ++ // 2-char prefixes: every doc same length
+      Seq((15L, variant), (16L, variant))
+    val corpus = rows.toDF("doc_id", "text")
+    val snm = Dedup.snmPairs(corpus, "doc_id", "text", 3, 10, 0.6)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(snm === Set((15L, 16L, 1.0)),
+      "only the adjacent pair is inside the window")
+    // the exact path sees all three true pairs — what SNM trades away
+    val exact = Dedup.ngramJaccard(corpus, "doc_id", "text", 3, 0.6)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2)).toSet
+    assert(exact === Set((1L, 15L), (1L, 16L), (15L, 16L)))
+  }
+
+  test("snmPairs is sound (subset of exact) with measured recall on real docs") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val snm = Dedup.snmPairs(docs, "doc_id", "text", 3, 10, 0.6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val exact = Dedup.ngramJaccard(docs, "doc_id", "text", 3, 0.6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(snm.subsetOf(exact), "every SNM pair is exactly verified")
+    assert(exact.nonEmpty)
+    val recall = snm.size.toDouble / exact.size
+    info(f"SNM recall vs exact at w=10: $recall%.3f (${snm.size}/${exact.size})")
+    assert(recall > 0.5,
+      f"length-sorted neighborhood should catch most near-dups, got $recall%.3f")
+  }
+
   test("spanScrub keeps intra-doc repetition (distinct-doc count, not occurrences)") {
     val rep = words("r", 4)
     val corpus = Seq((1L, s"$rep $rep ${words("u", 4)}")).toDF("doc_id", "text")
