@@ -16,7 +16,7 @@ object ScaleCheck {
     "q101_seq_packing", "q102_heavy_hitters", "q118_tpch_q3",
     "q119_tpch_q5", "q120_tpch_q10", "q137_compression_ratio",
     "q138_curriculum_order", "q139_stream_full_outer_join",
-    "q140_rrf_fusion")
+    "q140_rrf_fusion", "q142_snm_pairs")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")

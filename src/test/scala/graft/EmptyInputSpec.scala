@@ -31,6 +31,8 @@ class EmptyInputSpec extends SparkSpec {
     assert(Dedup.exact(emptyDocs, lower(col("text")), "doc_id").count() === 0)
     assert(Dedup.minHashLsh(emptyDocs, "doc_id", "text", 3, 0.6).count() === 0)
     assert(Dedup.ngramJaccard(emptyDocs, "doc_id", "text", 3, 0.6).count() === 0)
+    assert(Dedup.ngramContainment(emptyDocs, "doc_id", "text", 3, 0.8).count() === 0)
+    assert(Dedup.snmPairs(emptyDocs, "doc_id", "text", 3, 10, 0.6).count() === 0)
     assert(Dedup.simHashPairs(emptyDocs, "doc_id", "text", 3).count() === 0)
     assert(Dedup.spanScrub(emptyDocs, "doc_id", "text", 16).count() === 0)
     assert(Packing.chunk(emptyDocs, "doc_id", "text", 32, 8).count() === 0)
@@ -83,6 +85,10 @@ class EmptyInputSpec extends SparkSpec {
     // over a non-empty corpus
     assert(Similarity.bruteForceTopK(someVecs, "vec_id", "embedding",
       lit(false), 5).count() === 0)
+    // rank fusion over empty rankings: empty, not a throw
+    val emptyRanking = Seq.empty[(Long, Int, Long)]
+      .toDF("query_id", "rank", "neighbor_id")
+    assert(Similarity.rrfFuse(Seq(emptyRanking, emptyRanking), 5).count() === 0)
     // MMR: empty corpus and empty query set both yield empty, not a throw
     assert(Similarity.mmrRerank(emptyVecs, "vec_id", "embedding",
       col("vec_id") < 0, 3, 5, 0.5).count() === 0)
