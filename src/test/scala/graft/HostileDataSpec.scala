@@ -34,6 +34,20 @@ class HostileDataSpec extends SparkSpec {
     val scrubbed = Dedup.spanScrub(corpus, "doc_id", "text", 8)
     assert(scrubbed.agg(sum("kept_tokens")).as[Long].head() === 0L)
     assert(scrubbed.filter(col("clean_text") =!= "").count() === 0L)
+
+    // containment on identical docs is 1.0 in BOTH directions: n(n-1)
+    // directed rows — the output is inherently quadratic in the clone
+    // count, like any true-pair listing
+    val cont = Dedup.ngramContainment(corpus, "doc_id", "text", 3, 0.8)
+    assert(cont.count() === n.toLong * (n - 1))
+    assert(cont.agg(min("containment")).as[Double].head() === 1.0)
+
+    // identical docs all tie on the length key: every clone pair is within
+    // any window ≥ n, and at w = n the sorted neighborhood must list all
+    // true pairs exactly once
+    val snm = Dedup.snmPairs(corpus, "doc_id", "text", 3, n, 0.9)
+    assert(snm.count() === n.toLong * (n - 1) / 2)
+    assert(snm.agg(min("jaccard")).as[Double].head() === 1.0)
   }
 
   test("star graph (maximum-degree hub) and long path both converge to one component") {
