@@ -252,7 +252,7 @@ object ScaleCheck {
       "q94_lsh_forced", "q97_decontamination", "q97_probe_growth",
       "q112_bm25", "q113_vocab_oov", "q114_corpus_shuffle", "q122_pq_topk",
       "q124_bpe_merges", "q127_mmr_rerank", "q131_lm_fluency",
-      "q132_dsir_weights")
+      "q132_dsir_weights", "q140_rrf_fusion", "q142_snm_pairs")
     onlyQ.foreach { q => require(queries.contains(q),
       s"eq=$q matches no exponent query; valid: ${queries.mkString(", ")}") }
     for (k <- ks if !noReplicate) {
