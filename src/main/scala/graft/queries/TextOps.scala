@@ -346,6 +346,50 @@ object TextOps {
         SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.6
         ORDER BY id_a, id_b""")),
 
+    // q143: MULTI-PASS sorted-neighborhood near-dup — Hernández–Stolfo's
+    // actual algorithm (SIGMOD'95 §4 prescribes several runs with
+    // independent keys): q142's length pass UNIONed with a first-6-chars
+    // prefix-key pass before one shared exact-Jaccard verification. Each
+    // pass is the same O(n·w) banded rank-block construction; the second
+    // key closes the recall hole where an insertion shifts two near-dups'
+    // lengths beyond the window but leaves their openings equal (DedupSpec
+    // pins a constructed instance). Fully deterministic ⇒ the oracle
+    // replays both rankings, the candidate union, and the verification.
+    QueryDef("q143_snm_multipass",
+      (s, d) => Dedup.snmPairsMultiPass(docs(s, d), "doc_id", "text", 3, 10, 0.6)
+        .orderBy("id_a", "id_b"),
+      Some(s"""WITH toks AS (SELECT doc_id, $OToks t FROM documents),
+        sets AS (SELECT doc_id, $OShingles sh FROM toks WHERE len(t) >= 3),
+        pk AS (SELECT doc_id,
+            least(ascii(substr(rpad(text, 6, ' '), 1, 1)), 127) * 34359738368
+          + least(ascii(substr(rpad(text, 6, ' '), 2, 1)), 127) * 268435456
+          + least(ascii(substr(rpad(text, 6, ' '), 3, 1)), 127) * 2097152
+          + least(ascii(substr(rpad(text, 6, ' '), 4, 1)), 127) * 16384
+          + least(ascii(substr(rpad(text, 6, ' '), 5, 1)), 127) * 128
+          + least(ascii(substr(rpad(text, 6, ' '), 6, 1)), 127) AS k
+          FROM documents),
+        rw1 AS (SELECT doc_id,
+            row_number() OVER (ORDER BY length(text), doc_id) - 1 AS pos
+          FROM documents),
+        rw2 AS (SELECT doc_id,
+            row_number() OVER (ORDER BY k, doc_id) - 1 AS pos FROM pk),
+        cand AS (
+          SELECT least(a.doc_id, b.doc_id) ia, greatest(a.doc_id, b.doc_id) ib
+          FROM rw1 a JOIN rw1 b ON b.pos > a.pos AND b.pos <= a.pos + 10
+          UNION
+          SELECT least(a.doc_id, b.doc_id), greatest(a.doc_id, b.doc_id)
+          FROM rw2 a JOIN rw2 b ON b.pos > a.pos AND b.pos <= a.pos + 10),
+        scored AS (
+          SELECT c.ia id_a, c.ib id_b,
+            round(len(list_intersect(x.sh, y.sh)) /
+              (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))),
+              4) AS jaccard
+          FROM cand c
+          JOIN sets x ON x.doc_id = c.ia
+          JOIN sets y ON y.doc_id = c.ib)
+        SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.6
+        ORDER BY id_a, id_b""")),
+
     // q36: SimHash near-dup — 32-bit weighted sketch, hamming ≤ 1 pairs via
     // pigeonhole banding (2×16-bit blocks, perfect recall for ≤1).
     QueryDef("q36_simhash_pairs",

@@ -119,18 +119,77 @@ class DedupSpec extends SparkSpec {
       s"expected a bloom probe in the plan:\n$plan")
   }
 
-  test("incrementalNew self-protects: oversized filter delegates to exact join") {
+  test("incrementalNew self-protects: oversized filter goes sharded, same result") {
     val history = (0L until 50L).map(i => (i, s"h$i")).toDF("doc_id", "text")
     val batch = (50L until 100L).map(i => (i, if (i % 2 == 0) s"h${i - 50}" else s"b$i"))
       .toDF("doc_id", "text")
     val small = Dedup.incrementalNew(history, batch, col("text"), 50L)
       .select("doc_id").as[Long].collect().toSet
-    // a budget the optimal filter cannot fit -> plain anti-join, same result
-    val delegated = Dedup.incrementalNew(history, batch, col("text"),
+    // a budget one filter cannot fit -> the sharded path, same exact result
+    val sharded = Dedup.incrementalNew(history, batch, col("text"),
       expectedItems = 1L << 40, maxBloomBytes = 1024)
-    assert(delegated.select("doc_id").as[Long].collect().toSet === small)
-    assert(!delegated.queryExecution.executedPlan.toString
-      .toLowerCase.contains("bloommightcontain"))
+    assert(sharded.select("doc_id").as[Long].collect().toSet === small)
+    assert(!sharded.queryExecution.executedPlan.toString
+      .toLowerCase.contains("bloommightcontain"),
+      "the sharded path probes per-shard filters inside cogroup, not the " +
+        "single broadcast-expression filter")
+  }
+
+  test("sharded bloom prefilter is exact and its sure-new slice skips history") {
+    // 1000-key history forced into many shards by a 64-byte budget: the
+    // per-shard filters must behave exactly like the single filter —
+    // every true duplicate verified out, every fresh key admitted
+    val history = (0L until 1000L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val batch = (1000L until 1600L).map { i =>
+      (i, if (i % 3 == 0) s"doc ${i % 1000}" else s"new $i")
+    }.toDF("doc_id", "text")
+    val hFp = history.select(md5(lower(col("text"))).as("fingerprint"))
+    val bFp = batch.withColumn("fingerprint", md5(lower(col("text"))))
+    val (sureNew, verified) =
+      Dedup.incrementalNewSharded(hFp, bFp, shards = 16,
+        expectedItems = 1000L, fpp = 0.01)
+    val got = sureNew.unionByName(verified)
+      .select("doc_id").as[Long].collect().toSet
+    val expected = bFp
+      .join(hFp, Seq("fingerprint"), "left_anti")
+      .select("doc_id").as[Long].collect().toSet
+    assert(got === expected)
+    assert(!got.exists(_ % 3 == 0), "no history duplicate may slip through")
+    // the sharded switch is what incrementalNew takes at this budget
+    assert(Dedup.incrementalNew(history, batch, lower(col("text")),
+      expectedItems = 1000L, maxBloomBytes = 64)
+      .select("doc_id").as[Long].collect().toSet === expected)
+    // the guaranteed-new slice anti-joins the cogroup's maybe-set, NEVER
+    // the history relation: its only LeftAnti join must sit on top of the
+    // CoGroup subtree
+    val antiJoins = sureNew.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti => j
+    }
+    assert(antiJoins.size === 1, "sure-new pays exactly one anti-join")
+    val rightHasCoGroup = antiJoins.head.right.collectFirst {
+      case c: org.apache.spark.sql.catalyst.plans.logical.CoGroup => c
+    }.nonEmpty
+    assert(rightHasCoGroup,
+      "the anti-join's right side must be the per-shard bloom verdicts, " +
+        "not a second scan of history")
+  }
+
+  test("inverted-index counts join: shuffle strategy equals broadcast strategy") {
+    // broadcastDocLimit = 0 forces the un-hinted (shuffle/AQE) set-size
+    // joins; the default hints the broadcast — identical pairs either way
+    val docsSf = Tables.documents(spark, "/root/testdata/sf0.001")
+    val bc = Dedup.ngramJaccard(docsSf, "doc_id", "text", 3, 0.6)
+      .collect().map(_.toSeq).toSet
+    val sh = Dedup.ngramJaccard(docsSf, "doc_id", "text", 3, 0.6,
+      broadcastDocLimit = 0L).collect().map(_.toSeq).toSet
+    assert(bc === sh)
+    assert(bc.nonEmpty)
+    val cbc = Dedup.ngramContainment(docsSf, "doc_id", "text", 3, 0.8)
+      .collect().map(_.toSeq).toSet
+    val csh = Dedup.ngramContainment(docsSf, "doc_id", "text", 3, 0.8,
+      broadcastDocLimit = 0L).collect().map(_.toSeq).toSet
+    assert(cbc === csh)
   }
 
   test("incrementalNew with empty history admits the whole batch") {
@@ -212,6 +271,14 @@ class DedupSpec extends SparkSpec {
     val exact = Dedup.ngramJaccard(corpus, "doc_id", "text", 3, 0.6)
       .as[(Long, Long, Double)].collect().map(p => (p._1, p._2)).toSet
     assert(exact === Set((1L, 15L), (1L, 16L), (15L, 16L)))
+    // Hernández–Stolfo's fix: a second, independent sort key. Docs 1, 15
+    // and 16 share their first 6 characters ("aa000 ") while every filler
+    // starts "b…", so the prefix-key pass ranks the three adjacent and the
+    // multi-pass union recovers exactly the pairs the length pass missed.
+    val multi = Dedup.snmPairsMultiPass(corpus, "doc_id", "text", 3, 10, 0.6)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2)).toSet
+    assert(multi === exact,
+      "the prefix-key pass must close the constructed beyond-window miss")
   }
 
   test("snmPairs is sound (subset of exact) with measured recall on real docs") {
