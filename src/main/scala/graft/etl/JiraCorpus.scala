@@ -204,15 +204,15 @@ object JiraCorpus {
   // every query; parquet (not localCheckpoint) so the at-rest form is the
   // same partitioned columnar layout the engine's own sink produces, and
   // the read-back plan gets pushdown/pruning like any other table.
-  // Memoized PER DIR (computeIfAbsent locks only that dir's entry): a
-  // concurrent first read of a different source dir materializes
-  // independently instead of queueing behind an unrelated multi-second
-  // synthesis.
-  private val materialized =
-    new java.util.concurrent.ConcurrentHashMap[String, String]
-
-  private def tableRoot(spark: SparkSession, dir: String): String =
-    materialized.computeIfAbsent(dir, { _ =>
+  // Memoized PER DIR via a lazy wrapper: computeIfAbsent inserts only the
+  // cheap unevaluated Memo under the CHM bin lock, and the multi-second
+  // Spark materialization runs under the Memo's OWN monitor — so two
+  // different dirs materialize concurrently even when they hash to the
+  // same bin (running the synthesis inside the mapping function would
+  // serialize them, and long-blocking mapping functions are explicitly
+  // discouraged for CHM).
+  private final class Memo(spark: SparkSession, dir: String) {
+    lazy val value: String = {
       val base = java.nio.file.Files
         .createTempDirectory("graft_jira_corpus")
       // session-scoped scratch, not a published table: delete on JVM
@@ -227,7 +227,14 @@ object JiraCorpus {
       worklogsRaw(spark, dir).write.parquet(s"$base/worklogs")
       usersRaw(spark, dir).write.parquet(s"$base/users")
       base.toString
-    })
+    }
+  }
+
+  private val materialized =
+    new java.util.concurrent.ConcurrentHashMap[String, Memo]
+
+  private def tableRoot(spark: SparkSession, dir: String): String =
+    materialized.computeIfAbsent(dir, new Memo(spark, _)).value
 
   /** Flattened issues table, materialized once per source dir. */
   def issues(spark: SparkSession, dir: String): DataFrame =

@@ -720,8 +720,15 @@ object Similarity {
       codebook: DataFrame, mKnown: Int = -1, dKnown: Int = -1): DataFrame = {
     // mKnown/dKnown > 0 skip the three probe jobs (two head(1) + one agg)
     // when the caller already knows both — the per-call PQ demos thread
-    // them through so a single probe pays for the whole pipeline
-    if (mKnown <= 0 && (codebook.head(1).isEmpty || vecs.head(1).isEmpty))
+    // them through so a single probe pays for the whole pipeline. The
+    // empty-in→empty-out guard keys on whichever probe would otherwise
+    // run: with dKnown missing, the d-probe's head() would throw on an
+    // empty corpus, so emptiness must be answered first; with BOTH known,
+    // no driver action runs at all and an empty corpus flows through the
+    // lazy pipeline to an empty result (EmptyInputSpec covers this
+    // mKnown/dKnown path via pqTopKWith).
+    if ((mKnown <= 0 || dKnown <= 0) &&
+        (codebook.head(1).isEmpty || vecs.head(1).isEmpty))
       return vecs.select(col(idCol).cast("long").as("id"),
         array().cast("array<int>").as("codes"),
         transform(col(vecCol), _.cast("float")).as("decoded")).limit(0)

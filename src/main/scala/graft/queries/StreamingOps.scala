@@ -159,17 +159,24 @@ object StreamingOps {
     // q139: stream-stream FULL OUTER interval join — q55's attribution
     // join with BOTH sides' unmatched rows emitted: views that never
     // converted AND purchases with no preceding view, null-padded, each
-    // emitted only once the OTHER side's watermark closes its window
-    // (early emission would be wrong — a late arrival could still match).
-    // The oracle replays the emission rule: each side's final watermark is
-    // max(its event time) − 1 h; a view-only row emits if view_ts + 30 min
-    // is past the purchases' watermark, a purchase-only row once the
-    // views' watermark passes purchase_ts by the FULL interval span
-    // (Spark's state-watermark solver keeps purchase state an extra
-    // 30 min, verified empirically at sf0.01) — trailing rows whose window the final
-    // watermark never closed are withheld by stream and oracle alike
-    // (same cutoff discipline as q121). State stays bounded by the same
-    // eviction that drives the outer emissions.
+    // emitted only once the watermark closes its window (early emission
+    // would be wrong — a late arrival could still match). The oracle
+    // replays the emission rule with ONE GLOBAL watermark w =
+    // least(max view_ts, max purchase_ts) − 1 h — exactly Spark's
+    // multipleWatermarkPolicy=min default, which takes the MINIMUM across
+    // the two input streams (per-side watermarks would diverge from the
+    // stream on a corpus whose two event types end far apart): a
+    // view-only row emits once view_ts + 30 min < w (no purchase in its
+    // forward window can still arrive), a purchase-only row once
+    // purchase_ts <= w — the asymmetry falls straight out of the interval
+    // bounds: a purchase at t matches views in [t-30min, t), and views
+    // with event time >= w may still arrive, so purchase state must be
+    // held a full span longer than the naive w - 30 min (pinned
+    // empirically at sf0.01: the last emitted purchase-only row sits
+    // inside (w-30min, w], and nothing beyond w emits on either side) —
+    // trailing rows whose window w never closed are withheld by stream
+    // and oracle alike (same cutoff discipline as q121). State stays
+    // bounded by the same eviction that drives the outer emissions.
     QueryDef("q139_stream_full_outer_join",
       (s, d) => {
         val views = EventStream.readEvents(s, d)
@@ -196,8 +203,8 @@ object StreamingOps {
         p AS (
           SELECT user_id AS p_user_id, ts AS purchase_ts, value
           FROM events WHERE event_type = 'purchase'),
-        wmp AS (SELECT max(purchase_ts) - INTERVAL 1 HOUR AS w FROM p),
-        wmv AS (SELECT max(view_ts) - INTERVAL 1 HOUR AS w FROM v)
+        wm AS (SELECT least((SELECT max(view_ts) FROM v),
+            (SELECT max(purchase_ts) FROM p)) - INTERVAL 1 HOUR AS w)
         SELECT v.user_id, CAST(v.view_ts AS TIMESTAMP) AS view_ts,
             p.p_user_id, CAST(p.purchase_ts AS TIMESTAMP) AS purchase_ts,
             round(p.value, 2) AS value
@@ -211,7 +218,7 @@ object StreamingOps {
               WHERE v.user_id = p.p_user_id
                 AND p.purchase_ts > v.view_ts
                 AND p.purchase_ts <= v.view_ts + INTERVAL 30 MINUTE)
-            AND v.view_ts + INTERVAL 30 MINUTE < (SELECT w FROM wmp)
+            AND v.view_ts + INTERVAL 30 MINUTE < (SELECT w FROM wm)
         UNION ALL
         SELECT NULL, NULL, p.p_user_id, CAST(p.purchase_ts AS TIMESTAMP),
             round(p.value, 2)
@@ -220,7 +227,7 @@ object StreamingOps {
               WHERE v.user_id = p.p_user_id
                 AND p.purchase_ts > v.view_ts
                 AND p.purchase_ts <= v.view_ts + INTERVAL 30 MINUTE)
-            AND p.purchase_ts < (SELECT w FROM wmv) - INTERVAL 30 MINUTE
+            AND p.purchase_ts <= (SELECT w FROM wm)
         ORDER BY 1, 2, 3, 4""")),
 
     // q121: CHAINED stateful aggregations (Spark 3.5+/4 multi-stateful) —

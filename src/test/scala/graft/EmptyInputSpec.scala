@@ -81,6 +81,14 @@ class EmptyInputSpec extends SparkSpec {
       col("vec_id") < 0, 5, m = 2, kCodes = 4).count() === 0)
     assert(Similarity.pqEncode(emptyVecs, "vec_id", "embedding",
       Similarity.pqTrain(emptyVecs, "vec_id", "embedding", 2, 4)).count() === 0)
+    // the q122 serving shape: cached codebook + mKnown WITHOUT dKnown —
+    // the d-probe must not head() an empty corpus (regression guard for
+    // the mKnown>0 path that used to skip the emptiness check)
+    val cb = Similarity.pqTrain(someVecs, "vec_id", "embedding", 2, 2)
+    assert(Similarity.pqEncode(emptyVecs, "vec_id", "embedding", cb,
+      mKnown = 2).count() === 0)
+    assert(Similarity.pqTopKWith(emptyVecs, "vec_id", "embedding",
+      col("vec_id") < 0, 5, cb, refine = 10, mKnown = 2).count() === 0)
     // no queries at all: an empty query set yields an empty result even
     // over a non-empty corpus
     assert(Similarity.bruteForceTopK(someVecs, "vec_id", "embedding",
