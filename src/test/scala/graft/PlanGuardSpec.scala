@@ -111,6 +111,43 @@ class PlanGuardSpec extends SparkSpec {
       s"the corpus-side rank must be partitioned by bucket:\n$analyzed")
   }
 
+  test("q141 containment: one equi-join family, no nested loop, single pair-agg subtree") {
+    val p = finalPlan("q141_ngram_containment")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"the inverted-index self-join must stay an equi-join:\n$p")
+    // the directed emission is one explode over the aggregated pair row —
+    // a self-union would plan the shingle self-join twice and silently
+    // double the heaviest stage
+    assert("HashAggregate".r.findAllIn(p).size <= 6,
+      s"pair aggregation subtree must appear once (explode, not union):\n$p")
+    assert(p.contains("Generate explode"),
+      s"both directed rows must come from one explode pass:\n$p")
+  }
+
+  test("q142/q143 SNM: banded rank-block equi-joins only, candidates carry ids") {
+    for (q <- Seq("q142_snm_pairs", "q143_snm_multipass")) {
+      val p = finalPlan(q)
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"$q: the rank-block neighborhood join must stay an equi-join " +
+          s"(O(n·w) by construction):\n$p")
+      // no corpus-wide window: every row_number must be bucket-partitioned
+      // (the offsets frame over `buckets` rows aggregates, it does not window)
+      val df = SparkEntry.queries(q)(spark, dir)
+      val analyzed = df.queryExecution.optimizedPlan
+      val joins = analyzed.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join
+            if j.condition.exists(_.references.exists(_.name == "probe")) => j
+      }
+      assert(joins.nonEmpty, s"$q: expected the rank-block (probe) equi-join")
+      joins.foreach { j =>
+        val carried = (j.left.output ++ j.right.output).map(_.name).toSet
+        assert(!carried.contains("hs"),
+          s"$q: candidate generation must carry ids/ranks only — the hashed " +
+            s"shingle sets rejoin per surviving candidate, got $carried")
+      }
+    }
+  }
+
   test("q118/q120 TPC-H top-k: TakeOrderedAndProject, never a global sort") {
     for (q <- Seq("q118_tpch_q3", "q120_tpch_q10")) {
       val df = SparkEntry.queries(q)(spark, dir)
