@@ -84,6 +84,88 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("id").as("neighbor_id"), col("cos"))
   }
 
+  /** Hard-negative mining for contrastive training (the DPR/SimCSE
+    * recipe, Karpukhin et al. EMNLP 2020 §3.2): for each query row, the
+    * `k` most-similar rows with a DIFFERENT `labelCol` — the negatives
+    * close enough to the decision boundary to actually move a contrastive
+    * loss, where random negatives are mostly trivial. Exact brute-force
+    * formulation: the label inequality composes into the same
+    * query-broadcast blocked join as [[bruteForceTopK]] (the corpus
+    * streams map-side and never shuffles its vectors; only the tiny query
+    * set broadcasts), and the per-query top-k is the two-phase window. At
+    * 100 TB, swap the pair source for an indexed ANN candidate frame and
+    * post-filter labels — the candidates-then-filter composition the
+    * filtered-search path (q126) already exercises; this operator is the
+    * exact oracle that composition is measured against. Rows with a NULL
+    * label never pair (the inequality is null-rejecting on both sides) —
+    * an unlabeled vector is neither query nor negative.
+    */
+  def hardNegatives(vecs: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, isQuery: Column, k: Int): DataFrame = {
+    val corpus = vecs.select(col(idCol).as("id"), col(vecCol).as("v"),
+        col(labelCol).as("lbl"))
+      .withColumn("nrm", l2norm(col("v")))
+    val q = vecs.filter(isQuery)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        col(labelCol).as("qlbl"))
+      .withColumn("qn", l2norm(col("qv")))
+    val pairs = corpus.join(broadcast(q),
+        col("id") =!= col("query_id") && col("lbl") =!= col("qlbl"))
+      .withColumn("cos",
+        round(cosine(col("qv"), col("v"), col("qn"), col("nrm")), 6))
+      .select("query_id", "id", "cos")
+    twoPhaseTopK(pairs, k)
+  }
+
+  /** Johnson–Lindenstrauss random projection to `outDim` dimensions with a
+    * deterministic ±1/√outDim sign matrix (Achlioptas, JCSS 2003:
+    * database-friendly random projections — sign matrices carry the same
+    * JL distance-preservation guarantee as Gaussians at a fraction of the
+    * compute). The matrix is DERIVED, never stored: sign(j,i) = parity of
+    * the portable 32-bit md5 hash of "seed:j:i" — any engine (and the
+    * q145 oracle) regenerates it bit-identically, so a 100 TB re-run or a
+    * cross-system consumer needs no side model file, and two corpora
+    * projected with the same seed land in the same space.
+    *
+    * Execution: `outDim` codegen'd [[dot]] columns against literal sign
+    * vectors — map-side only, ZERO shuffle, left-to-right accumulation
+    * (the oracle replays the exact float→double order). This is the
+    * embedding-compression step before ANN/clustering: 64→16 dims is 4×
+    * less shuffle volume for every downstream pair join at a bounded
+    * cosine distortion (SimilaritySpec measures it on the real corpus).
+    * Output: (vec_id, dim, value) — one row per projected coordinate,
+    * rounded to 6 dp.
+    */
+  def randomProjection(vecs: DataFrame, idCol: String, vecCol: String,
+      outDim: Int, seed: String, dKnown: Int = -1): DataFrame = {
+    require(outDim > 0, "need a positive target dimension")
+    if (vecs.head(1).isEmpty)
+      return vecs.select(col(idCol).cast("long").as("vec_id"),
+        lit(0).as("dim"), lit(0.0).as("value")).limit(0)
+    val d = if (dKnown > 0) dKnown
+      else vecs.select(max(size(col(vecCol)))).head.getInt(0)
+    val scale = math.sqrt(outDim.toDouble)
+    val comps = (0 until outDim).map { j =>
+      val signs = Array.tabulate(d)(i =>
+        if (portableHash32(s"$seed:$j:$i") % 2 == 0) 1.0f else -1.0f)
+      struct(lit(j).as("dim"),
+        round(dot(col("v"), lit(signs)) / scale, 6).as("value"))
+    }
+    vecs.select(col(idCol).cast("long").as("vec_id"), col(vecCol).as("v"))
+      .select(col("vec_id"), explode(array(comps: _*)).as("c"))
+      .select(col("vec_id"), col("c.dim").as("dim"), col("c.value").as("value"))
+  }
+
+  /** Driver-side twin of [[graft.functions.TextFns.hash32]] (first 8 md5
+    * hex chars, base-16) — the same portable hash, computed in Scala for
+    * plan-literal derivation.
+    */
+  private def portableHash32(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    java.lang.Long.parseLong(
+      md.digest(s.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString, 16)
+  }
+
   /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009) —
     * the standard hybrid-retrieval combiner: each input ranking
     * contributes 1/(rrfK + rank) per (query, doc), summed across

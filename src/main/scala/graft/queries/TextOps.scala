@@ -390,6 +390,78 @@ object TextOps {
         SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.6
         ORDER BY id_a, id_b""")),
 
+    // q144: WINNOWING fingerprints (Schleimer–Wilkerson–Aiken SIGMOD'03,
+    // the MOSS algorithm) — hash positional word 3-grams, keep each
+    // 4-window's minimum (leftmost-min tie rule via the packed
+    // h·2²⁰+pos key): any shared passage ≥ w+k−1 tokens shares a selected
+    // fingerprint regardless of alignment, at ~2/(w+1) the postings of
+    // the full shingle index. One map-side explode + one per-doc window
+    // (both frames share the id shuffle) + distinct; fully deterministic
+    // ⇒ the oracle replays the packed-key window-min verbatim.
+    QueryDef("q144_winnowing",
+      (s, d) => Dedup.winnow(docs(s, d), "doc_id", "text", 3, 4)
+        .select(col("id").as("doc_id"), col("pos"), col("fp"))
+        .orderBy("doc_id", "pos", "fp"),
+      Some(s"""WITH toks AS (SELECT doc_id, $OToks t FROM documents),
+        g AS (SELECT doc_id, i - 1 AS pos,
+            ('0x' || substr(md5(array_to_string(t[i:i+2], ' ')), 1, 8))::BIGINT
+              * 1048576 + (i - 1) AS key
+          FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) i) s
+          WHERE len(t) >= 3),
+        w AS (SELECT doc_id, pos,
+            min(key) OVER (PARTITION BY doc_id ORDER BY pos
+              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) sel,
+            max(pos) OVER (PARTITION BY doc_id) mx
+          FROM g)
+        SELECT DISTINCT doc_id, sel % 1048576 AS pos, sel // 1048576 AS fp
+        FROM w WHERE pos >= 3 OR pos = mx
+        ORDER BY doc_id, pos, fp""")),
+
+    // q145: Johnson–Lindenstrauss random projection 64→16 dims with the
+    // seed-derived ±1/√16 sign matrix (Achlioptas 2003) — the embedding
+    // compression step before ANN/clustering: 4× less shuffle volume for
+    // every downstream pair join at bounded cosine distortion
+    // (SimilaritySpec measures the distortion on the real corpus). Matrix
+    // regenerated from md5 parity by both engines; map-side only, zero
+    // shuffle, left-to-right accumulation replayed by the oracle.
+    QueryDef("q145_random_projection",
+      (s, d) => Similarity.randomProjection(emb(s, d), "vec_id", "embedding",
+          16, "jl42", dKnown = 64)
+        .orderBy("vec_id", "dim"),
+      Some("""SELECT e.vec_id, CAST(j.j AS INTEGER) AS dim,
+          round(list_sum(list_transform(generate_series(1, len(e.embedding)),
+            i -> e.embedding[i]::DOUBLE *
+              (CASE WHEN ('0x' || substr(md5('jl42:' || j.j || ':' || (i - 1)), 1, 8))::BIGINT % 2 = 0
+                THEN 1.0 ELSE -1.0 END))) / sqrt(16), 6) AS value
+        FROM embeddings e, (SELECT unnest(generate_series(0, 15)) j) j
+        ORDER BY vec_id, dim""")),
+
+    // q146: hard-negative mining (DPR recipe) — for each query vector the
+    // top-10 most-similar vectors with a DIFFERENT label: the contrastive
+    // negatives near the decision boundary. Same query-broadcast blocked
+    // join + two-phase top-k as q37 with the label inequality composed in.
+    QueryDef("q146_hard_negatives",
+      (s, d) => Similarity.hardNegatives(emb(s, d), "vec_id", "embedding",
+          "label", col("vec_id") < 20, 10)
+        .select(col("query_id"), col("rank").cast("int").as("rnk"),
+          col("neighbor_id"), col("cos"))
+        .orderBy("query_id", "rnk"),
+      Some("""WITH v AS (
+          SELECT vec_id, embedding, label,
+                 sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) nrm
+          FROM embeddings),
+        p AS (
+          SELECT q.vec_id query_id, n.vec_id neighbor_id,
+            round(list_sum(list_transform(generate_series(1, len(q.embedding)),
+                    i -> q.embedding[i]::DOUBLE * n.embedding[i]::DOUBLE))
+                  / (q.nrm * n.nrm), 6) cos
+          FROM v q JOIN v n ON n.vec_id != q.vec_id AND n.label != q.label
+          WHERE q.vec_id < 20)
+        SELECT query_id, CAST(rn AS INTEGER) rnk, neighbor_id, cos FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) rn
+          FROM p) t
+        WHERE rn <= 10 ORDER BY query_id, rnk""")),
+
     // q36: SimHash near-dup — 32-bit weighted sketch, hamming ≤ 1 pairs via
     // pigeonhole banding (2×16-bit blocks, perfect recall for ≤1).
     QueryDef("q36_simhash_pairs",

@@ -295,6 +295,43 @@ class DedupSpec extends SparkSpec {
       f"length-sorted neighborhood should catch most near-dups, got $recall%.3f")
   }
 
+  test("winnow: a shared passage of w+k-1 tokens shares a fingerprint at ANY offset") {
+    // k=3, w=4 => guarantee length 6: the passage yields 4 full k-grams,
+    // so one whole window sits inside it in BOTH docs despite different
+    // offsets — the alignment-independence a fixed-stride fingerprint lacks
+    val pass = "alpha beta gamma delta epsilon zeta"
+    val corpus = Seq(
+      (1L, s"$pass one two three four"),
+      (2L, s"x1 y2 z3 $pass p q"),
+      (3L, "totally different words entirely over here right now")
+    ).toDF("doc_id", "text")
+    val sel = Dedup.winnow(corpus, "doc_id", "text", 3, 4)
+      .as[(Long, Long, Long)].collect()
+    def fps(id: Long) = sel.filter(_._1 == id).map(_._3).toSet
+    assert((fps(1L) & fps(2L)).nonEmpty,
+      "the shared passage must be fingerprinted in both documents")
+    assert((fps(1L) & fps(3L)).isEmpty && (fps(2L) & fps(3L)).isEmpty)
+  }
+
+  test("winnow: every window is covered; sub-window docs emit their global min") {
+    val doc = (1 to 30).map(i => s"t$i").mkString(" ") // 28 k-grams at k=3
+    val corpus = Seq((1L, doc), (2L, "a b c")).toDF("doc_id", "text")
+    val sel = Dedup.winnow(corpus, "doc_id", "text", 3, 4)
+      .as[(Long, Long, Long)].collect()
+    val pos1 = sel.filter(_._1 == 1L).map(_._2).toSet
+    // the SWA coverage invariant: each window of w=4 consecutive k-gram
+    // positions contains at least one selected position
+    (3 to 27).foreach { e =>
+      assert((e - 3 to e).exists(p => pos1.contains(p.toLong)),
+        s"window ending at $e has no selected fingerprint")
+    }
+    // density ~ 2/(w+1): far fewer than all 28 positions selected
+    assert(pos1.size < 28 && pos1.size >= 7)
+    // doc 2 has a single k-gram (< w): exactly its global min, never zero
+    val d2 = sel.filter(_._1 == 2L)
+    assert(d2.length === 1 && d2.head._2 === 0L)
+  }
+
   test("spanScrub keeps intra-doc repetition (distinct-doc count, not occurrences)") {
     val rep = words("r", 4)
     val corpus = Seq((1L, s"$rep $rep ${words("u", 4)}")).toDF("doc_id", "text")

@@ -34,6 +34,9 @@ class EmptyInputSpec extends SparkSpec {
     assert(Dedup.ngramContainment(emptyDocs, "doc_id", "text", 3, 0.8).count() === 0)
     assert(Dedup.snmPairs(emptyDocs, "doc_id", "text", 3, 10, 0.6).count() === 0)
     assert(Dedup.simHashPairs(emptyDocs, "doc_id", "text", 3).count() === 0)
+    assert(Dedup.winnow(emptyDocs, "doc_id", "text", 3, 4).count() === 0)
+    assert(Dedup.snmPairsMultiPass(emptyDocs, "doc_id", "text", 3, 10, 0.6)
+      .count() === 0)
     assert(Dedup.spanScrub(emptyDocs, "doc_id", "text", 16).count() === 0)
     assert(Packing.chunk(emptyDocs, "doc_id", "text", 32, 8).count() === 0)
     assert(Mixture.temperatureSampleSummary(
@@ -89,6 +92,12 @@ class EmptyInputSpec extends SparkSpec {
       mKnown = 2).count() === 0)
     assert(Similarity.pqTopKWith(emptyVecs, "vec_id", "embedding",
       col("vec_id") < 0, 5, cb, refine = 10, mKnown = 2).count() === 0)
+    val emptyLabeled = Seq.empty[(Long, Array[Float], Int)]
+      .toDF("vec_id", "embedding", "label")
+    assert(Similarity.hardNegatives(emptyLabeled, "vec_id", "embedding",
+      "label", col("vec_id") < 0, 5).count() === 0)
+    assert(Similarity.randomProjection(emptyVecs, "vec_id", "embedding",
+      16, "s").count() === 0)
     // no queries at all: an empty query set yields an empty result even
     // over a non-empty corpus
     assert(Similarity.bruteForceTopK(someVecs, "vec_id", "embedding",

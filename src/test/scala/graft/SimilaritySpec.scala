@@ -32,6 +32,77 @@ class SimilaritySpec extends SparkSpec {
     assert(out === 1.0)
   }
 
+  test("hard negatives: top-k by cosine among OTHER-label rows only") {
+    val vecs = Seq(
+      (0L, Array(1f, 0f), 1),    // query, label 1
+      (1L, Array(1f, 0f), 1),    // same label — excluded despite cos 1
+      (2L, Array(0.9f, 0.1f), 2), // the hardest admissible negative
+      (3L, Array(0f, 1f), 2),
+      (4L, Array(-1f, 0f), 3)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.hardNegatives(vecs, "vec_id", "embedding", "label",
+        col("vec_id") === 0L, 3)
+      .orderBy("rank").select("neighbor_id").as[Long].collect().toSeq
+    assert(out === Seq(2L, 3L, 4L),
+      "the same-label twin must not appear; order is by cosine")
+  }
+
+  test("hard negatives agree with label-filtered brute force on real embeddings") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val hn = Similarity.hardNegatives(emb, "vec_id", "embedding", "label",
+        col("vec_id") < 5, 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    // oracle by composition: brute-force over a corpus where each query's
+    // own-label rows are removed per query (emulated via a big-k ranking
+    // filtered by label)
+    val labels = emb.select("vec_id", "label").as[(Long, Int)].collect().toMap
+    val big = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        col("vec_id") < 5, 500)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    val expected = big
+      .filter { case (q, n) => labels(n) != labels(q) }
+      .groupBy(_._1).valuesIterator.flatMap(_.take(10)).toSet
+    assert(hn === expected)
+    hn.foreach { case (q, n) =>
+      assert(labels(n) != labels(q), "a hard negative must change the label")
+    }
+  }
+
+  test("JL random projection is deterministic in the seed and bounds cosine distortion") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val proj = Similarity.randomProjection(emb, "vec_id", "embedding",
+      16, "jl42", dKnown = 64)
+    val proj2 = Similarity.randomProjection(emb, "vec_id", "embedding",
+      16, "jl42", dKnown = 64)
+    assert(proj.collect().toSet === proj2.collect().toSet,
+      "same seed must regenerate the identical projection")
+    // distance preservation on real pairs: compare cosines in original vs
+    // projected space for the first 30 vectors — JL with 16 dims is noisy,
+    // so assert a loose mean-absolute bound, not per-pair closeness
+    def asVecs(p: org.apache.spark.sql.DataFrame) = p.groupBy("vec_id")
+      .agg(array_sort(collect_list(struct(col("dim"), col("value")))).as("p"))
+      .select(col("vec_id"),
+        transform(col("p"), x => x.getField("value").cast("float")).as("embedding"))
+      .filter(col("vec_id") < 30)
+    def cosines(df: org.apache.spark.sql.DataFrame): Map[(Long, Long), Double] =
+      Similarity.cosinePairs(df, "vec_id", "embedding", -1.0)
+        .select("id_a", "id_b", "cos").as[(Long, Long, Double)]
+        .collect().map(t => (t._1, t._2) -> t._3).toMap
+    val orig = cosines(emb.filter(col("vec_id") < 30))
+    def maeAt(outDim: Int): Double = {
+      val low = cosines(asVecs(Similarity.randomProjection(
+        emb, "vec_id", "embedding", outDim, "jl42", dKnown = 64)))
+      val errs = orig.keys.toSeq.map(k => math.abs(orig(k) - low(k)))
+      errs.sum / errs.size
+    }
+    // JL distortion scales as ~1/sqrt(outDim): bound the 16-dim error at
+    // its theoretical order and require 32 dims to strictly improve on it
+    val (mae16, mae32) = (maeAt(16), maeAt(32))
+    info(f"JL cosine MAE over ${orig.size} pairs: 64->16 $mae16%.4f, 64->32 $mae32%.4f")
+    assert(mae16 < 0.25, f"16-dim projection should sit near 1/sqrt(16), MAE $mae16%.4f")
+    assert(mae32 < mae16, "doubling the target dimension must shrink distortion")
+  }
+
   test("IVF ANN recall@10 >= 0.5 vs brute force on real embeddings (sf0.001)") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", col("vec_id") < 10, 10)
