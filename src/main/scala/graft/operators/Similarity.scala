@@ -385,9 +385,9 @@ object Similarity {
   // message, not a parquet read error. Format: line 1 = kind, one metadata
   // column name per following line (column names cannot contain newlines).
 
-  private def indexMetaPath(path: String) = new Path(s"$path/_graft_index")
+  private[operators] def indexMetaPath(path: String) = new Path(s"$path/_graft_index")
 
-  private def writeIndexMeta(spark: org.apache.spark.sql.SparkSession,
+  private[operators] def writeIndexMeta(spark: org.apache.spark.sql.SparkSession,
       path: String, kind: String, metaCols: Seq[String]): Unit = {
     val p = indexMetaPath(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -397,13 +397,13 @@ object Similarity {
     finally out.close()
   }
 
-  private def readIndexMeta(spark: org.apache.spark.sql.SparkSession,
+  private[operators] def readIndexMeta(spark: org.apache.spark.sql.SparkSession,
       path: String, expectKinds: String*): Seq[String] = {
     val p = indexMetaPath(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(p),
-      s"no graft vector index at $path (missing ${p.getName}) — build one " +
-        "with buildIvfIndex/buildPqIndex before appending or probing")
+      s"no graft index at $path (missing ${p.getName}) — build one with " +
+        "buildIvfIndex/buildPqIndex/buildLshIndex before appending or probing")
     val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
     val in = fs.open(p)
     try in.readFully(0, buf) finally in.close()

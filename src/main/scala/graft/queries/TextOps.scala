@@ -67,6 +67,11 @@ object TextOps {
   private val ivfIndexCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
 
+  // q147's saved MinHash-LSH near-dup index over the corpus slice — same
+  // build-once lifecycle; later calls are pure batch probes.
+  private val lshIndexCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
   // q126's metadata-carrying IVF index (label materialized for filtered
   // search) — same build-once lifecycle, separate table: a production
   // deployment decides at BUILD time which predicate columns the index
@@ -461,6 +466,42 @@ object TextOps {
           SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) rn
           FROM p) t
         WHERE rn <= 10 ORDER BY query_id, rnk""")),
+
+    // q147: INDEXED incremental near-dup — the at-rest MinHash-LSH index
+    // lifecycle (build once on the standing corpus / probe each ingest
+    // batch), the near-dup sibling of q105's exact incremental dedup and
+    // of the q103/q130 vector-index lifecycles: at 100 TB the corpus
+    // cannot re-sign itself per batch, so band postings + shingle sets
+    // live as partitioned parquet and only the batch signs itself.
+    // Corpus = doc_id % 5 != 0 (indexed once per session), batch = the
+    // rest. Full oracle: the exact cross-slice inverted-index Jaccard —
+    // the same shared-oracle argument as q35 (banding recall ≈ 1 at the
+    // corpus's planted similarities; no pairs sit near the threshold).
+    QueryDef("q147_lsh_indexed_neardup",
+      (s, d) => {
+        val path = lshIndexCache.getOrElseUpdate((s, d), {
+          val p = java.nio.file.Files.createTempDirectory("graft_lsh_q147").toString
+          Dedup.buildLshIndex(docs(s, d).filter(col("doc_id") % 5 =!= 0),
+            "doc_id", "text", 3, p)
+          p
+        })
+        Dedup.lshIndexedPairs(s, path,
+            docs(s, d).filter(col("doc_id") % 5 === 0), "doc_id", "text", 0.6)
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, $OToks t FROM documents),
+        sets AS (SELECT doc_id, $OShingles sh FROM toks WHERE len(t) >= 3),
+        inv_a AS (SELECT doc_id, len(sh) n, unnest(sh) shingle FROM sets
+          WHERE doc_id % 5 = 0),
+        inv_b AS (SELECT doc_id, len(sh) n, unnest(sh) shingle FROM sets
+          WHERE doc_id % 5 != 0),
+        pairs AS (
+          SELECT a.doc_id id_a, b.doc_id id_b, a.n na, b.n nb, count(*) inter
+          FROM inv_a a JOIN inv_b b ON a.shingle = b.shingle
+          GROUP BY 1, 2, 3, 4)
+        SELECT id_a, id_b, round(inter / (na + nb - inter), 4) AS jaccard
+        FROM pairs WHERE round(inter / (na + nb - inter), 4) >= 0.6
+        ORDER BY id_a, id_b""")),
 
     // q36: SimHash near-dup — 32-bit weighted sketch, hamming ≤ 1 pairs via
     // pigeonhole banding (2×16-bit blocks, perfect recall for ≤1).
