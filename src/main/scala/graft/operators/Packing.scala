@@ -240,6 +240,36 @@ object Packing {
         .reduceOption(_ + _).getOrElse(lit(0L)))
   }
 
+  /** Per-GROUP contiguous 0-based rank of every row in (`keyCol`, id)
+    * order — the grouped generalization of [[twoPhaseRank]], for exact
+    * within-group order statistics WITHOUT a per-group window: a window
+    * partitioned by the group alone puts each group in ONE task, so a
+    * single skewed group (half the corpus from one source) serializes.
+    * Here the GLOBAL quantile cuts on `keyCol` bucket rows monotonically
+    * (equal keys never straddle), per-(group, bucket) counts roll into
+    * per-group running offsets in one groups×buckets-row window (tiny —
+    * that frame, not the corpus, is all the unpartitioned work), and
+    * within-(group, bucket) ranks run partition-parallel — a skewed group
+    * spreads over all `buckets` partitions. Input needs (`gCol`, id,
+    * `keyCol`); output adds `gpos` (rank within group) and `gn` (group
+    * size).
+    */
+  private[operators] def groupedTwoPhaseRank(base: DataFrame, gCol: String,
+      keyCol: String, buckets: Int): DataFrame = {
+    val bucketed = quantileBuckets(base, keyCol, buckets)
+    val offsets = bucketed.groupBy(gCol, "b").agg(count(lit(1)).as("bn"))
+      .withColumn("off", coalesce(sum(col("bn")).over(
+        Window.partitionBy(gCol).orderBy("b")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("gn", sum(col("bn")).over(Window.partitionBy(gCol)))
+      .select(col(gCol), col("b"), col("off"), col("gn"))
+    bucketed.join(broadcast(offsets), Seq(gCol, "b"))
+      .withColumn("gpos",
+        row_number().over(Window.partitionBy(gCol, "b").orderBy(keyCol, "id"))
+          .cast("long") - 1L + col("off"))
+      .drop("b", "off")
+  }
+
   /** Monotone-in-id bucket assignment over (id, n) rows: internal cut
     * points at ranks 1/buckets .. (buckets-1)/buckets from approxQuantile
     * (±0.1% rank error), then `b = #{cut points <= id}` — a codegen'd sum

@@ -61,4 +61,37 @@ object Sampling {
         greatest(col("weight").cast("double"),
           coalesce(col("tau"), lit(0.0))).as("est_weight"))
   }
+
+  /** Per-group percentile gate: keep each group's top half (upper `gpos`
+    * ranks) of `scoreCol` — threshold-free quality filtering across
+    * heterogeneous sources (the CCNet / RefinedWeb per-bucket discipline:
+    * one absolute score threshold tuned on web text would gut code or
+    * forum sources wholesale; ranking WITHIN each source keeps every
+    * source's own best). `keepPermille` sets the kept fraction in
+    * thousandths so the gate is pure integer arithmetic — exact and
+    * engine-portable, no float percentile to round.
+    *
+    * Scale posture: the within-group rank is [[Packing.groupedTwoPhaseRank]]
+    * — global score-quantile buckets + per-(group, bucket) offsets — so a
+    * skewed group (one source = half the corpus) spreads over all buckets
+    * instead of serializing in a per-group window partition. Output:
+    * (id, group, score, gpos, gn, kept) where kept ⇔ the row's rank sits
+    * in the group's top `keepPermille`/1000: (gn − gpos) · 1000 ≤
+    * keepPermille · gn.
+    */
+  def topFractionPerGroup(df: DataFrame, idCol: String, groupCol: String,
+      scoreCol: String, keepPermille: Int, buckets: Int = 32): DataFrame = {
+    require(keepPermille >= 0 && keepPermille <= 1000,
+      "keepPermille is a fraction in thousandths")
+    val base = df.select(col(idCol).cast("long").as("id"),
+      col(groupCol).as("grp"), col(scoreCol).cast("long").as("score"))
+    if (base.head(1).isEmpty)
+      return base.select(col("id"), col("grp"), col("score"),
+        lit(0L).as("gpos"), lit(0L).as("gn"), lit(false).as("kept")).limit(0)
+    Packing.groupedTwoPhaseRank(base, "grp", "score", buckets)
+      .withColumn("kept",
+        (col("gn") - col("gpos")) * 1000 <= lit(keepPermille) * col("gn"))
+      .select(col("id"), col("grp"), col("score"), col("gpos"), col("gn"),
+        col("kept"))
+  }
 }

@@ -503,6 +503,28 @@ object TextOps {
         FROM pairs WHERE round(inter / (na + nb - inter), 4) >= 0.6
         ORDER BY id_a, id_b""")),
 
+    // q148: per-source quality-percentile gate — keep each source's top
+    // 50% by score (n_chars as the deterministic stand-in; any scoring
+    // column plugs in): the CCNet/RefinedWeb per-bucket discipline where
+    // an absolute threshold tuned on one source would gut another. The
+    // within-source rank is the GROUPED two-phase rank (global score
+    // quantiles + per-(source, bucket) offsets) so one dominant source
+    // spreads over all buckets instead of serializing a per-source window
+    // partition. Pure integer keep rule ⇒ fully oracle-replayable.
+    QueryDef("q148_per_source_quality_gate",
+      (s, d) => graft.operators.Sampling.topFractionPerGroup(
+          docs(s, d), "doc_id", "source", "n_chars", 500)
+        .select(col("id").as("doc_id"), col("grp").as("source"),
+          col("score"), col("gpos"), col("gn"), col("kept"))
+        .orderBy("doc_id"),
+      Some("""WITH r AS (SELECT doc_id, source, n_chars,
+            row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) - 1 AS gpos,
+            count(*) OVER (PARTITION BY source) AS gn
+          FROM documents)
+        SELECT doc_id, source, n_chars AS score, gpos, gn,
+          (gn - gpos) * 1000 <= 500 * gn AS kept
+        FROM r ORDER BY doc_id""")),
+
     // q36: SimHash near-dup — 32-bit weighted sketch, hamming ≤ 1 pairs via
     // pigeonhole banding (2×16-bit blocks, perfect recall for ≤1).
     QueryDef("q36_simhash_pairs",

@@ -82,4 +82,42 @@ class SamplingSpec extends SparkSpec {
     // with this fixed salt it is deterministically in
     assert(out.contains(999L))
   }
+
+  test("grouped two-phase rank: per-group gate equals the single-window reference") {
+    // three sources, one HEAVILY skewed (80 of 100 rows) — the shape a
+    // per-source window partition would serialize; scores collide across
+    // and within groups to exercise the (score, id) tiebreak
+    val rows = (1L to 80L).map(i => (i, "web", (i % 9) * 10L)) ++
+      (81L to 92L).map(i => (i, "code", (i % 5) * 7L)) ++
+      (93L to 100L).map(i => (i, "forum", (i % 3) * 11L))
+    val docs = rows.toDF("doc_id", "source", "n_chars").repartition(5)
+    val out = Sampling.topFractionPerGroup(docs, "doc_id", "source", "n_chars", 500)
+      .select("id", "grp", "gpos", "gn", "kept")
+      .as[(Long, String, Long, Long, Boolean)].collect()
+    // reference: plain per-group sort in memory
+    val ref = rows.groupBy(_._2).flatMap { case (g, xs) =>
+      val sorted = xs.sortBy(t => (t._3, t._1))
+      sorted.zipWithIndex.map { case ((id, _, _), p) =>
+        (id, g, p.toLong, xs.size.toLong,
+          (xs.size - p) * 1000 <= 500 * xs.size)
+      }
+    }.toSet
+    assert(out.toSet === ref)
+    // keep counts are exactly floor(gn/2) per group
+    val keptBy = out.filter(_._5).groupBy(_._2).map { case (g, xs) => g -> xs.length }
+    assert(keptBy === Map("web" -> 40, "code" -> 6, "forum" -> 4))
+    // and the kept rows are the top scores of their group
+    out.groupBy(_._2).foreach { case (_, xs) =>
+      val keptMin = xs.filter(_._5).map(_._3).min
+      val dropMax = xs.filterNot(_._5).map(_._3).max
+      assert(dropMax < keptMin, "every kept rank must exceed every dropped rank")
+    }
+  }
+
+  test("per-group gate on empty input returns an empty frame with the schema") {
+    val empty = Seq.empty[(Long, String, Long)].toDF("doc_id", "source", "n_chars")
+    val out = Sampling.topFractionPerGroup(empty, "doc_id", "source", "n_chars", 500)
+    assert(out.count() === 0)
+    assert(out.columns.toSeq === Seq("id", "grp", "score", "gpos", "gn", "kept"))
+  }
 }
