@@ -156,6 +156,56 @@ object Similarity {
       .select(col("vec_id"), col("c.dim").as("dim"), col("c.value").as("value"))
   }
 
+  /** Per-query retrieval-evaluation metrics — the measurement half a
+    * retrieval pipeline needs beside its indexes (and the feedback loop
+    * that tunes nProbe/refine/banding): given a ranking (query_id, rank,
+    * neighbor_id) and a relevance set (query_id, doc_id), compute
+    * hits@k, recall@k (hits / n_rel), MRR@k (1 / first hit rank, 0 when
+    * no hit) and binary-gain nDCG@k per query.
+    *
+    * Scale posture: one equi-join of the top-k ranking against the
+    * relevance set (both bounded: k rows per query, n_rel per query) and
+    * one per-query aggregation — never touches the corpus the ranking
+    * came from. Float portability: DCG sums run left-to-right over the
+    * rank-sorted term array (an `aggregate` over `array_sort`, the same
+    * discipline as the cosine oracles), so a SQL oracle replays the
+    * accumulation order exactly; zero terms add exactly.
+    */
+  def retrievalMetrics(ranking: DataFrame, rels: DataFrame,
+      k: Int): DataFrame = {
+    require(k > 0, "need positive k")
+    val marked = ranking.filter(col("rank") <= k)
+      .join(rels.select(col("query_id"), col("doc_id").as("neighbor_id"))
+          .withColumn("rel", lit(1)),
+        Seq("query_id", "neighbor_id"), "left")
+      .withColumn("rel", coalesce(col("rel"), lit(0)))
+    val nRel = rels.groupBy("query_id").agg(count(lit(1)).as("n_rel"))
+    marked.groupBy("query_id").agg(
+        sum(col("rel")).as("hits"),
+        min(when(col("rel") === 1, col("rank"))).cast("int").as("first_hit"),
+        // (rank, term) structs sorted by rank ⇒ the DCG accumulation order
+        // is the rank order on both engines, not collect_list's partition
+        // order
+        array_sort(collect_list(struct(col("rank"),
+          (when(col("rel") === 1, lit(1.0) / log2(col("rank") + lit(1.0)))
+            .otherwise(lit(0.0))).as("term")))).as("tr"))
+      .join(nRel, Seq("query_id"), "left")
+      .withColumn("n_rel", coalesce(col("n_rel"), lit(0L)))
+      .withColumn("dcg", aggregate(col("tr"), lit(0.0),
+        (acc, x) => acc + x.getField("term")))
+      .withColumn("idcg", when(col("n_rel") > 0,
+        aggregate(sequence(lit(1), least(col("n_rel"), lit(k.toLong)).cast("int")),
+          lit(0.0), (acc, i) => acc + lit(1.0) / log2(i.cast("double") + lit(1.0))))
+        .otherwise(lit(0.0)))
+      .select(col("query_id"), col("n_rel"), col("hits"),
+        col("first_hit"),
+        when(col("n_rel") > 0,
+          round(col("hits").cast("double") / col("n_rel"), 6)).as("recall_at_k"),
+        when(col("first_hit").isNotNull,
+          round(lit(1.0) / col("first_hit"), 6)).otherwise(lit(0.0)).as("mrr"),
+        when(col("idcg") > 0.0, round(col("dcg") / col("idcg"), 6)).as("ndcg"))
+  }
+
   /** Driver-side twin of [[graft.functions.TextFns.hash32]] (first 8 md5
     * hex chars, base-16) — the same portable hash, computed in Scala for
     * plan-literal derivation.

@@ -525,6 +525,117 @@ object TextOps {
           (gn - gpos) * 1000 <= 500 * gn AS kept
         FROM r ORDER BY doc_id""")),
 
+    // q149: retrieval-evaluation metrics — recall@10, MRR@10 and
+    // binary-gain nDCG@10 per query over the q37 brute-force ranking,
+    // with same-label as the relevance proxy: the measurement loop that
+    // tunes every ANN knob (nProbe, refine, banding) lives IN the engine,
+    // not in a notebook. Bounded joins only (top-k × relevance set); DCG
+    // sums run left-to-right over rank-sorted term arrays so the oracle
+    // replays the float accumulation exactly.
+    QueryDef("q149_retrieval_metrics",
+      (s, d) => {
+        val e = emb(s, d)
+        val ranking = Similarity.bruteForceTopK(e, "vec_id", "embedding",
+          col("vec_id") < 20, 10)
+        val rels = e.as("q").join(e.as("n"),
+            col("q.label") === col("n.label") &&
+              col("q.vec_id") =!= col("n.vec_id"))
+          .filter(col("q.vec_id") < 20)
+          .select(col("q.vec_id").as("query_id"), col("n.vec_id").as("doc_id"))
+        Similarity.retrievalMetrics(ranking, rels, 10).orderBy("query_id")
+      },
+      Some("""WITH v AS (
+          SELECT vec_id, embedding, label,
+                 sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) nrm
+          FROM embeddings),
+        p AS (
+          SELECT q.vec_id query_id, n.vec_id neighbor_id,
+            round(list_sum(list_transform(generate_series(1, len(q.embedding)),
+                    i -> q.embedding[i]::DOUBLE * n.embedding[i]::DOUBLE))
+                  / (q.nrm * n.nrm), 6) cos
+          FROM v q JOIN v n ON n.vec_id != q.vec_id
+          WHERE q.vec_id < 20),
+        rk AS (SELECT query_id, neighbor_id, rn AS rank FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY cos DESC, neighbor_id) rn FROM p) t
+          WHERE rn <= 10),
+        rel AS (SELECT a.vec_id query_id, b.vec_id doc_id
+          FROM embeddings a JOIN embeddings b
+            ON a.label = b.label AND a.vec_id != b.vec_id
+          WHERE a.vec_id < 20),
+        nr AS (SELECT query_id, count(*) n_rel FROM rel GROUP BY 1),
+        hit AS (SELECT rk.query_id, rk.rank,
+            CASE WHEN rel.doc_id IS NOT NULL THEN 1 ELSE 0 END r
+          FROM rk LEFT JOIN rel
+            ON rk.query_id = rel.query_id AND rk.neighbor_id = rel.doc_id),
+        agg AS (SELECT query_id,
+            CAST(sum(r) AS BIGINT) hits,
+            CAST(min(CASE WHEN r = 1 THEN rank END) AS INTEGER) first_hit,
+            list_sum(list(CASE WHEN r = 1 THEN 1.0 / log2(rank + 1.0)
+              ELSE 0.0 END ORDER BY rank)) dcg
+          FROM hit GROUP BY 1)
+        SELECT a.query_id, coalesce(nr.n_rel, 0) AS n_rel, a.hits,
+          a.first_hit,
+          CASE WHEN coalesce(nr.n_rel, 0) > 0
+            THEN round(a.hits / nr.n_rel, 6) END AS recall_at_k,
+          CASE WHEN a.first_hit IS NULL THEN 0.0
+            ELSE round(1.0 / a.first_hit, 6) END AS mrr,
+          CASE WHEN coalesce(nr.n_rel, 0) > 0 THEN
+            round(a.dcg / list_sum(list_transform(
+              generate_series(1, least(nr.n_rel, 10)),
+              i -> 1.0 / log2(i + 1.0))), 6) END AS ndcg
+        FROM agg a LEFT JOIN nr ON a.query_id = nr.query_id
+        ORDER BY a.query_id""")),
+
+    // q150: LEAKAGE-PROOF train/val/test split — q75's hash split keyed on
+    // the near-dup CLUSTER representative instead of the document: two
+    // near-duplicate documents split independently leak eval content into
+    // training (the exact failure benchmark decontamination exists to
+    // catch after the fact); hashing the connected-component label sends
+    // every member of a dup cluster to the SAME side by construction.
+    // Composition of the shared pair index (q34/q77/q85's memoized exact
+    // pairs), star-contraction components, and the portable split hash;
+    // singletons key on their own id. Oracle replays clusters (recursive
+    // CTE) + split.
+    QueryDef("q150_leakage_proof_split",
+      (s, d) => {
+        val clusters = graft.operators.Components
+          .connectedComponents(jaccardPairs(s, d), "id_a", "id_b")
+          .withColumnRenamed("id", "doc_id")
+        val bucket = TextFns.hash32(
+          concat(lit("split:"), col("cluster"))) % 100
+        docs(s, d).join(clusters, Seq("doc_id"), "left")
+          .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))
+          .withColumn("split",
+            when(bucket < 80, "train").when(bucket < 90, "val")
+              .otherwise("test"))
+          .select(col("doc_id"), col("cluster"), col("split"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE
+          toks AS (SELECT doc_id, $OToks t FROM documents),
+          sets AS (SELECT doc_id, $OShingles sh FROM toks WHERE len(t) >= 3),
+          inv AS (SELECT doc_id, len(sh) n, unnest(sh) shingle FROM sets),
+          jp AS (
+            SELECT id_a, id_b FROM (
+              SELECT a.doc_id id_a, b.doc_id id_b, a.n na, b.n nb, count(*) inter
+              FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2, 3, 4) p
+            WHERE round(inter / (na + nb - inter), 4) >= 0.6),
+          edges AS (SELECT id_a s, id_b d FROM jp UNION ALL SELECT id_b, id_a FROM jp),
+          reach AS (
+            SELECT DISTINCT s AS id, s AS lbl FROM edges
+            UNION
+            SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.id),
+          cl AS (SELECT id AS doc_id, min(lbl) AS cluster FROM reach GROUP BY 1),
+          x AS (SELECT d.doc_id, coalesce(cl.cluster, d.doc_id) AS cluster
+            FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id)
+        SELECT doc_id, cluster,
+          CASE WHEN ('0x' || substr(md5('split:' || CAST(cluster AS VARCHAR)), 1, 8))::BIGINT % 100 < 80 THEN 'train'
+               WHEN ('0x' || substr(md5('split:' || CAST(cluster AS VARCHAR)), 1, 8))::BIGINT % 100 < 90 THEN 'val'
+               ELSE 'test' END AS split
+        FROM x ORDER BY doc_id""")),
+
     // q36: SimHash near-dup — 32-bit weighted sketch, hamming ≤ 1 pairs via
     // pigeonhole banding (2×16-bit blocks, perfect recall for ≤1).
     QueryDef("q36_simhash_pairs",

@@ -295,6 +295,22 @@ class DedupSpec extends SparkSpec {
       f"length-sorted neighborhood should catch most near-dups, got $recall%.3f")
   }
 
+  test("leakage-proof split: no near-dup pair ever straddles a split boundary") {
+    val d = "/root/testdata/sf0.001"
+    val split = SparkEntry.queries("q150_leakage_proof_split")(spark, d)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val pairs = Dedup.ngramJaccard(Tables.documents(spark, d),
+        "doc_id", "text", 3, 0.6)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(split(a) === split(b),
+        s"near-dups $a/$b landed in ${split(a)}/${split(b)} — eval leakage")
+    }
+    // and the split is still a split: all three sides populated
+    assert(split.values.toSet === Set("train", "val", "test"))
+  }
+
   test("winnow: a shared passage of w+k-1 tokens shares a fingerprint at ANY offset") {
     // k=3, w=4 => guarantee length 6: the passage yields 4 full k-grams,
     // so one whole window sits inside it in BOTH docs despite different

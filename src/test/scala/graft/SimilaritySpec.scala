@@ -103,6 +103,30 @@ class SimilaritySpec extends SparkSpec {
     assert(mae32 < mae16, "doubling the target dimension must shrink distortion")
   }
 
+  test("retrieval metrics: hand-checked recall, MRR and nDCG, including the no-hit query") {
+    val ranking = Seq((1L, 1, 10L), (1L, 2, 11L), (1L, 3, 12L), (2L, 1, 20L))
+      .toDF("query_id", "rank", "neighbor_id")
+    val rels = Seq((1L, 11L), (1L, 12L), (1L, 99L), (2L, 30L))
+      .toDF("query_id", "doc_id")
+    val out = Similarity.retrievalMetrics(ranking, rels, 10)
+      .orderBy("query_id").collect()
+    def lg2(x: Double) = math.log(x) / math.log(2)
+    // q1: hits at ranks 2 and 3 of 3 relevant -> recall 2/3, MRR 1/2,
+    // nDCG = (1/lg2(3) + 1/lg2(4)) / (1/lg2(2) + 1/lg2(3) + 1/lg2(4))
+    val q1 = out(0)
+    assert((q1.getLong(1), q1.getLong(2), q1.getInt(3)) === ((3L, 2L, 2)))
+    assert(q1.getDouble(4) === BigDecimal(2.0 / 3)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(q1.getDouble(5) === 0.5)
+    val ndcg = (1 / lg2(3) + 0.5) / (1 + 1 / lg2(3) + 0.5)
+    assert(math.abs(q1.getDouble(6) - ndcg) < 1e-6)
+    // q2: ranked but never hit -> recall 0, MRR 0, nDCG 0
+    val q2 = out(1)
+    assert((q2.getLong(1), q2.getLong(2)) === ((1L, 0L)))
+    assert(q2.isNullAt(3) && q2.getDouble(4) === 0.0 &&
+      q2.getDouble(5) === 0.0 && q2.getDouble(6) === 0.0)
+  }
+
   test("IVF ANN recall@10 >= 0.5 vs brute force on real embeddings (sf0.001)") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", col("vec_id") < 10, 10)
@@ -248,7 +272,7 @@ class SimilaritySpec extends SparkSpec {
       Similarity.ivfTopKIndexed(spark, empty, emb.limit(1),
         "vec_id", "embedding", 5, 2)
     }
-    assert(e2.getMessage.contains("no graft vector index"), e2.getMessage)
+    assert(e2.getMessage.contains("no graft index"), e2.getMessage)
     // an IVF index probed as IVF-PQ (or vice versa) is also a domain error
     val e3 = intercept[IllegalArgumentException] {
       Similarity.ivfPqTopKIndexed(spark, path, emb.limit(1),

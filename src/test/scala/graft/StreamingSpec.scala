@@ -522,4 +522,40 @@ class StreamingSpec extends SparkSpec {
     assert(probe(streamed) === probe(bulk),
       "stream-appended PQ index must probe exactly like a bulk rebuild")
   }
+
+  test("streaming index freshness: foreachBatch appends documents to the saved LSH index") {
+    // the third index kind gets the same serving composition as IVF and
+    // IVF-PQ: the near-dup index stays fresh as documents stream in (each
+    // micro-batch signs ONLY itself with the index's stored parameters),
+    // and a probe after the stream sees exactly what a bulk rebuild over
+    // the union would serve
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val streamed = java.nio.file.Files.createTempDirectory("graft_lsh_stream").toString
+    val bulk = java.nio.file.Files.createTempDirectory("graft_lsh_bulk").toString
+    graft.operators.Dedup.buildLshIndex(
+      docs.filter(col("doc_id") % 3 === 0), "doc_id", "text", 3, streamed)
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.operators.Dedup.appendToLshIndex(
+          spark, streamed, batch, "doc_id", "text")
+      }
+      .trigger(Trigger.ProcessingTime(0)).start()
+    val rest = docs.filter(col("doc_id") % 3 =!= 0)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val (day1, day2) = rest.partition(_._1 % 3 == 1)
+    mem.addData(day1.toSeq); q.processAllAvailable()
+    mem.addData(day2.toSeq); q.processAllAvailable()
+    q.stop()
+    graft.operators.Dedup.buildLshIndex(docs, "doc_id", "text", 3, bulk)
+    val probeBatch = docs.filter(col("doc_id") < 50)
+    def probe(path: String) = graft.operators.Dedup.lshIndexedPairs(
+        spark, path, probeBatch, "doc_id", "text", 0.6)
+      .collect().map(_.toSeq).toSet
+    assert(probe(streamed) === probe(bulk),
+      "stream-appended LSH index must probe exactly like a bulk rebuild")
+  }
 }
