@@ -700,6 +700,46 @@ object Similarity {
     Checkpoints.sealAndRelease(verified, withNorm)
   }
 
+  /** Embedding-space benchmark decontamination — the semantic sibling of
+    * [[Dedup.contamination]]'s n-gram check: flag every corpus vector whose
+    * cosine against ANY benchmark vector reaches `threshold`, with the
+    * best-matching benchmark id as evidence. Paraphrased eval leakage
+    * (reworded GSM8K problems, translated MMLU items) shares no 8-gram
+    * with its source but sits at high cosine; contamination audits run
+    * both checks and union the flags.
+    *
+    * Scale posture, same contract as the n-gram path: the benchmark side
+    * is SMALL by the operator's definition (eval suites are thousands of
+    * rows, the corpus is billions), so it is explicitly broadcast and the
+    * corpus streams through map-side — one scan, zero corpus shuffle,
+    * |corpus|·|bench| codegen'd dots. The per-corpus-vector argmax is a
+    * map-side-combinable `max_by` hash aggregation on the scan's own
+    * partitioning (no added exchange). At an eval-suite size where the
+    * broadcast no longer fits, delegate candidate generation to the LSH /
+    * IVF index paths (q94/q126) and keep this as their exact oracle.
+    *
+    * Output: one row per CONTAMINATED corpus vector —
+    * (id, bench_id, cos) with cos the max over the benchmark, rounded to
+    * 6 places (the cosine-oracle float discipline), ties on cos broken by
+    * lowest bench_id.
+    */
+  def semanticContamination(vecs: DataFrame, idCol: String, vecCol: String,
+      isBenchmark: Column, threshold: Double): DataFrame = {
+    val base = vecs.select(col(idCol).as("id"), col(vecCol).as("v"),
+      isBenchmark.as("isb")).withColumn("nrm", l2norm(col("v")))
+    val bench = base.filter(col("isb"))
+      .select(col("id").as("bench_id"), col("v").as("bv"),
+        col("nrm").as("bnrm"))
+    base.filter(!col("isb")).crossJoin(broadcast(bench))
+      .withColumn("cos",
+        round(cosine(col("v"), col("bv"), col("nrm"), col("bnrm")), 6))
+      .filter(col("cos") >= threshold)
+      .groupBy("id").agg(
+        max_by(col("bench_id"),
+          struct(col("cos"), (-col("bench_id")).as("nid"))).as("bench_id"),
+        max(col("cos")).as("cos"))
+  }
+
   /** SemDeDup-style semantic dedup (cluster-then-prune; Abbas et al. 2023,
     * arXiv:2303.09540): k-means the corpus into `k` semantic clusters,
     * then WITHIN each cluster drop every vector that has a higher-priority

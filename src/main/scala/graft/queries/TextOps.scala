@@ -1984,6 +1984,202 @@ object TextOps {
               FROM r)
         SELECT doc_id, n_toks, stage, h,
           CAST(row_number() OVER (ORDER BY stage, h, doc_id) - 1 AS BIGINT) AS pos
-        FROM s ORDER BY doc_id"""))
+        FROM s ORDER BY doc_id""")),
+
+    // q151: quality-aware dedup survivor selection — per near-dup cluster
+    // (the q34/q77/q150 shared pair index → connected components) keep the
+    // HIGHEST q31-quality member, ties to lowest id, instead of the
+    // arbitrary min-id survivor. The argmax is a map-side-combinable
+    // max_by hash agg (no per-cluster window), so an adversarial
+    // one-giant-cluster corpus cannot serialize one task.
+    QueryDef("q151_quality_survivors",
+      (s, d) => {
+        val t = TextFns.tokens(col("text"))
+        val nt = size(t).cast("long")
+        val nd = size(array_distinct(t)).cast("long")
+        val stops = size(filter(t, x => x.isin("the", "a"))).cast("long")
+        // q31's integer-portable composite quality (one exact division)
+        val quality = (lit(4000L) * nd + lit(3000L) * (nt - stops)
+          + lit(30L) * least(nt, lit(100L)) * nt).cast("double") /
+          (lit(10000L) * nt).cast("double")
+        val scored = docs(s, d).select(col("doc_id"), quality.as("quality"))
+        Dedup.survivorsByScore(jaccardPairs(s, d), scored, "doc_id", "quality")
+          .withColumnRenamed("score", "quality")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE
+          toks AS (SELECT doc_id, $OToks t FROM documents),
+          sets AS (SELECT doc_id, $OShingles sh FROM toks WHERE len(t) >= 3),
+          inv AS (SELECT doc_id, len(sh) n, unnest(sh) shingle FROM sets),
+          jp AS (
+            SELECT id_a, id_b FROM (
+              SELECT a.doc_id id_a, b.doc_id id_b, a.n na, b.n nb, count(*) inter
+              FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2, 3, 4) p
+            WHERE round(inter / (na + nb - inter), 4) >= 0.6),
+          edges AS (SELECT id_a s, id_b d FROM jp UNION ALL SELECT id_b, id_a FROM jp),
+          reach AS (
+            SELECT DISTINCT s AS id, s AS lbl FROM edges
+            UNION
+            SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.id),
+          cl AS (SELECT id AS doc_id, min(lbl) AS cluster FROM reach GROUP BY 1),
+          q AS (SELECT doc_id,
+              (4000*nd + 3000*(nt-st) + 30*least(nt,100)*nt)::DOUBLE
+                / (10000*nt)::DOUBLE AS quality
+            FROM (SELECT doc_id, len(t) nt, len(list_distinct(t)) nd,
+                    len(list_filter(t, x -> x IN ('the','a'))) st
+                  FROM toks) m),
+          x AS (SELECT q.doc_id, coalesce(cl.cluster, q.doc_id) AS cluster,
+                  q.quality
+                FROM q LEFT JOIN cl ON q.doc_id = cl.doc_id),
+          sv AS (SELECT cluster, doc_id AS survivor_id, n_members FROM (
+              SELECT cluster, doc_id,
+                count(*) OVER (PARTITION BY cluster) n_members,
+                row_number() OVER (PARTITION BY cluster
+                  ORDER BY quality DESC, doc_id) rn
+              FROM x) r WHERE rn = 1)
+        SELECT x.doc_id, x.cluster, x.quality, sv.survivor_id,
+          CAST(sv.n_members AS BIGINT) AS n_members,
+          x.doc_id = sv.survivor_id AS kept
+        FROM x JOIN sv USING (cluster) ORDER BY x.doc_id""")),
+
+    // q152: embedding-space benchmark decontamination — the semantic
+    // sibling of q97's n-gram check, catching paraphrased eval leakage no
+    // shared 8-gram reveals. Benchmark slice = vec_id ≡ 0 (mod 20),
+    // broadcast by the operator's small-eval-suite contract; the corpus
+    // streams map-side (zero corpus shuffle), per-vector argmax is a
+    // combinable max_by agg.
+    QueryDef("q152_semantic_decontamination",
+      (s, d) => Similarity.semanticContamination(emb(s, d), "vec_id",
+          "embedding", pmod(col("vec_id"), lit(20)) === 0, 0.35)
+        .select(col("id").as("vec_id"), col("bench_id"), col("cos"))
+        .orderBy("vec_id"),
+      Some("""WITH v AS (
+          SELECT vec_id, embedding,
+            sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) nrm
+          FROM embeddings),
+        b AS (SELECT vec_id bench_id, embedding be, nrm bnrm
+              FROM v WHERE vec_id % 20 = 0),
+        c AS (SELECT vec_id, embedding, nrm FROM v WHERE vec_id % 20 <> 0),
+        p AS (SELECT c.vec_id, b.bench_id,
+            round(list_sum(list_transform(generate_series(1, len(c.embedding)),
+              i -> c.embedding[i]::DOUBLE * b.be[i]::DOUBLE))
+              / (c.nrm * b.bnrm), 6) cos
+          FROM c CROSS JOIN b),
+        f AS (SELECT * FROM p WHERE cos >= 0.35)
+        SELECT vec_id, bench_id, cos FROM (
+          SELECT vec_id, bench_id, cos,
+            row_number() OVER (PARTITION BY vec_id
+              ORDER BY cos DESC, bench_id) rn
+          FROM f) r
+        WHERE rn = 1 ORDER BY vec_id""")),
+
+    // q153: epoch-replication mixture — stated per-language weights + a
+    // 200% token budget, capped at 3 epochs, yield integer per-document
+    // repeat counts (GPT-3/LLaMA's published epochs table as an operator).
+    // Up- AND down-samples, unlike q104's admission-only α-sampling.
+    // Integer-exact end to end; remainder admission is the two-phase
+    // bucketed prefix sum.
+    QueryDef("q153_epoch_mixture",
+      (s, d) => Mixture.epochMix(docs(s, d), "doc_id", "lang", "text",
+          Seq("en" -> 40L, "es" -> 15L, "de" -> 15L, "fr" -> 15L,
+            "zh" -> 15L), 2L, 1L, 3)
+        .select(col("id").as("doc_id"), col("grp").as("lang"),
+          col("n_toks"), col("full_epochs"), col("repeats"))
+        .orderBy("doc_id"),
+      Some(s"""WITH t AS (
+          SELECT doc_id, lang, CAST(len($OToks) AS BIGINT) n_toks
+          FROM documents),
+        m AS (SELECT lang, sum(n_toks) m FROM t GROUP BY 1),
+        w AS (SELECT * FROM (VALUES ('en', 40), ('es', 15), ('de', 15),
+               ('fr', 15), ('zh', 15)) wv(lang, wt)),
+        mw AS (SELECT m.lang, m.m, coalesce(w.wt, 0) w
+               FROM m LEFT JOIN w USING (lang)),
+        tot AS (SELECT sum(m) tot, sum(w) wsum FROM mw),
+        tg AS (SELECT lang, m, w,
+            CASE WHEN wsum = 0 THEN 0
+                 ELSE (w * ((tot * 2) // 1)) // wsum END target
+          FROM mw CROSS JOIN tot),
+        tg2 AS (SELECT lang, m,
+            CASE WHEN m = 0 THEN 0 ELSE least(target // m, 3) END fe,
+            CASE WHEN m = 0 THEN 0
+                 WHEN least(target // m, 3) < 3
+                   THEN target - least(target // m, 3) * m
+                 ELSE 0 END rem
+          FROM tg),
+        cum AS (SELECT doc_id, lang, n_toks,
+            sum(n_toks) OVER (PARTITION BY lang ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) ct
+          FROM t)
+        SELECT c.doc_id, c.lang, c.n_toks,
+          CAST(g.fe AS BIGINT) full_epochs,
+          CAST(g.fe + CASE WHEN c.ct <= g.rem THEN 1 ELSE 0 END AS BIGINT)
+            repeats
+        FROM cum c JOIN tg2 g USING (lang) ORDER BY c.doc_id""")),
+
+    // q154: PMI phrase mining — corpus-level collocation table (the
+    // word2phrase / tokenizer-seeding step). Ranking by the scaled PMI
+    // RATIO (log-free, fixed IEEE op order) keeps the score portable;
+    // min-support 5, top-50, TakeOrdered global top-k.
+    QueryDef("q154_pmi_phrases",
+      (s, d) => graft.operators.Collocations
+        .pmiPhrases(docs(s, d), "text", 5L, 50),
+      Some(s"""WITH toks AS (SELECT $OToks t FROM documents),
+        uni AS (SELECT w, count(*) c FROM (SELECT unnest(t) w FROM toks) u
+                GROUP BY 1),
+        ut AS (SELECT sum(c) nu FROM uni),
+        bg AS (SELECT t[i] w1, t[i + 1] w2 FROM (
+            SELECT t, unnest(generate_series(1, len(t) - 1)) i
+            FROM toks WHERE len(t) >= 2) z),
+        bc AS (SELECT w1, w2, count(*) cab FROM bg GROUP BY 1, 2),
+        bt AS (SELECT sum(cab) nb FROM bc),
+        j AS (SELECT bc.w1, bc.w2, bc.cab, a.c ca, b.c cb, nu, nb
+          FROM bc JOIN uni a ON bc.w1 = a.w JOIN uni b ON bc.w2 = b.w
+          CROSS JOIN ut CROSS JOIN bt
+          WHERE bc.cab >= 5)
+        SELECT w1, w2, cab, ca, cb,
+          CAST(floor(((cab::DOUBLE * nu::DOUBLE) / (ca::DOUBLE * cb::DOUBLE))
+            * (nu::DOUBLE / nb::DOUBLE) * 10000) AS BIGINT) pmi_scaled
+        FROM j
+        ORDER BY pmi_scaled DESC, w1, w2 LIMIT 50""")),
+
+    // q155: dataset profile card — the per-release statistics block, ONE
+    // full-scan aggregation for every metric (row count, dim distinct/null
+    // counts, integral measure min/max/sum/nulls) unpivoted to a fixed
+    // diffable (metric, value) card. Float sums are refused by the
+    // operator's portability contract; every value here is an
+    // exactly-representable integer in a double.
+    QueryDef("q155_profile_card",
+      (s, d) => graft.operators.Profile.card(docs(s, d),
+        Seq("lang", "source"), Seq("n_chars", "doc_id")),
+      Some("""WITH a AS (SELECT
+          count(*)::DOUBLE n_rows,
+          count(DISTINCT lang)::DOUBLE lang_distinct,
+          sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END)::DOUBLE lang_nulls,
+          count(DISTINCT source)::DOUBLE source_distinct,
+          sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END)::DOUBLE source_nulls,
+          min(n_chars)::DOUBLE n_chars_min,
+          max(n_chars)::DOUBLE n_chars_max,
+          sum(n_chars)::DOUBLE n_chars_sum,
+          sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END)::DOUBLE n_chars_nulls,
+          min(doc_id)::DOUBLE doc_id_min,
+          max(doc_id)::DOUBLE doc_id_max,
+          sum(doc_id)::DOUBLE doc_id_sum,
+          sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END)::DOUBLE doc_id_nulls
+        FROM documents)
+        SELECT 'n_rows' AS metric, n_rows AS "value" FROM a
+        UNION ALL SELECT 'lang_distinct', lang_distinct FROM a
+        UNION ALL SELECT 'lang_nulls', lang_nulls FROM a
+        UNION ALL SELECT 'source_distinct', source_distinct FROM a
+        UNION ALL SELECT 'source_nulls', source_nulls FROM a
+        UNION ALL SELECT 'n_chars_min', n_chars_min FROM a
+        UNION ALL SELECT 'n_chars_max', n_chars_max FROM a
+        UNION ALL SELECT 'n_chars_sum', n_chars_sum FROM a
+        UNION ALL SELECT 'n_chars_nulls', n_chars_nulls FROM a
+        UNION ALL SELECT 'doc_id_min', doc_id_min FROM a
+        UNION ALL SELECT 'doc_id_max', doc_id_max FROM a
+        UNION ALL SELECT 'doc_id_sum', doc_id_sum FROM a
+        UNION ALL SELECT 'doc_id_nulls', doc_id_nulls FROM a
+        ORDER BY metric"""))
   )
 }

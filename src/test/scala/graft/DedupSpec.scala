@@ -379,4 +379,35 @@ class DedupSpec extends SparkSpec {
       assert(drop + kept === n.toLong, s"token leak in doc $id")
     }
   }
+
+  test("survivorsByScore keeps the argmax-quality member, ties to lowest id") {
+    // cluster {1,2,3} via chained pairs; doc 2 scores highest -> survivor.
+    // cluster {5,6} ties on score -> lowest id 5 survives. 9 is a
+    // singleton (no pair) -> its own cluster, always kept.
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val scored = Seq(
+      (1L, 0.3), (2L, 0.9), (3L, 0.5),
+      (5L, 0.7), (6L, 0.7),
+      (9L, 0.1)).toDF("doc_id", "score")
+    val out = Dedup.survivorsByScore(pairs, scored, "doc_id", "score")
+      .select("doc_id", "cluster", "survivor_id", "n_members", "kept")
+      .as[(Long, Long, Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(out.toSeq === Seq(
+      (1L, 1L, 2L, 3L, false), (2L, 1L, 2L, 3L, true),
+      (3L, 1L, 2L, 3L, false),
+      (5L, 5L, 5L, 2L, true), (6L, 5L, 5L, 2L, false),
+      (9L, 9L, 9L, 1L, true)))
+    // exactly one survivor per cluster
+    val perCluster = out.groupBy(_._2).map { case (_, g) => g.count(_._5) }
+    assert(perCluster.forall(_ === 1))
+  }
+
+  test("survivorsByScore differs from min-id exactly when quality says so") {
+    // min-id dedup would keep 10; score-aware keeps the cleaner 11
+    val pairs = Seq((10L, 11L)).toDF("id_a", "id_b")
+    val scored = Seq((10L, 0.2), (11L, 0.8)).toDF("doc_id", "score")
+    val surv = Dedup.survivorsByScore(pairs, scored, "doc_id", "score")
+      .where(col("kept")).select("doc_id").as[Long].collect().toSeq
+    assert(surv === Seq(11L))
+  }
 }

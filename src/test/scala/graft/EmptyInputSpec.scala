@@ -43,6 +43,23 @@ class EmptyInputSpec extends SparkSpec {
       emptyDocs, "doc_id", "text", "text", 3, 10).count() === 0)
     assert(Sampling.prioritySample(
       emptyDocs.withColumn("w", lit(1L)), "doc_id", "w", 5).count() === 0)
+    assert(graft.operators.Collocations.pmiPhrases(emptyDocs, "text", 2, 10)
+      .count() === 0)
+    assert(Mixture.epochMix(emptyDocs, "doc_id", "text", "text",
+      Seq("x" -> 1L), 1, 1, 3).count() === 0)
+    // empty pair frame: every scored doc is its own singleton, all kept
+    val scored = someDocs.withColumn("sc", lit(1.0))
+    val sv = Dedup.survivorsByScore(
+      emptyDocs.select(col("doc_id").as("id_a"), col("doc_id").as("id_b")),
+      scored, "doc_id", "sc")
+    assert(sv.count() === 2 && sv.where(col("kept")).count() === 2)
+    // empty scores: nothing to select from
+    assert(Dedup.survivorsByScore(
+      someDocs.select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b")),
+      emptyDocs.withColumn("sc", lit(1.0)), "doc_id", "sc").count() === 0)
+    // profile card on empty input keeps its full fixed row set
+    assert(graft.operators.Profile.card(emptyDocs, Seq("text"), Seq("doc_id"))
+      .count() === 7)
   }
 
   test("asymmetric operators: one empty side behaves as identity/empty") {
@@ -66,6 +83,8 @@ class EmptyInputSpec extends SparkSpec {
   }
 
   test("similarity operators return empty results on an empty corpus") {
+    assert(Similarity.semanticContamination(emptyVecs, "vec_id", "embedding",
+      col("vec_id") === 0L, 0.5).count() === 0)
     assert(Similarity.bruteForceTopK(emptyVecs, "vec_id", "embedding",
       col("vec_id") < 0, 5).count() === 0)
     assert(Similarity.quantizedTopK(emptyVecs, "vec_id", "embedding",

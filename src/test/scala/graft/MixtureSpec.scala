@@ -77,4 +77,70 @@ class MixtureSpec extends SparkSpec {
       Seq("id", "grp", "n_toks", "cum_toks", "budget_toks"))
     assert(out.count() === 0)
   }
+
+  test("epochMix: full epochs + remainder admission, hand-computed") {
+    // masses: a=100 (10 docs x 10), b=100. weights a=3, b=2, wsum=5.
+    // B = (200*2) div 1 = 400. target_a = (3*400) div 5 = 240 -> full 2,
+    // rem 40 -> first 4 docs +1. target_b = 160 -> full 1, rem 60 ->
+    // first 6 docs +1.
+    val docs = (
+      (0L until 10L).map(i => doc(i, "a", 10)) ++
+        (10L until 20L).map(i => doc(i, "b", 10))).toDF("doc_id", "source", "text")
+    val out = Mixture.epochMix(docs, "doc_id", "source", "text",
+        Seq("a" -> 3L, "b" -> 2L), 2, 1, maxEpochs = 3)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4)))
+    assert(out.length === 20)
+    assert(out.take(4).forall { case (_, fe, rep) => fe === 2L && rep === 3L })
+    assert(out.slice(4, 10).forall { case (_, fe, rep) => fe === 2L && rep === 2L })
+    assert(out.slice(10, 16).forall { case (_, fe, rep) => fe === 1L && rep === 2L })
+    assert(out.slice(16, 20).forall { case (_, fe, rep) => fe === 1L && rep === 1L })
+    // total replicated tokens never exceed the per-group targets
+    assert(out.take(10).map(_._3 * 10).sum <= 240L)
+    assert(out.drop(10).map(_._3 * 10).sum <= 160L)
+  }
+
+  test("epochMix caps at maxEpochs and zeroes the remainder at the cap") {
+    // one tiny high-weight group: target far above maxEpochs * mass
+    val docs = (
+      (0L until 2L).map(i => doc(i, "tiny", 5)) ++
+        (10L until 110L).map(i => doc(i, "big", 10))).toDF("doc_id", "source", "text")
+    val out = Mixture.epochMix(docs, "doc_id", "source", "text",
+        Seq("tiny" -> 99L, "big" -> 1L), 1, 1, maxEpochs = 3)
+      .where(col("grp") === "tiny").collect()
+      .map(r => (r.getLong(3), r.getLong(4)))
+    // every tiny doc: exactly 3 full epochs, NO remainder admission
+    assert(out.forall(_ === ((3L, 3L))))
+  }
+
+  test("epochMix: unweighted groups are emitted with repeats 0") {
+    val docs = (
+      (0L until 5L).map(i => doc(i, "w", 10)) ++
+        (10L until 15L).map(i => doc(i, "nw", 10))).toDF("doc_id", "source", "text")
+    val out = Mixture.epochMix(docs, "doc_id", "source", "text",
+        Seq("w" -> 1L), 1, 1, maxEpochs = 3)
+    val nw = out.where(col("grp") === "nw")
+      .select("repeats").as[Long].collect()
+    assert(nw.length === 5 && nw.forall(_ === 0L),
+      "unweighted group present with zero repeats")
+    // the whole budget lands on the weighted group
+    assert(out.where(col("grp") === "w").count() === 5)
+  }
+
+  test("epochMix bucket-count independence and empty input") {
+    val docs = (
+      (0L until 50L).map(i => doc(i, "x", 7)) ++
+        (5000L until 5050L).map(i => doc(i, "y", 13))).toDF("doc_id", "source", "text")
+    val w = Seq("x" -> 2L, "y" -> 1L)
+    val r1 = Mixture.epochMix(docs, "doc_id", "source", "text", w, 3, 2, 4,
+      buckets = 1).orderBy("id").collect().toSeq
+    val r32 = Mixture.epochMix(docs, "doc_id", "source", "text", w, 3, 2, 4,
+      buckets = 32).orderBy("id").collect().toSeq
+    assert(r1 === r32)
+    val empty = Seq.empty[(Long, String, String)].toDF("doc_id", "source", "text")
+    val out = Mixture.epochMix(empty, "doc_id", "source", "text", w, 1, 1, 3)
+    assert(out.columns.toSeq ===
+      Seq("id", "grp", "n_toks", "full_epochs", "repeats"))
+    assert(out.count() === 0)
+  }
 }

@@ -189,4 +189,39 @@ class PlanGuardSpec extends SparkSpec {
           s"$q: predicate $pred must be pushed to the scan:\n$p")
     }
   }
+
+  test("q151 survivors: argmax is a hash agg, never a per-cluster window") {
+    val p = finalPlan("q151_quality_survivors")
+    assert(!p.contains("Window"),
+      s"survivor argmax must not plan a per-cluster window (skew trap):\n$p")
+    assert(count("BroadcastNestedLoopJoin|CartesianProduct", p) === 0, p)
+  }
+
+  test("q152 semantic decontamination: bench broadcast, corpus never shuffles") {
+    val p = finalPlan("q152_semantic_decontamination")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"bench side must broadcast (the operator's small-suite contract):\n$p")
+    // the only hash exchange allowed is the per-vector argmax agg (and it
+    // carries (id, bench_id, cos) rows, never embeddings)
+    assert(count("Exchange hashpartitioning", p) <= 1,
+      s"corpus embeddings must stream map-side, not shuffle:\n$p")
+  }
+
+  test("q154 PMI: top-k is TakeOrdered, never a global sort") {
+    val p = finalPlan("q154_pmi_phrases")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"global top-k must plan as TakeOrderedAndProject:\n$p")
+    assert(!"Sort \\[[^\\]]*\\], true,".r.findFirstIn(p).isDefined,
+      s"no global sort may appear:\n$p")
+    assert(count("CartesianProduct", p) === 0,
+      s"the totals joins must broadcast (1-row frames):\n$p")
+  }
+
+  test("q155 profile card: one scan, no join/union of per-metric passes") {
+    val p = finalPlan("q155_profile_card")
+    assert(count("FileScan|Scan parquet", p) <= 2, // Expand for countDistinct re-reads nothing
+      s"the card must ride one scan:\n$p")
+    assert(!p.contains("Join") && !p.contains("Union"),
+      s"no per-metric scan multiplication:\n$p")
+  }
 }

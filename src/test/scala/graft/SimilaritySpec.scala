@@ -498,4 +498,34 @@ class SimilaritySpec extends SparkSpec {
     val top = Similarity.rrfFuse(Seq(c, c), k = 1).head()
     assert(top.getLong(top.fieldIndex("neighbor_id")) === 100L)
   }
+
+  test("semanticContamination flags high-cosine corpus vecs with best bench id") {
+    def v(a: Float, b: Float, c: Float, d: Float) = Seq(a, b, c, d)
+    // benchmark: 0 (x-axis), 4 (y-axis). corpus: 1 = x (cos 1 vs bench 0),
+    // 2 = z (orthogonal to both -> clean), 3 = xy diagonal (cos .707107
+    // vs BOTH benchmarks -> tie broken to lowest bench id 0)
+    val vecs = Seq(
+      0L -> v(1, 0, 0, 0), 4L -> v(0, 1, 0, 0),
+      1L -> v(2, 0, 0, 0), 2L -> v(0, 0, 3, 0), 3L -> v(1, 1, 0, 0)
+    ).toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        col("embedding").cast("array<float>").as("embedding"))
+    val out = Similarity.semanticContamination(vecs, "vec_id", "embedding",
+        col("vec_id").isin(0L, 4L), 0.5)
+      .orderBy("id")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(out === Seq((1L, 0L, 1.0), (3L, 0L, 0.707107)))
+  }
+
+  test("semanticContamination: empty benchmark flags nothing; clean corpus empty") {
+    def v(a: Float, b: Float) = Seq(a, b)
+    val vecs = Seq(1L -> v(1, 0), 2L -> v(0, 1)).toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        col("embedding").cast("array<float>").as("embedding"))
+    assert(Similarity.semanticContamination(vecs, "vec_id", "embedding",
+      lit(false), 0.1).isEmpty)
+    // orthogonal corpus vs a benchmark: nothing reaches the threshold
+    assert(Similarity.semanticContamination(vecs, "vec_id", "embedding",
+      col("vec_id") === 1L, 0.5).isEmpty)
+  }
 }
