@@ -146,4 +146,84 @@ object Components {
       .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
     (labels, iters)
   }
+
+  /** Fixed-point weighted PageRank over a directed edge frame — link
+    * centrality, the graph family's ranking companion to
+    * [[connectedComponents]]'s clustering (Page, Brin, Motwani & Winograd
+    * 1999; damping d = `dampPct`/100, `iters` power-iteration rounds).
+    *
+    * All arithmetic is INTEGER fixed-point in micro-rank units
+    * (`unit` = 10⁶ per node of initial mass): per-edge contribution
+    * `(r_src div outW_src) · w_e`, dangling mass redistributed as
+    * `D div N` per node, update `r' = ((100−d)·unit) div 100 +
+    * (d·(inSum + D div N)) div 100`. Floating-point power iteration sums
+    * in engine-specific order — reductions are not associative in IEEE, so
+    * two engines (or two partitionings!) can disagree in the last ulp and
+    * a hash-gate flickers; fixed-point makes every operation exact and the
+    * result bit-identical anywhere, at the cost of truncation loss (mass
+    * Σr drifts below N·unit — deterministically). Production web-graph
+    * systems make the same trade for reproducibility.
+    *
+    * Overflow bounds, explicit: (r div outW)·w ≤ r (w ≤ outW by
+    * construction), and dampPct·(inSum + D div N) ≤ 100·N·unit — safe in
+    * a long for N ≤ 9·10¹⁰ nodes at the default unit.
+    *
+    * Scale posture: per round, ONE equi-join of ranks onto edges (shuffle
+    * on src) + one map-side-combined sum (shuffle on dst) + a node-sized
+    * left join; the dangling sum is a scalar aggregate. The edge frame is
+    * persisted across rounds; [[Checkpoints.cut]] per round stops plan
+    * growth. Rounds are O(iters) — fixed, not convergence-polled, so the
+    * job graph is static and the oracle can replay it as `iters` chained
+    * CTEs.
+    *
+    * Output: (id, rank) — rank in micro-units, integer, hash-exact.
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: Option[String], iters: Int, dampPct: Int = 85,
+      unit: Long = 1000000L): DataFrame = {
+    require(iters >= 1, "need at least one power-iteration round")
+    require(dampPct >= 0 && dampPct <= 100, "damping is a percentage")
+    val w = weightCol.map(c => col(c).cast("long")).getOrElse(lit(1L))
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+      w.as("w")).persist()
+    val nodes = Checkpoints.cut(
+      e.select(col("src").as("id")).union(e.select(col("dst").as("id")))
+        .distinct())
+    val n = nodes.count()
+    if (n == 0) {
+      e.unpersist()
+      return nodes.select(col("id"), lit(0L).as("rank"))
+    }
+    val outW = e.groupBy(col("src").as("id")).agg(sum("w").as("outw"))
+    // (id, outw|null): null outw marks a dangling node (no out-edges)
+    val base = Checkpoints.cut(nodes.join(outW, Seq("id"), "left"))
+    val teleport = (100 - dampPct) * unit / 100
+    var ranks = base.select(col("id"), col("outw"), lit(unit).as("rank"))
+    var round = 0
+    while (round < iters) {
+      val dangling = ranks.filter(col("outw").isNull)
+        .agg(coalesce(sum("rank"), lit(0L))).first().getLong(0)
+      val perNodeDangling = dangling / n
+      // `div`, never `/`: Column./ is DOUBLE division — correctly rounded
+      // but not integer-div semantics (a quotient landing on x.4999…9
+      // can round across the boundary) and lossy past 2⁵³
+      val contrib = e.join(ranks.select(col("id").as("src"),
+          expr("rank div outw").as("share")), "src")
+        .groupBy(col("dst").as("id"))
+        .agg(sum(col("share") * col("w")).as("insum"))
+      val next = Checkpoints.cut(base
+        .join(contrib, Seq("id"), "left")
+        .withColumn("gross",
+          lit(dampPct.toLong) * (coalesce(col("insum"), lit(0L)) +
+            lit(perNodeDangling)))
+        .select(col("id"), col("outw"),
+          (lit(teleport) + expr("gross div 100")).as("rank")))
+      if (round > 0) Checkpoints.release(ranks)
+      ranks = next
+      round += 1
+    }
+    val out = ranks.select("id", "rank")
+    e.unpersist()
+    Checkpoints.sealAndRelease(out, ranks, base, nodes)
+  }
 }

@@ -62,6 +62,47 @@ object Sampling {
           coalesce(col("tau"), lit(0.0))).as("est_weight"))
   }
 
+  /** Per-GROUP top-`k` priority sample — [[prioritySample]] stratified by
+    * `groupCol`: each stratum (source, language, domain) draws its own
+    * independent DLT sample with its own threshold τ_g and unbiased
+    * per-stratum estimators. This is the curation shape mixture pipelines
+    * actually need — "k best-weighted docs per source" — where a single
+    * global sample would let one heavy-tailed source crowd out the rest.
+    *
+    * Scale posture: priorities are map-side column math; the per-group
+    * top-(k+1) is a rank window over (group × priority) that Spark prunes
+    * with WindowGroupLimit (per-partition per-group heaps of k+1 rows
+    * BEFORE the exchange — the q08/q114 pattern), so a giant stratum never
+    * materializes beyond k+1 rows per map task. τ_g is read off the
+    * (k+1)-th row inside the same window pass; no second shuffle.
+    *
+    * Output: (group, id, weight, priority, est_weight), ≤ k rows per
+    * group; a group with ≤ k rows is sampled exhaustively (τ_g = 0,
+    * ŵ = w — the DLT boundary case, same as the global sampler).
+    */
+  def prioritySamplePerGroup(df: DataFrame, idCol: String, groupCol: String,
+      weightCol: String, k: Int, salt: String = "prio"): DataFrame = {
+    require(k > 0, "need positive per-group sample size k")
+    val base = df.select(col(groupCol).as("grp"), col(idCol).as("id"),
+        col(weightCol).cast("long").as("weight"))
+      .withColumn("u",
+        TextFns.hash32(concat(lit(salt + ":"), col("id"))) + lit(1L))
+      .withColumn("priority",
+        (col("weight") * lit(4294967296L)).cast("double") /
+          col("u").cast("double"))
+    val byGrp = Window.partitionBy("grp")
+      .orderBy(col("priority").desc, col("id"))
+    base.withColumn("rn", row_number().over(byGrp))
+      .filter(col("rn") <= k + 1)
+      .withColumn("tau",
+        max(when(col("rn") === k + 1, col("priority")))
+          .over(Window.partitionBy("grp")))
+      .filter(col("rn") <= k)
+      .select(col("grp"), col("id"), col("weight"), col("priority"),
+        greatest(col("weight").cast("double"),
+          coalesce(col("tau"), lit(0.0))).as("est_weight"))
+  }
+
   /** Per-group percentile gate: keep each group's top half (upper `gpos`
     * ranks) of `scoreCol` — threshold-free quality filtering across
     * heterogeneous sources (the CCNet / RefinedWeb per-bucket discipline:

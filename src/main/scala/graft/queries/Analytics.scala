@@ -221,6 +221,66 @@ object Analytics {
         FROM e JOIN cohort ON e.user_id = cohort.user_id
         GROUP BY 1, 2 ORDER BY cohort_week, week_offset""")),
 
+    // q157: fixed-point PageRank over the behavioral transition graph —
+    // edges = (event_type → next event_type) per user session stream
+    // (lead over (user_id, ts)), weights = transition counts; 3 power-
+    // iteration rounds at d=0.85 rank event types by flow centrality.
+    // ALL arithmetic is integer micro-rank (contribution = (r div outW)·w,
+    // dangling mass D div N, update via div 100): float power iteration
+    // sums in engine- and partitioning-specific order, so a hash gate
+    // would flicker in the last ulp — fixed-point is bit-identical
+    // anywhere, which is why the oracle can replay all three rounds as
+    // chained CTEs. Scale: one src-shuffle join + one dst-shuffle sum per
+    // round over an edge frame persisted across rounds; the derivation
+    // scan (lag/lead per user) is the only pass over the raw events.
+    QueryDef("q157_pagerank",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("ts", "event_id")
+        val edges = ev(s, d)
+          .select(col("user_id"), col("event_type").as("src"),
+            lead(col("event_type"), 1).over(w).as("dst"))
+          .filter(col("dst").isNotNull)
+          .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+        graft.operators.Components
+          .pageRank(edges, "src", "dst", Some("w"), iters = 3)
+          .select(col("id").as("event_type"), col("rank").as("rank_micro"))
+          .orderBy("event_type")
+      },
+      Some("""WITH tr AS (SELECT event_type AS src,
+            lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+          FROM events),
+        e AS (SELECT src, dst, count(*) AS w FROM tr WHERE dst IS NOT NULL
+          GROUP BY 1, 2),
+        nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+        nn AS (SELECT count(*) AS n FROM nodes),
+        ow AS (SELECT src AS id, sum(w) AS outw FROM e GROUP BY 1),
+        base AS (SELECT nodes.id, ow.outw FROM nodes LEFT JOIN ow USING (id)),
+        r0 AS (SELECT id, outw, 1000000::BIGINT AS rank FROM base),
+        d1 AS (SELECT (coalesce(sum(rank), 0)) // (SELECT n FROM nn) AS pnd
+          FROM r0 WHERE outw IS NULL),
+        c1 AS (SELECT e.dst AS id, sum((r.rank // r.outw) * e.w) AS insum
+          FROM e JOIN r0 r ON e.src = r.id GROUP BY 1),
+        r1 AS (SELECT b.id, b.outw, 150000 +
+            (85 * (coalesce(c1.insum, 0) + (SELECT pnd FROM d1))) // 100 AS rank
+          FROM base b LEFT JOIN c1 ON b.id = c1.id),
+        d2 AS (SELECT (coalesce(sum(rank), 0)) // (SELECT n FROM nn) AS pnd
+          FROM r1 WHERE outw IS NULL),
+        c2 AS (SELECT e.dst AS id, sum((r.rank // r.outw) * e.w) AS insum
+          FROM e JOIN r1 r ON e.src = r.id GROUP BY 1),
+        r2 AS (SELECT b.id, b.outw, 150000 +
+            (85 * (coalesce(c2.insum, 0) + (SELECT pnd FROM d2))) // 100 AS rank
+          FROM base b LEFT JOIN c2 ON b.id = c2.id),
+        d3 AS (SELECT (coalesce(sum(rank), 0)) // (SELECT n FROM nn) AS pnd
+          FROM r2 WHERE outw IS NULL),
+        c3 AS (SELECT e.dst AS id, sum((r.rank // r.outw) * e.w) AS insum
+          FROM e JOIN r2 r ON e.src = r.id GROUP BY 1),
+        r3 AS (SELECT b.id, b.outw, 150000 +
+            (85 * (coalesce(c3.insum, 0) + (SELECT pnd FROM d3))) // 100 AS rank
+          FROM base b LEFT JOIN c3 ON b.id = c3.id)
+        SELECT id AS event_type, rank AS rank_micro FROM r3
+        ORDER BY event_type""")),
+
     // q68: edit-distance fuzzy matching — integer Levenshtein is exactly
     // portable. Bounded pair set (first 40 parts); at scale this runs
     // behind a cheap length/prefix blocking filter.

@@ -395,6 +395,20 @@ object TextOps {
         SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.6
         ORDER BY id_a, id_b""")),
 
+    // q156: PREFIX-FILTERED exact Jaccard (Chaudhuri ICDE'06 / Bayardo
+    // WWW'07 / PPJoin WWW'08) — the FOURTH candidate-generation family:
+    // same exact output contract as q34 (hence the SAME oracle — the
+    // hash-match IS the equivalence proof), but only each document's
+    // (1−t)·|S|+1 RAREST shingles are indexed, so the self-join volume
+    // collapses from Σdf² to Σdf_prefix² and corpus-wide boilerplate
+    // shingles generate zero candidates. Unlike q35's LSH (probabilistic
+    // recall) this is deterministic-lossless: the prefix lemma guarantees
+    // every qualifying pair collides inside the indexed prefixes.
+    QueryDef("q156_prefix_filter_jaccard",
+      (s, d) => Dedup.ngramJaccardPrefix(docs(s, d), "doc_id", "text", 3, 0.6)
+        .orderBy("id_a", "id_b"),
+      Some(OJaccardPairs)),
+
     // q144: WINNOWING fingerprints (Schleimer–Wilkerson–Aiken SIGMOD'03,
     // the MOSS algorithm) — hash positional word 3-grams, keep each
     // 4-window's minimum (leftmost-min tie rule via the packed
@@ -1398,6 +1412,34 @@ object TextOps {
         SELECT doc_id, weight, priority,
           greatest(weight::DOUBLE, coalesce(tau, 0.0)) AS est_weight
         FROM r, t WHERE rn <= 20 ORDER BY doc_id""")),
+
+    // q158: STRATIFIED priority sample — q109's DLT sampler per SOURCE:
+    // each stratum draws its own top-5 by w/u priority with its own
+    // threshold τ_g and unbiased ŵ = max(w, τ_g) estimator, the "k best
+    // docs per source" curation shape where one heavy-tailed source must
+    // not crowd out the rest. Same exactly-portable integer-u priority as
+    // q109; the per-group top-(k+1) runs under WindowGroupLimit so no
+    // stratum materializes beyond k+1 rows per map task (plan-guarded).
+    QueryDef("q158_stratified_priority_sample",
+      (s, d) => Sampling.prioritySamplePerGroup(
+          docs(s, d), "doc_id", "source", "n_chars", 5)
+        .select(col("grp").as("source"), col("id").as("doc_id"),
+          col("weight"), col("priority"), col("est_weight"))
+        .orderBy("source", "doc_id"),
+      Some("""WITH w AS (SELECT source, doc_id, n_chars AS weight,
+            ('0x' || substr(md5('prio:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 1 AS u
+          FROM documents),
+        p AS (SELECT source, doc_id, weight,
+                (weight * 4294967296)::DOUBLE / u::DOUBLE AS priority FROM w),
+        r AS (SELECT source, doc_id, weight, priority,
+                row_number() OVER (PARTITION BY source
+                  ORDER BY priority DESC, doc_id) rn FROM p),
+        t AS (SELECT source, max(CASE WHEN rn = 6 THEN priority END) AS tau
+              FROM r GROUP BY source)
+        SELECT r.source, r.doc_id, r.weight, r.priority,
+          greatest(r.weight::DOUBLE, coalesce(t.tau, 0.0)) AS est_weight
+        FROM r JOIN t ON r.source = t.source
+        WHERE r.rn <= 5 ORDER BY r.source, r.doc_id""")),
 
     // q110: count-min sketch point frequencies — Spark's codegen'd
     // count_min_sketch aggregate over the token stream (ε=1e-4 → width

@@ -92,4 +92,72 @@ class ComponentsSpec extends SparkSpec {
       }
     }
   }
+
+  // --- fixed-point PageRank ---
+
+  /** Driver-side reference of the exact integer fixed-point recurrence. */
+  private def refPageRank(edges: Seq[(String, String, Long)], iters: Int,
+      dampPct: Int = 85, unit: Long = 1000000L): Map[String, Long] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val n = nodes.size
+    val outW = edges.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    var r = nodes.map(_ -> unit).toMap
+    val teleport = (100 - dampPct) * unit / 100
+    (1 to iters).foreach { _ =>
+      val dangling = nodes.filterNot(outW.contains).map(r).sum
+      val pnd = dangling / n
+      val in = edges.groupBy(_._2).view.mapValues(_.map { case (s, _, w) =>
+        (r(s) / outW(s)) * w }.sum).toMap
+      r = nodes.map(id =>
+        id -> (teleport + dampPct * (in.getOrElse(id, 0L) + pnd) / 100)).toMap
+    }
+    r
+  }
+
+  private def pr(edges: Seq[(String, String, Long)], iters: Int = 3): Map[String, Long] =
+    Components.pageRank(edges.toDF("s", "d", "w"), "s", "d", Some("w"), iters)
+      .as[(String, Long)].collect().toMap
+
+  test("pageRank matches the driver-side fixed-point recurrence exactly") {
+    val edges = Seq(("a", "b", 3L), ("a", "c", 1L), ("b", "c", 2L),
+      ("c", "a", 1L), ("d", "c", 5L)) // d has no in-edges; none dangling
+    assert(pr(edges) === refPageRank(edges, 3))
+  }
+
+  test("pageRank: dangling sink's mass is redistributed, not lost") {
+    // b is a pure sink: without dangling redistribution its absorbed mass
+    // vanishes and a's rank collapses toward bare teleport
+    val edges = Seq(("a", "b", 1L))
+    val out = pr(edges, iters = 3)
+    assert(out === refPageRank(edges, 3))
+    val teleportOnly = 150000L
+    assert(out("a") > teleportOnly,
+      s"a must receive a share of b's dangling mass, got ${out("a")}")
+  }
+
+  test("pageRank: a hub cited by everyone outranks its spokes") {
+    val edges = (1 to 9).map(i => (s"n$i", "hub", 1L)) :+ ("hub", "n1", 1L)
+    val out = pr(edges)
+    assert(out === refPageRank(edges, 3))
+    assert((1 to 9).forall(i => out("hub") > out(s"n$i")))
+    assert(out("n1") > out("n2"), "hub's sole out-link boosts n1 above the rest")
+  }
+
+  test("pageRank on an empty edge frame returns an empty frame") {
+    val out = Components.pageRank(
+      Seq.empty[(String, String, Long)].toDF("s", "d", "w"), "s", "d",
+      Some("w"), 3)
+    assert(out.collect().isEmpty)
+    assert(out.columns.toSeq === Seq("id", "rank"))
+  }
+
+  test("pageRank is deterministic across partitionings (integer fixed-point)") {
+    val edges = (1L to 200L).map(i => (s"u${i % 17}", s"u${(i * 7) % 17}",
+      1L + i % 5))
+    val one = Components.pageRank(edges.toDF("s", "d", "w").repartition(1),
+      "s", "d", Some("w"), 3).as[(String, Long)].collect().toMap
+    val many = Components.pageRank(edges.toDF("s", "d", "w").repartition(13),
+      "s", "d", Some("w"), 3).as[(String, Long)].collect().toMap
+    assert(one === many, "fixed-point arithmetic must not depend on partitioning")
+  }
 }

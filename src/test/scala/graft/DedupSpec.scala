@@ -295,6 +295,55 @@ class DedupSpec extends SparkSpec {
       f"length-sorted neighborhood should catch most near-dups, got $recall%.3f")
   }
 
+  test("prefix-filtered Jaccard equals the full inverted-index path") {
+    // controlled corpus at a loose threshold AND the real corpus slice at
+    // the registered q34/q156 threshold: the prefix lemma promises exact
+    // equality, not approximate recall
+    val small = Dedup.ngramJaccardPrefix(docs, "doc_id", "text", 3, 0.5)
+      .collect().map(_.toSeq).toSet
+    val smallRef = Dedup.ngramJaccard(docs, "doc_id", "text", 3, 0.5)
+      .collect().map(_.toSeq).toSet
+    assert(small === smallRef && small.nonEmpty)
+    val real = Tables.documents(spark, "/root/testdata/sf0.001")
+    val pre = Dedup.ngramJaccardPrefix(real, "doc_id", "text", 3, 0.6)
+      .collect().map(_.toSeq).toSet
+    val ref = Dedup.ngramJaccard(real, "doc_id", "text", 3, 0.6)
+      .collect().map(_.toSeq).toSet
+    assert(pre === ref && pre.nonEmpty,
+      "prefix filtering is deterministic-lossless: identical pair set")
+  }
+
+  test("prefix filter collapses candidate volume on a boilerplate corpus") {
+    // 40 documents sharing an identical boilerplate opening (every shingle
+    // of it has df=40 — the adversarial Σdf² regime) plus unique tails; no
+    // pair is a near-dup, so the full index pays ~40²/2 candidate pairs
+    // per boilerplate shingle for nothing while rarest-first prefixes
+    // index the unique tails instead
+    // tail length chosen so each document's rarest-first prefix (≈0.4·n+1
+    // shingles at t=0.6) is filled entirely by its df=1 tail shingles
+    val boiler = "terms of service apply to all users of this site please read carefully before proceeding"
+    val corpus = (1 to 40).map { i =>
+      (i.toLong, boiler + " " +
+        (0 until 14).map(j => s"tok${i}x$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    val (prefixVol, fullVol) =
+      Dedup.prefixCandidateVolume(corpus, "doc_id", "text", 3, 0.6)
+    info(s"candidate volume: prefix=$prefixVol full=$fullVol " +
+      f"(${fullVol.toDouble / math.max(1L, prefixVol)}%.1fx reduction)")
+    assert(fullVol >= 20L * prefixVol,
+      s"boilerplate shingles must not generate candidates: $prefixVol vs $fullVol")
+    // and the (empty) qualifying pair set still matches the exact path
+    val pre = Dedup.ngramJaccardPrefix(corpus, "doc_id", "text", 3, 0.6)
+    val ref = Dedup.ngramJaccard(corpus, "doc_id", "text", 3, 0.6)
+    assert(pre.collect().map(_.toSeq).toSet === ref.collect().map(_.toSeq).toSet)
+  }
+
+  test("prefix-filtered Jaccard on empty input returns an empty frame") {
+    val out = Dedup.ngramJaccardPrefix(docs.limit(0), "doc_id", "text", 3, 0.6)
+    assert(out.collect().isEmpty)
+    assert(out.columns.toSeq === Seq("id_a", "id_b", "jaccard"))
+  }
+
   test("leakage-proof split: no near-dup pair ever straddles a split boundary") {
     val d = "/root/testdata/sf0.001"
     val split = SparkEntry.queries("q150_leakage_proof_split")(spark, d)

@@ -148,6 +148,30 @@ class PlanGuardSpec extends SparkSpec {
     }
   }
 
+  test("q156 prefix filter: equi-joins only, candidates carry ids not shingle sets") {
+    val p = finalPlan("q156_prefix_filter_jaccard")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"prefix self-join must stay a shingle equi-join:\n$p")
+    val df = SparkEntry.queries("q156_prefix_filter_jaccard")(spark, dir)
+    val joins = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.condition.exists(_.references.exists(_.name == "shingle")) => j
+    }
+    assert(joins.nonEmpty, "expected the prefix-postings shingle equi-join")
+    joins.foreach { j =>
+      val carried = (j.left.output ++ j.right.output).map(_.name).toSet
+      assert(!carried.contains("hs"),
+        s"candidate generation must carry (id, shingle) only; full sets " +
+          s"rejoin per surviving candidate, got $carried")
+    }
+  }
+
+  test("q157 pageRank: per-round equi-joins only, no nested loop over the graph") {
+    val p = finalPlan("q157_pagerank")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"rank propagation must join edges to ranks on src only:\n$p")
+  }
+
   test("q118/q120 TPC-H top-k: TakeOrderedAndProject, never a global sort") {
     for (q <- Seq("q118_tpch_q3", "q120_tpch_q10")) {
       val df = SparkEntry.queries(q)(spark, dir)

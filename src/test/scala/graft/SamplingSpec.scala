@@ -120,4 +120,50 @@ class SamplingSpec extends SparkSpec {
     assert(out.count() === 0)
     assert(out.columns.toSeq === Seq("id", "grp", "score", "gpos", "gn", "kept"))
   }
+
+  // --- stratified (per-group) priority sampling ---
+
+  private val strata = (1L to 90L).map(i =>
+    (i, s"src${i % 3}", 10L + (i % 7) * 3L))
+  private val sdf = strata.toDF("id", "grp", "w").repartition(4)
+
+  test("per-group sample is each stratum's exact top-k with its own tau") {
+    val k = 10
+    val out = Sampling.prioritySamplePerGroup(sdf, "id", "grp", "w", k)
+      .select("grp", "id", "weight", "priority", "est_weight")
+      .as[(String, Long, Long, Double, Double)].collect()
+    assert(out.groupBy(_._1).forall(_._2.length == k))
+    strata.groupBy(_._2).foreach { case (g, xs) =>
+      val pri = xs.map { case (id, _, w) =>
+        (id, w, (w * 4294967296L).toDouble / u("prio", id).toDouble) }
+      val ranked = pri.sortBy { case (id, _, p) => (-p, id) }
+      val tau = ranked(k)._3
+      val got = out.filter(_._1 == g)
+      assert(got.map(_._2).toSet === ranked.take(k).map(_._1).toSet,
+        s"selection mismatch in stratum $g")
+      got.foreach { case (_, id, w, p, est) =>
+        assert(p === pri.find(_._1 == id).get._3)
+        assert(est === math.max(w.toDouble, tau), s"estimator mismatch $g/$id")
+      }
+    }
+  }
+
+  test("a small stratum is sampled exhaustively with tau = 0") {
+    val mixed = (strata :+ ((1000L, "tiny", 99L)) :+ ((1001L, "tiny", 1L)))
+      .toDF("id", "grp", "w")
+    val out = Sampling.prioritySamplePerGroup(mixed, "id", "grp", "w", 10)
+      .filter($"grp" === "tiny")
+      .select("id", "weight", "est_weight")
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq === Seq(1000L, 1001L))
+    out.foreach { case (_, w, est) =>
+      assert(est === w.toDouble, "exhaustive stratum: est_weight = weight") }
+  }
+
+  test("per-group top-(k+1) runs under WindowGroupLimit (no full-group sort)") {
+    val plan = Sampling.prioritySamplePerGroup(sdf, "id", "grp", "w", 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"per-group heap pruning must fire before the exchange:\n$plan")
+  }
 }
