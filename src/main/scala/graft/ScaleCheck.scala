@@ -17,7 +17,8 @@ object ScaleCheck {
     "q119_tpch_q5", "q120_tpch_q10", "q137_compression_ratio",
     "q138_curriculum_order", "q139_stream_full_outer_join",
     "q140_rrf_fusion", "q141_ngram_containment", "q142_snm_pairs",
-    "q143_snm_multipass")
+    "q143_snm_multipass", "q156_prefix_filter_jaccard", "q157_pagerank",
+    "q158_stratified_priority_sample", "q159_mad_outliers")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
@@ -254,7 +255,8 @@ object ScaleCheck {
       "q112_bm25", "q113_vocab_oov", "q114_corpus_shuffle", "q122_pq_topk",
       "q124_bpe_merges", "q127_mmr_rerank", "q131_lm_fluency",
       "q132_dsir_weights", "q140_rrf_fusion", "q141_ngram_containment",
-      "q142_snm_pairs", "q143_snm_multipass")
+      "q142_snm_pairs", "q143_snm_multipass", "q156_prefix_filter_jaccard",
+      "q157_pagerank", "q158_stratified_priority_sample", "q159_mad_outliers")
     onlyQ.foreach { q => require(queries.contains(q),
       s"eq=$q matches no exponent query; valid: ${queries.mkString(", ")}") }
     for (k <- ks if !noReplicate) {
@@ -286,6 +288,20 @@ object ScaleCheck {
       }
       ecopies.reduce(_ unionByName _).write.mode("overwrite")
         .parquet(s"$dst/embeddings.parquet")
+      // events for q157: copies are DISJOINT user populations (offset
+      // user_id), so the transition-graph node set stays fixed while the
+      // derivation scan and per-edge weights grow linearly with k — the
+      // realistic web-scale regime (bounded type vocabulary, unbounded
+      // traffic). Read through Tables.events so the written copy is the
+      // normalized µs layout it will be read back in.
+      val evs = Tables.events(spark, src)
+      (0 until k).map { i =>
+        if (i == 0) evs
+        else evs
+          .withColumn("event_id", col("event_id") + lit(i * 1000000000L))
+          .withColumn("user_id", col("user_id") + lit(i * 1000000L))
+      }.reduce(_ unionByName _).write.mode("overwrite")
+        .parquet(s"$dst/events.parquet")
     }
     // build-once IVF indexes so the probe-only lifecycle is measurable
     // against the inline (assign-every-call) q38 row

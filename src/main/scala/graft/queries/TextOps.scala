@@ -1441,6 +1441,40 @@ object TextOps {
         FROM r JOIN t ON r.source = t.source
         WHERE r.rn <= 5 ORDER BY r.source, r.doc_id""")),
 
+    // q159: robust per-source length-outlier gate — the Hampel / 3-MAD
+    // rule (median ± 3·median-absolute-deviation): mean±kσ fails here
+    // because outliers drag the mean and σ themselves (one 100MB crawl
+    // blob inflates a source's σ until nothing is an outlier); median and
+    // MAD have a 50% breakdown point. Integer-exact end-to-end: lower
+    // medians (corpus values, no interpolation), integer |v−med| > 3·MAD
+    // — any engine replays it bit-identically. Both ranking passes are
+    // the grouped two-phase rank (no per-source window partition, skewed
+    // sources spread over all quantile buckets).
+    QueryDef("q159_mad_outliers",
+      (s, d) => graft.operators.Robust.madOutliers(
+          docs(s, d), "doc_id", "source", "n_chars", 3)
+        .select(col("id").as("doc_id"), col("grp").as("source"),
+          col("v").as("n_chars"), col("med"), col("mad"), col("outlier"))
+        .orderBy("doc_id"),
+      Some("""WITH b AS (SELECT doc_id, source, n_chars FROM documents),
+        r1 AS (SELECT *, row_number() OVER (PARTITION BY source
+              ORDER BY n_chars, doc_id) - 1 AS gpos,
+            count(*) OVER (PARTITION BY source) AS gn FROM b),
+        med AS (SELECT source, n_chars AS med FROM r1
+          WHERE gpos = (gn - 1) // 2),
+        d AS (SELECT b.doc_id, b.source, b.n_chars, med.med,
+            abs(b.n_chars - med.med) AS dev
+          FROM b JOIN med ON b.source = med.source),
+        r2 AS (SELECT *, row_number() OVER (PARTITION BY source
+              ORDER BY dev, doc_id) - 1 AS gpos,
+            count(*) OVER (PARTITION BY source) AS gn FROM d),
+        mad AS (SELECT source, dev AS mad FROM r2
+          WHERE gpos = (gn - 1) // 2)
+        SELECT d.doc_id, d.source, d.n_chars, d.med, mad.mad,
+          (d.dev > 3 * mad.mad) AS outlier
+        FROM d JOIN mad ON d.source = mad.source
+        ORDER BY d.doc_id""")),
+
     // q110: count-min sketch point frequencies — Spark's codegen'd
     // count_min_sketch aggregate over the token stream (ε=1e-4 → width
     // 20000, conf 0.9999 → depth 10, fixed seed) probed PLAN-SIDE by the

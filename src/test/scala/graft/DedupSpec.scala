@@ -338,6 +338,23 @@ class DedupSpec extends SparkSpec {
     assert(pre.collect().map(_.toSeq).toSet === ref.collect().map(_.toSeq).toSet)
   }
 
+  test("position filter prunes a prefix collision whose bound cannot reach t") {
+    // two 3-shingle docs sharing exactly their LAST-ranked shingle
+    // (df=2 sorts after the df=1 shingles): the prefix stage emits the
+    // pair, but the first-collision bound min(3-3, 3-3)+1 = 1 is below
+    // the required overlap 0.6/1.6·6 = 2.25, so the position stage drops
+    // it before any full-set join — and the exact output is still empty
+    val corpus = Seq(
+      (1L, "c1 c2 c3 a1 a2"),
+      (2L, "c1 c2 c3 b1 b2")).toDF("doc_id", "text")
+    val (pre, post) =
+      Dedup.positionalPruneCounts(corpus, "doc_id", "text", 3, 0.6)
+    assert(pre === 1L && post === 0L,
+      s"prefix emits the pair, position prunes it: got ($pre, $post)")
+    assert(Dedup.ngramJaccardPrefix(corpus, "doc_id", "text", 3, 0.6)
+      .collect().isEmpty)
+  }
+
   test("prefix-filtered Jaccard on empty input returns an empty frame") {
     val out = Dedup.ngramJaccardPrefix(docs.limit(0), "doc_id", "text", 3, 0.6)
     assert(out.collect().isEmpty)
