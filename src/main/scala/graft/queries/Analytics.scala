@@ -281,6 +281,51 @@ object Analytics {
         SELECT id AS event_type, rank AS rank_micro FROM r3
         ORDER BY event_type""")),
 
+    // q160: point-in-time-correct feature aggregation — the feature-store
+    // primitive (Feast/Tecton "point-in-time join"): per purchase (the
+    // label row), aggregate the user's view/click stream over the
+    // strictly-available window (ts−1h, ts] — temporal leakage safety,
+    // the time-axis sibling of q150's near-dup-safe split. Never an
+    // inequality join: both sides bucket epoch time by the lookback, the
+    // label side explodes ×2, and the window predicate filters an
+    // ordinary (user, bucket) equi-join (q21's band construction pointed
+    // at the training-example shape). Labels with no in-window events
+    // come back through a LEFT join: counts coalesce to 0, the sum stays
+    // NULL (absence is information).
+    QueryDef("q160_point_in_time_features",
+      (s, d) => {
+        val e = ev(s, d)
+        val labels = e.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val feats = e.filter(col("event_type").isin("view", "click"))
+          .select(col("user_id"), col("ts"), col("event_type"), col("value"))
+        graft.operators.Features.pointInTime(labels, feats, "user_id",
+            "event_id", "ts", "ts", 3600L,
+            Seq(count(when(col("event_type") === "view", 1)).as("nv"),
+              count(when(col("event_type") === "click", 1)).as("nc"),
+              round(sum(when(col("event_type") === "click", col("value"))), 2)
+                .as("click_value_1h")))
+          .select(col("event_id"), col("user_id"),
+            col("label_ts").as("ts"),
+            coalesce(col("nv"), lit(0L)).as("n_views_1h"),
+            coalesce(col("nc"), lit(0L)).as("n_clicks_1h"),
+            col("click_value_1h"))
+          .orderBy("event_id")
+      },
+      Some("""WITH p AS (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'purchase'),
+        f AS (SELECT user_id, ts, event_type, value FROM events
+          WHERE event_type IN ('view', 'click'))
+        SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS ts,
+          count(CASE WHEN f.event_type = 'view' THEN 1 END) AS n_views_1h,
+          count(CASE WHEN f.event_type = 'click' THEN 1 END) AS n_clicks_1h,
+          round(sum(CASE WHEN f.event_type = 'click' THEN f.value END), 2)
+            AS click_value_1h
+        FROM p LEFT JOIN f ON p.user_id = f.user_id
+          AND f.ts <= p.ts AND f.ts > p.ts - INTERVAL 1 HOUR
+        GROUP BY p.event_id, p.user_id, p.ts
+        ORDER BY p.event_id""")),
+
     // q68: edit-distance fuzzy matching — integer Levenshtein is exactly
     // portable. Bounded pair set (first 40 parts); at scale this runs
     // behind a cheap length/prefix blocking filter.

@@ -64,4 +64,38 @@ object Maintenance {
       .count(_.getName.endsWith(".parquet"))
     (next, files.length, after)
   }
+
+  /** Backfill a partitioned table IN PLACE: overwrite ONLY the partitions
+    * `batch` actually contains rows for, leaving every other partition's
+    * files untouched — `partitionOverwriteMode=dynamic`, the correction
+    * primitive a date-partitioned 100 TB corpus lives on (re-run one bad
+    * ingest day without rewriting, or even listing, the other ~3650
+    * partition directories; STATIC mode — Spark's default — would drop
+    * the entire table first). The conf is set on the WRITER (per-write
+    * option), not the session, so concurrent jobs keep their own
+    * semantics. Returns the distinct partition tuples overwritten.
+    */
+  def backfillPartitions(batch: DataFrame, path: String,
+      partitionCols: Seq[String]): Array[org.apache.spark.sql.Row] = {
+    require(partitionCols.nonEmpty, "backfill needs partition columns")
+    import org.apache.spark.sql.functions.col
+    batch.write
+      .option("partitionOverwriteMode", "dynamic")
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+    batch.select(partitionCols.map(col): _*).distinct().collect()
+  }
+
+  /** Schema-drift-tolerant read of a partitioned/appended table whose
+    * batches were written under EVOLVING schemas (`mergeSchema` — parquet
+    * footer union instead of the first-file schema pick): columns a batch
+    * predates come back NULL for its rows, which is exactly the backfill
+    * contract [[backfillPartitions]] repairs day-by-day. Off by default in
+    * Spark because footer-merging lists every file's footer — at 100 TB
+    * that is a real planning cost, so it is an explicit maintenance-read
+    * surface here, not the default scan path.
+    */
+  def readEvolved(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
 }
