@@ -18,7 +18,8 @@ object ScaleCheck {
     "q138_curriculum_order", "q139_stream_full_outer_join",
     "q140_rrf_fusion", "q141_ngram_containment", "q142_snm_pairs",
     "q143_snm_multipass", "q156_prefix_filter_jaccard", "q157_pagerank",
-    "q158_stratified_priority_sample", "q159_mad_outliers")
+    "q158_stratified_priority_sample", "q159_mad_outliers",
+    "q160_point_in_time_features")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
@@ -256,7 +257,8 @@ object ScaleCheck {
       "q124_bpe_merges", "q127_mmr_rerank", "q131_lm_fluency",
       "q132_dsir_weights", "q140_rrf_fusion", "q141_ngram_containment",
       "q142_snm_pairs", "q143_snm_multipass", "q156_prefix_filter_jaccard",
-      "q157_pagerank", "q158_stratified_priority_sample", "q159_mad_outliers")
+      "q157_pagerank", "q158_stratified_priority_sample", "q159_mad_outliers",
+      "q160_point_in_time_features")
     onlyQ.foreach { q => require(queries.contains(q),
       s"eq=$q matches no exponent query; valid: ${queries.mkString(", ")}") }
     for (k <- ks if !noReplicate) {

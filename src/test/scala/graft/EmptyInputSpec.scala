@@ -43,6 +43,26 @@ class EmptyInputSpec extends SparkSpec {
       emptyDocs, "doc_id", "text", "text", 3, 10).count() === 0)
     assert(Sampling.prioritySample(
       emptyDocs.withColumn("w", lit(1L)), "doc_id", "w", 5).count() === 0)
+    assert(Dedup.ngramJaccardPrefix(emptyDocs, "doc_id", "text", 3, 0.6)
+      .count() === 0)
+    assert(Sampling.prioritySamplePerGroup(
+      emptyDocs.withColumn("w", lit(1L)).withColumn("g", lit("s")),
+      "doc_id", "g", "w", 5).count() === 0)
+    assert(graft.operators.Robust.madOutliers(
+      emptyDocs.withColumn("v", lit(1L)).withColumn("g", lit("s")),
+      "doc_id", "g", "v", 3).count() === 0)
+    // empty LABEL side and empty EVENT side of the point-in-time join
+    val someLabels = Seq((1L, 5L, new java.sql.Timestamp(7200000L)))
+      .toDF("lid", "user", "lts")
+    val emptyEvents = Seq.empty[(Long, java.sql.Timestamp, Double)]
+      .toDF("user", "ets", "v")
+    assert(graft.operators.Features.pointInTime(someLabels.limit(0),
+      emptyEvents, "user", "lid", "lts", "ets", 3600L,
+      Seq(count(lit(1)).as("n"))).count() === 0)
+    assert(graft.operators.Features.pointInTime(someLabels, emptyEvents,
+      "user", "lid", "lts", "ets", 3600L,
+      Seq(count(lit(1)).as("n"))).count() === 1,
+      "labels survive an empty event stream (left join)")
     assert(graft.operators.Collocations.pmiPhrases(emptyDocs, "text", 2, 10)
       .count() === 0)
     assert(Mixture.epochMix(emptyDocs, "doc_id", "text", "text",
