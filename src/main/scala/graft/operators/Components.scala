@@ -184,8 +184,13 @@ object Components {
     require(iters >= 1, "need at least one power-iteration round")
     require(dampPct >= 0 && dampPct <= 100, "damping is a percentage")
     val w = weightCol.map(c => col(c).cast("long")).getOrElse(lit(1L))
+    // zero/negative-weight edges are treated as ABSENT, not passed through:
+    // a node whose only out-edges weigh 0 would otherwise divide by its
+    // outW=0 (an ANSI-mode error, a silent null-contribution otherwise)
+    // while not counting as dangling — dropping the edge makes it honestly
+    // dangling and keeps outW ≥ 1 everywhere
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
-      w.as("w")).persist()
+      w.as("w")).filter(col("w") > 0).persist()
     val nodes = Checkpoints.cut(
       e.select(col("src").as("id")).union(e.select(col("dst").as("id")))
         .distinct())

@@ -50,6 +50,43 @@ class HostileDataSpec extends SparkSpec {
     assert(snm.agg(min("jaccard")).as[Double].head() === 1.0)
   }
 
+  test("fully-duplicated corpus: prefix filter still emits every true pair") {
+    // all-same docs ⇒ every shingle has df=n and every prefix is the same
+    // set — the prefix index degenerates to q34's cost profile but the
+    // LOSSLESS contract must hold: all n(n-1)/2 pairs at jaccard 1.0
+    val n = 25
+    val txt = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val corpus = (1L to n.toLong).map(i => (i, txt)).toDF("doc_id", "text")
+    val pre = Dedup.ngramJaccardPrefix(corpus, "doc_id", "text", 3, 0.9)
+    assert(pre.count() === n.toLong * (n - 1) / 2)
+    assert(pre.select("jaccard").distinct().as[Double].collect().toSeq === Seq(1.0))
+  }
+
+  test("pageRank: zero-weight edges are absent — their source goes dangling") {
+    // a: one real edge + one zero edge (zero ignored, outW=1);
+    // z: ONLY a zero-weight edge — honestly dangling-by-filter, and since
+    // it has no other incidence it leaves the graph entirely
+    val edges = Seq(("a", "b", 1L), ("a", "c", 0L), ("z", "b", 0L))
+      .toDF("s", "d", "w")
+    val out = Components.pageRank(edges, "s", "d", Some("w"), 2)
+      .as[(String, Long)].collect().toMap
+    assert(out.keySet === Set("a", "b"),
+      s"c and z ride only zero-weight edges and must vanish, got $out")
+    val ref = Components.pageRank(Seq(("a", "b", 1L)).toDF("s", "d", "w"),
+      "s", "d", Some("w"), 2).as[(String, Long)].collect().toMap
+    assert(out === ref, "zero-weight edges must not perturb the solved graph")
+  }
+
+  test("MAD gate where >50% of a source shares one value: off-majority rows flagged") {
+    val rows = (1L to 60L).map(i => (i, "s", 100L)) ++
+      Seq((100L, "s", 101L), (101L, "s", 250L))
+    val out = graft.operators.Robust.madOutliers(
+        rows.toDF("id", "g", "v"), "id", "g", "v", 3)
+      .filter(col("outlier")).select("id").as[Long].collect().sorted
+    assert(out.toSeq === Seq(100L, 101L),
+      "MAD=0 degenerate: strict > flags every deviation from the majority value")
+  }
+
   test("star graph (maximum-degree hub) and long path both converge to one component") {
     // hub 0 touches every node: diameter 2, but degree = n-1 (worst skew)
     val star = (1L to 200L).map(i => (0L, i)).toDF("src", "dst")
