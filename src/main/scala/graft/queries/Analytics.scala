@@ -20,6 +20,16 @@ object Analytics {
   private def cust(s: SparkSession, d: String) = Tables.customer(s, d)
   private def ev(s: SparkSession, d: String) = Tables.events(s, d)
 
+  // q161's backfilled table and q162's schema-evolved table, each built
+  // ONCE per (session, sf dir) under /tmp — the q147/q103 at-rest-artifact
+  // lifecycle: the registered query is then a pure read of table state.
+  private val backfillCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  private val evolveCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  private val jdbcCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (String, java.util.Properties)]
+
   val defs: Seq[QueryDef] = Seq(
 
     // q60: pivot (wide counts per status). Explicit value list keeps the
@@ -325,6 +335,110 @@ object Analytics {
           AND f.ts <= p.ts AND f.ts > p.ts - INTERVAL 1 HOUR
         GROUP BY p.event_id, p.user_id, p.ts
         ORDER BY p.event_id""")),
+
+    // q161: dynamic-partition backfill END-TO-END — the maintenance
+    // lifecycle as driver-checked table state: orders lands partitioned
+    // by status, then a corrected 'P' batch (totalprice + 1000) backfills
+    // ONLY its partition via partitionOverwriteMode=dynamic; the query
+    // reads the table after repair. The oracle states the repaired table
+    // directly, so a backfill that leaked into sibling partitions (or
+    // static-mode truncation of them) hash-fails immediately.
+    QueryDef("q161_partition_backfill",
+      (s, d) => {
+        val dir = backfillCache.getOrElseUpdate((s, d), {
+          val t = java.nio.file.Files
+            .createTempDirectory("graft_q161").toString + "/orders"
+          val base = ord(s, d).select(col("o_orderkey"),
+            col("o_orderstatus"), col("o_totalprice"))
+          base.write.partitionBy("o_orderstatus").parquet(t)
+          val fix = base.filter(col("o_orderstatus") === "P")
+            .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+          graft.sources.Maintenance.backfillPartitions(
+            fix, t, Seq("o_orderstatus"))
+          t
+        })
+        s.read.parquet(dir)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            round(col("o_totalprice"), 2).as("o_totalprice"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_orderstatus,
+          round(CASE WHEN o_orderstatus = 'P' THEN o_totalprice + 1000.0
+            ELSE o_totalprice END, 2) AS o_totalprice
+        FROM orders ORDER BY o_orderkey""")),
+
+    // q162: schema-drift-tolerant read as driver-checked state — two
+    // batches of the same table written under EVOLVING schemas (batch 2
+    // adds `lang`), read back through mergeSchema: pre-evolution rows
+    // surface the new column as NULL. The oracle states exactly that
+    // NULL-backfill contract from the source table.
+    QueryDef("q162_schema_evolution",
+      (s, d) => {
+        val dir = evolveCache.getOrElseUpdate((s, d), {
+          val t = java.nio.file.Files
+            .createTempDirectory("graft_q162").toString + "/docs"
+          val docs = Tables.documents(s, d)
+          docs.filter(col("doc_id") % 2 === 0)
+            .select(col("doc_id"), col("n_chars"))
+            .write.parquet(s"$t/b=1")
+          docs.filter(col("doc_id") % 2 === 1)
+            .select(col("doc_id"), col("n_chars"), col("lang"))
+            .write.parquet(s"$t/b=2")
+          t
+        })
+        graft.sources.Maintenance.readEvolved(s, dir)
+          .select(col("doc_id"), col("n_chars"), col("lang"),
+            col("b").cast("int").as("b"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, n_chars,
+          CASE WHEN doc_id % 2 = 1 THEN lang END AS lang,
+          CAST(CASE WHEN doc_id % 2 = 1 THEN 2 ELSE 1 END AS INTEGER) AS b
+        FROM documents ORDER BY doc_id""")),
+
+    // q163: in-place JDBC upsert END-TO-END — the reference's core
+    // operator (db_ops.py:29-100) as driver-checked database state: a
+    // 5%-of-orders slice INSERTs into embedded Derby through the standard
+    // MERGE dialect, the corrected 'P' batch (totalprice + 1000) UPSERTs
+    // over it (the WHEN MATCHED path), and the query reads the table
+    // back over JDBC. The oracle states the repaired slice directly —
+    // the same last-writer-wins contract q161 proves for the parquet
+    // partition path, here proven for executed SQL MERGE. coalesce(1):
+    // embedded Derby's MERGE plan cache is not safe under concurrent
+    // preparers (the IngestBench note); a server database takes the
+    // per-partition parallel form unchanged.
+    QueryDef("q163_jdbc_upsert_roundtrip",
+      (s, d) => {
+        val (url, props) = jdbcCache.getOrElseUpdate((s, d), {
+          val u = s"jdbc:derby:memory:graftq163_${System.nanoTime()};create=true"
+          val p = new java.util.Properties()
+          p.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+          val conn = java.sql.DriverManager.getConnection(u)
+          try conn.createStatement().execute(
+            "CREATE TABLE orders_sink (o_orderkey BIGINT NOT NULL, " +
+              "o_orderstatus VARCHAR(8), o_totalprice DOUBLE, " +
+              "PRIMARY KEY (o_orderkey))")
+          finally conn.close()
+          val base = ord(s, d).filter(col("o_orderkey") % 20 === 0)
+            .select(col("o_orderkey"), col("o_orderstatus"),
+              col("o_totalprice"))
+          graft.sources.JdbcUpsert.upsertInPlace(
+            base.coalesce(1), u, "orders_sink", p, "o_orderkey")
+          val fix = base.filter(col("o_orderstatus") === "P")
+            .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+          graft.sources.JdbcUpsert.upsertInPlace(
+            fix.coalesce(1), u, "orders_sink", p, "o_orderkey")
+          (u, p)
+        })
+        s.read.jdbc(url, "orders_sink", props)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            round(col("o_totalprice"), 2).as("o_totalprice"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_orderstatus,
+          round(CASE WHEN o_orderstatus = 'P' THEN o_totalprice + 1000.0
+            ELSE o_totalprice END, 2) AS o_totalprice
+        FROM orders WHERE o_orderkey % 20 = 0 ORDER BY o_orderkey""")),
 
     // q68: edit-distance fuzzy matching — integer Levenshtein is exactly
     // portable. Bounded pair set (first 40 parts); at scale this runs
