@@ -147,6 +147,60 @@ object Components {
     (labels, iters)
   }
 
+  /** Incremental connected components — the cluster-label sibling of the
+    * at-rest dedup-index lifecycle ([[Dedup.appendToLshIndex]] signs only
+    * the new batch; this relabels only the components the new batch's
+    * pairs actually touch): given existing min-id labels and a NEW edge
+    * frame (a daily probe's near-dup pairs), merge affected components
+    * WITHOUT re-solving the corpus graph.
+    *
+    * Construction: map each new edge's endpoints through the existing
+    * labels (endpoints absent from `labels` — brand-new documents — keep
+    * their own id), solve components on that QUOTIENT graph (nodes = old
+    * cluster labels + new ids, size bounded by the new batch, never the
+    * corpus), and remap. Exactness: existing labels are component minima,
+    * the quotient solve returns the min over merged labels, so the
+    * composed label is the global min-reachable id — identical to a full
+    * re-solve over old ∪ new edges (IncrementalComponentsSpec proves the
+    * identity, and q164's oracle IS the full recursive-CTE solve).
+    *
+    * Cost: two endpoint joins against `labels` (shuffle on id), the
+    * quotient solve over a batch-sized graph, and ONE remap join whose
+    * right side is affected-cluster-sized (AQE broadcasts it). The
+    * existing label table is never iterated — at a multi-billion-doc
+    * corpus the daily relabel touches only the day's collision
+    * neighborhoods.
+    *
+    * Output: (id, cluster) for every previously-labeled node AND every
+    * node incident to a new edge.
+    */
+  def incrementalComponents(labels: DataFrame, newEdges: DataFrame,
+      srcCol: String, dstCol: String): DataFrame = {
+    val e = newEdges.select(col(srcCol).cast("long").as("s"),
+      col(dstCol).cast("long").as("d"))
+    val lbl = labels.select(col("id").cast("long").as("id"),
+      col("cluster").cast("long").as("cluster"))
+    val q = e
+      .join(lbl.select(col("id").as("s"), col("cluster").as("qs")),
+        Seq("s"), "left")
+      .join(lbl.select(col("id").as("d"), col("cluster").as("qd")),
+        Seq("d"), "left")
+      .select(coalesce(col("qs"), col("s")).as("qs"),
+        coalesce(col("qd"), col("d")).as("qd"))
+    val remap = connectedComponents(q, "qs", "qd")
+      .select(col("id").as("cluster"), col("cluster").as("merged"))
+    val kept = lbl.join(remap, Seq("cluster"), "left")
+      .select(col("id"), coalesce(col("merged"), col("cluster")).as("cluster"))
+    // brand-new nodes: incident to a new edge, absent from labels — their
+    // quotient id IS their own id, so the remap row (if any) carries them
+    val newNodes = e.select(col("s").as("id"))
+      .union(e.select(col("d").as("id"))).distinct()
+      .join(lbl.select(col("id")), Seq("id"), "left_anti")
+      .join(remap.withColumnRenamed("cluster", "id"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("merged"), col("id")).as("cluster"))
+    kept.unionByName(newNodes)
+  }
+
   /** Fixed-point weighted PageRank over a directed edge frame — link
     * centrality, the graph family's ranking companion to
     * [[connectedComponents]]'s clustering (Page, Brin, Motwani & Winograd

@@ -1120,6 +1120,43 @@ object TextOps {
                CAST(count(*) OVER (PARTITION BY cluster) AS INTEGER) csize
         FROM cl ORDER BY doc_id""")),
 
+    // q164: INCREMENTAL connected components — the daily-relabel half of
+    // the dedup-cluster lifecycle: yesterday's pairs (a deterministic
+    // half of the shared index) solve to labels, today's remaining pairs
+    // merge through incrementalComponents — which touches only affected
+    // components and never re-iterates the label table. The oracle is the
+    // FULL recursive-CTE solve over ALL pairs, so the hash-match IS the
+    // incremental ≡ batch identity.
+    QueryDef("q164_incremental_components",
+      (s, d) => {
+        val pairs = jaccardPairs(s, d)
+        val old = pairs.filter(pmod(col("id_a") + col("id_b"), lit(2)) === 0)
+        val today = pairs.filter(pmod(col("id_a") + col("id_b"), lit(2)) === 1)
+        val labels = graft.operators.Components
+          .connectedComponents(old, "id_a", "id_b")
+        graft.operators.Components
+          .incrementalComponents(labels, today, "id_a", "id_b")
+          .select(col("id").as("doc_id"), col("cluster"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE
+          toks AS (SELECT doc_id, $OToks t FROM documents),
+          sets AS (SELECT doc_id, $OShingles sh FROM toks WHERE len(t) >= 3),
+          inv AS (SELECT doc_id, len(sh) n, unnest(sh) shingle FROM sets),
+          jp AS (
+            SELECT id_a, id_b FROM (
+              SELECT a.doc_id id_a, b.doc_id id_b, a.n na, b.n nb, count(*) inter
+              FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2, 3, 4) p
+            WHERE round(inter / (na + nb - inter), 4) >= 0.6),
+          edges AS (SELECT id_a s, id_b d FROM jp UNION ALL SELECT id_b, id_a FROM jp),
+          reach AS (
+            SELECT DISTINCT s AS id, s AS lbl FROM edges
+            UNION
+            SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.id),
+          cl AS (SELECT id AS doc_id, min(lbl) AS cluster FROM reach GROUP BY 1)
+        SELECT doc_id, cluster FROM cl ORDER BY doc_id""")),
+
     // q85: dedup savings accounting — the step after q77's clusters: per
     // cluster the canonical survivor (min id == the cluster label), member
     // count, and bytes kept vs dropped. Closes the dedup pipeline story:

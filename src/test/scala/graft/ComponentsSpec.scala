@@ -93,6 +93,54 @@ class ComponentsSpec extends SparkSpec {
     }
   }
 
+  // --- incremental components ---
+
+  private def fullThenIncremental(old: Seq[(Long, Long)],
+      today: Seq[(Long, Long)]): Map[Long, Long] = {
+    val labels = Components.connectedComponents(old.toDF("a", "b"), "a", "b")
+    Components.incrementalComponents(labels, today.toDF("a", "b"), "a", "b")
+      .as[(Long, Long)].collect().toMap
+  }
+
+  test("incremental merge of two old clusters equals the batch solve") {
+    // old: {1,2} and {5,6}; today's edge 2-5 merges them; 8-9 is brand new
+    val out = fullThenIncremental(Seq((1L, 2L), (5L, 6L)),
+      Seq((2L, 5L), (8L, 9L)))
+    assert(out === Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 6L -> 1L,
+      8L -> 8L, 9L -> 8L))
+  }
+
+  test("new node attaching to an old cluster takes the old minimum label") {
+    val out = fullThenIncremental(Seq((3L, 4L)), Seq((4L, 100L)))
+    assert(out === Map(3L -> 3L, 4L -> 3L, 100L -> 3L))
+  }
+
+  test("a new node BELOW the old minimum lowers the merged label") {
+    val out = fullThenIncremental(Seq((10L, 11L)), Seq((1L, 11L)))
+    assert(out === Map(10L -> 1L, 11L -> 1L, 1L -> 1L),
+      "label is the min-reachable id, not the sticky old label")
+  }
+
+  test("empty daily batch leaves every label untouched") {
+    val out = fullThenIncremental(Seq((1L, 2L), (7L, 8L)), Seq.empty)
+    assert(out === Map(1L -> 1L, 2L -> 1L, 7L -> 7L, 8L -> 7L))
+  }
+
+  test("incremental equals full recompute on random edge splits (property)") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 6) {
+      val n = 30
+      val edges = Seq.fill(25)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+      val (old, today) = edges.partition(_ => rnd.nextBoolean())
+      val full = cc(edges)
+      val inc =
+        if (old.isEmpty || today.isEmpty) cc(edges)
+        else fullThenIncremental(old, today)
+      assert(inc === full, s"old=$old today=$today")
+    }
+  }
+
   // --- fixed-point PageRank ---
 
   /** Driver-side reference of the exact integer fixed-point recurrence. */

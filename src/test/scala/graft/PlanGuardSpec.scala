@@ -172,6 +172,13 @@ class PlanGuardSpec extends SparkSpec {
       s"rank propagation must join edges to ranks on src only:\n$p")
   }
 
+  test("q160 point-in-time features: band equi-join only, no inequality join") {
+    val p = finalPlan("q160_point_in_time_features")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"the (key, bucket) band construction must keep the window predicate " +
+        s"out of the join condition:\n$p")
+  }
+
   test("q118/q120 TPC-H top-k: TakeOrderedAndProject, never a global sort") {
     for (q <- Seq("q118_tpch_q3", "q120_tpch_q10")) {
       val df = SparkEntry.queries(q)(spark, dir)
