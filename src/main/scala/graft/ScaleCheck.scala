@@ -19,7 +19,7 @@ object ScaleCheck {
     "q140_rrf_fusion", "q141_ngram_containment", "q142_snm_pairs",
     "q143_snm_multipass", "q156_prefix_filter_jaccard", "q157_pagerank",
     "q158_stratified_priority_sample", "q159_mad_outliers",
-    "q160_point_in_time_features")
+    "q160_point_in_time_features", "q164_incremental_components")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
