@@ -224,7 +224,8 @@ object Components {
     *
     * Scale posture: per round, ONE equi-join of ranks onto edges (shuffle
     * on src) + one map-side-combined sum (shuffle on dst) + a node-sized
-    * left join; the dangling sum is a scalar aggregate. The edge frame is
+    * left join; the dangling mass rides as a broadcast 1-row aggregate (no
+    * per-round driver action — a ≤4-round run is ONE lazy plan). The edge frame is
     * persisted across rounds; [[Checkpoints.cut]] per round stops plan
     * growth. Rounds are O(iters) — fixed, not convergence-polled, so the
     * job graph is static and the oracle can replay it as `iters` chained
@@ -259,10 +260,16 @@ object Components {
     val teleport = (100 - dampPct) * unit / 100
     var ranks = base.select(col("id"), col("outw"), lit(unit).as("rank"))
     var round = 0
+    // cuts only on long runs: a short run stays ONE fully-lazy plan —
+    // the dangling mass rides as a broadcast 1-row aggregate instead of a
+    // driver scalar, so no per-round action ever fires and the whole
+    // power iteration executes as a single job at the consumer; past 4
+    // rounds the uncut lineage grows a join per round and per-round
+    // materialization pays for itself
+    val cutRounds = iters > 4
     while (round < iters) {
-      val dangling = ranks.filter(col("outw").isNull)
-        .agg(coalesce(sum("rank"), lit(0L))).first().getLong(0)
-      val perNodeDangling = dangling / n
+      val dang = ranks.filter(col("outw").isNull)
+        .agg(coalesce(sum("rank"), lit(0L)).as("dsum"))
       // `div`, never `/`: Column./ is DOUBLE division — correctly rounded
       // but not integer-div semantics (a quotient landing on x.4999…9
       // can round across the boundary) and lossy past 2⁵³
@@ -270,14 +277,16 @@ object Components {
           expr("rank div outw").as("share")), "src")
         .groupBy(col("dst").as("id"))
         .agg(sum(col("share") * col("w")).as("insum"))
-      val next = Checkpoints.cut(base
+      val nextPlan = base
         .join(contrib, Seq("id"), "left")
+        .crossJoin(broadcast(dang))
         .withColumn("gross",
           lit(dampPct.toLong) * (coalesce(col("insum"), lit(0L)) +
-            lit(perNodeDangling)))
+            expr(s"dsum div ${n}L")))
         .select(col("id"), col("outw"),
-          (lit(teleport) + expr("gross div 100")).as("rank")))
-      if (round > 0) Checkpoints.release(ranks)
+          (lit(teleport) + expr("gross div 100")).as("rank"))
+      val next = if (cutRounds) Checkpoints.cut(nextPlan) else nextPlan
+      if (cutRounds && round > 0) Checkpoints.release(ranks)
       ranks = next
       round += 1
     }

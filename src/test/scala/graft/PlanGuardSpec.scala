@@ -166,10 +166,32 @@ class PlanGuardSpec extends SparkSpec {
     }
   }
 
-  test("q157 pageRank: per-round equi-joins only, no nested loop over the graph") {
+  test("q157 pageRank: propagation is equi-join; only 1-row dangling frames nest") {
     val p = finalPlan("q157_pagerank")
-    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
-      s"rank propagation must join edges to ranks on src only:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"no unbounded cross product anywhere in the power iteration:\n$p")
+    // the ONLY condition-less joins allowed are the per-round broadcast
+    // crossJoins of the dangling-mass aggregate, and the logical plan can
+    // PROVE each one is 1-row (ungrouped Aggregate ⇒ maxRows = 1); a
+    // graph-sized cross join fails this regardless of how lineage
+    // duplication multiplies its appearances in the unrolled tree
+    val df = SparkEntry.queries("q157_pagerank")(spark, dir)
+    val crossJoins = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.condition.isEmpty => j
+    }
+    assert(crossJoins.nonEmpty, "expected the 1-row dangling crossJoins")
+    crossJoins.foreach(j => assert(j.right.maxRows.contains(1L),
+      s"every crossJoin side must be provably 1-row, got ${j.right.maxRows}"))
+    // and the rank-propagation joins themselves are equality joins on the
+    // edge endpoints — never part of a nested loop
+    val srcJoins = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.condition.exists(_.references.exists(_.name == "src")) => j
+    }
+    assert(srcJoins.nonEmpty, "expected the edges-to-ranks src equi-joins")
+    srcJoins.foreach(j => assert(j.condition.get.toString.contains("="),
+      s"propagation join must be an equality join: ${j.condition.get}"))
   }
 
   test("q160 point-in-time features: band equi-join only, no inequality join") {
