@@ -258,7 +258,7 @@ object ScaleCheck {
       "q132_dsir_weights", "q140_rrf_fusion", "q141_ngram_containment",
       "q142_snm_pairs", "q143_snm_multipass", "q156_prefix_filter_jaccard",
       "q157_pagerank", "q158_stratified_priority_sample", "q159_mad_outliers",
-      "q160_point_in_time_features")
+      "q160_point_in_time_features", "q164_incremental_components")
     onlyQ.foreach { q => require(queries.contains(q),
       s"eq=$q matches no exponent query; valid: ${queries.mkString(", ")}") }
     for (k <- ks if !noReplicate) {
