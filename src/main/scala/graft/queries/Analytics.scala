@@ -440,6 +440,34 @@ object Analytics {
             ELSE o_totalprice END, 2) AS o_totalprice
         FROM orders WHERE o_orderkey % 20 = 0 ORDER BY o_orderkey""")),
 
+    // q165: hierarchical traversal (bounded BFS with depths) — the
+    // recursive-CTE capability Spark SQL lacks, as iterative frontier
+    // expansion: the part table induces a BOM-style hierarchy (parent =
+    // p_partkey div 2, the binary-heap derivation — every part chains up
+    // to part 1), and the query explodes the tree from the root with
+    // min-hop depths. The oracle IS DuckDB's native WITH RECURSIVE over
+    // the same derivation, so the hash-match proves frontier/anti-join
+    // BFS ≡ recursive-CTE least fixpoint.
+    QueryDef("q165_bfs_hierarchy",
+      (s, d) => {
+        val edges = Tables.part(s, d).filter(col("p_partkey") >= 2)
+          .select(expr("p_partkey div 2").as("parent"),
+            col("p_partkey").as("child"))
+        val roots = s.range(1, 2).select(col("id").as("root"))
+        graft.operators.Components
+          .bfsDepths(edges, "parent", "child", roots, "root", 24)
+          .select(col("id").as("p_partkey"), col("depth"))
+          .orderBy("p_partkey")
+      },
+      Some("""WITH RECURSIVE r AS (
+          SELECT CAST(1 AS BIGINT) AS p_partkey, 0 AS depth
+          UNION ALL
+          SELECT p.p_partkey, r.depth + 1
+          FROM part p JOIN r ON p.p_partkey // 2 = r.p_partkey
+          WHERE p.p_partkey >= 2)
+        SELECT p_partkey, CAST(depth AS INTEGER) AS depth FROM r
+        ORDER BY p_partkey""")),
+
     // q68: edit-distance fuzzy matching — integer Levenshtein is exactly
     // portable. Bounded pair set (first 40 parts); at scale this runs
     // behind a cheap length/prefix blocking filter.

@@ -141,6 +141,38 @@ class ComponentsSpec extends SparkSpec {
     }
   }
 
+  // --- bounded BFS with depths ---
+
+  private def bfs(edges: Seq[(Long, Long)], roots: Seq[Long],
+      maxHops: Int): Map[Long, Int] =
+    Components.bfsDepths(edges.toDF("p", "c"), "p", "c",
+        roots.toDF("r"), "r", maxHops)
+      .as[(Long, Int)].collect().toMap
+
+  test("bfs assigns minimum hop depths; the bound truncates the frontier") {
+    // 1→2→3→4 chain plus a shortcut 1→3: 3 is depth 1, not 2
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 3L))
+    assert(bfs(edges, Seq(1L), 10) ===
+      Map(1L -> 0, 2L -> 1, 3L -> 1, 4L -> 2))
+    assert(bfs(edges, Seq(1L), 1) === Map(1L -> 0, 2L -> 1, 3L -> 1),
+      "maxHops=1 must stop before reaching 4")
+  }
+
+  test("bfs terminates on cycles: revisits are anti-joined away") {
+    val out = bfs(Seq((1L, 2L), (2L, 3L), (3L, 1L)), Seq(1L), 50)
+    assert(out === Map(1L -> 0, 2L -> 1, 3L -> 2))
+  }
+
+  test("bfs from multiple roots: first arrival from ANY root wins") {
+    val out = bfs(Seq((1L, 5L), (5L, 6L), (9L, 6L)), Seq(1L, 9L), 10)
+    assert(out === Map(1L -> 0, 9L -> 0, 5L -> 1, 6L -> 1),
+      "6 is depth 1 via root 9, not depth 2 via 1→5→6")
+  }
+
+  test("bfs with unreachable roots or empty edges returns the roots alone") {
+    assert(bfs(Seq.empty, Seq(3L), 5) === Map(3L -> 0))
+  }
+
   // --- fixed-point PageRank ---
 
   /** Driver-side reference of the exact integer fixed-point recurrence. */
