@@ -258,7 +258,8 @@ object ScaleCheck {
       "q132_dsir_weights", "q140_rrf_fusion", "q141_ngram_containment",
       "q142_snm_pairs", "q143_snm_multipass", "q156_prefix_filter_jaccard",
       "q157_pagerank", "q158_stratified_priority_sample", "q159_mad_outliers",
-      "q160_point_in_time_features", "q164_incremental_components")
+      "q160_point_in_time_features", "q164_incremental_components",
+      "q165_bfs_hierarchy")
     onlyQ.foreach { q => require(queries.contains(q),
       s"eq=$q matches no exponent query; valid: ${queries.mkString(", ")}") }
     for (k <- ks if !noReplicate) {
@@ -297,6 +298,13 @@ object ScaleCheck {
       // traffic). Read through Tables.events so the written copy is the
       // normalized µs layout it will be read back in.
       val evs = Tables.events(spark, src)
+      // the disjoint-population premise needs base ids strictly below the
+      // per-copy offsets — a larger base corpus would otherwise silently
+      // collide copies and bend the fitted exponents; fail loudly instead
+      val idMax = evs.agg(max("user_id").as("u"), max("event_id").as("e")).first()
+      require(idMax.getLong(0) < 1000000L && idMax.getLong(1) < 1000000000L,
+        s"replication offsets collide: max user_id=${idMax.getLong(0)} " +
+          s"(cap 1e6), max event_id=${idMax.getLong(1)} (cap 1e9) — raise the offsets")
       (0 until k).map { i =>
         if (i == 0) evs
         else evs
@@ -304,6 +312,22 @@ object ScaleCheck {
           .withColumn("user_id", col("user_id") + lit(i * 1000000L))
       }.reduce(_ unionByName _).write.mode("overwrite")
         .parquet(s"$dst/events.parquet")
+      // part for q165: contiguous heap EXTENSION (copy i at key + i·N) —
+      // every new key's parent (k div 2) exists in a lower range, so the
+      // traversal tree genuinely grows k× in nodes and +log₂k in depth.
+      // Disjoint offset copies (the other tables' scheme) would detach
+      // from root 1 and the BFS would never reach them.
+      val pt = spark.read.parquet(s"$src/part.parquet")
+      val pn = pt.count()
+      val pr = pt.agg(min("p_partkey").as("lo"), max("p_partkey").as("hi")).first()
+      require(pr.getLong(0) == 0L && pr.getLong(1) == pn - 1,
+        s"heap extension needs contiguous 0..N-1 part keys, got " +
+          s"[${pr.getLong(0)}, ${pr.getLong(1)}] over $pn rows")
+      (0 until k).map { i =>
+        if (i == 0) pt
+        else pt.withColumn("p_partkey", col("p_partkey") + lit(i * pn))
+      }.reduce(_ unionByName _).write.mode("overwrite")
+        .parquet(s"$dst/part.parquet")
     }
     // build-once IVF indexes so the probe-only lifecycle is measurable
     // against the inline (assign-every-call) q38 row

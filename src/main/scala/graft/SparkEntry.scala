@@ -21,7 +21,9 @@ object SparkEntry {
       queries_analytics ++ queries_jira
 
   private def queries_relational: Seq[QueryDef] = graft.queries.Relational.defs
-  private def queries_text: Seq[QueryDef] = graft.queries.TextOps.defs
+  private def queries_text: Seq[QueryDef] =
+    graft.queries.TextDedupOps.defs ++ graft.queries.TextSimOps.defs ++
+      graft.queries.TextScoreOps.defs ++ graft.queries.TextPrepOps.defs
   private def queries_etl: Seq[QueryDef] = graft.queries.EtlOps.defs
   private def queries_streaming: Seq[QueryDef] = graft.queries.StreamingOps.defs
   private def queries_analytics: Seq[QueryDef] = graft.queries.Analytics.defs

@@ -13,11 +13,16 @@ import org.apache.spark.sql.DataFrame
   * [[Similarity.kmeansCentroids]]/[[Similarity.cosinePairsLsh]]), switched
   * by ONE runtime config:
   *
-  *   - `graft.checkpoint.dir` unset (default): `localCheckpoint()` —
-  *     executor-local blocks, no I/O setup; right for single-node and
-  *     short-lived sessions. Caveat: the blocks are unreplicated and die
-  *     with their executor, and the truncated lineage cannot recompute
-  *     them — an executor loss mid-operator fails the job.
+  *   - `graft.checkpoint.dir` unset (default): a PERSIST-BASED cut —
+  *     the frame is materialized into a persisted InternalRow RDD and
+  *     wrapped in a fresh LogicalRDD ([[org.apache.spark.sql.graftshim
+  *     .GraftSqlShim.persistCut]]). The logical plan is truncated (plan
+  *     growth stops) but the physical lineage survives, so blocks lost to
+  *     eviction, executor loss, or an eager [[release]] are recomputed
+  *     from the original plan — never unrecoverable, never the
+  *     truncated-lineage WARN. (r11 used `localCheckpoint()`, whose
+  *     blocks die unrecoverably with their executor or an unpersist —
+  *     the q157 hash-flake came from exactly that.)
   *   - `graft.checkpoint.dir = <path>`: reliable `checkpoint()` into that
   *     directory (HDFS/object store on a cluster) — survives executor loss
   *     and dynamic-allocation decommission; the cluster posture.
@@ -84,7 +89,9 @@ object Checkpoints {
         entries.put(new Entry(keyOf(out), dir, sc.hadoopConfiguration), ())
         sweep()
         out
-      case None => df.localCheckpoint()
+      case None =>
+        org.apache.spark.sql.graftshim.GraftSqlShim.persistCut(df,
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
   }
 
@@ -92,12 +99,13 @@ object Checkpoints {
     * delete its checkpoint directory. Local mode: unpersist its blocks
     * NOW instead of waiting for the GC-driven context cleaner — a
     * many-round iterative loop (k-means, BPE's merge rounds, star
-    * contraction) otherwise piles up hundreds of truncated-lineage block
-    * sets until the store starts evicting one a LIVE frame still needs,
-    * which is unrecoverable (localCheckpoint cannot recompute). Only call
-    * once nothing live reads `df` — iterative loops call it on round n−1
-    * after round n is materialized; one-shot operators via
-    * [[sealAndRelease]] after the result frame is sealed.
+    * contraction) otherwise piles up hundreds of block sets and squeezes
+    * live frames out of the store. Persist-based cuts keep their physical
+    * lineage, so even a mistaken release is recomputable (slow, never
+    * wrong); still, call it only once nothing live reads `df` —
+    * iterative loops call it on round n−1 after round n is materialized;
+    * one-shot operators via [[sealAndRelease]] after the result frame is
+    * sealed.
     */
   def release(df: DataFrame): Unit = {
     val key = keyOf(df)
@@ -116,10 +124,12 @@ object Checkpoints {
     * `staging` cuts it was derived from — without the seal, the lazy
     * result would still read the staging files, and a long-lived service
     * accumulates one directory per operator call for its session lifetime.
-    * In localCheckpoint mode this is a NO-OP: there are no directories to
-    * leak, the result deliberately stays lazy (plan-shape assertions and
-    * zero extra materialization), and the staging blocks are reclaimed by
-    * the context cleaner once the result is dereferenced.
+    * In local (persist-cut) mode this is a NO-OP: there are no
+    * directories to leak, the result deliberately stays lazy (plan-shape
+    * assertions and zero extra materialization), and that laziness is
+    * SAFE because staging cuts keep physical lineage — a consumer acting
+    * after the context cleaner reclaimed staging blocks recomputes them
+    * instead of failing (the localCheckpoint-era flake).
     */
   def sealAndRelease(result: DataFrame, staging: DataFrame*): DataFrame =
     result.sparkSession.conf.getOption(DirConf).filter(_.nonEmpty) match {

@@ -180,11 +180,7 @@ object Components {
     var hop = 0
     var done = frontier.head(1).isEmpty
     while (hop < maxHops && !done) {
-      val next = Checkpoints.cut(
-        e.join(frontier.select(col("id").as("p")), "p")
-          .select(col("c").as("id")).distinct()
-          .join(visited.select("id"), Seq("id"), "left_anti")
-          .withColumn("depth", lit(hop + 1)))
+      val next = Checkpoints.cut(bfsStep(e, frontier, visited, hop))
       done = next.head(1).isEmpty
       if (!done) {
         val merged = Checkpoints.cut(visited.unionByName(next))
@@ -198,6 +194,21 @@ object Components {
     e.unpersist()
     visited
   }
+
+  /** One BFS hop as a lazy plan — package-visible so PlanGuardSpec can
+    * assert the shape the scale posture depends on (equi-join on the
+    * parent id + distinct + LEFT ANTI against the materialized visited
+    * cut, id-only join sides) directly on the operator's own round
+    * builder: the registered query's final plan is a sort over the
+    * already-executed cut, so the per-hop machinery is only inspectable
+    * here.
+    */
+  private[graft] def bfsStep(e: DataFrame, frontier: DataFrame,
+      visited: DataFrame, hop: Int): DataFrame =
+    e.join(frontier.select(col("id").as("p")), "p")
+      .select(col("c").as("id")).distinct()
+      .join(visited.select("id"), Seq("id"), "left_anti")
+      .withColumn("depth", lit(hop + 1))
 
   /** Incremental connected components — the cluster-label sibling of the
     * at-rest dedup-index lifecycle ([[Dedup.appendToLshIndex]] signs only
@@ -277,11 +288,16 @@ object Components {
     * Scale posture: per round, ONE equi-join of ranks onto edges (shuffle
     * on src) + one map-side-combined sum (shuffle on dst) + a node-sized
     * left join; the dangling mass rides as a broadcast 1-row aggregate (no
-    * per-round driver action — a ≤4-round run is ONE lazy plan). The edge frame is
+    * per-round driver action — a ≤4-round run builds ONE lazy plan that
+    * executes in a single job at the final cut). The edge frame is
     * persisted across rounds; [[Checkpoints.cut]] per round stops plan
-    * growth. Rounds are O(iters) — fixed, not convergence-polled, so the
-    * job graph is static and the oracle can replay it as `iters` chained
-    * CTEs.
+    * growth on longer runs, and the RESULT is always eagerly cut before
+    * returning, so the output is materialized while every staging block is
+    * still alive — its values cannot depend on later session state (the
+    * r11 lazy-return variant flaked exactly this way). Rounds are
+    * O(iters) — fixed, not convergence-polled, so the job graph is static
+    * and the oracle can replay it as `iters` chained CTEs; see
+    * [[pageRankUntil]] for the convergence-stopped production variant.
     *
     * Output: (id, rank) — rank in micro-units, integer, hash-exact.
     */
@@ -304,7 +320,9 @@ object Components {
     val n = nodes.count()
     if (n == 0) {
       e.unpersist()
-      return nodes.select(col("id"), lit(0L).as("rank"))
+      val empty = Checkpoints.cut(nodes.select(col("id"), lit(0L).as("rank")))
+      Checkpoints.release(nodes)
+      return empty
     }
     val outW = e.groupBy(col("src").as("id")).agg(sum("w").as("outw"))
     // (id, outw|null): null outw marks a dangling node (no out-edges)
@@ -320,30 +338,124 @@ object Components {
     // materialization pays for itself
     val cutRounds = iters > 4
     while (round < iters) {
-      val dang = ranks.filter(col("outw").isNull)
-        .agg(coalesce(sum("rank"), lit(0L)).as("dsum"))
-      // `div`, never `/`: Column./ is DOUBLE division — correctly rounded
-      // but not integer-div semantics (a quotient landing on x.4999…9
-      // can round across the boundary) and lossy past 2⁵³
-      val contrib = e.join(ranks.select(col("id").as("src"),
-          expr("rank div outw").as("share")), "src")
-        .groupBy(col("dst").as("id"))
-        .agg(sum(col("share") * col("w")).as("insum"))
-      val nextPlan = base
-        .join(contrib, Seq("id"), "left")
-        .crossJoin(broadcast(dang))
-        .withColumn("gross",
-          lit(dampPct.toLong) * (coalesce(col("insum"), lit(0L)) +
-            expr(s"dsum div ${n}L")))
-        .select(col("id"), col("outw"),
-          (lit(teleport) + expr("gross div 100")).as("rank"))
+      val nextPlan = powerRound(e, base, ranks, n, dampPct, teleport)
       val next = if (cutRounds) Checkpoints.cut(nextPlan) else nextPlan
       if (cutRounds && round > 0) Checkpoints.release(ranks)
       ranks = next
       round += 1
     }
-    val out = ranks.select("id", "rank")
+    // The result is eagerly CUT (materialized) in BOTH checkpoint modes
+    // before any staging storage is touched — deterministic by
+    // construction. Returning the lazy plan instead (r11) left execution
+    // to the consumer's action, at which point the unreplicated
+    // localCheckpoint blocks of `base`/`nodes` could have been unpersisted
+    // or evicted (they are not recomputable once lineage is truncated) and
+    // the plan silently recomputed over partial inputs — the q157
+    // hash-flake. One node-sized materialization is the price of a result
+    // that cannot depend on later session state.
+    val out = Checkpoints.cut(ranks.select("id", "rank"))
     e.unpersist()
-    Checkpoints.sealAndRelease(out, ranks, base, nodes)
+    if (cutRounds) Checkpoints.release(ranks)
+    Checkpoints.release(base)
+    Checkpoints.release(nodes)
+    out
+  }
+
+  /** One damped power-iteration round in micro-rank fixed point: the
+    * dangling mass rides as a broadcast 1-row aggregate (never a driver
+    * scalar), the per-edge share uses `div`, never `/` — Column./ is
+    * DOUBLE division: correctly rounded but not integer-div semantics (a
+    * quotient landing on x.4999…9 can round across the boundary) and lossy
+    * past 2⁵³. Package-visible so PlanGuardSpec can assert the round's
+    * plan shape (1-row-provable crossJoin, src equi-joins) on the
+    * operator's own builder — the registered query's final plan is a sort
+    * over the already-executed cut.
+    */
+  private[graft] def powerRound(e: DataFrame, base: DataFrame, ranks: DataFrame,
+      n: Long, dampPct: Int, teleport: Long): DataFrame = {
+    val dang = ranks.filter(col("outw").isNull)
+      .agg(coalesce(sum("rank"), lit(0L)).as("dsum"))
+    val contrib = e.join(ranks.select(col("id").as("src"),
+        expr("rank div outw").as("share")), "src")
+      .groupBy(col("dst").as("id"))
+      .agg(sum(col("share") * col("w")).as("insum"))
+    base
+      .join(contrib, Seq("id"), "left")
+      .crossJoin(broadcast(dang))
+      .withColumn("gross",
+        lit(dampPct.toLong) * (coalesce(col("insum"), lit(0L)) +
+          expr(s"dsum div ${n}L")))
+      .select(col("id"), col("outw"),
+        (lit(teleport) + expr("gross div 100")).as("rank"))
+  }
+
+  /** Convergence-stopped PageRank — [[pageRank]]'s production mode: run
+    * the identical integer fixed-point rounds until the L1 rank delta
+    * `Σ_id |r'(id) − r(id)|` (micro-units) drops to ≤ `deltaL1`, or
+    * `maxIters` rounds elapse. A real centrality job does not know its
+    * round count up front; the fixed-`iters` entry point exists so the
+    * oracle can replay a static plan — this one reuses the same
+    * [[powerRound]] arithmetic, so at the round where it stops it is
+    * bit-identical to `pageRank(…, iters = roundsRun)`
+    * (ComponentsSpec proves the equivalence).
+    *
+    * Scale posture vs [[pageRank]]: each round is necessarily
+    * materialized (the stop test needs its values), plus ONE node-sized
+    * self-join and a scalar aggregate for the delta — the only per-round
+    * driver traffic is that one long. Integer fixed point makes the stop
+    * test itself deterministic: no ulp-flicker near the threshold. But
+    * truncation means an EXACT fixpoint (`deltaL1 = 0`) is generally
+    * unreachable — the map settles into a persistent cycle of a few
+    * units' amplitude (measured: a 5-node graph still moves at round
+    * 200) — so callers must pass a positive budget scaled to the rank
+    * mass (e.g. `n·unit/10⁶` ≈ one part per million of total mass) with
+    * `maxIters` as the hard stop.
+    *
+    * Output: ((id, rank) — eagerly cut, like [[pageRank]] — and the
+    * number of rounds actually run).
+    */
+  def pageRankUntil(edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: Option[String], deltaL1: Long, maxIters: Int = 60,
+      dampPct: Int = 85, unit: Long = 1000000L): (DataFrame, Int) = {
+    require(deltaL1 >= 0, "the L1 stopping budget is nonnegative")
+    require(maxIters >= 1, "need at least one power-iteration round")
+    require(dampPct >= 0 && dampPct <= 100, "damping is a percentage")
+    val w = weightCol.map(c => col(c).cast("long")).getOrElse(lit(1L))
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+      w.as("w")).filter(col("w") > 0).persist()
+    val nodes = Checkpoints.cut(
+      e.select(col("src").as("id")).union(e.select(col("dst").as("id")))
+        .distinct())
+    val n = nodes.count()
+    if (n == 0) {
+      e.unpersist()
+      val empty = Checkpoints.cut(nodes.select(col("id"), lit(0L).as("rank")))
+      Checkpoints.release(nodes)
+      return (empty, 0)
+    }
+    val outW = e.groupBy(col("src").as("id")).agg(sum("w").as("outw"))
+    val base = Checkpoints.cut(nodes.join(outW, Seq("id"), "left"))
+    val teleport = (100 - dampPct) * unit / 100
+    var ranks = Checkpoints.cut(
+      base.select(col("id"), col("outw"), lit(unit).as("rank")))
+    var round = 0
+    var delta = Long.MaxValue
+    while (round < maxIters && delta > deltaL1) {
+      val next = Checkpoints.cut(
+        powerRound(e, base, ranks, n, dampPct, teleport))
+      delta = next.select(col("id"), col("rank").as("r2"))
+        .join(ranks.select(col("id"), col("rank").as("r1")), "id")
+        .agg(coalesce(sum(abs(col("r2") - col("r1"))), lit(0L)))
+        .first().getLong(0)
+      Checkpoints.release(ranks)
+      ranks = next
+      round += 1
+    }
+    val out = Checkpoints.cut(ranks.select("id", "rank"))
+    e.unpersist()
+    Checkpoints.release(ranks)
+    Checkpoints.release(base)
+    Checkpoints.release(nodes)
+    (out, round)
   }
 }

@@ -23,12 +23,16 @@ object Analytics {
   // q161's backfilled table and q162's schema-evolved table, each built
   // ONCE per (session, sf dir) under /tmp — the q147/q103 at-rest-artifact
   // lifecycle: the registered query is then a pure read of table state.
+  // ConcurrentHashMap.computeIfAbsent, NOT TrieMap.getOrElseUpdate: the
+  // builders are side-effecting (temp-dir writes, a Derby database +
+  // MERGEs), and getOrElseUpdate can run a racing builder twice and leak
+  // the loser's state — computeIfAbsent locks the key and runs it once.
   private val backfillCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]
   private val evolveCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
-  private val jdbcCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), (String, java.util.Properties)]
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]
+  private val jdbcCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (String, java.util.Properties)]
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -345,7 +349,7 @@ object Analytics {
     // static-mode truncation of them) hash-fails immediately.
     QueryDef("q161_partition_backfill",
       (s, d) => {
-        val dir = backfillCache.getOrElseUpdate((s, d), {
+        val dir = backfillCache.computeIfAbsent((s, d), _ => {
           val t = java.nio.file.Files
             .createTempDirectory("graft_q161").toString + "/orders"
           val base = ord(s, d).select(col("o_orderkey"),
@@ -374,7 +378,7 @@ object Analytics {
     // NULL-backfill contract from the source table.
     QueryDef("q162_schema_evolution",
       (s, d) => {
-        val dir = evolveCache.getOrElseUpdate((s, d), {
+        val dir = evolveCache.computeIfAbsent((s, d), _ => {
           val t = java.nio.file.Files
             .createTempDirectory("graft_q162").toString + "/docs"
           val docs = Tables.documents(s, d)
@@ -409,7 +413,7 @@ object Analytics {
     // per-partition parallel form unchanged.
     QueryDef("q163_jdbc_upsert_roundtrip",
       (s, d) => {
-        val (url, props) = jdbcCache.getOrElseUpdate((s, d), {
+        val (url, props) = jdbcCache.computeIfAbsent((s, d), _ => {
           val u = s"jdbc:derby:memory:graftq163_${System.nanoTime()};create=true"
           val p = new java.util.Properties()
           p.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
@@ -450,12 +454,24 @@ object Analytics {
     // BFS ≡ recursive-CTE least fixpoint.
     QueryDef("q165_bfs_hierarchy",
       (s, d) => {
-        val edges = Tables.part(s, d).filter(col("p_partkey") >= 2)
+        val part = Tables.part(s, d)
+        val edges = part.filter(col("p_partkey") >= 2)
           .select(expr("p_partkey div 2").as("parent"),
             col("p_partkey").as("child"))
         val roots = s.range(1, 2).select(col("id").as("root"))
+        // hop bound DERIVED from the data, never hard-coded: the heap
+        // derivation puts key k at depth floor(log2 k), so the deepest
+        // reachable node sits at exactly floor(log2(max key)) — a larger
+        // SF widens the bound automatically instead of silently
+        // truncating the traversal against the UNBOUNDED recursive-CTE
+        // oracle. One scalar agg of driver traffic; bfsDepths' frontier-
+        // emptiness probes stop early regardless.
+        val maxKey = part
+          .agg(coalesce(max(col("p_partkey").cast("long")), lit(1L)).as("m"))
+          .first().getLong(0)
+        val hops = 63 - java.lang.Long.numberOfLeadingZeros(math.max(maxKey, 1L))
         graft.operators.Components
-          .bfsDepths(edges, "parent", "child", roots, "root", 24)
+          .bfsDepths(edges, "parent", "child", roots, "root", hops)
           .select(col("id").as("p_partkey"), col("depth"))
           .orderBy("p_partkey")
       },

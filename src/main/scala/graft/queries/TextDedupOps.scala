@@ -1,0 +1,595 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{Dedup, Mixture, Packing, Sampling, Similarity}
+import graft.functions.{SketchExpressions, TextFns}
+
+import graft.queries.TextShared.{docs, OShingles, OToks}
+
+/** Deduplication family over `documents`: exact, the four near-dup
+  * candidate-generation schemes (inverted-index Jaccard, MinHash-LSH,
+  * SimHash, sorted-neighborhood ± multi-pass, PPJoin prefix filter,
+  * winnowing), the at-rest index lifecycle (build/append/probe,
+  * bloom-prefiltered incremental), cluster formation (batch and
+  * incremental), decontamination, span scrubbing, survivor selection and
+  * the savings accounting. Split from TextOps along the family seam —
+  * pure move, no behavior change; shared portability rules in
+  * [[TextShared]].
+  */
+object TextDedupOps {
+
+  // Shared dedup index: q34, q77 and q85 all consume the exact-Jaccard
+  // pair set — memoized per (session, sf dir) and persist()'d, the way a
+  // real pipeline materializes its candidate-pair index. persist, NOT
+  // localCheckpoint, deliberately: this frame is SESSION-lived, and a
+  // memo that survives the session must survive executor loss — persist
+  // recomputes lost blocks from lineage, where localCheckpoint's truncated
+  // lineage would hand every later caller a permanently poisoned frame.
+  // (A clearCache() de-materializes it; it transparently recomputes.)
+  // Bounded: one tiny (pairs ≪ docs) frame per data dir per session.
+  private val pairsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), org.apache.spark.sql.DataFrame]
+  private def jaccardPairs(s: SparkSession, d: String) =
+    pairsCache.getOrElseUpdate((s, d),
+      Dedup.ngramJaccard(docs(s, d), "doc_id", "text", 3, 0.6).persist())
+
+  // q147's saved MinHash-LSH near-dup index over the corpus slice — same
+  // build-once lifecycle; later calls are pure batch probes.
+  private val lshIndexCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  // DuckDB-side exact 3-gram Jaccard pairs >= 0.6 (shared oracle for the
+  // exact inverted-index path AND the MinHash-LSH path — banding recall for
+  // the planted ~0.99-similarity pairs is 1-(1-s^4)^12 ≈ 1-1e-13, and the
+  // corpus has no pairs in (0.3, 0.8) to sit near the threshold).
+  private val OJaccardPairs =
+    s"""WITH toks AS (SELECT doc_id, $OToks t FROM documents),
+       sets AS (SELECT doc_id, $OShingles sh FROM toks WHERE len(t) >= 3),
+       inv AS (SELECT doc_id, len(sh) n, unnest(sh) shingle FROM sets),
+       pairs AS (
+         SELECT a.doc_id id_a, b.doc_id id_b, a.n na, b.n nb, count(*) inter
+         FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         GROUP BY 1, 2, 3, 4)
+       SELECT id_a, id_b, round(inter / (na + nb - inter), 4) AS jaccard
+       FROM pairs WHERE round(inter / (na + nb - inter), 4) >= 0.6
+       ORDER BY id_a, id_b"""
+
+  private[graft] val defs: Seq[QueryDef] = Seq(
+
+    // q30: exact dedup — one survivor (lowest doc_id) per md5 fingerprint
+    // of the lowercased text. One fingerprint-shuffle; the scan stage
+    // computes the hash so full text never ships twice.
+    QueryDef("q30_dedup_exact",
+      (s, d) => Dedup.exact(docs(s, d), lower(col("text")), "doc_id")
+        .select("doc_id", "fingerprint")
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, fingerprint FROM (
+          SELECT doc_id, md5(lower(text)) AS fingerprint,
+                 row_number() OVER (PARTITION BY md5(lower(text)) ORDER BY doc_id) rn
+          FROM documents) t
+        WHERE rn = 1 ORDER BY doc_id""")),
+
+    // q34: exact near-dup gold standard — 3-gram Jaccard ≥ 0.6 via
+    // inverted-index self-join (cost Σ df² over shingles; run behind LSH
+    // at adversarial scale).
+    QueryDef("q34_ngram_jaccard",
+      (s, d) => jaccardPairs(s, d)
+        .orderBy("id_a", "id_b"),
+      Some(OJaccardPairs)),
+
+    // q35: MinHash-LSH near-dup — the linear-time scale path; banding
+    // (12 bands × 4 rows over a 48-perm signature) generates candidates,
+    // exact Jaccard verifies. Same oracle as q34 (see OJaccardPairs note).
+    QueryDef("q35_minhash_lsh",
+      (s, d) => Dedup.minHashLsh(docs(s, d), "doc_id", "text", 3, 0.6)
+        .orderBy("id_a", "id_b"),
+      Some(OJaccardPairs)),
+
+    // q141: n-gram CONTAINMENT pairs — the asymmetric companion to q34's
+    // Jaccard: |sh(A)∩sh(B)|/|sh(A)| ≥ 0.8 emits (contained, container)
+    // DIRECTED (both directions of a mutual near-dup pass). Catches the
+    // quoted-small-doc-inside-aggregation-page class symmetric Jaccard
+    // structurally misses. Same inverted index, same Σdf² cost envelope
+    // (gold-standard path; LSH banding stays the scale path for search).
+    QueryDef("q141_ngram_containment",
+      (s, d) => Dedup.ngramContainment(docs(s, d), "doc_id", "text", 3, 0.8)
+        .orderBy("contained_id", "container_id"),
+      Some(s"""WITH toks AS (SELECT doc_id, $OToks t FROM documents),
+        sets AS (SELECT doc_id, $OShingles sh FROM toks WHERE len(t) >= 3),
+        inv AS (SELECT doc_id, len(sh) n, unnest(sh) shingle FROM sets),
+        pairs AS (
+          SELECT a.doc_id contained_id, b.doc_id container_id, a.n na,
+            count(*) inter
+          FROM inv a JOIN inv b
+            ON a.shingle = b.shingle AND a.doc_id != b.doc_id
+          GROUP BY 1, 2, 3)
+        SELECT contained_id, container_id,
+          round(inter / na, 4) AS containment
+        FROM pairs WHERE round(inter / na, 4) >= 0.8
+        ORDER BY contained_id, container_id""")),
+
+    // q142: sorted-neighborhood near-dup — the THIRD blocking family
+    // (deterministic windowed, Hernández–Stolfo SNM) next to q35's LSH
+    // and q34's inverted index: rank by text length (two-phase, no global
+    // window), verify exact Jaccard only within ±10 rank positions via a
+    // banded rank-block equi-join. O(n·w) candidates by construction;
+    // recall vs the exact path measured in DedupSpec. Fully deterministic
+    // ⇒ full DuckDB oracle replays rank, window and Jaccard.
+    QueryDef("q142_snm_pairs",
+      (s, d) => Dedup.snmPairs(docs(s, d), "doc_id", "text", 3, 10, 0.6)
+        .orderBy("id_a", "id_b"),
+      Some(s"""WITH toks AS (SELECT doc_id, $OToks t
+          FROM documents),
+        sets AS (SELECT doc_id, $OShingles sh FROM toks
+          WHERE len(t) >= 3),
+        rw AS (SELECT doc_id,
+            row_number() OVER (ORDER BY length(text), doc_id) - 1 AS pos
+          FROM documents),
+        cand AS (
+          SELECT a.doc_id ia, b.doc_id ib FROM rw a JOIN rw b
+          ON b.pos > a.pos AND b.pos <= a.pos + 10),
+        scored AS (
+          SELECT least(c.ia, c.ib) id_a, greatest(c.ia, c.ib) id_b,
+            round(len(list_intersect(x.sh, y.sh)) /
+              (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))),
+              4) AS jaccard
+          FROM cand c
+          JOIN sets x ON x.doc_id = c.ia
+          JOIN sets y ON y.doc_id = c.ib)
+        SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.6
+        ORDER BY id_a, id_b""")),
+
+    // q143: MULTI-PASS sorted-neighborhood near-dup — Hernández–Stolfo's
+    // actual algorithm (SIGMOD'95 §4 prescribes several runs with
+    // independent keys): q142's length pass UNIONed with a first-6-chars
+    // prefix-key pass before one shared exact-Jaccard verification. Each
+    // pass is the same O(n·w) banded rank-block construction; the second
+    // key closes the recall hole where an insertion shifts two near-dups'
+    // lengths beyond the window but leaves their openings equal (DedupSpec
+    // pins a constructed instance). Fully deterministic ⇒ the oracle
+    // replays both rankings, the candidate union, and the verification.
+    QueryDef("q143_snm_multipass",
+      (s, d) => Dedup.snmPairsMultiPass(docs(s, d), "doc_id", "text", 3, 10, 0.6)
+        .orderBy("id_a", "id_b"),
+      Some(s"""WITH toks AS (SELECT doc_id, $OToks t FROM documents),
+        sets AS (SELECT doc_id, $OShingles sh FROM toks WHERE len(t) >= 3),
+        pk AS (SELECT doc_id,
+            least(ascii(substr(rpad(text, 6, ' '), 1, 1)), 127) * 34359738368
+          + least(ascii(substr(rpad(text, 6, ' '), 2, 1)), 127) * 268435456
+          + least(ascii(substr(rpad(text, 6, ' '), 3, 1)), 127) * 2097152
+          + least(ascii(substr(rpad(text, 6, ' '), 4, 1)), 127) * 16384
+          + least(ascii(substr(rpad(text, 6, ' '), 5, 1)), 127) * 128
+          + least(ascii(substr(rpad(text, 6, ' '), 6, 1)), 127) AS k
+          FROM documents),
+        rw1 AS (SELECT doc_id,
+            row_number() OVER (ORDER BY length(text), doc_id) - 1 AS pos
+          FROM documents),
+        rw2 AS (SELECT doc_id,
+            row_number() OVER (ORDER BY k, doc_id) - 1 AS pos FROM pk),
+        cand AS (
+          SELECT least(a.doc_id, b.doc_id) ia, greatest(a.doc_id, b.doc_id) ib
+          FROM rw1 a JOIN rw1 b ON b.pos > a.pos AND b.pos <= a.pos + 10
+          UNION
+          SELECT least(a.doc_id, b.doc_id), greatest(a.doc_id, b.doc_id)
+          FROM rw2 a JOIN rw2 b ON b.pos > a.pos AND b.pos <= a.pos + 10),
+        scored AS (
+          SELECT c.ia id_a, c.ib id_b,
+            round(len(list_intersect(x.sh, y.sh)) /
+              (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))),
+              4) AS jaccard
+          FROM cand c
+          JOIN sets x ON x.doc_id = c.ia
+          JOIN sets y ON y.doc_id = c.ib)
+        SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.6
+        ORDER BY id_a, id_b""")),
+
+    // q156: PREFIX-FILTERED exact Jaccard (Chaudhuri ICDE'06 / Bayardo
+    // WWW'07 / PPJoin WWW'08) — the FOURTH candidate-generation family:
+    // same exact output contract as q34 (hence the SAME oracle — the
+    // hash-match IS the equivalence proof), but only each document's
+    // (1−t)·|S|+1 RAREST shingles are indexed, so the self-join volume
+    // collapses from Σdf² to Σdf_prefix² and corpus-wide boilerplate
+    // shingles generate zero candidates. Unlike q35's LSH (probabilistic
+    // recall) this is deterministic-lossless: the prefix lemma guarantees
+    // every qualifying pair collides inside the indexed prefixes.
+    QueryDef("q156_prefix_filter_jaccard",
+      (s, d) => Dedup.ngramJaccardPrefix(docs(s, d), "doc_id", "text", 3, 0.6)
+        .orderBy("id_a", "id_b"),
+      Some(OJaccardPairs)),
+
+    // q144: WINNOWING fingerprints (Schleimer–Wilkerson–Aiken SIGMOD'03,
+    // the MOSS algorithm) — hash positional word 3-grams, keep each
+    // 4-window's minimum (leftmost-min tie rule via the packed
+    // h·2²⁰+pos key): any shared passage ≥ w+k−1 tokens shares a selected
+    // fingerprint regardless of alignment, at ~2/(w+1) the postings of
+    // the full shingle index. One map-side explode + one per-doc window
+    // (both frames share the id shuffle) + distinct; fully deterministic
+    // ⇒ the oracle replays the packed-key window-min verbatim.
+    QueryDef("q144_winnowing",
+      (s, d) => Dedup.winnow(docs(s, d), "doc_id", "text", 3, 4)
+        .select(col("id").as("doc_id"), col("pos"), col("fp"))
+        .orderBy("doc_id", "pos", "fp"),
+      Some(s"""WITH toks AS (SELECT doc_id, $OToks t FROM documents),
+        g AS (SELECT doc_id, i - 1 AS pos,
+            ('0x' || substr(md5(array_to_string(t[i:i+2], ' ')), 1, 8))::BIGINT
+              * 1048576 + (i - 1) AS key
+          FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) i) s
+          WHERE len(t) >= 3),
+        w AS (SELECT doc_id, pos,
+            min(key) OVER (PARTITION BY doc_id ORDER BY pos
+              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) sel,
+            max(pos) OVER (PARTITION BY doc_id) mx
+          FROM g)
+        SELECT DISTINCT doc_id, sel % 1048576 AS pos, sel // 1048576 AS fp
+        FROM w WHERE pos >= 3 OR pos = mx
+        ORDER BY doc_id, pos, fp""")),
+
+    // q147: INDEXED incremental near-dup — the at-rest MinHash-LSH index
+    // lifecycle (build once on the standing corpus / probe each ingest
+    // batch), the near-dup sibling of q105's exact incremental dedup and
+    // of the q103/q130 vector-index lifecycles: at 100 TB the corpus
+    // cannot re-sign itself per batch, so band postings + shingle sets
+    // live as partitioned parquet and only the batch signs itself.
+    // Corpus = doc_id % 5 != 0 (indexed once per session), batch = the
+    // rest. Full oracle: the exact cross-slice inverted-index Jaccard —
+    // the same shared-oracle argument as q35 (banding recall ≈ 1 at the
+    // corpus's planted similarities; no pairs sit near the threshold).
+    QueryDef("q147_lsh_indexed_neardup",
+      (s, d) => {
+        val path = lshIndexCache.getOrElseUpdate((s, d), {
+          val p = java.nio.file.Files.createTempDirectory("graft_lsh_q147").toString
+          Dedup.buildLshIndex(docs(s, d).filter(col("doc_id") % 5 =!= 0),
+            "doc_id", "text", 3, p)
+          p
+        })
+        Dedup.lshIndexedPairs(s, path,
+            docs(s, d).filter(col("doc_id") % 5 === 0), "doc_id", "text", 0.6)
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, $OToks t FROM documents),
+        sets AS (SELECT doc_id, $OShingles sh FROM toks WHERE len(t) >= 3),
+        inv_a AS (SELECT doc_id, len(sh) n, unnest(sh) shingle FROM sets
+          WHERE doc_id % 5 = 0),
+        inv_b AS (SELECT doc_id, len(sh) n, unnest(sh) shingle FROM sets
+          WHERE doc_id % 5 != 0),
+        pairs AS (
+          SELECT a.doc_id id_a, b.doc_id id_b, a.n na, b.n nb, count(*) inter
+          FROM inv_a a JOIN inv_b b ON a.shingle = b.shingle
+          GROUP BY 1, 2, 3, 4)
+        SELECT id_a, id_b, round(inter / (na + nb - inter), 4) AS jaccard
+        FROM pairs WHERE round(inter / (na + nb - inter), 4) >= 0.6
+        ORDER BY id_a, id_b""")),
+
+    // q150: LEAKAGE-PROOF train/val/test split — q75's hash split keyed on
+    // the near-dup CLUSTER representative instead of the document: two
+    // near-duplicate documents split independently leak eval content into
+    // training (the exact failure benchmark decontamination exists to
+    // catch after the fact); hashing the connected-component label sends
+    // every member of a dup cluster to the SAME side by construction.
+    // Composition of the shared pair index (q34/q77/q85's memoized exact
+    // pairs), star-contraction components, and the portable split hash;
+    // singletons key on their own id. Oracle replays clusters (recursive
+    // CTE) + split.
+    QueryDef("q150_leakage_proof_split",
+      (s, d) => {
+        val clusters = graft.operators.Components
+          .connectedComponents(jaccardPairs(s, d), "id_a", "id_b")
+          .withColumnRenamed("id", "doc_id")
+        val bucket = TextFns.hash32(
+          concat(lit("split:"), col("cluster"))) % 100
+        docs(s, d).join(clusters, Seq("doc_id"), "left")
+          .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))
+          .withColumn("split",
+            when(bucket < 80, "train").when(bucket < 90, "val")
+              .otherwise("test"))
+          .select(col("doc_id"), col("cluster"), col("split"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE
+          toks AS (SELECT doc_id, $OToks t FROM documents),
+          sets AS (SELECT doc_id, $OShingles sh FROM toks WHERE len(t) >= 3),
+          inv AS (SELECT doc_id, len(sh) n, unnest(sh) shingle FROM sets),
+          jp AS (
+            SELECT id_a, id_b FROM (
+              SELECT a.doc_id id_a, b.doc_id id_b, a.n na, b.n nb, count(*) inter
+              FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2, 3, 4) p
+            WHERE round(inter / (na + nb - inter), 4) >= 0.6),
+          edges AS (SELECT id_a s, id_b d FROM jp UNION ALL SELECT id_b, id_a FROM jp),
+          reach AS (
+            SELECT DISTINCT s AS id, s AS lbl FROM edges
+            UNION
+            SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.id),
+          cl AS (SELECT id AS doc_id, min(lbl) AS cluster FROM reach GROUP BY 1),
+          x AS (SELECT d.doc_id, coalesce(cl.cluster, d.doc_id) AS cluster
+            FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id)
+        SELECT doc_id, cluster,
+          CASE WHEN ('0x' || substr(md5('split:' || CAST(cluster AS VARCHAR)), 1, 8))::BIGINT % 100 < 80 THEN 'train'
+               WHEN ('0x' || substr(md5('split:' || CAST(cluster AS VARCHAR)), 1, 8))::BIGINT % 100 < 90 THEN 'val'
+               ELSE 'test' END AS split
+        FROM x ORDER BY doc_id""")),
+
+    // q36: SimHash near-dup — 32-bit weighted sketch, hamming ≤ 1 pairs via
+    // pigeonhole banding (2×16-bit blocks, perfect recall for ≤1).
+    QueryDef("q36_simhash_pairs",
+      (s, d) => Dedup.simHashPairs(docs(s, d), "doc_id", "text", 1)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("int").as("hamming"))
+        .orderBy("id_a", "id_b"),
+      Some("""WITH tc AS (
+          SELECT doc_id, tok, count(*) cnt, ('0x' || substr(md5(tok), 1, 8))::BIGINT h
+          FROM (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) tok
+                FROM documents) t
+          GROUP BY doc_id, tok),
+        bits AS (
+          SELECT doc_id, b, sum(CASE WHEN ((h >> b) & 1) = 1 THEN cnt ELSE -cnt END) s
+          FROM tc, (SELECT unnest(generate_series(0, 31)) b) bb
+          GROUP BY 1, 2),
+        sh AS (
+          SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) simhash
+          FROM bits GROUP BY 1)
+        SELECT a.doc_id id_a, b.doc_id id_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) hamming
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+        ORDER BY id_a, id_b""")),
+
+    // q97: benchmark decontamination — train docs sharing ≥3 distinct
+    // 3-grams with any eval doc (deterministic doc_id%20 split stands in
+    // for the benchmark set). Inverted-index equi-join on the shingle
+    // hash; cost Σ df_train·df_eval is linear in the corpus for a small
+    // probe set. The canonical pre-training hygiene step next to dedup.
+    QueryDef("q97_decontamination",
+      (s, d) => {
+        val all = docs(s, d)
+        Dedup.contamination(
+            all.filter(col("doc_id") % 20 =!= 0),
+            all.filter(col("doc_id") % 20 === 0),
+            "doc_id", "text", 3, 3)
+          .orderBy("train_id", "eval_id")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, $OToks t FROM documents),
+        sets AS (SELECT doc_id, $OShingles sh FROM toks WHERE len(t) >= 3),
+        inv AS (SELECT doc_id, unnest(sh) shingle FROM sets),
+        ev AS (SELECT * FROM inv WHERE doc_id % 20 = 0),
+        tr AS (SELECT * FROM inv WHERE doc_id % 20 != 0)
+        SELECT tr.doc_id train_id, ev.doc_id eval_id, count(*) n_shared
+        FROM tr JOIN ev ON tr.shingle = ev.shingle
+        GROUP BY 1, 2 HAVING count(*) >= 3
+        ORDER BY train_id, eval_id""")),
+
+    // q77: duplicate clusters — connected components (iterative min-label
+    // propagation, O(diameter) shuffles; see operators.Components) over the
+    // exact-Jaccard near-dup pairs. The step that turns pairwise dedup
+    // output into canonical-survivor groups: a~b, b~c ⇒ one cluster {a,b,c}
+    // even when (a,c) itself scores below the threshold. Oracle: DuckDB
+    // recursive CTE computing the same min-reachable-id fixpoint.
+    QueryDef("q77_dup_clusters",
+      (s, d) => {
+        val pairs = jaccardPairs(s, d)
+        graft.operators.Components.connectedComponents(pairs, "id_a", "id_b")
+          .withColumn("csize",
+            count(lit(1)).over(org.apache.spark.sql.expressions.Window
+              .partitionBy(col("cluster"))).cast("int"))
+          .select(col("id").as("doc_id"), col("cluster"), col("csize"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE
+          toks AS (SELECT doc_id, $OToks t FROM documents),
+          sets AS (SELECT doc_id, $OShingles sh FROM toks WHERE len(t) >= 3),
+          inv AS (SELECT doc_id, len(sh) n, unnest(sh) shingle FROM sets),
+          jp AS (
+            SELECT id_a, id_b FROM (
+              SELECT a.doc_id id_a, b.doc_id id_b, a.n na, b.n nb, count(*) inter
+              FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2, 3, 4) p
+            WHERE round(inter / (na + nb - inter), 4) >= 0.6),
+          edges AS (SELECT id_a s, id_b d FROM jp UNION ALL SELECT id_b, id_a FROM jp),
+          reach AS (
+            SELECT DISTINCT s AS id, s AS lbl FROM edges
+            UNION
+            SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.id),
+          cl AS (SELECT id AS doc_id, min(lbl) AS cluster FROM reach GROUP BY 1)
+        SELECT doc_id, cluster,
+               CAST(count(*) OVER (PARTITION BY cluster) AS INTEGER) csize
+        FROM cl ORDER BY doc_id""")),
+
+    // q164: INCREMENTAL connected components — the daily-relabel half of
+    // the dedup-cluster lifecycle: yesterday's pairs (a deterministic
+    // half of the shared index) solve to labels, today's remaining pairs
+    // merge through incrementalComponents — which touches only affected
+    // components and never re-iterates the label table. The oracle is the
+    // FULL recursive-CTE solve over ALL pairs, so the hash-match IS the
+    // incremental ≡ batch identity.
+    QueryDef("q164_incremental_components",
+      (s, d) => {
+        val pairs = jaccardPairs(s, d)
+        val old = pairs.filter(pmod(col("id_a") + col("id_b"), lit(2)) === 0)
+        val today = pairs.filter(pmod(col("id_a") + col("id_b"), lit(2)) === 1)
+        val labels = graft.operators.Components
+          .connectedComponents(old, "id_a", "id_b")
+        graft.operators.Components
+          .incrementalComponents(labels, today, "id_a", "id_b")
+          .select(col("id").as("doc_id"), col("cluster"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE
+          toks AS (SELECT doc_id, $OToks t FROM documents),
+          sets AS (SELECT doc_id, $OShingles sh FROM toks WHERE len(t) >= 3),
+          inv AS (SELECT doc_id, len(sh) n, unnest(sh) shingle FROM sets),
+          jp AS (
+            SELECT id_a, id_b FROM (
+              SELECT a.doc_id id_a, b.doc_id id_b, a.n na, b.n nb, count(*) inter
+              FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2, 3, 4) p
+            WHERE round(inter / (na + nb - inter), 4) >= 0.6),
+          edges AS (SELECT id_a s, id_b d FROM jp UNION ALL SELECT id_b, id_a FROM jp),
+          reach AS (
+            SELECT DISTINCT s AS id, s AS lbl FROM edges
+            UNION
+            SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.id),
+          cl AS (SELECT id AS doc_id, min(lbl) AS cluster FROM reach GROUP BY 1)
+        SELECT doc_id, cluster FROM cl ORDER BY doc_id""")),
+
+    // q85: dedup savings accounting — the step after q77's clusters: per
+    // cluster the canonical survivor (min id == the cluster label), member
+    // count, and bytes kept vs dropped. Closes the dedup pipeline story:
+    // pairs (q34/35/36) → clusters (q77) → survivors + storage savings.
+    QueryDef("q85_dedup_savings",
+      (s, d) => {
+        val pairs = jaccardPairs(s, d)
+        val cl = graft.operators.Components
+          .connectedComponents(pairs, "id_a", "id_b")
+          .withColumnRenamed("id", "doc_id")
+        cl.join(docs(s, d).select(col("doc_id"), col("n_chars")), "doc_id")
+          .groupBy("cluster")
+          .agg(count(lit(1)).cast("int").as("n_members"),
+            sum("n_chars").as("chars_total"),
+            min(when(col("doc_id") === col("cluster"), col("n_chars")))
+              .as("chars_kept"))
+          .withColumn("chars_saved", col("chars_total") - col("chars_kept"))
+          .orderBy("cluster")
+      },
+      Some(s"""WITH RECURSIVE
+          toks AS (SELECT doc_id, $OToks t FROM documents),
+          sets AS (SELECT doc_id, $OShingles sh FROM toks WHERE len(t) >= 3),
+          inv AS (SELECT doc_id, len(sh) n, unnest(sh) shingle FROM sets),
+          jp AS (
+            SELECT id_a, id_b FROM (
+              SELECT a.doc_id id_a, b.doc_id id_b, a.n na, b.n nb, count(*) inter
+              FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2, 3, 4) p
+            WHERE round(inter / (na + nb - inter), 4) >= 0.6),
+          edges AS (SELECT id_a s, id_b d FROM jp UNION ALL SELECT id_b, id_a FROM jp),
+          reach AS (
+            SELECT DISTINCT s AS id, s AS lbl FROM edges
+            UNION
+            SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.id),
+          cl AS (SELECT id AS doc_id, min(lbl) AS cluster FROM reach GROUP BY 1)
+        SELECT cluster, CAST(count(*) AS INTEGER) AS n_members,
+          CAST(sum(n_chars) AS BIGINT) AS chars_total,
+          CAST(min(CASE WHEN doc_id = cluster THEN n_chars END) AS BIGINT) AS chars_kept,
+          CAST(sum(n_chars) - min(CASE WHEN doc_id = cluster THEN n_chars END) AS BIGINT) AS chars_saved
+        FROM cl JOIN documents USING (doc_id)
+        GROUP BY cluster ORDER BY cluster""")),
+
+    // q105: bloom-prefiltered incremental dedup — the daily-ingest step:
+    // even-id docs play yesterday's corpus, odd-id docs today's batch; a
+    // bloom filter over history fingerprints passes guaranteed-new docs
+    // through shuffle-free and only the maybe-seen sliver pays the exact
+    // anti-join. EXACT despite the sketch (bloom has no false negatives),
+    // so it hash-matches a plain NOT EXISTS oracle.
+    QueryDef("q105_incremental_dedup",
+      (s, d) => {
+        val dd = docs(s, d)
+        Dedup.incrementalNew(
+            dd.filter(col("doc_id") % 2 === 0),
+            dd.filter(col("doc_id") % 2 === 1),
+            lower(col("text")), expectedItems = 100000L, fpp = 0.01)
+          .select(col("doc_id"), col("fingerprint"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT b.doc_id, md5(lower(b.text)) AS fingerprint
+        FROM documents b
+        WHERE b.doc_id % 2 = 1 AND NOT EXISTS (
+          SELECT 1 FROM documents h
+          WHERE h.doc_id % 2 = 0 AND md5(lower(h.text)) = md5(lower(b.text)))
+        ORDER BY doc_id""")),
+
+    // q111: cross-document duplicated-span scrubbing — the scalable
+    // restatement of suffix-array substring dedup (Lee et al. ACL 2022) /
+    // CCNet paragraph dedup: 16-token spans, corpus-wide distinct-doc
+    // counts on the 60-bit span hash (one combine shuffle), every
+    // occurrence of a span shared by ≥2 docs dropped, survivors
+    // reassembled in order. Whole-doc dedup drops documents; this scrubs
+    // boilerplate INSIDE them. Intra-doc repetition is deliberately kept
+    // (that signal is q96's).
+    QueryDef("q111_span_scrub",
+      (s, d) => Dedup.spanScrub(docs(s, d), "doc_id", "text", 16)
+        .select(col("id").as("doc_id"), col("n_spans"), col("dropped_spans"),
+          col("dropped_tokens"), col("kept_tokens"), col("clean_text"))
+        .orderBy("doc_id"),
+      Some(s"""WITH x AS (SELECT doc_id, $OToks t FROM documents),
+        sp AS (SELECT doc_id, t,
+                CAST(unnest(generate_series(0, CAST(ceil(len(t) / 16.0) AS INTEGER) - 1)) AS INTEGER) i
+              FROM x WHERE len(t) > 0),
+        g AS (SELECT doc_id, i,
+                array_to_string(list_slice(t, i*16 + 1, i*16 + 16), ' ') seg,
+                len(list_slice(t, i*16 + 1, i*16 + 16)) stok
+              FROM sp),
+        c AS (SELECT seg, count(DISTINCT doc_id) ndocs FROM g GROUP BY 1),
+        j AS (SELECT g.doc_id, g.i, g.seg, g.stok, c.ndocs
+              FROM g JOIN c USING (seg)),
+        a AS (SELECT doc_id, CAST(count(*) AS BIGINT) n_spans,
+                CAST(sum(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT) dropped_spans,
+                CAST(sum(CASE WHEN ndocs > 1 THEN stok ELSE 0 END) AS BIGINT) dropped_tokens,
+                CAST(sum(CASE WHEN ndocs = 1 THEN stok ELSE 0 END) AS BIGINT) kept_tokens,
+                string_agg(CASE WHEN ndocs = 1 THEN seg END, ' ' ORDER BY i) clean_text
+              FROM j GROUP BY doc_id)
+        SELECT d.doc_id, coalesce(n_spans, 0) AS n_spans,
+          coalesce(dropped_spans, 0) AS dropped_spans,
+          coalesce(dropped_tokens, 0) AS dropped_tokens,
+          coalesce(kept_tokens, 0) AS kept_tokens,
+          coalesce(clean_text, '') AS clean_text
+        FROM documents d LEFT JOIN a USING (doc_id) ORDER BY doc_id""")),
+
+    // q151: quality-aware dedup survivor selection — per near-dup cluster
+    // (the q34/q77/q150 shared pair index → connected components) keep the
+    // HIGHEST q31-quality member, ties to lowest id, instead of the
+    // arbitrary min-id survivor. The argmax is a map-side-combinable
+    // max_by hash agg (no per-cluster window), so an adversarial
+    // one-giant-cluster corpus cannot serialize one task.
+    QueryDef("q151_quality_survivors",
+      (s, d) => {
+        val t = TextFns.tokens(col("text"))
+        val nt = size(t).cast("long")
+        val nd = size(array_distinct(t)).cast("long")
+        val stops = size(filter(t, x => x.isin("the", "a"))).cast("long")
+        // q31's integer-portable composite quality (one exact division)
+        val quality = (lit(4000L) * nd + lit(3000L) * (nt - stops)
+          + lit(30L) * least(nt, lit(100L)) * nt).cast("double") /
+          (lit(10000L) * nt).cast("double")
+        val scored = docs(s, d).select(col("doc_id"), quality.as("quality"))
+        Dedup.survivorsByScore(jaccardPairs(s, d), scored, "doc_id", "quality")
+          .withColumnRenamed("score", "quality")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE
+          toks AS (SELECT doc_id, $OToks t FROM documents),
+          sets AS (SELECT doc_id, $OShingles sh FROM toks WHERE len(t) >= 3),
+          inv AS (SELECT doc_id, len(sh) n, unnest(sh) shingle FROM sets),
+          jp AS (
+            SELECT id_a, id_b FROM (
+              SELECT a.doc_id id_a, b.doc_id id_b, a.n na, b.n nb, count(*) inter
+              FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2, 3, 4) p
+            WHERE round(inter / (na + nb - inter), 4) >= 0.6),
+          edges AS (SELECT id_a s, id_b d FROM jp UNION ALL SELECT id_b, id_a FROM jp),
+          reach AS (
+            SELECT DISTINCT s AS id, s AS lbl FROM edges
+            UNION
+            SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.id),
+          cl AS (SELECT id AS doc_id, min(lbl) AS cluster FROM reach GROUP BY 1),
+          q AS (SELECT doc_id,
+              (4000*nd + 3000*(nt-st) + 30*least(nt,100)*nt)::DOUBLE
+                / (10000*nt)::DOUBLE AS quality
+            FROM (SELECT doc_id, len(t) nt, len(list_distinct(t)) nd,
+                    len(list_filter(t, x -> x IN ('the','a'))) st
+                  FROM toks) m),
+          x AS (SELECT q.doc_id, coalesce(cl.cluster, q.doc_id) AS cluster,
+                  q.quality
+                FROM q LEFT JOIN cl ON q.doc_id = cl.doc_id),
+          sv AS (SELECT cluster, doc_id AS survivor_id, n_members FROM (
+              SELECT cluster, doc_id,
+                count(*) OVER (PARTITION BY cluster) n_members,
+                row_number() OVER (PARTITION BY cluster
+                  ORDER BY quality DESC, doc_id) rn
+              FROM x) r WHERE rn = 1)
+        SELECT x.doc_id, x.cluster, x.quality, sv.survivor_id,
+          CAST(sv.n_members AS BIGINT) AS n_members,
+          x.doc_id = sv.survivor_id AS kept
+        FROM x JOIN sv USING (cluster) ORDER BY x.doc_id""")),
+  )
+}

@@ -1,0 +1,386 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{Dedup, Mixture, Packing, Sampling, Similarity}
+import graft.functions.{SketchExpressions, TextFns}
+
+import graft.queries.TextShared.{docs, OToks}
+
+/** Sampling, packing and ordering family over `documents` — the steps
+  * between a scored corpus and a training run: chunking, sequence
+  * packing, splits, balanced / priority / stratified / temperature
+  * sampling, outlier gating, seeded shuffle, length-bucketed batches,
+  * curriculum and epoch-mixture construction, and the distributed BPE
+  * tokenizer lifecycle (train, vocab stats, encode). Split from TextOps
+  * along the family seam — pure move, no behavior change; shared
+  * portability rules in [[TextShared]].
+  */
+object TextPrepOps {
+
+  // q124/q125's trained BPE model, learned once per (session, sf dir): the
+  // merge list is driver-sized by construction (one argmax row per round);
+  // the segmentation table stays distributed. Durability of the memoized
+  // segments frame follows Checkpoints' mode: with graft.checkpoint.dir set
+  // (the cluster posture) the final round is a reliable checkpoint that
+  // survives executor loss; in local (persist-cut) mode it is single-node
+  // session state, same as every iterative operator here.
+  private val bpeModelCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), graft.operators.Bpe.Model]
+  private def bpeModel(s: SparkSession, d: String) =
+    bpeModelCache.getOrElseUpdate((s, d),
+      graft.operators.Bpe.learn(docs(s, d), "text", numMerges = 20, minCount = 2))
+
+  private[graft] val defs: Seq[QueryDef] = Seq(
+
+    // q100: overlapping context-window chunking — 32-token chunks with
+    // 8-token overlap (stride 24), the retrieval / fine-tuning prep shape.
+    // Map-side only (tokenize → sequence-explode → slice, all codegen'd);
+    // chunks shuffle nowhere. Every token is covered; the last chunk may
+    // be short; sub-chunk docs emit their single short chunk.
+    QueryDef("q100_chunking",
+      (s, d) => Packing.chunk(docs(s, d), "doc_id", "text", 32, 8)
+        .select(col("id").as("doc_id"), col("chunk_idx"),
+          col("chunk_text"), col("n_tokens"))
+        .orderBy("doc_id", "chunk_idx"),
+      Some(s"""WITH x AS (SELECT doc_id, $OToks t FROM documents),
+        c AS (SELECT doc_id, t,
+                1 + CAST(floor((greatest(len(t) - 32, 0) + 23) / 24.0) AS INTEGER) k FROM x),
+        g AS (SELECT doc_id, t, CAST(unnest(generate_series(0, k - 1)) AS INTEGER) i FROM c)
+        SELECT doc_id, i AS chunk_idx,
+          array_to_string(list_slice(t, i*24 + 1, i*24 + 32), ' ') AS chunk_text,
+          CAST(len(list_slice(t, i*24 + 1, i*24 + 32)) AS INTEGER) AS n_tokens
+        FROM g ORDER BY doc_id, chunk_idx""")),
+
+    // q101: GPT-style concat-and-split sequence packing — concatenate the
+    // corpus in doc_id order, split every 2048 tokens, account each doc
+    // to the sequence holding its first token, and count boundary-
+    // straddling docs (the attention-mask accounting). The global offset
+    // is a TWO-PHASE distributed prefix sum (range-bucket → per-bucket
+    // totals → tiny offsets window → partition-parallel within-bucket
+    // cumsum) — no global single-partition window anywhere in the plan;
+    // the oracle's single-node window computes the same stream.
+    QueryDef("q101_seq_packing",
+      (s, d) => Packing.packSequences(docs(s, d), "doc_id", "text", 2048)
+        .orderBy("bin"),
+      Some(s"""WITH x AS (SELECT doc_id, len($OToks) n FROM documents),
+        c AS (SELECT doc_id, n, sum(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) s FROM x),
+        b AS (SELECT doc_id, n, CAST(floor((s - n) / 2048.0) AS BIGINT) bin,
+                CASE WHEN floor((s - n) / 2048.0) <> floor((s - 1) / 2048.0) THEN 1 ELSE 0 END st
+              FROM c)
+        SELECT bin, CAST(count(*) AS BIGINT) n_docs, CAST(sum(n) AS BIGINT) n_tokens,
+          min(doc_id) first_doc, max(doc_id) last_doc, CAST(sum(st) AS BIGINT) split_docs
+        FROM b GROUP BY bin ORDER BY bin""")),
+
+    // q75: deterministic train/val/test split — hash-bucket the key
+    // (80/10/10), never rand(): reproducible across runs, clusters, and
+    // engines, and a doc keeps its split when the corpus grows. Map-side
+    // only; the oracle recomputes the same md5-derived bucket.
+    QueryDef("q75_hash_split",
+      (s, d) => {
+        val bucket = TextFns.hash32(concat(lit("split:"), col("doc_id"))) % 100
+        docs(s, d)
+          .withColumn("split",
+            when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+          .groupBy("lang", "split")
+          .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars"))
+          .orderBy("lang", "split")
+      },
+      Some("""WITH x AS (
+          SELECT *, ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS b
+          FROM documents)
+        SELECT lang,
+          CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+          count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars
+        FROM x GROUP BY 1, 2 ORDER BY lang, split""")),
+
+    // q76: balanced per-class sample — k docs per language, chosen by
+    // smallest key-hash (a deterministic uniform draw) with the id as the
+    // total-order tiebreak. The class-rebalancing primitive; one shuffle
+    // on the class key, WindowGroupLimit prunes map-side.
+    QueryDef("q76_balanced_sample",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("lang"))
+          .orderBy(TextFns.hash32(concat(lit("sample:"), col("doc_id"))), col("doc_id"))
+        docs(s, d)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 50)
+          .select(col("lang"), col("rn").cast("int").as("rn"), col("doc_id"))
+          .orderBy("lang", "rn")
+      },
+      Some("""SELECT lang, CAST(rn AS INTEGER) AS rn, doc_id FROM (
+          SELECT lang, doc_id,
+            row_number() OVER (PARTITION BY lang
+              ORDER BY ('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT, doc_id) AS rn
+          FROM documents) t
+        WHERE rn <= 50 ORDER BY lang, rn""")),
+
+    // q104: temperature-based mixture resampling (α = 0.5) — per-source
+    // ⌊√mass⌋ weights split a 30% global token budget, documents admitted
+    // in id order under a two-phase per-source prefix sum. Every step
+    // integer-exact (⌊√⌋, long multiply, integer div), so even the budget
+    // boundaries hash-match the oracle. The mixture-rebalancing step a
+    // multi-source pretraining corpus runs after dedup.
+    QueryDef("q104_temperature_mix",
+      (s, d) => Mixture.temperatureSampleSummary(
+          docs(s, d), "doc_id", "source", "text", 3, 10)
+        .select(col("grp").as("source"), col("docs_kept"), col("toks_kept"),
+          col("budget_toks"))
+        .orderBy("source"),
+      Some(s"""WITH base AS (
+          SELECT doc_id, source, CAST(len($OToks) AS BIGINT) n FROM documents),
+        masses AS (SELECT source, CAST(sum(n) AS BIGINT) m FROM base GROUP BY 1),
+        wts AS (SELECT source, m, CAST(floor(sqrt(m)) AS BIGINT) w FROM masses),
+        tot AS (SELECT CAST(sum(m) AS BIGINT) tot, CAST(sum(w) AS BIGINT) wsum FROM wts),
+        budgets AS (
+          SELECT source, (w * ((tot * 3) // 10)) // wsum AS budget_toks
+          FROM wts, tot),
+        cum AS (
+          SELECT doc_id, source, n,
+            CAST(sum(n) OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) cum_toks
+          FROM base),
+        kept AS (
+          SELECT c.source, c.n, b.budget_toks
+          FROM cum c JOIN budgets b USING (source)
+          WHERE c.cum_toks <= b.budget_toks)
+        SELECT source, count(*) AS docs_kept, CAST(sum(n) AS BIGINT) AS toks_kept,
+          budget_toks
+        FROM kept GROUP BY source, budget_toks ORDER BY source""")),
+
+    // q109: Duffield–Lund–Thorup priority sampling — deterministic
+    // quality-weighted corpus subsample (k=20 by n_chars) with the
+    // unbiased max(w, τ) weight estimator. Priorities are ONE
+    // correctly-rounded long/long division (bit-portable, q31 lesson);
+    // the top-k is TakeOrderedAndProject so the corpus never globally
+    // sorts; the only window runs over the k+1 surviving rows.
+    QueryDef("q109_priority_sample",
+      (s, d) => Sampling.prioritySample(docs(s, d), "doc_id", "n_chars", 20)
+        .select(col("id").as("doc_id"), col("weight"),
+          col("priority"), col("est_weight"))
+        .orderBy("doc_id"),
+      Some("""WITH w AS (SELECT doc_id, n_chars AS weight,
+            ('0x' || substr(md5('prio:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 1 AS u
+          FROM documents),
+        p AS (SELECT doc_id, weight,
+                (weight * 4294967296)::DOUBLE / u::DOUBLE AS priority FROM w),
+        r AS (SELECT doc_id, weight, priority,
+                row_number() OVER (ORDER BY priority DESC, doc_id) rn FROM p),
+        t AS (SELECT max(CASE WHEN rn = 21 THEN priority END) AS tau FROM r)
+        SELECT doc_id, weight, priority,
+          greatest(weight::DOUBLE, coalesce(tau, 0.0)) AS est_weight
+        FROM r, t WHERE rn <= 20 ORDER BY doc_id""")),
+
+    // q158: STRATIFIED priority sample — q109's DLT sampler per SOURCE:
+    // each stratum draws its own top-5 by w/u priority with its own
+    // threshold τ_g and unbiased ŵ = max(w, τ_g) estimator, the "k best
+    // docs per source" curation shape where one heavy-tailed source must
+    // not crowd out the rest. Same exactly-portable integer-u priority as
+    // q109; the per-group top-(k+1) runs under WindowGroupLimit so no
+    // stratum materializes beyond k+1 rows per map task (plan-guarded).
+    QueryDef("q158_stratified_priority_sample",
+      (s, d) => Sampling.prioritySamplePerGroup(
+          docs(s, d), "doc_id", "source", "n_chars", 5)
+        .select(col("grp").as("source"), col("id").as("doc_id"),
+          col("weight"), col("priority"), col("est_weight"))
+        .orderBy("source", "doc_id"),
+      Some("""WITH w AS (SELECT source, doc_id, n_chars AS weight,
+            ('0x' || substr(md5('prio:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 1 AS u
+          FROM documents),
+        p AS (SELECT source, doc_id, weight,
+                (weight * 4294967296)::DOUBLE / u::DOUBLE AS priority FROM w),
+        r AS (SELECT source, doc_id, weight, priority,
+                row_number() OVER (PARTITION BY source
+                  ORDER BY priority DESC, doc_id) rn FROM p),
+        t AS (SELECT source, max(CASE WHEN rn = 6 THEN priority END) AS tau
+              FROM r GROUP BY source)
+        SELECT r.source, r.doc_id, r.weight, r.priority,
+          greatest(r.weight::DOUBLE, coalesce(t.tau, 0.0)) AS est_weight
+        FROM r JOIN t ON r.source = t.source
+        WHERE r.rn <= 5 ORDER BY r.source, r.doc_id""")),
+
+    // q159: robust per-source length-outlier gate — the Hampel / 3-MAD
+    // rule (median ± 3·median-absolute-deviation): mean±kσ fails here
+    // because outliers drag the mean and σ themselves (one 100MB crawl
+    // blob inflates a source's σ until nothing is an outlier); median and
+    // MAD have a 50% breakdown point. Integer-exact end-to-end: lower
+    // medians (corpus values, no interpolation), integer |v−med| > 3·MAD
+    // — any engine replays it bit-identically. Both ranking passes are
+    // the grouped two-phase rank (no per-source window partition, skewed
+    // sources spread over all quantile buckets).
+    QueryDef("q159_mad_outliers",
+      (s, d) => graft.operators.Robust.madOutliers(
+          docs(s, d), "doc_id", "source", "n_chars", 3)
+        .select(col("id").as("doc_id"), col("grp").as("source"),
+          col("v").as("n_chars"), col("med"), col("mad"), col("outlier"))
+        .orderBy("doc_id"),
+      Some("""WITH b AS (SELECT doc_id, source, n_chars FROM documents),
+        r1 AS (SELECT *, row_number() OVER (PARTITION BY source
+              ORDER BY n_chars, doc_id) - 1 AS gpos,
+            count(*) OVER (PARTITION BY source) AS gn FROM b),
+        med AS (SELECT source, n_chars AS med FROM r1
+          WHERE gpos = (gn - 1) // 2),
+        d AS (SELECT b.doc_id, b.source, b.n_chars, med.med,
+            abs(b.n_chars - med.med) AS dev
+          FROM b JOIN med ON b.source = med.source),
+        r2 AS (SELECT *, row_number() OVER (PARTITION BY source
+              ORDER BY dev, doc_id) - 1 AS gpos,
+            count(*) OVER (PARTITION BY source) AS gn FROM d),
+        mad AS (SELECT source, dev AS mad FROM r2
+          WHERE gpos = (gn - 1) // 2)
+        SELECT d.doc_id, d.source, d.n_chars, d.med, mad.mad,
+          (d.dev > 3 * mad.mad) AS outlier
+        FROM d JOIN mad ON d.source = mad.source
+        ORDER BY d.doc_id""")),
+
+    // q114: deterministic seeded corpus shuffle — the reproducible global
+    // training order (hash32("shuf:"||id), contiguous 0-based positions).
+    // Positions come from Packing.deterministicShuffle's two-phase rank:
+    // quantile-bucketed by hash, per-bucket counts → a buckets-row offset
+    // window, within-bucket ranks partition-parallel — the corpus never
+    // passes through a single-partition window, yet the result is
+    // bit-identical to the oracle's global row_number (PackingSpec pins
+    // bucket-count independence; PlanGuardSpec pins the window shape).
+    QueryDef("q114_corpus_shuffle",
+      (s, d) => graft.operators.Packing
+        .deterministicShuffle(docs(s, d), "doc_id", "shuf", 32)
+        .select(col("id").as("doc_id"), col("h"), col("pos"))
+        .orderBy("doc_id"),
+      Some("""WITH h AS (SELECT doc_id,
+            ('0x' || substr(md5('shuf:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h
+          FROM documents)
+        SELECT doc_id, h,
+          CAST(row_number() OVER (ORDER BY h, doc_id) - 1 AS BIGINT) AS pos
+        FROM h ORDER BY doc_id""")),
+
+    // q115: length-bucketed batch packing — rank by (token count, id),
+    // cut into 64-sequence batches, account the padding each batch pays
+    // when padded to its longest member: the dynamic-batching step that
+    // makes length-sorting worth doing in a training input pipeline. The
+    // ranking reuses the two-phase scheme (equal lengths never straddle a
+    // bucket boundary), so the batch boundaries are bit-identical to the
+    // oracle's global row_number without any corpus-wide window.
+    QueryDef("q115_length_batches",
+      (s, d) => graft.operators.Packing
+        .lengthBatches(docs(s, d), "doc_id", "text", 64)
+        .orderBy("batch"),
+      Some(s"""WITH base AS (
+          SELECT doc_id, CAST(len($OToks) AS BIGINT) len FROM documents),
+        r AS (SELECT doc_id, len,
+                row_number() OVER (ORDER BY len, doc_id) - 1 AS pos FROM base),
+        b AS (SELECT CAST(pos // 64 AS BIGINT) batch, len FROM r)
+        SELECT batch, CAST(count(*) AS BIGINT) n_seqs, min(len) min_len,
+          max(len) max_len, CAST(sum(len) AS BIGINT) sum_len,
+          CAST(count(*) * max(len) - sum(len) AS BIGINT) padding
+        FROM b GROUP BY batch ORDER BY batch""")),
+
+    // q124: distributed BPE vocabulary training (Sennrich ACL'16) — the
+    // tokenizer-learning step of an LLM pipeline. The corpus is scanned
+    // ONCE into a word-frequency table; every merge round then runs on the
+    // Heap's-law-small distinct-word table (pair explode → weighted
+    // hash-agg → 1-row argmax scalar witness → codegen'd regex merge),
+    // lineage cut per round. Iterative argmax is not SQL-expressible ⇒
+    // rows-only; BpeSpec pins exact equality with the reference algorithm,
+    // greedy-merge semantics, and the monotone-count invariant.
+    QueryDef("q124_bpe_merges",
+      (s, d) => graft.operators.Bpe.mergesDf(s, bpeModel(s, d).merges)
+        .orderBy("rank"),
+      None),
+
+    // q125: corpus token statistics under the trained BPE segmentation —
+    // "encode the corpus and count tokens" without a second corpus pass:
+    // training's final word-segmentation table IS the encoding of every
+    // corpus word, so vocab stats are one explode + hash-agg over it.
+    // Depends on the learned merges ⇒ rows-only; conservation invariants
+    // (Σ occurrences = Σ freq·|syms|, concat(syms) = word) are BpeSpec's.
+    QueryDef("q125_bpe_vocab",
+      (s, d) => graft.operators.Bpe.vocabStats(bpeModel(s, d))
+        .orderBy(col("occurrences").desc, col("sym")),
+      None),
+
+    // q128: BPE corpus encoding (inference) — apply the trained merge list
+    // to documents: tokenize → per-partition rank-order merge fold against
+    // the broadcast merges, unseen words fall back to chars + applicable
+    // merges. Map-side only, no shuffle; a per-partition word→tokens memo
+    // exploits Zipf. Depends on learned merges ⇒ rows-only; the
+    // encode≡training-segmentation identity and OOV fallback are BpeSpec's.
+    QueryDef("q128_bpe_encode",
+      (s, d) => graft.operators.Bpe.encode(docs(s, d), "doc_id", "text",
+          bpeModel(s, d).merges)
+        .select(col("id").as("doc_id"), col("n_tokens"),
+          concat_ws(" ", slice(col("toks"), 1, 8)).as("tok_prefix"))
+        .orderBy("doc_id"),
+      None),
+
+    // q138: curriculum construction — easy→hard staging by token count
+    // with a deterministic seeded interleave inside each stage
+    // (Packing.curriculumOrder; Bengio'09 curriculum, short→long length
+    // schedule). Stage and position are EXACT ranks (two-phase, no global
+    // window) so the full schedule hash-matches the oracle's
+    // row_number-over-everything formulation.
+    QueryDef("q138_curriculum_order",
+      (s, d) => graft.operators.Packing
+        .curriculumOrder(docs(s, d), "doc_id", "text", 4, "curr", 32)
+        .select(col("id").as("doc_id"), col("n_toks"), col("stage"),
+          col("h"), col("pos"))
+        .orderBy("doc_id"),
+      Some(s"""WITH base AS (
+          SELECT doc_id, CAST(len($OToks) AS BIGINT) n_toks FROM documents),
+        r AS (SELECT doc_id, n_toks,
+                row_number() OVER (ORDER BY n_toks, doc_id) - 1 AS dr,
+                count(*) OVER () AS n_total
+              FROM base),
+        s AS (SELECT doc_id, n_toks,
+                CAST((dr * 4) // n_total AS BIGINT) AS stage,
+                ('0x' || substr(md5('curr:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h
+              FROM r)
+        SELECT doc_id, n_toks, stage, h,
+          CAST(row_number() OVER (ORDER BY stage, h, doc_id) - 1 AS BIGINT) AS pos
+        FROM s ORDER BY doc_id""")),
+
+    // q153: epoch-replication mixture — stated per-language weights + a
+    // 200% token budget, capped at 3 epochs, yield integer per-document
+    // repeat counts (GPT-3/LLaMA's published epochs table as an operator).
+    // Up- AND down-samples, unlike q104's admission-only α-sampling.
+    // Integer-exact end to end; remainder admission is the two-phase
+    // bucketed prefix sum.
+    QueryDef("q153_epoch_mixture",
+      (s, d) => Mixture.epochMix(docs(s, d), "doc_id", "lang", "text",
+          Seq("en" -> 40L, "es" -> 15L, "de" -> 15L, "fr" -> 15L,
+            "zh" -> 15L), 2L, 1L, 3)
+        .select(col("id").as("doc_id"), col("grp").as("lang"),
+          col("n_toks"), col("full_epochs"), col("repeats"))
+        .orderBy("doc_id"),
+      Some(s"""WITH t AS (
+          SELECT doc_id, lang, CAST(len($OToks) AS BIGINT) n_toks
+          FROM documents),
+        m AS (SELECT lang, sum(n_toks) m FROM t GROUP BY 1),
+        w AS (SELECT * FROM (VALUES ('en', 40), ('es', 15), ('de', 15),
+               ('fr', 15), ('zh', 15)) wv(lang, wt)),
+        mw AS (SELECT m.lang, m.m, coalesce(w.wt, 0) w
+               FROM m LEFT JOIN w USING (lang)),
+        tot AS (SELECT sum(m) tot, sum(w) wsum FROM mw),
+        tg AS (SELECT lang, m, w,
+            CASE WHEN wsum = 0 THEN 0
+                 ELSE (w * ((tot * 2) // 1)) // wsum END target
+          FROM mw CROSS JOIN tot),
+        tg2 AS (SELECT lang, m,
+            CASE WHEN m = 0 THEN 0 ELSE least(target // m, 3) END fe,
+            CASE WHEN m = 0 THEN 0
+                 WHEN least(target // m, 3) < 3
+                   THEN target - least(target // m, 3) * m
+                 ELSE 0 END rem
+          FROM tg),
+        cum AS (SELECT doc_id, lang, n_toks,
+            sum(n_toks) OVER (PARTITION BY lang ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) ct
+          FROM t)
+        SELECT c.doc_id, c.lang, c.n_toks,
+          CAST(g.fe AS BIGINT) full_epochs,
+          CAST(g.fe + CASE WHEN c.ct <= g.rem THEN 1 ELSE 0 END AS BIGINT)
+            repeats
+        FROM cum c JOIN tg2 g USING (lang) ORDER BY c.doc_id""")),
+  )
+}

@@ -31,4 +31,28 @@ object GraftSqlShim {
     */
   def cacheIsEmpty(spark: SparkSession): Boolean =
     spark.asInstanceOf[classic.SparkSession].sharedState.cacheManager.isEmpty
+
+  /** Local-mode lineage cut: materialize `df` into a persisted
+    * InternalRow RDD and wrap it in a fresh [[LogicalRDD]]. The LOGICAL
+    * plan is truncated — iterative plan growth stops, exactly as with
+    * `localCheckpoint` — but the PHYSICAL RDD keeps its full lineage, so
+    * a block that is evicted under memory pressure or unpersisted by a
+    * release is RECOMPUTED from the original plan instead of being
+    * unrecoverable. (`Dataset.localCheckpoint`, the pre-r12 local cut,
+    * truncates both: its blocks die with eviction/unpersist — Spark flags
+    * every such unpersist with the truncated-lineage WARN, and a lazy
+    * consumer that outlives the blocks fails or flakes. The q157 lesson.)
+    * Same materialization work as an eager localCheckpoint: one
+    * execution, row-copied, persisted at `level`.
+    */
+  def persistCut(df: DataFrame,
+      level: org.apache.spark.storage.StorageLevel): DataFrame = {
+    val ds = df.asInstanceOf[classic.Dataset[org.apache.spark.sql.Row]]
+    val rdd = ds.queryExecution.toRdd.map(_.copy())
+    rdd.persist(level)
+    rdd.count()
+    classic.Dataset.ofRows(ds.sparkSession,
+      org.apache.spark.sql.execution.LogicalRDD
+        .fromDataset(rdd, ds, isStreaming = false))
+  }
 }

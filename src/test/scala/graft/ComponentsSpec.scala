@@ -240,4 +240,74 @@ class ComponentsSpec extends SparkSpec {
       "s", "d", Some("w"), 3).as[(String, Long)].collect().toMap
     assert(one === many, "fixed-point arithmetic must not depend on partitioning")
   }
+
+  test("pageRank returns an eagerly-cut frame — the r11 lazy plan is banned") {
+    // The q157 hash-flake: a fully-lazy result executed at the consumer's
+    // action over localCheckpoint staging blocks that later session state
+    // could have unpersisted. The contract now is materialized-at-call:
+    // the analyzed plan must BE the lineage cut, with no live operators
+    // above it that still read staging frames.
+    val out = Components.pageRank(Seq(("a", "b", 1L), ("b", "a", 2L))
+      .toDF("s", "d", "w"), "s", "d", Some("w"), 3)
+    assert(out.queryExecution.analyzed
+        .isInstanceOf[org.apache.spark.sql.execution.LogicalRDD],
+      s"pageRank must return a materialized cut, got:\n" +
+        out.queryExecution.analyzed)
+  }
+
+  test("q157 double-run: a cache-stressed session cannot change pageRank values") {
+    val dir = "/root/testdata/sf0.001"
+    def run() = SparkEntry.queries("q157_pagerank")(spark, dir)
+    val baseline = run().collect().map(_.toSeq).toSeq
+    assert(baseline.nonEmpty)
+    // r11 scenario: hold the result frame un-acted-upon while the session
+    // churns caches and the ContextCleaner runs, THEN collect. With the
+    // eager cut the values were fixed at construction time.
+    val deferred = run()
+    val hogs = (1 to 6).map { i =>
+      val h = spark.range(0L, 150000L, 1L, 4)
+        .select((org.apache.spark.sql.functions.col("id") * i).as("v"),
+          org.apache.spark.sql.functions.sha2(
+            org.apache.spark.sql.functions.col("id").cast("string"), 256).as("h"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      h.count(); h
+    }
+    System.gc(); Thread.sleep(50) // give the ContextCleaner a GC edge
+    spark.sqlContext.clearCache()
+    hogs.foreach(_.unpersist(blocking = true))
+    System.gc(); Thread.sleep(50)
+    val stressed = deferred.collect().map(_.toSeq).toSeq
+    assert(stressed === baseline,
+      "pageRank output depended on post-call session state")
+    assert(run().collect().map(_.toSeq).toSeq === baseline,
+      "a fresh second run must be bit-identical")
+  }
+
+  test("pageRankUntil converges and equals pageRank at the stopped round") {
+    val edges = Seq(("a", "b", 3L), ("a", "c", 1L), ("b", "c", 2L),
+      ("c", "a", 1L), ("d", "c", 5L))
+    // ppm-of-total-mass budget (5 nodes · unit/10⁶ = 5): truncation noise
+    // sits below it, geometric contraction reaches it in tens of rounds
+    val (df, rounds) = Components.pageRankUntil(edges.toDF("s", "d", "w"),
+      "s", "d", Some("w"), deltaL1 = 5L, maxIters = 200)
+    assert(rounds < 200, "must stop on the budget, not the backstop")
+    assert(rounds > 3, "a real convergence run outlasts the oracle's 3 rounds")
+    val conv = df.as[(String, Long)].collect().toMap
+    assert(conv === pr(edges, iters = rounds),
+      "convergence mode must be bit-identical to fixed-iters at the same round")
+    assert(conv === refPageRank(edges, rounds))
+    assert(df.queryExecution.analyzed
+      .isInstanceOf[org.apache.spark.sql.execution.LogicalRDD])
+  }
+
+  test("pageRankUntil with a loose budget stops earlier, never later") {
+    val edges = (1L to 300L).map(i =>
+      (s"v${i % 23}", s"v${(i * 11) % 23}", 1L + i % 3))
+    val (_, tight) = Components.pageRankUntil(edges.toDF("s", "d", "w"),
+      "s", "d", Some("w"), deltaL1 = 23L, maxIters = 200)
+    val (_, loose) = Components.pageRankUntil(edges.toDF("s", "d", "w"),
+      "s", "d", Some("w"), deltaL1 = 100000L, maxIters = 200)
+    assert(loose <= tight)
+    assert(loose >= 1)
+  }
 }

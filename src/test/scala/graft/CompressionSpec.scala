@@ -51,7 +51,7 @@ class CompressionSpec extends SparkSpec {
     // otherwise make ratio 0 (or garbage) and flag empties as maximal
     // repetition, which Gopher-style filters never do
     val df = Seq((1L, ""), (2L, "spam ham " * 500)).toDF("doc_id", "text")
-    val rows = graft.queries.TextOps.compressionRatio(spark, df)
+    val rows = graft.queries.TextScoreOps.compressionRatio(spark, df)
       .orderBy("doc_id").collect()
     assert(rows(0).isNullAt(rows(0).fieldIndex("ratio_micro")),
       "empty doc: ratio must be NULL")

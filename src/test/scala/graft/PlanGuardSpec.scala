@@ -167,31 +167,77 @@ class PlanGuardSpec extends SparkSpec {
   }
 
   test("q157 pageRank: propagation is equi-join; only 1-row dangling frames nest") {
-    val p = finalPlan("q157_pagerank")
-    assert(!p.contains("CartesianProduct"),
-      s"no unbounded cross product anywhere in the power iteration:\n$p")
-    // the ONLY condition-less joins allowed are the per-round broadcast
-    // crossJoins of the dangling-mass aggregate, and the logical plan can
-    // PROVE each one is 1-row (ungrouped Aggregate ⇒ maxRows = 1); a
-    // graph-sized cross join fails this regardless of how lineage
-    // duplication multiplies its appearances in the unrolled tree
-    val df = SparkEntry.queries("q157_pagerank")(spark, dir)
-    val crossJoins = df.queryExecution.optimizedPlan.collect {
+    // the registered query's final plan is a sort over the eagerly-cut
+    // result (r12: materialized-at-call determinism), so the per-round
+    // machinery is guarded on the operator's OWN round builder — the same
+    // powerRound every iteration executes
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    val e = Seq(("a", "b", 2L), ("b", "c", 1L), ("c", "a", 3L))
+      .toDF("src", "dst", "w")
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+    val outW = e.groupBy(col("src").as("id"))
+      .agg(org.apache.spark.sql.functions.sum("w").as("outw"))
+    val base = nodes.join(outW, Seq("id"), "left")
+    val ranks = base.select(col("id"), col("outw"), lit(1000000L).as("rank"))
+    val round = graft.operators.Components
+      .powerRound(e, base, ranks, 3L, 85, 150000L)
+    // the ONLY condition-less join allowed is the broadcast crossJoin of
+    // the dangling-mass aggregate, and the logical plan can PROVE it is
+    // 1-row (ungrouped Aggregate ⇒ maxRows = 1); a graph-sized cross
+    // join fails this
+    val crossJoins = round.queryExecution.optimizedPlan.collect {
       case j: org.apache.spark.sql.catalyst.plans.logical.Join
           if j.condition.isEmpty => j
     }
-    assert(crossJoins.nonEmpty, "expected the 1-row dangling crossJoins")
+    assert(crossJoins.nonEmpty, "expected the 1-row dangling crossJoin")
     crossJoins.foreach(j => assert(j.right.maxRows.contains(1L),
       s"every crossJoin side must be provably 1-row, got ${j.right.maxRows}"))
     // and the rank-propagation joins themselves are equality joins on the
     // edge endpoints — never part of a nested loop
-    val srcJoins = df.queryExecution.optimizedPlan.collect {
+    val srcJoins = round.queryExecution.optimizedPlan.collect {
       case j: org.apache.spark.sql.catalyst.plans.logical.Join
           if j.condition.exists(_.references.exists(_.name == "src")) => j
     }
-    assert(srcJoins.nonEmpty, "expected the edges-to-ranks src equi-joins")
+    assert(srcJoins.nonEmpty, "expected the edges-to-ranks src equi-join")
     srcJoins.foreach(j => assert(j.condition.get.toString.contains("="),
       s"propagation join must be an equality join: ${j.condition.get}"))
+    val ex = round.queryExecution.executedPlan.toString
+    assert(!ex.contains("CartesianProduct"),
+      s"no unbounded cross product in the executed round:\n$ex")
+    // the registered query end-to-end still carries no cartesian product
+    assert(!finalPlan("q157_pagerank").contains("CartesianProduct"))
+  }
+
+  test("q165 BFS: per-hop expansion is equi-join + anti-join on id-only frames") {
+    // same situation as q157: hops are cut as they execute, so the final
+    // plan is a sort over the visited cut — guard the operator's own hop
+    // builder
+    import spark.implicits._
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("p", "c")
+    val frontier = Seq((1L, 0)).toDF("id", "depth")
+    val step = graft.operators.Components.bfsStep(e, frontier, frontier, 0)
+    val joins = step.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.size === 2,
+      s"one parent equi-join + one visited anti-join, got ${joins.size}")
+    joins.foreach(j => assert(j.condition.exists(_.toString.contains("=")),
+      s"every hop join must be an equality join: ${j.condition}"))
+    assert(joins.exists(_.joinType.toString == "LeftAnti"),
+      "the visited dedup must be a LEFT ANTI join")
+    // frontier/visited join sides carry the node id ONLY — depth and any
+    // payload columns must be pruned before the shuffle
+    joins.foreach { j =>
+      val right = j.right.output.map(_.name).toSet
+      assert(right == Set("id") || right == Set("p"),
+        s"hop-join sides must be id-only, got $right")
+    }
+    val ex = step.queryExecution.executedPlan.toString
+    assert(!ex.contains("BroadcastNestedLoopJoin") && !ex.contains("CartesianProduct"),
+      s"hop expansion must stay hash-join machinery:\n$ex")
+    assert(!finalPlan("q165_bfs_hierarchy").contains("CartesianProduct"))
   }
 
   test("q160 point-in-time features: band equi-join only, no inequality join") {

@@ -558,4 +558,40 @@ class StreamingSpec extends SparkSpec {
     assert(probe(streamed) === probe(bulk),
       "stream-appended LSH index must probe exactly like a bulk rebuild")
   }
+
+  test("streaming graph freshness: foreachBatch merges edge micro-batches into live labels") {
+    // the graph family's index-freshness story, mirroring the LSH/IVF/PQ
+    // lifecycle above: component labels are the at-rest state, each
+    // micro-batch of NEW near-dup edges relabels only the touched
+    // components (incrementalComponents' quotient solve is batch-sized),
+    // and the final labels equal a batch re-solve over every edge seen
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (12L, 13L), (11L, 12L),
+      (3L, 10L), (20L, 21L), (21L, 1L), (30L, 31L))
+    val (day0, rest) = edges.splitAt(3)
+    var labels = graft.operators.Components
+      .connectedComponents(day0.toDF("s", "d"), "s", "d")
+    val mem = MemoryStream[(Long, Long)]
+    val q = mem.toDF().toDF("s", "d").writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val next = graft.operators.Checkpoints.cut(
+          graft.operators.Components
+            .incrementalComponents(labels, batch, "s", "d"))
+        graft.operators.Checkpoints.release(labels)
+        labels = next
+      }
+      .trigger(Trigger.ProcessingTime(0)).start()
+    val (day1, day2) = rest.splitAt(3)
+    mem.addData(day1); q.processAllAvailable()
+    mem.addData(day2); q.processAllAvailable()
+    q.stop()
+    val streamed = labels.as[(Long, Long)].collect().toMap
+    val batchSolve = graft.operators.Components
+      .connectedComponents(edges.toDF("s", "d"), "s", "d")
+      .as[(Long, Long)].collect().toMap
+    assert(streamed === batchSolve,
+      "stream-merged labels must equal the batch re-solve over all edges")
+  }
 }
