@@ -458,4 +458,86 @@ object Components {
     Checkpoints.release(nodes)
     (out, round)
   }
+
+  /** HITS hub/authority scores over a directed weighted edge frame
+    * (Kleinberg, JACM '99) — the mutual-reinforcement centrality pair
+    * completing the graph family next to [[pageRank]]'s single-score
+    * random surfer: auth(v) = Σ_{u→v} w·hub(u), then hub(u) = Σ_{u→v}
+    * w·auth(v) with the just-updated auths (the standard in-round
+    * ordering), each side rescaled to total mass N·`unit` per round.
+    *
+    * All arithmetic is INTEGER fixed point like [[pageRank]], for the
+    * same reason: float normalization sums in engine/partitioning-
+    * specific order and a hash gate flickers in the last ulp. The rescale
+    * is `x div max(1, S div (N·unit))` — divide by the truncated scale
+    * factor rather than multiply-then-divide, so the intermediate never
+    * exceeds the raw sum. Overflow bound, explicit: raw ≤ totalW · N ·
+    * unit (scores after rescale sum to ≈ N·unit), long-safe while
+    * totalW·N·unit < 2⁶³ — e.g. 1.8×10¹² total edge weight at N·unit =
+    * 5·10⁶, and the bound scales down linearly in N·unit.
+    *
+    * Scale posture: per round TWO edge equi-joins (shuffle on src, then
+    * dst) + two map-side-combined sums + two node-sized left joins; each
+    * rescale divisor rides as a broadcast 1-row aggregate (ungrouped
+    * Aggregate ⇒ maxRows = 1, the q157 plan-guard invariant), so a short
+    * run builds one lazy plan with zero mid-loop driver actions. The
+    * result is eagerly cut before returning — the [[pageRank]]
+    * determinism contract. Fixed `iters` keeps the job graph static so
+    * the oracle replays rounds as chained CTEs.
+    *
+    * Output: (id, auth, hub) in micro-units, integer, hash-exact.
+    */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: Option[String], iters: Int,
+      unit: Long = 1000000L): DataFrame = {
+    require(iters >= 1, "need at least one mutual-reinforcement round")
+    val w = weightCol.map(c => col(c).cast("long")).getOrElse(lit(1L))
+    // zero/negative weights are ABSENT edges, as in pageRank
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+      w.as("w")).filter(col("w") > 0).persist()
+    val nodes = Checkpoints.cut(
+      e.select(col("src").as("id")).union(e.select(col("dst").as("id")))
+        .distinct())
+    val n = nodes.count()
+    if (n == 0) {
+      e.unpersist()
+      val empty = Checkpoints.cut(
+        nodes.select(col("id"), lit(0L).as("auth"), lit(0L).as("hub")))
+      Checkpoints.release(nodes)
+      return empty
+    }
+    val target = n * unit
+    var scores = nodes.select(col("id"), lit(unit).as("auth"),
+      lit(unit).as("hub"))
+    var round = 0
+    // two joins + two rescales per round double the lineage faster than
+    // pageRank's single join — cut earlier
+    val cutRounds = iters > 2
+    while (round < iters) {
+      val aRaw = e.join(scores.select(col("id").as("src"), col("hub")), "src")
+        .groupBy(col("dst").as("id")).agg(sum(col("w") * col("hub")).as("araw"))
+      val aDvr = aRaw.agg(coalesce(sum("araw"), lit(0L)).as("s"))
+        .select(greatest(expr(s"s div ${target}L"), lit(1L)).as("advr"))
+      val auths = nodes.join(aRaw, Seq("id"), "left")
+        .crossJoin(broadcast(aDvr))
+        .select(col("id"), expr("coalesce(araw, 0L) div advr").as("auth"))
+      val hRaw = e.join(auths.select(col("id").as("dst"), col("auth")), "dst")
+        .groupBy(col("src").as("id")).agg(sum(col("w") * col("auth")).as("hraw"))
+      val hDvr = hRaw.agg(coalesce(sum("hraw"), lit(0L)).as("s"))
+        .select(greatest(expr(s"s div ${target}L"), lit(1L)).as("hdvr"))
+      val hubs = nodes.join(hRaw, Seq("id"), "left")
+        .crossJoin(broadcast(hDvr))
+        .select(col("id"), expr("coalesce(hraw, 0L) div hdvr").as("hub"))
+      val nextPlan = auths.join(hubs, Seq("id"))
+      val next = if (cutRounds) Checkpoints.cut(nextPlan) else nextPlan
+      if (cutRounds && round > 0) Checkpoints.release(scores)
+      scores = next
+      round += 1
+    }
+    val out = Checkpoints.cut(scores.select("id", "auth", "hub"))
+    e.unpersist()
+    if (cutRounds) Checkpoints.release(scores)
+    Checkpoints.release(nodes)
+    out
+  }
 }

@@ -484,6 +484,69 @@ object Analytics {
         SELECT p_partkey, CAST(depth AS INTEGER) AS depth FROM r
         ORDER BY p_partkey""")),
 
+    // q166: HITS hub/authority centrality over the same behavioral
+    // event-type transition graph as q157 — the mutual-reinforcement
+    // score pair (Kleinberg '99) next to PageRank's random surfer:
+    // auth(v) = Σ w·hub(u) over in-edges, hub(u) = Σ w·auth(v) over
+    // out-edges with the just-updated auths, each side rescaled per
+    // round to total mass N·10⁶ by integer division. Same determinism
+    // contract as q157: integer fixed point end-to-end (float
+    // normalization would flicker in the last ulp across engines), the
+    // rescale divisor rides as a broadcast 1-row aggregate, the result
+    // is eagerly cut, and the fixed 2-round job graph is replayed by the
+    // oracle as chained CTEs. Scale: two edge equi-joins + two
+    // map-side-combined sums + two node-sized left joins per round.
+    QueryDef("q166_hits",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("ts", "event_id")
+        val edges = ev(s, d)
+          .select(col("user_id"), col("event_type").as("src"),
+            lead(col("event_type"), 1).over(w).as("dst"))
+          .filter(col("dst").isNotNull)
+          .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+        graft.operators.Components
+          .hits(edges, "src", "dst", Some("w"), iters = 2)
+          .select(col("id").as("event_type"), col("auth").as("auth_micro"),
+            col("hub").as("hub_micro"))
+          .orderBy("event_type")
+      },
+      Some("""WITH tr AS (SELECT event_type AS src,
+            lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+          FROM events),
+        e AS (SELECT src, dst, count(*) AS w FROM tr WHERE dst IS NOT NULL
+          GROUP BY 1, 2),
+        nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+        nn AS (SELECT count(*) AS n FROM nodes),
+        r0 AS (SELECT id, 1000000::BIGINT AS a, 1000000::BIGINT AS h FROM nodes),
+        a1r AS (SELECT e.dst AS id, sum(e.w * r0.h) AS raw
+          FROM e JOIN r0 ON e.src = r0.id GROUP BY 1),
+        ad1 AS (SELECT greatest((SELECT coalesce(sum(raw), 0) FROM a1r)
+            // ((SELECT n FROM nn) * 1000000), 1) AS dvr),
+        a1 AS (SELECT nodes.id, coalesce(raw, 0) // (SELECT dvr FROM ad1) AS a
+          FROM nodes LEFT JOIN a1r USING (id)),
+        h1r AS (SELECT e.src AS id, sum(e.w * a1.a) AS raw
+          FROM e JOIN a1 ON e.dst = a1.id GROUP BY 1),
+        hd1 AS (SELECT greatest((SELECT coalesce(sum(raw), 0) FROM h1r)
+            // ((SELECT n FROM nn) * 1000000), 1) AS dvr),
+        h1 AS (SELECT nodes.id, coalesce(raw, 0) // (SELECT dvr FROM hd1) AS h
+          FROM nodes LEFT JOIN h1r USING (id)),
+        a2r AS (SELECT e.dst AS id, sum(e.w * h1.h) AS raw
+          FROM e JOIN h1 ON e.src = h1.id GROUP BY 1),
+        ad2 AS (SELECT greatest((SELECT coalesce(sum(raw), 0) FROM a2r)
+            // ((SELECT n FROM nn) * 1000000), 1) AS dvr),
+        a2 AS (SELECT nodes.id, coalesce(raw, 0) // (SELECT dvr FROM ad2) AS a
+          FROM nodes LEFT JOIN a2r USING (id)),
+        h2r AS (SELECT e.src AS id, sum(e.w * a2.a) AS raw
+          FROM e JOIN a2 ON e.dst = a2.id GROUP BY 1),
+        hd2 AS (SELECT greatest((SELECT coalesce(sum(raw), 0) FROM h2r)
+            // ((SELECT n FROM nn) * 1000000), 1) AS dvr),
+        h2 AS (SELECT nodes.id, coalesce(raw, 0) // (SELECT dvr FROM hd2) AS h
+          FROM nodes LEFT JOIN h2r USING (id))
+        SELECT a2.id AS event_type, CAST(a2.a AS BIGINT) AS auth_micro,
+          CAST(h2.h AS BIGINT) AS hub_micro
+        FROM a2 JOIN h2 ON a2.id = h2.id ORDER BY event_type""")),
+
     // q68: edit-distance fuzzy matching — integer Levenshtein is exactly
     // portable. Bounded pair set (first 40 parts); at scale this runs
     // behind a cheap length/prefix blocking filter.

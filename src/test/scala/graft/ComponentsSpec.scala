@@ -300,6 +300,75 @@ class ComponentsSpec extends SparkSpec {
       .isInstanceOf[org.apache.spark.sql.execution.LogicalRDD])
   }
 
+  // Driver-side HITS recurrence mirroring Components.hits exactly:
+  // auth from previous hubs, hubs from the JUST-updated auths, each side
+  // rescaled by the truncated factor max(1, S div (n·unit)).
+  private def refHits(edges: Seq[(String, String, Long)], iters: Int,
+      unit: Long = 1000000L): Map[String, (Long, Long)] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val target = nodes.size * unit
+    var hub = nodes.map(_ -> unit).toMap
+    var auth = nodes.map(_ -> unit).toMap
+    (1 to iters).foreach { _ =>
+      val araw = nodes.map(v => v ->
+        edges.filter(_._2 == v).map { case (u, _, w) => w * hub(u) }.sum).toMap
+      val advr = math.max(araw.values.sum / target, 1L)
+      auth = araw.map { case (v, r) => v -> r / advr }
+      val hraw = nodes.map(u => u ->
+        edges.filter(_._1 == u).map { case (_, v, w) => w * auth(v) }.sum).toMap
+      val hdvr = math.max(hraw.values.sum / target, 1L)
+      hub = hraw.map { case (u, r) => u -> r / hdvr }
+    }
+    nodes.map(v => v -> ((auth(v), hub(v)))).toMap
+  }
+
+  private def hitsMap(edges: Seq[(String, String, Long)],
+      iters: Int): Map[String, (Long, Long)] =
+    Components.hits(edges.toDF("s", "d", "w"), "s", "d", Some("w"), iters)
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+
+  test("hits matches the driver-side recurrence exactly (lazy and cut paths)") {
+    val edges = Seq(("a", "b", 3L), ("a", "c", 1L), ("b", "c", 2L),
+      ("c", "a", 1L), ("d", "c", 5L), ("d", "a", 2L))
+    assert(hitsMap(edges, 2) === refHits(edges, 2)) // one lazy plan
+    assert(hitsMap(edges, 4) === refHits(edges, 4)) // per-round cuts
+  }
+
+  test("hits: a directory node is the top hub, its popular target the top auth") {
+    // d links to every authority; everyone links to a1
+    val edges = Seq(("d", "a1", 1L), ("d", "a2", 1L), ("d", "a3", 1L),
+      ("u1", "a1", 1L), ("u2", "a1", 1L), ("u3", "a1", 1L))
+    val out = hitsMap(edges, 3)
+    assert(out === refHits(edges, 3))
+    val topHub = out.maxBy(_._2._2)._1
+    val topAuth = out.maxBy(_._2._1)._1
+    assert(topHub === "d", s"the directory must be the top hub, got $topHub")
+    assert(topAuth === "a1", s"the in-degree magnet must be the top authority, got $topAuth")
+  }
+
+  test("hits on an empty edge frame returns an empty frame") {
+    val out = Components.hits(
+      Seq.empty[(String, String, Long)].toDF("s", "d", "w"), "s", "d",
+      Some("w"), 2)
+    assert(out.collect().isEmpty)
+    assert(out.columns.toSeq === Seq("id", "auth", "hub"))
+  }
+
+  test("hits is deterministic across partitionings and eagerly cut") {
+    val edges = (1L to 200L).map(i => (s"u${i % 13}", s"u${(i * 5) % 13}",
+      1L + i % 4))
+    val one = Components.hits(edges.toDF("s", "d", "w").repartition(1),
+      "s", "d", Some("w"), 2).as[(String, Long, Long)].collect().toSet
+    val many = Components.hits(edges.toDF("s", "d", "w").repartition(11),
+      "s", "d", Some("w"), 2)
+    assert(many.queryExecution.analyzed
+      .isInstanceOf[org.apache.spark.sql.execution.LogicalRDD],
+      "hits must return a materialized cut, like pageRank")
+    assert(many.as[(String, Long, Long)].collect().toSet === one,
+      "fixed-point arithmetic must not depend on partitioning")
+  }
+
   test("pageRankUntil with a loose budget stops earlier, never later") {
     val edges = (1L to 300L).map(i =>
       (s"v${i % 23}", s"v${(i * 11) % 23}", 1L + i % 3))
