@@ -479,11 +479,15 @@ object Components {
     * Scale posture: per round TWO edge equi-joins (shuffle on src, then
     * dst) + two map-side-combined sums + two node-sized left joins; each
     * rescale divisor rides as a broadcast 1-row aggregate (ungrouped
-    * Aggregate ⇒ maxRows = 1, the q157 plan-guard invariant), so a short
-    * run builds one lazy plan with zero mid-loop driver actions. The
-    * result is eagerly cut before returning — the [[pageRank]]
-    * determinism contract. Fixed `iters` keeps the job graph static so
-    * the oracle replays rounds as chained CTEs.
+    * Aggregate ⇒ maxRows = 1, the q157 plan-guard invariant). Each raw
+    * edge-join aggregate is persist-cut once per side so the divisor
+    * broadcast and the node left-join share one execution of the
+    * corpus-sized shuffle instead of re-running it (and every prior
+    * round) per broadcast exchange, and the merged score frame is cut to
+    * end the round — the [[pageRank]] determinism contract, applied
+    * per-round because HITS doubles lineage per round. Fixed `iters`
+    * keeps the job graph static so the oracle replays rounds as chained
+    * CTEs.
     *
     * Output: (id, auth, hub) in micro-units, integer, hash-exact.
     */
@@ -510,34 +514,57 @@ object Components {
     var scores = nodes.select(col("id"), lit(unit).as("auth"),
       lit(unit).as("hub"))
     var round = 0
-    // two joins + two rescales per round double the lineage faster than
-    // pageRank's single join — cut earlier
-    val cutRounds = iters > 2
+    // Two joins + two rescales per round double the lineage faster than
+    // pageRank's single join, and each rescale divisor is consumed as a
+    // SEPARATE broadcast exchange from the left join it pairs with — an
+    // uncut round would execute the edge-join subtree twice per side
+    // (and re-execute ALL prior rounds' joins under each divisor). So:
+    // cut each raw edge-join aggregate once per side, and let the
+    // divisor broadcast and the node left-join both read the cut frame;
+    // cut the merged score frame to end the round. At scale the edge
+    // joins are the corpus-sized shuffles — each now runs exactly once.
     while (round < iters) {
-      val aRaw = e.join(scores.select(col("id").as("src"), col("hub")), "src")
-        .groupBy(col("dst").as("id")).agg(sum(col("w") * col("hub")).as("araw"))
-      val aDvr = aRaw.agg(coalesce(sum("araw"), lit(0L)).as("s"))
-        .select(greatest(expr(s"s div ${target}L"), lit(1L)).as("advr"))
-      val auths = nodes.join(aRaw, Seq("id"), "left")
-        .crossJoin(broadcast(aDvr))
-        .select(col("id"), expr("coalesce(araw, 0L) div advr").as("auth"))
-      val hRaw = e.join(auths.select(col("id").as("dst"), col("auth")), "dst")
-        .groupBy(col("src").as("id")).agg(sum(col("w") * col("auth")).as("hraw"))
-      val hDvr = hRaw.agg(coalesce(sum("hraw"), lit(0L)).as("s"))
-        .select(greatest(expr(s"s div ${target}L"), lit(1L)).as("hdvr"))
-      val hubs = nodes.join(hRaw, Seq("id"), "left")
-        .crossJoin(broadcast(hDvr))
-        .select(col("id"), expr("coalesce(hraw, 0L) div hdvr").as("hub"))
-      val nextPlan = auths.join(hubs, Seq("id"))
-      val next = if (cutRounds) Checkpoints.cut(nextPlan) else nextPlan
-      if (cutRounds && round > 0) Checkpoints.release(scores)
+      val aRaw = Checkpoints.cut(hitsGather(e, scores, "hub", "src", "dst"))
+      val auths = hitsRescale(nodes, aRaw, target, "auth")
+      val hRaw = Checkpoints.cut(hitsGather(e, auths, "auth", "dst", "src"))
+      val hubs = hitsRescale(nodes, hRaw, target, "hub")
+      val next = Checkpoints.cut(auths.join(hubs, Seq("id")))
+      Checkpoints.release(aRaw)
+      Checkpoints.release(hRaw)
+      if (round > 0) Checkpoints.release(scores)
       scores = next
       round += 1
     }
     val out = Checkpoints.cut(scores.select("id", "auth", "hub"))
     e.unpersist()
-    if (cutRounds) Checkpoints.release(scores)
+    Checkpoints.release(scores)
     Checkpoints.release(nodes)
     out
+  }
+
+  /** One gather half of a HITS round: join the current `scoreCol` onto
+    * the edge frame at endpoint `side` and sum w·score grouped by the
+    * opposite endpoint `opp` — a src- or dst-keyed shuffle join plus a
+    * map-side-combined hash aggregate, the corpus-sized work of the
+    * round. Exposed for PlanGuardSpec. */
+  private[graft] def hitsGather(e: DataFrame, scores: DataFrame,
+      scoreCol: String, side: String, opp: String): DataFrame =
+    e.join(scores.select(col("id").as(side), col(scoreCol)), side)
+      .groupBy(col(opp).as("id"))
+      .agg(sum(col("w") * col(scoreCol)).as("raw"))
+
+  /** The rescale half: divide the gathered raw mass by the truncated
+    * scale factor so each side's total stays ≈ `target` (= N·unit). The
+    * divisor is an ungrouped aggregate over the CUT raw frame — the plan
+    * can prove maxRows = 1, so the crossJoin broadcasts one row and the
+    * corpus-sized gather is never re-executed for it. Exposed for
+    * PlanGuardSpec. */
+  private[graft] def hitsRescale(nodes: DataFrame, raw: DataFrame,
+      target: Long, outCol: String): DataFrame = {
+    val dvr = raw.agg(coalesce(sum("raw"), lit(0L)).as("s"))
+      .select(greatest(expr(s"s div ${target}L"), lit(1L)).as("dvr"))
+    nodes.join(raw, Seq("id"), "left")
+      .crossJoin(broadcast(dvr))
+      .select(col("id"), expr("coalesce(raw, 0L) div dvr").as(outCol))
   }
 }

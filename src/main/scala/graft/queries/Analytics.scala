@@ -292,7 +292,7 @@ object Analytics {
         r3 AS (SELECT b.id, b.outw, 150000 +
             (85 * (coalesce(c3.insum, 0) + (SELECT pnd FROM d3))) // 100 AS rank
           FROM base b LEFT JOIN c3 ON b.id = c3.id)
-        SELECT id AS event_type, rank AS rank_micro FROM r3
+        SELECT id AS event_type, CAST(rank AS BIGINT) AS rank_micro FROM r3
         ORDER BY event_type""")),
 
     // q160: point-in-time-correct feature aggregation — the feature-store

@@ -328,11 +328,11 @@ class ComponentsSpec extends SparkSpec {
       .as[(String, Long, Long)].collect()
       .map(r => r._1 -> ((r._2, r._3))).toMap
 
-  test("hits matches the driver-side recurrence exactly (lazy and cut paths)") {
+  test("hits matches the driver-side recurrence exactly (short and long runs)") {
     val edges = Seq(("a", "b", 3L), ("a", "c", 1L), ("b", "c", 2L),
       ("c", "a", 1L), ("d", "c", 5L), ("d", "a", 2L))
-    assert(hitsMap(edges, 2) === refHits(edges, 2)) // one lazy plan
-    assert(hitsMap(edges, 4) === refHits(edges, 4)) // per-round cuts
+    assert(hitsMap(edges, 2) === refHits(edges, 2))
+    assert(hitsMap(edges, 4) === refHits(edges, 4))
   }
 
   test("hits: a directory node is the top hub, its popular target the top auth") {
@@ -367,6 +367,34 @@ class ComponentsSpec extends SparkSpec {
       "hits must return a materialized cut, like pageRank")
     assert(many.as[(String, Long, Long)].collect().toSet === one,
       "fixed-point arithmetic must not depend on partitioning")
+  }
+
+  test("q166 double-run: a cache-stressed session cannot change hits values") {
+    // mirror of the q157 case: per-round persist-cuts fix the values at
+    // call time; churning caches + the ContextCleaner afterwards must not
+    // change a deferred collect, and a fresh run must be bit-identical
+    val dir = "/root/testdata/sf0.001"
+    def run() = SparkEntry.queries("q166_hits")(spark, dir)
+    val baseline = run().collect().map(_.toSeq).toSeq
+    assert(baseline.nonEmpty)
+    val deferred = run()
+    val hogs = (1 to 6).map { i =>
+      val h = spark.range(0L, 150000L, 1L, 4)
+        .select((org.apache.spark.sql.functions.col("id") * i).as("v"),
+          org.apache.spark.sql.functions.sha2(
+            org.apache.spark.sql.functions.col("id").cast("string"), 256).as("h"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      h.count(); h
+    }
+    System.gc(); Thread.sleep(50)
+    spark.sqlContext.clearCache()
+    hogs.foreach(_.unpersist(blocking = true))
+    System.gc(); Thread.sleep(50)
+    val stressed = deferred.collect().map(_.toSeq).toSeq
+    assert(stressed === baseline,
+      "hits output depended on post-call session state")
+    assert(run().collect().map(_.toSeq).toSeq === baseline,
+      "a fresh second run must be bit-identical")
   }
 
   test("pageRankUntil with a loose budget stops earlier, never later") {

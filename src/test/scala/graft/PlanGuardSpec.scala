@@ -210,6 +210,55 @@ class PlanGuardSpec extends SparkSpec {
     assert(!finalPlan("q157_pagerank").contains("CartesianProduct"))
   }
 
+  test("q166 HITS: gather is equi-join; rescale crossJoin is provably 1-row") {
+    // like q157 the registered query's final plan is a sort over the
+    // eagerly-cut result, so the per-round machinery is guarded on the
+    // operator's own round builders — the same hitsGather/hitsRescale
+    // every iteration executes
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    val e = Seq(("a", "b", 2L), ("b", "c", 1L), ("c", "a", 3L))
+      .toDF("src", "dst", "w")
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+    val scores = nodes.select(col("id"), lit(1000000L).as("auth"),
+      lit(1000000L).as("hub"))
+    val gather = graft.operators.Components
+      .hitsGather(e, scores, "hub", "src", "dst")
+    // the gather half — the round's corpus-sized work — must be an
+    // equality join on the edge endpoint, never a nested loop
+    val gJoins = gather.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(gJoins.nonEmpty, "expected the edges-to-scores src equi-join")
+    gJoins.foreach { j =>
+      assert(j.condition.exists(_.toString.contains("=")),
+        s"gather join must be an equality join: ${j.condition}")
+    }
+    val gEx = gather.queryExecution.executedPlan.toString
+    assert(!gEx.contains("BroadcastNestedLoopJoin") &&
+      !gEx.contains("CartesianProduct"),
+      s"gather must stay hash-join machinery:\n$gEx")
+    // the rescale half: its ONLY condition-less join is the broadcast of
+    // the ungrouped divisor aggregate, provably 1-row (maxRows = 1) — a
+    // graph-sized cross join fails this
+    val raw = gather // stands in for the cut raw frame; same schema/plan
+    val rescale = graft.operators.Components
+      .hitsRescale(nodes, raw, 3000000L, "auth")
+    val crossJoins = rescale.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.condition.isEmpty => j
+    }
+    assert(crossJoins.nonEmpty, "expected the 1-row divisor crossJoin")
+    crossJoins.foreach(j => assert(j.right.maxRows.contains(1L),
+      s"every crossJoin side must be provably 1-row, got ${j.right.maxRows}"))
+    val rEx = rescale.queryExecution.executedPlan.toString
+    assert(!rEx.contains("CartesianProduct"),
+      s"no unbounded cross product in the rescale:\n$rEx")
+    // the registered query end-to-end still carries no cartesian product
+    assert(!finalPlan("q166_hits").contains("CartesianProduct"))
+  }
+
   test("q165 BFS: per-hop expansion is equi-join + anti-join on id-only frames") {
     // same situation as q157: hops are cut as they execute, so the final
     // plan is a sort over the visited cut — guard the operator's own hop

@@ -92,10 +92,17 @@ def main(sf_dir, out_dir):
                 n_bad += 1
                 continue
             if gcols != ecols:
-                print(f"[WARN-types] {name}:")
+                # FAILING gate (round 13): the driver's hash is type-
+                # sensitive, so an oracle column that DuckDB promotes (e.g.
+                # sum() BIGINT -> HUGEINT) hash-mismatches even when every
+                # value is identical — exactly the q157 two-round red row.
+                # Oracles must CAST back to the Spark output type.
+                print(f"[FAIL-types] {name}:")
                 for g, e in zip(gcols, ecols):
                     if g != e:
                         print(f"    {g[0]}: got {g[1]} exp {e[1]}")
+                n_bad += 1
+                continue
             sel_g = ", ".join(f'"{c}"' for c, _ in gcols)
             con.sql(f"CREATE OR REPLACE VIEW _got AS SELECT {sel_g} FROM '{path}'")
             con.sql(f"CREATE OR REPLACE TEMP VIEW _exp_raw AS {oracle[name]}")
