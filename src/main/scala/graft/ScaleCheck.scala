@@ -19,7 +19,8 @@ object ScaleCheck {
     "q140_rrf_fusion", "q141_ngram_containment", "q142_snm_pairs",
     "q143_snm_multipass", "q156_prefix_filter_jaccard", "q157_pagerank",
     "q158_stratified_priority_sample", "q159_mad_outliers",
-    "q160_point_in_time_features", "q164_incremental_components")
+    "q160_point_in_time_features", "q164_incremental_components",
+    "q166_hits", "q167_personalized_pagerank", "q168_token_budget_select")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
@@ -259,7 +260,7 @@ object ScaleCheck {
       "q142_snm_pairs", "q143_snm_multipass", "q156_prefix_filter_jaccard",
       "q157_pagerank", "q158_stratified_priority_sample", "q159_mad_outliers",
       "q160_point_in_time_features", "q164_incremental_components",
-      "q165_bfs_hierarchy")
+      "q165_bfs_hierarchy", "q166_hits")
     onlyQ.foreach { q => require(queries.contains(q),
       s"eq=$q matches no exponent query; valid: ${queries.mkString(", ")}") }
     for (k <- ks if !noReplicate) {
@@ -301,7 +302,12 @@ object ScaleCheck {
       // the disjoint-population premise needs base ids strictly below the
       // per-copy offsets — a larger base corpus would otherwise silently
       // collide copies and bend the fitted exponents; fail loudly instead
-      val idMax = evs.agg(max("user_id").as("u"), max("event_id").as("e")).first()
+      // coalesce the aggregates: max() over an empty source is NULL and a
+      // bare getLong would NPE instead of this guard's own message
+      val idMax = evs.agg(coalesce(max("user_id"), lit(-1L)).as("u"),
+        coalesce(max("event_id"), lit(-1L)).as("e")).first()
+      require(idMax.getLong(0) >= 0L && idMax.getLong(1) >= 0L,
+        "events source is empty — nothing to replicate")
       require(idMax.getLong(0) < 1000000L && idMax.getLong(1) < 1000000000L,
         s"replication offsets collide: max user_id=${idMax.getLong(0)} " +
           s"(cap 1e6), max event_id=${idMax.getLong(1)} (cap 1e9) — raise the offsets")
@@ -319,7 +325,9 @@ object ScaleCheck {
       // from root 1 and the BFS would never reach them.
       val pt = spark.read.parquet(s"$src/part.parquet")
       val pn = pt.count()
-      val pr = pt.agg(min("p_partkey").as("lo"), max("p_partkey").as("hi")).first()
+      val pr = pt.agg(coalesce(min("p_partkey"), lit(-1L)).as("lo"),
+        coalesce(max("p_partkey"), lit(-1L)).as("hi")).first()
+      require(pn > 0, "part source is empty — nothing to replicate")
       require(pr.getLong(0) == 0L && pr.getLong(1) == pn - 1,
         s"heap extension needs contiguous 0..N-1 part keys, got " +
           s"[${pr.getLong(0)}, ${pr.getLong(1)}] over $pn rows")

@@ -50,6 +50,24 @@ object Checkpoints {
   /** Runtime conf key; set it via `spark.conf.set(DirConf, path)`. */
   val DirConf = "graft.checkpoint.dir"
 
+  /** Local (persist-cut) mode: every Nth cut ALSO severs physical
+    * lineage (`localCheckpoint`) so chain depth stays bounded — a
+    * many-round loop otherwise accumulates O(rounds) RDD objects whose
+    * per-job DAG traversal grows linearly and whose serialized closures
+    * can overflow the stack at depth. Between truncation points every
+    * cut stays fully recomputable; the truncation points themselves are
+    * never unpersisted by [[release]] (their blocks cannot be
+    * recomputed — the ContextCleaner reclaims them once no live frame
+    * references them). `0` disables truncation.
+    */
+  val TruncateEveryConf = "graft.checkpoint.truncateEvery"
+  private val DefaultTruncateEvery = 16
+  private val cutCount = new java.util.concurrent.atomic.AtomicLong
+  // truncation-point RDDs (weakly held — entries die with the RDD):
+  // release() must never unpersist one, they have no recompute path
+  private val truncatedCuts = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[AnyRef, java.lang.Boolean])
+
   // The registry key is the checkpoint's RDD: every logical-plan copy of
   // the cut frame (including analyzer newInstance() copies on self-joins)
   // shares that RDD by reference, so the entry stays strongly reachable
@@ -90,8 +108,13 @@ object Checkpoints {
         sweep()
         out
       case None =>
-        org.apache.spark.sql.graftshim.GraftSqlShim.persistCut(df,
-          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val every = spark.conf.getOption(TruncateEveryConf)
+          .map(_.toInt).getOrElse(DefaultTruncateEvery)
+        val truncate = every > 0 && cutCount.incrementAndGet() % every == 0
+        val out = org.apache.spark.sql.graftshim.GraftSqlShim.persistCut(df,
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK, truncate)
+        if (truncate) truncatedCuts.put(keyOf(out), java.lang.Boolean.TRUE)
+        out
     }
   }
 
@@ -112,7 +135,13 @@ object Checkpoints {
     entries.keys.find(e => e.get eq key) match {
       case Some(e) => if (entries.remove(e).isDefined) delete(e)
       case None => key match {
-        case rdd: org.apache.spark.rdd.RDD[_] => rdd.unpersist(blocking = false)
+        // truncation-point cuts (periodic localCheckpoint, see
+        // TruncateEveryConf) have NO recompute path — unpersisting one
+        // while a live downstream frame could still recompute through it
+        // is exactly the r11 flake. Leave them to the ContextCleaner.
+        case rdd: org.apache.spark.rdd.RDD[_]
+            if !truncatedCuts.containsKey(rdd) =>
+          rdd.unpersist(blocking = false)
         case _ =>
       }
     }

@@ -303,7 +303,7 @@ object Components {
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       weightCol: Option[String], iters: Int, dampPct: Int = 85,
-      unit: Long = 1000000L): DataFrame = {
+      unit: Long = 1000000L, seed: Option[DataFrame] = None): DataFrame = {
     require(iters >= 1, "need at least one power-iteration round")
     require(dampPct >= 0 && dampPct <= 100, "damping is a percentage")
     val w = weightCol.map(c => col(c).cast("long")).getOrElse(lit(1L))
@@ -328,7 +328,21 @@ object Components {
     // (id, outw|null): null outw marks a dangling node (no out-edges)
     val base = Checkpoints.cut(nodes.join(outW, Seq("id"), "left"))
     val teleport = (100 - dampPct) * unit / 100
-    var ranks = base.select(col("id"), col("outw"), lit(unit).as("rank"))
+    // warm start: an (id, rank) seed — e.g. the previous micro-batch's
+    // output — replaces the uniform init; nodes absent from the seed
+    // (new arrivals) start at `unit`, seed ids absent from the graph
+    // drop out with the left join. Because the seeded rounds are the
+    // SAME fixed-point map, resumability is exact:
+    // pageRank(e, k + m) ≡ pageRank(e, m, seed = pageRank(e, k)).
+    var ranks = seed match {
+      case None =>
+        base.select(col("id"), col("outw"), lit(unit).as("rank"))
+      case Some(s) =>
+        base.join(s.select(col("id"), col("rank").as("rank0")),
+            Seq("id"), "left")
+          .select(col("id"), col("outw"),
+            coalesce(col("rank0"), lit(unit)).as("rank"))
+    }
     var round = 0
     // cuts only on long runs: a short run stays ONE fully-lazy plan —
     // the dangling mass rides as a broadcast 1-row aggregate instead of a
@@ -416,7 +430,8 @@ object Components {
     */
   def pageRankUntil(edges: DataFrame, srcCol: String, dstCol: String,
       weightCol: Option[String], deltaL1: Long, maxIters: Int = 60,
-      dampPct: Int = 85, unit: Long = 1000000L): (DataFrame, Int) = {
+      dampPct: Int = 85, unit: Long = 1000000L,
+      seed: Option[DataFrame] = None): (DataFrame, Int) = {
     require(deltaL1 >= 0, "the L1 stopping budget is nonnegative")
     require(maxIters >= 1, "need at least one power-iteration round")
     require(dampPct >= 0 && dampPct <= 100, "damping is a percentage")
@@ -436,8 +451,18 @@ object Components {
     val outW = e.groupBy(col("src").as("id")).agg(sum("w").as("outw"))
     val base = Checkpoints.cut(nodes.join(outW, Seq("id"), "left"))
     val teleport = (100 - dampPct) * unit / 100
-    var ranks = Checkpoints.cut(
-      base.select(col("id"), col("outw"), lit(unit).as("rank")))
+    // warm start (see [[pageRank]]): seeding with a previous solve's
+    // ranks makes the stream-freshness loop cheap — a near-converged
+    // seed meets the budget in a round or two instead of a cold run
+    var ranks = Checkpoints.cut(seed match {
+      case None =>
+        base.select(col("id"), col("outw"), lit(unit).as("rank"))
+      case Some(s) =>
+        base.join(s.select(col("id"), col("rank").as("rank0")),
+            Seq("id"), "left")
+          .select(col("id"), col("outw"),
+            coalesce(col("rank0"), lit(unit)).as("rank"))
+    })
     var round = 0
     var delta = Long.MaxValue
     while (round < maxIters && delta > deltaL1) {
@@ -457,6 +482,109 @@ object Components {
     Checkpoints.release(base)
     Checkpoints.release(nodes)
     (out, round)
+  }
+
+  /** Personalized PageRank (Haveliwala, WWW '02 topic-sensitive PageRank;
+    * the random surfer teleports ONLY to a caller-supplied seed set
+    * instead of uniformly) — the centrality that answers "how close is
+    * every node to THESE nodes", which is how a curation pipeline ranks a
+    * crawl graph from trusted seed domains or scores event types by
+    * proximity to conversion events. Dangling mass also returns to the
+    * seeds — the standard PPR convention, and what keeps all rank mass
+    * seed-anchored.
+    *
+    * Arithmetic is the same integer micro-rank fixed point as
+    * [[pageRank]] (bit-identical anywhere, oracle replays rounds as
+    * chained CTEs): per-seed teleport `((100−damp)·unit·N) div (100·S)`
+    * (driver-computed from the two already-materialized counts, truncated
+    * exactly like the oracle's `//`), per-round update
+    * `teleport·[seed] + damp·(insum + [seed]·(D div S)) div 100`.
+    *
+    * Scale posture: identical to [[pageRank]] — per round ONE src-shuffle
+    * equi-join + one dst-shuffle map-side-combined sum over the persisted
+    * edge frame, dangling mass as a broadcast 1-row aggregate, node-sized
+    * left join; the seed flag is one boolean column on the node frame
+    * (seed set joined once, before the loop — never per round). Rounds
+    * cut past 4 like pageRank; result eagerly cut.
+    *
+    * Output: (id, rank) in micro-units, integer, hash-exact. Nodes
+    * unreachable from the seeds (and non-seed sinks of nothing) settle to
+    * rank 0 — unlike uniform PageRank there is no teleport floor off the
+    * seed set.
+    */
+  def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: Option[String], seeds: DataFrame, seedCol: String,
+      iters: Int, dampPct: Int = 85, unit: Long = 1000000L): DataFrame = {
+    require(iters >= 1, "need at least one power-iteration round")
+    require(dampPct >= 0 && dampPct <= 100, "damping is a percentage")
+    val w = weightCol.map(c => col(c).cast("long")).getOrElse(lit(1L))
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+      w.as("w")).filter(col("w") > 0).persist()
+    val nodes = Checkpoints.cut(
+      e.select(col("src").as("id")).union(e.select(col("dst").as("id")))
+        .distinct())
+    val n = nodes.count()
+    if (n == 0) {
+      e.unpersist()
+      val empty = Checkpoints.cut(nodes.select(col("id"), lit(0L).as("rank")))
+      Checkpoints.release(nodes)
+      return empty
+    }
+    val seedIds = seeds.select(col(seedCol).as("id")).distinct()
+    val outW = e.groupBy(col("src").as("id")).agg(sum("w").as("outw"))
+    // (id, outw|null, is_seed): the seed set is joined ONCE, here — the
+    // per-round plan only ever reads the boolean
+    val base = Checkpoints.cut(nodes.join(outW, Seq("id"), "left")
+      .join(seedIds.select(col("id"), lit(true).as("is_seed")),
+        Seq("id"), "left")
+      .select(col("id"), col("outw"),
+        coalesce(col("is_seed"), lit(false)).as("is_seed")))
+    val s = base.filter(col("is_seed")).count()
+    require(s > 0, "no seed id appears in the graph — PPR needs an anchor")
+    // total teleport mass (100−damp)% of N·unit, concentrated on the S
+    // seeds; truncated div exactly like the oracle's //
+    val teleportSeed = ((100 - dampPct).toLong * unit * n) / (100L * s)
+    var ranks = base.select(col("id"), col("outw"), col("is_seed"),
+      lit(unit).as("rank"))
+    var round = 0
+    val cutRounds = iters > 4
+    while (round < iters) {
+      val nextPlan = pprRound(e, base, ranks, s, dampPct, teleportSeed)
+      val next = if (cutRounds) Checkpoints.cut(nextPlan) else nextPlan
+      if (cutRounds && round > 0) Checkpoints.release(ranks)
+      ranks = next
+      round += 1
+    }
+    val out = Checkpoints.cut(ranks.select("id", "rank"))
+    e.unpersist()
+    if (cutRounds) Checkpoints.release(ranks)
+    Checkpoints.release(base)
+    Checkpoints.release(nodes)
+    out
+  }
+
+  /** One personalized power-iteration round: like [[powerRound]] but the
+    * teleport and the dangling redistribution both land on the seed set
+    * only. Exposed for PlanGuardSpec — same invariants (broadcast 1-row
+    * dangling aggregate, src equi-join). */
+  private[graft] def pprRound(e: DataFrame, base: DataFrame,
+      ranks: DataFrame, s: Long, dampPct: Int,
+      teleportSeed: Long): DataFrame = {
+    val dang = ranks.filter(col("outw").isNull)
+      .agg(coalesce(sum("rank"), lit(0L)).as("dsum"))
+    val contrib = e.join(ranks.select(col("id").as("src"),
+        expr("rank div outw").as("share")), "src")
+      .groupBy(col("dst").as("id"))
+      .agg(sum(col("share") * col("w")).as("insum"))
+    base
+      .join(contrib, Seq("id"), "left")
+      .crossJoin(broadcast(dang))
+      .withColumn("gross",
+        lit(dampPct.toLong) * (coalesce(col("insum"), lit(0L)) +
+          when(col("is_seed"), expr(s"dsum div ${s}L")).otherwise(lit(0L))))
+      .select(col("id"), col("outw"), col("is_seed"),
+        (when(col("is_seed"), lit(teleportSeed)).otherwise(lit(0L)) +
+          expr("gross div 100")).as("rank"))
   }
 
   /** HITS hub/authority scores over a directed weighted edge frame
@@ -493,7 +621,7 @@ object Components {
     */
   def hits(edges: DataFrame, srcCol: String, dstCol: String,
       weightCol: Option[String], iters: Int,
-      unit: Long = 1000000L): DataFrame = {
+      unit: Long = 1000000L, seed: Option[DataFrame] = None): DataFrame = {
     require(iters >= 1, "need at least one mutual-reinforcement round")
     val w = weightCol.map(c => col(c).cast("long")).getOrElse(lit(1L))
     // zero/negative weights are ABSENT edges, as in pageRank
@@ -511,8 +639,18 @@ object Components {
       return empty
     }
     val target = n * unit
-    var scores = nodes.select(col("id"), lit(unit).as("auth"),
-      lit(unit).as("hub"))
+    // warm start (see [[pageRank]]): an (id, auth, hub) seed replaces
+    // the uniform init; resumability is exact —
+    // hits(e, k + m) ≡ hits(e, m, seed = hits(e, k))
+    var scores = seed match {
+      case None =>
+        nodes.select(col("id"), lit(unit).as("auth"), lit(unit).as("hub"))
+      case Some(s) =>
+        nodes.join(s.select(col("id"), col("auth").as("a0"),
+            col("hub").as("h0")), Seq("id"), "left")
+          .select(col("id"), coalesce(col("a0"), lit(unit)).as("auth"),
+            coalesce(col("h0"), lit(unit)).as("hub"))
+    }
     var round = 0
     // Two joins + two rescales per round double the lineage faster than
     // pageRank's single join, and each rescale divisor is consumed as a

@@ -135,4 +135,54 @@ object Sampling {
       .select(col("id"), col("grp"), col("score"), col("gpos"), col("gn"),
         col("kept"))
   }
+
+  /** Greedy token-budget corpus selection — the knapsack curation
+    * primitive: take documents in descending-`scoreCol` order (ties by
+    * id) while the running `costCol` total stays within `budget`. The
+    * greedy order is the standard curation policy ("best documents first
+    * until the token budget is spent"), and with unit-density items it IS
+    * the fractional-knapsack optimum truncated to whole documents.
+    *
+    * Scale posture — the naive plan is the anti-pattern: a global
+    * `sum(cost) OVER (ORDER BY score DESC)` window puts the whole corpus
+    * in ONE task. Here the prefix sum is two-phase like
+    * [[Packing.twoPhaseRank]]: global quantile cuts on the (negated)
+    * score bucket rows monotonically (equal keys never straddle), ONE
+    * buckets-row window turns per-bucket cost sums into running offsets,
+    * and the per-row running sum runs partition-parallel within buckets.
+    * Buckets whose offset already exceeds the budget are pruned BEFORE
+    * their window executes — past the boundary bucket, the corpus tail
+    * does no window work at all.
+    *
+    * Output: (id, score, cost, cum) for the selected rows — `cum` is the
+    * inclusive running total, ≤ `budget` by construction.
+    */
+  def budgetSelect(df: DataFrame, idCol: String, scoreCol: String,
+      costCol: String, budget: Long, buckets: Int = 32): DataFrame = {
+    require(budget >= 0, "a token budget is nonnegative")
+    val base = df.select(col(idCol).cast("long").as("id"),
+      col(scoreCol).as("score"), col(costCol).cast("long").as("cost"))
+      .withColumn("key", -col("score"))
+    if (base.head(1).isEmpty)
+      return base.select("id", "score", "cost")
+        .withColumn("cum", lit(0L)).limit(0)
+    val bucketed = Packing.quantileBuckets(base, "key", buckets)
+    val offsets = bucketed.groupBy("b").agg(sum("cost").as("bsum"))
+      .withColumn("off", coalesce(sum(col("bsum")).over(
+        Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select("b", "off")
+    bucketed.join(broadcast(offsets), "b")
+      // a bucket whose offset alone exceeds the budget cannot contribute
+      // a selected row (costs are token counts, nonnegative by
+      // construction — a negative cost would break this prune and the
+      // greedy policy alike); prune before any window work happens
+      .filter(col("off") <= budget)
+      .withColumn("cum",
+        sum("cost").over(Window.partitionBy("b").orderBy("key", "id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)) +
+          col("off"))
+      .filter(col("cum") <= budget)
+      .select(col("id"), col("score"), col("cost"), col("cum"))
+  }
 }

@@ -295,6 +295,81 @@ object Analytics {
         SELECT id AS event_type, CAST(rank AS BIGINT) AS rank_micro FROM r3
         ORDER BY event_type""")),
 
+    // q167: personalized PageRank (topic-sensitive teleport, Haveliwala
+    // WWW '02) — rank every event type by proximity to the CONVERSION
+    // events ('view','purchase' as the seed set): teleport and dangling
+    // mass land only on the seeds, so rank mass flows outward from them
+    // along observed transitions — the crawl-frontier/domain-trust
+    // scoring primitive, here on the behavioral graph. Same integer
+    // fixed point as q157 (per-seed teleport and every update truncated
+    // identically on both sides), so the oracle replays all three rounds
+    // as chained CTEs, seed flag and all.
+    QueryDef("q167_personalized_pagerank",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("ts", "event_id")
+        val edges = ev(s, d)
+          .select(col("user_id"), col("event_type").as("src"),
+            lead(col("event_type"), 1).over(w).as("dst"))
+          .filter(col("dst").isNotNull)
+          .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+        val seeds = ev(s, d).select(col("event_type").as("seed"))
+          .where(col("seed").isin("view", "purchase")).distinct()
+        graft.operators.Components
+          .personalizedPageRank(edges, "src", "dst", Some("w"),
+            seeds, "seed", iters = 3)
+          .select(col("id").as("event_type"), col("rank").as("rank_micro"))
+          .orderBy("event_type")
+      },
+      Some("""WITH tr AS (SELECT event_type AS src,
+            lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+          FROM events),
+        e AS (SELECT src, dst, count(*) AS w FROM tr WHERE dst IS NOT NULL
+          GROUP BY 1, 2),
+        nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+        nn AS (SELECT count(*) AS n FROM nodes),
+        ow AS (SELECT src AS id, sum(w) AS outw FROM e GROUP BY 1),
+        sd AS (SELECT id FROM nodes WHERE id IN ('view', 'purchase')),
+        sc AS (SELECT count(*) AS s FROM sd),
+        tp AS (SELECT (15 * 1000000 * (SELECT n FROM nn))
+            // (100 * (SELECT s FROM sc)) AS t),
+        base AS (SELECT nodes.id, ow.outw,
+            nodes.id IN (SELECT id FROM sd) AS is_seed
+          FROM nodes LEFT JOIN ow USING (id)),
+        r0 AS (SELECT id, outw, is_seed, 1000000::BIGINT AS rank FROM base),
+        d1 AS (SELECT coalesce(sum(rank), 0) AS dsum FROM r0 WHERE outw IS NULL),
+        c1 AS (SELECT e.dst AS id, sum((r.rank // r.outw) * e.w) AS insum
+          FROM e JOIN r0 r ON e.src = r.id GROUP BY 1),
+        r1 AS (SELECT b.id, b.outw, b.is_seed,
+            (CASE WHEN b.is_seed THEN (SELECT t FROM tp) ELSE 0 END) +
+            (85 * (coalesce(c1.insum, 0) +
+              CASE WHEN b.is_seed
+                THEN (SELECT dsum FROM d1) // (SELECT s FROM sc)
+                ELSE 0 END)) // 100 AS rank
+          FROM base b LEFT JOIN c1 ON b.id = c1.id),
+        d2 AS (SELECT coalesce(sum(rank), 0) AS dsum FROM r1 WHERE outw IS NULL),
+        c2 AS (SELECT e.dst AS id, sum((r.rank // r.outw) * e.w) AS insum
+          FROM e JOIN r1 r ON e.src = r.id GROUP BY 1),
+        r2 AS (SELECT b.id, b.outw, b.is_seed,
+            (CASE WHEN b.is_seed THEN (SELECT t FROM tp) ELSE 0 END) +
+            (85 * (coalesce(c2.insum, 0) +
+              CASE WHEN b.is_seed
+                THEN (SELECT dsum FROM d2) // (SELECT s FROM sc)
+                ELSE 0 END)) // 100 AS rank
+          FROM base b LEFT JOIN c2 ON b.id = c2.id),
+        d3 AS (SELECT coalesce(sum(rank), 0) AS dsum FROM r2 WHERE outw IS NULL),
+        c3 AS (SELECT e.dst AS id, sum((r.rank // r.outw) * e.w) AS insum
+          FROM e JOIN r2 r ON e.src = r.id GROUP BY 1),
+        r3 AS (SELECT b.id, b.outw, b.is_seed,
+            (CASE WHEN b.is_seed THEN (SELECT t FROM tp) ELSE 0 END) +
+            (85 * (coalesce(c3.insum, 0) +
+              CASE WHEN b.is_seed
+                THEN (SELECT dsum FROM d3) // (SELECT s FROM sc)
+                ELSE 0 END)) // 100 AS rank
+          FROM base b LEFT JOIN c3 ON b.id = c3.id)
+        SELECT id AS event_type, CAST(rank AS BIGINT) AS rank_micro FROM r3
+        ORDER BY event_type""")),
+
     // q160: point-in-time-correct feature aggregation — the feature-store
     // primitive (Feast/Tecton "point-in-time join"): per purchase (the
     // label row), aggregate the user's view/click stream over the

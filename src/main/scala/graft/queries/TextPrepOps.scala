@@ -201,6 +201,36 @@ object TextPrepOps {
         FROM r JOIN t ON r.source = t.source
         WHERE r.rn <= 5 ORDER BY r.source, r.doc_id""")),
 
+    // q168: greedy token-budget corpus selection — the knapsack curation
+    // primitive ("best documents first until the token budget is spent"):
+    // rank by lexical diversity (distinct-token count), take while the
+    // running token total fits 20k. The prefix sum is TWO-PHASE (quantile
+    // buckets on the negated score → one buckets-row offset window →
+    // partition-parallel within-bucket running sums), never a global
+    // single-task ORDER BY window, and buckets past the budget boundary
+    // are pruned before their window executes — at 100 TB only the
+    // boundary bucket does row-level prefix work.
+    QueryDef("q168_token_budget_select",
+      (s, d) => {
+        val t = TextFns.tokens(col("text"))
+        val scored = docs(s, d).select(col("doc_id"),
+          size(array_distinct(t)).cast("long").as("score"),
+          size(t).cast("long").as("cost"))
+        Sampling.budgetSelect(scored, "doc_id", "score", "cost", 20000L)
+          .select(col("id").as("doc_id"), col("score"), col("cost"),
+            col("cum").as("cum_tokens"))
+          .orderBy(col("score").desc, col("doc_id"))
+      },
+      Some(s"""WITH x AS (SELECT doc_id, $OToks t FROM documents),
+          d AS (SELECT doc_id, CAST(len(list_distinct(t)) AS BIGINT) AS score,
+                  CAST(len(t) AS BIGINT) AS cost FROM x),
+          r AS (SELECT doc_id, score, cost,
+                  sum(cost) OVER (ORDER BY score DESC, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+                FROM d)
+        SELECT doc_id, score, cost, CAST(cum AS BIGINT) AS cum_tokens
+        FROM r WHERE cum <= 20000 ORDER BY score DESC, doc_id""")),
+
     // q159: robust per-source length-outlier gate — the Hampel / 3-MAD
     // rule (median ± 3·median-absolute-deviation): mean±kσ fails here
     // because outliers drag the mean and σ themselves (one 100MB crawl

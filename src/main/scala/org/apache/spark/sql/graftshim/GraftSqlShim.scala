@@ -44,12 +44,30 @@ object GraftSqlShim {
     * consumer that outlives the blocks fails or flakes. The q157 lesson.)
     * Same materialization work as an eager localCheckpoint: one
     * execution, row-copied, persisted at `level`.
+    *
+    * `truncate = true` additionally severs the PHYSICAL lineage
+    * (`localCheckpoint`, disk-included storage level): kept-forever
+    * physical chains are their own unbounded resource — each round's
+    * persisted RDD strongly references every prior round's RDD objects,
+    * so driver memory and per-job DAG traversal grow O(rounds) and very
+    * deep chains (hundreds of BPE merges, long k-means runs) risk
+    * StackOverflowError during stage construction. A truncated cut's
+    * blocks are NOT recomputable, so callers must never unpersist one
+    * that a live downstream frame might recompute through —
+    * [[graft.operators.Checkpoints.release]] skips them and leaves
+    * reclamation to the ContextCleaner (which only fires once no plan
+    * can reference the RDD anyway). [[graft.operators.Checkpoints.cut]]
+    * interleaves truncating cuts every N persist cuts, bounding lineage
+    * depth at N rounds while keeping recomputability between truncation
+    * points.
     */
   def persistCut(df: DataFrame,
-      level: org.apache.spark.storage.StorageLevel): DataFrame = {
+      level: org.apache.spark.storage.StorageLevel,
+      truncate: Boolean = false): DataFrame = {
     val ds = df.asInstanceOf[classic.Dataset[org.apache.spark.sql.Row]]
     val rdd = ds.queryExecution.toRdd.map(_.copy())
     rdd.persist(level)
+    if (truncate) rdd.localCheckpoint()
     rdd.count()
     classic.Dataset.ofRows(ds.sparkSession,
       org.apache.spark.sql.execution.LogicalRDD

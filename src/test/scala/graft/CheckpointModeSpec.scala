@@ -131,6 +131,59 @@ class CheckpointModeSpec extends SparkSpec {
     }
   }
 
+  test("periodic truncation bounds physical lineage depth; untruncated chains grow") {
+    import org.apache.spark.sql.functions.col
+    // kept-forever physical lineage is its own unbounded resource: each
+    // persist-cut strongly references every prior round's RDDs, so
+    // driver memory and per-job DAG traversal grow O(rounds) and very
+    // deep chains risk StackOverflowError in stage construction. Every
+    // Nth cut (TruncateEveryConf) also severs physical lineage.
+    def chain(n: Int): org.apache.spark.rdd.RDD[_] = {
+      var df = spark.range(0L, 50L, 1L, 2).toDF("v")
+      (1 to n).foreach { _ =>
+        df = Checkpoints.cut(df.select((col("v") + 1).as("v")))
+      }
+      df.queryExecution.analyzed
+        .asInstanceOf[org.apache.spark.sql.execution.LogicalRDD].rdd
+    }
+    def depth(r: org.apache.spark.rdd.RDD[_]): Int =
+      1 + (if (r.dependencies.isEmpty) 0
+           else r.dependencies.map(d => depth(d.rdd)).max)
+    spark.conf.set(Checkpoints.TruncateEveryConf, "0")
+    val unbounded =
+      try depth(chain(8))
+      finally spark.conf.unset(Checkpoints.TruncateEveryConf)
+    spark.conf.set(Checkpoints.TruncateEveryConf, "1")
+    val bounded =
+      try depth(chain(8))
+      finally spark.conf.unset(Checkpoints.TruncateEveryConf)
+    assert(unbounded > 8, s"untruncated 8-cut chain must grow, got $unbounded")
+    assert(bounded <= 4,
+      s"every-cut truncation must keep physical depth constant, got $bounded")
+  }
+
+  test("releases across truncation points stay correct (no unrecoverable unpersist)") {
+    import org.apache.spark.sql.functions.{col, sum}
+    // a truncated cut's blocks cannot be recomputed, so release() must
+    // skip unpersisting them while downstream frames could still
+    // recompute through them — the ContextCleaner reclaims them later
+    spark.conf.set(Checkpoints.TruncateEveryConf, "2")
+    try {
+      var df = spark.range(0L, 50L, 1L, 2).toDF("v")
+      val staged = collection.mutable.Buffer[org.apache.spark.sql.DataFrame]()
+      (1 to 6).foreach { _ =>
+        df = Checkpoints.cut(df.select((col("v") + 1).as("v")))
+        staged += df
+      }
+      staged.init.foreach(Checkpoints.release)
+      assert(df.agg(sum("v")).first().getLong(0) ===
+        (0L until 50L).map(_ + 6L).sum,
+        "chain across released truncation points must read identical values")
+    } finally {
+      spark.conf.unset(Checkpoints.TruncateEveryConf)
+    }
+  }
+
   test("staged (non-iterative) operators are mode-identical too") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again"),

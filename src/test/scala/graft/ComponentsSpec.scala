@@ -300,6 +300,95 @@ class ComponentsSpec extends SparkSpec {
       .isInstanceOf[org.apache.spark.sql.execution.LogicalRDD])
   }
 
+  // --- personalized PageRank ---
+
+  /** Driver-side reference of the seed-anchored fixed-point recurrence:
+    * teleport and dangling mass land on the seed set only. */
+  private def refPpr(edges: Seq[(String, String, Long)], seeds: Set[String],
+      iters: Int, dampPct: Int = 85,
+      unit: Long = 1000000L): Map[String, Long] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val n = nodes.size
+    val outW = edges.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val s = nodes.count(seeds)
+    val tele = ((100 - dampPct).toLong * unit * n) / (100L * s)
+    var r = nodes.map(_ -> unit).toMap
+    (1 to iters).foreach { _ =>
+      val dang = nodes.filterNot(outW.contains).map(r).sum
+      val dps = dang / s
+      val in = edges.groupBy(_._2).view.mapValues(_.map {
+        case (src, _, w) => (r(src) / outW(src)) * w }.sum).toMap
+      r = nodes.map(id => id -> ((if (seeds(id)) tele else 0L) +
+        dampPct * (in.getOrElse(id, 0L) +
+          (if (seeds(id)) dps else 0L)) / 100)).toMap
+    }
+    r
+  }
+
+  private def ppr(edges: Seq[(String, String, Long)], seeds: Seq[String],
+      iters: Int = 3): Map[String, Long] =
+    Components.personalizedPageRank(edges.toDF("s", "d", "w"), "s", "d",
+        Some("w"), seeds.toDF("seed"), "seed", iters)
+      .as[(String, Long)].collect().toMap
+
+  test("personalizedPageRank matches the driver-side recurrence exactly") {
+    val edges = Seq(("a", "b", 3L), ("b", "c", 2L), ("c", "a", 1L),
+      ("a", "d", 1L), ("d", "a", 2L), ("e", "a", 4L))
+    assert(ppr(edges, Seq("a")) === refPpr(edges, Set("a"), 3))
+    assert(ppr(edges, Seq("a", "c")) === refPpr(edges, Set("a", "c"), 3))
+  }
+
+  test("personalizedPageRank: mass stays seed-anchored") {
+    // e points INTO the cycle but nothing points to e: without a uniform
+    // teleport floor its rank must decay to exactly 0, while the seed
+    // and its neighborhood hold all the mass
+    val edges = Seq(("a", "b", 1L), ("b", "a", 1L), ("e", "a", 1L))
+    val out = ppr(edges, Seq("a"), iters = 3)
+    assert(out("e") === 0L, "a node unreachable from the seeds holds no mass")
+    assert(out("a") > out("b"), "the seed anchors the most mass")
+    assert(out("b") > 0L, "the seed's successor receives flow")
+  }
+
+  test("personalizedPageRank: dangling mass returns to the seeds") {
+    // d is dangling; its mass must flow to seed a, not be spread uniformly
+    val edges = Seq(("a", "d", 1L), ("b", "a", 1L), ("a", "b", 1L))
+    val withDang = ppr(edges, Seq("a"), iters = 2)
+    assert(withDang === refPpr(edges, Set("a"), 2))
+    assert(withDang("a") > withDang("d"))
+  }
+
+  test("personalizedPageRank requires a seed present in the graph") {
+    val edges = Seq(("a", "b", 1L))
+    val ex = intercept[IllegalArgumentException] {
+      ppr(edges, Seq("zzz"), iters = 1)
+    }
+    assert(ex.getMessage.contains("seed"))
+  }
+
+  test("personalizedPageRank on an empty edge frame returns an empty frame") {
+    val out = Components.personalizedPageRank(
+      Seq.empty[(String, String, Long)].toDF("s", "d", "w"), "s", "d",
+      Some("w"), Seq("a").toDF("seed"), "seed", 2)
+    assert(out.collect().isEmpty)
+    assert(out.columns.toSeq === Seq("id", "rank"))
+  }
+
+  test("personalizedPageRank is deterministic across partitionings") {
+    val edges = (1L to 200L).map(i => (s"u${i % 13}", s"u${(i * 5) % 13}",
+      1L + i % 4))
+    val one = Components.personalizedPageRank(
+      edges.toDF("s", "d", "w").repartition(1), "s", "d", Some("w"),
+      Seq("u1", "u5").toDF("seed"), "seed", 3)
+      .as[(String, Long)].collect().toSet
+    val many = Components.personalizedPageRank(
+      edges.toDF("s", "d", "w").repartition(11), "s", "d", Some("w"),
+      Seq("u1", "u5").toDF("seed"), "seed", 3)
+    assert(many.queryExecution.analyzed
+      .isInstanceOf[org.apache.spark.sql.execution.LogicalRDD],
+      "ppr must return a materialized cut, like pageRank")
+    assert(many.as[(String, Long)].collect().toSet === one)
+  }
+
   // Driver-side HITS recurrence mirroring Components.hits exactly:
   // auth from previous hubs, hubs from the JUST-updated auths, each side
   // rescaled by the truncated factor max(1, S div (n·unit)).
@@ -367,6 +456,58 @@ class ComponentsSpec extends SparkSpec {
       "hits must return a materialized cut, like pageRank")
     assert(many.as[(String, Long, Long)].collect().toSet === one,
       "fixed-point arithmetic must not depend on partitioning")
+  }
+
+  test("pageRank warm start: seeded continuation ≡ one longer cold run") {
+    val edges = Seq(("a", "b", 3L), ("a", "c", 1L), ("b", "c", 2L),
+      ("c", "a", 1L), ("d", "c", 5L))
+    val cold5 = pr(edges, 5)
+    val k2 = Components.pageRank(edges.toDF("s", "d", "w"), "s", "d",
+      Some("w"), 2)
+    val resumed = Components.pageRank(edges.toDF("s", "d", "w"), "s", "d",
+        Some("w"), 3, seed = Some(k2))
+      .as[(String, Long)].collect().toMap
+    assert(resumed === cold5,
+      "pageRank(k+m) must equal pageRank(m, seed = pageRank(k))")
+    // nodes absent from the seed start at unit: an empty seed IS the cold run
+    val emptySeed = Seq.empty[(String, Long)].toDF("id", "rank")
+    assert(Components.pageRank(edges.toDF("s", "d", "w"), "s", "d",
+        Some("w"), 5, seed = Some(emptySeed))
+      .as[(String, Long)].collect().toMap === cold5)
+  }
+
+  test("hits warm start: seeded continuation ≡ one longer cold run") {
+    val edges = Seq(("a", "b", 3L), ("a", "c", 1L), ("b", "c", 2L),
+      ("c", "a", 1L), ("d", "c", 5L), ("d", "a", 2L))
+    val cold4 = hitsMap(edges, 4)
+    val k2 = Components.hits(edges.toDF("s", "d", "w"), "s", "d",
+      Some("w"), 2)
+    val resumed = Components.hits(edges.toDF("s", "d", "w"), "s", "d",
+        Some("w"), 2, seed = Some(k2))
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(resumed === cold4,
+      "hits(k+m) must equal hits(m, seed = hits(k))")
+  }
+
+  test("pageRankUntil warm start: a converged seed meets the budget at once") {
+    val edges = Seq(("a", "b", 3L), ("a", "c", 1L), ("b", "c", 2L),
+      ("c", "a", 1L), ("d", "c", 5L))
+    val (cold, coldRounds) = Components.pageRankUntil(
+      edges.toDF("s", "d", "w"), "s", "d", Some("w"), deltaL1 = 5L,
+      maxIters = 200)
+    val (warm, warmRounds) = Components.pageRankUntil(
+      edges.toDF("s", "d", "w"), "s", "d", Some("w"), deltaL1 = 5L,
+      maxIters = 200, seed = Some(cold))
+    // the stop test re-arms from the seed, and the persistent truncation
+    // cycle can exceed the budget for a round or two before settling —
+    // "almost immediately" is a handful of rounds, not exactly one
+    assert(warmRounds <= 4,
+      s"a converged seed must stop almost immediately, ran $warmRounds")
+    assert(warmRounds < coldRounds)
+    // resumability: the warm run IS the cold trajectory continued
+    assert(warm.as[(String, Long)].collect().toMap ===
+      pr(edges, coldRounds + warmRounds))
   }
 
   test("q166 double-run: a cache-stressed session cannot change hits values") {

@@ -210,6 +210,43 @@ class PlanGuardSpec extends SparkSpec {
     assert(!finalPlan("q157_pagerank").contains("CartesianProduct"))
   }
 
+  test("q167 PPR: same round invariants as q157 — 1-row dangling broadcast, equi-join propagation") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, coalesce}
+    val e = Seq(("a", "b", 2L), ("b", "c", 1L), ("c", "a", 3L))
+      .toDF("src", "dst", "w")
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+    val outW = e.groupBy(col("src").as("id"))
+      .agg(org.apache.spark.sql.functions.sum("w").as("outw"))
+    val base = nodes.join(outW, Seq("id"), "left")
+      .join(Seq("a").toDF("id").select(col("id"), lit(true).as("is_seed")),
+        Seq("id"), "left")
+      .select(col("id"), col("outw"),
+        coalesce(col("is_seed"), lit(false)).as("is_seed"))
+    val ranks = base.select(col("id"), col("outw"), col("is_seed"),
+      lit(1000000L).as("rank"))
+    val round = graft.operators.Components
+      .pprRound(e, base, ranks, 1L, 85, 450000L)
+    val crossJoins = round.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.condition.isEmpty => j
+    }
+    assert(crossJoins.nonEmpty, "expected the 1-row dangling crossJoin")
+    crossJoins.foreach(j => assert(j.right.maxRows.contains(1L),
+      s"every crossJoin side must be provably 1-row, got ${j.right.maxRows}"))
+    val srcJoins = round.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.condition.exists(_.references.exists(_.name == "src")) => j
+    }
+    assert(srcJoins.nonEmpty, "expected the edges-to-ranks src equi-join")
+    srcJoins.foreach(j => assert(j.condition.get.toString.contains("="),
+      s"propagation join must be an equality join: ${j.condition.get}"))
+    assert(!round.queryExecution.executedPlan.toString
+      .contains("CartesianProduct"))
+    assert(!finalPlan("q167_personalized_pagerank").contains("CartesianProduct"))
+  }
+
   test("q166 HITS: gather is equi-join; rescale crossJoin is provably 1-row") {
     // like q157 the registered query's final plan is a sort over the
     // eagerly-cut result, so the per-round machinery is guarded on the

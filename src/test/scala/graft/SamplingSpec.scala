@@ -166,4 +166,95 @@ class SamplingSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"),
       s"per-group heap pruning must fire before the exchange:\n$plan")
   }
+
+  // --- greedy token-budget selection ---
+
+  /** Driver-side greedy knapsack reference: descending score, ties by id,
+    * keep rows whose inclusive running cost stays within budget. */
+  private def refBudget(rows: Seq[(Long, Long, Long)],
+      b: Long): Seq[(Long, Long, Long, Long)] = {
+    var cum = 0L
+    rows.sortBy { case (id, sc, _) => (-sc, id) }.flatMap {
+      case (id, sc, c) =>
+        cum += c
+        if (cum <= b) Some((id, sc, c, cum)) else None
+    }
+  }
+
+  private def budget(rows: Seq[(Long, Long, Long)], b: Long,
+      buckets: Int = 32): Seq[(Long, Long, Long, Long)] =
+    Sampling.budgetSelect(rows.toDF("id", "score", "cost"), "id", "score",
+        "cost", b, buckets)
+      .as[(Long, Long, Long, Long)].collect().sortBy(r => (-r._2, r._1)).toSeq
+
+  test("budgetSelect matches the driver-side greedy reference") {
+    val rows = (1L to 100L).map(i => (i, (i * 7) % 31, 10L + i % 9))
+    for (b <- Seq(0L, 100L, 500L, 10000L)) {
+      assert(budget(rows, b) === refBudget(rows, b), s"budget=$b")
+    }
+  }
+
+  test("budgetSelect: the overflowing document and everything after it are excluded") {
+    // scores force the order c > a > b; c(40) + a(50) = 90 ≤ 100, b
+    // overflows at 150 and is cut — greedy prefix, not best-fit
+    val rows = Seq((1L, 5L, 50L), (2L, 3L, 60L), (3L, 9L, 40L))
+    assert(budget(rows, 100L) ===
+      Seq((3L, 9L, 40L, 40L), (1L, 5L, 50L, 90L)))
+  }
+
+  test("budgetSelect: equal scores break by id, deterministically") {
+    val rows = Seq((10L, 7L, 30L), (2L, 7L, 30L), (5L, 7L, 30L))
+    assert(budget(rows, 60L).map(_._1) === Seq(2L, 5L),
+      "at equal score the lower id is taken first")
+  }
+
+  test("budgetSelect is invariant to bucket count and partitioning") {
+    val rows = (1L to 300L).map(i => (i, (i * 13) % 17, 5L + i % 7))
+    val expect = refBudget(rows, 400L)
+    assert(budget(rows, 400L, buckets = 1) === expect)
+    assert(budget(rows, 400L, buckets = 7) === expect)
+    val many = Sampling.budgetSelect(
+      rows.toDF("id", "score", "cost").repartition(13), "id", "score",
+      "cost", 400L, 16)
+      .as[(Long, Long, Long, Long)].collect().sortBy(r => (-r._2, r._1)).toSeq
+    assert(many === expect)
+  }
+
+  test("budgetSelect on an empty frame returns an empty frame") {
+    val out = Sampling.budgetSelect(
+      Seq.empty[(Long, Long, Long)].toDF("id", "score", "cost"),
+      "id", "score", "cost", 100L)
+    assert(out.collect().isEmpty)
+    assert(out.columns.toSeq === Seq("id", "score", "cost", "cum"))
+  }
+
+  test("budgetSelect prunes past-budget buckets before their windows run") {
+    // the scale claim: the corpus tail past the boundary bucket must be
+    // filtered on the tiny offsets frame, BEFORE the per-row running-sum
+    // window — visible in the plan as a Filter on `off` below the Window
+    val rows = (1L to 500L).map(i => (i, 500L - i, 10L))
+    val df = Sampling.budgetSelect(rows.toDF("id", "score", "cost"), "id",
+      "score", "cost", 50L, 16)
+    val plan = df.queryExecution.optimizedPlan
+    // collect Window nodes and check each sits above a Filter mentioning
+    // `off` (the bucket prune) somewhere in its child
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty)
+    val rowWindow = windows.filterNot(
+      _.child.collect { case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }.isEmpty)
+    assert(rowWindow.nonEmpty, s"expected the per-row running-sum window:\n$plan")
+    rowWindow.foreach { w =>
+      // the optimizer may rewrite `off` to the underlying window expr —
+      // match the budget comparison itself (<= 50) sitting below the
+      // row-level window, wherever the filter was pushed
+      val hasPrune = w.child.collect {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+            if f.condition.toString.contains("<= 50") => f
+      }
+      assert(hasPrune.nonEmpty,
+        s"the off <= budget prune must sit below the running-sum window:\n$w")
+    }
+  }
 }
