@@ -313,8 +313,13 @@ object Analytics {
             lead(col("event_type"), 1).over(w).as("dst"))
           .filter(col("dst").isNotNull)
           .groupBy("src", "dst").agg(count(lit(1)).as("w"))
-        val seeds = ev(s, d).select(col("event_type").as("seed"))
-          .where(col("seed").isin("view", "purchase")).distinct()
+        // the seed set is EXTERNAL input (a trusted-domain list, a
+        // conversion-event list) — a literal frame, never a corpus scan;
+        // seeds absent from the graph drop out inside the operator
+        val seeds = {
+          import s.implicits._
+          Seq("view", "purchase").toDF("seed")
+        }
         graft.operators.Components
           .personalizedPageRank(edges, "src", "dst", Some("w"),
             seeds, "seed", iters = 3)
