@@ -20,7 +20,8 @@ object ScaleCheck {
     "q143_snm_multipass", "q156_prefix_filter_jaccard", "q157_pagerank",
     "q158_stratified_priority_sample", "q159_mad_outliers",
     "q160_point_in_time_features", "q164_incremental_components",
-    "q166_hits", "q167_personalized_pagerank", "q168_token_budget_select")
+    "q166_hits", "q167_personalized_pagerank", "q168_token_budget_select",
+    "q169_triangles", "q170_graph_profile")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")

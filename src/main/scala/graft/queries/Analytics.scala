@@ -375,6 +375,121 @@ object Analytics {
         SELECT id AS event_type, CAST(rank AS BIGINT) AS rank_micro FROM r3
         ORDER BY event_type""")),
 
+    // q169: per-node triangle counts via degree-ordered orientation
+    // (compact-forward) over the undirected transition graph — each
+    // triangle found exactly once as a wedge at its (degree, id)-minimum
+    // vertex closed by one equi-join; a celebrity hub generates no
+    // wedges at itself because all its edges orient INTO it, which is
+    // what bounds the wedge join at O(m^1.5) instead of Σdeg². Output
+    // includes degree, so triangles/(d·(d−1)/2) is the local clustering
+    // coefficient.
+    QueryDef("q169_triangles",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("ts", "event_id")
+        val edges = ev(s, d)
+          .select(col("event_type").as("src"),
+            lead(col("event_type"), 1).over(w).as("dst"))
+          .filter(col("dst").isNotNull)
+        graft.operators.Components.triangleCounts(edges, "src", "dst")
+          .select(col("id").as("event_type"), col("degree"),
+            col("triangles"))
+          .orderBy("event_type")
+      },
+      Some("""WITH tr AS (SELECT event_type AS src,
+            lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+          FROM events),
+        ue AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+          FROM tr WHERE dst IS NOT NULL AND src <> dst),
+        dg AS (SELECT id, count(*) AS d FROM (
+            SELECT a AS id FROM ue UNION ALL SELECT b FROM ue) GROUP BY 1),
+        oe AS (SELECT
+            CASE WHEN da.d < db.d OR (da.d = db.d AND ue.a < ue.b)
+              THEN ue.a ELSE ue.b END AS u,
+            CASE WHEN da.d < db.d OR (da.d = db.d AND ue.a < ue.b)
+              THEN ue.b ELSE ue.a END AS v,
+            CASE WHEN da.d < db.d OR (da.d = db.d AND ue.a < ue.b)
+              THEN db.d ELSE da.d END AS dv
+          FROM ue JOIN dg da ON ue.a = da.id JOIN dg db ON ue.b = db.id),
+        wdg AS (SELECT e1.u, e1.v AS x, e2.v AS y
+          FROM oe e1 JOIN oe e2 ON e1.u = e2.u
+            AND (e1.dv < e2.dv OR (e1.dv = e2.dv AND e1.v < e2.v))),
+        t AS (SELECT wdg.u, wdg.x, wdg.y
+          FROM wdg JOIN oe ON oe.u = wdg.x AND oe.v = wdg.y),
+        pn AS (SELECT id, count(*) AS triangles FROM (
+            SELECT u AS id FROM t
+            UNION ALL SELECT x FROM t
+            UNION ALL SELECT y FROM t) GROUP BY 1)
+        SELECT dg.id AS event_type, CAST(dg.d AS BIGINT) AS degree,
+          CAST(coalesce(pn.triangles, 0) AS BIGINT) AS triangles
+        FROM dg LEFT JOIN pn USING (id) ORDER BY event_type""")),
+
+    // q170: one-row graph profile card (the q155 dataset-profile idea for
+    // the graph family): node/edge counts, degree stats, wedge count,
+    // exact triangle total and the GLOBAL clustering coefficient
+    // 3·triangles/wedges in integer micro-units — the one-glance "is this
+    // graph hub-dominated or clustered" summary a pipeline logs per day.
+    // Composes q169's exact triangle machinery; every ratio is integer
+    // div so the oracle replays bit-for-bit.
+    QueryDef("q170_graph_profile",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("ts", "event_id")
+        val edges = ev(s, d)
+          .select(col("event_type").as("src"),
+            lead(col("event_type"), 1).over(w).as("dst"))
+          .filter(col("dst").isNotNull)
+        graft.operators.Components.triangleCounts(edges, "src", "dst")
+          .agg(count(lit(1)).as("nn"), sum("degree").as("sd"),
+            max("degree").as("md"),
+            sum(expr("degree * (degree - 1) div 2")).as("wedges"),
+            sum("triangles").as("st"))
+          .select(col("nn").as("n_nodes"),
+            expr("sd div 2").as("n_edges"),
+            col("md").as("max_degree"),
+            expr("(sd * 1000) div nn").as("avg_degree_milli"),
+            col("wedges"),
+            expr("st div 3").as("n_triangles"),
+            when(col("wedges") > 0, expr("(1000000 * st) div wedges"))
+              .otherwise(lit(0L)).as("clustering_micro"))
+      },
+      Some("""WITH tr AS (SELECT event_type AS src,
+            lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+          FROM events),
+        ue AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+          FROM tr WHERE dst IS NOT NULL AND src <> dst),
+        dg AS (SELECT id, count(*) AS d FROM (
+            SELECT a AS id FROM ue UNION ALL SELECT b FROM ue) GROUP BY 1),
+        oe AS (SELECT
+            CASE WHEN da.d < db.d OR (da.d = db.d AND ue.a < ue.b)
+              THEN ue.a ELSE ue.b END AS u,
+            CASE WHEN da.d < db.d OR (da.d = db.d AND ue.a < ue.b)
+              THEN ue.b ELSE ue.a END AS v,
+            CASE WHEN da.d < db.d OR (da.d = db.d AND ue.a < ue.b)
+              THEN db.d ELSE da.d END AS dv
+          FROM ue JOIN dg da ON ue.a = da.id JOIN dg db ON ue.b = db.id),
+        wdg AS (SELECT e1.u, e1.v AS x, e2.v AS y
+          FROM oe e1 JOIN oe e2 ON e1.u = e2.u
+            AND (e1.dv < e2.dv OR (e1.dv = e2.dv AND e1.v < e2.v))),
+        t AS (SELECT wdg.u, wdg.x, wdg.y
+          FROM wdg JOIN oe ON oe.u = wdg.x AND oe.v = wdg.y),
+        pn AS (SELECT id, count(*) AS triangles FROM (
+            SELECT u AS id FROM t
+            UNION ALL SELECT x FROM t
+            UNION ALL SELECT y FROM t) GROUP BY 1),
+        sel AS (SELECT dg.id, dg.d, coalesce(pn.triangles, 0) AS tc
+          FROM dg LEFT JOIN pn USING (id))
+        SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+          CAST(sum(d) // 2 AS BIGINT) AS n_edges,
+          CAST(max(d) AS BIGINT) AS max_degree,
+          CAST((sum(d) * 1000) // count(*) AS BIGINT) AS avg_degree_milli,
+          CAST(sum(d * (d - 1) // 2) AS BIGINT) AS wedges,
+          CAST(sum(tc) // 3 AS BIGINT) AS n_triangles,
+          CAST(CASE WHEN sum(d * (d - 1) // 2) > 0
+            THEN (1000000 * sum(tc)) // sum(d * (d - 1) // 2)
+            ELSE 0 END AS BIGINT) AS clustering_micro
+        FROM sel""")),
+
     // q160: point-in-time-correct feature aggregation — the feature-store
     // primitive (Feast/Tecton "point-in-time join"): per purchase (the
     // label row), aggregate the user's view/click stream over the

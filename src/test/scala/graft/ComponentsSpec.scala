@@ -300,6 +300,70 @@ class ComponentsSpec extends SparkSpec {
       .isInstanceOf[org.apache.spark.sql.execution.LogicalRDD])
   }
 
+  // --- triangle counting ---
+
+  /** Brute-force per-node triangle reference over the simple undirected
+    * collapse of the edge list. */
+  private def refTriangles(
+      edges: Seq[(String, String)]): Map[String, (Long, Long)] = {
+    val ue = edges.filter(e => e._1 != e._2)
+      .map(e => if (e._1 < e._2) e else e.swap).distinct
+    val nodes = ue.flatMap(e => Seq(e._1, e._2)).distinct
+    val adj = nodes.map(n => n -> ue.collect {
+      case (a, b) if a == n => b
+      case (a, b) if b == n => a
+    }.toSet).toMap
+    nodes.map { n =>
+      val tri = (for {
+        u <- adj(n).toSeq; v <- adj(n).toSeq if u < v && adj(u)(v)
+      } yield 1).size.toLong
+      n -> ((adj(n).size.toLong, tri))
+    }.toMap
+  }
+
+  private def tri(edges: Seq[(String, String)]): Map[String, (Long, Long)] =
+    Components.triangleCounts(edges.toDF("s", "d"), "s", "d")
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+
+  test("triangleCounts: K4, a star, and a triangle-with-tail are exact") {
+    // K4: every node sits in C(3,2)=3 triangles at degree 3
+    val k4 = for { a <- Seq("a", "b", "c", "d"); b <- Seq("a", "b", "c", "d")
+      if a < b } yield (a, b)
+    assert(tri(k4) === Map("a" -> ((3L, 3L)), "b" -> ((3L, 3L)),
+      "c" -> ((3L, 3L)), "d" -> ((3L, 3L))))
+    // celebrity star: the hub has every edge but zero triangles
+    val star = (1 to 6).map(i => (s"leaf$i", "hub"))
+    assert(tri(star).forall { case (_, (_, t)) => t === 0L })
+    // triangle with a tail: tail node in 0, triangle nodes in 1
+    val tail = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("c", "t"))
+    assert(tri(tail) === Map("a" -> ((2L, 1L)), "b" -> ((2L, 1L)),
+      "c" -> ((3L, 1L)), "t" -> ((1L, 0L))))
+  }
+
+  test("triangleCounts collapses direction, multi-edges and self-loops") {
+    val messy = Seq(("a", "b"), ("b", "a"), ("a", "b"), ("a", "a"),
+      ("b", "c"), ("c", "a"))
+    assert(tri(messy) === refTriangles(messy))
+    assert(tri(messy)("a") === ((2L, 1L)))
+  }
+
+  test("triangleCounts matches brute force on pseudo-random graphs (property)") {
+    val rnd = new scala.util.Random(42)
+    (1 to 3).foreach { _ =>
+      val edges = Seq.fill(60)((s"n${rnd.nextInt(12)}", s"n${rnd.nextInt(12)}"))
+        .filter(e => e._1 != e._2)
+      assert(tri(edges) === refTriangles(edges))
+    }
+  }
+
+  test("triangleCounts on an empty edge frame returns an empty frame") {
+    val out = Components.triangleCounts(
+      Seq.empty[(String, String)].toDF("s", "d"), "s", "d")
+    assert(out.collect().isEmpty)
+    assert(out.columns.toSeq === Seq("id", "degree", "triangles"))
+  }
+
   // --- personalized PageRank ---
 
   /** Driver-side reference of the seed-anchored fixed-point recurrence:
@@ -508,6 +572,31 @@ class ComponentsSpec extends SparkSpec {
     // resumability: the warm run IS the cold trajectory continued
     assert(warm.as[(String, Long)].collect().toMap ===
       pr(edges, coldRounds + warmRounds))
+  }
+
+  test("q167 double-run: a cache-stressed session cannot change PPR values") {
+    // the q157/q166 determinism contract, applied to the seeded variant
+    val dir = "/root/testdata/sf0.001"
+    def run() = SparkEntry.queries("q167_personalized_pagerank")(spark, dir)
+    val baseline = run().collect().map(_.toSeq).toSeq
+    assert(baseline.nonEmpty)
+    val deferred = run()
+    val hogs = (1 to 6).map { i =>
+      val h = spark.range(0L, 150000L, 1L, 4)
+        .select((org.apache.spark.sql.functions.col("id") * i).as("v"),
+          org.apache.spark.sql.functions.sha2(
+            org.apache.spark.sql.functions.col("id").cast("string"), 256).as("h"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      h.count(); h
+    }
+    System.gc(); Thread.sleep(50)
+    spark.sqlContext.clearCache()
+    hogs.foreach(_.unpersist(blocking = true))
+    System.gc(); Thread.sleep(50)
+    assert(deferred.collect().map(_.toSeq).toSeq === baseline,
+      "PPR output depended on post-call session state")
+    assert(run().collect().map(_.toSeq).toSeq === baseline,
+      "a fresh second run must be bit-identical")
   }
 
   test("q166 double-run: a cache-stressed session cannot change hits values") {

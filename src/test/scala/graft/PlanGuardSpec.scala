@@ -210,6 +210,30 @@ class PlanGuardSpec extends SparkSpec {
     assert(!finalPlan("q157_pagerank").contains("CartesianProduct"))
   }
 
+  test("q169 triangles: wedge and closing joins are equi-joins, no BNLJ/cartesian") {
+    // the degree-ordered orientation only pays off if the wedge
+    // generation and the closing-edge probe stay hash-join machinery —
+    // a nested loop would re-melt the Σdeg² the orientation avoids.
+    // Like q157/q165/q166 the registered query's final plan is a sort
+    // over the eagerly-cut result, so guard the operator's own builder.
+    import spark.implicits._
+    val oe = Seq(("a", "b", 2L), ("a", "c", 2L), ("b", "c", 2L))
+      .toDF("u", "v", "dv")
+    val tris = graft.operators.Components.closeWedges(oe)
+    val joins = tris.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.size === 2,
+      s"one apex wedge self-join + one closing probe, got ${joins.size}")
+    joins.foreach(j => assert(j.condition.exists(_.toString.contains("=")),
+      s"every triangle join must be an equality join: ${j.condition}"))
+    val ex = tris.queryExecution.executedPlan.toString
+    assert(!ex.contains("BroadcastNestedLoopJoin") &&
+      !ex.contains("CartesianProduct"),
+      s"triangle counting must stay equi-join machinery:\n$ex")
+    assert(!finalPlan("q169_triangles").contains("CartesianProduct"))
+  }
+
   test("q167 PPR: same round invariants as q157 — 1-row dangling broadcast, equi-join propagation") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, lit, coalesce}
