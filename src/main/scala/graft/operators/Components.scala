@@ -762,6 +762,76 @@ object Components {
     out
   }
 
+  /** Bounded-hop weighted shortest paths — Bellman–Ford with the
+    * frontier optimization: dist(v) after round k is the minimum total
+    * weight over all ≤ k-edge paths from any source, the weighted
+    * generalization of [[bfsDepths]] (which this reduces to at unit
+    * weights) and the taxonomy-distance / cheapest-route primitive.
+    * The ≤ `maxHops` semantics are well-defined on any graph — cycles,
+    * even negative ones, cannot diverge inside a bounded horizon — and
+    * are what a recursive-CTE oracle with a hop guard replays exactly.
+    *
+    * Frontier optimization, and why it is safe: per round only the
+    * nodes whose dist IMPROVED last round re-emit `dist + w` candidates.
+    * A non-improved node's candidates were already emitted the round it
+    * last improved, and dist is monotone non-increasing under the
+    * full-outer min-merge, so dropping the re-emission never loses a
+    * relaxation — by induction each prefix of an optimal ≤ k-edge path
+    * still lands its candidate on schedule, making this bit-identical to
+    * full-relax Bellman–Ford at every round. The payoff is [[bfsDepths]]'
+    * scale shape: per round one equi-join of edges against the FRONTIER
+    * (not the full node set) + a map-side-combined min + a node-sized
+    * full-outer merge; cost Σ_h |edges incident to frontier_h|,
+    * output-sensitive, and the loop exits early when a round improves
+    * nothing (two driver booleans per round).
+    *
+    * Output: (id, dist) for every node reachable within the horizon;
+    * sources at dist 0, unreachable nodes absent.
+    */
+  def shortestPathsBounded(edges: DataFrame, srcCol: String,
+      dstCol: String, weightCol: Option[String], sources: DataFrame,
+      sourceCol: String, maxHops: Int): DataFrame = {
+    require(maxHops >= 0, "the hop horizon is nonnegative")
+    val w = weightCol.map(c => col(c).cast("long")).getOrElse(lit(1L))
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+      w.as("w")).persist()
+    var cur = Checkpoints.cut(
+      sources.select(col(sourceCol).as("id")).distinct()
+        .select(col("id"), lit(0L).as("dist"), lit(true).as("improved")))
+    var hop = 0
+    var active = cur.head(1).nonEmpty
+    while (hop < maxHops && active) {
+      val next = Checkpoints.cut(ssspRound(e, cur))
+      Checkpoints.release(cur)
+      cur = next
+      active = cur.filter(col("improved")).head(1).nonEmpty
+      hop += 1
+    }
+    val out = Checkpoints.cut(cur.select("id", "dist"))
+    e.unpersist()
+    Checkpoints.release(cur)
+    out
+  }
+
+  /** One frontier-relax round over the cut (id, dist, improved) state:
+    * equi-join edges against the improved frontier, map-side-combined
+    * min of dist+w per destination, full-outer min-merge back onto the
+    * full dist table. Exposed for PlanGuardSpec — the relax join must
+    * stay hash machinery and the frontier side must carry (src, ds)
+    * only. */
+  private[graft] def ssspRound(e: DataFrame, cur: DataFrame): DataFrame = {
+    val frontier = cur.filter(col("improved"))
+      .select(col("id").as("src"), col("dist").as("ds"))
+    val cand = e.join(frontier, "src")
+      .select(col("dst").as("id"), (col("ds") + col("w")).as("c"))
+      .groupBy("id").agg(min("c").as("cand"))
+    val better = col("dist").isNull || (col("cand") < col("dist"))
+    cur.select(col("id"), col("dist")).join(cand, Seq("id"), "full")
+      .select(col("id"),
+        when(better, col("cand")).otherwise(col("dist")).as("dist"),
+        coalesce(better, lit(false)).as("improved"))
+  }
+
   /** The wedge-generation + closing-edge probe over an oriented edge
     * frame (u, v, dv): one equi-self-join on the apex filtered to
     * π-ordered (x, y) pairs, one (x, y) equi-join against the oriented

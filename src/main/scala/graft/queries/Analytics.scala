@@ -679,6 +679,38 @@ object Analytics {
         SELECT p_partkey, CAST(depth AS INTEGER) AS depth FROM r
         ORDER BY p_partkey""")),
 
+    // q171: bounded-hop weighted shortest paths (frontier Bellman–Ford)
+    // over the q165 part heap with synthetic integer edge costs
+    // ((child % 7) + 1): min-total-cost within ≤ 6 hops from the root —
+    // the weighted generalization of q165's BFS, against DuckDB's NATIVE
+    // hop-guarded recursive CTE as the oracle, so the hash-match proves
+    // frontier-relax ≡ bounded-recursion least cost. The fixed horizon
+    // is the SEMANTICS here (cost within six levels), not a truncation
+    // hack — deeper nodes are meant to be absent on both sides.
+    QueryDef("q171_shortest_paths",
+      (s, d) => {
+        val part = Tables.part(s, d)
+        val edges = part.filter(col("p_partkey") >= 2)
+          .select(expr("p_partkey div 2").as("parent"),
+            col("p_partkey").as("child"),
+            (col("p_partkey") % 7 + 1).cast("long").as("cost"))
+        val roots = s.range(1, 2).select(col("id").as("root"))
+        graft.operators.Components
+          .shortestPathsBounded(edges, "parent", "child", Some("cost"),
+            roots, "root", maxHops = 6)
+          .select(col("id").as("p_partkey"), col("dist"))
+          .orderBy("p_partkey")
+      },
+      Some("""WITH RECURSIVE r AS (
+          SELECT CAST(1 AS BIGINT) AS id, CAST(0 AS BIGINT) AS dist,
+            0 AS hops
+          UNION ALL
+          SELECT p.p_partkey, r.dist + (p.p_partkey % 7) + 1, r.hops + 1
+          FROM part p JOIN r ON p.p_partkey // 2 = r.id
+          WHERE p.p_partkey >= 2 AND r.hops < 6)
+        SELECT id AS p_partkey, CAST(min(dist) AS BIGINT) AS dist
+        FROM r GROUP BY 1 ORDER BY 1""")),
+
     // q166: HITS hub/authority centrality over the same behavioral
     // event-type transition graph as q157 — the mutual-reinforcement
     // score pair (Kleinberg '99) next to PageRank's random surfer:

@@ -300,6 +300,68 @@ class ComponentsSpec extends SparkSpec {
       .isInstanceOf[org.apache.spark.sql.execution.LogicalRDD])
   }
 
+  // --- bounded-hop weighted shortest paths ---
+
+  /** Driver-side full-relax Bellman–Ford reference: dist after k rounds
+    * = min cost over ≤ k-edge paths from any source. */
+  private def refSssp(edges: Seq[(Long, Long, Long)], sources: Seq[Long],
+      k: Int): Map[Long, Long] = {
+    var dist = sources.distinct.map(_ -> 0L).toMap
+    (1 to k).foreach { _ =>
+      val cand = edges.flatMap { case (s, d, w) =>
+        dist.get(s).map(ds => d -> (ds + w))
+      }.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+      dist = (dist.keySet ++ cand.keySet).map { n =>
+        n -> math.min(dist.getOrElse(n, Long.MaxValue),
+          cand.getOrElse(n, Long.MaxValue))
+      }.toMap
+    }
+    dist
+  }
+
+  private def sssp(edges: Seq[(Long, Long, Long)], sources: Seq[Long],
+      k: Int): Map[Long, Long] =
+    Components.shortestPathsBounded(edges.toDF("s", "d", "w"), "s", "d",
+        Some("w"), sources.toDF("src"), "src", k)
+      .as[(Long, Long)].collect().toMap
+
+  test("shortestPathsBounded: a cheap 2-hop detour needs 2 hops to beat the direct edge") {
+    val edges = Seq((1L, 2L, 10L), (1L, 3L, 2L), (3L, 2L, 2L))
+    assert(sssp(edges, Seq(1L), 1) === Map(1L -> 0L, 2L -> 10L, 3L -> 2L))
+    assert(sssp(edges, Seq(1L), 2) === Map(1L -> 0L, 2L -> 4L, 3L -> 2L))
+  }
+
+  test("shortestPathsBounded: horizon truncates, cycles cannot diverge") {
+    val chain = Seq((1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L), (4L, 1L, 1L))
+    assert(sssp(chain, Seq(1L), 2) === Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+    // going all the way around the cycle cannot improve the source
+    assert(sssp(chain, Seq(1L), 50) ===
+      Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+  }
+
+  test("shortestPathsBounded: multi-source takes the per-node minimum") {
+    val edges = Seq((1L, 5L, 10L), (9L, 5L, 1L))
+    assert(sssp(edges, Seq(1L, 9L), 3) ===
+      Map(1L -> 0L, 9L -> 0L, 5L -> 1L))
+  }
+
+  test("shortestPathsBounded matches full-relax Bellman-Ford (property)") {
+    val rnd = new scala.util.Random(7)
+    (1 to 3).foreach { _ =>
+      val edges = Seq.fill(80)(
+        (rnd.nextInt(15).toLong, rnd.nextInt(15).toLong, 1L + rnd.nextInt(9)))
+        .filter(e => e._1 != e._2)
+      for (k <- Seq(1, 3, 8)) {
+        assert(sssp(edges, Seq(0L, 7L), k) === refSssp(edges, Seq(0L, 7L), k),
+          s"k=$k")
+      }
+    }
+  }
+
+  test("shortestPathsBounded with no edges returns the sources at dist 0") {
+    assert(sssp(Seq.empty, Seq(3L), 5) === Map(3L -> 0L))
+  }
+
   // --- triangle counting ---
 
   /** Brute-force per-node triangle reference over the simple undirected

@@ -234,6 +234,36 @@ class PlanGuardSpec extends SparkSpec {
     assert(!finalPlan("q169_triangles").contains("CartesianProduct"))
   }
 
+  test("q171 SSSP: relax join is equi-join on a (src, ds)-only frontier") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    val e = Seq((1L, 2L, 3L), (2L, 3L, 1L)).toDF("src", "dst", "w")
+    val cur = Seq((1L, 0L, true)).toDF("id", "dist", "improved")
+    val round = graft.operators.Components.ssspRound(e, cur)
+    val joins = round.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.size === 2,
+      s"one frontier relax join + one full-outer merge, got ${joins.size}")
+    joins.foreach(j => assert(j.condition.exists(_.toString.contains("=")),
+      s"every SSSP join must be an equality join: ${j.condition}"))
+    assert(joins.exists(_.joinType.toString == "FullOuter"),
+      "the dist merge must be a full-outer min-merge")
+    // the frontier side of the relax join carries (src, ds) only — no
+    // improved flag, no payload, before the shuffle
+    val relax = joins.filterNot(_.joinType.toString == "FullOuter")
+    relax.foreach { j =>
+      val sides = Seq(j.left.output.map(_.name).toSet,
+        j.right.output.map(_.name).toSet)
+      assert(sides.exists(s => s == Set("src", "ds")),
+        s"frontier must be (src, ds) only, got $sides")
+    }
+    val ex = round.queryExecution.executedPlan.toString
+    assert(!ex.contains("BroadcastNestedLoopJoin") &&
+      !ex.contains("CartesianProduct"))
+    assert(!finalPlan("q171_shortest_paths").contains("CartesianProduct"))
+  }
+
   test("q167 PPR: same round invariants as q157 — 1-row dangling broadcast, equi-join propagation") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, lit, coalesce}
