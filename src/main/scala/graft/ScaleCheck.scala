@@ -261,7 +261,8 @@ object ScaleCheck {
       "q142_snm_pairs", "q143_snm_multipass", "q156_prefix_filter_jaccard",
       "q157_pagerank", "q158_stratified_priority_sample", "q159_mad_outliers",
       "q160_point_in_time_features", "q164_incremental_components",
-      "q165_bfs_hierarchy", "q166_hits")
+      "q165_bfs_hierarchy", "q166_hits", "q167_personalized_pagerank",
+      "q169_triangles", "q171_shortest_paths")
     onlyQ.foreach { q => require(queries.contains(q),
       s"eq=$q matches no exponent query; valid: ${queries.mkString(", ")}") }
     for (k <- ks if !noReplicate) {
