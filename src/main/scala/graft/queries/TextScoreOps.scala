@@ -685,6 +685,88 @@ object TextScoreOps {
     // (count + count-if-target per bucket, map-side combine to ≤4096
     // rows); totals are a 1-row broadcast witness; the ≤4096-row rate
     // table broadcast-joins back to instances; one doc_id hash-agg.
+    // q172: filter-agreement report — Cohen's kappa between the two
+    // quality filters the pipeline already runs (q129's hashed-feature
+    // linear classifier sign vs q31's heuristic score at a 0.62 cut):
+    // the eval-harness question "do my filters agree beyond chance, and
+    // where do they disagree" as one confusion-matrix row. Everything is
+    // INTEGER: the q31 threshold is cleared of its division
+    // (quality ≥ 0.62 ⇔ score_num ≥ 6200·nt over the common denominator),
+    // and kappa = (n·agree − Σ marginal products)/(n² − Σ marginal
+    // products) ships as numerator/denominator — no float, and no
+    // integer-division convention gap (Spark div truncates toward zero,
+    // DuckDB // floors; a negative kappa would disagree) — the consumer
+    // divides. One corpus scan per label, one 1-row aggregate.
+    QueryDef("q172_classifier_agreement",
+      (s, d) => {
+        val t = TextFns.tokens(col("text"))
+        val bigrams = when(size(t) >= 2,
+          zip_with(slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+            (a, b) => concat(a, lit(" "), b)))
+          .otherwise(array().cast("array<string>"))
+        val bucket = pmod(TextFns.hash32(col("feat")), lit(4096L))
+        val weight = TextFns.hash32(concat(lit("w:"), bucket.cast("string"))) %
+          lit(2001L) - lit(1000L)
+        val labA = docs(s, d)
+          .select(col("doc_id"), explode(concat(t, bigrams)).as("feat"))
+          .select(col("doc_id"), weight.as("w"))
+          .groupBy("doc_id").agg((sum("w") > 0).as("a"))
+        val nt = size(t).cast("long")
+        val nd = size(array_distinct(t)).cast("long")
+        val stops = size(filter(t, x => x.isin("the", "a"))).cast("long")
+        val labB = docs(s, d).select(col("doc_id"),
+          ((lit(4000L) * nd + lit(3000L) * (nt - stops)
+            + lit(30L) * least(nt, lit(100L)) * nt) >= lit(6200L) * nt)
+            .as("b"))
+        val cm = labB.join(labA, Seq("doc_id"), "left")
+          .select(coalesce(col("a"), lit(false)).as("a"), col("b"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("a") && col("b"), 1L).otherwise(0L)).as("n11"),
+            sum(when(col("a") && !col("b"), 1L).otherwise(0L)).as("n10"),
+            sum(when(!col("a") && col("b"), 1L).otherwise(0L)).as("n01"),
+            sum(when(!col("a") && !col("b"), 1L).otherwise(0L)).as("n00"))
+        cm.select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
+          (col("n") * (col("n11") + col("n00")) -
+            ((col("n11") + col("n10")) * (col("n11") + col("n01")) +
+             (col("n01") + col("n00")) * (col("n10") + col("n00"))))
+            .as("kappa_num"),
+          (col("n") * col("n") -
+            ((col("n11") + col("n10")) * (col("n11") + col("n01")) +
+             (col("n01") + col("n00")) * (col("n10") + col("n00"))))
+            .as("kappa_den"))
+      },
+      Some(s"""WITH x AS (SELECT doc_id, $OToks t FROM documents),
+          f AS (SELECT doc_id, unnest(t ||
+                  [t[i] || ' ' || t[i+1] for i in generate_series(1, len(t)-1)]) feat
+                FROM x),
+          wsum AS (SELECT doc_id, sum(
+                  ('0x' || substr(md5('w:' || CAST(
+                    ('0x' || substr(md5(feat), 1, 8))::BIGINT % 4096
+                  AS VARCHAR)), 1, 8))::BIGINT % 2001 - 1000) AS score
+                FROM f GROUP BY doc_id),
+          lab AS (SELECT x.doc_id,
+                  coalesce(w.score > 0, false) AS a,
+                  (4000 * len(list_distinct(t))
+                   + 3000 * (len(t) - len(list_filter(t, q -> q IN ('the','a'))))
+                   + 30 * least(len(t), 100) * len(t)) >= 6200 * len(t) AS b
+                FROM x LEFT JOIN wsum w ON x.doc_id = w.doc_id),
+          cm AS (SELECT count(*) AS n,
+                  sum(CASE WHEN a AND b THEN 1 ELSE 0 END) AS n11,
+                  sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS n10,
+                  sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS n01,
+                  sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS n00
+                FROM lab)
+        SELECT CAST(n AS BIGINT) AS n, CAST(n11 AS BIGINT) AS n11,
+          CAST(n10 AS BIGINT) AS n10, CAST(n01 AS BIGINT) AS n01,
+          CAST(n00 AS BIGINT) AS n00,
+          CAST(n * (n11 + n00) -
+            ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))
+            AS BIGINT) AS kappa_num,
+          CAST(n * n -
+            ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))
+            AS BIGINT) AS kappa_den
+        FROM cm""")),
+
     QueryDef("q132_dsir_weights",
       (s, d) => {
         val t = TextFns.tokens(col("text"))
