@@ -21,7 +21,8 @@ object ScaleCheck {
     "q158_stratified_priority_sample", "q159_mad_outliers",
     "q160_point_in_time_features", "q164_incremental_components",
     "q166_hits", "q167_personalized_pagerank", "q168_token_budget_select",
-    "q169_triangles", "q170_graph_profile", "q171_shortest_paths")
+    "q169_triangles", "q170_graph_profile", "q171_shortest_paths",
+    "q173_weighted_median")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")

@@ -136,6 +136,56 @@ object Sampling {
         col("kept"))
   }
 
+  /** Exact WEIGHTED median of `valueCol` per group — the curation
+    * statistic an unweighted median gets wrong: a per-doc median
+    * overweights short documents, while weighting by token count answers
+    * "the median TOKEN lives in a document with value v". Definition
+    * (deterministic, oracle-replayable): the value of the first row in
+    * (value, id) order whose inclusive cumulative weight reaches half
+    * the group total (2·cum ≥ total — integer, no division).
+    *
+    * Scale shape: no per-group window over the corpus. Global quantile
+    * cuts on the value bucket rows monotonically; per-(group, bucket)
+    * weight sums roll into per-group running offsets on a
+    * groups×buckets-sized frame (the only unpartitioned work); and —
+    * the prune — only each group's CROSSING bucket (2·off < total ≤
+    * 2·(off + bucketWeight)) runs a per-row weight window, so the
+    * corpus outside those boundary buckets never enters a window or the
+    * final aggregate. Rows of a skewed group spread over all buckets
+    * exactly as in [[Packing.groupedTwoPhaseRank]].
+    *
+    * Output: (grp, wmedian, total_w), one row per group.
+    */
+  def weightedMedianPerGroup(df: DataFrame, idCol: String, groupCol: String,
+      valueCol: String, weightCol: String, buckets: Int = 32): DataFrame = {
+    val base = df.select(col(idCol).cast("long").as("id"),
+      col(groupCol).as("grp"), col(valueCol).cast("long").as("v"),
+      col(weightCol).cast("long").as("w"))
+    if (base.head(1).isEmpty)
+      return base.select(col("grp"), col("v").as("wmedian"),
+        lit(0L).as("total_w")).limit(0)
+    val bucketed = Packing.quantileBuckets(base, "v", buckets)
+    val offsets = bucketed.groupBy("grp", "b").agg(sum("w").as("bw"))
+      .withColumn("off", coalesce(sum(col("bw")).over(
+        Window.partitionBy("grp").orderBy("b")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("gtot", sum(col("bw")).over(Window.partitionBy("grp")))
+      // the crossing bucket only: its start is before the half-weight
+      // point and its end at or past it — every other bucket's rows can
+      // neither be the median nor tighten the min, so they never join
+      .filter(lit(2L) * col("off") < col("gtot") &&
+        lit(2L) * (col("off") + col("bw")) >= col("gtot"))
+      .select(col("grp"), col("b"), col("off"), col("gtot"))
+    bucketed.join(broadcast(offsets), Seq("grp", "b"))
+      .withColumn("cum",
+        sum("w").over(Window.partitionBy("grp", "b").orderBy("v", "id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)) +
+          col("off"))
+      .filter(lit(2L) * col("cum") >= col("gtot"))
+      .groupBy("grp")
+      .agg(min("v").as("wmedian"), max("gtot").as("total_w"))
+  }
+
   /** Greedy token-budget corpus selection — the knapsack curation
     * primitive: take documents in descending-`scoreCol` order (ties by
     * id) while the running `costCol` total stays within `budget`. The

@@ -231,6 +231,34 @@ object TextPrepOps {
         SELECT doc_id, score, cost, CAST(cum AS BIGINT) AS cum_tokens
         FROM r WHERE cum <= 20000 ORDER BY score DESC, doc_id""")),
 
+    // q173: token-weighted median document length per source — the
+    // statistic the per-doc median gets wrong (short docs overweighted):
+    // "the median TOKEN lives in a document of n_chars ≈ v". Exact and
+    // integer (2·cum ≥ total, no division); the per-row weight window
+    // runs ONLY in each source's crossing bucket — the corpus outside
+    // the boundary never enters a window (same two-phase machinery as
+    // q168, grouped).
+    QueryDef("q173_weighted_median",
+      (s, d) => {
+        val scored = docs(s, d).select(col("doc_id"), col("source"),
+          col("n_chars"),
+          size(TextFns.tokens(col("text"))).cast("long").as("ntok"))
+        Sampling.weightedMedianPerGroup(scored, "doc_id", "source",
+            "n_chars", "ntok")
+          .select(col("grp").as("source"), col("wmedian"), col("total_w"))
+          .orderBy("source")
+      },
+      Some(s"""WITH x AS (SELECT doc_id, source, n_chars,
+            CAST(len($OToks) AS BIGINT) AS ntok FROM documents),
+          r AS (SELECT source, doc_id, n_chars, ntok,
+            sum(ntok) OVER (PARTITION BY source ORDER BY n_chars, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+            sum(ntok) OVER (PARTITION BY source) AS tot FROM x)
+        SELECT source, CAST(min(n_chars) AS BIGINT) AS wmedian,
+          CAST(max(tot) AS BIGINT) AS total_w
+        FROM r WHERE 2 * cum >= tot AND tot > 0
+        GROUP BY source ORDER BY source""")),
+
     // q159: robust per-source length-outlier gate — the Hampel / 3-MAD
     // rule (median ± 3·median-absolute-deviation): mean±kσ fails here
     // because outliers drag the mean and σ themselves (one 100MB crawl

@@ -228,6 +228,92 @@ class SamplingSpec extends SparkSpec {
     assert(out.columns.toSeq === Seq("id", "score", "cost", "cum"))
   }
 
+  // --- weighted median per group ---
+
+  /** Driver-side reference: first (v, id)-ordered row whose inclusive
+    * cumulative weight reaches half the group total; zero-total groups
+    * absent. */
+  private def refWMedian(
+      rows: Seq[(Long, String, Long, Long)]): Map[String, (Long, Long)] =
+    rows.groupBy(_._2).flatMap { case (g, rs) =>
+      val tot = rs.map(_._4).sum
+      if (tot <= 0) None
+      else {
+        var cum = 0L
+        val hit = rs.sortBy(r => (r._3, r._1)).find { r =>
+          cum += r._4; 2 * cum >= tot
+        }.get
+        Some(g -> ((hit._3, tot)))
+      }
+    }
+
+  private def wmed(rows: Seq[(Long, String, Long, Long)],
+      buckets: Int = 32): Map[String, (Long, Long)] =
+    Sampling.weightedMedianPerGroup(
+        rows.toDF("id", "grp", "v", "w"), "id", "grp", "v", "w", buckets)
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+
+  test("weightedMedianPerGroup matches the driver reference") {
+    val rows = (1L to 200L).map(i =>
+      (i, s"s${i % 5}", (i * 13) % 50, 1L + i % 7))
+    assert(wmed(rows) === refWMedian(rows))
+  }
+
+  test("weightedMedianPerGroup: one heavy row owns the median") {
+    // a single row holding >half the weight IS the weighted median even
+    // when most rows are smaller values
+    val rows = Seq((1L, "g", 5L, 1L), (2L, "g", 6L, 1L), (3L, "g", 7L, 1L),
+      (4L, "g", 100L, 10L))
+    assert(wmed(rows) === Map("g" -> ((100L, 13L))))
+    // the unweighted median would be 6/7-ish — the weighted one is not
+  }
+
+  test("weightedMedianPerGroup is invariant to buckets and partitioning") {
+    val rows = (1L to 300L).map(i =>
+      (i, s"s${i % 3}", (i * 31) % 90, 1L + i % 5))
+    val expect = refWMedian(rows)
+    assert(wmed(rows, buckets = 1) === expect)
+    assert(wmed(rows, buckets = 9) === expect)
+    val many = Sampling.weightedMedianPerGroup(
+      rows.toDF("id", "grp", "v", "w").repartition(11), "id", "grp",
+      "v", "w", 16)
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(many === expect)
+  }
+
+  test("weightedMedianPerGroup: empty input and zero-weight groups vanish") {
+    assert(wmed(Seq.empty) === Map.empty)
+    val rows = Seq((1L, "z", 5L, 0L), (2L, "z", 6L, 0L), (3L, "g", 9L, 2L))
+    assert(wmed(rows) === Map("g" -> ((9L, 2L))))
+  }
+
+  test("weightedMedianPerGroup: only crossing buckets reach the row window") {
+    // the offsets-side crossing filter must sit below the per-row
+    // window, so non-boundary buckets never join
+    val rows = (1L to 400L).map(i => (i, s"s${i % 2}", i, 1L))
+    val df = Sampling.weightedMedianPerGroup(
+      rows.toDF("id", "grp", "v", "w"), "id", "grp", "v", "w", 16)
+    val plan = df.queryExecution.optimizedPlan
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    val rowWindows = windows.filterNot(_.child.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }.isEmpty)
+    assert(rowWindows.nonEmpty, s"expected the per-row weight window:\n$plan")
+    rowWindows.foreach { w =>
+      val hasCrossingPrune = w.child.collect {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+            if f.condition.toString.contains("<") &&
+              f.condition.toString.contains(">=") => f
+      }
+      assert(hasCrossingPrune.nonEmpty,
+        s"the crossing-bucket prune must sit below the row window:\n$w")
+    }
+  }
+
   test("budgetSelect prunes past-budget buckets before their windows run") {
     // the scale claim: the corpus tail past the boundary bucket must be
     // filtered on the tiny offsets frame, BEFORE the per-row running-sum
