@@ -767,6 +767,41 @@ object TextScoreOps {
             AS BIGINT) AS kappa_den
         FROM cm""")),
 
+    // q174: per-source vocabulary concentration — the Simpson index
+    // Σ p_t² of each source's token distribution, the "is this source a
+    // template/spam mill" signal (boilerplate repeats a few tokens →
+    // concentration near 1; diverse prose → near 1/|vocab|). Shipped as
+    // the integer pair (Σ c_t², (Σ c_t)²) — one rational, no float sum
+    // order, no division-convention gap; consumers compute 1 − num/den
+    // for Simpson DIVERSITY. Overflow bound, explicit: den = nt² needs
+    // nt < 3.0×10⁹ tokens per source in a long — beyond that, upgrade
+    // the pair to DECIMAL(38,0) (both engines carry it exactly) or
+    // compute per-shard pairs and combine. Shape: one explode + one
+    // (source, token) count shuffle + one source-level sum — the count
+    // table is Heap's-law vocabulary-sized per source, never corpus-row
+    // sized.
+    QueryDef("q174_token_concentration",
+      (s, d) => {
+        val counts = docs(s, d)
+          .select(col("source"), explode(TextFns.tokens(col("text"))).as("t"))
+          .groupBy("source", "t").agg(count(lit(1)).as("c"))
+        counts.groupBy("source")
+          .agg(sum("c").as("n_tokens"),
+            count(lit(1)).as("n_distinct"),
+            sum(col("c") * col("c")).as("simpson_num"))
+          .select(col("source"), col("n_tokens"), col("n_distinct"),
+            col("simpson_num"),
+            (col("n_tokens") * col("n_tokens")).as("simpson_den"))
+          .orderBy("source")
+      },
+      Some(s"""WITH toks AS (SELECT source, unnest($OToks) AS t FROM documents),
+          c AS (SELECT source, t, count(*) AS c FROM toks GROUP BY 1, 2)
+        SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+          CAST(count(*) AS BIGINT) AS n_distinct,
+          CAST(sum(c * c) AS BIGINT) AS simpson_num,
+          CAST(sum(c) * sum(c) AS BIGINT) AS simpson_den
+        FROM c GROUP BY source ORDER BY source""")),
+
     QueryDef("q132_dsir_weights",
       (s, d) => {
         val t = TextFns.tokens(col("text"))
