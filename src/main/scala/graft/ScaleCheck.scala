@@ -22,7 +22,8 @@ object ScaleCheck {
     "q160_point_in_time_features", "q164_incremental_components",
     "q166_hits", "q167_personalized_pagerank", "q168_token_budget_select",
     "q169_triangles", "q170_graph_profile", "q171_shortest_paths",
-    "q173_weighted_median", "q174_token_concentration")
+    "q173_weighted_median", "q174_token_concentration",
+    "q175_exact_deciles")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")

@@ -136,6 +136,43 @@ object Sampling {
         col("kept"))
   }
 
+  /** Exact quantile TABLE per group — the q-decile report an
+    * `approx_percentile` can't pin to a hash gate: for each d in
+    * 1..q−1, the value of the smallest (value, id)-ordered row whose
+    * 1-based rank r satisfies q·r ≥ d·n (the lower-quantile convention,
+    * all integer). One row per (group, d).
+    *
+    * Scale shape: [[Packing.groupedTwoPhaseRank]] supplies gpos/gn with
+    * no per-group corpus window (a skewed group spreads over all
+    * buckets); then each row EXPLODES ONLY the quantile indices it is
+    * the crossing position for — d ∈ (q·gpos/gn, q·(gpos+1)/gn], almost
+    * always empty, exactly one row per (group, d) overall — so the
+    * output is groups×(q−1) rows and the corpus never multiplies by q.
+    *
+    * Output: (grp, quantile, value), quantile in 1..q−1.
+    */
+  def exactQuantilesPerGroup(df: DataFrame, idCol: String, groupCol: String,
+      valueCol: String, q: Int = 10, buckets: Int = 32): DataFrame = {
+    require(q >= 2, "need at least the median split")
+    val base = df.select(col(idCol).cast("long").as("id"),
+      col(groupCol).as("grp"), col(valueCol).cast("long").as("v"))
+    if (base.head(1).isEmpty)
+      return base.select(col("grp"), lit(0).as("quantile"),
+        col("v").as("value")).limit(0)
+    val ranked = Packing.groupedTwoPhaseRank(
+      base.select(col("id"), col("grp"), col("v").as("score")),
+      "grp", "score", buckets)
+    // integer div, not Column./ (double) — the q31/q157 lesson
+    val dLo = expr(s"(${q}L * gpos) div gn + 1L")
+    val dHi = expr(s"least(${q - 1}L, (${q}L * (gpos + 1L)) div gn)")
+    ranked
+      .withColumn("quantile",
+        explode(when(dHi >= dLo, sequence(dLo, dHi))
+          .otherwise(array().cast("array<long>"))))
+      .select(col("grp"), col("quantile").cast("int").as("quantile"),
+        col("score").as("value"))
+  }
+
   /** Exact WEIGHTED median of `valueCol` per group — the curation
     * statistic an unweighted median gets wrong: a per-doc median
     * overweights short documents, while weighting by token count answers

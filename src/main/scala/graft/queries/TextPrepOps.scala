@@ -259,6 +259,33 @@ object TextPrepOps {
         FROM r WHERE 2 * cum >= tot AND tot > 0
         GROUP BY source ORDER BY source""")),
 
+    // q175: exact per-source decile table — the quantile report
+    // approx_percentile can't pin to a hash gate (q62/q71 carry the
+    // approximate variants): for each source and d ∈ 1..9, the n_chars
+    // value at lower-decile rank 10·r ≥ d·n, all integer. No per-group
+    // corpus window (grouped two-phase rank) and no ×9 blowup: each row
+    // explodes only the deciles it is the crossing position for —
+    // exactly 9 output rows per source.
+    QueryDef("q175_exact_deciles",
+      (s, d) => {
+        val scored = docs(s, d).select(col("doc_id"), col("source"),
+          col("n_chars"))
+        Sampling.exactQuantilesPerGroup(scored, "doc_id", "source",
+            "n_chars", q = 10)
+          .select(col("grp").as("source"), col("quantile"), col("value"))
+          .orderBy("source", "quantile")
+      },
+      Some("""WITH r AS (SELECT source, n_chars AS v,
+            row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+            count(*) OVER (PARTITION BY source) AS gn
+          FROM documents),
+        d AS (SELECT unnest(generate_series(1, 9)) AS dec),
+        j AS (SELECT r.source, d.dec, r.v
+          FROM r JOIN d ON 10 * r.rn >= d.dec * r.gn)
+        SELECT source, CAST(dec AS INTEGER) AS quantile,
+          CAST(min(v) AS BIGINT) AS value
+        FROM j GROUP BY 1, 2 ORDER BY source, quantile""")),
+
     // q159: robust per-source length-outlier gate — the Hampel / 3-MAD
     // rule (median ± 3·median-absolute-deviation): mean±kσ fails here
     // because outliers drag the mean and σ themselves (one 100MB crawl

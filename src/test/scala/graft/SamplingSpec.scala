@@ -314,6 +314,60 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  // --- exact quantile table per group ---
+
+  /** Driver reference: value at the smallest (v, id)-ordered 1-based
+    * rank r with q·r ≥ d·n, for d in 1..q−1. */
+  private def refQuantiles(rows: Seq[(Long, String, Long)],
+      q: Int): Map[(String, Int), Long] =
+    rows.groupBy(_._2).flatMap { case (g, rs) =>
+      val sorted = rs.sortBy(r => (r._3, r._1)).map(_._3)
+      val n = sorted.size
+      (1 until q).map { d =>
+        val r = (1 to n).find(r => q.toLong * r >= d.toLong * n).get
+        (g, d) -> sorted(r - 1)
+      }
+    }
+
+  private def quant(rows: Seq[(Long, String, Long)], q: Int = 10,
+      buckets: Int = 32): Map[(String, Int), Long] =
+    Sampling.exactQuantilesPerGroup(rows.toDF("id", "grp", "v"), "id",
+        "grp", "v", q, buckets)
+      .as[(String, Int, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+
+  test("exactQuantilesPerGroup matches the driver reference, incl. ties") {
+    val rows = (1L to 200L).map(i => (i, s"s${i % 4}", (i * 13) % 23))
+    assert(quant(rows) === refQuantiles(rows, 10))
+    assert(quant(rows, q = 4) === refQuantiles(rows, 4))
+  }
+
+  test("exactQuantilesPerGroup emits exactly q-1 rows per group") {
+    val rows = (1L to 90L).map(i => (i, s"s${i % 3}", i))
+    val out = quant(rows)
+    assert(out.size === 3 * 9)
+    // on 30 contiguous values per group the deciles are every 3rd value
+    val g0 = (1 to 9).map(d => out(("s0", d)))
+    assert(g0 === g0.sorted, "deciles are nondecreasing")
+  }
+
+  test("exactQuantilesPerGroup: a 1-row group puts its value at every decile") {
+    val rows = Seq((1L, "solo", 42L)) ++ (1L to 20L).map(i => (10 + i, "big", i))
+    val out = quant(rows)
+    assert((1 to 9).forall(d => out(("solo", d)) === 42L))
+  }
+
+  test("exactQuantilesPerGroup is invariant to buckets and partitioning") {
+    val rows = (1L to 300L).map(i => (i, s"s${i % 2}", (i * 31) % 97))
+    val expect = refQuantiles(rows, 10)
+    assert(quant(rows, buckets = 1) === expect)
+    assert(quant(rows, buckets = 11) === expect)
+    val many = Sampling.exactQuantilesPerGroup(
+      rows.toDF("id", "grp", "v").repartition(7), "id", "grp", "v", 10, 8)
+      .as[(String, Int, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(many === expect)
+  }
+
   test("budgetSelect prunes past-budget buckets before their windows run") {
     // the scale claim: the corpus tail past the boundary bucket must be
     // filtered on the tiny offsets frame, BEFORE the per-row running-sum
