@@ -22,7 +22,14 @@ import org.apache.spark.sql.DataFrame
   *     from the original plan — never unrecoverable, never the
   *     truncated-lineage WARN. (r11 used `localCheckpoint()`, whose
   *     blocks die unrecoverably with their executor or an unpersist —
-  *     the q157 hash-flake came from exactly that.)
+  *     the q157 hash-flake came from exactly that.) ONE exception:
+  *     under a LOCAL master, every Nth cut ([[TruncateEveryConf]],
+  *     default 16 local-only) also severs physical lineage to bound
+  *     chain depth — those truncation points are NOT recomputable, which
+  *     is safe single-JVM (no executor loss; [[release]] never
+  *     unpersists them). On a non-local master the truncation default is
+  *     OFF, so every cluster-mode persist-cut keeps full recoverability
+  *     unless the user opts in explicitly.
   *   - `graft.checkpoint.dir = <path>`: reliable `checkpoint()` into that
   *     directory (HDFS/object store on a cluster) — survives executor loss
   *     and dynamic-allocation decommission; the cluster posture.
@@ -59,10 +66,21 @@ object Checkpoints {
     * never unpersisted by [[release]] (their blocks cannot be
     * recomputed — the ContextCleaner reclaims them once no live frame
     * references them). `0` disables truncation.
+    *
+    * DEFAULT: 16 under a local master (single JVM — blocks can only be
+    * lost by explicit unpersist, which [[release]] refuses for
+    * truncation points), 0 (OFF) otherwise — on a cluster without
+    * [[DirConf]], a truncation point's blocks die with their executor
+    * and the job fails unrecoverably, so truncation there is strictly
+    * opt-in. Cut counting is PER SESSION, so which cut becomes a
+    * truncation point is reproducible run-to-run regardless of what
+    * other sessions in the JVM are doing.
     */
   val TruncateEveryConf = "graft.checkpoint.truncateEvery"
   private val DefaultTruncateEvery = 16
-  private val cutCount = new java.util.concurrent.atomic.AtomicLong
+  private val cutCounts = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      java.util.concurrent.atomic.AtomicLong])
   // truncation-point RDDs (weakly held — entries die with the RDD):
   // release() must never unpersist one, they have no recompute path
   private val truncatedCuts = java.util.Collections.synchronizedMap(
@@ -108,9 +126,21 @@ object Checkpoints {
         sweep()
         out
       case None =>
-        val every = spark.conf.getOption(TruncateEveryConf)
-          .map(_.toInt).getOrElse(DefaultTruncateEvery)
-        val truncate = every > 0 && cutCount.incrementAndGet() % every == 0
+        val every = spark.conf.getOption(TruncateEveryConf) match {
+          case Some(v) =>
+            try v.trim.toInt
+            catch {
+              case _: NumberFormatException => throw new IllegalArgumentException(
+                s"$TruncateEveryConf must be an integer (0 disables " +
+                  s"periodic lineage truncation); got '$v'")
+            }
+          case None =>
+            // local-only default: see TruncateEveryConf scaladoc
+            if (spark.sparkContext.isLocal) DefaultTruncateEvery else 0
+        }
+        val counter = cutCounts.computeIfAbsent(spark,
+          _ => new java.util.concurrent.atomic.AtomicLong)
+        val truncate = every > 0 && counter.incrementAndGet() % every == 0
         val out = org.apache.spark.sql.graftshim.GraftSqlShim.persistCut(df,
           org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK, truncate)
         if (truncate) truncatedCuts.put(keyOf(out), java.lang.Boolean.TRUE)
@@ -158,7 +188,11 @@ object Checkpoints {
     * assertions and zero extra materialization), and that laziness is
     * SAFE because staging cuts keep physical lineage — a consumer acting
     * after the context cleaner reclaimed staging blocks recomputes them
-    * instead of failing (the localCheckpoint-era flake).
+    * instead of failing (the localCheckpoint-era flake). Exception: a
+    * staging cut that landed on a periodic truncation point
+    * ([[TruncateEveryConf]]) has no recompute path — acceptable because
+    * truncation defaults on only under a local master, where blocks
+    * outlive every consumer.
     */
   def sealAndRelease(result: DataFrame, staging: DataFrame*): DataFrame =
     result.sparkSession.conf.getOption(DirConf).filter(_.nonEmpty) match {

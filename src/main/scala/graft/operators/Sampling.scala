@@ -243,12 +243,20 @@ object Sampling {
     *
     * Output: (id, score, cost, cum) for the selected rows — `cum` is the
     * inclusive running total, ≤ `budget` by construction.
+    *
+    * Null contract: rows with a NULL score or NULL cost are EXCLUDED
+    * before selection. Without the filter, a NULL score negates to NULL,
+    * lands in bucket 0, and sorts FIRST (Spark ASC NULLS FIRST) — i.e. an
+    * unscored document would silently be treated as the best one, the
+    * opposite of every SQL `ORDER BY score DESC` (NULLS LAST) reading;
+    * and a NULL cost would be skipped by `sum`, under-counting `cum`.
     */
   def budgetSelect(df: DataFrame, idCol: String, scoreCol: String,
       costCol: String, budget: Long, buckets: Int = 32): DataFrame = {
     require(budget >= 0, "a token budget is nonnegative")
     val base = df.select(col(idCol).cast("long").as("id"),
       col(scoreCol).as("score"), col(costCol).cast("long").as("cost"))
+      .filter(col("score").isNotNull && col("cost").isNotNull)
       .withColumn("key", -col("score"))
     if (base.head(1).isEmpty)
       return base.select("id", "score", "cost")

@@ -697,6 +697,11 @@ object TextScoreOps {
     // integer-division convention gap (Spark div truncates toward zero,
     // DuckDB // floors; a negative kappa would disagree) — the consumer
     // divides. One corpus scan per label, one 1-row aggregate.
+    // Overflow bound, explicit (same bound class as q174): kappa_den ≈ n²
+    // needs n < 3.0×10⁹ documents in a long — beyond that Spark's BIGINT
+    // wraps silently while DuckDB promotes to HUGEINT and the oracle's
+    // BIGINT cast errors; upgrade the num/den pair to DECIMAL(38,0) on
+    // BOTH sides (both engines carry it exactly) past that corpus size.
     QueryDef("q172_classifier_agreement",
       (s, d) => {
         val t = TextFns.tokens(col("text"))

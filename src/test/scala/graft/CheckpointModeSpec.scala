@@ -162,6 +162,16 @@ class CheckpointModeSpec extends SparkSpec {
       s"every-cut truncation must keep physical depth constant, got $bounded")
   }
 
+  test("malformed truncateEvery conf fails with a clear message, not a raw NumberFormatException") {
+    spark.conf.set(Checkpoints.TruncateEveryConf, "sixteen")
+    val e =
+      try intercept[IllegalArgumentException] {
+        Checkpoints.cut(spark.range(5).toDF("v"))
+      } finally spark.conf.unset(Checkpoints.TruncateEveryConf)
+    assert(e.getMessage.contains(Checkpoints.TruncateEveryConf))
+    assert(e.getMessage.contains("sixteen"))
+  }
+
   test("releases across truncation points stay correct (no unrecoverable unpersist)") {
     import org.apache.spark.sql.functions.{col, sum}
     // a truncated cut's blocks cannot be recomputed, so release() must

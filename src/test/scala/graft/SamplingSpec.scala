@@ -3,7 +3,9 @@ package graft
 import java.nio.charset.StandardCharsets
 import java.security.MessageDigest
 
+import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 import graft.operators.Sampling
 
@@ -218,6 +220,27 @@ class SamplingSpec extends SparkSpec {
       "cost", 400L, 16)
       .as[(Long, Long, Long, Long)].collect().sortBy(r => (-r._2, r._1)).toSeq
     assert(many === expect)
+  }
+
+  test("budgetSelect excludes null-scored and null-cost rows instead of ranking them first") {
+    // a NULL score negates to NULL and would sort FIRST (ASC NULLS FIRST)
+    // without the guard — i.e. the unscored doc would eat the budget ahead
+    // of every scored one; the contract is to drop such rows entirely
+    val rows = Seq(
+      Row(1L, java.lang.Long.valueOf(5L), java.lang.Long.valueOf(50L)),
+      Row(2L, null, java.lang.Long.valueOf(60L)),
+      Row(3L, java.lang.Long.valueOf(9L), null),
+      Row(4L, java.lang.Long.valueOf(7L), java.lang.Long.valueOf(30L)))
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("score", LongType, nullable = true),
+      StructField("cost", LongType, nullable = true)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), schema)
+    val out = Sampling.budgetSelect(df, "id", "score", "cost", 80L)
+      .as[(Long, Long, Long, Long)].collect().sortBy(r => (-r._2, r._1)).toSeq
+    assert(out === Seq((4L, 7L, 30L, 30L), (1L, 5L, 50L, 80L)),
+      "null score/cost rows must not be selected or affect cum")
   }
 
   test("budgetSelect on an empty frame returns an empty frame") {
