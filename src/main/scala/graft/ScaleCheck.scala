@@ -23,7 +23,9 @@ object ScaleCheck {
     "q166_hits", "q167_personalized_pagerank", "q168_token_budget_select",
     "q169_triangles", "q170_graph_profile", "q171_shortest_paths",
     "q173_weighted_median", "q174_token_concentration",
-    "q175_exact_deciles")
+    "q175_exact_deciles", "q176_kcore", "q177_ks_drift", "q178_auc",
+    "q179_zipf_probe", "q180_ewma", "q181_chi2_cells", "q182_calibration",
+    "q183_vocab_growth", "q184_gini")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")

@@ -18,7 +18,7 @@ object SparkEntry {
   /** All registered query groups, in build order. */
   def allDefs: Seq[QueryDef] =
     queries_relational ++ queries_text ++ queries_etl ++ queries_streaming ++
-      queries_analytics ++ queries_jira
+      queries_analytics ++ queries_stats ++ queries_jira
 
   private def queries_relational: Seq[QueryDef] = graft.queries.Relational.defs
   private def queries_text: Seq[QueryDef] =
@@ -27,6 +27,7 @@ object SparkEntry {
   private def queries_etl: Seq[QueryDef] = graft.queries.EtlOps.defs
   private def queries_streaming: Seq[QueryDef] = graft.queries.StreamingOps.defs
   private def queries_analytics: Seq[QueryDef] = graft.queries.Analytics.defs
+  private def queries_stats: Seq[QueryDef] = graft.queries.StatOps.defs
   private def queries_jira: Seq[QueryDef] = graft.queries.JiraAnalytics.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -848,4 +848,102 @@ object Components {
       .join(oe.select(col("u").as("x"), col("v").as("y")), Seq("x", "y"))
       .select(col("u"), col("x"), col("y"))
   }
+
+  /** k-core of the undirected simple graph (direction, multi-edges and
+    * self-loops collapsed/dropped like [[triangleCounts]]) after exactly
+    * `rounds` peel rounds — the density-community primitive (Seidman 1983;
+    * Batagelj–Zaveršnik's peeling restated bulk-synchronous): repeatedly
+    * delete every vertex of degree < k; what survives is the maximal
+    * subgraph with all degrees ≥ k, the standard "dense enough to matter"
+    * core for spam-mill detection and co-occurrence community cores.
+    *
+    * Bounded-round semantics, same contract as [[pageRank]]'s fixed
+    * `iters`: the output after round r is exactly what an r-times-unrolled
+    * SQL oracle replays, and [[kCoreUntil]] is the production convergence
+    * mode (peeling converges in ≤ |V| rounds; real graphs in a handful —
+    * each round deletes the whole current "shell", not one vertex, so the
+    * round count is the graph's peel DEPTH, not its size). Extra rounds
+    * past convergence are exact no-ops, so `rounds` ≥ depth gives the true
+    * k-core.
+    *
+    * Scale shape per round: one degree hash-agg (map-side combined) over
+    * the surviving edge frame + two semi-joins of edges against the
+    * surviving ids — all equi-join/hash-agg machinery, edge-frame-sized,
+    * monotonically shrinking; each round's frame is [[Checkpoints.cut]]
+    * and the superseded round released.
+    *
+    * Output: (id, core_degree) for the nodes of the surviving subgraph
+    * with degree ≥ k — at convergence, the k-core members with their
+    * within-core degrees.
+    */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+      rounds: Int): DataFrame = {
+    require(k >= 1, "a k-core needs k >= 1")
+    require(rounds >= 0, "peel rounds are nonnegative")
+    val raw = edges.select(col(srcCol).as("s"), col(dstCol).as("d"))
+      .filter(col("s") =!= col("d"))
+    var ue = Checkpoints.cut(raw.select(
+      least(col("s"), col("d")).as("a"),
+      greatest(col("s"), col("d")).as("b")).distinct())
+    (1 to rounds).foreach { _ =>
+      val next = Checkpoints.cut(peelRound(ue, k))
+      Checkpoints.release(ue)
+      ue = next
+    }
+    val out = Checkpoints.cut(coreDegrees(ue, k))
+    Checkpoints.release(ue)
+    out
+  }
+
+  /** Convergence-mode [[kCore]] (the production posture): peel until a
+    * round deletes nothing — detected by one scalar edge-count action per
+    * round, never a collect — capped at `maxRounds`. Converged output is
+    * the true k-core: all surviving degrees ≥ k by the fixpoint test.
+    */
+  def kCoreUntil(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+      maxRounds: Int = 64): DataFrame = {
+    require(k >= 1, "a k-core needs k >= 1")
+    require(maxRounds >= 0, "the round cap is nonnegative")
+    val raw = edges.select(col(srcCol).as("s"), col(dstCol).as("d"))
+      .filter(col("s") =!= col("d"))
+    var ue = Checkpoints.cut(raw.select(
+      least(col("s"), col("d")).as("a"),
+      greatest(col("s"), col("d")).as("b")).distinct())
+    var m = ue.count()
+    var round = 0
+    var converged = m == 0L
+    while (round < maxRounds && !converged) {
+      val next = Checkpoints.cut(peelRound(ue, k))
+      val m2 = next.count()
+      Checkpoints.release(ue)
+      ue = next
+      converged = m2 == m
+      m = m2
+      round += 1
+    }
+    val out = Checkpoints.cut(coreDegrees(ue, k))
+    Checkpoints.release(ue)
+    out
+  }
+
+  /** One peel round: degrees of the surviving edge frame, the ≥ k
+    * survivor set, and edges restricted to survivor×survivor via two
+    * semi-joins. Exposed for PlanGuardSpec — both restriction joins must
+    * stay hash machinery on the node id, never a cartesian. */
+  private[graft] def peelRound(ue: DataFrame, k: Int): DataFrame = {
+    val keep = ue.select(col("a").as("id"))
+      .union(ue.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("dg"))
+      .filter(col("dg") >= k)
+      .select("id")
+    ue.join(keep.select(col("id").as("a")), Seq("a"), "left_semi")
+      .join(keep.select(col("id").as("b")), Seq("b"), "left_semi")
+      .select("a", "b")
+  }
+
+  private def coreDegrees(ue: DataFrame, k: Int): DataFrame =
+    ue.select(col("a").as("id"))
+      .union(ue.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("core_degree"))
+      .filter(col("core_degree") >= k)
 }

@@ -1,0 +1,364 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+import graft.queries.TextShared.{docs, OToks}
+
+/** Corpus-statistics / drift / eval-metric query family — the measurement
+  * layer a training-data pipeline runs BESIDE the filters: distribution
+  * drift between sources (KS), ranking quality of a filter score (AUC),
+  * calibration of the model-based classifier, power-law probes (Zipf,
+  * Gini), vocabulary growth (Heap), independence decomposition (χ²),
+  * and time-series smoothing (EWMA).
+  *
+  * Family-wide determinism stance (TextShared rules): every statistic
+  * ships as INTEGER numerator/denominator pairs — the consumer divides —
+  * so the oracle replays bit-for-bit with no float-sum order or
+  * rounding-grid exposure; the one float op (q180's EWMA) is built
+  * exclusively from exact IEEE ops (×2⁻ᵏ scalings + additions in fixed
+  * written order). Sup/max statistics are computed on the VALUE GRID
+  * (distinct values / bins), never via a corpus-sized global window —
+  * the q168 lesson applied to stats: a `rank() OVER (ORDER BY score)`
+  * over the corpus puts 100 TB in one task; the same statistic over the
+  * per-value histogram is grid-sized.
+  */
+object StatOps {
+
+  private def ev(s: org.apache.spark.sql.SparkSession, d: String) =
+    graft.Tables.events(s, d)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // q177: per-source two-sample Kolmogorov–Smirnov drift vs the whole
+    // corpus on the document-length distribution — the "did source X
+    // change under me" monitor. KS = sup_v |F_src(v) − F_all(v)|; both
+    // ECDFs are step functions changing only at corpus-distinct lengths,
+    // so the sup is exact on the distinct-value grid: ks_num =
+    // max_v |cs·n_all − cg·n_src| over sources × distinct-values rows
+    // (histogram-sized, NOT corpus-sized — the corpus contributes one
+    // count shuffle), and KS = ks_num/(n_src·n_all) at the consumer.
+    // Overflow: cs·n_all ≤ n_src·n_all needs n_src·n_all < 9.2×10¹⁸ —
+    // per-source rows × corpus rows; past that, pre-bucket lengths or
+    // ship DECIMAL(38,0). All-integer, exact.
+    QueryDef("q177_ks_drift",
+      (s, d) => {
+        val dc = docs(s, d).select(col("source"), col("n_chars").as("v"))
+        val srcs = dc.groupBy("source").agg(count(lit(1)).as("ns"))
+        val na = dc.agg(count(lit(1)).as("ng"))
+        val per = dc.groupBy("source", "v").agg(count(lit(1)).as("c"))
+        val grid = srcs.select("source").crossJoin(dc.select("v").distinct())
+        val scum = grid.join(per, Seq("source", "v"), "left")
+          .withColumn("cs", sum(coalesce(col("c"), lit(0L))).over(
+            Window.partitionBy("source").orderBy("v")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val gcum = dc.groupBy("v").agg(count(lit(1)).as("cv"))
+          .withColumn("cg", sum("cv").over(Window.orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .select("v", "cg")
+        scum.join(gcum, "v").join(broadcast(srcs), "source")
+          .crossJoin(broadcast(na))
+          .groupBy("source")
+          .agg(max(abs(col("cs") * col("ng") - col("cg") * col("ns")))
+              .as("ks_num"),
+            max("ns").as("n_src"), max("ng").as("n_all"))
+          .orderBy("source")
+      },
+      Some("""WITH dc AS (SELECT source, n_chars v FROM documents),
+          srcs AS (SELECT source, count(*) ns FROM dc GROUP BY 1),
+          na AS (SELECT count(*) ng FROM dc),
+          per AS (SELECT source, v, count(*) c FROM dc GROUP BY 1, 2),
+          grid AS (SELECT srcs.source, vals.v FROM srcs
+                   CROSS JOIN (SELECT DISTINCT v FROM dc) vals),
+          scum AS (SELECT g.source, g.v,
+              sum(coalesce(per.c, 0)) OVER (PARTITION BY g.source
+                ORDER BY g.v ROWS UNBOUNDED PRECEDING) cs
+            FROM grid g LEFT JOIN per
+              ON per.source = g.source AND per.v = g.v),
+          gcum AS (SELECT v, sum(count(*)) OVER (ORDER BY v
+                ROWS UNBOUNDED PRECEDING) cg
+            FROM dc GROUP BY v)
+        SELECT s.source AS source,
+          CAST(max(abs(s.cs * na.ng - gcum.cg * srcs.ns)) AS BIGINT) ks_num,
+          CAST(max(srcs.ns) AS BIGINT) n_src, CAST(max(na.ng) AS BIGINT) n_all
+        FROM scum s JOIN gcum USING (v)
+          JOIN srcs ON s.source = srcs.source CROSS JOIN na
+        GROUP BY s.source ORDER BY s.source""")),
+
+    // q178: AUC of the length signal predicting English — the
+    // Mann–Whitney rank statistic computed HISTOGRAM-STYLE: AUC only
+    // depends on per-distinct-score class counts, so 2U =
+    // Σ_v np_v·(2·nn_below(v) + nn_v) (each positive beats all negatives
+    // strictly below and half-credits ties) over the distinct-value grid;
+    // the corpus contributes one count shuffle, the running nn_below
+    // window is grid-sized. AUC = auc_num2/(2·n_pos·n_neg) at the
+    // consumer. Integer-exact, no corpus-sized rank window (which is how
+    // rank-sum AUC is usually written and what dies at 100 TB).
+    QueryDef("q178_auc",
+      (s, d) => {
+        val base = docs(s, d).select(
+          (col("lang") === lit("en")).as("pos"), col("n_chars").as("v"))
+        val h = base.groupBy("v").agg(
+          sum(when(col("pos"), 1L).otherwise(0L)).as("np"),
+          sum(when(!col("pos"), 1L).otherwise(0L)).as("nn"))
+        val wv = Window.orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        h.withColumn("nnb", coalesce(sum("nn").over(wv), lit(0L)))
+          .agg(sum(col("np") * (lit(2L) * col("nnb") + col("nn")))
+              .as("auc_num2"),
+            sum("np").as("n_pos"), sum("nn").as("n_neg"))
+      },
+      Some("""WITH h AS (SELECT n_chars v,
+            sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) np,
+            sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) nn
+          FROM documents GROUP BY 1),
+          c AS (SELECT v, np, nn, coalesce(sum(nn) OVER (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) nnb
+            FROM h)
+        SELECT CAST(sum(np * (2 * nnb + nn)) AS BIGINT) auc_num2,
+          CAST(sum(np) AS BIGINT) n_pos, CAST(sum(nn) AS BIGINT) n_neg
+        FROM c""")),
+
+    // q179: Zipf power-law probe — per-source token frequency at
+    // dyadic ranks 1,2,4,8,16 with the rank·frequency product: under
+    // Zipf's law r·f_r is near-constant, so the product column IS the
+    // fit diagnostic, log-free (ln() is library-dependent across
+    // engines — the q112 stance — so the exponent regression is traded
+    // for the dyadic probe, monotone-equivalent for the "is this source
+    // power-law or template" read). Rank by (freq DESC, token ASC) is a
+    // total order; the per-source window rides the vocabulary-sized
+    // count table (Heap's-law bounded), never the corpus.
+    QueryDef("q179_zipf_probe",
+      (s, d) => {
+        val counts = docs(s, d)
+          .select(col("source"), explode(TextFns.tokens(col("text"))).as("t"))
+          .groupBy("source", "t").agg(count(lit(1)).as("f"))
+        val w = Window.partitionBy("source")
+          .orderBy(col("f").desc, col("t"))
+        counts.withColumn("r", row_number().over(w).cast("long"))
+          .filter(col("r").isin(1L, 2L, 4L, 8L, 16L))
+          .select(col("source"), col("r").as("rank"), col("t").as("token"),
+            col("f").as("freq"), (col("r") * col("f")).as("rank_freq"))
+          .orderBy("source", "rank")
+      },
+      Some(s"""WITH tf AS (SELECT source, tok t, count(*) f FROM (
+            SELECT source, unnest($OToks) tok FROM documents) GROUP BY 1, 2),
+          rk AS (SELECT source, t, f, row_number() OVER (
+              PARTITION BY source ORDER BY f DESC, t) r FROM tf)
+        SELECT source, CAST(r AS BIGINT) rank, t token,
+          CAST(f AS BIGINT) freq, CAST(r * f AS BIGINT) rank_freq
+        FROM rk WHERE r IN (1, 2, 4, 8, 16) ORDER BY source, rank""")),
+
+    // q180: per-user EWMA (α = ½) over each user's last-8-event value
+    // window — the monitoring smoother, in the ONE float formulation
+    // both engines replay bit-for-bit: each term is value·2⁻ᵏ (exact
+    // IEEE scaling — 2⁻ᵏ is a power of two), terms are added in fixed
+    // written order (same expression tree both sides), and missing lags
+    // contribute an exact 0.0 — no frame-sum whose addition order an
+    // engine may choose. The per-user lag window is the op's semantics;
+    // user_id partitioning spreads it.
+    QueryDef("q180_ewma",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        def tl(i: Int): org.apache.spark.sql.Column =
+          coalesce(lag(col("value"), i).over(w), lit(0.0)) /
+            lit(math.pow(2.0, i + 1))
+        ev(s, d).select(col("user_id"), col("event_id"),
+            (tl(0) + tl(1) + tl(2) + tl(3) + tl(4) + tl(5) + tl(6) + tl(7))
+              .as("ewma"))
+          .orderBy("user_id", "event_id")
+      },
+      Some("""SELECT user_id, event_id,
+          coalesce(lag(value, 0) OVER w, 0) / 2
+          + coalesce(lag(value, 1) OVER w, 0) / 4
+          + coalesce(lag(value, 2) OVER w, 0) / 8
+          + coalesce(lag(value, 3) OVER w, 0) / 16
+          + coalesce(lag(value, 4) OVER w, 0) / 32
+          + coalesce(lag(value, 5) OVER w, 0) / 64
+          + coalesce(lag(value, 6) OVER w, 0) / 128
+          + coalesce(lag(value, 7) OVER w, 0) / 256 AS ewma
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ORDER BY user_id, event_id""")),
+
+    // q181: χ²-of-independence decomposition for source × lang — "does
+    // language depend on source" shipped as the exact integer cell
+    // table: per cell the observed count, marginals, and the deviation
+    // numerator obs·n − row·col (χ² = Σ dev²/(row·col·n) at the
+    // consumer). ZERO cells are materialized via the marginal-grid cross
+    // join (sources × langs — card product of two small dimensions, not
+    // data-sized) because absent combinations are evidence, not missing
+    // data. Overflow: obs·n and row·col need n·n < 9.2×10¹⁸ per cell —
+    // same n² bound class as q172/q174.
+    QueryDef("q181_chi2_cells",
+      (s, d) => {
+        val dc = docs(s, d)
+        val rows = dc.groupBy("source").agg(count(lit(1)).as("row_tot"))
+        val cols = dc.groupBy("lang").agg(count(lit(1)).as("col_tot"))
+        val tot = dc.agg(count(lit(1)).as("n_total"))
+        val cells = dc.groupBy("source", "lang").agg(count(lit(1)).as("c"))
+        rows.crossJoin(cols).join(cells, Seq("source", "lang"), "left")
+          .crossJoin(broadcast(tot))
+          .select(col("source"), col("lang"),
+            coalesce(col("c"), lit(0L)).as("obs"),
+            col("row_tot"), col("col_tot"), col("n_total"),
+            (coalesce(col("c"), lit(0L)) * col("n_total") -
+              col("row_tot") * col("col_tot")).as("dev_num"))
+          .orderBy("source", "lang")
+      },
+      Some("""WITH r AS (SELECT source, count(*) row_tot FROM documents GROUP BY 1),
+          c AS (SELECT lang, count(*) col_tot FROM documents GROUP BY 1),
+          t AS (SELECT count(*) n_total FROM documents),
+          cell AS (SELECT source, lang, count(*) cc FROM documents GROUP BY 1, 2)
+        SELECT r.source, c.lang, CAST(coalesce(cell.cc, 0) AS BIGINT) obs,
+          CAST(r.row_tot AS BIGINT) row_tot, CAST(c.col_tot AS BIGINT) col_tot,
+          CAST(t.n_total AS BIGINT) n_total,
+          CAST(coalesce(cell.cc, 0) * t.n_total
+            - r.row_tot * c.col_tot AS BIGINT) dev_num
+        FROM r CROSS JOIN c CROSS JOIN t
+        LEFT JOIN cell ON cell.source = r.source AND cell.lang = c.lang
+        ORDER BY r.source, c.lang""")),
+
+    // q182: calibration (reliability) table for the q129 hashed-feature
+    // classifier against the q172 heuristic quality label — per
+    // FIXED-WIDTH margin bin (width 2000 of the integer score; binning
+    // by floor(score/2000.0) is one exact-at-boundaries IEEE divide both
+    // engines share, where integer `div`-vs-`//` differ on negatives and
+    // an ntile would be a corpus-sized global window): document count,
+    // positive-label count, and the score sum — the "is the margin
+    // monotone in realized quality" read, integer-exact.
+    QueryDef("q182_calibration",
+      (s, d) => {
+        val t = TextFns.tokens(col("text"))
+        val bigrams = when(size(t) >= 2,
+          zip_with(slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+            (a, b) => concat(a, lit(" "), b)))
+          .otherwise(array().cast("array<string>"))
+        val bucket = pmod(TextFns.hash32(col("feat")), lit(4096L))
+        val weight = TextFns.hash32(concat(lit("w:"), bucket.cast("string"))) %
+          lit(2001L) - lit(1000L)
+        val scores = docs(s, d)
+          .select(col("doc_id"), explode(concat(t, bigrams)).as("feat"))
+          .select(col("doc_id"), weight.as("w"))
+          .groupBy("doc_id").agg(sum("w").as("score"))
+        val nt = size(t).cast("long")
+        val nd = size(array_distinct(t)).cast("long")
+        val stops = size(filter(t, x => x.isin("the", "a"))).cast("long")
+        val lab = docs(s, d).select(col("doc_id"),
+          ((lit(4000L) * nd + lit(3000L) * (nt - stops)
+            + lit(30L) * least(nt, lit(100L)) * nt) >= lit(6200L) * nt)
+            .as("b"))
+        scores.join(lab, "doc_id")
+          .withColumn("bin",
+            floor(col("score") / lit(2000.0)).cast("long"))
+          .groupBy("bin")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("b"), 1L).otherwise(0L)).as("n_pos"),
+            min("score").as("min_score"), max("score").as("max_score"),
+            sum("score").as("sum_score"))
+          .orderBy("bin")
+      },
+      Some(s"""WITH x AS (SELECT doc_id, $OToks t FROM documents),
+          f AS (SELECT doc_id, unnest(t ||
+                  [t[i] || ' ' || t[i+1] for i in generate_series(1, len(t)-1)]) feat
+                FROM x),
+          sc AS (SELECT doc_id, sum(
+                  ('0x' || substr(md5('w:' || CAST(
+                    ('0x' || substr(md5(feat), 1, 8))::BIGINT % 4096
+                  AS VARCHAR)), 1, 8))::BIGINT % 2001 - 1000) AS score
+                FROM f GROUP BY doc_id),
+          lab AS (SELECT doc_id,
+                  (4000 * len(list_distinct(t))
+                   + 3000 * (len(t) - len(list_filter(t, q -> q IN ('the','a'))))
+                   + 30 * least(len(t), 100) * len(t)) >= 6200 * len(t) AS b
+                FROM x),
+          j AS (SELECT CAST(floor(sc.score / 2000.0) AS BIGINT) bin,
+                  sc.score, lab.b
+                FROM sc JOIN lab USING (doc_id))
+        SELECT bin, CAST(count(*) AS BIGINT) n_docs,
+          CAST(sum(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT) n_pos,
+          CAST(min(score) AS BIGINT) min_score,
+          CAST(max(score) AS BIGINT) max_score,
+          CAST(sum(score) AS BIGINT) sum_score
+        FROM j GROUP BY bin ORDER BY bin""")),
+
+    // q183: vocabulary-growth (Heap's-law) curve — new distinct token
+    // types per 50-document ingest batch with the running cumulative:
+    // the "is this source still teaching the tokenizer anything" curve.
+    // First-seen batch per type is one min-agg over the (token →
+    // min doc_id) table (vocabulary-sized); the cumulative rides the
+    // batch grid (corpus/50 rows). Batch ids are nonnegative, so
+    // truncating `div` and flooring `//` agree.
+    QueryDef("q183_vocab_growth",
+      (s, d) => {
+        val firsts = docs(s, d)
+          .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("t"))
+          .groupBy("t").agg(min("doc_id").as("fd"))
+          .select(expr("fd div 50").as("batch"))
+          .groupBy("batch").agg(count(lit(1)).as("new_types"))
+        val vol = docs(s, d)
+          .select(expr("doc_id div 50").as("batch"),
+            size(TextFns.tokens(col("text"))).cast("long").as("ntok"))
+          .groupBy("batch").agg(count(lit(1)).as("n_docs"),
+            sum("ntok").as("n_tokens"))
+        vol.join(firsts, Seq("batch"), "left")
+          .select(col("batch"), col("n_docs"), col("n_tokens"),
+            coalesce(col("new_types"), lit(0L)).as("new_types"))
+          .withColumn("cum_types", sum("new_types").over(
+            Window.orderBy("batch")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .orderBy("batch")
+      },
+      Some(s"""WITH tok AS (SELECT doc_id, unnest($OToks) t FROM documents),
+          fs AS (SELECT min(doc_id) // 50 batch FROM tok GROUP BY t),
+          nw AS (SELECT batch, count(*) new_types FROM fs GROUP BY 1),
+          vol AS (SELECT doc_id // 50 batch, count(*) n_docs,
+              sum(len($OToks)) n_tokens
+            FROM documents GROUP BY 1)
+        SELECT vol.batch, CAST(n_docs AS BIGINT) n_docs,
+          CAST(n_tokens AS BIGINT) n_tokens,
+          CAST(coalesce(new_types, 0) AS BIGINT) new_types,
+          CAST(sum(coalesce(new_types, 0)) OVER (ORDER BY vol.batch
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) cum_types
+        FROM vol LEFT JOIN nw USING (batch) ORDER BY batch""")),
+
+    // q184: per-source Gini concentration of the token distribution —
+    // the Lorenz-curve sibling of q174's Simpson index (Simpson weighs
+    // big types quadratically; Gini reads the whole inequality curve).
+    // With counts sorted ascending (tie-break token), G = Σ(2r − n − 1)·c
+    // over n·Σc — shipped as the integer (gini_num, gini_den) pair.
+    // The rank window rides the per-source vocabulary table (Heap's-law
+    // bounded); a skewed source's vocabulary is still vocabulary-sized.
+    // Overflow: gini_den = n_types·n_tokens < 9.2×10¹⁸ — vocabulary ×
+    // volume, far looser than the q174 n² bound.
+    QueryDef("q184_gini",
+      (s, d) => {
+        val counts = docs(s, d)
+          .select(col("source"), explode(TextFns.tokens(col("text"))).as("t"))
+          .groupBy("source", "t").agg(count(lit(1)).as("c"))
+        val w = Window.partitionBy("source").orderBy(col("c"), col("t"))
+        counts
+          .withColumn("r", row_number().over(w).cast("long"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_types"), sum("c").as("n_tokens"),
+            sum((lit(2L) * col("r") - lit(1L)) * col("c")).as("rsum"))
+          .select(col("source"), col("n_types"), col("n_tokens"),
+            (col("rsum") - col("n_types") * col("n_tokens")).as("gini_num"),
+            (col("n_types") * col("n_tokens")).as("gini_den"))
+          .orderBy("source")
+      },
+      Some(s"""WITH tf AS (SELECT source, tok t, count(*) c FROM (
+            SELECT source, unnest($OToks) tok FROM documents) GROUP BY 1, 2),
+          rk AS (SELECT source, t, c, row_number() OVER (
+              PARTITION BY source ORDER BY c, t) r FROM tf),
+          g AS (SELECT source, count(*) n_types, sum(c) n_tokens,
+              sum((2 * r - 1) * c) rsum
+            FROM rk GROUP BY source)
+        SELECT source, CAST(n_types AS BIGINT) n_types,
+          CAST(n_tokens AS BIGINT) n_tokens,
+          CAST(rsum - n_types * n_tokens AS BIGINT) gini_num,
+          CAST(n_types * n_tokens AS BIGINT) gini_den
+        FROM g ORDER BY source"""))
+  )
+}

@@ -699,4 +699,70 @@ class ComponentsSpec extends SparkSpec {
     assert(loose <= tight)
     assert(loose >= 1)
   }
+
+  // ---- k-core peeling ----
+
+  private def kc(edges: Seq[(Long, Long)], k: Int,
+      rounds: Int): Map[Long, Long] =
+    Components.kCore(edges.toDF("a", "b"), "a", "b", k, rounds)
+      .as[(Long, Long)].collect().toMap
+
+  /** In-JVM reference peeling to the fixpoint. */
+  private def refCore(edges: Seq[(Long, Long)], k: Int): Map[Long, Long] = {
+    var e = edges.filter(p => p._1 != p._2)
+      .map(p => (math.min(p._1, p._2), math.max(p._1, p._2))).distinct
+    var changed = true
+    while (changed) {
+      val deg = e.flatMap(p => Seq(p._1, p._2)).groupBy(identity)
+        .view.mapValues(_.size.toLong).toMap
+      val keep = deg.filter(_._2 >= k).keySet
+      val e2 = e.filter(p => keep(p._1) && keep(p._2))
+      changed = e2 != e
+      e = e2
+    }
+    e.flatMap(p => Seq(p._1, p._2)).groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap.filter(_._2 >= k)
+  }
+
+  // clique {1,2,3,4} plus node 5 with exactly three neighbors (1, 4, 6)
+  // and pendant 6: peeling to the 3-core takes TWO rounds — 6 (degree 1)
+  // drops first, only THEN does 5 fall under degree 3 — so the
+  // multi-round shell cascade is exercised, not just one sweep
+  private val cliqueTail = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L),
+    (2L, 4L), (3L, 4L), (1L, 5L), (4L, 5L), (5L, 6L))
+
+  test("kCore peels a pendant path off a clique over multiple rounds") {
+    assert(kc(cliqueTail, 3, 4) ===
+      Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    assert(kc(cliqueTail, 3, 4) === refCore(cliqueTail, 3))
+    // one round is NOT enough: 5 is still in the subgraph (only 6 fell),
+    // so 1 and 4 still count their edge to it — degree 4, not the final 3
+    assert(kc(cliqueTail, 3, 1) ===
+      Map(1L -> 4L, 2L -> 3L, 3L -> 3L, 4L -> 4L),
+      "after one round the cascade must not have finished")
+  }
+
+  test("kCore ignores direction, multi-edges and self-loops") {
+    val messy = cliqueTail ++ Seq((2L, 1L), (1L, 2L), (3L, 3L), (4L, 3L))
+    assert(kc(messy, 3, 4) === kc(cliqueTail, 3, 4))
+  }
+
+  test("kCore above the max degree is empty; k=1 keeps every non-isolated node") {
+    assert(kc(cliqueTail, 4, 8) === Map.empty)
+    assert(kc(cliqueTail, 1, 8) === refCore(cliqueTail, 1))
+    assert(kc(Seq.empty[(Long, Long)], 2, 4) === Map.empty)
+  }
+
+  test("kCoreUntil converges to the fixed-round result and the reference") {
+    for (k <- 2 to 4) {
+      val conv = Components.kCoreUntil(cliqueTail.toDF("a", "b"), "a", "b", k)
+        .as[(Long, Long)].collect().toMap
+      assert(conv === refCore(cliqueTail, k), s"k=$k")
+      assert(conv === kc(cliqueTail, k, 8), s"k=$k fixed-round ≥ depth")
+    }
+  }
+
+  test("kCore extra rounds past convergence are exact no-ops") {
+    assert(kc(cliqueTail, 3, 4) === kc(cliqueTail, 3, 12))
+  }
 }

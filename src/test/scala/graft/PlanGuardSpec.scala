@@ -463,4 +463,44 @@ class PlanGuardSpec extends SparkSpec {
     assert(!p.contains("Join") && !p.contains("Union"),
       s"no per-metric scan multiplication:\n$p")
   }
+
+  test("q176 k-core: peel round is semi-join restriction, no BNLJ/cartesian") {
+    import spark.implicits._
+    val ue = Seq(("a", "b"), ("a", "c"), ("b", "c"), ("c", "d"))
+      .toDF("a", "b")
+    val round = graft.operators.Components.peelRound(ue, 2)
+    val joins = round.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.size === 2,
+      s"two survivor semi-join restrictions per round, got ${joins.size}")
+    joins.foreach { j =>
+      assert(j.joinType.toString == "LeftSemi",
+        s"survivor restriction must be a semi-join: ${j.joinType}")
+      assert(j.condition.exists(_.toString.contains("=")),
+        s"restriction must be an equality join: ${j.condition}")
+    }
+    val ex = round.queryExecution.executedPlan.toString
+    assert(!ex.contains("BroadcastNestedLoopJoin") &&
+      !ex.contains("CartesianProduct"),
+      s"peeling must stay equi-join machinery:\n$ex")
+    assert(!finalPlan("q176_kcore").contains("CartesianProduct"))
+  }
+
+  test("q178 AUC: no corpus-partition window — the running sum rides the value grid") {
+    // the naive rank-sum AUC is `rank() OVER (ORDER BY score)` on the
+    // CORPUS; the shipped plan aggregates to the distinct-value histogram
+    // FIRST, so the single unpartitioned window sees post-agg rows only
+    val df = SparkEntry.queries("q178_auc")(spark, dir)
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.size === 1)
+    val aggsBelow = windows.head.child.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }
+    assert(aggsBelow.nonEmpty,
+      s"the window must ride the histogram aggregate, not raw rows:\n" +
+        df.queryExecution.optimizedPlan)
+  }
 }

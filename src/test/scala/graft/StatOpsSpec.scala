@@ -1,0 +1,193 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Cross-checks for the corpus-statistics / eval-metric family
+  * (StatOps): each distributed statistic is recomputed in-JVM from the
+  * collected raw data by the textbook (not histogram-rewritten) formula —
+  * the grid/histogram reformulations the queries use for scale must be
+  * value-identical to the naive definitions they replace.
+  */
+class StatOpsSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, dir)
+
+  private def docsRaw(): Seq[(Long, String, String, Long)] =
+    graft.Tables.documents(spark, dir)
+      .select("doc_id", "lang", "source", "n_chars")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSeq
+
+  test("q178 histogram AUC equals the naive all-pairs Mann–Whitney count") {
+    val rows = docsRaw().map(r => (r._2 == "en", r._4))
+    val pos = rows.filter(_._1).map(_._2)
+    val neg = rows.filterNot(_._1).map(_._2)
+    // naive O(n_pos·n_neg): 2 per strict win, 1 per tie
+    val naive2U = (for (p <- pos; n <- neg)
+      yield if (p > n) 2L else if (p == n) 1L else 0L).sum
+    val got = q("q178_auc").collect().head
+    assert(got.getLong(0) === naive2U)
+    assert(got.getLong(1) === pos.size.toLong)
+    assert(got.getLong(2) === neg.size.toLong)
+  }
+
+  test("q177 grid KS equals the naive per-source ECDF sup") {
+    val rows = docsRaw()
+    val all = rows.map(_._4).sorted
+    val ng = all.size.toLong
+    val got = q("q177_ks_drift").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got.keySet === rows.map(_._3).toSet)
+    for ((src, (ksNum, nSrc, nAll)) <- got) {
+      val sv = rows.filter(_._3 == src).map(_._4)
+      val ns = sv.size.toLong
+      // sup over every observed value of |cs·ng − cg·ns| (ECDF steps only
+      // at observed values, so scanning them is the exact sup)
+      val naive = all.distinct.map { v =>
+        val cs = sv.count(_ <= v).toLong
+        val cg = all.count(_ <= v).toLong
+        math.abs(cs * ng - cg * ns)
+      }.max
+      assert(ksNum === naive, s"source=$src")
+      assert(nSrc === ns)
+      assert(nAll === ng)
+    }
+  }
+
+  test("q184 Gini pair equals the closed-form over collected counts") {
+    val toks = graft.Tables.documents(spark, dir)
+      .select(col("source"),
+        explode(graft.functions.TextFns.tokens(col("text"))).as("t"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    val got = q("q184_gini").collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    for ((src, (nTypes, nTokens, gNum, gDen)) <- got) {
+      val counts = toks.filter(_._1 == src).groupBy(_._2)
+        .view.mapValues(_.size.toLong).toSeq
+        .sortBy { case (t, c) => (c, t) }
+      val n = counts.size.toLong
+      val tot = counts.map(_._2).sum
+      val num = counts.zipWithIndex.map { case ((_, c), i) =>
+        (2L * (i + 1) - n - 1L) * c
+      }.sum
+      assert(nTypes === n, s"source=$src")
+      assert(nTokens === tot, s"source=$src")
+      assert(gNum === num, s"source=$src")
+      assert(gDen === n * tot, s"source=$src")
+      assert(gNum >= 0L && gNum <= gDen, s"Gini must lie in [0,1]: $src")
+    }
+  }
+
+  test("q180 windowed EWMA equals the in-JVM per-user recursion") {
+    val evs = graft.Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("value"), col("ts"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getTimestamp(3)))
+      .toSeq
+    val got = q("q180_ewma").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    for ((uid, seq) <- evs.groupBy(_._1)) {
+      val ordered = seq.sortBy(e => (e._4.getTime, e._4.getNanos, e._2))
+      ordered.zipWithIndex.foreach { case ((_, eid, _, _), i) =>
+        // same term order and exact 2^-k scalings as the query
+        val expect = (0 to 7).map { k =>
+          val v = if (i - k >= 0) ordered(i - k)._3 else 0.0
+          v / math.pow(2.0, k + 1)
+        }.foldLeft(0.0)(_ + _)
+        assert(got((uid, eid)) === expect, s"user=$uid event=$eid")
+      }
+    }
+  }
+
+  test("q182 calibration bins partition the scored corpus with consistent bounds") {
+    val bins = q("q182_calibration").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(bins.nonEmpty)
+    val nScored = q("q129_quality_classifier").count()
+    assert(bins.map(_._2).sum === nScored,
+      "every scored document lands in exactly one bin")
+    for ((bin, n, nPos, minS, maxS, sumS) <- bins) {
+      assert(nPos >= 0L && nPos <= n)
+      assert(minS <= maxS)
+      assert(minS >= bin * 2000L && maxS < (bin + 1) * 2000L,
+        s"bin $bin bounds violated: [$minS, $maxS]")
+      assert(sumS >= n * minS && sumS <= n * maxS)
+    }
+  }
+
+  test("q183 vocabulary growth telescopes to the corpus vocabulary") {
+    val rows = q("q183_vocab_growth").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val vocab = graft.Tables.documents(spark, dir)
+      .select(explode(graft.functions.TextFns.tokens(col("text"))).as("t"))
+      .distinct().count()
+    val nDocs = graft.Tables.documents(spark, dir).count()
+    assert(rows.map(_._4).sum === vocab, "Σ new_types = |vocabulary|")
+    assert(rows.last._5 === vocab, "final cumulative = |vocabulary|")
+    assert(rows.map(_._2).sum === nDocs)
+    // cumulative is the running sum of new_types in batch order
+    assert(rows.map(_._5).toSeq === rows.map(_._4).scanLeft(0L)(_ + _).tail)
+  }
+
+  test("q181 chi-square cells: deviations sum to zero, marginals consistent") {
+    val cells = q("q181_chi2_cells").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    val n = cells.head._6
+    assert(cells.map(_._3).sum === n, "Σ obs = n_total")
+    assert(cells.map(_._7).sum === 0L,
+      "Σ (obs·n − row·col) telescopes to n² − n² = 0")
+    for ((src, lang, obs, rt, ct, nt, dev) <- cells) {
+      assert(dev === obs * nt - rt * ct, s"cell ($src,$lang)")
+      assert(nt === n)
+    }
+    // row marginal = Σ obs over the row
+    cells.groupBy(_._1).foreach { case (src, rs) =>
+      assert(rs.map(_._3).sum === rs.head._4, s"row marginal $src")
+    }
+    cells.groupBy(_._2).foreach { case (lang, cs) =>
+      assert(cs.map(_._3).sum === cs.head._5, s"col marginal $lang")
+    }
+  }
+
+  test("q179 Zipf probe: products consistent, frequency non-increasing in rank") {
+    val rows = q("q179_zipf_probe").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.nonEmpty)
+    for ((_, rank, _, freq, rf) <- rows) assert(rf === rank * freq)
+    rows.groupBy(_._1).foreach { case (src, rs) =>
+      val byRank = rs.sortBy(_._2).map(_._4)
+      assert(byRank === byRank.sorted.reverse,
+        s"freq must be non-increasing in rank for $src")
+    }
+  }
+
+  test("q176 fixed-round k-core equals the convergence-mode solve on the same graph") {
+    import spark.implicits._
+    val tok = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(array_distinct(graft.functions.TextFns.tokens(
+          col("text")))).as("w"))
+    val nd = graft.Tables.documents(spark, dir).count()
+    val edges = tok.as("l").join(tok.as("r"),
+        col("l.doc_id") === col("r.doc_id") && col("l.w") < col("r.w"))
+      .groupBy(col("l.w").as("wa"), col("r.w").as("wb"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") * lit(100L) >= lit(nd) * lit(65L))
+    val conv = graft.operators.Components
+      .kCoreUntil(edges, "wa", "wb", k = 6)
+      .as[(String, Long)].collect().toMap
+    val got = q("q176_kcore").as[(String, Long)].collect().toMap
+    assert(got === conv,
+      "4 fixed peel rounds must reach the fixpoint at this sf")
+    assert(got.nonEmpty)
+  }
+}
