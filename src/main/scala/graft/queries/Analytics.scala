@@ -1242,31 +1242,36 @@ object Analytics {
 
     // q176: k-core of the token co-occurrence graph — the density-community
     // primitive (Seidman's k-core; bulk-synchronous Batagelj–Zaveršnik
-    // peeling in Components.kCore): nodes are tokens, an edge joins two
-    // tokens co-occurring (distinct-per-doc) in ≥ 65% of documents — a
-    // corpus-RELATIVE threshold, so the graph's shape is sf-portable —
-    // and the 6-core is the "always-together vocabulary nucleus" a
-    // template/boilerplate detector keys on. Fixed 4 peel rounds (the
-    // pageRank fixed-iters contract: ≥ the graph's peel depth at the
-    // verified sfs, extra rounds exact no-ops; kCoreUntil is the
-    // production convergence mode, equivalence spec-pinned). Shape: one
-    // per-doc token self-join (co-occurrence shuffle, the only
-    // corpus-sized exchange), then vocabulary-sized peel rounds — each a
-    // map-side-combined degree agg + two semi-joins.
+    // peeling in Components.kCore): nodes are tokens, edges are the
+    // top-100 co-occurring (distinct-per-doc) token pairs by count — a
+    // RANK-based cut, so the graph is non-degenerate at every corpus
+    // size where an absolute-share threshold empties as the corpus
+    // diversifies (a 65%-of-docs cut held 79 edges at sf0.01 and ZERO at
+    // sf0.1) — and the 7-core is the "always-together vocabulary
+    // nucleus" a template/boilerplate detector keys on. Fixed 4 peel
+    // rounds (the pageRank fixed-iters contract: ≥ the graph's peel
+    // depth at every testdata sf — depths 1/3/2 — extra rounds exact
+    // no-ops; kCoreUntil is the production convergence mode, equivalence
+    // spec-pinned). Shape: one per-doc token self-join (co-occurrence
+    // shuffle, the only corpus-sized exchange), one top-100 window on
+    // the vocab²-bounded pair table (Heap's-law small — NOT corpus
+    // data), then edge-frame-sized peel rounds — each a map-side-
+    // combined degree agg + two semi-joins.
     QueryDef("q176_kcore",
       (s, d) => {
         val tok = TextShared.docs(s, d)
           .select(col("doc_id"),
             explode(array_distinct(graft.functions.TextFns.tokens(
               col("text")))).as("w"))
-        val nd = TextShared.docs(s, d).agg(count(lit(1)).as("nd"))
         val pairs = tok.as("l").join(tok.as("r"),
             col("l.doc_id") === col("r.doc_id") && col("l.w") < col("r.w"))
           .groupBy(col("l.w").as("wa"), col("r.w").as("wb"))
           .agg(count(lit(1)).as("c"))
-        val edges = pairs.crossJoin(broadcast(nd))
-          .filter(col("c") * lit(100L) >= col("nd") * lit(65L))
-        graft.operators.Components.kCore(edges, "wa", "wb", k = 6, rounds = 4)
+        val edges = pairs.withColumn("r", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy(col("c").desc, col("wa"), col("wb"))))
+          .filter(col("r") <= 100)
+        graft.operators.Components.kCore(edges, "wa", "wb", k = 7, rounds = 4)
           .select(col("id").as("token"), col("core_degree"))
           .orderBy("token")
       },
@@ -1275,31 +1280,32 @@ object Analytics {
           tok AS (SELECT doc_id, unnest(t) w FROM x),
           pr AS (SELECT a.w wa, b.w wb, count(*) c FROM tok a
                  JOIN tok b ON a.doc_id = b.doc_id AND a.w < b.w GROUP BY 1, 2),
-          n AS (SELECT count(*) nd FROM documents),
-          e0 AS (SELECT wa a, wb b FROM pr, n WHERE c * 100 >= nd * 65),
+          rk AS (SELECT wa, wb, row_number() OVER (
+              ORDER BY c DESC, wa, wb) r FROM pr),
+          e0 AS (SELECT wa a, wb b FROM rk WHERE r <= 100),
           d1 AS (SELECT id, count(*) dg FROM (
               SELECT a id FROM e0 UNION ALL SELECT b FROM e0) GROUP BY 1),
           e1 AS (SELECT a, b FROM e0
-                 WHERE a IN (SELECT id FROM d1 WHERE dg >= 6)
-                   AND b IN (SELECT id FROM d1 WHERE dg >= 6)),
+                 WHERE a IN (SELECT id FROM d1 WHERE dg >= 7)
+                   AND b IN (SELECT id FROM d1 WHERE dg >= 7)),
           d2 AS (SELECT id, count(*) dg FROM (
               SELECT a id FROM e1 UNION ALL SELECT b FROM e1) GROUP BY 1),
           e2 AS (SELECT a, b FROM e1
-                 WHERE a IN (SELECT id FROM d2 WHERE dg >= 6)
-                   AND b IN (SELECT id FROM d2 WHERE dg >= 6)),
+                 WHERE a IN (SELECT id FROM d2 WHERE dg >= 7)
+                   AND b IN (SELECT id FROM d2 WHERE dg >= 7)),
           d3 AS (SELECT id, count(*) dg FROM (
               SELECT a id FROM e2 UNION ALL SELECT b FROM e2) GROUP BY 1),
           e3 AS (SELECT a, b FROM e2
-                 WHERE a IN (SELECT id FROM d3 WHERE dg >= 6)
-                   AND b IN (SELECT id FROM d3 WHERE dg >= 6)),
+                 WHERE a IN (SELECT id FROM d3 WHERE dg >= 7)
+                   AND b IN (SELECT id FROM d3 WHERE dg >= 7)),
           d4 AS (SELECT id, count(*) dg FROM (
               SELECT a id FROM e3 UNION ALL SELECT b FROM e3) GROUP BY 1),
           e4 AS (SELECT a, b FROM e3
-                 WHERE a IN (SELECT id FROM d4 WHERE dg >= 6)
-                   AND b IN (SELECT id FROM d4 WHERE dg >= 6)),
+                 WHERE a IN (SELECT id FROM d4 WHERE dg >= 7)
+                   AND b IN (SELECT id FROM d4 WHERE dg >= 7)),
           df AS (SELECT id, count(*) core_degree FROM (
               SELECT a id FROM e4 UNION ALL SELECT b FROM e4) GROUP BY 1)
         SELECT id AS token, CAST(core_degree AS BIGINT) AS core_degree
-        FROM df WHERE core_degree >= 6 ORDER BY token"""))
+        FROM df WHERE core_degree >= 7 ORDER BY token"""))
   )
 }

@@ -176,14 +176,16 @@ class StatOpsSpec extends SparkSpec {
       .select(col("doc_id"),
         explode(array_distinct(graft.functions.TextFns.tokens(
           col("text")))).as("w"))
-    val nd = graft.Tables.documents(spark, dir).count()
     val edges = tok.as("l").join(tok.as("r"),
         col("l.doc_id") === col("r.doc_id") && col("l.w") < col("r.w"))
       .groupBy(col("l.w").as("wa"), col("r.w").as("wb"))
       .agg(count(lit(1)).as("c"))
-      .filter(col("c") * lit(100L) >= lit(nd) * lit(65L))
+      .withColumn("r", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("c").desc, col("wa"), col("wb"))))
+      .filter(col("r") <= 100)
     val conv = graft.operators.Components
-      .kCoreUntil(edges, "wa", "wb", k = 6)
+      .kCoreUntil(edges, "wa", "wb", k = 7)
       .as[(String, Long)].collect().toMap
     val got = q("q176_kcore").as[(String, Long)].collect().toMap
     assert(got === conv,
