@@ -41,28 +41,17 @@ object StatOps {
     // count shuffle), and KS = ks_num/(n_src·n_all) at the consumer.
     // Overflow: cs·n_all ≤ n_src·n_all needs n_src·n_all < 9.2×10¹⁸ —
     // per-source rows × corpus rows; past that, pre-bucket lengths or
-    // ship DECIMAL(38,0). All-integer, exact.
+    // ship DECIMAL(38,0). All-integer, exact. The statistic runs on the
+    // ADDITIVE count table via Drift.ksFromCounts, so a streaming
+    // monitor merges micro-batch counts (Drift.mergeCounts) and pays
+    // grid-sized work per check — StreamingSpec pins streamed ≡ batch.
     QueryDef("q177_ks_drift",
       (s, d) => {
-        val dc = docs(s, d).select(col("source"), col("n_chars").as("v"))
-        val srcs = dc.groupBy("source").agg(count(lit(1)).as("ns"))
-        val na = dc.agg(count(lit(1)).as("ng"))
-        val per = dc.groupBy("source", "v").agg(count(lit(1)).as("c"))
-        val grid = srcs.select("source").crossJoin(dc.select("v").distinct())
-        val scum = grid.join(per, Seq("source", "v"), "left")
-          .withColumn("cs", sum(coalesce(col("c"), lit(0L))).over(
-            Window.partitionBy("source").orderBy("v")
-              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        val gcum = dc.groupBy("v").agg(count(lit(1)).as("cv"))
-          .withColumn("cg", sum("cv").over(Window.orderBy("v")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-          .select("v", "cg")
-        scum.join(gcum, "v").join(broadcast(srcs), "source")
-          .crossJoin(broadcast(na))
-          .groupBy("source")
-          .agg(max(abs(col("cs") * col("ng") - col("cg") * col("ns")))
-              .as("ks_num"),
-            max("ns").as("n_src"), max("ng").as("n_all"))
+        val counts = docs(s, d)
+          .groupBy(col("source"), col("n_chars").as("v"))
+          .agg(count(lit(1)).as("c"))
+        graft.operators.Drift.ksFromCounts(counts, "source", "v", "c")
+          .withColumnRenamed("n_grp", "n_src")
           .orderBy("source")
       },
       Some("""WITH dc AS (SELECT source, n_chars v FROM documents),
@@ -359,6 +348,116 @@ object StatOps {
           CAST(n_tokens AS BIGINT) n_tokens,
           CAST(rsum - n_types * n_tokens AS BIGINT) gini_num,
           CAST(n_types * n_tokens AS BIGINT) gini_den
-        FROM g ORDER BY source"""))
+        FROM g ORDER BY source""")),
+
+    // q185: head-vocabulary overlap between the corpus's two halves —
+    // the "did the head of the distribution rotate" drift probe RBO
+    // approximates, restated integer-exact at dyadic depths: rank each
+    // half's token frequencies (freq DESC, token ASC — total order),
+    // and at depth d ∈ {1,2,4,8,16} report |top_d(A) ∩ top_d(B)| with
+    // both head sizes (head < d when a half's vocabulary runs out);
+    // Jaccard@d = overlap/(head_a + head_b − overlap) at the consumer.
+    // The halves split on 2·doc_id < n_docs (id-range halves = "then vs
+    // now" for append-ordered ids); rank windows ride per-half
+    // vocabulary tables, the depth explode is ×5 on vocabulary rows.
+    QueryDef("q185_head_overlap",
+      (s, d) => {
+        val nd = docs(s, d).agg(count(lit(1)).as("nd"))
+        val counts = docs(s, d).crossJoin(broadcast(nd))
+          .select((col("doc_id") * 2 < col("nd")).as("fh"),
+            explode(TextFns.tokens(col("text"))).as("t"))
+          .groupBy("fh", "t").agg(count(lit(1)).as("f"))
+        val w = Window.partitionBy("fh").orderBy(col("f").desc, col("t"))
+        val ranked = counts.withColumn("r", row_number().over(w).cast("long"))
+        val depths = array((Seq(1L, 2L, 4L, 8L, 16L)).map(lit): _*)
+        val heads = ranked.select(col("fh"), explode(depths).as("d"),
+            when(col("r") <= col("d"), 1L).otherwise(0L).as("in_head"))
+          .groupBy("d")
+          .agg(sum(when(col("fh"), col("in_head")).otherwise(0L))
+              .as("head_a"),
+            sum(when(!col("fh"), col("in_head")).otherwise(0L))
+              .as("head_b"))
+        val ra = ranked.filter(col("fh")).select(col("t"), col("r").as("ra"))
+        val rb = ranked.filter(!col("fh")).select(col("t"), col("r").as("rb"))
+        val ov = ra.join(rb, "t")
+          .select(explode(depths).as("d"),
+            col("ra"), col("rb"))
+          .groupBy("d")
+          .agg(sum(when(col("ra") <= col("d") && col("rb") <= col("d"), 1L)
+            .otherwise(0L)).as("overlap"))
+        heads.join(ov, "d")
+          .select(col("d"), col("overlap"), col("head_a"), col("head_b"))
+          .orderBy("d")
+      },
+      Some(s"""WITH n AS (SELECT count(*) nd FROM documents),
+          tf AS (SELECT (doc_id * 2 < n.nd) fh, tok t, count(*) f FROM (
+              SELECT doc_id, unnest($OToks) tok FROM documents) CROSS JOIN n
+            GROUP BY 1, 2),
+          rk AS (SELECT fh, t, row_number() OVER (
+              PARTITION BY fh ORDER BY f DESC, t) r FROM tf),
+          ds AS (SELECT unnest([1, 2, 4, 8, 16]) d),
+          heads AS (SELECT ds.d,
+              sum(CASE WHEN rk.fh AND rk.r <= ds.d THEN 1 ELSE 0 END) head_a,
+              sum(CASE WHEN NOT rk.fh AND rk.r <= ds.d THEN 1 ELSE 0 END) head_b
+            FROM ds CROSS JOIN rk GROUP BY 1),
+          ov AS (SELECT ds.d, sum(CASE WHEN a.r <= ds.d AND b.r <= ds.d
+                THEN 1 ELSE 0 END) overlap
+            FROM ds CROSS JOIN (SELECT t, r FROM rk WHERE fh) a
+            JOIN (SELECT t, r FROM rk WHERE NOT fh) b ON a.t = b.t
+            GROUP BY 1)
+        SELECT CAST(heads.d AS BIGINT) d, CAST(overlap AS BIGINT) overlap,
+          CAST(head_a AS BIGINT) head_a, CAST(head_b AS BIGINT) head_b
+        FROM heads JOIN ov ON heads.d = ov.d ORDER BY d""")),
+
+    // q186: Mann–Kendall trend test per event type — the nonparametric
+    // "is daily volume trending" monitor, integer-exact: S = Σ_{i<j}
+    // sign(c_j − c_i) over day-ordered daily counts, and the
+    // tie-corrected variance ships as var18 = 18·Var(S) =
+    // n(n−1)(2n+5) − Σ_t t(t−1)(2t+5) (t = days sharing a count value);
+    // Z = S/√(var18/18) at the consumer. The corpus collapses to the
+    // (type, day) count grid in one agg; the pair "join" is a per-type
+    // self-join of ~30 day rows — day-grid-sized, never event-sized.
+    QueryDef("q186_trend",
+      (s, d) => {
+        val daily = ev(s, d)
+          .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+          .agg(count(lit(1)).as("c"))
+        val a = daily.select(col("event_type"), col("day").as("d1"),
+          col("c").as("c1"))
+        val b = daily.select(col("event_type"), col("day").as("d2"),
+          col("c").as("c2"))
+        val sStat = a.join(b, "event_type").filter(col("d1") < col("d2"))
+          .groupBy("event_type")
+          .agg(sum(when(col("c2") > col("c1"), 1L)
+            .when(col("c2") < col("c1"), -1L).otherwise(0L)).as("s_stat"))
+        val ties = daily.groupBy("event_type", "c")
+          .agg(count(lit(1)).as("t"))
+          .groupBy("event_type")
+          .agg(sum(col("t") * (col("t") - 1L) * (lit(2L) * col("t") + 5L))
+            .as("tie18"), sum("t").as("n_days"))
+        ties.join(sStat, "event_type")
+          .select(col("event_type"), col("n_days"), col("s_stat"),
+            (col("n_days") * (col("n_days") - 1L) *
+              (lit(2L) * col("n_days") + 5L) - col("tie18")).as("var18"))
+          .orderBy("event_type")
+      },
+      Some("""WITH daily AS (SELECT event_type, date_trunc('day', ts) dd,
+            count(*) c FROM events GROUP BY 1, 2),
+          s AS (SELECT a.event_type,
+              sum(CASE WHEN b.c > a.c THEN 1 WHEN b.c < a.c THEN -1
+                ELSE 0 END) s_stat
+            FROM daily a JOIN daily b ON a.event_type = b.event_type
+              AND a.dd < b.dd
+            GROUP BY 1),
+          tie AS (SELECT event_type, sum(t * (t - 1) * (2 * t + 5)) tie18,
+              sum(t) n_days
+            FROM (SELECT event_type, c, count(*) t FROM daily GROUP BY 1, 2)
+            GROUP BY 1)
+        SELECT tie.event_type, CAST(n_days AS BIGINT) n_days,
+          CAST(s_stat AS BIGINT) s_stat,
+          CAST(n_days * (n_days - 1) * (2 * n_days + 5) - tie18 AS BIGINT)
+            var18
+        FROM tie JOIN s ON tie.event_type = s.event_type
+        ORDER BY tie.event_type"""))
   )
 }

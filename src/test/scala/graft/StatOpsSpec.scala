@@ -170,6 +170,53 @@ class StatOpsSpec extends SparkSpec {
     }
   }
 
+  test("q185 head overlap equals the naive per-half rank-set intersection") {
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(graft.functions.TextFns.tokens(col("text"))).as("t"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val nDocs = graft.Tables.documents(spark, dir).count()
+    def headRanks(half: Seq[String]): Map[String, Long] =
+      half.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+        .sortBy { case (t, f) => (-f, t) }
+        .zipWithIndex.map { case ((t, _), i) => t -> (i + 1L) }.toMap
+    val ra = headRanks(docs.filter(_._1 * 2 < nDocs).map(_._2))
+    val rb = headRanks(docs.filterNot(_._1 * 2 < nDocs).map(_._2))
+    val got = q("q185_head_overlap").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got.keySet === Set(1L, 2L, 4L, 8L, 16L))
+    for ((d, (overlap, ha, hb)) <- got) {
+      val topA = ra.filter(_._2 <= d).keySet
+      val topB = rb.filter(_._2 <= d).keySet
+      assert(overlap === (topA & topB).size.toLong, s"d=$d")
+      assert(ha === topA.size.toLong, s"d=$d")
+      assert(hb === topB.size.toLong, s"d=$d")
+    }
+  }
+
+  test("q186 Mann–Kendall equals the naive pairwise sign sum with tie-corrected variance") {
+    val daily = graft.Tables.events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("dd"))
+      .agg(count(lit(1)).as("c"))
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2))).toSeq
+    val got = q("q186_trend").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    for ((typ, (nDays, s, var18)) <- got) {
+      val cs = daily.filter(_._1 == typ).sortBy(_._2.getTime).map(_._3)
+      val n = cs.size.toLong
+      val naiveS = (for (i <- cs.indices; j <- (i + 1) until cs.size)
+        yield java.lang.Long.signum(cs(j) - cs(i)).toLong).sum
+      val tie18 = cs.groupBy(identity).values
+        .map(g => { val t = g.size.toLong; t * (t - 1) * (2 * t + 5) }).sum
+      assert(nDays === n, s"type=$typ")
+      assert(s === naiveS, s"type=$typ")
+      assert(var18 === n * (n - 1) * (2 * n + 5) - tie18, s"type=$typ")
+    }
+  }
+
   test("q176 fixed-round k-core equals the convergence-mode solve on the same graph") {
     import spark.implicits._
     val tok = graft.Tables.documents(spark, dir)

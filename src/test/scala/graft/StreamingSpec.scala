@@ -653,4 +653,41 @@ class StreamingSpec extends SparkSpec {
     assert(lastWarmRounds < coldRounds,
       s"freshness win: warm start ran $lastWarmRounds rounds vs cold $coldRounds")
   }
+
+  test("streaming drift monitor: additive count state tracks the batch KS exactly") {
+    // the stats family's freshness story: the KS monitor's at-rest state
+    // is the per-(source, value) count table — ADDITIVE, so a micro-batch
+    // merge is one full-outer sum (Drift.mergeCounts, grid-sized) and
+    // each day's drift check (Drift.ksFromCounts) never rescans history.
+    // After streaming the corpus in three batches, the statistic must be
+    // BIT-identical to the batch q177 computed over everything at once.
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.Tables.documents(spark, dir)
+      .select(col("source"), col("n_chars"))
+      .as[(String, Long)].collect()
+    var state = graft.operators.Checkpoints.cut(
+      Seq.empty[(String, Long, Long)].toDF("source", "v", "c"))
+    val mem = MemoryStream[(String, Long)]
+    val q = mem.toDF().toDF("source", "v").writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val next = graft.operators.Checkpoints.cut(
+          graft.operators.Drift.mergeCounts(state, batch, "source", "v", "c"))
+        graft.operators.Checkpoints.release(state)
+        state = next
+      }
+      .trigger(Trigger.ProcessingTime(0)).start()
+    rows.grouped((rows.length + 2) / 3)
+      .foreach { p => mem.addData(p.toSeq); q.processAllAvailable() }
+    q.stop()
+    val streamed = graft.operators.Drift
+      .ksFromCounts(state, "source", "v", "c")
+      .collect().map(_.toSeq).toSet
+    val batch = SparkEntry.queries("q177_ks_drift")(spark, dir)
+      .withColumnRenamed("n_src", "n_grp")
+      .collect().map(_.toSeq).toSet
+    assert(streamed === batch,
+      "stream-merged count state must reproduce the batch KS bit-for-bit")
+  }
 }
