@@ -1306,6 +1306,69 @@ object Analytics {
           df AS (SELECT id, count(*) core_degree FROM (
               SELECT a id FROM e4 UNION ALL SELECT b FROM e4) GROUP BY 1)
         SELECT id AS token, CAST(core_degree AS BIGINT) AS core_degree
-        FROM df WHERE core_degree >= 7 ORDER BY token"""))
+        FROM df WHERE core_degree >= 7 ORDER BY token""")),
+
+    // q187: degree assortativity of the q176 token co-occurrence graph —
+    // Newman's "do hubs link to hubs" coefficient, the one-number
+    // hub-structure signal next to q170's clustering (computed on the
+    // co-occurrence graph, NOT the event-transition graph: that one is a
+    // complete K5 at the testdata, all degrees equal, variance 0 — r
+    // undefined by construction). Pearson correlation of endpoint
+    // degrees over edges, integer-exact via the both-orientations edge
+    // list (M = 2m rows, so Σx = Σy and the two variance terms
+    // coincide): r = r_num/r_den with r_num = M·Σxy − (Σx)²,
+    // r_den = M·Σx² − (Σx)² — both BIGINT, the consumer divides.
+    // Degrees come from one hash agg on the ≤100-edge frame; everything
+    // past the one co-occurrence count shuffle is vocabulary-sized.
+    // Overflow: M·Σxy ≤ M²·maxdeg² — fine to ~10⁹ edges × 10³ degree;
+    // shard-combine or DECIMAL(38,0) past that.
+    QueryDef("q187_assortativity",
+      (s, d) => {
+        val tok = TextShared.docs(s, d)
+          .select(col("doc_id"),
+            explode(array_distinct(graft.functions.TextFns.tokens(
+              col("text")))).as("w"))
+        val pairs = tok.as("l").join(tok.as("r"),
+            col("l.doc_id") === col("r.doc_id") && col("l.w") < col("r.w"))
+          .groupBy(col("l.w").as("wa"), col("r.w").as("wb"))
+          .agg(count(lit(1)).as("c"))
+        val ue = pairs.withColumn("rk", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy(col("c").desc, col("wa"), col("wb"))))
+          .filter(col("rk") <= 100)
+          .select(col("wa").as("a"), col("wb").as("b"))
+        val deg = ue.select(col("a").as("id"))
+          .union(ue.select(col("b").as("id")))
+          .groupBy("id").agg(count(lit(1)).as("dg"))
+        val both = ue.select(col("a"), col("b"))
+          .union(ue.select(col("b").as("a"), col("a").as("b")))
+        both
+          .join(deg.select(col("id").as("a"), col("dg").as("x")), "a")
+          .join(deg.select(col("id").as("b"), col("dg").as("y")), "b")
+          .agg(count(lit(1)).as("m2"), sum(col("x") * col("y")).as("sxy"),
+            sum("x").as("sx"), sum(col("x") * col("x")).as("sxx"))
+          .select(expr("m2 div 2").as("n_edges"),
+            (col("m2") * col("sxy") - col("sx") * col("sx")).as("r_num"),
+            (col("m2") * col("sxx") - col("sx") * col("sx")).as("r_den"))
+      },
+      Some(s"""WITH x AS (SELECT doc_id, list_distinct(${TextShared.OToks}) t
+            FROM documents),
+          tok AS (SELECT doc_id, unnest(t) w FROM x),
+          pr AS (SELECT a.w wa, b.w wb, count(*) c FROM tok a
+                 JOIN tok b ON a.doc_id = b.doc_id AND a.w < b.w GROUP BY 1, 2),
+          rk AS (SELECT wa, wb, row_number() OVER (
+              ORDER BY c DESC, wa, wb) r FROM pr),
+          ue AS (SELECT wa a, wb b FROM rk WHERE r <= 100),
+          dg AS (SELECT id, count(*) d FROM (
+              SELECT a id FROM ue UNION ALL SELECT b FROM ue) GROUP BY 1),
+          bo AS (SELECT a, b FROM ue UNION ALL SELECT b, a FROM ue),
+          j AS (SELECT da.d x, db.d y FROM bo
+            JOIN dg da ON bo.a = da.id JOIN dg db ON bo.b = db.id),
+          agg AS (SELECT count(*) m2, sum(x * y) sxy, sum(x) sx,
+              sum(x * x) sxx FROM j)
+        SELECT CAST(m2 // 2 AS BIGINT) n_edges,
+          CAST(m2 * sxy - sx * sx AS BIGINT) r_num,
+          CAST(m2 * sxx - sx * sx AS BIGINT) r_den
+        FROM agg"""))
   )
 }

@@ -458,6 +458,50 @@ object StatOps {
           CAST(n_days * (n_days - 1) * (2 * n_days + 5) - tie18 AS BIGINT)
             var18
         FROM tie JOIN s ON tie.event_type = s.event_type
-        ORDER BY tie.event_type"""))
+        ORDER BY tie.event_type""")),
+
+    // q188: token burstiness (Fano factor / index of dispersion) for the
+    // top-20 corpus tokens — the classic "bursty content word vs
+    // uniformly-sprinkled function word" signal (Church–Gale): over
+    // per-document counts INCLUDING zero-docs, Fano = var/mean ships as
+    // the integer pair fano_num = n·Σx² − (Σx)², fano_den = (n−1)·Σx
+    // (sample variance over mean; = 1 under Poisson, > 1 bursty). The
+    // zero-docs contribute nothing to Σx/Σx², so the per-(token, doc)
+    // count table — corpus-instance sized, the one real shuffle — is
+    // enough and no token×doc grid is ever materialized; the top-20 cut
+    // rides the vocabulary table. Overflow: n·Σx² needs n_docs·Σx² <
+    // 9.2×10¹⁸ — document count × squared-count volume; shard-combine or
+    // DECIMAL(38,0) past that.
+    QueryDef("q188_burstiness",
+      (s, d) => {
+        val nd = docs(s, d).agg(count(lit(1)).as("n"))
+        val perDoc = docs(s, d)
+          .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("t"))
+          .groupBy("t", "doc_id").agg(count(lit(1)).as("x"))
+        val perTok = perDoc.groupBy("t")
+          .agg(count(lit(1)).as("n_docs_present"), sum("x").as("sx"),
+            sum(col("x") * col("x")).as("sxx"))
+        val w = Window.orderBy(col("sx").desc, col("t"))
+        perTok.withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 20)
+          .crossJoin(broadcast(nd))
+          .select(col("t").as("token"), col("sx").as("freq"),
+            col("n_docs_present"),
+            (col("n") * col("sxx") - col("sx") * col("sx")).as("fano_num"),
+            ((col("n") - 1L) * col("sx")).as("fano_den"))
+          .orderBy(col("freq").desc, col("token"))
+      },
+      Some(s"""WITH n AS (SELECT count(*) nd FROM documents),
+          pd AS (SELECT tok t, doc_id, count(*) x FROM (
+              SELECT doc_id, unnest($OToks) tok FROM documents) GROUP BY 1, 2),
+          pt AS (SELECT t, count(*) n_docs_present, sum(x) sx,
+              sum(x * x) sxx FROM pd GROUP BY 1),
+          rk AS (SELECT *, row_number() OVER (ORDER BY sx DESC, t) r FROM pt)
+        SELECT t token, CAST(sx AS BIGINT) freq,
+          CAST(n_docs_present AS BIGINT) n_docs_present,
+          CAST(nd * sxx - sx * sx AS BIGINT) fano_num,
+          CAST((nd - 1) * sx AS BIGINT) fano_den
+        FROM rk CROSS JOIN n WHERE r <= 20
+        ORDER BY freq DESC, token"""))
   )
 }

@@ -217,6 +217,57 @@ class StatOpsSpec extends SparkSpec {
     }
   }
 
+  test("q187 assortativity pair equals the naive Pearson numerators over edges") {
+    import spark.implicits._
+    val tok = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(array_distinct(graft.functions.TextFns.tokens(
+          col("text")))).as("w"))
+      .as[(Long, String)].collect().toSeq
+    val pairCounts = tok.groupBy(_._1).values.flatMap { doc =>
+      val ws = doc.map(_._2).distinct
+      for (a <- ws; b <- ws if a < b) yield (a, b)
+    }.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+    val edges = pairCounts.sortBy { case ((a, b), c) => (-c, a, b) }
+      .take(100).map(_._1)
+    val deg = edges.flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    val xy = edges.flatMap(e =>
+      Seq((deg(e._1), deg(e._2)), (deg(e._2), deg(e._1))))
+    val m2 = xy.size.toLong
+    val sx = xy.map(_._1).sum
+    val sxy = xy.map(p => p._1 * p._2).sum
+    val sxx = xy.map(p => p._1 * p._1).sum
+    val got = q("q187_assortativity").collect().head
+    assert(got.getLong(0) === edges.size.toLong)
+    assert(got.getLong(1) === m2 * sxy - sx * sx)
+    assert(got.getLong(2) === m2 * sxx - sx * sx)
+    assert(got.getLong(2) > 0L, "the co-occurrence graph must not be regular")
+  }
+
+  test("q188 Fano pair equals the naive zero-inclusive dispersion per token") {
+    val toks = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(graft.functions.TextFns.tokens(col("text"))).as("t"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val nDocs = graft.Tables.documents(spark, dir).count()
+    val got = q("q188_burstiness").collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got.size === 20)
+    for ((token, (freq, present, num, den)) <- got) {
+      val perDoc = toks.filter(_._2 == token).groupBy(_._1)
+        .view.mapValues(_.size.toLong).values.toSeq
+      val sx = perDoc.sum
+      val sxx = perDoc.map(x => x * x).sum
+      assert(freq === sx, s"token=$token")
+      assert(present === perDoc.size.toLong, s"token=$token")
+      // zero-count docs contribute nothing to Σx/Σx² but DO set n
+      assert(num === nDocs * sxx - sx * sx, s"token=$token")
+      assert(den === (nDocs - 1) * sx, s"token=$token")
+    }
+  }
+
   test("q176 fixed-round k-core equals the convergence-mode solve on the same graph") {
     import spark.implicits._
     val tok = graft.Tables.documents(spark, dir)
