@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Eval-metric operators over label/score frames — the measurement
+  * primitives behind the q178/q184 report queries, exposed as library
+  * operators so any score column can be graded. Shared stance with
+  * [[Drift]]: every statistic is integer numerator/denominator (the
+  * consumer divides) and is computed on a histogram/vocabulary grid,
+  * never via a corpus-sized global window.
+  */
+object Eval {
+
+  /** Mann–Whitney AUC of boolean `posCol` against orderable `valueCol`,
+    * histogram-formulated: AUC depends only on per-distinct-value class
+    * counts, so 2U = Σ_v np_v·(2·nn_below(v) + nn_v) — each positive
+    * beats all negatives strictly below and half-credits ties — and the
+    * only window rides the distinct-value grid (the corpus contributes
+    * one map-side-combined count shuffle). The textbook
+    * `rank() OVER (ORDER BY value)` formulation puts the corpus in one
+    * task; this never does.
+    *
+    * Output: ONE row (auc_num2, n_pos, n_neg); AUC =
+    * auc_num2/(2·n_pos·n_neg). Empty input → nulls in the sums (callers
+    * on possibly-empty frames coalesce). NULL values sort first in the
+    * grid like any value; NULL labels count as negative — filter
+    * upstream if that is not the contract you want.
+    */
+  def aucHistogram(df: DataFrame, posCol: String,
+      valueCol: String): DataFrame = {
+    val h = df.select(col(posCol).as("pos"), col(valueCol).as("v"))
+      .groupBy("v").agg(
+        sum(when(col("pos"), 1L).otherwise(0L)).as("np"),
+        sum(when(!col("pos"), 1L).otherwise(0L)).as("nn"))
+    val wv = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    h.withColumn("nnb", coalesce(sum("nn").over(wv), lit(0L)))
+      .agg(sum(col("np") * (lit(2L) * col("nnb") + col("nn")))
+          .as("auc_num2"),
+        sum("np").as("n_pos"), sum("nn").as("n_neg"))
+  }
+
+  /** Per-group Gini concentration over a pre-counted (`group`, `item`,
+    * `count`) table: with counts sorted ascending ((count, item) total
+    * order), G = Σ(2r − n − 1)·c over n·Σc, shipped as the integer
+    * (gini_num, gini_den) pair; 0 under a uniform distribution, → 1
+    * under maximal concentration. The rank window partitions by group
+    * and rides the items table — for token stats that is Heap's-law
+    * vocabulary-sized, never the corpus.
+    *
+    * Output: (`group`, n_types, n_tokens, gini_num, gini_den).
+    */
+  def giniPerGroup(counts: DataFrame, groupCol: String, itemCol: String,
+      countCol: String): DataFrame = {
+    val base = counts.select(col(groupCol).as("g"), col(itemCol).as("t"),
+      col(countCol).cast("long").as("c"))
+    val w = Window.partitionBy("g").orderBy(col("c"), col("t"))
+    base.withColumn("r", row_number().over(w).cast("long"))
+      .groupBy("g")
+      .agg(count(lit(1)).as("n_types"), sum("c").as("n_tokens"),
+        sum((lit(2L) * col("r") - lit(1L)) * col("c")).as("rsum"))
+      .select(col("g").as(groupCol), col("n_types"), col("n_tokens"),
+        (col("rsum") - col("n_types") * col("n_tokens")).as("gini_num"),
+        (col("n_types") * col("n_tokens")).as("gini_den"))
+  }
+}

@@ -83,21 +83,14 @@ object StatOps {
     // the corpus contributes one count shuffle, the running nn_below
     // window is grid-sized. AUC = auc_num2/(2·n_pos·n_neg) at the
     // consumer. Integer-exact, no corpus-sized rank window (which is how
-    // rank-sum AUC is usually written and what dies at 100 TB).
+    // rank-sum AUC is usually written and what dies at 100 TB). Lives in
+    // Eval.aucHistogram so any score column can be graded; the property
+    // spec drives it on arbitrary generated frames.
     QueryDef("q178_auc",
-      (s, d) => {
-        val base = docs(s, d).select(
-          (col("lang") === lit("en")).as("pos"), col("n_chars").as("v"))
-        val h = base.groupBy("v").agg(
-          sum(when(col("pos"), 1L).otherwise(0L)).as("np"),
-          sum(when(!col("pos"), 1L).otherwise(0L)).as("nn"))
-        val wv = Window.orderBy("v")
-          .rowsBetween(Window.unboundedPreceding, -1)
-        h.withColumn("nnb", coalesce(sum("nn").over(wv), lit(0L)))
-          .agg(sum(col("np") * (lit(2L) * col("nnb") + col("nn")))
-              .as("auc_num2"),
-            sum("np").as("n_pos"), sum("nn").as("n_neg"))
-      },
+      (s, d) => graft.operators.Eval.aucHistogram(
+        docs(s, d).select((col("lang") === lit("en")).as("pos"),
+          col("n_chars").as("v")),
+        "pos", "v"),
       Some("""WITH h AS (SELECT n_chars v,
             sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) np,
             sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) nn
@@ -320,21 +313,14 @@ object StatOps {
     // The rank window rides the per-source vocabulary table (Heap's-law
     // bounded); a skewed source's vocabulary is still vocabulary-sized.
     // Overflow: gini_den = n_types·n_tokens < 9.2×10¹⁸ — vocabulary ×
-    // volume, far looser than the q174 n² bound.
+    // volume, far looser than the q174 n² bound. Lives in
+    // Eval.giniPerGroup over any pre-counted (group, item, count) table.
     QueryDef("q184_gini",
       (s, d) => {
         val counts = docs(s, d)
           .select(col("source"), explode(TextFns.tokens(col("text"))).as("t"))
           .groupBy("source", "t").agg(count(lit(1)).as("c"))
-        val w = Window.partitionBy("source").orderBy(col("c"), col("t"))
-        counts
-          .withColumn("r", row_number().over(w).cast("long"))
-          .groupBy("source")
-          .agg(count(lit(1)).as("n_types"), sum("c").as("n_tokens"),
-            sum((lit(2L) * col("r") - lit(1L)) * col("c")).as("rsum"))
-          .select(col("source"), col("n_types"), col("n_tokens"),
-            (col("rsum") - col("n_types") * col("n_tokens")).as("gini_num"),
-            (col("n_types") * col("n_tokens")).as("gini_den"))
+        graft.operators.Eval.giniPerGroup(counts, "source", "t", "c")
           .orderBy("source")
       },
       Some(s"""WITH tf AS (SELECT source, tok t, count(*) c FROM (

@@ -1,0 +1,128 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.operators.{Components, Drift, Eval}
+
+/** ScalaCheck properties for the stats/eval/graph-core operators on
+  * ARBITRARY inputs — the corpus-bound queries (q176/q177/q178/q184)
+  * exercise one data shape; these roam adversarial ones: all-ties,
+  * single-class, empty groups, disconnected graphs, k beyond every
+  * degree. Each distributed result must equal the textbook in-JVM
+  * reference. Trial counts are modest (every trial runs Spark jobs).
+  */
+class StatPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def check(name: String, prop: Prop, trials: Int = 10): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(trials), prop)
+    assert(res.passed, s"$name failed: ${res.status}")
+  }
+
+  // small value domains force heavy ties — the interesting regime for
+  // rank statistics
+  private val genLabeled: Gen[List[(Boolean, Long)]] = for {
+    n <- Gen.choose(1, 60)
+    rows <- Gen.listOfN(n, Gen.zip(Gen.oneOf(true, false),
+      Gen.choose(0L, 8L)))
+  } yield rows
+
+  test("aucHistogram == naive all-pairs Mann–Whitney on arbitrary tied data") {
+    check("auc", Prop.forAll(genLabeled) { rows =>
+      val got = Eval.aucHistogram(rows.toDF("pos", "v"), "pos", "v")
+        .collect().head
+      val pos = rows.filter(_._1).map(_._2)
+      val neg = rows.filterNot(_._1).map(_._2)
+      val naive2U = (for (p <- pos; n <- neg)
+        yield if (p > n) 2L else if (p == n) 1L else 0L).sum
+      val gotNum = if (got.isNullAt(0)) 0L else got.getLong(0)
+      gotNum == naive2U &&
+        got.getLong(1) == pos.size.toLong &&
+        got.getLong(2) == neg.size.toLong
+    })
+  }
+
+  private val genCounts: Gen[List[(String, Long, Long)]] = for {
+    n <- Gen.choose(1, 40)
+    rows <- Gen.listOfN(n, for {
+      g <- Gen.oneOf("a", "b", "c")
+      v <- Gen.choose(0L, 6L)
+      c <- Gen.choose(1L, 5L)
+    } yield (g, v, c))
+  } yield rows.groupBy(r => (r._1, r._2))
+    .map { case ((g, v), rs) => (g, v, rs.map(_._3).sum) }.toList
+
+  test("ksFromCounts == naive ECDF sup per group on arbitrary count tables") {
+    check("ks", Prop.forAll(genCounts) { counts =>
+      val got = Drift.ksFromCounts(counts.toDF("g", "v", "c"), "g", "v", "c")
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      val all = counts.flatMap { case (_, v, c) => Seq.fill(c.toInt)(v) }
+      val ng = all.size.toLong
+      val vals = all.distinct
+      got.keySet == counts.map(_._1).toSet && counts.map(_._1).distinct
+        .forall { g =>
+          val gv = counts.filter(_._1 == g)
+            .flatMap { case (_, v, c) => Seq.fill(c.toInt)(v) }
+          val ns = gv.size.toLong
+          val naive = vals.map { v =>
+            math.abs(gv.count(_ <= v) * ng - all.count(_ <= v) * ns)
+          }.max
+          got(g) == ((naive, ns, ng))
+        }
+    })
+  }
+
+  test("giniPerGroup == closed form and is 0 exactly on uniform counts") {
+    check("gini", Prop.forAll(genCounts) { counts =>
+      val tbl = counts.map { case (g, v, c) => (g, v.toString, c) }
+      val got = Eval.giniPerGroup(tbl.toDF("g", "t", "c"), "g", "t", "c")
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+      tbl.map(_._1).distinct.forall { g =>
+        val cs = tbl.filter(_._1 == g).sortBy(r => (r._3, r._2)).map(_._3)
+        val n = cs.size.toLong
+        val tot = cs.sum
+        val num = cs.zipWithIndex.map { case (c, i) =>
+          (2L * (i + 1) - n - 1L) * c
+        }.sum
+        val (gn, gt, gnum, gden) = got(g)
+        gn == n && gt == tot && gnum == num && gden == n * tot &&
+          gnum >= 0 && gnum <= gden &&
+          (cs.distinct.size != 1 || gnum == 0L)
+      }
+    })
+  }
+
+  private val genEdges: Gen[List[(Long, Long)]] = for {
+    n <- Gen.choose(0, 40)
+    edges <- Gen.listOfN(n, Gen.zip(Gen.choose(0L, 12L), Gen.choose(0L, 12L)))
+  } yield edges
+
+  /** In-JVM peeling reference (fixpoint). */
+  private def refCore(edges: Seq[(Long, Long)], k: Int): Map[Long, Long] = {
+    var e = edges.filter(p => p._1 != p._2)
+      .map(p => (math.min(p._1, p._2), math.max(p._1, p._2))).distinct
+    var changed = true
+    while (changed) {
+      val deg = e.flatMap(p => Seq(p._1, p._2)).groupBy(identity)
+        .view.mapValues(_.size.toLong).toMap
+      val keep = deg.filter(_._2 >= k).keySet
+      val e2 = e.filter(p => keep(p._1) && keep(p._2))
+      changed = e2 != e
+      e = e2
+    }
+    e.flatMap(p => Seq(p._1, p._2)).groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap.filter(_._2 >= k)
+  }
+
+  test("kCoreUntil == reference fixpoint peeling on arbitrary graphs and k") {
+    check("kcore", Prop.forAll(genEdges, Gen.choose(1, 5)) { (edges, k) =>
+      val got = Components.kCoreUntil(
+          edges.toDF("a", "b"), "a", "b", k)
+        .as[(Long, Long)].collect().toMap
+      got == refCore(edges, k)
+    }, trials = 8)
+  }
+}
