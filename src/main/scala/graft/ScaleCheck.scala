@@ -26,7 +26,7 @@ object ScaleCheck {
     "q175_exact_deciles", "q176_kcore", "q177_ks_drift", "q178_auc",
     "q179_zipf_probe", "q180_ewma", "q181_chi2_cells", "q182_calibration",
     "q183_vocab_growth", "q184_gini", "q185_head_overlap", "q186_trend",
-    "q187_assortativity", "q188_burstiness")
+    "q187_assortativity", "q188_burstiness", "q189_core_levels")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")

@@ -926,6 +926,48 @@ object Components {
     out
   }
 
+  /** Multi-level coreness probe — [[kCore]] membership at an ASCENDING
+    * ladder of k values in one pass, each node labeled with the highest
+    * rung it survives (its coreness rounded down to the ladder): the
+    * "how deep in the density hierarchy does this node sit" table, at
+    * ladder resolution, without |V| full peel solves. Because k-cores
+    * are nested (the (k+1)-core is a subgraph of the k-core), the rung
+    * k+1 peel CONTINUES from rung k's surviving edge frame instead of
+    * restarting from the full graph — the full edge set is collapsed
+    * and peeled exactly once, higher rungs touch only the shrinking
+    * core. `rounds` is per rung, with the [[kCore]] fixed-round oracle
+    * contract at every rung.
+    *
+    * Output: (id, core_level), core_level = max rung whose core holds
+    * the node; nodes outside the lowest rung's core are absent.
+    */
+  def coreLevels(edges: DataFrame, srcCol: String, dstCol: String,
+      ks: Seq[Int], rounds: Int): DataFrame = {
+    require(ks.nonEmpty && ks == ks.sorted.distinct && ks.head >= 1,
+      "ks must be a strictly ascending ladder of k >= 1")
+    require(rounds >= 0, "peel rounds are nonnegative")
+    val raw = edges.select(col(srcCol).as("s"), col(dstCol).as("d"))
+      .filter(col("s") =!= col("d"))
+    var ue = Checkpoints.cut(raw.select(
+      least(col("s"), col("d")).as("a"),
+      greatest(col("s"), col("d")).as("b")).distinct())
+    var levels = List.empty[DataFrame]
+    ks.foreach { k =>
+      (1 to rounds).foreach { _ =>
+        val next = Checkpoints.cut(peelRound(ue, k))
+        Checkpoints.release(ue)
+        ue = next
+      }
+      levels ::= Checkpoints.cut(coreDegrees(ue, k)
+        .select(col("id"), lit(k.toLong).as("lvl")))
+    }
+    val out = Checkpoints.cut(levels.reduce(_ union _)
+      .groupBy("id").agg(max("lvl").as("core_level")))
+    Checkpoints.release(ue)
+    levels.foreach(Checkpoints.release)
+    out
+  }
+
   /** One peel round: degrees of the surviving edge frame, the ≥ k
     * survivor set, and edges restricted to survivor×survivor via two
     * semi-joins. Exposed for PlanGuardSpec — both restriction joins must

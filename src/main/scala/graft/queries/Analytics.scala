@@ -1369,6 +1369,69 @@ object Analytics {
         SELECT CAST(m2 // 2 AS BIGINT) n_edges,
           CAST(m2 * sxy - sx * sx AS BIGINT) r_num,
           CAST(m2 * sxx - sx * sx AS BIGINT) r_den
-        FROM agg"""))
+        FROM agg""")),
+
+    // q189: dyadic coreness ladder over the q176 co-occurrence graph —
+    // each token labeled with the deepest rung of the k ∈ {2, 4, 6}
+    // core hierarchy it survives (coreness rounded down to the ladder,
+    // the family's dyadic-probe stance: q179 ranks, q185 depths, here
+    // density rungs). Components.coreLevels peels ASCENDING and
+    // continues each rung from the previous rung's surviving edge frame
+    // (k-cores nest), so the full edge set is collapsed and peeled
+    // once; the oracle replays each rung from scratch — equal at
+    // convergence by the nesting theorem. Round budgets differ on
+    // purpose and that is sound: BOTH sides run ≥ each rung's peel
+    // depth (1 at every testdata sf; the engine takes 2 per rung — the
+    // per-round job floor, not data, dominates a ≤100-edge graph — the
+    // oracle unrolls 4), and past convergence every extra round is an
+    // exact no-op on either side.
+    QueryDef("q189_core_levels",
+      (s, d) => {
+        val tok = TextShared.docs(s, d)
+          .select(col("doc_id"),
+            explode(array_distinct(graft.functions.TextFns.tokens(
+              col("text")))).as("w"))
+        val pairs = tok.as("l").join(tok.as("r"),
+            col("l.doc_id") === col("r.doc_id") && col("l.w") < col("r.w"))
+          .groupBy(col("l.w").as("wa"), col("r.w").as("wb"))
+          .agg(count(lit(1)).as("c"))
+        val edges = pairs.withColumn("rk", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy(col("c").desc, col("wa"), col("wb"))))
+          .filter(col("rk") <= 100)
+        graft.operators.Components
+          .coreLevels(edges, "wa", "wb", ks = Seq(2, 4, 6), rounds = 2)
+          .select(col("id").as("token"), col("core_level"))
+          .orderBy("token")
+      },
+      Some(s"""WITH x AS (SELECT doc_id, list_distinct(${TextShared.OToks}) t
+            FROM documents),
+          tok AS (SELECT doc_id, unnest(t) w FROM x),
+          pr AS (SELECT a.w wa, b.w wb, count(*) c FROM tok a
+                 JOIN tok b ON a.doc_id = b.doc_id AND a.w < b.w GROUP BY 1, 2),
+          rk AS (SELECT wa, wb, row_number() OVER (
+              ORDER BY c DESC, wa, wb) r FROM pr),
+          e0 AS MATERIALIZED (SELECT wa a, wb b FROM rk WHERE r <= 100),
+          ${Seq(2, 4, 6).map { k =>
+            // AS MATERIALIZED: DuckDB inlines plain CTEs, and a 12-level
+            // peel chain referencing its predecessor 4× would otherwise
+            // expand exponentially at plan time
+            (1 to 4).map { i =>
+              val prev = if (i == 1) "e0" else s"k${k}e${i - 1}"
+              s"""k${k}d$i AS MATERIALIZED (SELECT id, count(*) dg FROM (
+              SELECT a id FROM $prev UNION ALL SELECT b FROM $prev) GROUP BY 1),
+          k${k}e$i AS MATERIALIZED (SELECT a, b FROM $prev
+                 WHERE a IN (SELECT id FROM k${k}d$i WHERE dg >= $k)
+                   AND b IN (SELECT id FROM k${k}d$i WHERE dg >= $k))"""
+            }.mkString(",\n          ") +
+              s""",
+          k${k}m AS (SELECT id, $k lvl FROM (SELECT id, count(*) dg FROM (
+              SELECT a id FROM k${k}e4 UNION ALL SELECT b FROM k${k}e4)
+              GROUP BY 1) WHERE dg >= $k)"""
+          }.mkString(",\n          ")}
+        SELECT id AS token, CAST(max(lvl) AS BIGINT) AS core_level
+        FROM (SELECT * FROM k2m UNION ALL SELECT * FROM k4m
+              UNION ALL SELECT * FROM k6m)
+        GROUP BY id ORDER BY token"""))
   )
 }

@@ -765,4 +765,26 @@ class ComponentsSpec extends SparkSpec {
   test("kCore extra rounds past convergence are exact no-ops") {
     assert(kc(cliqueTail, 3, 4) === kc(cliqueTail, 3, 12))
   }
+
+  test("coreLevels: ascending continuation equals per-k from-scratch cores") {
+    // nested-cores theorem made operational: peeling rung k+1 from rung
+    // k's survivors must land exactly where a from-scratch solve does
+    val ks = Seq(1, 2, 3)
+    val got = Components.coreLevels(cliqueTail.toDF("a", "b"), "a", "b",
+        ks, rounds = 8)
+      .as[(Long, Long)].collect().toMap
+    val expect = ks.flatMap { k =>
+      refCore(cliqueTail, k).keys.map(_ -> k.toLong)
+    }.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    assert(got === expect)
+    // the clique sits on the top rung, the pendant path below
+    assert(got(1L) === 3L && got(6L) === 1L && got(5L) === 2L)
+  }
+
+  test("coreLevels rejects a non-ascending ladder") {
+    intercept[IllegalArgumentException] {
+      Components.coreLevels(cliqueTail.toDF("a", "b"), "a", "b",
+        Seq(4, 2), rounds = 2)
+    }
+  }
 }
