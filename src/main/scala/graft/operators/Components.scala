@@ -195,6 +195,83 @@ object Components {
     visited
   }
 
+  /** Depths over a FOREST by binary lifting — the O(log D) alternative
+    * to [[bfsDepths]]' O(D) frontier rounds when the hierarchy is
+    * single-parent (taxonomies, org charts, file trees, the part heap):
+    * a D-deep traversal pays D sequential join rounds in BFS form —
+    * pure scheduling floor when every round is sub-second — while here
+    * ancestor jump tables A_k (each node's 2^k-th ancestor, built by
+    * log₂ D self-join squarings A_{k+1} = A_k ∘ A_k) let every node
+    * walk to its root in one greedy high-bit-first pass of ≤ log₂ D + 1
+    * join steps: at bit k the 2^k-th ancestor exists iff the node still
+    * has ≥ 2^k hops to its root (roots are parentless — validated), so
+    * the jumps taken are exactly the binary decomposition of the true
+    * depth. Total: ~2·log₂ D joins of node-sized frames instead of D
+    * rounds — at depth 18 that is ~13 jobs instead of ~54, and on a
+    * cluster the same ratio in BARRIERS, the thing that actually limits
+    * deep traversals.
+    *
+    * Contract (validated, cheap aggregates): single parent per child
+    * (else the "the" ancestor is ill-defined — use [[bfsDepths]]), and
+    * `roots` have no parent edge (depth is distance to the FOREST root;
+    * an interior "root" would change semantics silently). Nodes in
+    * trees whose root is not listed are absent, exactly like BFS never
+    * reaching them; nodes deeper than `maxHops` are filtered — same
+    * ≤-maxHops semantics as [[bfsDepths]], spec-pinned equal.
+    */
+  def treeDepths(edges: DataFrame, parentCol: String, childCol: String,
+      roots: DataFrame, rootCol: String, maxHops: Int): DataFrame = {
+    require(maxHops >= 0, "need a nonnegative hop bound")
+    val up = Checkpoints.cut(edges.select(
+      col(childCol).cast("long").as("v"),
+      col(parentCol).cast("long").as("a")).distinct())
+    require(up.groupBy("v").agg(count(lit(1)).as("k"))
+      .filter(col("k") > 1L).head(1).isEmpty,
+      "treeDepths needs single-parent (forest) edges; use bfsDepths")
+    val rs = Checkpoints.cut(
+      roots.select(col(rootCol).cast("long").as("id")).distinct())
+    require(rs.join(up.select(col("v").as("id")), Seq("id"), "left_semi")
+      .head(1).isEmpty,
+      "treeDepths roots must be parentless forest roots; use bfsDepths")
+    if (maxHops == 0) {
+      val out = Checkpoints.cut(rs.withColumn("depth", lit(0)))
+      Checkpoints.release(up)
+      Checkpoints.release(rs)
+      return out
+    }
+    val maxBit = 63 - java.lang.Long.numberOfLeadingZeros(maxHops.toLong)
+    var tables = Vector(up)
+    (1 to maxBit).foreach { _ =>
+      val prev = tables.last
+      tables :+= Checkpoints.cut(
+        prev.select(col("v"), col("a").as("m"))
+          .join(prev.select(col("v").as("m"), col("a")), "m")
+          .select("v", "a"))
+    }
+    val nodes = up.select(col("v").as("id")).union(rs.select("id")).distinct()
+    var cur = Checkpoints.cut(
+      nodes.select(col("id"), col("id").as("cur"), lit(0L).as("d")))
+    (maxBit to 0 by -1).foreach { k =>
+      val t = tables(k)
+      val next = Checkpoints.cut(
+        cur.join(t.select(col("v").as("cur"), col("a").as("nxt")),
+            Seq("cur"), "left")
+          .select(col("id"), coalesce(col("nxt"), col("cur")).as("cur"),
+            (col("d") + when(col("nxt").isNotNull, lit(1L << k))
+              .otherwise(lit(0L))).as("d")))
+      Checkpoints.release(cur)
+      cur = next
+    }
+    val out = Checkpoints.cut(
+      cur.join(rs.select(col("id").as("cur")), Seq("cur"), "left_semi")
+        .filter(col("d") <= maxHops.toLong)
+        .select(col("id"), col("d").cast("int").as("depth")))
+    Checkpoints.release(cur)
+    tables.foreach(Checkpoints.release)
+    Checkpoints.release(rs)
+    out
+  }
+
   /** One BFS hop as a lazy plan — package-visible so PlanGuardSpec can
     * assert the shape the scale posture depends on (equi-join on the
     * parent id + distinct + LEFT ANTI against the materialized visited

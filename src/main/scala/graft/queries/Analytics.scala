@@ -659,14 +659,19 @@ object Analytics {
         // reachable node sits at exactly floor(log2(max key)) — a larger
         // SF widens the bound automatically instead of silently
         // truncating the traversal against the UNBOUNDED recursive-CTE
-        // oracle. One scalar agg of driver traffic; bfsDepths' frontier-
-        // emptiness probes stop early regardless.
+        // oracle. One scalar agg of driver traffic. r14: the heap is a
+        // single-parent TREE, so depths come from treeDepths' binary
+        // lifting — ~2·log₂(depth) node-sized joins instead of
+        // bfsDepths' depth-many frontier rounds, which at 18 levels were
+        // pure scheduling floor (~3 jobs × 18 hops); the general-graph
+        // frontier BFS remains the operator for non-forest edges and is
+        // spec-pinned equal on this heap.
         val maxKey = part
           .agg(coalesce(max(col("p_partkey").cast("long")), lit(1L)).as("m"))
           .first().getLong(0)
         val hops = 63 - java.lang.Long.numberOfLeadingZeros(math.max(maxKey, 1L))
         graft.operators.Components
-          .bfsDepths(edges, "parent", "child", roots, "root", hops)
+          .treeDepths(edges, "parent", "child", roots, "root", hops)
           .select(col("id").as("p_partkey"), col("depth"))
           .orderBy("p_partkey")
       },

@@ -173,6 +173,55 @@ class ComponentsSpec extends SparkSpec {
     assert(bfs(Seq.empty, Seq(3L), 5) === Map(3L -> 0))
   }
 
+  // --- forest depths by binary lifting ---
+
+  private def tree(edges: Seq[(Long, Long)], roots: Seq[Long],
+      maxHops: Int): Map[Long, Int] =
+    Components.treeDepths(edges.toDF("p", "c"), "p", "c",
+        roots.toDF("r"), "r", maxHops)
+      .as[(Long, Int)].collect().toMap
+
+  test("treeDepths == bfsDepths on random forests across hop bounds") {
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 5) {
+      // random forest: parent(v) < v guarantees acyclic single-parent
+      val n = 40
+      val edges = (1L until n).map(c => (rnd.nextInt(c.toInt).toLong, c))
+        .filter(_ => rnd.nextInt(10) > 0) // drop some edges → extra roots
+      val roots = Seq(0L)
+      for (hops <- Seq(0, 1, 3, 7, 64)) {
+        assert(tree(edges, roots, hops) === bfs(edges, roots, hops),
+          s"trial=$trial hops=$hops")
+      }
+    }
+  }
+
+  test("treeDepths on the part heap shape: depth(k) = floor(log2 k)") {
+    val edges = (2L to 63L).map(k => (k / 2, k))
+    val out = tree(edges, Seq(1L), 10)
+    assert(out.size === 63)
+    out.foreach { case (k, d) =>
+      assert(d === 63 - java.lang.Long.numberOfLeadingZeros(k), s"k=$k")
+    }
+    // ≤-maxHops truncation identical to BFS
+    assert(tree(edges, Seq(1L), 3) === bfs(edges, Seq(1L), 3))
+  }
+
+  test("treeDepths rejects multi-parent edges and interior roots") {
+    intercept[IllegalArgumentException] {
+      tree(Seq((1L, 3L), (2L, 3L)), Seq(1L), 5)
+    }
+    intercept[IllegalArgumentException] {
+      tree(Seq((1L, 2L), (2L, 3L)), Seq(2L), 5) // 2 has a parent edge
+    }
+  }
+
+  test("treeDepths: trees without a listed root are absent; maxHops=0 keeps roots only") {
+    val edges = Seq((1L, 2L), (2L, 3L), (7L, 8L))
+    assert(tree(edges, Seq(1L), 9) === Map(1L -> 0, 2L -> 1, 3L -> 2))
+    assert(tree(edges, Seq(1L), 0) === Map(1L -> 0))
+  }
+
   // --- fixed-point PageRank ---
 
   /** Driver-side reference of the exact integer fixed-point recurrence. */
