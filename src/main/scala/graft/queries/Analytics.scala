@@ -34,6 +34,34 @@ object Analytics {
   private val jdbcCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), (String, java.util.Properties)]
 
+  // Top-100 token co-occurrence edges shared by the graph-stats trio
+  // (q176 k-core, q187 assortativity, q189 coreness ladder) — the q77
+  // memoized-artifact pattern: the per-doc token self-join + count
+  // shuffle is the only corpus-sized stage any of them has, so it is
+  // computed ONCE per (session, sf dir) and kept as a persist-cut
+  // (~100 rows); each query then starts from the at-rest edge frame.
+  private val coocCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), org.apache.spark.sql.DataFrame]
+
+  private def coocEdges(s: SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame =
+    coocCache.computeIfAbsent((s, d), { _ =>
+      val tok = graft.queries.TextShared.docs(s, d)
+        .select(col("doc_id"),
+          explode(array_distinct(graft.functions.TextFns.tokens(
+            col("text")))).as("w"))
+      val pairs = tok.as("l").join(tok.as("r"),
+          col("l.doc_id") === col("r.doc_id") && col("l.w") < col("r.w"))
+        .groupBy(col("l.w").as("wa"), col("r.w").as("wb"))
+        .agg(count(lit(1)).as("c"))
+      graft.operators.Checkpoints.cut(
+        pairs.withColumn("rk", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy(col("c").desc, col("wa"), col("wb"))))
+          .filter(col("rk") <= 100)
+          .select("wa", "wb"))
+    })
+
   val defs: Seq[QueryDef] = Seq(
 
     // q60: pivot (wide counts per status). Explicit value list keeps the
@@ -1261,25 +1289,14 @@ object Analytics {
     // shuffle, the only corpus-sized exchange), one top-100 window on
     // the vocab²-bounded pair table (Heap's-law small — NOT corpus
     // data), then edge-frame-sized peel rounds — each a map-side-
-    // combined degree agg + two semi-joins.
+    // combined degree agg + two semi-joins. The edge frame is the
+    // memoized coocEdges artifact (computed once per session/dir,
+    // shared with q187/q189 — the q77 pair-index lifecycle).
     QueryDef("q176_kcore",
-      (s, d) => {
-        val tok = TextShared.docs(s, d)
-          .select(col("doc_id"),
-            explode(array_distinct(graft.functions.TextFns.tokens(
-              col("text")))).as("w"))
-        val pairs = tok.as("l").join(tok.as("r"),
-            col("l.doc_id") === col("r.doc_id") && col("l.w") < col("r.w"))
-          .groupBy(col("l.w").as("wa"), col("r.w").as("wb"))
-          .agg(count(lit(1)).as("c"))
-        val edges = pairs.withColumn("r", row_number().over(
-            org.apache.spark.sql.expressions.Window
-              .orderBy(col("c").desc, col("wa"), col("wb"))))
-          .filter(col("r") <= 100)
-        graft.operators.Components.kCore(edges, "wa", "wb", k = 7, rounds = 4)
-          .select(col("id").as("token"), col("core_degree"))
-          .orderBy("token")
-      },
+      (s, d) => graft.operators.Components
+        .kCore(coocEdges(s, d), "wa", "wb", k = 7, rounds = 4)
+        .select(col("id").as("token"), col("core_degree"))
+        .orderBy("token"),
       Some(s"""WITH x AS (SELECT doc_id, list_distinct(${TextShared.OToks}) t
             FROM documents),
           tok AS (SELECT doc_id, unnest(t) w FROM x),
@@ -1287,25 +1304,25 @@ object Analytics {
                  JOIN tok b ON a.doc_id = b.doc_id AND a.w < b.w GROUP BY 1, 2),
           rk AS (SELECT wa, wb, row_number() OVER (
               ORDER BY c DESC, wa, wb) r FROM pr),
-          e0 AS (SELECT wa a, wb b FROM rk WHERE r <= 100),
-          d1 AS (SELECT id, count(*) dg FROM (
+          e0 AS MATERIALIZED (SELECT wa a, wb b FROM rk WHERE r <= 100),
+          d1 AS MATERIALIZED (SELECT id, count(*) dg FROM (
               SELECT a id FROM e0 UNION ALL SELECT b FROM e0) GROUP BY 1),
-          e1 AS (SELECT a, b FROM e0
+          e1 AS MATERIALIZED (SELECT a, b FROM e0
                  WHERE a IN (SELECT id FROM d1 WHERE dg >= 7)
                    AND b IN (SELECT id FROM d1 WHERE dg >= 7)),
-          d2 AS (SELECT id, count(*) dg FROM (
+          d2 AS MATERIALIZED (SELECT id, count(*) dg FROM (
               SELECT a id FROM e1 UNION ALL SELECT b FROM e1) GROUP BY 1),
-          e2 AS (SELECT a, b FROM e1
+          e2 AS MATERIALIZED (SELECT a, b FROM e1
                  WHERE a IN (SELECT id FROM d2 WHERE dg >= 7)
                    AND b IN (SELECT id FROM d2 WHERE dg >= 7)),
-          d3 AS (SELECT id, count(*) dg FROM (
+          d3 AS MATERIALIZED (SELECT id, count(*) dg FROM (
               SELECT a id FROM e2 UNION ALL SELECT b FROM e2) GROUP BY 1),
-          e3 AS (SELECT a, b FROM e2
+          e3 AS MATERIALIZED (SELECT a, b FROM e2
                  WHERE a IN (SELECT id FROM d3 WHERE dg >= 7)
                    AND b IN (SELECT id FROM d3 WHERE dg >= 7)),
-          d4 AS (SELECT id, count(*) dg FROM (
+          d4 AS MATERIALIZED (SELECT id, count(*) dg FROM (
               SELECT a id FROM e3 UNION ALL SELECT b FROM e3) GROUP BY 1),
-          e4 AS (SELECT a, b FROM e3
+          e4 AS MATERIALIZED (SELECT a, b FROM e3
                  WHERE a IN (SELECT id FROM d4 WHERE dg >= 7)
                    AND b IN (SELECT id FROM d4 WHERE dg >= 7)),
           df AS (SELECT id, count(*) core_degree FROM (
@@ -1329,18 +1346,7 @@ object Analytics {
     // shard-combine or DECIMAL(38,0) past that.
     QueryDef("q187_assortativity",
       (s, d) => {
-        val tok = TextShared.docs(s, d)
-          .select(col("doc_id"),
-            explode(array_distinct(graft.functions.TextFns.tokens(
-              col("text")))).as("w"))
-        val pairs = tok.as("l").join(tok.as("r"),
-            col("l.doc_id") === col("r.doc_id") && col("l.w") < col("r.w"))
-          .groupBy(col("l.w").as("wa"), col("r.w").as("wb"))
-          .agg(count(lit(1)).as("c"))
-        val ue = pairs.withColumn("rk", row_number().over(
-            org.apache.spark.sql.expressions.Window
-              .orderBy(col("c").desc, col("wa"), col("wb"))))
-          .filter(col("rk") <= 100)
+        val ue = coocEdges(s, d)
           .select(col("wa").as("a"), col("wb").as("b"))
         val deg = ue.select(col("a").as("id"))
           .union(ue.select(col("b").as("id")))
@@ -1391,24 +1397,11 @@ object Analytics {
     // oracle unrolls 4), and past convergence every extra round is an
     // exact no-op on either side.
     QueryDef("q189_core_levels",
-      (s, d) => {
-        val tok = TextShared.docs(s, d)
-          .select(col("doc_id"),
-            explode(array_distinct(graft.functions.TextFns.tokens(
-              col("text")))).as("w"))
-        val pairs = tok.as("l").join(tok.as("r"),
-            col("l.doc_id") === col("r.doc_id") && col("l.w") < col("r.w"))
-          .groupBy(col("l.w").as("wa"), col("r.w").as("wb"))
-          .agg(count(lit(1)).as("c"))
-        val edges = pairs.withColumn("rk", row_number().over(
-            org.apache.spark.sql.expressions.Window
-              .orderBy(col("c").desc, col("wa"), col("wb"))))
-          .filter(col("rk") <= 100)
-        graft.operators.Components
-          .coreLevels(edges, "wa", "wb", ks = Seq(2, 4, 6), rounds = 2)
-          .select(col("id").as("token"), col("core_level"))
-          .orderBy("token")
-      },
+      (s, d) => graft.operators.Components
+        .coreLevels(coocEdges(s, d), "wa", "wb", ks = Seq(2, 4, 6),
+          rounds = 2)
+        .select(col("id").as("token"), col("core_level"))
+        .orderBy("token"),
       Some(s"""WITH x AS (SELECT doc_id, list_distinct(${TextShared.OToks}) t
             FROM documents),
           tok AS (SELECT doc_id, unnest(t) w FROM x),
