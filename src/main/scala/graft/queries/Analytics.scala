@@ -1382,6 +1382,99 @@ object Analytics {
           CAST(m2 * sxx - sx * sx AS BIGINT) r_den
         FROM agg""")),
 
+    // q190: session-basket association rules — market-basket analysis
+    // over q133's 30-minute sessions (baskets = a session's DISTINCT
+    // event types; the user-level basket would be degenerate, every
+    // active user touching all 5 types): for every ordered type pair
+    // a→b the support counts (sessions with both / with a / with b /
+    // total), from which confidence = s_ab/s_a and lift =
+    // s_ab·n/(s_a·s_b) are one consumer division each — all-integer,
+    // no float. Shape: one sessionization window (user-keyed), one
+    // distinct, one session-item self-join whose blowup is bounded by
+    // items-per-basket² (≤ 25 here; itemset mining at large
+    // vocabularies would move to FP-Growth-style conditional bases),
+    // and |types|²-row aggregates.
+    QueryDef("q190_assoc_rules",
+      (s, d) => {
+        val wOrd = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val us = unix_micros(col("ts"))
+        val gap = us - lag(us, 1).over(wOrd)
+        val items = ev(s, d)
+          .withColumn("brk",
+            when(gap.isNull || gap > lit(1800000000L), 1L).otherwise(0L))
+          .withColumn("sess",
+            sum("brk").over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+          .select(col("user_id"), col("sess"), col("event_type").as("it"))
+          .distinct()
+        val n = items.select("user_id", "sess").distinct()
+          .agg(count(lit(1)).as("n_sessions"))
+        val sup = items.groupBy("it").agg(count(lit(1)).as("s"))
+        val both = items.as("x").join(items.as("y"),
+            col("x.user_id") === col("y.user_id") &&
+              col("x.sess") === col("y.sess") &&
+              col("x.it") =!= col("y.it"))
+          .groupBy(col("x.it").as("a"), col("y.it").as("b"))
+          .agg(count(lit(1)).as("s_ab"))
+        both
+          .join(broadcast(sup.select(col("it").as("a"), col("s").as("s_a"))), "a")
+          .join(broadcast(sup.select(col("it").as("b"), col("s").as("s_b"))), "b")
+          .crossJoin(broadcast(n))
+          .select(col("a"), col("b"), col("s_ab"), col("s_a"), col("s_b"),
+            col("n_sessions"))
+          .orderBy("a", "b")
+      },
+      Some("""WITH e AS (SELECT user_id, ts, event_id, event_type,
+            CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 > 1800000000
+                 OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   IS NULL
+            THEN 1 ELSE 0 END brk
+          FROM events),
+        sn AS (SELECT user_id, event_type,
+               sum(brk) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) sess
+             FROM e),
+        items AS (SELECT DISTINCT user_id, sess, event_type it FROM sn),
+        n AS (SELECT count(*) n_sessions FROM
+          (SELECT DISTINCT user_id, sess FROM items)),
+        sup AS (SELECT it, count(*) s FROM items GROUP BY 1),
+        bo AS (SELECT x.it a, y.it b, count(*) s_ab FROM items x
+          JOIN items y ON x.user_id = y.user_id AND x.sess = y.sess
+            AND x.it <> y.it
+          GROUP BY 1, 2)
+        SELECT a, b, CAST(s_ab AS BIGINT) s_ab,
+          CAST(sa.s AS BIGINT) s_a, CAST(sb.s AS BIGINT) s_b,
+          CAST(n.n_sessions AS BIGINT) n_sessions
+        FROM bo JOIN sup sa ON bo.a = sa.it JOIN sup sb ON bo.b = sb.it
+        CROSS JOIN n ORDER BY a, b""")),
+
+    // q191: top common 3-step behavior paths — the path-mining read on
+    // the event stream (which trigram journeys dominate): two leads
+    // over the per-user (ts, event_id) order, one count agg on the
+    // |types|³-bounded trigram table, top-10 by (count DESC, path) via
+    // TakeOrdered (never a global sort — the q154 stance).
+    QueryDef("q191_path_trigrams",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        ev(s, d)
+          .select(col("event_type").as("a"),
+            lead(col("event_type"), 1).over(w).as("b"),
+            lead(col("event_type"), 2).over(w).as("c"))
+          .filter(col("b").isNotNull && col("c").isNotNull)
+          .groupBy("a", "b", "c").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("a"), col("b"), col("c"))
+          .limit(10)
+      },
+      Some("""WITH t AS (SELECT event_type a,
+            lead(event_type, 1) OVER w b, lead(event_type, 2) OVER w c
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        SELECT a, b, c, CAST(count(*) AS BIGINT) n FROM t
+        WHERE b IS NOT NULL AND c IS NOT NULL
+        GROUP BY 1, 2, 3 ORDER BY n DESC, a, b, c LIMIT 10""")),
+
     // q189: dyadic coreness ladder over the q176 co-occurrence graph —
     // each token labeled with the deepest rung of the k ∈ {2, 4, 6}
     // core hierarchy it survives (coreness rounded down to the ladder,

@@ -268,6 +268,58 @@ class StatOpsSpec extends SparkSpec {
     }
   }
 
+  test("q190 association supports equal the naive in-JVM sessionized baskets") {
+    val evs = graft.Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    // sessionize: per user, sorted by (us, event_id), break on >30min gaps
+    val baskets = evs.groupBy(_._1).toSeq.flatMap { case (uid, es) =>
+      val ordered = es.sortBy(e => (e._4, e._2))
+      var sess = 0L
+      var prev = Long.MinValue
+      ordered.map { e =>
+        if (prev == Long.MinValue || e._4 - prev > 1800000000L) sess += 1
+        prev = e._4
+        ((uid, sess), e._3)
+      }
+    }.groupBy(_._1).view.mapValues(_.map(_._2).toSet).values.toSeq
+    val n = baskets.size.toLong
+    def sup(t: String) = baskets.count(_.contains(t)).toLong
+    val got = q("q190_assoc_rules").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(got.nonEmpty)
+    for (((a, b), (sab, sa, sb, nGot)) <- got) {
+      assert(sab === baskets.count(s => s.contains(a) && s.contains(b)).toLong,
+        s"pair ($a,$b)")
+      assert(sa === sup(a) && sb === sup(b) && nGot === n, s"pair ($a,$b)")
+      assert(sab <= sa && sab <= sb, s"support monotonicity ($a,$b)")
+    }
+  }
+
+  test("q191 top trigrams equal the naive per-user path count") {
+    val evs = graft.Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    val counts = evs.groupBy(_._1).values.flatMap { es =>
+      val t = es.sortBy(e => (e._4, e._2)).map(_._3)
+      t.sliding(3).filter(_.size == 3).map(s => (s(0), s(1), s(2)))
+    }.toSeq.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+    val expect = counts
+      .sortBy { case ((a, b, c), n) => (-n, a, b, c) }.take(10)
+      .map { case ((a, b, c), n) => (a, b, c, n) }
+    val got = q("q191_path_trigrams").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSeq
+    assert(got === expect)
+  }
+
   test("q176 fixed-round k-core equals the convergence-mode solve on the same graph") {
     import spark.implicits._
     val tok = graft.Tables.documents(spark, dir)
