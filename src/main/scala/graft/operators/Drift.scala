@@ -49,6 +49,36 @@ object Drift {
         col("n_all"))
   }
 
+  /** Per-group TOTAL-VARIATION distance of each group's distribution
+    * from the pooled one, from the same additive count table as
+    * [[ksFromCounts]] — the L1 companion to KS's sup metric (KS sees
+    * the worst single threshold; TV sees the whole mass displacement,
+    * catching many-small-shifts drift a sup metric underweights):
+    * TV = ½ Σ_v |p_v − q_v| ships integer as tv_num = Σ_v |c_s·n_all −
+    * c_g·n_grp| with the 2·n_grp·n_all denominator left to the
+    * consumer. No cumulative window at all — TV is a pointwise sum, so
+    * this is one grid-sized join + one hash agg, even cheaper than KS.
+    *
+    * Output: (`group`, tv_num, n_grp, n_all), one row per group.
+    */
+  def tvFromCounts(counts: DataFrame, groupCol: String, valueCol: String,
+      countCol: String): DataFrame = {
+    val per = counts.select(col(groupCol).as("g"), col(valueCol).as("v"),
+      col(countCol).cast("long").as("c"))
+    val grps = per.groupBy("g").agg(sum("c").as("ns"))
+    val na = per.agg(sum("c").as("ng"))
+    val gv = per.groupBy("v").agg(sum("c").as("cv"))
+    val grid = grps.select("g").crossJoin(gv)
+    grid.join(per, Seq("g", "v"), "left")
+      .join(broadcast(grps), "g").crossJoin(broadcast(na))
+      .groupBy("g")
+      .agg(sum(abs(coalesce(col("c"), lit(0L)) * col("ng") -
+          col("cv") * col("ns"))).as("tv_num"),
+        max("ns").as("n_grp"), max("ng").as("n_all"))
+      .select(col("g").as(groupCol), col("tv_num"), col("n_grp"),
+        col("n_all"))
+  }
+
   /** Merge a micro-batch of raw (`group`, `value`) observations into the
     * additive count state: one batch-sized count + a full-outer sum
     * merge on the state table. The state stays value-grid × groups

@@ -75,6 +75,38 @@ object StatOps {
           JOIN srcs ON s.source = srcs.source CROSS JOIN na
         GROUP BY s.source ORDER BY s.source""")),
 
+    // q192: per-source total-variation drift vs the corpus — the L1
+    // companion to q177's sup-metric KS on the SAME additive count
+    // state: TV = ½ Σ_v |p_v − q_v| sees the whole mass displacement,
+    // catching many-small-shifts drift a sup metric underweights (and a
+    // language-mix rotation that leaves every single length threshold
+    // nearly balanced). tv_num = Σ_v |c_s·n_all − c_v·n_src| integer,
+    // TV = tv_num/(2·n_src·n_all) at the consumer. Cheaper than KS:
+    // pointwise, so no cumulative window at all — one grid join + one
+    // hash agg. Same n_src·n_all overflow bound as q177.
+    QueryDef("q192_tv_drift",
+      (s, d) => {
+        val counts = docs(s, d)
+          .groupBy(col("source"), col("n_chars").as("v"))
+          .agg(count(lit(1)).as("c"))
+        graft.operators.Drift.tvFromCounts(counts, "source", "v", "c")
+          .withColumnRenamed("n_grp", "n_src")
+          .orderBy("source")
+      },
+      Some("""WITH dc AS (SELECT source, n_chars v FROM documents),
+          srcs AS (SELECT source, count(*) ns FROM dc GROUP BY 1),
+          na AS (SELECT count(*) ng FROM dc),
+          per AS (SELECT source, v, count(*) c FROM dc GROUP BY 1, 2),
+          gv AS (SELECT v, count(*) cv FROM dc GROUP BY 1),
+          grid AS (SELECT srcs.source, gv.v, gv.cv FROM srcs CROSS JOIN gv)
+        SELECT g.source AS source,
+          CAST(sum(abs(coalesce(per.c, 0) * na.ng - g.cv * srcs.ns))
+            AS BIGINT) tv_num,
+          CAST(max(srcs.ns) AS BIGINT) n_src, CAST(max(na.ng) AS BIGINT) n_all
+        FROM grid g LEFT JOIN per ON per.source = g.source AND per.v = g.v
+          JOIN srcs ON g.source = srcs.source CROSS JOIN na
+        GROUP BY g.source ORDER BY g.source""")),
+
     // q178: AUC of the length signal predicting English — the
     // Mann–Whitney rank statistic computed HISTOGRAM-STYLE: AUC only
     // depends on per-distinct-score class counts, so 2U =

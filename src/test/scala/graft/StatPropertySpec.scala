@@ -74,6 +74,27 @@ class StatPropertySpec extends SparkSpec {
     })
   }
 
+  test("tvFromCounts == naive L1 distance per group on arbitrary count tables") {
+    check("tv", Prop.forAll(genCounts) { counts =>
+      val got = Drift.tvFromCounts(counts.toDF("g", "v", "c"), "g", "v", "c")
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      val all = counts.flatMap { case (_, v, c) => Seq.fill(c.toInt)(v) }
+      val ng = all.size.toLong
+      val vals = all.distinct
+      counts.map(_._1).distinct.forall { g =>
+        val gv = counts.filter(_._1 == g)
+          .flatMap { case (_, v, c) => Seq.fill(c.toInt)(v) }
+        val ns = gv.size.toLong
+        val naive = vals.map { v =>
+          math.abs(gv.count(_ == v) * ng - all.count(_ == v) * ns)
+        }.sum
+        // TV ∈ [0, 1] ⇒ tv_num ≤ 2·ns·ng
+        got(g) == ((naive, ns, ng)) && naive <= 2 * ns * ng
+      }
+    })
+  }
+
   test("giniPerGroup == closed form and is 0 exactly on uniform counts") {
     check("gini", Prop.forAll(genCounts) { counts =>
       val tbl = counts.map { case (g, v, c) => (g, v.toString, c) }

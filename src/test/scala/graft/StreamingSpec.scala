@@ -689,5 +689,15 @@ class StreamingSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(streamed === batch,
       "stream-merged count state must reproduce the batch KS bit-for-bit")
+    // the TV metric reads the SAME state — one merged table serves the
+    // whole drift panel
+    val streamedTv = graft.operators.Drift
+      .tvFromCounts(state, "source", "v", "c")
+      .collect().map(_.toSeq).toSet
+    val batchTv = SparkEntry.queries("q192_tv_drift")(spark, dir)
+      .withColumnRenamed("n_src", "n_grp")
+      .collect().map(_.toSeq).toSet
+    assert(streamedTv === batchTv,
+      "the TV panel over the streamed state must equal the batch q192")
   }
 }
