@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -23,11 +24,17 @@ object Drift {
     * over the distinct-value grid is the exact sup.
     *
     * Output: (`group`, ks_num, n_grp, n_all), one row per group.
+    *
+    * NULL values are EXCLUDED from the grid — a NULL observation has no
+    * place in an ECDF, and SQL engines disagree on where NULL sorts
+    * (Spark windows default ASC NULLS FIRST, DuckDB NULLS LAST), so a
+    * NULL step would land at opposite ends of the two cumulative sums.
     */
   def ksFromCounts(counts: DataFrame, groupCol: String, valueCol: String,
       countCol: String): DataFrame = {
     val per = counts.select(col(groupCol).as("g"), col(valueCol).as("v"),
-      col(countCol).cast("long").as("c"))
+        col(countCol).cast("long").as("c"))
+      .filter(col("v").isNotNull)
     val grps = per.groupBy("g").agg(sum("c").as("ns"))
     val na = per.agg(sum("c").as("ng"))
     val grid = grps.select("g").crossJoin(per.select("v").distinct())
@@ -60,11 +67,15 @@ object Drift {
     * this is one grid-sized join + one hash agg, even cheaper than KS.
     *
     * Output: (`group`, tv_num, n_grp, n_all), one row per group.
+    *
+    * NULL values are EXCLUDED, same contract (and reason) as
+    * [[ksFromCounts]].
     */
   def tvFromCounts(counts: DataFrame, groupCol: String, valueCol: String,
       countCol: String): DataFrame = {
     val per = counts.select(col(groupCol).as("g"), col(valueCol).as("v"),
-      col(countCol).cast("long").as("c"))
+        col(countCol).cast("long").as("c"))
+      .filter(col("v").isNotNull)
     val grps = per.groupBy("g").agg(sum("c").as("ns"))
     val na = per.agg(sum("c").as("ng"))
     val gv = per.groupBy("v").agg(sum("c").as("cv"))
@@ -82,11 +93,15 @@ object Drift {
   /** Merge a micro-batch of raw (`group`, `value`) observations into the
     * additive count state: one batch-sized count + a full-outer sum
     * merge on the state table. The state stays value-grid × groups
-    * sized; history is never rescanned.
+    * sized; history is never rescanned. NULL-valued observations are
+    * dropped at the door (the [[ksFromCounts]] contract — and a NULL
+    * join key never matches in the full-outer merge, so keeping them
+    * would accumulate one duplicate NULL row per micro-batch).
     */
   def mergeCounts(state: DataFrame, batch: DataFrame, groupCol: String,
       valueCol: String, countCol: String): DataFrame = {
-    val b = batch.groupBy(col(groupCol).as("g"), col(valueCol).as("v"))
+    val b = batch.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol).as("g"), col(valueCol).as("v"))
       .agg(count(lit(1)).as("bc"))
     state.select(col(groupCol).as("g"), col(valueCol).as("v"),
         col(countCol).cast("long").as("sc"))
@@ -94,5 +109,92 @@ object Drift {
       .select(col("g").as(groupCol), col("v").as(valueCol),
         (coalesce(col("sc"), lit(0L)) + coalesce(col("bc"), lit(0L)))
           .as(countCol))
+  }
+
+  // ------------------------------------------------------------------
+  // At-rest form of the count state — the same `_graft_index`-style
+  // contract every other freshness lifecycle carries (LSH/IVF/PQ
+  // indexes, the component-label table): `path/_graft_index` records the
+  // kind (`drift`) and the three column names the state was built with,
+  // `path/counts` holds the (group, value, count) table as plain parquet
+  // (grid-sized — groups × distinct values — so partitioning layout is
+  // immaterial; a plain write is one tiny job). A restarted monitor
+  // resumes from the persisted table instead of rescanning history, and
+  // [[mergeIntoCounts]] gives the micro-batch append the staged-swap
+  // crash-safety of the index compactor: a reader never sees a
+  // half-written state, and a crashed merge leaves the live state
+  // untouched.
+
+  private def metaPath(path: String) = new Path(s"$path/_graft_index")
+
+  /** Persist the additive count state at `path` (overwriting any prior
+    * state there). NULL values are dropped at the door — the
+    * [[ksFromCounts]] contract, enforced at rest so every future reader
+    * agrees.
+    */
+  def writeCounts(counts: DataFrame, path: String, groupCol: String,
+      valueCol: String, countCol: String): Unit = {
+    val spark = counts.sparkSession
+    counts.select(col(groupCol), col(valueCol), col(countCol).cast("long"))
+      .filter(col(valueCol).isNotNull)
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/counts")
+    val p = metaPath(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(("drift" +: Seq(groupCol, valueCol, countCol))
+      .mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Read a persisted count state back: the counts frame plus the
+    * recorded (groupCol, valueCol, countCol) names — explicit metadata,
+    * not schema inference, so a future internal column can never be
+    * misread as one of the three. Fails with a domain message on a path
+    * holding no drift state.
+    */
+  def readCounts(spark: SparkSession, path: String)
+      : (DataFrame, String, String, String) = {
+    val p = metaPath(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p),
+      s"no drift count state at $path (missing ${p.getName}) — persist " +
+        "one with Drift.writeCounts first")
+    val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+    val in = fs.open(p)
+    try in.readFully(0, buf) finally in.close()
+    val lines = new String(buf, java.nio.charset.StandardCharsets.UTF_8)
+      .split("\n", -1).toSeq
+    require(lines.head == "drift",
+      s"state at $path is kind '${lines.head}', expected drift")
+    lines.tail.filter(_.nonEmpty) match {
+      case Seq(g, v, c) => (spark.read.parquet(s"$path/counts"), g, v, c)
+      case other => throw new IllegalArgumentException(
+        s"drift state at $path records ${other.size} column names, expected 3")
+    }
+  }
+
+  /** Micro-batch append against the state AT REST: merge the raw
+    * (`group`, `value`) observations in `batch` into the persisted table
+    * via [[mergeCounts]] and swap the result live — staging write + two
+    * renames, so a crash at any point leaves either the old or the new
+    * state, never a torn one. Returns the new state frame (a pure read
+    * of the published files). History is never rescanned: the merge
+    * reads the grid-sized state and the batch, nothing else.
+    */
+  def mergeIntoCounts(spark: SparkSession, path: String,
+      batch: DataFrame): DataFrame = {
+    val (state, g, v, c) = readCounts(spark, path)
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = new Path(s"$path/counts")
+    val staging = new Path(s"$path/counts_staging")
+    fs.delete(staging, true) // a crashed previous merge leaves no debris
+    mergeCounts(state, batch, g, v, c).write.parquet(staging.toString)
+    val retired = new Path(s"$path/counts_retired")
+    fs.delete(retired, true)
+    require(fs.rename(live, retired), s"could not retire $live")
+    require(fs.rename(staging, live), s"could not publish $staging")
+    fs.delete(retired, true)
+    spark.read.parquet(live.toString)
   }
 }

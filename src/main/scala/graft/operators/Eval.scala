@@ -24,13 +24,18 @@ object Eval {
     *
     * Output: ONE row (auc_num2, n_pos, n_neg); AUC =
     * auc_num2/(2·n_pos·n_neg). Empty input → nulls in the sums (callers
-    * on possibly-empty frames coalesce). NULL values sort first in the
-    * grid like any value; NULL labels count as negative — filter
-    * upstream if that is not the contract you want.
+    * on possibly-empty frames coalesce). NULL values are EXCLUDED — an
+    * unscored row has no rank position in either ECDF (and SQL engines
+    * disagree on where NULL sorts, so keeping it would tie the result to
+    * one engine's NULLS FIRST/LAST default). NULL labels count as
+    * negative (coalesced to false — `!NULL` is NULL, so without the
+    * coalesce a NULL-labeled row would vanish from BOTH classes).
     */
   def aucHistogram(df: DataFrame, posCol: String,
       valueCol: String): DataFrame = {
-    val h = df.select(col(posCol).as("pos"), col(valueCol).as("v"))
+    val h = df.select(coalesce(col(posCol), lit(false)).as("pos"),
+        col(valueCol).as("v"))
+      .filter(col("v").isNotNull)
       .groupBy("v").agg(
         sum(when(col("pos"), 1L).otherwise(0L)).as("np"),
         sum(when(!col("pos"), 1L).otherwise(0L)).as("nn"))

@@ -23,44 +23,67 @@ object Analytics {
   // q161's backfilled table and q162's schema-evolved table, each built
   // ONCE per (session, sf dir) under /tmp — the q147/q103 at-rest-artifact
   // lifecycle: the registered query is then a pure read of table state.
-  // ConcurrentHashMap.computeIfAbsent, NOT TrieMap.getOrElseUpdate: the
-  // builders are side-effecting (temp-dir writes, a Derby database +
-  // MERGEs), and getOrElseUpdate can run a racing builder twice and leak
-  // the loser's state — computeIfAbsent locks the key and runs it once.
-  private val backfillCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]
-  private val evolveCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]
-  private val jdbcCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), (String, java.util.Properties)]
+  private val backfillCache = new SessionMemo[String]
+  private val evolveCache = new SessionMemo[String]
+  private val jdbcCache = new SessionMemo[(String, java.util.Properties)]
 
   // Top-100 token co-occurrence edges shared by the graph-stats trio
   // (q176 k-core, q187 assortativity, q189 coreness ladder) — the q77
   // memoized-artifact pattern: the per-doc token self-join + count
-  // shuffle is the only corpus-sized stage any of them has, so it is
-  // computed ONCE per (session, sf dir) and kept as a persist-cut
-  // (~100 rows); each query then starts from the at-rest edge frame.
-  private val coocCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), org.apache.spark.sql.DataFrame]
+  // shuffle is the only corpus-sized stage any of them has, so it runs
+  // ONCE per (session, sf dir). The memoized value is the COLLECTED
+  // top-100 edge list (bounded by construction — a TakeOrdered-to-driver
+  // of 100 rows, not a corpus collect), both because the SessionMemo
+  // contract forbids caching a Dataset and because a 100-row
+  // LocalRelation is the better artifact anyway: no pinned storage
+  // blocks, and every consumer join against it broadcasts for free.
+  private val coocCache = new SessionMemo[Seq[(String, String)]]
 
-  private def coocEdges(s: SparkSession, d: String)
-      : org.apache.spark.sql.DataFrame =
-    coocCache.computeIfAbsent((s, d), { _ =>
+  private[graft] def coocEdges(s: SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val edges = coocCache(s, d) {
       val tok = graft.queries.TextShared.docs(s, d)
         .select(col("doc_id"),
           explode(array_distinct(graft.functions.TextFns.tokens(
             col("text")))).as("w"))
-      val pairs = tok.as("l").join(tok.as("r"),
+      tok.as("l").join(tok.as("r"),
           col("l.doc_id") === col("r.doc_id") && col("l.w") < col("r.w"))
         .groupBy(col("l.w").as("wa"), col("r.w").as("wb"))
         .agg(count(lit(1)).as("c"))
-      graft.operators.Checkpoints.cut(
-        pairs.withColumn("rk", row_number().over(
-            org.apache.spark.sql.expressions.Window
-              .orderBy(col("c").desc, col("wa"), col("wb"))))
-          .filter(col("rk") <= 100)
-          .select("wa", "wb"))
-    })
+        // global top-100 by the (c DESC, wa, wb) total order via
+        // orderBy.limit = TakeOrdered (per-partition heaps + a 100-row
+        // driver merge), replacing the r14 unpartitioned rank window
+        .orderBy(col("c").desc, col("wa"), col("wb")).limit(100)
+        .select("wa", "wb")
+        .collect().toSeq.map(r => (r.getString(0), r.getString(1)))
+    }
+    import s.implicits._
+    edges.toDF("wa", "wb")
+  }
+
+  // CacheHygieneSpec probe: does any session-scoped memo still key `s`?
+  private[graft] def memoHolds(s: SparkSession): Boolean =
+    backfillCache.holds(s) || evolveCache.holds(s) ||
+      jdbcCache.holds(s) || coocCache.holds(s)
+
+  // q190/q194 shared basket construction: 30-minute sessions (the q133
+  // sessionization), each basket = a session's DISTINCT event types —
+  // the user-level basket would be degenerate, every active user
+  // touching all 5 types.
+  private def sessionItems(s: SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val wOrd = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val us = unix_micros(col("ts"))
+    val gap = us - lag(us, 1).over(wOrd)
+    ev(s, d)
+      .withColumn("brk",
+        when(gap.isNull || gap > lit(1800000000L), 1L).otherwise(0L))
+      .withColumn("sess",
+        sum("brk").over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("user_id"), col("sess"), col("event_type").as("it"))
+      .distinct()
+  }
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -572,7 +595,7 @@ object Analytics {
     // static-mode truncation of them) hash-fails immediately.
     QueryDef("q161_partition_backfill",
       (s, d) => {
-        val dir = backfillCache.computeIfAbsent((s, d), _ => {
+        val dir = backfillCache(s, d) {
           val t = java.nio.file.Files
             .createTempDirectory("graft_q161").toString + "/orders"
           val base = ord(s, d).select(col("o_orderkey"),
@@ -583,7 +606,7 @@ object Analytics {
           graft.sources.Maintenance.backfillPartitions(
             fix, t, Seq("o_orderstatus"))
           t
-        })
+        }
         s.read.parquet(dir)
           .select(col("o_orderkey"), col("o_orderstatus"),
             round(col("o_totalprice"), 2).as("o_totalprice"))
@@ -601,7 +624,7 @@ object Analytics {
     // NULL-backfill contract from the source table.
     QueryDef("q162_schema_evolution",
       (s, d) => {
-        val dir = evolveCache.computeIfAbsent((s, d), _ => {
+        val dir = evolveCache(s, d) {
           val t = java.nio.file.Files
             .createTempDirectory("graft_q162").toString + "/docs"
           val docs = Tables.documents(s, d)
@@ -612,7 +635,7 @@ object Analytics {
             .select(col("doc_id"), col("n_chars"), col("lang"))
             .write.parquet(s"$t/b=2")
           t
-        })
+        }
         graft.sources.Maintenance.readEvolved(s, dir)
           .select(col("doc_id"), col("n_chars"), col("lang"),
             col("b").cast("int").as("b"))
@@ -636,7 +659,7 @@ object Analytics {
     // per-partition parallel form unchanged.
     QueryDef("q163_jdbc_upsert_roundtrip",
       (s, d) => {
-        val (url, props) = jdbcCache.computeIfAbsent((s, d), _ => {
+        val (url, props) = jdbcCache(s, d) {
           val u = s"jdbc:derby:memory:graftq163_${System.nanoTime()};create=true"
           val p = new java.util.Properties()
           p.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
@@ -656,7 +679,7 @@ object Analytics {
           graft.sources.JdbcUpsert.upsertInPlace(
             fix.coalesce(1), u, "orders_sink", p, "o_orderkey")
           (u, p)
-        })
+        }
         s.read.jdbc(url, "orders_sink", props)
           .select(col("o_orderkey"), col("o_orderstatus"),
             round(col("o_totalprice"), 2).as("o_totalprice"))
@@ -1396,17 +1419,7 @@ object Analytics {
     // and |types|²-row aggregates.
     QueryDef("q190_assoc_rules",
       (s, d) => {
-        val wOrd = Window.partitionBy(col("user_id"))
-          .orderBy(col("ts"), col("event_id"))
-        val us = unix_micros(col("ts"))
-        val gap = us - lag(us, 1).over(wOrd)
-        val items = ev(s, d)
-          .withColumn("brk",
-            when(gap.isNull || gap > lit(1800000000L), 1L).otherwise(0L))
-          .withColumn("sess",
-            sum("brk").over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
-          .select(col("user_id"), col("sess"), col("event_type").as("it"))
-          .distinct()
+        val items = sessionItems(s, d)
         val n = items.select("user_id", "sess").distinct()
           .agg(count(lit(1)).as("n_sessions"))
         val sup = items.groupBy("it").agg(count(lit(1)).as("s"))
@@ -1483,16 +1496,19 @@ object Analytics {
     // continues each rung from the previous rung's surviving edge frame
     // (k-cores nest), so the full edge set is collapsed and peeled
     // once; the oracle replays each rung from scratch — equal at
-    // convergence by the nesting theorem. Round budgets differ on
-    // purpose and that is sound: BOTH sides run ≥ each rung's peel
-    // depth (1 at every testdata sf; the engine takes 2 per rung — the
-    // per-round job floor, not data, dominates a ≤100-edge graph — the
-    // oracle unrolls 4), and past convergence every extra round is an
-    // exact no-op on either side.
+    // convergence by the nesting theorem. Round budgets MATCH on
+    // purpose: both sides run exactly 4 peel rounds per rung, so the
+    // results are equal round-for-round at ANY data — convergence or
+    // not — instead of only when every rung's peel depth happens to be
+    // ≤ the smaller budget (it is 1 at current testdata sfs, but a
+    // deeper shell cascade at a new scale factor must not silently
+    // diverge). Past convergence every extra round is an exact no-op
+    // on either side, so the cost is scheduling floor on a ≤100-edge
+    // graph, not data.
     QueryDef("q189_core_levels",
       (s, d) => graft.operators.Components
         .coreLevels(coocEdges(s, d), "wa", "wb", ks = Seq(2, 4, 6),
-          rounds = 2)
+          rounds = 4)
         .select(col("id").as("token"), col("core_level"))
         .orderBy("token"),
       Some(s"""WITH x AS (SELECT doc_id, list_distinct(${TextShared.OToks}) t
@@ -1523,6 +1539,54 @@ object Analytics {
         SELECT id AS token, CAST(max(lvl) AS BIGINT) AS core_level
         FROM (SELECT * FROM k2m UNION ALL SELECT * FROM k4m
               UNION ALL SELECT * FROM k6m)
-        GROUP BY id ORDER BY token"""))
+        GROUP BY id ORDER BY token""")),
+
+    // q194: frequent session pairs at ≥1/300 relative support — q190's
+    // documented large-vocabulary path made real: Itemsets.frequentPairs
+    // prunes infrequent items BEFORE any pair is generated (FP-Growth's
+    // anti-monotone conditional-base construction, 2-itemset
+    // specialization; the PFP sharding is the pair-count shuffle), where
+    // q190 self-joins every item instance. The oracle deliberately mines
+    // the UNPRUNED pair table and filters at the end — the two are
+    // provably equal (s_a ≥ s_ab ≥ floor: both members of any frequent
+    // pair are frequent, so the prune removes no surviving count), and
+    // the hash-match IS that equivalence proof at data. Canonical a < b
+    // rows (itemsets, not rules — q190 keeps the ordered-rule view);
+    // relative support is the integer predicate 300·s ≥ n, never a float
+    // and never an absolute count (which silently empties or explodes
+    // when sf changes — the q176 lesson).
+    QueryDef("q194_frequent_pairs",
+      (s, d) => graft.operators.Itemsets
+        .frequentPairs(sessionItems(s, d), Seq("user_id", "sess"), "it",
+          minSupNum = 1L, minSupDen = 300L)
+        .withColumnRenamed("n_baskets", "n_sessions")
+        .orderBy("a", "b"),
+      Some("""WITH e AS (SELECT user_id, ts, event_id, event_type,
+            CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 > 1800000000
+                 OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   IS NULL
+            THEN 1 ELSE 0 END brk
+          FROM events),
+        sn AS (SELECT user_id, event_type,
+               sum(brk) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) sess
+             FROM e),
+        items AS (SELECT DISTINCT user_id, sess, event_type it FROM sn),
+        n AS (SELECT count(*) n_sessions FROM
+          (SELECT DISTINCT user_id, sess FROM items)),
+        sup AS (SELECT it, count(*) s FROM items GROUP BY 1),
+        bo AS (SELECT x.it a, y.it b, count(*) s_ab FROM items x
+          JOIN items y ON x.user_id = y.user_id AND x.sess = y.sess
+            AND x.it < y.it
+          GROUP BY 1, 2)
+        SELECT a, b, CAST(s_ab AS BIGINT) s_ab,
+          CAST(sa.s AS BIGINT) s_a, CAST(sb.s AS BIGINT) s_b,
+          CAST(n.n_sessions AS BIGINT) n_sessions
+        FROM bo JOIN sup sa ON bo.a = sa.it JOIN sup sb ON bo.b = sb.it
+        CROSS JOIN n
+        WHERE s_ab * 300 >= n.n_sessions
+        ORDER BY a, b"""))
   )
 }

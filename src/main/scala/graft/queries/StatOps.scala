@@ -29,6 +29,13 @@ object StatOps {
   private def ev(s: org.apache.spark.sql.SparkSession, d: String) =
     graft.Tables.events(s, d)
 
+  // q193's persisted drift state, built ONCE per (session, sf dir) under
+  // /tmp — the q161/q163 at-rest-artifact lifecycle: an empty state is
+  // seeded (Drift.writeCounts), the corpus lands in three doc_id-sliced
+  // micro-batches through the staged-swap merge (Drift.mergeIntoCounts),
+  // and the registered query is then a pure read of the published files.
+  private val driftStateCache = new SessionMemo[String]
+
   val defs: Seq[QueryDef] = Seq(
 
     // q177: per-source two-sample Kolmogorov–Smirnov drift vs the whole
@@ -150,10 +157,18 @@ object StatOps {
           .groupBy("source", "t").agg(count(lit(1)).as("f"))
         val w = Window.partitionBy("source")
           .orderBy(col("f").desc, col("t"))
-        counts.withColumn("r", row_number().over(w).cast("long"))
-          .filter(col("r").isin(1L, 2L, 4L, 8L, 16L))
-          .select(col("source"), col("r").as("rank"), col("t").as("token"),
-            col("f").as("freq"), (col("r") * col("f")).as("rank_freq"))
+        // the redundant r <= 16 conjunct is load-bearing: an `In`
+        // predicate alone doesn't trigger InferWindowGroupLimit, the
+        // `<=` literal does — each source's vocabulary is then top-16
+        // heap-pruned before the rank sort instead of fully sorted.
+        // The filter rides the RAW row_number attribute (the rule
+        // matches bare rank attributes; a cast wrapper blocks it) —
+        // the BIGINT output contract is applied after, in the select
+        counts.withColumn("r", row_number().over(w))
+          .filter(col("r") <= 16 && col("r").isin(1, 2, 4, 8, 16))
+          .select(col("source"), col("r").cast("long").as("rank"),
+            col("t").as("token"), col("f").as("freq"),
+            (col("r").cast("long") * col("f")).as("rank_freq"))
           .orderBy("source", "rank")
       },
       Some(s"""WITH tf AS (SELECT source, tok t, count(*) f FROM (
@@ -386,7 +401,17 @@ object StatOps {
             explode(TextFns.tokens(col("text"))).as("t"))
           .groupBy("fh", "t").agg(count(lit(1)).as("f"))
         val w = Window.partitionBy("fh").orderBy(col("f").desc, col("t"))
-        val ranked = counts.withColumn("r", row_number().over(w).cast("long"))
+        // r <= 16: the query consumes nothing past the deepest dyadic
+        // depth, and the literal predicate lets InferWindowGroupLimit
+        // heap-prune each half's vocabulary BEFORE the rank sort — the
+        // window partitions on a 2-value column, so without the group
+        // limit each half's ENTIRE Heap's-law vocabulary sorts in one
+        // task; with it, each task keeps a 16-element heap. The filter
+        // rides the RAW row_number attribute (a cast wrapper blocks the
+        // rule); r stays IntegerType — downstream comparisons against
+        // the long depth column widen implicitly and r is never output
+        val ranked = counts.withColumn("r", row_number().over(w))
+          .filter(col("r") <= 16)
         val depths = array((Seq(1L, 2L, 4L, 8L, 16L)).map(lit): _*)
         val heads = ranked.select(col("fh"), explode(depths).as("d"),
             when(col("r") <= col("d"), 1L).otherwise(0L).as("in_head"))
@@ -499,9 +524,10 @@ object StatOps {
         val perTok = perDoc.groupBy("t")
           .agg(count(lit(1)).as("n_docs_present"), sum("x").as("sx"),
             sum(col("x") * col("x")).as("sxx"))
-        val w = Window.orderBy(col("sx").desc, col("t"))
-        perTok.withColumn("rk", row_number().over(w))
-          .filter(col("rk") <= 20)
+        // global top-20 is TakeOrdered (per-partition heaps + a 20-row
+        // driver merge — the q154/q191 stance), never an unpartitioned
+        // rank window that needs the optimizer's group-limit favor
+        perTok.orderBy(col("sx").desc, col("t")).limit(20)
           .crossJoin(broadcast(nd))
           .select(col("t").as("token"), col("sx").as("freq"),
             col("n_docs_present"),
@@ -520,6 +546,77 @@ object StatOps {
           CAST(nd * sxx - sx * sx AS BIGINT) fano_num,
           CAST((nd - 1) * sx AS BIGINT) fano_den
         FROM rk CROSS JOIN n WHERE r <= 20
-        ORDER BY freq DESC, token"""))
+        ORDER BY freq DESC, token""")),
+
+    // q193: the drift panel AS A RESTARTED MONITOR sees it — KS (q177)
+    // and TV (q192) both computed from the PERSISTED count state after
+    // three micro-batch merges through the at-rest table: writeCounts
+    // seeds an empty state, each doc_id-sliced batch lands via
+    // mergeIntoCounts' staged swap, readCounts resumes from the
+    // published files + recorded column names. The count state is
+    // ADDITIVE, so replaying the corpus in batches reproduces the
+    // all-at-once counts exactly — the oracle therefore states the
+    // panel directly from `documents`, and any defect in the
+    // write/merge/swap/read path (lost batch, torn swap, NULL or
+    // column-name drift) hash-fails here. One state table serves both
+    // metrics; the check itself is grid-sized.
+    QueryDef("q193_drift_panel_at_rest",
+      (s, d) => {
+        val path = driftStateCache(s, d) {
+          val t = java.nio.file.Files
+            .createTempDirectory("graft_q193").toString + "/state"
+          import s.implicits._
+          graft.operators.Drift.writeCounts(
+            Seq.empty[(String, Long, Long)].toDF("source", "v", "c"),
+            t, "source", "v", "c")
+          (0L to 2L).foreach { i =>
+            graft.operators.Drift.mergeIntoCounts(s, t,
+              docs(s, d).filter(pmod(col("doc_id"), lit(3L)) === i)
+                .select(col("source"), col("n_chars").as("v")))
+          }
+          t
+        }
+        val (state, g, v, c) = graft.operators.Drift.readCounts(s, path)
+        val ks = graft.operators.Drift.ksFromCounts(state, g, v, c)
+          .select(col("source"), col("ks_num"),
+            col("n_grp").as("n_src"), col("n_all"))
+        val tv = graft.operators.Drift.tvFromCounts(state, g, v, c)
+          .select(col("source"), col("tv_num"))
+        ks.join(tv, "source")
+          .select(col("source"), col("ks_num"), col("tv_num"),
+            col("n_src"), col("n_all"))
+          .orderBy("source")
+      },
+      Some("""WITH dc AS (SELECT source, n_chars v FROM documents),
+          srcs AS (SELECT source, count(*) ns FROM dc GROUP BY 1),
+          na AS (SELECT count(*) ng FROM dc),
+          per AS (SELECT source, v, count(*) c FROM dc GROUP BY 1, 2),
+          grid AS (SELECT srcs.source, vals.v FROM srcs
+                   CROSS JOIN (SELECT DISTINCT v FROM dc) vals),
+          scum AS (SELECT g.source, g.v,
+              sum(coalesce(per.c, 0)) OVER (PARTITION BY g.source
+                ORDER BY g.v ROWS UNBOUNDED PRECEDING) cs
+            FROM grid g LEFT JOIN per
+              ON per.source = g.source AND per.v = g.v),
+          gcum AS (SELECT v, sum(count(*)) OVER (ORDER BY v
+                ROWS UNBOUNDED PRECEDING) cg
+            FROM dc GROUP BY v),
+          gv AS (SELECT v, count(*) cv FROM dc GROUP BY 1),
+          ks AS (SELECT s.source,
+              max(abs(s.cs * na.ng - gcum.cg * srcs.ns)) ks_num,
+              max(srcs.ns) ns, max(na.ng) ng
+            FROM scum s JOIN gcum USING (v)
+              JOIN srcs ON s.source = srcs.source CROSS JOIN na
+            GROUP BY s.source),
+          tv AS (SELECT g.source,
+              sum(abs(coalesce(per.c, 0) * na.ng - g.cv * srcs.ns)) tv_num
+            FROM (SELECT srcs.source, gv.v, gv.cv FROM srcs CROSS JOIN gv) g
+            LEFT JOIN per ON per.source = g.source AND per.v = g.v
+            JOIN srcs ON g.source = srcs.source CROSS JOIN na
+            GROUP BY g.source)
+        SELECT ks.source AS source, CAST(ks_num AS BIGINT) ks_num,
+          CAST(tv_num AS BIGINT) tv_num, CAST(ns AS BIGINT) n_src,
+          CAST(ng AS BIGINT) n_all
+        FROM ks JOIN tv ON ks.source = tv.source ORDER BY source"""))
   )
 }

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Drift
+
+/** The drift count state AT REST: write → micro-batch merges through the
+  * staged-swap files → read must reproduce the all-in-memory panel
+  * bit-for-bit (the StreamingSpec three-batch case, routed through the
+  * filesystem instead of foreachBatch frames), and the metadata contract
+  * must fail loudly on paths that hold no state.
+  */
+class DriftStateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def tmpState(): String = java.nio.file.Files
+    .createTempDirectory("graft_driftstate").toString + "/state"
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(_.toSeq).toSet
+
+  test("write -> merge two micro-batches -> read == the in-memory merge, bit-for-bit") {
+    val path = tmpState()
+    val obs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars").as("v"))
+    val parts = (0 to 2).map(i =>
+      obs.filter(pmod(col("doc_id"), lit(3)) === i).select("source", "v"))
+
+    // at-rest path: batch 0 seeds the written state, batches 1 and 2
+    // land through mergeIntoCounts' staged swap
+    Drift.writeCounts(
+      parts(0).groupBy("source", "v").agg(count(lit(1)).as("c")),
+      path, "source", "v", "c")
+    Drift.mergeIntoCounts(spark, path, parts(1))
+    Drift.mergeIntoCounts(spark, path, parts(2))
+    val (state, g, v, c) = Drift.readCounts(spark, path)
+    assert((g, v, c) === (("source", "v", "c")),
+      "readCounts must return the recorded column names")
+
+    // in-memory reference: same three batches through mergeCounts frames
+    var mem = Seq.empty[(String, Long, Long)].toDF("source", "v", "c")
+    parts.foreach(p => mem = Drift.mergeCounts(mem, p, "source", "v", "c"))
+
+    assert(rows(state) === rows(mem),
+      "the published count table must equal the in-memory merge")
+    assert(rows(Drift.ksFromCounts(state, g, v, c)) ===
+      rows(Drift.ksFromCounts(mem, "source", "v", "c")),
+      "KS over the at-rest state must be bit-equal to the in-memory path")
+    assert(rows(Drift.tvFromCounts(state, g, v, c)) ===
+      rows(Drift.tvFromCounts(mem, "source", "v", "c")),
+      "TV over the at-rest state must be bit-equal to the in-memory path")
+
+    // and the additive-state law the whole lifecycle rests on: the
+    // batched merge equals counting everything at once
+    val allAtOnce = obs.select("source", "v")
+      .groupBy("source", "v").agg(count(lit(1)).as("c"))
+    assert(rows(state) === rows(allAtOnce),
+      "replaying the corpus in batches must reproduce the one-shot counts")
+  }
+
+  test("readCounts fails with a domain message where no state exists") {
+    val e = intercept[IllegalArgumentException] {
+      Drift.readCounts(spark, tmpState() + "_nowhere")
+    }
+    assert(e.getMessage.contains("no drift count state"),
+      s"wanted the domain message, got: ${e.getMessage}")
+  }
+
+  test("a crashed merge's staging debris never corrupts the next merge") {
+    val path = tmpState()
+    import spark.implicits._
+    val seed = Seq(("a", 1L), ("a", 2L), ("b", 1L)).toDF("g", "v")
+    Drift.writeCounts(seed.groupBy("g", "v").agg(count(lit(1)).as("c")),
+      path, "g", "v", "c")
+    // simulate a crash that left a half-written staging dir behind
+    val debris = new org.apache.hadoop.fs.Path(s"$path/counts_staging")
+    val fs = debris.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(debris)
+    val out = fs.create(new org.apache.hadoop.fs.Path(debris, "junk"), true)
+    out.write(Array[Byte](1, 2, 3)); out.close()
+    val merged = Drift.mergeIntoCounts(spark, path,
+      Seq(("a", 1L), ("c", 5L)).toDF("g", "v"))
+    assert(rows(merged) === Set(Seq("a", 1L, 2L), Seq("a", 2L, 1L),
+      Seq("b", 1L, 1L), Seq("c", 5L, 1L)))
+  }
+}

@@ -503,4 +503,26 @@ class PlanGuardSpec extends SparkSpec {
       s"the window must ride the histogram aggregate, not raw rows:\n" +
         df.queryExecution.optimizedPlan)
   }
+
+  test("q185/q179 vocabulary rank windows are group-limited (top-16 heap before the sort)") {
+    // q185 partitions its window on a 2-value column — without the
+    // group limit each corpus half's ENTIRE vocabulary sorts in one
+    // task; q179 spreads per-source but still sorts each source's full
+    // vocabulary. The literal r <= 16 predicate on the RAW rank
+    // attribute lets InferWindowGroupLimit insert the per-partition
+    // heap, so each task keeps 16 rows instead of Heap's-law many.
+    for (q <- Seq("q185_head_overlap", "q179_zipf_probe")) {
+      val p = finalPlan(q)
+      assert(p.contains("WindowGroupLimit"),
+        s"$q must heap-prune its rank window to r <= 16 before sorting:\n$p")
+    }
+  }
+
+  test("q188 burstiness: global top-20 is TakeOrdered, no rank window at all") {
+    val p = finalPlan("q188_burstiness")
+    assert(count("Window", p) === 0,
+      s"top-k must not be an unpartitioned rank window:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 must run as per-partition heaps + a 20-row driver merge:\n$p")
+  }
 }

@@ -43,6 +43,38 @@ class StatPropertySpec extends SparkSpec {
     })
   }
 
+  // nullable variant: NULL labels and NULL values must follow the stated
+  // contract (label → negative, value → excluded), not vanish from both
+  // classes (`!NULL` is NULL) or sort engine-dependently
+  private val genLabeledNullable
+      : Gen[List[(Option[Boolean], Option[Long])]] = for {
+    n <- Gen.choose(1, 60)
+    rows <- Gen.listOfN(n, Gen.zip(
+      Gen.oneOf(Option(true), Option(false), Option.empty[Boolean]),
+      Gen.frequency(4 -> Gen.choose(0L, 8L).map(Option(_)),
+        1 -> Gen.const(Option.empty[Long]))))
+  } yield rows
+
+  test("aucHistogram NULL contract: NULL label is negative, NULL value is excluded") {
+    check("aucNull", Prop.forAll(genLabeledNullable) { rows =>
+      val df = rows.map { case (p, v) =>
+        (p.map(java.lang.Boolean.valueOf).orNull,
+          v.map(java.lang.Long.valueOf).orNull)
+      }.toDF("pos", "v")
+      val got = Eval.aucHistogram(df, "pos", "v").collect().head
+      val kept = rows.collect { case (p, Some(v)) => (p.contains(true), v) }
+      val pos = kept.filter(_._1).map(_._2)
+      val neg = kept.filterNot(_._1).map(_._2)
+      val naive2U = (for (p <- pos; n <- neg)
+        yield if (p > n) 2L else if (p == n) 1L else 0L).sum
+      val gotNum = if (got.isNullAt(0)) 0L else got.getLong(0)
+      val gotPos = if (got.isNullAt(1)) 0L else got.getLong(1)
+      val gotNeg = if (got.isNullAt(2)) 0L else got.getLong(2)
+      gotNum == naive2U && gotPos == pos.size.toLong &&
+        gotNeg == neg.size.toLong
+    })
+  }
+
   private val genCounts: Gen[List[(String, Long, Long)]] = for {
     n <- Gen.choose(1, 40)
     rows <- Gen.listOfN(n, for {
@@ -93,6 +125,36 @@ class StatPropertySpec extends SparkSpec {
         got(g) == ((naive, ns, ng)) && naive <= 2 * ns * ng
       }
     })
+  }
+
+  test("ks/tv/mergeCounts NULL values: a NULL observation is invisible to the panel") {
+    // adding NULL-valued rows to the count table (or NULL observations
+    // to a merged batch) must change NOTHING — not the sup/L1 numerators
+    // and not the n_grp/n_all denominators. Without the exclusion the
+    // NULL ECDF step would land at opposite ends in Spark (NULLS FIRST)
+    // and DuckDB (NULLS LAST).
+    check("ksTvNull", Prop.forAll(genCounts) { counts =>
+      val clean = counts.toDF("g", "v", "c")
+      val dirty = (counts.map { case (g, v, c) =>
+          (g, java.lang.Long.valueOf(v), c)
+        } ++ List(("a", null: java.lang.Long, 2L),
+          ("b", null: java.lang.Long, 1L))).toDF("g", "v", "c")
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.toSeq).toSet
+      val ksSame = rows(Drift.ksFromCounts(clean, "g", "v", "c")) ==
+        rows(Drift.ksFromCounts(dirty, "g", "v", "c"))
+      val tvSame = rows(Drift.tvFromCounts(clean, "g", "v", "c")) ==
+        rows(Drift.tvFromCounts(dirty, "g", "v", "c"))
+      val batchClean = counts.map { case (g, v, _) => (g, v) }.toDF("g", "v")
+      val batchDirty = (counts.map { case (g, v, _) =>
+          (g, java.lang.Long.valueOf(v))
+        } ++ List(("c", null: java.lang.Long))).toDF("g", "v")
+      val empty = List.empty[(String, Long, Long)].toDF("g", "v", "c")
+      val mergeSame =
+        rows(Drift.mergeCounts(empty, batchClean, "g", "v", "c")) ==
+          rows(Drift.mergeCounts(empty, batchDirty, "g", "v", "c"))
+      ksSame && tvSame && mergeSame
+    }, trials = 5)
   }
 
   test("giniPerGroup == closed form and is 0 exactly on uniform counts") {
