@@ -90,6 +90,59 @@ object Drift {
         col("n_all"))
   }
 
+  /** Per-group WASSERSTEIN-1 (earth-mover) distance of each group's
+    * distribution from the pooled one, from the same additive count
+    * table as [[ksFromCounts]] — the magnitude-aware third leg of the
+    * drift panel: KS reads the worst single threshold, TV the total
+    * mass displaced, W1 the mass TIMES HOW FAR it moved (a length
+    * distribution sliding 10× to the right and one sliding one step
+    * have equal TV; W1 separates them). For integral values W1 =
+    * Σ_v |F_g(v) − F_all(v)|·gap(v) is integer-exact: w1_num =
+    * Σ_v |cs·n_all − cg·n_grp|·(next(v) − v) with the n_grp·n_all
+    * denominator left to the consumer (the last grid value's gap is 0 —
+    * both CDFs are 1 past it). Same grid-sized machinery as KS plus one
+    * lead() on the distinct-value grid.
+    *
+    * `valueCol` must be integral (a distance needs a metric on values;
+    * KS/TV need only an order). Overflow: |cs·ng − cg·ns| ≤ ns·ng, so
+    * the summand bound is n_grp·n_all·range(v) < 9.2×10¹⁸ — tighter
+    * than KS's by the value range; pre-bucket or DECIMAL(38,0) past it.
+    * NULL values are excluded, the [[ksFromCounts]] contract.
+    *
+    * Output: (`group`, w1_num, n_grp, n_all), one row per group.
+    */
+  def w1FromCounts(counts: DataFrame, groupCol: String, valueCol: String,
+      countCol: String): DataFrame = {
+    val per = counts.select(col(groupCol).as("g"),
+        col(valueCol).cast("long").as("v"),
+        col(countCol).cast("long").as("c"))
+      .filter(col("v").isNotNull)
+    val grps = per.groupBy("g").agg(sum("c").as("ns"))
+    val na = per.agg(sum("c").as("ng"))
+    val grid = grps.select("g").crossJoin(per.select("v").distinct())
+    val scum = grid.join(per, Seq("g", "v"), "left")
+      .withColumn("cs", sum(coalesce(col("c"), lit(0L))).over(
+        Window.partitionBy("g").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // pooled cumulative + inter-step gap, both on the distinct-value
+    // grid (single-partition windows, bounded by construction — the
+    // q178 stance: the corpus already collapsed to the grid)
+    val gcum = per.groupBy("v").agg(sum("c").as("cv"))
+      .withColumn("cg", sum("cv").over(Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("gap",
+        coalesce(lead("v", 1).over(Window.orderBy("v")) - col("v"), lit(0L)))
+      .select("v", "cg", "gap")
+    scum.join(gcum, "v").join(broadcast(grps), "g")
+      .crossJoin(broadcast(na))
+      .groupBy("g")
+      .agg(sum(abs(col("cs") * col("ng") - col("cg") * col("ns")) *
+          col("gap")).as("w1_num"),
+        max("ns").as("n_grp"), max("ng").as("n_all"))
+      .select(col("g").as(groupCol), col("w1_num"), col("n_grp"),
+        col("n_all"))
+  }
+
   /** Merge a micro-batch of raw (`group`, `value`) observations into the
     * additive count state: one batch-sized count + a full-outer sum
     * merge on the state table. The state stays value-grid × groups

@@ -617,6 +617,49 @@ object StatOps {
         SELECT ks.source AS source, CAST(ks_num AS BIGINT) ks_num,
           CAST(tv_num AS BIGINT) tv_num, CAST(ns AS BIGINT) n_src,
           CAST(ng AS BIGINT) n_all
-        FROM ks JOIN tv ON ks.source = tv.source ORDER BY source"""))
+        FROM ks JOIN tv ON ks.source = tv.source ORDER BY source""")),
+
+    // q195: per-source Wasserstein-1 (earth-mover) drift vs the corpus
+    // on document length — the magnitude-aware third leg of the drift
+    // panel over the SAME additive count state as q177/q192: KS reads
+    // the worst threshold, TV the total mass displaced, W1 the mass
+    // times HOW FAR it moved (a length distribution sliding far right
+    // and one sliding one step have equal TV; W1 separates them — the
+    // "source started shipping 10× longer documents" alarm). Integral
+    // values make it exact: w1_num = Σ_v |cs·n_all − cg·n_src|·gap(v),
+    // W1 = w1_num/(n_src·n_all) at the consumer. Overflow bound
+    // n_src·n_all·range(n_chars) < 9.2×10¹⁸ — tighter than q177's by
+    // the value range; pre-bucket past it.
+    QueryDef("q195_w1_drift",
+      (s, d) => {
+        val counts = docs(s, d)
+          .groupBy(col("source"), col("n_chars").as("v"))
+          .agg(count(lit(1)).as("c"))
+        graft.operators.Drift.w1FromCounts(counts, "source", "v", "c")
+          .withColumnRenamed("n_grp", "n_src")
+          .orderBy("source")
+      },
+      Some("""WITH dc AS (SELECT source, n_chars v FROM documents),
+          srcs AS (SELECT source, count(*) ns FROM dc GROUP BY 1),
+          na AS (SELECT count(*) ng FROM dc),
+          per AS (SELECT source, v, count(*) c FROM dc GROUP BY 1, 2),
+          grid AS (SELECT srcs.source, vals.v FROM srcs
+                   CROSS JOIN (SELECT DISTINCT v FROM dc) vals),
+          scum AS (SELECT g.source, g.v,
+              sum(coalesce(per.c, 0)) OVER (PARTITION BY g.source
+                ORDER BY g.v ROWS UNBOUNDED PRECEDING) cs
+            FROM grid g LEFT JOIN per
+              ON per.source = g.source AND per.v = g.v),
+          gcum AS (SELECT v, sum(sum(c)) OVER (ORDER BY v
+                ROWS UNBOUNDED PRECEDING) cg,
+              coalesce(lead(v, 1) OVER (ORDER BY v) - v, 0) gap
+            FROM per GROUP BY v)
+        SELECT s.source AS source,
+          CAST(sum(abs(s.cs * na.ng - gcum.cg * srcs.ns) * gcum.gap)
+            AS BIGINT) w1_num,
+          CAST(max(srcs.ns) AS BIGINT) n_src, CAST(max(na.ng) AS BIGINT) n_all
+        FROM scum s JOIN gcum USING (v)
+          JOIN srcs ON s.source = srcs.source CROSS JOIN na
+        GROUP BY s.source ORDER BY s.source"""))
   )
 }

@@ -127,6 +127,28 @@ class StatPropertySpec extends SparkSpec {
     })
   }
 
+  test("w1FromCounts == naive CDF-gap earth-mover per group on arbitrary count tables") {
+    check("w1", Prop.forAll(genCounts) { counts =>
+      val got = Drift.w1FromCounts(counts.toDF("g", "v", "c"), "g", "v", "c")
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      val all = counts.flatMap { case (_, v, c) => Seq.fill(c.toInt)(v) }
+      val ng = all.size.toLong
+      val vals = all.distinct.sorted
+      counts.map(_._1).distinct.forall { g =>
+        val gv = counts.filter(_._1 == g)
+          .flatMap { case (_, v, c) => Seq.fill(c.toInt)(v) }
+        val ns = gv.size.toLong
+        val naive = vals.zipAll(vals.drop(1), 0L, -1L).map {
+          case (v, next) =>
+            val gap = if (next == -1L) 0L else next - v
+            math.abs(gv.count(_ <= v) * ng - all.count(_ <= v) * ns) * gap
+        }.sum
+        got(g) == ((naive, ns, ng))
+      }
+    })
+  }
+
   test("ks/tv/mergeCounts NULL values: a NULL observation is invisible to the panel") {
     // adding NULL-valued rows to the count table (or NULL observations
     // to a merged batch) must change NOTHING — not the sup/L1 numerators
