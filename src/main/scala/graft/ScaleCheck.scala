@@ -27,7 +27,9 @@ object ScaleCheck {
     "q179_zipf_probe", "q180_ewma", "q181_chi2_cells", "q182_calibration",
     "q183_vocab_growth", "q184_gini", "q185_head_overlap", "q186_trend",
     "q187_assortativity", "q188_burstiness", "q189_core_levels",
-    "q190_assoc_rules", "q191_path_trigrams", "q192_tv_drift")
+    "q190_assoc_rules", "q191_path_trigrams", "q192_tv_drift",
+    "q193_drift_panel_at_rest", "q194_frequent_pairs", "q195_w1_drift",
+    "q196_decile_shift", "q197_centroid_drift", "q198_novel_bigrams")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")

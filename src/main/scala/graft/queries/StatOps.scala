@@ -660,6 +660,159 @@ object StatOps {
           CAST(max(srcs.ns) AS BIGINT) n_src, CAST(max(na.ng) AS BIGINT) n_all
         FROM scum s JOIN gcum USING (v)
           JOIN srcs ON s.source = srcs.source CROSS JOIN na
-        GROUP BY s.source ORDER BY s.source"""))
+        GROUP BY s.source ORDER BY s.source""")),
+
+    // q196: per-source decile-shift drift between the corpus's two
+    // halves — W1 (q195) says HOW MUCH the distribution moved, this says
+    // WHERE: for each source and d ∈ 1..9 the exact lower-decile value
+    // in the "then" half (2·doc_id < n) and the "now" half, plus the
+    // integer shift — a median shift reads as re-centering, a d=9-only
+    // shift as a new long tail. Exact deciles via the grouped two-phase
+    // rank (q175's machinery, once per half — no per-(half, source)
+    // corpus window, skewed sources spread over all quantile buckets);
+    // the halves join on (source, decile), a 9·|sources|-row frame.
+    QueryDef("q196_decile_shift",
+      (s, d) => {
+        val nd = docs(s, d).agg(count(lit(1)).as("nd"))
+        val base = docs(s, d).crossJoin(broadcast(nd))
+          .select(col("doc_id"), col("source"), col("n_chars"),
+            (col("doc_id") * 2 < col("nd")).as("fh"))
+        def deciles(half: org.apache.spark.sql.DataFrame) =
+          graft.operators.Sampling.exactQuantilesPerGroup(
+            half, "doc_id", "source", "n_chars", q = 10)
+        val thenQ = deciles(base.filter(col("fh")))
+          .select(col("grp").as("source"), col("quantile"),
+            col("value").as("v_then"))
+        val nowQ = deciles(base.filter(!col("fh")))
+          .select(col("grp").as("source"), col("quantile"),
+            col("value").as("v_now"))
+        thenQ.join(nowQ, Seq("source", "quantile"))
+          .select(col("source"), col("quantile"), col("v_then"),
+            col("v_now"), (col("v_now") - col("v_then")).as("shift"))
+          .orderBy("source", "quantile")
+      },
+      Some("""WITH n AS (SELECT count(*) nd FROM documents),
+          b AS (SELECT doc_id, source, n_chars,
+              (doc_id * 2 < n.nd) fh FROM documents CROSS JOIN n),
+          r AS (SELECT fh, source, n_chars v,
+              row_number() OVER (PARTITION BY fh, source
+                ORDER BY n_chars, doc_id) rn,
+              count(*) OVER (PARTITION BY fh, source) gn
+            FROM b),
+          d AS (SELECT unnest(generate_series(1, 9)) dq),
+          j AS (SELECT r.fh, r.source, d.dq, min(r.v) val
+            FROM r JOIN d ON 10 * r.rn >= d.dq * r.gn
+            GROUP BY 1, 2, 3)
+        SELECT a.source AS source, CAST(a.dq AS INTEGER) quantile,
+          CAST(a.val AS BIGINT) v_then, CAST(bb.val AS BIGINT) v_now,
+          CAST(bb.val - a.val AS BIGINT) shift
+        FROM j a JOIN j bb ON a.source = bb.source AND a.dq = bb.dq
+          AND a.fh AND NOT bb.fh
+        ORDER BY source, quantile""")),
+
+    // q197: per-label embedding-centroid drift between the corpus's two
+    // halves — the SEMANTIC drift leg the length-grid panel can't see
+    // (a source can keep its length distribution while its content
+    // rotates): cosine between each label's "then" and "now" centroids
+    // (1 → stable, drifting → the training-mix re-weighting alarm).
+    // Determinism: centroids are the q44 aggregator (map-side partial
+    // elementwise sums — the shuffle carries one 64-dim buffer per
+    // partition per group, never rows), each dimension ROUNDED to 6 dp
+    // FIRST (the q44-proven stability grid), so both engines feed the
+    // cosine bit-identical inputs and the final 6 dp round is safe.
+    // Work: one aggregator shuffle + a |labels|-row join; 64-term dots
+    // on driver-sized rows.
+    QueryDef("q197_centroid_drift",
+      (s, d) => {
+        val cen = udaf(graft.functions.CentroidAggregator,
+          org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Float]]())
+        val nv = graft.Tables.embeddings(s, d).agg(count(lit(1)).as("nv"))
+        val cents = graft.Tables.embeddings(s, d).crossJoin(broadcast(nv))
+          .select(col("label"), (col("vec_id") * 2 < col("nv")).as("fh"),
+            col("embedding"))
+          .groupBy("label", "fh")
+          .agg(cen(col("embedding")).as("c0"), count(lit(1)).as("n"))
+          .select(col("label"), col("fh"),
+            transform(col("c0"), x => round(x.cast("double"), 6)).as("c"),
+            col("n"))
+        def ddot(x: org.apache.spark.sql.Column,
+            y: org.apache.spark.sql.Column) =
+          aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0),
+            (acc, v) => acc + v)
+        val a = cents.filter(col("fh"))
+          .select(col("label"), col("c").as("ca"), col("n").as("n_then"))
+        val b = cents.filter(!col("fh"))
+          .select(col("label"), col("c").as("cb"), col("n").as("n_now"))
+        a.join(b, "label")
+          .select(col("label"),
+            round(ddot(col("ca"), col("cb")) /
+              (sqrt(ddot(col("ca"), col("ca"))) *
+                sqrt(ddot(col("cb"), col("cb")))), 6).as("cos_drift"),
+            col("n_then"), col("n_now"))
+          .orderBy("label")
+      },
+      Some("""WITH n AS (SELECT count(*) nv FROM embeddings),
+          h AS (SELECT label, (vec_id * 2 < n.nv) fh, embedding
+            FROM embeddings CROSS JOIN n),
+          c AS (SELECT label, fh, i, round(avg(embedding[i]), 6) c
+            FROM h, (SELECT unnest(generate_series(1, 64)) i) ii
+            GROUP BY 1, 2, 3),
+          j AS (SELECT a.label, sum(a.c * b.c) dot,
+              sum(a.c * a.c) na2, sum(b.c * b.c) nb2
+            FROM c a JOIN c b ON a.label = b.label AND a.i = b.i
+              AND a.fh AND NOT b.fh
+            GROUP BY 1),
+          cnt AS (SELECT label,
+              sum(CASE WHEN fh THEN 1 ELSE 0 END) n_then,
+              sum(CASE WHEN NOT fh THEN 1 ELSE 0 END) n_now
+            FROM h GROUP BY 1)
+        SELECT j.label, round(j.dot / (sqrt(na2) * sqrt(nb2)), 6) cos_drift,
+          CAST(n_then AS BIGINT) n_then, CAST(n_now AS BIGINT) n_now
+        FROM j JOIN cnt ON j.label = cnt.label ORDER BY j.label""")),
+
+    // q198: novel-bigram rate per source between the corpus's two
+    // halves — the "is this source still producing new content or
+    // recycling templates" freshness probe (and the dual of q183's
+    // vocabulary-growth curve, at bigram granularity and per source):
+    // of the bigram TYPES present in a source's "now" half, how many
+    // never occurred in its "then" half. Type-level (distinct before
+    // counting) so a single spammed novel bigram can't masquerade as
+    // fresh content; the anti-join runs on the (source, bigram) type
+    // table — Heap's-law bounded, never instance-sized.
+    QueryDef("q198_novel_bigrams",
+      (s, d) => {
+        val t = TextFns.tokens(col("text"))
+        val bigrams = when(size(t) >= 2,
+          zip_with(slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+            (a, b) => concat(a, lit(" "), b)))
+          .otherwise(array().cast("array<string>"))
+        val nd = docs(s, d).agg(count(lit(1)).as("nd"))
+        val bg = docs(s, d).crossJoin(broadcast(nd))
+          .select(col("source"), (col("doc_id") * 2 < col("nd")).as("fh"),
+            explode(bigrams).as("bg"))
+          .distinct()
+        val thenB = bg.filter(col("fh")).select(col("source"), col("bg"))
+        val nowB = bg.filter(!col("fh")).select(col("source"), col("bg"))
+        val novel = nowB.join(thenB, Seq("source", "bg"), "left_anti")
+          .groupBy("source").agg(count(lit(1)).as("n_novel_types"))
+        nowB.groupBy("source").agg(count(lit(1)).as("n_now_types"))
+          .join(novel, Seq("source"), "left")
+          .select(col("source"), col("n_now_types"),
+            coalesce(col("n_novel_types"), lit(0L)).as("n_novel_types"))
+          .orderBy("source")
+      },
+      Some(s"""WITH n AS (SELECT count(*) nd FROM documents),
+          x AS (SELECT source, (doc_id * 2 < n.nd) fh, $OToks t
+            FROM documents CROSS JOIN n),
+          b AS (SELECT DISTINCT source, fh,
+              unnest([t[i] || ' ' || t[i+1] for i in generate_series(1, len(t)-1)]) bg
+            FROM x),
+          nw AS (SELECT source, bg FROM b WHERE NOT fh),
+          th AS (SELECT source, bg FROM b WHERE fh)
+        SELECT nw.source AS source, CAST(count(*) AS BIGINT) n_now_types,
+          CAST(sum(CASE WHEN th.bg IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            n_novel_types
+        FROM nw LEFT JOIN th ON nw.source = th.source AND nw.bg = th.bg
+        GROUP BY 1 ORDER BY nw.source"""))
   )
 }

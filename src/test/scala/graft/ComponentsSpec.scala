@@ -836,4 +836,28 @@ class ComponentsSpec extends SparkSpec {
         Seq(4, 2), rounds = 2)
     }
   }
+
+  test("q189's 4-round budget reaches the true coreness fixpoint on the real graphs") {
+    // q189 matches its oracle round-for-round at ANY data (both sides
+    // run exactly 4 peel rounds per rung), so the hash cannot diverge —
+    // this spec covers the residual semantic risk: that 4 rounds might
+    // stop SHORT of the true coreness ladder on a deeper shell cascade.
+    // Checked on the actual co-occurrence graphs at the sfs the driver
+    // exercises: the budgeted ladder must equal the convergence-mode
+    // (kCoreUntil-style, rounds ≥ any depth) ladder.
+    for (sf <- Seq("0.001", "0.01")) {
+      val edges = graft.queries.Analytics
+        .coocEdges(spark, s"/root/testdata/sf$sf")
+      val budgeted = Components
+        .coreLevels(edges, "wa", "wb", Seq(2, 4, 6), rounds = 4)
+        .as[(String, Long)].collect().toMap
+      val converged = Components
+        .coreLevels(edges, "wa", "wb", Seq(2, 4, 6), rounds = 64)
+        .as[(String, Long)].collect().toMap
+      assert(budgeted === converged,
+        s"sf$sf: a 4-round rung budget must reach the coreness fixpoint " +
+          "— if this ever fails, raise BOTH the engine rounds and the " +
+          "oracle unroll together (they must stay equal round-for-round)")
+    }
+  }
 }

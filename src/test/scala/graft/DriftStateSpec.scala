@@ -60,6 +60,43 @@ class DriftStateSpec extends SparkSpec {
       "replaying the corpus in batches must reproduce the one-shot counts")
   }
 
+  test("streaming foreachBatch merges into the AT-REST state: the monitor end-to-end through files") {
+    // the full restart-safe monitor shape: a stream lands micro-batches
+    // into the PERSISTED state (writeCounts seed + mergeIntoCounts per
+    // batch), and the panel read back from the published files equals
+    // the all-at-once batch queries bit-for-bit — StreamingSpec proves
+    // the in-memory merge, this proves it through the filesystem, where
+    // a real monitor's restarts actually resume.
+    implicit val sqlCtx = spark.sqlContext
+    val path = tmpState()
+    graft.operators.Drift.writeCounts(
+      Seq.empty[(String, Long, Long)].toDF("source", "v", "c"),
+      path, "source", "v", "c")
+    val data = Tables.documents(spark, dir)
+      .select(col("source"), col("n_chars")).as[(String, Long)].collect()
+    val mem = org.apache.spark.sql.execution.streaming
+      .runtime.MemoryStream[(String, Long)]
+    val q = mem.toDF().toDF("source", "v").writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.operators.Drift.mergeIntoCounts(spark, path, batch); ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      .start()
+    data.grouped((data.length + 2) / 3)
+      .foreach { p => mem.addData(p.toSeq); q.processAllAvailable() }
+    q.stop()
+    val (state, g, v, c) = graft.operators.Drift.readCounts(spark, path)
+    assert(rows(graft.operators.Drift.ksFromCounts(state, g, v, c)) ===
+      rows(SparkEntry.queries("q177_ks_drift")(spark, dir)
+        .withColumnRenamed("n_src", "n_grp")),
+      "KS from the streamed at-rest state must equal the batch q177")
+    assert(rows(graft.operators.Drift.w1FromCounts(state, g, v, c)) ===
+      rows(SparkEntry.queries("q195_w1_drift")(spark, dir)
+        .withColumnRenamed("n_src", "n_grp")),
+      "W1 from the streamed at-rest state must equal the batch q195")
+  }
+
   test("readCounts fails with a domain message where no state exists") {
     val e = intercept[IllegalArgumentException] {
       Drift.readCounts(spark, tmpState() + "_nowhere")

@@ -342,4 +342,106 @@ class StatOpsSpec extends SparkSpec {
       "4 fixed peel rounds must reach the fixpoint at this sf")
     assert(got.nonEmpty)
   }
+
+  test("q195 grid W1 equals the naive per-source CDF-gap earth-mover") {
+    val rows = docsRaw()
+    val all = rows.map(_._4)
+    val ng = all.size.toLong
+    val vals = all.distinct.sorted
+    val got = q("q195_w1_drift").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got.keySet === rows.map(_._3).toSet)
+    for ((src, (w1Num, nSrc, nAll)) <- got) {
+      val sv = rows.filter(_._3 == src).map(_._4)
+      val ns = sv.size.toLong
+      val naive = vals.zipAll(vals.drop(1), 0L, -1L).map { case (v, nx) =>
+        val gap = if (nx == -1L) 0L else nx - v
+        math.abs(sv.count(_ <= v) * ng - all.count(_ <= v) * ns) * gap
+      }.sum
+      assert(w1Num === naive, s"source=$src")
+      assert(nSrc === ns && nAll === ng)
+    }
+  }
+
+  test("q196 decile shift equals naive per-half lower deciles") {
+    val rows = docsRaw()
+    val n = rows.size.toLong
+    def deciles(half: Seq[(Long, Long)]): Map[Int, Long] = {
+      // lower decile: value at the smallest (v, id)-ordered rank with
+      // 10·rank ≥ d·n
+      val sorted = half.sortBy { case (id, v) => (v, id) }.map(_._2)
+      val gn = sorted.size.toLong
+      (1 to 9).map { dq =>
+        dq -> sorted((((dq * gn + 9) / 10) - 1).toInt)
+      }.toMap
+    }
+    val bySrc = rows.groupBy(_._3)
+    val got = q("q196_decile_shift").collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    for ((src, rs) <- bySrc; dq <- 1 to 9) {
+      val thenD = deciles(rs.filter(_._1 * 2 < n).map(r => (r._1, r._4)))
+      val nowD = deciles(rs.filter(_._1 * 2 >= n).map(r => (r._1, r._4)))
+      val (vThen, vNow, shift) = got((src, dq))
+      assert(vThen === thenD(dq), s"$src d$dq then")
+      assert(vNow === nowD(dq), s"$src d$dq now")
+      assert(shift === nowD(dq) - thenD(dq), s"$src d$dq shift")
+    }
+  }
+
+  test("q197 centroid drift equals the naive rounded-centroid cosine") {
+    val emb = graft.Tables.embeddings(spark, dir)
+      .select("vec_id", "label", "embedding")
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).toArray)).toSeq
+    val n = emb.size.toLong
+    def centroid(vs: Seq[Array[Float]]): Array[Double] = {
+      val d = vs.head.length
+      val s = new Array[Double](d)
+      vs.foreach(v => (0 until d).foreach(i => s(i) += v(i)))
+      s.map(x => BigDecimal(x / vs.size)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val got = q("q197_centroid_drift").collect()
+      .map(r => r.getInt(0) -> (r.getDouble(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    for ((lbl, vs) <- emb.groupBy(_._2)) {
+      val thenV = vs.filter(_._1 * 2 < n).map(_._3)
+      val nowV = vs.filter(_._1 * 2 >= n).map(_._3)
+      val (ca, cb) = (centroid(thenV), centroid(nowV))
+      val dot = ca.zip(cb).map { case (x, y) => x * y }.sum
+      val cos = dot / (math.sqrt(ca.map(x => x * x).sum) *
+        math.sqrt(cb.map(x => x * x).sum))
+      val (gotCos, nThen, nNow) = got(lbl)
+      assert(math.abs(gotCos - cos) < 2e-6, s"label=$lbl got=$gotCos ref=$cos")
+      assert(nThen === thenV.size.toLong && nNow === nowV.size.toLong)
+    }
+  }
+
+  test("q198 novel-bigram counts equal naive per-source type-set difference") {
+    val docs = graft.Tables.documents(spark, dir)
+      .select("doc_id", "source", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .toSeq
+    val n = docs.size.toLong
+    def bigrams(text: String): Set[String] = {
+      // the TextFns.tokens contract in plain JVM: lowercase, split on
+      // whitespace runs, drop empties
+      val t = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      if (t.length < 2) Set.empty
+      else t.sliding(2).map(_.mkString(" ")).toSet
+    }
+    val got = q("q198_novel_bigrams").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    for ((src, ds) <- docs.groupBy(_._2)) {
+      val thenB = ds.filter(_._1 * 2 < n).flatMap(d => bigrams(d._3)).toSet
+      val nowB = ds.filter(_._1 * 2 >= n).flatMap(d => bigrams(d._3)).toSet
+      if (nowB.nonEmpty) {
+        val (nNow, nNovel) = got(src)
+        assert(nNow === nowB.size.toLong, s"source=$src")
+        assert(nNovel === (nowB -- thenB).size.toLong, s"source=$src")
+      }
+    }
+  }
 }

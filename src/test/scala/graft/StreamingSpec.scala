@@ -699,5 +699,14 @@ class StreamingSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(streamedTv === batchTv,
       "the TV panel over the streamed state must equal the batch q192")
+    // ...and the W1 leg, same state again
+    val streamedW1 = graft.operators.Drift
+      .w1FromCounts(state, "source", "v", "c")
+      .collect().map(_.toSeq).toSet
+    val batchW1 = SparkEntry.queries("q195_w1_drift")(spark, dir)
+      .withColumnRenamed("n_src", "n_grp")
+      .collect().map(_.toSeq).toSet
+    assert(streamedW1 === batchW1,
+      "the W1 panel over the streamed state must equal the batch q195")
   }
 }
