@@ -29,7 +29,8 @@ object ScaleCheck {
     "q187_assortativity", "q188_burstiness", "q189_core_levels",
     "q190_assoc_rules", "q191_path_trigrams", "q192_tv_drift",
     "q193_drift_panel_at_rest", "q194_frequent_pairs", "q195_w1_drift",
-    "q196_decile_shift", "q197_centroid_drift", "q198_novel_bigrams")
+    "q196_decile_shift", "q197_centroid_drift", "q198_novel_bigrams",
+    "q199_drift_between_halves")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")

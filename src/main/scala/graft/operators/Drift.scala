@@ -143,6 +143,102 @@ object Drift {
         col("n_all"))
   }
 
+  /** Per-group two-sample Kolmogorov–Smirnov statistic BETWEEN two count
+    * tables — the "today vs yesterday" form of the monitor, where
+    * [[ksFromCounts]] is the "source vs pooled corpus" form: for each
+    * group present in either table, KS over the union value grid of that
+    * group's two distributions, integer-exact as ks_num =
+    * max_v |cA·nB − cB·nA| with the nA·nB denominator left to the
+    * consumer. A group absent from one side gets that side's n = 0 (its
+    * ECDF is undefined; ks_num degenerates to 0 — the consumer treats
+    * n_a·n_b = 0 as "no basis for comparison", not "no drift").
+    * Grid-sized like everything in this module: each group pays its own
+    * distinct-value grid, never corpus rows. NULL values excluded, the
+    * family contract.
+    *
+    * Output: (`group`, ks_num, n_a, n_b), one row per group in either
+    * input.
+    */
+  def ksBetweenCounts(a: DataFrame, b: DataFrame, groupCol: String,
+      valueCol: String, countCol: String): DataFrame =
+    betweenCumulatives(a, b, groupCol, valueCol, countCol)
+      .groupBy("g")
+      .agg(max(abs(col("sa") * col("nb") - col("sb") * col("na")))
+          .as("ks_num"),
+        max("na").as("n_a"), max("nb").as("n_b"))
+      .select(col("g").as(groupCol), col("ks_num"), col("n_a"), col("n_b"))
+
+  /** Per-group TOTAL-VARIATION distance between two count tables — the
+    * L1 leg of the between-states panel ([[tvFromCounts]] compared each
+    * group to the pool): tv_num = Σ_v |cA·nB − cB·nA| with the 2·nA·nB
+    * denominator at the consumer. Pointwise — no cumulative window.
+    * Output: (`group`, tv_num, n_a, n_b).
+    */
+  def tvBetweenCounts(a: DataFrame, b: DataFrame, groupCol: String,
+      valueCol: String, countCol: String): DataFrame = {
+    val wg = Window.partitionBy("g")
+    mergedGrid(a, b, groupCol, valueCol, countCol)
+      .withColumn("na", sum("ca").over(wg))
+      .withColumn("nb", sum("cb").over(wg))
+      .groupBy("g")
+      .agg(sum(abs(col("ca") * col("nb") - col("cb") * col("na")))
+          .as("tv_num"),
+        max("na").as("n_a"), max("nb").as("n_b"))
+      .select(col("g").as(groupCol), col("tv_num"), col("n_a"), col("n_b"))
+  }
+
+  /** Per-group WASSERSTEIN-1 distance between two count tables — the
+    * magnitude-aware leg of the between-states panel, [[w1FromCounts]]'s
+    * pooled form restated for two distributions: w1_num =
+    * Σ_v |cumA·nB − cumB·nA|·gap(v) over each group's union value grid,
+    * nA·nB denominator at the consumer. `valueCol` must be integral
+    * (same contract and overflow bound as [[w1FromCounts]]).
+    * Output: (`group`, w1_num, n_a, n_b).
+    */
+  def w1BetweenCounts(a: DataFrame, b: DataFrame, groupCol: String,
+      valueCol: String, countCol: String): DataFrame =
+    betweenCumulatives(a, b, groupCol, valueCol, countCol,
+      castValueLong = true)
+      .withColumn("gap", coalesce(
+        lead("v", 1).over(Window.partitionBy("g").orderBy("v")) - col("v"),
+        lit(0L)))
+      .groupBy("g")
+      .agg(sum(abs(col("sa") * col("nb") - col("sb") * col("na")) *
+          col("gap")).as("w1_num"),
+        max("na").as("n_a"), max("nb").as("n_b"))
+      .select(col("g").as(groupCol), col("w1_num"), col("n_a"), col("n_b"))
+
+  // shared between-states machinery: per-(group, value) counts from both
+  // sides, full-outer merged onto each group's union value grid (NULL
+  // values excluded — the family contract)
+  private def mergedGrid(a: DataFrame, b: DataFrame, groupCol: String,
+      valueCol: String, countCol: String,
+      castValueLong: Boolean = false): DataFrame = {
+    def side(df: DataFrame, cn: String) = df
+      .select(col(groupCol).as("g"),
+        (if (castValueLong) col(valueCol).cast("long")
+         else col(valueCol)).as("v"),
+        col(countCol).cast("long").as(cn))
+      .filter(col("v").isNotNull)
+      .groupBy("g", "v").agg(sum(cn).as(cn))
+    side(a, "ca").join(side(b, "cb"), Seq("g", "v"), "full")
+      .select(col("g"), col("v"), coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+  }
+
+  private def betweenCumulatives(a: DataFrame, b: DataFrame,
+      groupCol: String, valueCol: String, countCol: String,
+      castValueLong: Boolean = false): DataFrame = {
+    val w = Window.partitionBy("g").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wg = Window.partitionBy("g")
+    mergedGrid(a, b, groupCol, valueCol, countCol, castValueLong)
+      .withColumn("sa", sum("ca").over(w))
+      .withColumn("sb", sum("cb").over(w))
+      .withColumn("na", sum("ca").over(wg))
+      .withColumn("nb", sum("cb").over(wg))
+  }
+
   /** Merge a micro-batch of raw (`group`, `value`) observations into the
     * additive count state: one batch-sized count + a full-outer sum
     * merge on the state table. The state stays value-grid × groups

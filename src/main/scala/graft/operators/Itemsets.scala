@@ -52,7 +52,12 @@ object Itemsets {
     require(minSupNum >= 0 && minSupDen > 0,
       "relative support is a nonnegative fraction num/den with den > 0")
     val bk = basketCols.map(col)
-    val base = items.select((bk :+ col(itemCol).as("it")): _*).distinct()
+    // STAGED (the budgetSelect contract): the operator reads `base` four
+    // times (basket count, item supports, both self-join sides), and
+    // callers routinely pass computed basket/item frames (q194's
+    // sessionization window) — one cut = one derivation, total
+    val base = Checkpoints.cut(
+      items.select((bk :+ col(itemCol).as("it")): _*).distinct())
     val n = base.select(bk: _*).distinct().agg(count(lit(1)).as("n_baskets"))
     val sup = base.groupBy("it").agg(count(lit(1)).as("s"))
     val freq = sup.crossJoin(broadcast(n))
@@ -61,7 +66,7 @@ object Itemsets {
     val joinCond = basketCols
       .map(k => col(s"x.$k") === col(s"y.$k"))
       .reduce(_ && _) && col("x.it") < col("y.it")
-    pruned.as("x").join(pruned.as("y"), joinCond)
+    val out = pruned.as("x").join(pruned.as("y"), joinCond)
       .groupBy(col("x.it").as("a"), col("y.it").as("b"))
       .agg(count(lit(1)).as("s_ab"))
       .join(broadcast(freq.select(col("it").as("a"), col("s").as("s_a"))), "a")
@@ -70,5 +75,6 @@ object Itemsets {
       .filter(col("s_ab") * lit(minSupDen) >= lit(minSupNum) * col("n_baskets"))
       .select(col("a"), col("b"), col("s_ab"), col("s_a"), col("s_b"),
         col("n_baskets"))
+    Checkpoints.sealAndRelease(out, base)
   }
 }

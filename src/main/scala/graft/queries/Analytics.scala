@@ -69,20 +69,22 @@ object Analytics {
   // q190/q194 shared basket construction: 30-minute sessions (the q133
   // sessionization), each basket = a session's DISTINCT event types —
   // the user-level basket would be degenerate, every active user
-  // touching all 5 types.
+  // touching all 5 types. CUT: both consumers read the frame several
+  // times (supports, basket count, pair self-join), and without the cut
+  // each read re-runs the corpus sessionization window.
   private def sessionItems(s: SparkSession, d: String)
       : org.apache.spark.sql.DataFrame = {
     val wOrd = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
     val us = unix_micros(col("ts"))
     val gap = us - lag(us, 1).over(wOrd)
-    ev(s, d)
+    graft.operators.Checkpoints.cut(ev(s, d)
       .withColumn("brk",
         when(gap.isNull || gap > lit(1800000000L), 1L).otherwise(0L))
       .withColumn("sess",
         sum("brk").over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
       .select(col("user_id"), col("sess"), col("event_type").as("it"))
-      .distinct()
+      .distinct())
   }
 
   val defs: Seq[QueryDef] = Seq(

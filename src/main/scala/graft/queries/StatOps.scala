@@ -674,18 +674,26 @@ object StatOps {
     QueryDef("q196_decile_shift",
       (s, d) => {
         val nd = docs(s, d).agg(count(lit(1)).as("nd"))
+        // ONE ranking pass with the composite (half, source) group —
+        // two per-half exactQuantilesPerGroup calls would re-scan and
+        // re-rank the corpus twice for the same answer; \u0001 as the
+        // key separator, absent from source names
         val base = docs(s, d).crossJoin(broadcast(nd))
-          .select(col("doc_id"), col("source"), col("n_chars"),
-            (col("doc_id") * 2 < col("nd")).as("fh"))
-        def deciles(half: org.apache.spark.sql.DataFrame) =
-          graft.operators.Sampling.exactQuantilesPerGroup(
-            half, "doc_id", "source", "n_chars", q = 10)
-        val thenQ = deciles(base.filter(col("fh")))
-          .select(col("grp").as("source"), col("quantile"),
-            col("value").as("v_then"))
-        val nowQ = deciles(base.filter(!col("fh")))
-          .select(col("grp").as("source"), col("quantile"),
-            col("value").as("v_now"))
+          .select(col("doc_id"),
+            concat(when(col("doc_id") * 2 < col("nd"), lit("t"))
+              .otherwise(lit("n")), lit("\u0001"), col("source")).as("hs"),
+            col("n_chars"))
+        val qs = graft.operators.Sampling.exactQuantilesPerGroup(
+            base, "doc_id", "hs", "n_chars", q = 10)
+          .select(split(col("grp"), "\u0001").as("p"), col("quantile"),
+            col("value"))
+          .select((element_at(col("p"), 1) === "t").as("fh"),
+            element_at(col("p"), 2).as("source"), col("quantile"),
+            col("value"))
+        val thenQ = qs.filter(col("fh"))
+          .select(col("source"), col("quantile"), col("value").as("v_then"))
+        val nowQ = qs.filter(!col("fh"))
+          .select(col("source"), col("quantile"), col("value").as("v_now"))
         thenQ.join(nowQ, Seq("source", "quantile"))
           .select(col("source"), col("quantile"), col("v_then"),
             col("v_now"), (col("v_now") - col("v_then")).as("shift"))
@@ -813,6 +821,65 @@ object StatOps {
           CAST(sum(CASE WHEN th.bg IS NULL THEN 1 ELSE 0 END) AS BIGINT)
             n_novel_types
         FROM nw LEFT JOIN th ON nw.source = th.source AND nw.bg = th.bg
-        GROUP BY 1 ORDER BY nw.source"""))
+        GROUP BY 1 ORDER BY nw.source""")),
+
+    // q199: the full drift panel BETWEEN the corpus's halves, per source
+    // — the "today vs yesterday" form of the monitor (q177/q192/q195
+    // compare each source against the POOLED corpus, which dilutes: a
+    // big source IS most of the pool, so its own drift partly cancels;
+    // comparing its two time slices against each other doesn't). All
+    // three legs from the same per-(source, half) count tables over each
+    // source's union value grid: ks_num = max_v |cumA·n_now −
+    // cumB·n_then| (worst threshold), tv_num = Σ_v |cA·n_now −
+    // cB·n_then| (total mass displaced), w1_num = Σ_v |cumA·n_now −
+    // cumB·n_then|·gap(v) (mass × distance moved); denominators
+    // n_then·n_now (KS, W1) and 2·n_then·n_now (TV) at the consumer.
+    // Grid-sized per source past the one count shuffle.
+    QueryDef("q199_drift_between_halves",
+      (s, d) => {
+        val nd = docs(s, d).agg(count(lit(1)).as("nd"))
+        val counts = docs(s, d).crossJoin(broadcast(nd))
+          .select(col("source"), (col("doc_id") * 2 < col("nd")).as("fh"),
+            col("n_chars").as("v"))
+          .groupBy("source", "fh", "v").agg(count(lit(1)).as("c"))
+        val a = counts.filter(col("fh")).select("source", "v", "c")
+        val b = counts.filter(!col("fh")).select("source", "v", "c")
+        val ks = graft.operators.Drift
+          .ksBetweenCounts(a, b, "source", "v", "c")
+          .select(col("source"), col("ks_num"))
+        val tv = graft.operators.Drift
+          .tvBetweenCounts(a, b, "source", "v", "c")
+          .select(col("source"), col("tv_num"))
+        val w1 = graft.operators.Drift
+          .w1BetweenCounts(a, b, "source", "v", "c")
+        ks.join(tv, "source").join(w1, "source")
+          .select(col("source"), col("ks_num"), col("tv_num"),
+            col("w1_num"), col("n_a").as("n_then"), col("n_b").as("n_now"))
+          .orderBy("source")
+      },
+      Some("""WITH n AS (SELECT count(*) nd FROM documents),
+          b AS (SELECT source, (doc_id * 2 < n.nd) fh, n_chars v
+            FROM documents CROSS JOIN n),
+          pa AS (SELECT source, v, count(*) ca FROM b WHERE fh GROUP BY 1, 2),
+          pb AS (SELECT source, v, count(*) cb FROM b WHERE NOT fh
+            GROUP BY 1, 2),
+          m AS (SELECT coalesce(pa.source, pb.source) source,
+              coalesce(pa.v, pb.v) v, coalesce(ca, 0) ca, coalesce(cb, 0) cb
+            FROM pa FULL JOIN pb ON pa.source = pb.source AND pa.v = pb.v),
+          cum AS (SELECT source, v, ca, cb,
+              sum(ca) OVER (PARTITION BY source ORDER BY v
+                ROWS UNBOUNDED PRECEDING) sa,
+              sum(cb) OVER (PARTITION BY source ORDER BY v
+                ROWS UNBOUNDED PRECEDING) sb,
+              sum(ca) OVER (PARTITION BY source) na,
+              sum(cb) OVER (PARTITION BY source) nb,
+              coalesce(lead(v, 1) OVER (PARTITION BY source ORDER BY v) - v,
+                0) gap
+            FROM m)
+        SELECT source, CAST(max(abs(sa * nb - sb * na)) AS BIGINT) ks_num,
+          CAST(sum(abs(ca * nb - cb * na)) AS BIGINT) tv_num,
+          CAST(sum(abs(sa * nb - sb * na) * gap) AS BIGINT) w1_num,
+          CAST(max(na) AS BIGINT) n_then, CAST(max(nb) AS BIGINT) n_now
+        FROM cum GROUP BY source ORDER BY source"""))
   )
 }

@@ -127,6 +127,57 @@ class StatPropertySpec extends SparkSpec {
     })
   }
 
+  test("ksBetweenCounts == naive two-sample KS on arbitrary count-table pairs") {
+    check("ks2", Prop.forAll(genCounts, genCounts) { (ca, cb) =>
+      val got = Drift.ksBetweenCounts(ca.toDF("g", "v", "c"),
+          cb.toDF("g", "v", "c"), "g", "v", "c")
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      val groups = (ca.map(_._1) ++ cb.map(_._1)).distinct
+      got.keySet == groups.toSet && groups.forall { g =>
+        val av = ca.filter(_._1 == g)
+          .flatMap { case (_, v, c) => Seq.fill(c.toInt)(v) }
+        val bv = cb.filter(_._1 == g)
+          .flatMap { case (_, v, c) => Seq.fill(c.toInt)(v) }
+        val (na, nb) = (av.size.toLong, bv.size.toLong)
+        val naive = (av ++ bv).distinct.map { v =>
+          math.abs(av.count(_ <= v) * nb - bv.count(_ <= v) * na)
+        }.max
+        got(g) == ((naive, na, nb))
+      }
+    }, trials = 8)
+  }
+
+  test("tv/w1BetweenCounts == their naive two-sample forms on arbitrary count-table pairs") {
+    check("tvw12", Prop.forAll(genCounts, genCounts) { (ca, cb) =>
+      def inst(rows: List[(String, Long, Long)], g: String) =
+        rows.filter(_._1 == g).flatMap { case (_, v, c) => Seq.fill(c.toInt)(v) }
+      val groups = (ca.map(_._1) ++ cb.map(_._1)).distinct
+      val gotTv = Drift.tvBetweenCounts(ca.toDF("g", "v", "c"),
+          cb.toDF("g", "v", "c"), "g", "v", "c")
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      val gotW1 = Drift.w1BetweenCounts(ca.toDF("g", "v", "c"),
+          cb.toDF("g", "v", "c"), "g", "v", "c")
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      groups.forall { g =>
+        val (av, bv) = (inst(ca, g), inst(cb, g))
+        val (na, nb) = (av.size.toLong, bv.size.toLong)
+        val vals = (av ++ bv).distinct.sorted
+        val tvNaive = vals.map { v =>
+          math.abs(av.count(_ == v) * nb - bv.count(_ == v) * na)
+        }.sum
+        val w1Naive = vals.zipAll(vals.drop(1), 0L, -1L).map {
+          case (v, nx) =>
+            val gap = if (nx == -1L) 0L else nx - v
+            math.abs(av.count(_ <= v) * nb - bv.count(_ <= v) * na) * gap
+        }.sum
+        gotTv(g) == ((tvNaive, na, nb)) && gotW1(g) == ((w1Naive, na, nb))
+      }
+    }, trials = 6)
+  }
+
   test("w1FromCounts == naive CDF-gap earth-mover per group on arbitrary count tables") {
     check("w1", Prop.forAll(genCounts) { counts =>
       val got = Drift.w1FromCounts(counts.toDF("g", "v", "c"), "g", "v", "c")
