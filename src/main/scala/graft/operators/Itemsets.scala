@@ -77,4 +77,70 @@ object Itemsets {
         col("n_baskets"))
     Checkpoints.sealAndRelease(out, base)
   }
+
+  /** Frequent canonical triples (`a` < `b` < `c`) at relative support ≥
+    * `minSupNum`/`minSupDen` — the depth-3 rung of the same
+    * anti-monotone ladder as [[frequentPairs]], built Apriori-style so
+    * no stage ever touches more than the previous rung justifies:
+    *
+    *   1. L1/L2: frequent items prune the baskets, then the pair count
+    *      over pruned baskets yields the frequent-PAIR table L2 (both
+    *      exactly as [[frequentPairs]], on one shared staged cut).
+    *   2. C3 CANDIDATES: (a,b,c) is a candidate iff (a,b), (a,c) AND
+    *      (b,c) are all in L2 — the classic candidate-generation join of
+    *      L2 with itself on the shared prefix plus the third-pair
+    *      verification. L2 is floor-bounded, so C3 is tiny and
+    *      broadcasts.
+    *   3. COUNT: the 3-way basket self-join is restricted to candidate
+    *      (a,b) prefixes BEFORE the third leg joins, and to full
+    *      candidates before the floor — the Zipf tail never reaches the
+    *      widest join.
+    *
+    * Equivalence contract (spec-pinned): anti-monotonicity means the
+    * candidate restriction drops NO triple that meets the floor, so the
+    * result equals the brute-force 3-way count filtered at the end.
+    *
+    * Output: (a, b, c, s_abc, n_baskets), unordered.
+    */
+  def frequentTriples(items: DataFrame, basketCols: Seq[String],
+      itemCol: String, minSupNum: Long, minSupDen: Long): DataFrame = {
+    require(minSupNum >= 0 && minSupDen > 0,
+      "relative support is a nonnegative fraction num/den with den > 0")
+    val bk = basketCols.map(col)
+    val base = Checkpoints.cut(
+      items.select((bk :+ col(itemCol).as("it")): _*).distinct())
+    val n = base.select(bk: _*).distinct().agg(count(lit(1)).as("n_baskets"))
+    val floor = (c: org.apache.spark.sql.Column) =>
+      c * lit(minSupDen) >= lit(minSupNum) * col("n_baskets")
+    val sup = base.groupBy("it").agg(count(lit(1)).as("s"))
+    val freq = sup.crossJoin(broadcast(n)).filter(floor(col("s")))
+    val pruned = base.join(broadcast(freq.select("it")), "it")
+    def basketEq(l: String, r: String) = basketCols
+      .map(k => col(s"$l.$k") === col(s"$r.$k")).reduce(_ && _)
+    val l2 = pruned.as("x")
+      .join(pruned.as("y"), basketEq("x", "y") && col("x.it") < col("y.it"))
+      .groupBy(col("x.it").as("a"), col("y.it").as("b"))
+      .agg(count(lit(1)).as("s_ab"))
+      .crossJoin(broadcast(n)).filter(floor(col("s_ab")))
+      .select("a", "b")
+    val c3 = l2.as("p").join(l2.as("q"),
+        col("p.a") === col("q.a") && col("p.b") < col("q.b"))
+      .select(col("p.a").as("a"), col("p.b").as("b"), col("q.b").as("c"))
+      .join(l2.select(col("a").as("b"), col("b").as("c")), Seq("b", "c"))
+    val xy = pruned.as("x")
+      .join(pruned.as("y"), basketEq("x", "y") && col("x.it") < col("y.it"))
+      .select((basketCols.map(k => col(s"x.$k")) :+
+        col("x.it").as("a") :+ col("y.it").as("b")): _*)
+      .join(broadcast(c3.select("a", "b").distinct()), Seq("a", "b"))
+    val out = xy.as("p").join(pruned.as("z"),
+        basketEq("p", "z") && col("p.b") < col("z.it"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"),
+        col("z.it").as("c"))
+      .agg(count(lit(1)).as("s_abc"))
+      .join(broadcast(c3), Seq("a", "b", "c"))
+      .crossJoin(broadcast(n))
+      .filter(floor(col("s_abc")))
+      .select(col("a"), col("b"), col("c"), col("s_abc"), col("n_baskets"))
+    Checkpoints.sealAndRelease(out, base)
+  }
 }

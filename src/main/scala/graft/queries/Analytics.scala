@@ -1589,6 +1589,50 @@ object Analytics {
         FROM bo JOIN sup sa ON bo.a = sa.it JOIN sup sb ON bo.b = sb.it
         CROSS JOIN n
         WHERE s_ab * 300 >= n.n_sessions
-        ORDER BY a, b"""))
+        ORDER BY a, b""")),
+
+    // q200: frequent session TRIPLES — the depth-3 rung of q194's
+    // anti-monotone ladder, mined Apriori-style (L2 frequent pairs →
+    // broadcast C3 candidates whose every pair subset is frequent →
+    // candidate-restricted 3-way count), while the oracle brute-forces
+    // the full 3-way join and filters last — the hash-match IS the
+    // anti-monotonicity proof at data, exactly the q194 contract one
+    // rung up. Floor 1/10000 relative (triples over a 5-type vocabulary
+    // are inherently rare — support 1–14 across the testdata sfs; the
+    // floor is the operator's parameter, the construction is what
+    // scales: at a real vocabulary C3 is what keeps the 3-way join off
+    // the Zipf tail).
+    QueryDef("q200_frequent_triples",
+      (s, d) => graft.operators.Itemsets
+        .frequentTriples(sessionItems(s, d), Seq("user_id", "sess"), "it",
+          minSupNum = 1L, minSupDen = 10000L)
+        .withColumnRenamed("n_baskets", "n_sessions")
+        .orderBy("a", "b", "c"),
+      Some("""WITH e AS (SELECT user_id, ts, event_id, event_type,
+            CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 > 1800000000
+                 OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   IS NULL
+            THEN 1 ELSE 0 END brk
+          FROM events),
+        sn AS (SELECT user_id, event_type,
+               sum(brk) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) sess
+             FROM e),
+        items AS (SELECT DISTINCT user_id, sess, event_type it FROM sn),
+        n AS (SELECT count(*) n_sessions FROM
+          (SELECT DISTINCT user_id, sess FROM items)),
+        tr AS (SELECT x.it a, y.it b, z.it c, count(*) s_abc FROM items x
+          JOIN items y ON x.user_id = y.user_id AND x.sess = y.sess
+            AND x.it < y.it
+          JOIN items z ON x.user_id = z.user_id AND x.sess = z.sess
+            AND y.it < z.it
+          GROUP BY 1, 2, 3)
+        SELECT a, b, c, CAST(s_abc AS BIGINT) s_abc,
+          CAST(n.n_sessions AS BIGINT) n_sessions
+        FROM tr CROSS JOIN n
+        WHERE s_abc * 10000 >= n.n_sessions
+        ORDER BY a, b, c"""))
   )
 }

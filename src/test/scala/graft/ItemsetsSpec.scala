@@ -69,6 +69,48 @@ class ItemsetsSpec extends SparkSpec {
     })
   }
 
+  private def bruteTriples(rows: List[(Int, String)], num: Long, den: Long)
+      : Set[(String, String, String, Long, Long)] = {
+    val baskets = rows.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val n = baskets.size.toLong
+    baskets.values.toList
+      .flatMap(bk => for (a <- bk; b <- bk if a < b; c <- bk if b < c)
+        yield (a, b, c))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      .collect { case ((a, b, c), s) if s * den >= num * n =>
+        (a, b, c, s, n)
+      }.toSet
+  }
+
+  test("frequentTriples == brute-force 3-way count at the same floor (Apriori candidates drop nothing)") {
+    check("fp3Equiv", Prop.forAll(genBaskets,
+      Gen.zip(Gen.choose(0L, 3L), Gen.choose(4L, 10L))) {
+      case (rows, (num, den)) =>
+        val got = Itemsets.frequentTriples(rows.toDF("bid", "it"),
+            Seq("bid"), "it", num, den)
+          .collect()
+          .map(r => (r.getString(0), r.getString(1), r.getString(2),
+            r.getLong(3), r.getLong(4))).toSet
+        got == bruteTriples(rows, num, den)
+    }, trials = 8)
+  }
+
+  test("triple support never exceeds any member pair's support") {
+    check("fp3Mono", Prop.forAll(genBaskets) { rows =>
+      val pairs = Itemsets.frequentPairs(rows.toDF("bid", "it"),
+          Seq("bid"), "it", 0L, 1L)
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+        .toMap
+      val triples = Itemsets.frequentTriples(rows.toDF("bid", "it"),
+          Seq("bid"), "it", 0L, 1L)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+          r.getLong(3)))
+      triples.forall { case (a, b, c, s) =>
+        s <= pairs((a, b)) && s <= pairs((a, c)) && s <= pairs((b, c))
+      }
+    }, trials = 6)
+  }
+
   test("duplicate item instances inside one basket count once") {
     val rows = Seq((1, "x"), (1, "x"), (1, "y"), (2, "x"), (2, "y"),
       (2, "y"))
