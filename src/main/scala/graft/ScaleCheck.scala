@@ -30,7 +30,8 @@ object ScaleCheck {
     "q190_assoc_rules", "q191_path_trigrams", "q192_tv_drift",
     "q193_drift_panel_at_rest", "q194_frequent_pairs", "q195_w1_drift",
     "q196_decile_shift", "q197_centroid_drift", "q198_novel_bigrams",
-    "q199_drift_between_halves", "q200_frequent_triples")
+    "q199_drift_between_halves", "q200_frequent_triples",
+    "q201_sequence_pairs")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")

@@ -1633,6 +1633,71 @@ object Analytics {
           CAST(n.n_sessions AS BIGINT) n_sessions
         FROM tr CROSS JOIN n
         WHERE s_abc * 10000 >= n.n_sessions
-        ORDER BY a, b, c"""))
+        ORDER BY a, b, c""")),
+
+    // q201: sequential-pattern pairs — per DIRECTED type pair (a → b),
+    // the number of 30-minute sessions where some occurrence of `a`
+    // strictly precedes some occurrence of `b` (the 2-sequence of
+    // SPADE/PrefixSpan, "exists before" semantics with arbitrary gap —
+    // q190 is the unordered itemset view, q191 the contiguous-trigram
+    // view; the s_seq(a→b) vs s_seq(b→a) asymmetry is the funnel
+    // direction signal). Scale shape: "∃ i < j" collapses to ONE
+    // per-(session, type) min/max-rank aggregate — min_rank(a) <
+    // max_rank(b) ⟺ an `a` precedes a `b` — so the corpus pays the
+    // sessionization window + one agg shuffle, and the pair join rides
+    // the (sessions × types) frame with |types|²-bounded output, never
+    // event instances.
+    QueryDef("q201_sequence_pairs",
+      (s, d) => {
+        val wOrd = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val us = unix_micros(col("ts"))
+        val gap = us - lag(us, 1).over(wOrd)
+        // per-user rank is session-comparable: sessions are contiguous
+        // in each user's (ts, event_id) order
+        val ranked = graft.operators.Checkpoints.cut(ev(s, d)
+          .withColumn("brk",
+            when(gap.isNull || gap > lit(1800000000L), 1L).otherwise(0L))
+          .withColumn("sess",
+            sum("brk").over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+          .withColumn("rn", row_number().over(wOrd).cast("long"))
+          .groupBy(col("user_id"), col("sess"), col("event_type").as("it"))
+          .agg(min("rn").as("mn"), max("rn").as("mx")))
+        val n = ranked.select("user_id", "sess").distinct()
+          .agg(count(lit(1)).as("n_sessions"))
+        ranked.as("x").join(ranked.as("y"),
+            col("x.user_id") === col("y.user_id") &&
+              col("x.sess") === col("y.sess") &&
+              col("x.it") =!= col("y.it") && col("x.mn") < col("y.mx"))
+          .groupBy(col("x.it").as("a"), col("y.it").as("b"))
+          .agg(count(lit(1)).as("s_seq"))
+          .crossJoin(broadcast(n))
+          .orderBy("a", "b")
+      },
+      Some("""WITH e AS (SELECT user_id, ts, event_id, event_type,
+            CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 > 1800000000
+                 OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   IS NULL
+            THEN 1 ELSE 0 END brk
+          FROM events),
+        sn AS (SELECT user_id, event_type,
+               sum(brk) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) sess,
+               row_number() OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) rn
+             FROM e),
+        agg AS (SELECT user_id, sess, event_type it, min(rn) mn, max(rn) mx
+          FROM sn GROUP BY 1, 2, 3),
+        n AS (SELECT count(*) n_sessions FROM
+          (SELECT DISTINCT user_id, sess FROM agg)),
+        pr AS (SELECT x.it a, y.it b, count(*) s_seq FROM agg x
+          JOIN agg y ON x.user_id = y.user_id AND x.sess = y.sess
+            AND x.it <> y.it AND x.mn < y.mx
+          GROUP BY 1, 2)
+        SELECT a, b, CAST(s_seq AS BIGINT) s_seq,
+          CAST(n.n_sessions AS BIGINT) n_sessions
+        FROM pr CROSS JOIN n ORDER BY a, b"""))
   )
 }

@@ -194,4 +194,44 @@ class EmptyInputSpec extends SparkSpec {
     assert(Skew.saltedJoin(someDocs, emptyDocs.select(col("doc_id"),
       col("text").as("t2")), "doc_id").count() === 0)
   }
+
+  test("drift/eval/itemset operators tolerate empty inputs") {
+    val emptyCounts = Seq.empty[(String, Long, Long)].toDF("g", "v", "c")
+    val someCounts = Seq(("a", 1L, 2L), ("b", 2L, 1L)).toDF("g", "v", "c")
+    assert(graft.operators.Drift
+      .ksFromCounts(emptyCounts, "g", "v", "c").count() === 0)
+    assert(graft.operators.Drift
+      .tvFromCounts(emptyCounts, "g", "v", "c").count() === 0)
+    assert(graft.operators.Drift
+      .w1FromCounts(emptyCounts, "g", "v", "c").count() === 0)
+    // between-states: one empty side is NOT empty output — every group
+    // from the populated side reports with the other side's n = 0 (the
+    // "no basis for comparison" contract the consumer reads off nA·nB)
+    val oneSided = graft.operators.Drift
+      .ksBetweenCounts(someCounts, emptyCounts, "g", "v", "c")
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(oneSided === Map("a" -> ((2L, 0L)), "b" -> ((1L, 0L))))
+    assert(graft.operators.Drift
+      .ksBetweenCounts(emptyCounts, emptyCounts, "g", "v", "c")
+      .count() === 0)
+    // an empty micro-batch merge is the identity on the state
+    assert(graft.operators.Drift
+      .mergeCounts(someCounts, Seq.empty[(String, Long)].toDF("g", "v"),
+        "g", "v", "c")
+      .collect().map(_.toSeq).toSet ===
+      someCounts.collect().map(_.toSeq).toSet)
+    val emptyLabeled = Seq.empty[(Boolean, Long)].toDF("pos", "v")
+    val aucRow = graft.operators.Eval
+      .aucHistogram(emptyLabeled, "pos", "v").collect()
+    assert(aucRow.length === 1 && aucRow.head.isNullAt(0),
+      "empty-input AUC is the documented all-null single row")
+    assert(graft.operators.Eval
+      .giniPerGroup(emptyCounts, "g", "v", "c").count() === 0)
+    val emptyBaskets = Seq.empty[(Int, String)].toDF("bid", "it")
+    assert(graft.operators.Itemsets
+      .frequentPairs(emptyBaskets, Seq("bid"), "it", 1L, 10L).count() === 0)
+    assert(graft.operators.Itemsets
+      .frequentTriples(emptyBaskets, Seq("bid"), "it", 1L, 10L).count() === 0)
+  }
 }

@@ -300,6 +300,46 @@ class StatOpsSpec extends SparkSpec {
     }
   }
 
+  test("q201 sequence-pair supports equal the naive exists-before scan") {
+    val evs = graft.Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    // sessionized TYPE SEQUENCES (order preserved, not sets)
+    val seqs = evs.groupBy(_._1).toSeq.flatMap { case (uid, es) =>
+      val ordered = es.sortBy(e => (e._4, e._2))
+      var sess = 0L
+      var prev = Long.MinValue
+      ordered.map { e =>
+        if (prev == Long.MinValue || e._4 - prev > 1800000000L) sess += 1
+        prev = e._4
+        ((uid, sess), e._3)
+      }
+    }.groupBy(_._1).view.mapValues(_.map(_._2)).values.toSeq
+    val n = seqs.size.toLong
+    // naive "exists i < j with t_i = a, t_j = b" per session
+    def before(s: Seq[String], a: String, b: String): Boolean = {
+      val fi = s.indexOf(a)
+      fi >= 0 && s.lastIndexOf(b) > fi
+    }
+    val got = q("q201_sequence_pairs").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(got.nonEmpty)
+    for (((a, b), (sSeq, nGot)) <- got) {
+      assert(sSeq === seqs.count(before(_, a, b)).toLong, s"pair ($a,$b)")
+      assert(nGot === n)
+    }
+    // and no qualifying ordered pair is missing from the output
+    val types = evs.map(_._3).distinct
+    for (a <- types; b <- types if a != b) {
+      val naive = seqs.count(before(_, a, b)).toLong
+      if (naive > 0) assert(got.contains((a, b)), s"missing pair ($a,$b)")
+    }
+  }
+
   test("q191 top trigrams equal the naive per-user path count") {
     val evs = graft.Tables.events(spark, dir)
       .select(col("user_id"), col("event_id"), col("event_type"),
