@@ -73,19 +73,12 @@ object Analytics {
   // times (supports, basket count, pair self-join), and without the cut
   // each read re-runs the corpus sessionization window.
   private def sessionItems(s: SparkSession, d: String)
-      : org.apache.spark.sql.DataFrame = {
-    val wOrd = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts"), col("event_id"))
-    val us = unix_micros(col("ts"))
-    val gap = us - lag(us, 1).over(wOrd)
-    graft.operators.Checkpoints.cut(ev(s, d)
-      .withColumn("brk",
-        when(gap.isNull || gap > lit(1800000000L), 1L).otherwise(0L))
-      .withColumn("sess",
-        sum("brk").over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
-      .select(col("user_id"), col("sess"), col("event_type").as("it"))
-      .distinct())
-  }
+      : org.apache.spark.sql.DataFrame =
+    graft.operators.Checkpoints.cut(
+      graft.operators.Sessionize.assign(ev(s, d), "user_id", "ts",
+          "event_id", gapMicros = 1800000000L)
+        .select(col("user_id"), col("sess"), col("event_type").as("it"))
+        .distinct())
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -1252,15 +1245,8 @@ object Analytics {
     // sequence itself).
     QueryDef("q133_turn_assembly",
       (s, d) => {
-        val wOrd = Window.partitionBy(col("user_id"))
-          .orderBy(col("ts"), col("event_id"))
-        val us = unix_micros(col("ts"))
-        val gap = us - lag(us, 1).over(wOrd)
-        val e = ev(s, d)
-          .withColumn("brk",
-            when(gap.isNull || gap > lit(1800000000L), 1L).otherwise(0L))
-          .withColumn("session_no",
-            sum("brk").over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+        val e = graft.operators.Sessionize.assign(ev(s, d), "user_id",
+          "ts", "event_id", gapMicros = 1800000000L, outCol = "session_no")
         val g = e.groupBy("user_id", "session_no")
           .agg(sort_array(collect_list(
             struct(col("ts"), col("event_id"), col("event_type")))).as("evs"))
@@ -1651,15 +1637,11 @@ object Analytics {
       (s, d) => {
         val wOrd = Window.partitionBy(col("user_id"))
           .orderBy(col("ts"), col("event_id"))
-        val us = unix_micros(col("ts"))
-        val gap = us - lag(us, 1).over(wOrd)
         // per-user rank is session-comparable: sessions are contiguous
         // in each user's (ts, event_id) order
-        val ranked = graft.operators.Checkpoints.cut(ev(s, d)
-          .withColumn("brk",
-            when(gap.isNull || gap > lit(1800000000L), 1L).otherwise(0L))
-          .withColumn("sess",
-            sum("brk").over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+        val ranked = graft.operators.Checkpoints.cut(
+          graft.operators.Sessionize.assign(ev(s, d), "user_id", "ts",
+            "event_id", gapMicros = 1800000000L)
           .withColumn("rn", row_number().over(wOrd).cast("long"))
           .groupBy(col("user_id"), col("sess"), col("event_type").as("it"))
           .agg(min("rn").as("mn"), max("rn").as("mx")))
