@@ -467,5 +467,37 @@ object TextPrepOps {
           CAST(g.fe + CASE WHEN c.ct <= g.rem THEN 1 ELSE 0 END AS BIGINT)
             repeats
         FROM cum c JOIN tg2 g USING (lang) ORDER BY c.doc_id""")),
+
+    // q202: deterministic token-dropout augmentation at 10% — the
+    // epoch-variation step done WITHOUT randomness: drop token (doc, p)
+    // iff hash32("s15":doc:p:token) mod 10 < 1, so any engine replays
+    // the exact augmented corpus (the oracle does, bit-for-bit), a
+    // resumed job regenerates identical batches, and a different salt
+    // (the epoch number) yields an independent mask — the q114/q153
+    // determinism stance applied to augmentation. Map-side only: the
+    // mask is computed in the scan stage, nothing shuffles but the
+    // presentation orderBy.
+    QueryDef("q202_token_dropout",
+      (s, d) => {
+        val aug = graft.operators.Augment.tokenDropout(
+          docs(s, d), "doc_id", "text", dropNum = 1L, dropDen = 10L,
+          salt = "s15")
+        aug.select(col("doc_id"),
+            size(graft.functions.TextFns.tokens(col("text"))).cast("long")
+              .as("n_orig"),
+            size(col("aug_tokens")).cast("long").as("n_kept"),
+            concat_ws(" ", slice(col("aug_tokens"), 1, 8)).as("preview"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH x AS (SELECT doc_id, $OToks t FROM documents),
+          k AS (SELECT doc_id, len(t) n_orig,
+              [t[i] for i in generate_series(1, len(t)) if
+                ('0x' || substr(md5('s15:' || doc_id || ':' || i || ':'
+                  || t[i]), 1, 8))::BIGINT % 10 >= 1] kt
+            FROM x)
+        SELECT doc_id, CAST(n_orig AS BIGINT) n_orig,
+          CAST(len(kt) AS BIGINT) n_kept,
+          array_to_string(kt[1:8], ' ') preview
+        FROM k ORDER BY doc_id""")),
   )
 }
