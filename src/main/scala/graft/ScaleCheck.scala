@@ -31,7 +31,8 @@ object ScaleCheck {
     "q193_drift_panel_at_rest", "q194_frequent_pairs", "q195_w1_drift",
     "q196_decile_shift", "q197_centroid_drift", "q198_novel_bigrams",
     "q199_drift_between_halves", "q200_frequent_triples",
-    "q201_sequence_pairs", "q202_token_dropout")
+    "q201_sequence_pairs", "q202_token_dropout",
+    "q203_span_corruption")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")

@@ -499,5 +499,78 @@ object TextPrepOps {
           CAST(len(kt) AS BIGINT) n_kept,
           array_to_string(kt[1:8], ' ') preview
         FROM k ORDER BY doc_id""")),
+
+    // q203: T5-style span corruption (Raffel et al., JMLR 2020) — the
+    // denoising-objective data prep: hide hash-chosen 1–3-token spans
+    // behind <extra_id_N> sentinels (input) and emit sentinel + hidden
+    // tokens (target). Spans are confined to 8-token blocks so every
+    // masking decision is INDEPENDENT per block — no sequential
+    // per-document fold and no position×block quadratic scan: one token
+    // explode, one per-(doc, block) hash-agg, a doc-partitioned running
+    // count for the sentinel ordinals, two ordered re-collects. Same
+    // determinism contract as q202: every decision hashes (salt, doc,
+    // block), so the oracle replays the corruption bit-for-bit,
+    // previews included; AugmentSpec proves the round-trip law
+    // (interleaving input and target reconstructs the corpus exactly).
+    QueryDef("q203_span_corruption",
+      (s, d) => graft.operators.Augment
+        .spanCorruption(docs(s, d), "doc_id", "text", salt = "s15")
+        .select(col("doc_id"), col("n_tokens"), col("n_spans"),
+          col("n_masked"),
+          concat_ws(" ", slice(col("input_tokens"), 1, 12))
+            .as("input_preview"),
+          concat_ws(" ", slice(col("target_tokens"), 1, 12))
+            .as("target_preview"))
+        .orderBy("doc_id"),
+      Some(s"""WITH x AS (SELECT doc_id, $OToks t FROM documents),
+          tok AS (SELECT doc_id, unnest(generate_series(1, len(t))) i, t
+            FROM x),
+          t2 AS (SELECT doc_id, i, t[i] tok FROM tok),
+          blk AS (SELECT doc_id, (i - 1) // 8 b, count(*) bl FROM t2
+            GROUP BY 1, 2),
+          mb AS (SELECT doc_id, b, bl,
+              (('0x' || substr(md5('s15:' || doc_id || ':b:' || b), 1, 8))
+                ::BIGINT % 4 = 0) masked
+            FROM blk),
+          ml AS (SELECT *, CASE WHEN masked THEN least(1 +
+              ('0x' || substr(md5('s15:' || doc_id || ':l:' || b), 1, 8))
+                ::BIGINT % 3, bl) END lc FROM mb),
+          mo AS (SELECT *, CASE WHEN masked THEN
+              ('0x' || substr(md5('s15:' || doc_id || ':o:' || b), 1, 8))
+                ::BIGINT % (bl - lc + 1) END o,
+              CASE WHEN masked THEN sum(CASE WHEN masked THEN 1 ELSE 0 END)
+                OVER (PARTITION BY doc_id ORDER BY b
+                  ROWS UNBOUNDED PRECEDING) - 1 END sent
+            FROM ml),
+          j AS (SELECT t2.doc_id, t2.i, t2.tok, m.masked, m.o, m.lc,
+              m.sent, (t2.i - 1) % 8 w
+            FROM t2 JOIN mo m ON t2.doc_id = m.doc_id
+              AND (t2.i - 1) // 8 = m.b),
+          cls AS (SELECT *, masked AND w >= o AND w < o + lc AS inspan,
+              masked AND w = o AS isstart FROM j),
+          inp AS (SELECT doc_id, list(CASE WHEN isstart
+                THEN '<extra_id_' || sent || '>' ELSE tok END
+                ORDER BY i) iv
+            FROM cls WHERE NOT inspan OR isstart GROUP BY 1),
+          tg AS (SELECT doc_id, list(v ORDER BY i, sub) tv FROM (
+              SELECT doc_id, i, 0 sub, '<extra_id_' || sent || '>' v
+                FROM cls WHERE isstart
+              UNION ALL
+              SELECT doc_id, i, 1, tok FROM cls WHERE inspan)
+            GROUP BY 1),
+          st AS (SELECT doc_id,
+              sum(CASE WHEN inspan THEN 1 ELSE 0 END) nm,
+              sum(CASE WHEN isstart THEN 1 ELSE 0 END) ns
+            FROM cls GROUP BY 1)
+        SELECT x.doc_id, CAST(len(x.t) AS BIGINT) n_tokens,
+          CAST(coalesce(ns, 0) AS BIGINT) n_spans,
+          CAST(coalesce(nm, 0) AS BIGINT) n_masked,
+          coalesce(array_to_string(coalesce(iv, []::VARCHAR[])[1:12], ' '),
+            '') input_preview,
+          coalesce(array_to_string(coalesce(tv, []::VARCHAR[])[1:12], ' '),
+            '') target_preview
+        FROM x LEFT JOIN st USING (doc_id) LEFT JOIN inp USING (doc_id)
+          LEFT JOIN tg USING (doc_id)
+        ORDER BY x.doc_id""")),
   )
 }

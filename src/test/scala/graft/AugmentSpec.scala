@@ -65,4 +65,47 @@ class AugmentSpec extends SparkSpec {
       Augment.tokenDropout(docs, "doc_id", "text", 1, 0)
     }
   }
+
+  test("span corruption round-trips: splicing targets into inputs reconstructs the corpus") {
+    val Sent = "<extra_id_(\\d+)>".r
+    val rows = Augment.spanCorruption(
+        Tables.documents(spark, "/root/testdata/sf0.001"),
+        "doc_id", "text", salt = "rt")
+      .collect()
+    assert(rows.length > 0)
+    assert(rows.exists(_.getLong(2) > 0), "some doc must have spans")
+    val orig = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq)
+      .toMap
+    for (r <- rows) {
+      val (id, nTok, nSpans, nMasked) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val input = r.getSeq[String](4)
+      val target = r.getSeq[String](5)
+      // parse the target into spans keyed by sentinel ordinal
+      val spans = scala.collection.mutable.Map.empty[Int, Vector[String]]
+      var cur = -1
+      target.foreach {
+        case Sent(k) => cur = k.toInt; spans(cur) = Vector.empty
+        case tok => spans(cur) = spans(cur) :+ tok
+      }
+      assert(spans.keySet === (0 until nSpans.toInt).toSet,
+        s"doc $id: sentinel ordinals must be 0..n_spans-1")
+      assert(spans.values.map(_.size.toLong).sum === nMasked, s"doc $id")
+      assert(spans.values.forall(sp => sp.size >= 1 && sp.size <= 3),
+        s"doc $id: span lengths are 1..3")
+      // splice: replace each input sentinel with its hidden span
+      val rebuilt = input.flatMap {
+        case Sent(k) => spans(k.toInt)
+        case tok => Seq(tok)
+      }
+      assert(rebuilt === orig(id), s"doc $id must round-trip")
+      assert(nTok === orig(id).size.toLong)
+      // sentinels appear in document order in the input too
+      val seen = input.collect { case Sent(k) => k.toInt }
+      assert(seen === seen.sorted, s"doc $id: input sentinel order")
+    }
+  }
 }
