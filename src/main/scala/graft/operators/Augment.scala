@@ -27,7 +27,10 @@ object Augment {
       dropNum: Long, dropDen: Long, salt: String = ""): DataFrame = {
     require(dropDen > 0 && dropNum >= 0 && dropNum <= dropDen,
       "drop rate is a fraction num/den with 0 <= num <= den")
-    val t = TextFns.tokens(col(textCol))
+    // NULL text reads as the empty document (null would otherwise
+    // propagate through zip_with/filter into a null aug_tokens)
+    val t = coalesce(TextFns.tokens(col(textCol)),
+      array().cast("array<string>"))
     val pos: Column = when(size(t) > 0, sequence(lit(1), size(t)))
       .otherwise(array().cast("array<int>"))
     val marked = zip_with(t, pos, (tok, p) =>
@@ -109,8 +112,10 @@ object Augment {
       .agg(sum(when(col("inspan"), 1L).otherwise(0L)).as("n_masked"),
         sum(when(col("isstart"), 1L).otherwise(0L)).as("n_spans"))
     val empty = array().cast("array<string>")
+    // size(tokens(NULL)) is NULL — a null-text doc is an empty one
     df.select(col(idCol),
-        size(TextFns.tokens(col(textCol))).cast("long").as("n_tokens"))
+        coalesce(size(TextFns.tokens(col(textCol))).cast("long"), lit(0L))
+          .as("n_tokens"))
       .join(stats, Seq(idCol), "left")
       .join(inp, Seq(idCol), "left")
       .join(tgt, Seq(idCol), "left")

@@ -66,6 +66,19 @@ class AugmentSpec extends SparkSpec {
     }
   }
 
+  test("null text reads as the empty document in both ops") {
+    val withNull = Seq((1L, "alpha beta"), (2L, null))
+      .toDF("doc_id", "text")
+    val drop = Augment.tokenDropout(withNull, "doc_id", "text", 0, 10)
+      .select(col("doc_id"), col("aug_tokens")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(drop(1L) === Seq("alpha", "beta") && drop(2L) === Seq.empty)
+    val span = Augment.spanCorruption(withNull, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getSeq[String](4))).toMap
+    assert(span(2L)._1 === 0L && span(2L)._2 === Seq.empty)
+  }
+
   test("span corruption round-trips: splicing targets into inputs reconstructs the corpus") {
     val Sent = "<extra_id_(\\d+)>".r
     val rows = Augment.spanCorruption(

@@ -525,4 +525,26 @@ class PlanGuardSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"),
       s"top-20 must run as per-partition heaps + a 20-row driver merge:\n$p")
   }
+
+  test("itemset/sequence miners: support prunes broadcast, no cartesian fallback") {
+    // the only nested-loop joins allowed are the Cross builds against
+    // 1-row aggregates (the n_baskets/n_sessions broadcast — the house
+    // crossJoin pattern); the frequent-item/candidate prunes must reach
+    // the basket frame as BroadcastHashJoins, never shuffles of the
+    // floor-bounded side
+    for (q <- Seq("q194_frequent_pairs", "q200_frequent_triples",
+        "q201_sequence_pairs")) {
+      val p = finalPlan(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+      val bnlj = "BroadcastNestedLoopJoin BuildRight, Cross|" +
+        "BroadcastNestedLoopJoin Cross"
+      assert(count("BroadcastNestedLoopJoin", p) ===
+        count(bnlj, p), s"$q: every BNLJ must be a Cross 1-row build:\n$p")
+    }
+    for (q <- Seq("q194_frequent_pairs", "q200_frequent_triples")) {
+      val p = finalPlan(q)
+      assert(count("BroadcastHashJoin", p) >= 2,
+        s"$q: the support prune and attachment joins must broadcast:\n$p")
+    }
+  }
 }
