@@ -1065,4 +1065,37 @@ object Components {
       .union(ue.select(col("b").as("id")))
       .groupBy("id").agg(count(lit(1)).as("core_degree"))
       .filter(col("core_degree") >= k)
+
+  /** Common-neighbors link prediction over a canonical (`aCol` < `bCol`,
+    * deduplicated) undirected edge list: every NON-adjacent pair with at
+    * least one shared neighbor, scored by the common-neighbor count (the
+    * strongest simple predictor in the Liben-Nowell–Kleinberg study)
+    * plus both degrees, so preferential-attachment deg(a)·deg(b) is one
+    * consumer multiply — both integer-exact where Adamic–Adar's
+    * 1/log(deg) would be float- and library-dependent. Shape: the
+    * two-orientation neighbor table self-joins on the SHARED NEIGHBOR —
+    * Σ_x deg(x)² candidate work, the wedge count, same envelope as the
+    * q169 triangle join — then one anti-join drops existing edges and
+    * two broadcast degree attachments. Output: (`aCol`, `bCol`, cn,
+    * deg_a, deg_b), one row per candidate pair, unordered.
+    */
+  def commonNeighborCandidates(edges: DataFrame, aCol: String,
+      bCol: String): DataFrame = {
+    val both = edges.select(col(aCol).as("s"), col(bCol).as("d"))
+      .union(edges.select(col(bCol).as("s"), col(aCol).as("d")))
+    val deg = both.groupBy("s").agg(count(lit(1)).as("dg"))
+    val cand = both.as("l").join(both.as("r"),
+        col("l.d") === col("r.d") && col("l.s") < col("r.s"))
+      .groupBy(col("l.s").as("x"), col("r.s").as("y"))
+      .agg(count(lit(1)).as("cn"))
+    cand
+      .join(edges.select(col(aCol).as("x"), col(bCol).as("y")),
+        Seq("x", "y"), "left_anti")
+      .join(broadcast(deg.select(col("s").as("x"), col("dg").as("deg_a"))),
+        "x")
+      .join(broadcast(deg.select(col("s").as("y"), col("dg").as("deg_b"))),
+        "y")
+      .select(col("x").as(aCol), col("y").as(bCol), col("cn"),
+        col("deg_a"), col("deg_b"))
+  }
 }

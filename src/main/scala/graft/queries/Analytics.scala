@@ -1680,6 +1680,64 @@ object Analytics {
           GROUP BY 1, 2)
         SELECT a, b, CAST(s_seq AS BIGINT) s_seq,
           CAST(n.n_sessions AS BIGINT) n_sessions
-        FROM pr CROSS JOIN n ORDER BY a, b"""))
+        FROM pr CROSS JOIN n ORDER BY a, b""")),
+
+    // q204: k-anonymity audit over the quasi-identifier triple (lang,
+    // source, 500-char length bucket) — the privacy gate a dataset
+    // release runs BEFORE shipping: any combination shared by fewer
+    // than k=5 documents re-identifies (the Sweeney k-anonymity
+    // criterion); the report lists every violating combination with its
+    // group size so the release process can suppress or generalize
+    // those cells. One hash-agg on the quasi-identifier key + a literal
+    // filter — the corpus pays one count shuffle; bucket by n_chars
+    // div 500 (nonnegative, so truncating div and flooring // agree).
+    QueryDef("q204_k_anonymity",
+      (s, d) => graft.Tables.documents(s, d)
+        .groupBy(col("lang"), col("source"),
+          expr("n_chars div 500").as("len_bucket"))
+        .agg(count(lit(1)).as("n_docs"))
+        .filter(col("n_docs") < 5)
+        .orderBy("lang", "source", "len_bucket"),
+      Some("""SELECT lang, source, CAST(n_chars // 500 AS BIGINT) len_bucket,
+          CAST(count(*) AS BIGINT) n_docs
+        FROM documents GROUP BY 1, 2, 3 HAVING count(*) < 5
+        ORDER BY lang, source, len_bucket""")),
+
+    // q205: common-neighbors link prediction over the q176 co-occurrence
+    // graph — the top-20 NON-adjacent token pairs most likely to
+    // co-occur next (Liben-Nowell–Kleinberg: common-neighbor count is
+    // the strongest simple predictor), with both degrees so
+    // preferential-attachment deg_a·deg_b is one consumer multiply;
+    // integer-exact where Adamic–Adar's 1/log(deg) would be float- and
+    // library-dependent. Reads the memoized coocEdges artifact (the
+    // corpus-sized stage runs once per session/dir); the wedge self-join
+    // is Σ deg² on a ≤100-edge frame, top-20 via orderBy.limit =
+    // TakeOrdered under the (cn DESC, deg_prod DESC, a, b) total order.
+    QueryDef("q205_link_prediction",
+      (s, d) => graft.operators.Components
+        .commonNeighborCandidates(coocEdges(s, d), "wa", "wb")
+        .select(col("wa").as("a"), col("wb").as("b"), col("cn"),
+          (col("deg_a") * col("deg_b")).as("deg_prod"))
+        .orderBy(col("cn").desc, col("deg_prod").desc, col("a"), col("b"))
+        .limit(20),
+      Some(s"""WITH x AS (SELECT doc_id, list_distinct(${TextShared.OToks}) t
+            FROM documents),
+          tok AS (SELECT doc_id, unnest(t) w FROM x),
+          pr AS (SELECT a.w wa, b.w wb, count(*) c FROM tok a
+                 JOIN tok b ON a.doc_id = b.doc_id AND a.w < b.w GROUP BY 1, 2),
+          rk AS (SELECT wa, wb, row_number() OVER (
+              ORDER BY c DESC, wa, wb) r FROM pr),
+          e0 AS (SELECT wa, wb FROM rk WHERE r <= 100),
+          bo AS (SELECT wa s, wb d FROM e0 UNION ALL SELECT wb, wa FROM e0),
+          deg AS (SELECT s id, count(*) dg FROM bo GROUP BY 1),
+          cn AS (SELECT l.s x, r.s y, count(*) cn FROM bo l
+            JOIN bo r ON l.d = r.d AND l.s < r.s GROUP BY 1, 2),
+          ne AS (SELECT cn.* FROM cn LEFT JOIN e0
+              ON cn.x = e0.wa AND cn.y = e0.wb
+            WHERE e0.wa IS NULL)
+        SELECT ne.x a, ne.y b, CAST(ne.cn AS BIGINT) cn,
+          CAST(da.dg * db.dg AS BIGINT) deg_prod
+        FROM ne JOIN deg da ON ne.x = da.id JOIN deg db ON ne.y = db.id
+        ORDER BY cn DESC, deg_prod DESC, a, b LIMIT 20"""))
   )
 }

@@ -837,6 +837,26 @@ class ComponentsSpec extends SparkSpec {
     }
   }
 
+  test("commonNeighborCandidates == the naive wedge scan on the clique+tail fixture") {
+    val got = Components
+      .commonNeighborCandidates(cliqueTail.toDF("a", "b"), "a", "b")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    val edges = cliqueTail.map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+    val nodes = edges.flatMap(e => Seq(e._1, e._2))
+    def nbrs(v: Long) = edges.collect {
+      case (a, b) if a == v => b
+      case (a, b) if b == v => a
+    }
+    val expect = (for {
+      a <- nodes; b <- nodes if a < b && !edges((a, b))
+      cn = (nbrs(a) intersect nbrs(b)).size.toLong if cn > 0
+    } yield (a, b) -> ((cn, nbrs(a).size.toLong, nbrs(b).size.toLong))).toMap
+    assert(got === expect)
+    // adjacency exclusion: no candidate is an existing edge
+    assert(got.keySet.intersect(edges).isEmpty)
+  }
+
   test("q189's 4-round budget reaches the true coreness fixpoint on the real graphs") {
     // q189 matches its oracle round-for-round at ANY data (both sides
     // run exactly 4 peel rounds per rung), so the hash cannot diverge —
