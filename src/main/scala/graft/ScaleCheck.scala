@@ -32,7 +32,8 @@ object ScaleCheck {
     "q196_decile_shift", "q197_centroid_drift", "q198_novel_bigrams",
     "q199_drift_between_halves", "q200_frequent_triples",
     "q201_sequence_pairs", "q202_token_dropout",
-    "q203_span_corruption", "q204_k_anonymity", "q205_link_prediction")
+    "q203_span_corruption", "q204_k_anonymity", "q205_link_prediction",
+    "q206_source_vocab_overlap")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")

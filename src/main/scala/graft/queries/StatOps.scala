@@ -823,6 +823,46 @@ object StatOps {
         FROM nw LEFT JOIN th ON nw.source = th.source AND nw.bg = th.bg
         GROUP BY 1 ORDER BY nw.source""")),
 
+    // q206: pairwise source-vocabulary overlap — the inter-source
+    // redundancy matrix a mixture designer reads before weighting ("are
+    // crawl-3 and crawl-7 the same corpus twice?"): for every source
+    // pair the shared token-TYPE count plus both vocabulary sizes, so
+    // Jaccard/containment are one consumer division each. Type-level
+    // like q198 (a spammed shared token counts once). Shape: the
+    // (source, type) table is Heap's-law bounded; the pair join is the
+    // inverted-index construction — work Σ_t df(t)² with df ≤ |sources|,
+    // so vocabulary × |sources|² worst case, never corpus-instance
+    // sized; output |sources|²/2 rows.
+    QueryDef("q206_source_vocab_overlap",
+      (s, d) => {
+        val st = docs(s, d)
+          .select(col("source"),
+            explode(array_distinct(TextFns.tokens(col("text")))).as("t"))
+          .distinct()
+        val n = st.groupBy("source").agg(count(lit(1)).as("nt"))
+        st.as("x").join(st.as("y"),
+            col("x.t") === col("y.t") && col("x.source") < col("y.source"))
+          .groupBy(col("x.source").as("source_a"),
+            col("y.source").as("source_b"))
+          .agg(count(lit(1)).as("n_shared"))
+          .join(broadcast(n.select(col("source").as("source_a"),
+            col("nt").as("n_a_types"))), "source_a")
+          .join(broadcast(n.select(col("source").as("source_b"),
+            col("nt").as("n_b_types"))), "source_b")
+          .select(col("source_a"), col("source_b"), col("n_shared"),
+            col("n_a_types"), col("n_b_types"))
+          .orderBy("source_a", "source_b")
+      },
+      Some(s"""WITH st AS (SELECT DISTINCT source, unnest($OToks) t
+            FROM documents),
+          n AS (SELECT source, count(*) nt FROM st GROUP BY 1),
+          p AS (SELECT x.source sa, y.source sb, count(*) sh FROM st x
+            JOIN st y ON x.t = y.t AND x.source < y.source GROUP BY 1, 2)
+        SELECT sa source_a, sb source_b, CAST(sh AS BIGINT) n_shared,
+          CAST(na.nt AS BIGINT) n_a_types, CAST(nb.nt AS BIGINT) n_b_types
+        FROM p JOIN n na ON sa = na.source JOIN n nb ON sb = nb.source
+        ORDER BY source_a, source_b""")),
+
     // q199: the full drift panel BETWEEN the corpus's halves, per source
     // — the "today vs yesterday" form of the monitor (q177/q192/q195
     // compare each source against the POOLED corpus, which dilutes: a

@@ -340,6 +340,27 @@ class StatOpsSpec extends SparkSpec {
     }
   }
 
+  test("q206 source-vocabulary overlap equals naive pairwise set intersections") {
+    val toks = graft.Tables.documents(spark, dir)
+      .select(col("source"),
+        explode(graft.functions.TextFns.tokens(col("text"))).as("t"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    val vocab = toks.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val got = q("q206_source_vocab_overlap").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val srcs = vocab.keys.toSeq.sorted
+    for (a <- srcs; b <- srcs if a < b) {
+      val shared = (vocab(a) intersect vocab(b)).size.toLong
+      if (shared > 0) {
+        val (sh, na, nb) = got((a, b))
+        assert(sh === shared, s"($a,$b)")
+        assert(na === vocab(a).size.toLong && nb === vocab(b).size.toLong)
+        assert(sh <= math.min(na, nb), "overlap bounded by both vocabularies")
+      } else assert(!got.contains((a, b)))
+    }
+  }
+
   test("q191 top trigrams equal the naive per-user path count") {
     val evs = graft.Tables.events(spark, dir)
       .select(col("user_id"), col("event_id"), col("event_type"),
