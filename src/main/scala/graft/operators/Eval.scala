@@ -47,6 +47,40 @@ object Eval {
         sum("np").as("n_pos"), sum("nn").as("n_neg"))
   }
 
+  /** Per-group SPEARMAN rank-correlation numerator between two orderable
+    * columns — the monotone-association read ("does length predict
+    * diversity?") that Pearson misses on nonlinear-but-monotone
+    * relations and that outliers can't drag (ranks have a bounded
+    * reach). Ships integer: n and d2_sum = Σ(rank_x − rank_y)², with
+    * ρ = 1 − 6·d2_sum/(n(n²−1)) at the consumer. Ranks are 0-based
+    * (`idCol`-tie-broken — deterministic and engine-replayable where the
+    * textbook average-rank tie treatment is not integer; documented
+    * deviation, equal to textbook Spearman whenever values are
+    * distinct). Both ranking passes are [[Packing.groupedTwoPhaseRank]]
+    * — no per-group corpus window, skewed groups spread over all
+    * quantile buckets.
+    *
+    * Output: (`group`, n, d2_sum), one row per group.
+    */
+  def spearmanPerGroup(df: DataFrame, idCol: String, groupCol: String,
+      xCol: String, yCol: String, buckets: Int = 32): DataFrame = {
+    val base = df.select(col(idCol).cast("long").as("id"),
+      col(groupCol).as("grp"), col(xCol).cast("long").as("x"),
+      col(yCol).cast("long").as("y"))
+    val rx = Packing.groupedTwoPhaseRank(
+        base.select(col("id"), col("grp"), col("x")), "grp", "x", buckets)
+      .select(col("id"), col("grp"), col("gpos").as("r1"))
+    val ry = Packing.groupedTwoPhaseRank(
+        base.select(col("id"), col("grp"), col("y")), "grp", "y", buckets)
+      .select(col("id"), col("gpos").as("r2"))
+    rx.join(ry, "id")
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n"),
+        sum((col("r1") - col("r2")) * (col("r1") - col("r2")))
+          .as("d2_sum"))
+      .select(col("grp").as(groupCol), col("n"), col("d2_sum"))
+  }
+
   /** Per-group Gini concentration over a pre-counted (`group`, `item`,
     * `count`) table: with counts sorted ascending ((count, item) total
     * order), G = Σ(2r − n − 1)·c over n·Σc, shipped as the integer

@@ -863,6 +863,34 @@ object StatOps {
         FROM p JOIN n na ON sa = na.source JOIN n nb ON sb = nb.source
         ORDER BY source_a, source_b""")),
 
+    // q207: per-source Spearman association between document length and
+    // lexical diversity (distinct-token count) — the "is long actually
+    // richer, per source" read behind length-based quality gates:
+    // monotone association that Pearson misses on nonlinear relations
+    // and outliers can't drag. Integer pair (n, d2_sum = Σ(r_x − r_y)²),
+    // ρ = 1 − 6·d2/(n(n²−1)) at the consumer; ranks id-tie-broken (the
+    // documented deterministic deviation from average-rank ties). Both
+    // ranking passes are the grouped two-phase rank — no per-source
+    // corpus window.
+    QueryDef("q207_spearman",
+      (s, d) => graft.operators.Eval.spearmanPerGroup(
+          docs(s, d).select(col("doc_id"), col("source"), col("n_chars"),
+            size(array_distinct(TextFns.tokens(col("text")))).as("ydiv")),
+          "doc_id", "source", "n_chars", "ydiv")
+        .orderBy("source"),
+      Some(s"""WITH b AS (SELECT doc_id, source, n_chars x,
+            len(list_distinct($OToks)) y FROM documents),
+          rx AS (SELECT doc_id, source,
+              row_number() OVER (PARTITION BY source ORDER BY x, doc_id)
+                - 1 r1 FROM b),
+          ry AS (SELECT doc_id,
+              row_number() OVER (PARTITION BY source ORDER BY y, doc_id)
+                - 1 r2 FROM b)
+        SELECT rx.source AS source, CAST(count(*) AS BIGINT) n,
+          CAST(sum((r1 - r2) * (r1 - r2)) AS BIGINT) d2_sum
+        FROM rx JOIN ry USING (doc_id)
+        GROUP BY 1 ORDER BY rx.source""")),
+
     // q199: the full drift panel BETWEEN the corpus's halves, per source
     // — the "today vs yesterday" form of the monitor (q177/q192/q195
     // compare each source against the POOLED corpus, which dilutes: a

@@ -230,6 +230,41 @@ class StatPropertySpec extends SparkSpec {
     }, trials = 5)
   }
 
+  private val genXY: Gen[List[(Long, String, Long, Long)]] = for {
+    n <- Gen.choose(1, 50)
+    rows <- Gen.listOfN(n, for {
+      g <- Gen.oneOf("a", "b")
+      x <- Gen.choose(0L, 9L)
+      y <- Gen.choose(0L, 9L)
+    } yield (g, x, y))
+  } yield rows.zipWithIndex.map { case ((g, x, y), i) => (i.toLong, g, x, y) }
+
+  test("spearmanPerGroup == naive tie-broken rank distance; 0 on any monotone image") {
+    check("spearman", Prop.forAll(genXY) { rows =>
+      val got = Eval.spearmanPerGroup(rows.toDF("id", "g", "x", "y"),
+          "id", "g", "x", "y")
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+      def ranks(vs: Seq[(Long, Long)]): Map[Long, Long] =
+        vs.sortBy(identity).map(_._2).zipWithIndex
+          .map { case (id, i) => id -> i.toLong }.toMap
+      val byG = rows.groupBy(_._2)
+      val naiveOk = byG.forall { case (g, rs) =>
+        val r1 = ranks(rs.map(r => (r._3, r._1)))
+        val r2 = ranks(rs.map(r => (r._4, r._1)))
+        val d2 = rs.map(r => { val d = r1(r._1) - r2(r._1); d * d }).sum
+        got(g) == ((rs.size.toLong, d2))
+      }
+      // x against a strictly monotone image of x has rank distance 0
+      val self = Eval.spearmanPerGroup(
+          rows.map { case (id, g, x, _) => (id, g, x, 2 * x + 1) }
+            .toDF("id", "g", "x", "y"),
+          "id", "g", "x", "y")
+        .collect().forall(_.getLong(2) == 0L)
+      naiveOk && self
+    }, trials = 8)
+  }
+
   test("giniPerGroup == closed form and is 0 exactly on uniform counts") {
     check("gini", Prop.forAll(genCounts) { counts =>
       val tbl = counts.map { case (g, v, c) => (g, v.toString, c) }
