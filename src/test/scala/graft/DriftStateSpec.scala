@@ -97,6 +97,39 @@ class DriftStateSpec extends SparkSpec {
       "W1 from the streamed at-rest state must equal the batch q195")
   }
 
+  test("two persisted states compared with the BetweenCounts panel == the in-memory q199 legs") {
+    // the full today-vs-yesterday monitor: yesterday's corpus half and
+    // today's live at separate persisted states; the panel reads both
+    // back and must equal the all-in-memory between-halves computation
+    // (q199's construction) leg for leg
+    val obs = Tables.documents(spark, dir)
+    val n = obs.count()
+    val thenHalf = obs.filter(col("doc_id") * 2 < n)
+      .select(col("source"), col("n_chars").as("v"))
+    val nowHalf = obs.filter(col("doc_id") * 2 >= n)
+      .select(col("source"), col("n_chars").as("v"))
+    def persist(half: org.apache.spark.sql.DataFrame): (
+        org.apache.spark.sql.DataFrame, String, String, String) = {
+      val p = tmpState()
+      Drift.writeCounts(half.groupBy("source", "v")
+        .agg(count(lit(1)).as("c")), p, "source", "v", "c")
+      Drift.readCounts(spark, p)
+    }
+    val (sa, g, v, c) = persist(thenHalf)
+    val (sb, _, _, _) = persist(nowHalf)
+    val memA = thenHalf.groupBy("source", "v").agg(count(lit(1)).as("c"))
+    val memB = nowHalf.groupBy("source", "v").agg(count(lit(1)).as("c"))
+    for ((name, op) <- Seq[(String,
+        (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)
+          => org.apache.spark.sql.DataFrame)](
+        "ks" -> ((a, b) => Drift.ksBetweenCounts(a, b, g, v, c)),
+        "tv" -> ((a, b) => Drift.tvBetweenCounts(a, b, g, v, c)),
+        "w1" -> ((a, b) => Drift.w1BetweenCounts(a, b, g, v, c)))) {
+      assert(rows(op(sa, sb)) === rows(op(memA, memB)),
+        s"$name over two at-rest states must equal the in-memory panel")
+    }
+  }
+
   test("readCounts fails with a domain message where no state exists") {
     val e = intercept[IllegalArgumentException] {
       Drift.readCounts(spark, tmpState() + "_nowhere")

@@ -200,6 +200,29 @@ class StatPropertySpec extends SparkSpec {
     })
   }
 
+  test("drift arithmetic stays exact just under the documented n_grp*n_all overflow bound") {
+    // the module doc promises exactness while n_grp*n_all < 2^63; pin it
+    // near the edge: two groups of ~2.1e9 observations each (counts, not
+    // rows) put every cs*ng product around 8.8e18 — within Long by the
+    // documented margin, and a naive Int or Double path would corrupt
+    val big = 2100000000L // 2.1e9 per group; ns*ng ≈ 8.8e18 < 2^63
+    val counts = Seq(("a", 1L, big), ("a", 2L, 1L),
+      ("b", 1L, 1L), ("b", 2L, big)).toDF("g", "v", "c")
+    val got = Drift.ksFromCounts(counts, "g", "v", "c")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val ns = big + 1L
+    val ng = 2L * ns
+    // exact sup at v=1: |cs_a*ng - cg*ns| = |big*ng - (big+1)*ns|
+    val expA = math.abs(big * ng - (big + 1L) * ns)
+    assert(got("a") === ((expA, ns, ng)))
+    assert(got("b") === ((expA, ns, ng)), "symmetric by construction")
+    val tv = Drift.tvFromCounts(counts, "g", "v", "c")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // pointwise: both grid values contribute the same displacement
+    assert(tv("a") === 2L * expA && tv("b") === 2L * expA)
+  }
+
   test("ks/tv/mergeCounts NULL values: a NULL observation is invisible to the panel") {
     // adding NULL-valued rows to the count table (or NULL observations
     // to a merged batch) must change NOTHING — not the sup/L1 numerators
