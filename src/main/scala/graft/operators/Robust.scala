@@ -56,4 +56,40 @@ object Robust {
       .select(col("id"), col("grp"), col("v"), col("med"), col("mad"),
         (col("dev") > col("mad") * k).as("outlier"))
   }
+
+  /** Per-group TRIMMED sum — the third standard robust location next to
+    * the median (q159's machinery) and the MAD gate: drop the lowest and
+    * highest ⌊gn·trimNum/trimDen⌋ values ((value, id)-ordered, so ties
+    * cut deterministically) and ship the integer (n_total, n_kept,
+    * sum_kept) triple; the trimmed mean is one consumer division. Where
+    * the mean is dragged by any single blob and the median ignores
+    * everything but one row, the trimmed mean uses all central mass —
+    * the usual reporting statistic for skewed length/latency columns.
+    * Ranking is [[Packing.groupedTwoPhaseRank]] (no per-group corpus
+    * window); the trim filter is rank arithmetic, map-side after it.
+    *
+    * Output: (`groupCol`, n_total, n_kept, sum_kept), one row per group
+    * (a group small enough that 2k ≥ gn keeps nothing and still
+    * reports, n_kept = 0 with a NULL sum — callers coalesce).
+    */
+  def trimmedSumPerGroup(df: DataFrame, idCol: String, groupCol: String,
+      valueCol: String, trimNum: Long, trimDen: Long,
+      buckets: Int = 32): DataFrame = {
+    require(trimDen > 0 && trimNum >= 0 && 2 * trimNum < trimDen,
+      "trim fraction num/den must leave a nonempty middle: 2*num < den")
+    val base = df.select(col(idCol).cast("long").as("id"),
+      col(groupCol).as("grp"), col(valueCol).cast("long").as("v"))
+    Packing.groupedTwoPhaseRank(base, "grp", "v", buckets)
+      // integer div, never Column./ (double) — exact at any group size
+      .withColumn("k", expr(s"(gn * ${trimNum}L) div ${trimDen}L"))
+      .groupBy("grp")
+      .agg(max("gn").as("n_total"),
+        sum(when(col("gpos") >= col("k") &&
+          col("gpos") < col("gn") - col("k"), 1L).otherwise(0L))
+          .as("n_kept"),
+        sum(when(col("gpos") >= col("k") &&
+          col("gpos") < col("gn") - col("k"), col("v"))).as("sum_kept"))
+      .select(col("grp").as(groupCol), col("n_total"), col("n_kept"),
+        col("sum_kept"))
+  }
 }

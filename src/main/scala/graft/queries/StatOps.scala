@@ -948,6 +948,32 @@ object StatOps {
           CAST(sum(abs(ca * nb - cb * na)) AS BIGINT) tv_num,
           CAST(sum(abs(sa * nb - sb * na) * gap) AS BIGINT) w1_num,
           CAST(max(na) AS BIGINT) n_then, CAST(max(nb) AS BIGINT) n_now
-        FROM cum GROUP BY source ORDER BY source"""))
+        FROM cum GROUP BY source ORDER BY source""")),
+
+    // q208: per-source 5%-trimmed length sum — the third robust location
+    // next to q159's median and MAD gate: drop each source's lowest and
+    // highest ⌊n/20⌋ lengths ((value, id)-ordered, deterministic tie
+    // cuts) and ship (n_total, n_kept, sum_kept); the trimmed mean is
+    // one consumer division. The mean is dragged by any single crawl
+    // blob, the median ignores everything but one row — the trimmed
+    // mean reads all central mass, the usual reporting statistic for
+    // skewed length columns. Grouped two-phase rank, trim by rank
+    // arithmetic — no per-source corpus window.
+    QueryDef("q208_trimmed_mean",
+      (s, d) => graft.operators.Robust.trimmedSumPerGroup(
+          docs(s, d), "doc_id", "source", "n_chars",
+          trimNum = 1L, trimDen = 20L)
+        .orderBy("source"),
+      Some("""WITH r AS (SELECT source, n_chars v,
+            row_number() OVER (PARTITION BY source
+              ORDER BY n_chars, doc_id) - 1 gpos,
+            count(*) OVER (PARTITION BY source) gn
+          FROM documents)
+        SELECT source, CAST(max(gn) AS BIGINT) n_total,
+          CAST(sum(CASE WHEN gpos >= gn // 20 AND gpos < gn - gn // 20
+            THEN 1 ELSE 0 END) AS BIGINT) n_kept,
+          CAST(sum(CASE WHEN gpos >= gn // 20 AND gpos < gn - gn // 20
+            THEN v END) AS BIGINT) sum_kept
+        FROM r GROUP BY source ORDER BY source"""))
   )
 }

@@ -60,4 +60,35 @@ class RobustSpec extends SparkSpec {
     assert(out.collect().isEmpty)
     assert(out.columns.toSeq === Seq("id", "grp", "v", "med", "mad", "outlier"))
   }
+
+  test("trimmedSumPerGroup == the naive sorted-slice sum across skewed groups") {
+    // one big skewed group, one tiny group the trim empties, one
+    // exact-boundary group — the rank-arithmetic edge set
+    val rows = (1L to 100L).map(i => (i, "big", if (i > 95) 100000L else i)) ++
+      Seq((200L, "tiny", 7L)) ++
+      (300L until 340L).map(i => (i, "forty", i % 11))
+    val got = Robust.trimmedSumPerGroup(rows.toDF("id", "grp", "v"),
+        "id", "grp", "v", 1L, 20L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    for ((g, xs) <- rows.groupBy(_._2)) {
+      val sorted = xs.sortBy(t => (t._3, t._1)).map(_._3)
+      val k = (sorted.size / 20).toInt
+      val kept = sorted.slice(k, sorted.size - k)
+      val (nTot, nKept, sumKept) = got(g)
+      assert(nTot === sorted.size.toLong, s"group $g")
+      assert(nKept === kept.size.toLong, s"group $g")
+      assert(sumKept === (if (kept.isEmpty) None else Some(kept.sum)),
+        s"group $g")
+    }
+    // the big group's blob must be fully trimmed: mean without it
+    val bigKept = got("big")._3.get.toDouble / got("big")._2
+    assert(bigKept < 100, s"trimmed mean must shed the 100000 blob: $bigKept")
+    // invalid fractions rejected
+    intercept[IllegalArgumentException] {
+      Robust.trimmedSumPerGroup(rows.toDF("id", "grp", "v"),
+        "id", "grp", "v", 1L, 2L)
+    }
+  }
 }
