@@ -33,7 +33,8 @@ object ScaleCheck {
     "q199_drift_between_halves", "q200_frequent_triples",
     "q201_sequence_pairs", "q202_token_dropout",
     "q203_span_corruption", "q204_k_anonymity", "q205_link_prediction",
-    "q206_source_vocab_overlap", "q207_spearman", "q208_trimmed_mean")
+    "q206_source_vocab_overlap", "q207_spearman", "q208_trimmed_mean",
+    "q209_source_pareto")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")

@@ -974,6 +974,42 @@ object StatOps {
             THEN 1 ELSE 0 END) AS BIGINT) n_kept,
           CAST(sum(CASE WHEN gpos >= gn // 20 AND gpos < gn - gn // 20
             THEN v END) AS BIGINT) sum_kept
-        FROM r GROUP BY source ORDER BY source"""))
+        FROM r GROUP BY source ORDER BY source""")),
+
+    // q209: corpus Pareto table over sources — "the top k sources hold
+    // X% of the tokens", the mixture-concentration read at the SOURCE
+    // grain (q184's Gini reads tokens within a source; this reads the
+    // corpus across sources): sources ranked by token mass (mass DESC,
+    // source ASC total order) with the running cumulative and the
+    // total, so share and cumulative share are consumer divisions. The
+    // corpus pays one tokenize+count shuffle; every window rides the
+    // |sources|-row mass table — grid-sized by construction, the q178
+    // bounded-global-window stance.
+    QueryDef("q209_source_pareto",
+      (s, d) => {
+        val mass = docs(s, d)
+          .select(col("source"),
+            size(TextFns.tokens(col("text"))).cast("long").as("nt"))
+          .groupBy("source").agg(sum("nt").as("n_tokens"))
+        val w = Window.orderBy(col("n_tokens").desc, col("source"))
+        mass
+          .withColumn("rank", row_number().over(w))
+          .withColumn("cum_tokens", sum("n_tokens").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("total_tokens",
+            sum("n_tokens").over(Window.partitionBy()))
+          .select(col("rank"), col("source"), col("n_tokens"),
+            col("cum_tokens"), col("total_tokens"))
+          .orderBy("rank")
+      },
+      Some(s"""WITH m AS (SELECT source, sum(len($OToks)) n_tokens
+            FROM documents GROUP BY 1)
+        SELECT CAST(row_number() OVER
+            (ORDER BY n_tokens DESC, source) AS INTEGER) rank,
+          source, CAST(n_tokens AS BIGINT) n_tokens,
+          CAST(sum(n_tokens) OVER (ORDER BY n_tokens DESC, source
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) cum_tokens,
+          CAST(sum(n_tokens) OVER () AS BIGINT) total_tokens
+        FROM m ORDER BY rank"""))
   )
 }

@@ -361,6 +361,30 @@ class StatOpsSpec extends SparkSpec {
     }
   }
 
+  test("q209 Pareto table telescopes and matches naive per-source masses") {
+    val masses = graft.Tables.documents(spark, dir)
+      .select(col("source"),
+        size(graft.functions.TextFns.tokens(col("text"))).cast("long")
+          .as("nt"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val total = masses.values.sum
+    val rows = q("q209_source_pareto").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.map(_._1).toSeq === (1 to masses.size).toSeq)
+    var running = 0L
+    for ((rk, src, nt, cum, tot) <- rows) {
+      assert(nt === masses(src), s"rank $rk $src")
+      running += nt
+      assert(cum === running, s"cumulative must telescope at rank $rk")
+      assert(tot === total)
+    }
+    // descending mass with source tiebreak
+    val order = rows.map(r => (-r._3, r._2))
+    assert(order.toSeq === order.sorted.toSeq)
+  }
+
   test("q191 top trigrams equal the naive per-user path count") {
     val evs = graft.Tables.events(spark, dir)
       .select(col("user_id"), col("event_id"), col("event_type"),
