@@ -300,11 +300,18 @@ object Drift {
     * not schema inference, so a future internal column can never be
     * misread as one of the three. Fails with a domain message on a path
     * holding no drift state.
+    *
+    * Every read first completes any swap a crashed [[mergeIntoCounts]]
+    * left half-done (see [[recoverSwap]]), so the "either the old or the
+    * new state" guarantee holds from the READER's perspective too — a
+    * monitor restarting right after the one instant where the live dir
+    * is absent still comes up, on the new state.
     */
   def readCounts(spark: SparkSession, path: String)
       : (DataFrame, String, String, String) = {
     val p = metaPath(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverSwap(fs, path)
     require(fs.exists(p),
       s"no drift count state at $path (missing ${p.getName}) — persist " +
         "one with Drift.writeCounts first")
@@ -326,9 +333,23 @@ object Drift {
     * (`group`, `value`) observations in `batch` into the persisted table
     * via [[mergeCounts]] and swap the result live — staging write + two
     * renames, so a crash at any point leaves either the old or the new
-    * state, never a torn one. Returns the new state frame (a pure read
-    * of the published files). History is never rescanned: the merge
-    * reads the grid-sized state and the batch, nothing else.
+    * state, never a torn one. In the one instant where neither dir is
+    * live (between the two renames), the staged table is already
+    * complete, and [[readCounts]] finishes the swap on the next read
+    * ([[recoverSwap]]) — no manual intervention, no lost batch. Returns
+    * the new state frame (a pure read of the published files). History
+    * is never rescanned: the merge reads the grid-sized state and the
+    * batch, nothing else.
+    *
+    * SINGLE-WRITER contract: exactly one monitor process merges a given
+    * state path at a time (the natural shape — one streaming query owns
+    * its state, as in DriftStateSpec's foreachBatch monitor). Two
+    * concurrent merges on the SAME path would interleave the
+    * delete/rename sequence and could drop one batch's counts; this
+    * module deliberately adds no lock file — a crashed holder would
+    * deadlock the monitor, the worse failure mode. Writers needing
+    * multi-process ingest should serialize upstream (one merge queue),
+    * exactly as they would for any compact-and-swap index artifact.
     */
   def mergeIntoCounts(spark: SparkSession, path: String,
       batch: DataFrame): DataFrame = {
@@ -345,5 +366,35 @@ object Drift {
     require(fs.rename(staging, live), s"could not publish $staging")
     fs.delete(retired, true)
     spark.read.parquet(live.toString)
+  }
+
+  /** Finish a swap a crashed [[mergeIntoCounts]] left between its two
+    * renames — the only window where no live `counts` dir exists. The
+    * case analysis is exhaustive because the writer's order is fixed:
+    * `counts` can only be absent AFTER `rename(live, retired)`
+    * succeeded, and by then the staged table was already completely
+    * written (the rename is gated on the staging write) — so when live
+    * is missing and staging exists, publishing staging IS the new
+    * state, not debris (debris — a torn staging write — only coexists
+    * with a live dir, and stays untouched here). The retired dir is the
+    * defensive last resort for a filesystem whose rename vanished
+    * non-atomically; restoring it yields the OLD state, the documented
+    * crash-before-publish outcome.
+    */
+  private def recoverSwap(fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Unit = {
+    val live = new Path(s"$path/counts")
+    if (!fs.exists(live) && fs.exists(metaPath(path))) {
+      val staging = new Path(s"$path/counts_staging")
+      val retired = new Path(s"$path/counts_retired")
+      if (fs.exists(staging)) {
+        require(fs.rename(staging, live),
+          s"crash recovery could not publish $staging")
+        fs.delete(retired, true)
+      } else if (fs.exists(retired)) {
+        require(fs.rename(retired, live),
+          s"crash recovery could not restore $retired")
+      }
+    }
   }
 }

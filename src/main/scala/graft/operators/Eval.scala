@@ -61,6 +61,13 @@ object Eval {
     * quantile buckets.
     *
     * Output: (`group`, n, d2_sum), one row per group.
+    *
+    * `xCol`/`yCol` must be INTEGRAL (the w1FromCounts contract): both
+    * are cast to long, so a double score would silently truncate before
+    * ranking — a rank over truncated values is NOT the rank over the
+    * values. Scale fractional scores to integer ticks upstream; the
+    * cast exists so the rank machinery and the shipped columns stay in
+    * the family's integer-exact stance.
     */
   def spearmanPerGroup(df: DataFrame, idCol: String, groupCol: String,
       xCol: String, yCol: String, buckets: Int = 32): DataFrame = {

@@ -71,6 +71,12 @@ object Robust {
     * Output: (`groupCol`, n_total, n_kept, sum_kept), one row per group
     * (a group small enough that 2k ≥ gn keeps nothing and still
     * reports, n_kept = 0 with a NULL sum — callers coalesce).
+    *
+    * `valueCol` must be INTEGRAL (the w1FromCounts contract): it is
+    * cast to long, so a double score would silently truncate BEFORE
+    * ranking and summing. Scale fractional inputs to integer ticks
+    * upstream (cents, not dollars) — the family-wide
+    * integer-numerator/denominator stance.
     */
   def trimmedSumPerGroup(df: DataFrame, idCol: String, groupCol: String,
       valueCol: String, trimNum: Long, trimDen: Long,

@@ -906,10 +906,15 @@ object StatOps {
     QueryDef("q199_drift_between_halves",
       (s, d) => {
         val nd = docs(s, d).agg(count(lit(1)).as("nd"))
-        val counts = docs(s, d).crossJoin(broadcast(nd))
-          .select(col("source"), (col("doc_id") * 2 < col("nd")).as("fh"),
-            col("n_chars").as("v"))
-          .groupBy("source", "fh", "v").agg(count(lit(1)).as("c"))
+        // CUT: all three legs re-read the per-(source, half) counts (and
+        // each pays the full-outer mergedGrid again); without the cut
+        // the corpus scan + count shuffle runs once PER LEG — the
+        // sessionItems/budgetSelect staging policy applied here
+        val counts = graft.operators.Checkpoints.cut(
+          docs(s, d).crossJoin(broadcast(nd))
+            .select(col("source"), (col("doc_id") * 2 < col("nd")).as("fh"),
+              col("n_chars").as("v"))
+            .groupBy("source", "fh", "v").agg(count(lit(1)).as("c")))
         val a = counts.filter(col("fh")).select("source", "v", "c")
         val b = counts.filter(!col("fh")).select("source", "v", "c")
         val ks = graft.operators.Drift
@@ -920,10 +925,12 @@ object StatOps {
           .select(col("source"), col("tv_num"))
         val w1 = graft.operators.Drift
           .w1BetweenCounts(a, b, "source", "v", "c")
-        ks.join(tv, "source").join(w1, "source")
-          .select(col("source"), col("ks_num"), col("tv_num"),
-            col("w1_num"), col("n_a").as("n_then"), col("n_b").as("n_now"))
-          .orderBy("source")
+        graft.operators.Checkpoints.sealAndRelease(
+          ks.join(tv, "source").join(w1, "source")
+            .select(col("source"), col("ks_num"), col("tv_num"),
+              col("w1_num"), col("n_a").as("n_then"), col("n_b").as("n_now"))
+            .orderBy("source"),
+          counts)
       },
       Some("""WITH n AS (SELECT count(*) nd FROM documents),
           b AS (SELECT source, (doc_id * 2 < n.nd) fh, n_chars v

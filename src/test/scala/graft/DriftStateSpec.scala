@@ -155,4 +155,38 @@ class DriftStateSpec extends SparkSpec {
     assert(rows(merged) === Set(Seq("a", 1L, 2L), Seq("a", 2L, 1L),
       Seq("b", 1L, 1L), Seq("c", 5L, 1L)))
   }
+
+  test("a crash BETWEEN the two renames recovers on the next read, onto the NEW state") {
+    // the one window where no live counts dir exists: rename(live,
+    // retired) succeeded, rename(staging, live) never ran. By then the
+    // staged table was completely written, so readCounts must publish
+    // it — losing neither the state nor the batch that was mid-merge.
+    val path = tmpState()
+    import spark.implicits._
+    Drift.writeCounts(Seq(("a", 1L), ("b", 2L)).toDF("g", "v")
+      .groupBy("g", "v").agg(count(lit(1)).as("c")), path, "g", "v", "c")
+    val after = Drift.mergeIntoCounts(spark, path,
+      Seq(("a", 1L), ("c", 3L)).toDF("g", "v")).collect().map(_.toSeq).toSet
+    // reconstruct the crash window from the healthy post-merge state:
+    // live becomes the staged (new) table, retired holds the old one
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = new org.apache.hadoop.fs.Path(s"$path/counts")
+    fs.rename(live, new org.apache.hadoop.fs.Path(s"$path/counts_staging"))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$path/counts_retired"))
+    val (state, g, v, c) = Drift.readCounts(spark, path)
+    assert((g, v, c) === (("g", "v", "c")))
+    assert(rows(state) === after,
+      "recovery must publish the complete staged state, not fail or roll back")
+    assert(fs.exists(live) &&
+      !fs.exists(new org.apache.hadoop.fs.Path(s"$path/counts_staging")) &&
+      !fs.exists(new org.apache.hadoop.fs.Path(s"$path/counts_retired")),
+      "recovery must leave exactly the published layout")
+    // and the defensive last resort: live AND staging both gone, only
+    // retired left — restore the old state rather than fail
+    fs.rename(live, new org.apache.hadoop.fs.Path(s"$path/counts_retired"))
+    val (state2, _, _, _) = Drift.readCounts(spark, path)
+    assert(rows(state2) === after,
+      "retired-only layout must restore rather than fail")
+  }
 }
