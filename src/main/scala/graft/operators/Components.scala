@@ -1098,4 +1098,85 @@ object Components {
       .select(col("x").as(aCol), col("y").as(bCol), col("cn"),
         col("deg_a"), col("deg_b"))
   }
+
+  /** Deterministic label-propagation community detection (Raghavan,
+    * Albert & Kumara, Phys. Rev. E 76 2007 — LPA) over an undirected
+    * edge list: every node starts labeled with its own id; each round,
+    * an UPDATED node adopts the most frequent label among its neighbors,
+    * ties broken by the smaller label — near-linear community detection,
+    * the partition-into-groups companion to [[kCore]]'s density filter
+    * and [[commonNeighborCandidates]]' link prediction. Two determinism
+    * deviations from the textbook (which breaks ties RANDOMLY and visits
+    * nodes in random order, neither replayable by an oracle):
+    *
+    *  - (count DESC, label ASC) is a total order, realized as ONE
+    *    combinable min-agg over (−count, label) structs — no per-node
+    *    window, no RNG;
+    *  - rounds are SEMI-SYNCHRONOUS on a static node 2-coloring (parity
+    *    of the node id's string length — engine-portable, unlike any
+    *    hash): round r updates only parity r mod 2. Fully-synchronous
+    *    LPA oscillates on bipartite-ish regions (the documented LPA
+    *    failure mode); updating one color class at a time removes the
+    *    2-cycle, the same device as GraphX's LPA staggering, and makes
+    *    the fixed point an exact no-op for extra rounds — the
+    *    q157/q176 fixed-round oracle contract.
+    *
+    * Fixed `rounds` (an even count gives both parities equal turns); the
+    * caller pins rounds ≥ observed convergence + margin, and
+    * ComponentsSpec proves rounds and rounds+2 agree on the real corpus
+    * graphs. Per round: one equi-join of the both-orientations edge
+    * frame against the label table + one count agg + the min-struct agg
+    * + one left equi-join — all hash machinery, no BNLJ, edge-frame
+    * sized. At 100 TB the label table shuffles on node id once per
+    * round, exactly the [[connectedComponents]] propagation cost.
+    *
+    * Output: (id, community), one row per node incident to an edge;
+    * community = the adopted label (a node id, NOT necessarily the
+    * smallest in the community — LPA labels are attractors, not
+    * canonical minima).
+    */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+      rounds: Int): DataFrame = {
+    require(rounds >= 0, "propagation rounds are nonnegative")
+    val raw = edges.select(col(srcCol).as("s"), col(dstCol).as("d"))
+      .filter(col("s") =!= col("d"))
+    val ue = Checkpoints.cut(raw.select(
+      least(col("s"), col("d")).as("a"),
+      greatest(col("s"), col("d")).as("b")).distinct())
+    val bo = Checkpoints.cut(
+      ue.select(col("a").as("s"), col("b").as("d"))
+        .union(ue.select(col("b").as("s"), col("a").as("d"))))
+    Checkpoints.release(ue)
+    var lbls = Checkpoints.cut(bo.select(col("s").as("id")).distinct()
+      .select(col("id"), col("id").as("lbl")))
+    (0 until rounds).foreach { r =>
+      val next = Checkpoints.cut(lpaRound(bo, lbls, r % 2))
+      Checkpoints.release(lbls)
+      lbls = next
+    }
+    val out = Checkpoints.cut(
+      lbls.select(col("id"), col("lbl").as("community")))
+    Checkpoints.release(bo)
+    Checkpoints.release(lbls)
+    out
+  }
+
+  /** One semi-synchronous LPA round: neighbor-label counts via the
+    * both-orientations equi-join, the (count DESC, label ASC) winner via
+    * one combinable min-struct agg, and the parity-gated adoption.
+    * Exposed for PlanGuardSpec — every join must stay hash machinery on
+    * the node id. */
+  private[graft] def lpaRound(bo: DataFrame, lbls: DataFrame,
+      parity: Int): DataFrame = {
+    val best = bo
+      .join(lbls.select(col("id").as("d"), col("lbl").as("nl")), "d")
+      .groupBy(col("s"), col("nl")).agg(count(lit(1)).as("cnt"))
+      .groupBy("s")
+      .agg(min(struct((-col("cnt")).as("nc"), col("nl").as("l"))).as("b"))
+      .select(col("s").as("id"), col("b").getField("l").as("bl"))
+    lbls.join(best, Seq("id"), "left")
+      .select(col("id"),
+        when(pmod(length(col("id").cast("string")), lit(2)) === parity &&
+          col("bl").isNotNull, col("bl")).otherwise(col("lbl")).as("lbl"))
+  }
 }

@@ -1738,6 +1738,60 @@ object Analytics {
         SELECT ne.x a, ne.y b, CAST(ne.cn AS BIGINT) cn,
           CAST(da.dg * db.dg AS BIGINT) deg_prod
         FROM ne JOIN deg da ON ne.x = da.id JOIN deg db ON ne.y = db.id
-        ORDER BY cn DESC, deg_prod DESC, a, b LIMIT 20"""))
+        ORDER BY cn DESC, deg_prod DESC, a, b LIMIT 20""")),
+
+    // q210: label-propagation community detection over the q176 token
+    // co-occurrence graph — the partition-into-topical-groups primitive
+    // next to the density filter (k-core), the centralities (PageRank/
+    // HITS) and link prediction (q205): deterministic semi-synchronous
+    // LPA (Raghavan 2007; parity 2-coloring + (count DESC, label ASC)
+    // min-struct adoption — see Components.labelPropagation) at FIXED
+    // rounds = 8, observed convergence + margin on every testdata sf
+    // (the corpus graphs stabilize by round 6; extra rounds are exact
+    // no-ops at the fixed point — the q157/q176 contract, and
+    // ComponentsSpec pins rounds=8 ≡ rounds=10 at data). The dense
+    // top-100 graph collapsing to one or two communities IS the
+    // signal: its hubs co-occur everywhere (no topical split at this
+    // cut); a sparser per-source cut is where the split appears.
+    // Reads the memoized coocEdges LocalRelation; every round is hash
+    // joins + combinable aggs on the ≤100-edge frame — the oracle
+    // unrolls all 8 rounds as chained CTEs.
+    QueryDef("q210_communities",
+      (s, d) => graft.operators.Components
+        .labelPropagation(coocEdges(s, d), "wa", "wb", rounds = 8)
+        .select(col("id").as("token"), col("community"))
+        .orderBy("token"),
+      Some(lpaOracleSql(8)))
   )
+
+  // q210's oracle: the coocEdges preamble + `n` LPA rounds unrolled as
+  // chained CTEs, each round the grouped neighbor-label count, the
+  // (count DESC, label ASC) winner via row_number, and the parity-gated
+  // adoption — op-for-op the lpaRound dataflow.
+  private def lpaOracleSql(n: Int): String = {
+    val rounds = (0 until n).map { r =>
+      s"""b$r AS (SELECT s, l FROM (
+            SELECT bo.s, lb.lbl l, row_number() OVER (PARTITION BY bo.s
+                ORDER BY count(*) DESC, lb.lbl) rn
+              FROM bo JOIN l$r lb ON bo.d = lb.id GROUP BY bo.s, lb.lbl)
+            WHERE rn = 1),
+          l${r + 1} AS MATERIALIZED (SELECT
+              n.id, CASE WHEN len(n.id) % 2 = ${r % 2} AND b.l IS NOT NULL
+                THEN b.l ELSE n.lbl END lbl
+            FROM l$r n LEFT JOIN b$r b ON n.id = b.s)"""
+    }.mkString(",\n          ")
+    s"""WITH x AS (SELECT doc_id, list_distinct(${TextShared.OToks}) t
+            FROM documents),
+          tok AS (SELECT doc_id, unnest(t) w FROM x),
+          pr AS (SELECT a.w wa, b.w wb, count(*) c FROM tok a
+                 JOIN tok b ON a.doc_id = b.doc_id AND a.w < b.w GROUP BY 1, 2),
+          rk AS (SELECT wa, wb, row_number() OVER (
+              ORDER BY c DESC, wa, wb) r FROM pr),
+          e0 AS (SELECT wa, wb FROM rk WHERE r <= 100),
+          bo AS MATERIALIZED (SELECT wa s, wb d FROM e0
+            UNION ALL SELECT wb, wa FROM e0),
+          l0 AS MATERIALIZED (SELECT DISTINCT s id, s lbl FROM bo),
+          $rounds
+        SELECT id AS token, lbl AS community FROM l$n ORDER BY token"""
+  }
 }

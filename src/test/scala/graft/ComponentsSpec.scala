@@ -880,4 +880,86 @@ class ComponentsSpec extends SparkSpec {
           "oracle unroll together (they must stay equal round-for-round)")
     }
   }
+
+  // driver-side reference of the EXACT labelPropagation semantics:
+  // semi-synchronous on string-length parity, adoption by
+  // (count DESC, label ASC) over neighbor labels
+  private def refLpa(edges: Seq[(String, String)], rounds: Int)
+      : Map[String, String] = {
+    val und = edges.filter(e => e._1 != e._2)
+      .map(e => if (e._1 <= e._2) e else e.swap).distinct
+    val adj = (und ++ und.map(_.swap)).groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2) }
+    var lbl = adj.keys.map(n => n -> n).toMap
+    for (r <- 0 until rounds) {
+      lbl = lbl.map { case (n, l) =>
+        if (n.length % 2 != r % 2) n -> l
+        else {
+          val cnt = adj(n).groupBy(lbl).view.mapValues(_.size.toLong)
+          n -> cnt.map { case (cl, c) => (-c, cl) }.minBy(identity)._2
+        }
+      }
+    }
+    lbl
+  }
+
+  private def lpa(edges: Seq[(String, String)], rounds: Int)
+      : Map[String, String] = Components
+    .labelPropagation(edges.toDF("a", "b"), "a", "b", rounds)
+    .as[(String, String)].collect().toMap
+
+  test("labelPropagation == the driver-side reference on two cliques joined by a bridge") {
+    // the canonical community fixture: two 4-cliques, one bridge edge —
+    // LPA must NOT merge them (where connected components would)
+    val k4a = Seq("ant", "bee", "cow", "doe")
+    val k4b = Seq("elk", "fox", "gnu", "hen")
+    def clique(vs: Seq[String]) =
+      for (i <- vs.indices; j <- vs.indices if i < j) yield (vs(i), vs(j))
+    val edges = clique(k4a) ++ clique(k4b) :+ (("doe", "elk"))
+    val got = lpa(edges, 8)
+    assert(got === refLpa(edges, 8))
+    assert(got.filterKeys(k4a.contains).values.toSet.size === 1 &&
+      got.filterKeys(k4b.contains).values.toSet.size === 1,
+      "each clique must collapse to one community")
+    assert(got("ant") !== got("fox"),
+      "a single bridge edge must not merge two 4-cliques")
+  }
+
+  test("labelPropagation matches the reference on random graphs (property)") {
+    val rnd = new scala.util.Random(20216)
+    for (trial <- 1 to 5) {
+      // mixed-parity node names so both half-rounds do real work
+      val n = 12 + rnd.nextInt(10)
+      val names = (0 until n).map(i =>
+        if (i % 2 == 0) s"n$i" else s"nn$i")
+      val edges = (for {
+        i <- 0 until n; j <- 0 until n
+        if i < j && rnd.nextDouble() < 0.18
+      } yield (names(i), names(j)))
+      if (edges.nonEmpty)
+        assert(lpa(edges, 6) === refLpa(edges, 6), s"trial $trial: $edges")
+    }
+  }
+
+  test("q210's 8-round budget is a fixed point on the real co-occurrence graphs") {
+    // same insurance shape as the q189 test above: the oracle unrolls
+    // exactly 8 rounds so the hash cannot diverge at ANY data — this
+    // covers the semantic risk that 8 rounds stop short of (or
+    // oscillate around) the stable partition. Raghavan-style LPA has no
+    // general convergence theorem; the parity staggering removes the
+    // 2-cycle mode, and this pins stability AT THE DATA (observed
+    // convergence by round 6 at every sf).
+    for (sf <- Seq("0.001", "0.01", "0.1")) {
+      val edges = graft.queries.Analytics
+        .coocEdges(spark, s"/root/testdata/sf$sf")
+      val at8 = Components.labelPropagation(edges, "wa", "wb", rounds = 8)
+        .as[(String, String)].collect().toMap
+      val at10 = Components.labelPropagation(edges, "wa", "wb", rounds = 10)
+        .as[(String, String)].collect().toMap
+      assert(at8 === at10,
+        s"sf$sf: rounds=8 must already sit at the LPA fixed point — if " +
+          "this fails, raise the engine rounds AND the oracle unroll " +
+          "together")
+    }
+  }
 }

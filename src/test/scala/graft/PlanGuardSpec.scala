@@ -487,6 +487,31 @@ class PlanGuardSpec extends SparkSpec {
     assert(!finalPlan("q176_kcore").contains("CartesianProduct"))
   }
 
+  test("q210 LPA: one round is two equi-joins + combinable aggs, no BNLJ/cartesian") {
+    import spark.implicits._
+    val e = Seq(("a", "b"), ("a", "c"), ("b", "c"), ("c", "d")).toDF("s", "d")
+    val bo = e.union(e.select($"d", $"s"))
+    val lbls = bo.select($"s".as("id")).distinct()
+      .select($"id", $"id".as("lbl"))
+    val round = graft.operators.Components.lpaRound(bo, lbls, 0)
+    val joins = round.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.size === 2,
+      s"neighbor-label gather + adoption merge, got ${joins.size}")
+    joins.foreach(j => assert(j.condition.exists(_.toString.contains("=")),
+      s"every LPA join must be an equality join: ${j.condition}"))
+    val ex = round.queryExecution.executedPlan.toString
+    assert(!ex.contains("BroadcastNestedLoopJoin") &&
+      !ex.contains("CartesianProduct"),
+      s"LPA must stay hash machinery on the node id:\n$ex")
+    // and the winner choice is ONE combinable min-struct agg — no
+    // per-node rank window anywhere in the round
+    assert(!ex.contains("Window"),
+      s"adoption must be the min-struct agg, not a window:\n$ex")
+    assert(!finalPlan("q210_communities").contains("CartesianProduct"))
+  }
+
   test("q178 AUC: no corpus-partition window — the running sum rides the value grid") {
     // the naive rank-sum AUC is `rank() OVER (ORDER BY score)` on the
     // CORPUS; the shipped plan aggregates to the distinct-value histogram
