@@ -208,6 +208,38 @@ object Drift {
         max("na").as("n_a"), max("nb").as("n_b"))
       .select(col("g").as(groupCol), col("w1_num"), col("n_a"), col("n_b"))
 
+  /** Per-(group, value) χ²-of-HOMOGENEITY cell decomposition between two
+    * count tables — the classical two-sample test the between-states
+    * panel ([[ksBetweenCounts]]/[[tvBetweenCounts]]/[[w1BetweenCounts]])
+    * lacked: "are yesterday's and today's distributions draws from the
+    * same population", shipped in the q181 integer stance as exact cell
+    * rows (χ² = Σ_v dev_num²·(1/(n_a·col_tot) + 1/(n_b·col_tot))/n at
+    * the consumer, n = n_a+n_b — the float division never enters the
+    * engine). dev_num = cA·n − n_a·(cA+cB), which algebraically equals
+    * cA·n_b − cB·n_a — the SAME integer the TV leg sums absolutely, so
+    * the whole two-states panel shares one overflow bound (n_a·n_b <
+    * 9.2×10¹⁸); side B's deviation is exactly −dev_num, hence one
+    * column, and Σ_v dev_num = 0 per group (the property-spec law).
+    * ZERO cells (a value seen on one side only) are materialized by the
+    * union grid — absence is evidence (the q181 stance); a value absent
+    * from BOTH sides has no evidence and no grid row. Grid-sized past
+    * the two count shuffles; NULL values excluded, the family contract.
+    *
+    * Output: (`group`, `value`, c_a, c_b, n_a, n_b, dev_num), one row
+    * per (group, union-grid value).
+    */
+  def chi2BetweenCounts(a: DataFrame, b: DataFrame, groupCol: String,
+      valueCol: String, countCol: String): DataFrame = {
+    val wg = Window.partitionBy("g")
+    mergedGrid(a, b, groupCol, valueCol, countCol)
+      .withColumn("na", sum("ca").over(wg))
+      .withColumn("nb", sum("cb").over(wg))
+      .select(col("g").as(groupCol), col("v").as(valueCol),
+        col("ca").as("c_a"), col("cb").as("c_b"),
+        col("na").as("n_a"), col("nb").as("n_b"),
+        (col("ca") * col("nb") - col("cb") * col("na")).as("dev_num"))
+  }
+
   // shared between-states machinery: per-(group, value) counts from both
   // sides, full-outer merged onto each group's union value grid (NULL
   // values excluded — the family contract)

@@ -33,18 +33,57 @@ object Eval {
     */
   def aucHistogram(df: DataFrame, posCol: String,
       valueCol: String): DataFrame = {
-    val h = df.select(coalesce(col(posCol), lit(false)).as("pos"),
-        col(valueCol).as("v"))
-      .filter(col("v").isNotNull)
-      .groupBy("v").agg(
-        sum(when(col("pos"), 1L).otherwise(0L)).as("np"),
-        sum(when(!col("pos"), 1L).otherwise(0L)).as("nn"))
+    val h = classHistogram(df, posCol, valueCol)
     val wv = Window.orderBy("v")
       .rowsBetween(Window.unboundedPreceding, -1)
     h.withColumn("nnb", coalesce(sum("nn").over(wv), lit(0L)))
       .agg(sum(col("np") * (lit(2L) * col("nnb") + col("nn")))
           .as("auc_num2"),
         sum("np").as("n_pos"), sum("nn").as("n_neg"))
+  }
+
+  // the shared per-distinct-value class-count table behind aucHistogram
+  // and confusionByThreshold: one map-side-combined count shuffle, NULL
+  // values excluded / NULL labels negative (the aucHistogram contract)
+  private def classHistogram(df: DataFrame, posCol: String,
+      valueCol: String): DataFrame =
+    df.select(coalesce(col(posCol), lit(false)).as("pos"),
+        col(valueCol).as("v"))
+      .filter(col("v").isNotNull)
+      .groupBy("v").agg(
+        sum(when(col("pos"), 1L).otherwise(0L)).as("np"),
+        sum(when(!col("pos"), 1L).otherwise(0L)).as("nn"))
+
+  /** The full (threshold, TP, FP, FN, TN) operating-point table for the
+    * rule "predict positive when `valueCol` ≥ t", one row per DISTINCT
+    * observed value — the eval-harness read that turns [[aucHistogram]]'s
+    * single ranking number into a threshold CHOICE (precision = tp/(tp+fp),
+    * recall = tp/(tp+fn), and any Fβ are consumer divisions; every cell
+    * is integer-exact). Same machinery as AUC: the corpus collapses to
+    * the per-distinct-value class histogram first, the cumulative
+    * windows ride that GRID (distinct scores, Heap's-law bounded for
+    * discrete signals), never corpus rows — the textbook per-row
+    * `rank()` sweep is exactly the corpus-sized window this family bans.
+    * Thresholds at every distinct value are EXHAUSTIVE for this decision
+    * family: between two observed values the confusion matrix cannot
+    * change. NULL contract as [[aucHistogram]].
+    *
+    * Output: (threshold, tp, fp, fn, tn); tp + fn = n_pos and
+    * fp + tn = n_neg on every row.
+    */
+  def confusionByThreshold(df: DataFrame, posCol: String,
+      valueCol: String): DataFrame = {
+    val h = classHistogram(df, posCol, valueCol)
+    val tot = h.agg(sum("np").as("n_pos"), sum("nn").as("n_neg"))
+    val wv = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    h.withColumn("npb", coalesce(sum("np").over(wv), lit(0L)))
+      .withColumn("nnb", coalesce(sum("nn").over(wv), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .select(col("v").as("threshold"),
+        (col("n_pos") - col("npb")).as("tp"),
+        (col("n_neg") - col("nnb")).as("fp"),
+        col("npb").as("fn"), col("nnb").as("tn"))
   }
 
   /** Per-group SPEARMAN rank-correlation numerator between two orderable

@@ -1017,6 +1017,78 @@ object StatOps {
           CAST(sum(n_tokens) OVER (ORDER BY n_tokens DESC, source
             ROWS UNBOUNDED PRECEDING) AS BIGINT) cum_tokens,
           CAST(sum(n_tokens) OVER () AS BIGINT) total_tokens
-        FROM m ORDER BY rank"""))
+        FROM m ORDER BY rank""")),
+
+    // q211: the precision-recall threshold table for the q178 signal
+    // (n_chars predicting lang = 'en') — the operating-point choice
+    // q178's single AUC number can't make: one exact integer
+    // (threshold, TP, FP, FN, TN) row per DISTINCT observed value for
+    // the rule "positive when n_chars ≥ t" (between observed values the
+    // confusion matrix cannot change, so the distinct grid is the
+    // EXHAUSTIVE threshold family); precision/recall/Fβ are consumer
+    // divisions. Same scale shape as q178: the corpus pays one class-
+    // histogram count shuffle, both running windows ride the
+    // distinct-value grid — never a corpus-sized rank sweep.
+    QueryDef("q211_pr_thresholds",
+      (s, d) => graft.operators.Eval.confusionByThreshold(
+        docs(s, d).select((col("lang") === lit("en")).as("pos"),
+          col("n_chars").as("v")),
+        "pos", "v").orderBy("threshold"),
+      Some("""WITH h AS (SELECT n_chars v,
+            sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) np,
+            sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) nn
+          FROM documents GROUP BY 1),
+          t AS (SELECT sum(np) n_pos, sum(nn) n_neg FROM h),
+          c AS (SELECT v,
+              coalesce(sum(np) OVER (ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) npb,
+              coalesce(sum(nn) OVER (ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) nnb
+            FROM h)
+        SELECT c.v AS threshold, CAST(t.n_pos - c.npb AS BIGINT) tp,
+          CAST(t.n_neg - c.nnb AS BIGINT) fp, CAST(c.npb AS BIGINT) fn,
+          CAST(c.nnb AS BIGINT) tn
+        FROM c CROSS JOIN t ORDER BY threshold""")),
+
+    // q212: χ²-of-homogeneity cells between the corpus's halves, per
+    // source — the classical significance leg the q199 panel lacked
+    // (KS/TV/W1 measure HOW FAR apart the halves sit; the χ² cell table
+    // is what a monitor feeds a p-value lookup to ask IS the gap more
+    // than sampling noise). Same halves construction as q199; ships the
+    // exact integer cell decomposition (dev_num = cA·n_b − cB·n_a, the
+    // q181 obs·n − row·col stance restated for two samples — side B's
+    // deviation is the negation, Σ_v dev_num = 0 per source), zero
+    // cells materialized by the union grid. Grid-sized past the one
+    // count shuffle.
+    QueryDef("q212_chi2_between_halves",
+      (s, d) => {
+        val nd = docs(s, d).agg(count(lit(1)).as("nd"))
+        val counts = docs(s, d).crossJoin(broadcast(nd))
+          .select(col("source"), (col("doc_id") * 2 < col("nd")).as("fh"),
+            col("n_chars").as("v"))
+          .groupBy("source", "fh", "v").agg(count(lit(1)).as("c"))
+        graft.operators.Drift.chi2BetweenCounts(
+            counts.filter(col("fh")).select("source", "v", "c"),
+            counts.filter(!col("fh")).select("source", "v", "c"),
+            "source", "v", "c")
+          .orderBy("source", "v")
+      },
+      Some("""WITH n AS (SELECT count(*) nd FROM documents),
+          b AS (SELECT source, (doc_id * 2 < n.nd) fh, n_chars v
+            FROM documents CROSS JOIN n),
+          pa AS (SELECT source, v, count(*) ca FROM b WHERE fh GROUP BY 1, 2),
+          pb AS (SELECT source, v, count(*) cb FROM b WHERE NOT fh
+            GROUP BY 1, 2),
+          m AS (SELECT coalesce(pa.source, pb.source) source,
+              coalesce(pa.v, pb.v) v, coalesce(ca, 0) ca, coalesce(cb, 0) cb
+            FROM pa FULL JOIN pb ON pa.source = pb.source AND pa.v = pb.v),
+          w AS (SELECT source, v, ca, cb,
+              sum(ca) OVER (PARTITION BY source) na,
+              sum(cb) OVER (PARTITION BY source) nb
+            FROM m)
+        SELECT source, v, CAST(ca AS BIGINT) c_a, CAST(cb AS BIGINT) c_b,
+          CAST(na AS BIGINT) n_a, CAST(nb AS BIGINT) n_b,
+          CAST(ca * nb - cb * na AS BIGINT) dev_num
+        FROM w ORDER BY source, v"""))
   )
 }

@@ -529,6 +529,25 @@ class PlanGuardSpec extends SparkSpec {
         df.queryExecution.optimizedPlan)
   }
 
+  test("q211 PR table: both cumulative windows ride the class histogram, not corpus rows") {
+    // same ban as q178: a per-row threshold sweep would be a
+    // corpus-sized window; the shipped plan aggregates to the
+    // distinct-value class histogram first
+    val df = SparkEntry.queries("q211_pr_thresholds")(spark, dir)
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty)
+    windows.foreach { w =>
+      val aggsBelow = w.collect {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      }
+      assert(aggsBelow.nonEmpty,
+        s"every window must sit above the histogram aggregate:\n" +
+          df.queryExecution.optimizedPlan)
+    }
+  }
+
   test("q185/q179 vocabulary rank windows are group-limited (top-16 heap before the sort)") {
     // q185 partitions its window on a 2-value column — without the
     // group limit each corpus half's ENTIRE vocabulary sorts in one

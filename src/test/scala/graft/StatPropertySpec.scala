@@ -178,6 +178,66 @@ class StatPropertySpec extends SparkSpec {
     }, trials = 6)
   }
 
+  test("chi2BetweenCounts == naive homogeneity cells; per-group deviations sum to zero") {
+    check("chi2b", Prop.forAll(genCounts, genCounts) { (ca, cb) =>
+      def cnt(rows: List[(String, Long, Long)], g: String, v: Long) =
+        rows.collect { case (`g`, `v`, c) => c }.sum
+      val got = Drift.chi2BetweenCounts(ca.toDF("g", "v", "c"),
+          cb.toDF("g", "v", "c"), "g", "v", "c")
+        .collect().map(r => (r.getString(0), r.getLong(1)) ->
+          (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+            r.getLong(6))).toMap
+      val groups = (ca.map(_._1) ++ cb.map(_._1)).distinct
+      val gridOk = groups.forall { g =>
+        val vals = (ca ++ cb).filter(_._1 == g).map(_._2).distinct
+        val na = ca.filter(_._1 == g).map(_._3).sum
+        val nb = cb.filter(_._1 == g).map(_._3).sum
+        vals.forall { v =>
+          val (a, b) = (cnt(ca, g, v), cnt(cb, g, v))
+          got((g, v)) == ((a, b, na, nb, a * nb - b * na))
+        } &&
+          // side B's deviation is the negation ⇒ the group sums to zero
+          vals.map(v => got((g, v))._5).sum == 0L &&
+          // textbook float χ² (Σ (obs−exp)²/exp over both sides' cells)
+          // == the consumer formula Σ dev²/(n_a·n_b·col_tot), when both
+          // sides have mass
+          (na == 0L || nb == 0L || {
+            val n = (na + nb).toDouble
+            val textbook = vals.map { v =>
+              val (a, b) = (cnt(ca, g, v), cnt(cb, g, v))
+              val ct = (a + b).toDouble
+              val (ea, eb) = (na * ct / n, nb * ct / n)
+              math.pow(a - ea, 2) / ea + math.pow(b - eb, 2) / eb
+            }.sum
+            val shipped = vals.map { v =>
+              val d = got((g, v))._5.toDouble
+              d * d / (na.toDouble * nb * (cnt(ca, g, v) + cnt(cb, g, v)))
+            }.sum
+            math.abs(textbook - shipped) < 1e-9 * (1 + textbook)
+          })
+      }
+      gridOk && got.keySet == groups.flatMap(g =>
+        (ca ++ cb).filter(_._1 == g).map(_._2).distinct.map(v => (g, v))).toSet
+    }, trials = 6)
+  }
+
+  test("confusionByThreshold == naive per-threshold confusion on arbitrary tied data") {
+    check("prt", Prop.forAll(genLabeled) { rows =>
+      val got = Eval.confusionByThreshold(rows.toDF("pos", "v"),
+          "pos", "v")
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+      val vals = rows.map(_._2).distinct
+      got.keySet == vals.toSet && vals.forall { t =>
+        val naive = (rows.count(r => r._1 && r._2 >= t).toLong,
+          rows.count(r => !r._1 && r._2 >= t).toLong,
+          rows.count(r => r._1 && r._2 < t).toLong,
+          rows.count(r => !r._1 && r._2 < t).toLong)
+        got(t) == naive
+      }
+    })
+  }
+
   test("w1FromCounts == naive CDF-gap earth-mover per group on arbitrary count tables") {
     check("w1", Prop.forAll(genCounts) { counts =>
       val got = Drift.w1FromCounts(counts.toDF("g", "v", "c"), "g", "v", "c")
