@@ -1761,7 +1761,89 @@ object Analytics {
         .labelPropagation(coocEdges(s, d), "wa", "wb", rounds = 8)
         .select(col("id").as("token"), col("community"))
         .orderBy("token"),
-      Some(lpaOracleSql(8)))
+      Some(lpaOracleSql(8))),
+
+    // q213: sequential-pattern TRIPLES a → b → c (distinct types, gaps
+    // allowed) per session — the 3-step funnel signal q191's contiguous
+    // trigrams can't see and q201's pair collapse can't express: the
+    // pair trick (min_rank(a) < max_rank(b)) is insufficient for
+    // 3-chains because the MIDDLE element needs an occurrence strictly
+    // BETWEEN the anchors. The relational form: mnb = the smallest
+    // b-occurrence rank strictly greater than min_rank(a) (one
+    // per-(session, a, b) min-agg over b occurrences — the earliest b
+    // that can close a's side; any later b only shrinks the room for
+    // c), and the chain exists iff mnb < max_rank(c). One extra
+    // per-session equi-join against occurrences vs q201, still
+    // event-bounded: occurrences per session × types, never a 3-way
+    // event self-join. Ships s_seq (sessions containing the chain) +
+    // n_sessions; confidence is a consumer division.
+    QueryDef("q213_sequence_triples",
+      (s, d) => {
+        val wOrd = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        // per-user rank is session-comparable (q201); occurrences AND
+        // their per-(session, type) min/max collapse both read the
+        // sessionization window output — cut each exactly once
+        val occ = graft.operators.Checkpoints.cut(
+          graft.operators.Sessionize.assign(ev(s, d), "user_id", "ts",
+            "event_id", gapMicros = 1800000000L)
+          .withColumn("rn", row_number().over(wOrd).cast("long"))
+          .select(col("user_id"), col("sess"),
+            col("event_type").as("it"), col("rn")))
+        val agg = graft.operators.Checkpoints.cut(
+          occ.groupBy(col("user_id"), col("sess"), col("it"))
+            .agg(min("rn").as("mn"), max("rn").as("mx")))
+        val n = agg.select("user_id", "sess").distinct()
+          .agg(count(lit(1)).as("n_sessions"))
+        val ab = agg.as("x").join(occ.as("o"),
+            col("x.user_id") === col("o.user_id") &&
+              col("x.sess") === col("o.sess") &&
+              col("o.it") =!= col("x.it") && col("o.rn") > col("x.mn"))
+          .groupBy(col("x.user_id").as("uid"), col("x.sess").as("sid"),
+            col("x.it").as("a"), col("o.it").as("b"))
+          .agg(min(col("o.rn")).as("mnb"))
+        val res = ab.join(agg.as("z"),
+            col("uid") === col("z.user_id") && col("sid") === col("z.sess") &&
+              col("z.it") =!= col("a") && col("z.it") =!= col("b") &&
+              col("mnb") < col("z.mx"))
+          .groupBy(col("a"), col("b"), col("z.it").as("c"))
+          .agg(count(lit(1)).as("s_seq"))
+          .crossJoin(broadcast(n))
+          .orderBy("a", "b", "c")
+        graft.operators.Checkpoints.sealAndRelease(res, occ, agg)
+      },
+      Some("""WITH e AS (SELECT user_id, ts, event_id, event_type,
+            CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 > 1800000000
+                 OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   IS NULL
+            THEN 1 ELSE 0 END brk
+          FROM events),
+        sn AS MATERIALIZED (SELECT user_id, event_type,
+               sum(brk) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) sess,
+               row_number() OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) rn
+             FROM e),
+        agg AS MATERIALIZED (SELECT user_id, sess, event_type it,
+            min(rn) mn, max(rn) mx
+          FROM sn GROUP BY 1, 2, 3),
+        n AS (SELECT count(*) n_sessions FROM
+          (SELECT DISTINCT user_id, sess FROM agg)),
+        ab AS (SELECT x.user_id, x.sess, x.it a, o.event_type b,
+            min(o.rn) mnb
+          FROM agg x JOIN sn o ON x.user_id = o.user_id
+            AND x.sess = o.sess AND o.event_type <> x.it AND o.rn > x.mn
+          GROUP BY 1, 2, 3, 4),
+        tri AS (SELECT ab.a, ab.b, z.it c, count(*) s_seq
+          FROM ab JOIN agg z ON ab.user_id = z.user_id
+            AND ab.sess = z.sess AND z.it <> ab.a AND z.it <> ab.b
+            AND ab.mnb < z.mx
+          GROUP BY 1, 2, 3)
+        SELECT a, b, c, CAST(s_seq AS BIGINT) s_seq,
+          CAST(n.n_sessions AS BIGINT) n_sessions
+        FROM tri CROSS JOIN n ORDER BY a, b, c"""))
   )
 
   // q210's oracle: the coocEdges preamble + `n` LPA rounds unrolled as

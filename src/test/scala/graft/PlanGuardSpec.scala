@@ -577,7 +577,7 @@ class PlanGuardSpec extends SparkSpec {
     // the basket frame as BroadcastHashJoins, never shuffles of the
     // floor-bounded side
     for (q <- Seq("q194_frequent_pairs", "q200_frequent_triples",
-        "q201_sequence_pairs")) {
+        "q201_sequence_pairs", "q213_sequence_triples")) {
       val p = finalPlan(q)
       assert(!p.contains("CartesianProduct"), s"$q:\n$p")
       val bnlj = "BroadcastNestedLoopJoin BuildRight, Cross|" +

@@ -340,6 +340,59 @@ class StatOpsSpec extends SparkSpec {
     }
   }
 
+  test("q213 sequence-triple supports equal the naive exists-chain scan") {
+    val evs = graft.Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    val seqs = evs.groupBy(_._1).toSeq.flatMap { case (uid, es) =>
+      val ordered = es.sortBy(e => (e._4, e._2))
+      var sess = 0L
+      var prev = Long.MinValue
+      ordered.map { e =>
+        if (prev == Long.MinValue || e._4 - prev > 1800000000L) sess += 1
+        prev = e._4
+        ((uid, sess), e._3)
+      }
+    }.groupBy(_._1).view.mapValues(_.map(_._2)).values.toSeq
+    val n = seqs.size.toLong
+    // naive "exists i < j < k with t_i = a, t_j = b, t_k = c"
+    def chain(s: Seq[String], a: String, b: String, c: String): Boolean = {
+      val fi = s.indexOf(a)
+      if (fi < 0) false
+      else {
+        val bj = s.indexWhere(_ == b, fi + 1)
+        bj >= 0 && s.lastIndexOf(c) > bj
+      }
+    }
+    val got = q("q213_sequence_triples").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        (r.getLong(3), r.getLong(4))).toMap
+    assert(got.nonEmpty)
+    for (((a, b, c), (sSeq, nGot)) <- got) {
+      assert(sSeq === seqs.count(chain(_, a, b, c)).toLong,
+        s"triple ($a,$b,$c)")
+      assert(nGot === n)
+    }
+    // completeness: every qualifying distinct-type chain is present
+    val types = evs.map(_._3).distinct
+    for (a <- types; b <- types; c <- types
+        if a != b && b != c && a != c) {
+      val naive = seqs.count(chain(_, a, b, c)).toLong
+      if (naive > 0) assert(got.contains((a, b, c)),
+        s"missing triple ($a,$b,$c)")
+    }
+    // the chain is strictly stronger than its two pair legs
+    val pairs = q("q201_sequence_pairs").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    for (((a, b, c), (sSeq, _)) <- got)
+      assert(sSeq <= pairs.getOrElse((a, b), 0L) &&
+        sSeq <= pairs.getOrElse((b, c), 0L),
+        s"triple ($a,$b,$c) must not exceed its pair supports")
+  }
+
   test("q206 source-vocabulary overlap equals naive pairwise set intersections") {
     val toks = graft.Tables.documents(spark, dir)
       .select(col("source"),
