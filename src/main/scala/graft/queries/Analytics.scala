@@ -1843,7 +1843,31 @@ object Analytics {
           GROUP BY 1, 2, 3)
         SELECT a, b, c, CAST(s_seq AS BIGINT) s_seq,
           CAST(n.n_sessions AS BIGINT) n_sessions
-        FROM tri CROSS JOIN n ORDER BY a, b, c"""))
+        FROM tri CROSS JOIN n ORDER BY a, b, c""")),
+
+    // q214: l-diversity audit — the companion gate to q204's
+    // k-anonymity (Machanavajjhala et al., ICDE 2006): a group can be
+    // large enough (k-anonymous) yet still leak if its SENSITIVE
+    // attribute is uniform — everyone in the (source, length-bucket)
+    // cell shares one language, so re-identification within the cell
+    // reveals it. Per quasi-identifier group (source, 500-char bucket —
+    // q204's key MINUS lang, which moves from quasi-identifier to the
+    // sensitive column), report groups whose distinct-language count
+    // falls below l = 3, with size and diversity so the release process
+    // can suppress or generalize. One hash-agg (count + countDistinct
+    // under one shuffle) + a literal filter — the q204 scale shape.
+    QueryDef("q214_l_diversity",
+      (s, d) => graft.Tables.documents(s, d)
+        .groupBy(col("source"), expr("n_chars div 500").as("len_bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("lang")).as("n_langs"))
+        .filter(col("n_langs") < 3)
+        .orderBy("source", "len_bucket"),
+      Some("""SELECT source, CAST(n_chars // 500 AS BIGINT) len_bucket,
+          CAST(count(*) AS BIGINT) n_docs,
+          CAST(count(DISTINCT lang) AS BIGINT) n_langs
+        FROM documents GROUP BY 1, 2 HAVING count(DISTINCT lang) < 3
+        ORDER BY source, len_bucket"""))
   )
 
   // q210's oracle: the coocEdges preamble + `n` LPA rounds unrolled as
