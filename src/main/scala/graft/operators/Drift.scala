@@ -240,6 +240,57 @@ object Drift {
         (col("ca") * col("nb") - col("cb") * col("na")).as("dev_num"))
   }
 
+  /** Per-group count pairs over QUANTILE BUCKETS of the pooled
+    * distribution — the population-stability (PSI) read, shipped
+    * integer and f-divergence-agnostic (the q179 log-free stance: PSI's
+    * ln() is library-dependent; the (c_grp, c_pool, n_grp, n_pool)
+    * bucket table lets the consumer apply PSI, χ², TV or any other
+    * f-divergence with one pass of arithmetic). Buckets are VALUE-BASED
+    * and integer-exact: bucket(v) = ⌊(#pooled values < v)·B / n_pool⌋ —
+    * monotone in v, all occurrences of a value share one bucket (ties
+    * never split, so heavy ties may leave some of the B indices empty:
+    * the table reports the OCCUPIED bucket grid), and every engine
+    * replays the truncating division bit-for-bit where a float quantile
+    * would be implementation-defined. ZERO cells per (group, occupied
+    * bucket) are materialized — a group missing from a mass region is
+    * the strongest drift evidence.
+    *
+    * Scale shape: the corpus pays one per-value count shuffle and one
+    * per-(group, value) count shuffle; the cumulative window rides the
+    * distinct-value grid (the q178 stance), everything after is
+    * bucket-grid sized. NULL values excluded, the family contract.
+    *
+    * Output: (`group`, bucket, c_grp, c_pool, n_grp, n_pool), one row
+    * per group × occupied pooled bucket.
+    */
+  def psiBuckets(df: DataFrame, groupCol: String, valueCol: String,
+      buckets: Int): DataFrame = {
+    require(buckets >= 1, "need at least one bucket")
+    val base = df.select(col(groupCol).as("g"), col(valueCol).as("v"))
+      .filter(col("v").isNotNull)
+    val gv = base.groupBy("v").agg(count(lit(1)).as("cv"))
+    val np = gv.agg(sum("cv").as("n_pool"))
+    val wv = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val vb = gv
+      .withColumn("cexcl", coalesce(sum("cv").over(wv), lit(0L)))
+      .crossJoin(broadcast(np))
+      .select(col("v"), col("cv"),
+        // integer div, never Column./ (double) — exact at any count
+        expr(s"(cexcl * ${buckets}L) div n_pool").as("bkt"))
+    val pb = vb.groupBy("bkt").agg(sum("cv").as("c_pool"))
+    val sb = base.groupBy("g", "v").agg(count(lit(1)).as("c"))
+      .join(vb.select("v", "bkt"), "v")
+      .groupBy("g", "bkt").agg(sum("c").as("c_grp"))
+    val grps = base.groupBy("g").agg(count(lit(1)).as("n_grp"))
+    grps.crossJoin(pb)
+      .join(sb, Seq("g", "bkt"), "left")
+      .crossJoin(broadcast(np))
+      .select(col("g").as(groupCol), col("bkt").as("bucket"),
+        coalesce(col("c_grp"), lit(0L)).as("c_grp"), col("c_pool"),
+        col("n_grp"), col("n_pool"))
+  }
+
   // shared between-states machinery: per-(group, value) counts from both
   // sides, full-outer merged onto each group's union value grid (NULL
   // values excluded — the family contract)

@@ -1089,6 +1089,48 @@ object StatOps {
         SELECT source, v, CAST(ca AS BIGINT) c_a, CAST(cb AS BIGINT) c_b,
           CAST(na AS BIGINT) n_a, CAST(nb AS BIGINT) n_b,
           CAST(ca * nb - cb * na AS BIGINT) dev_num
-        FROM w ORDER BY source, v"""))
+        FROM w ORDER BY source, v""")),
+
+    // q215: population-stability bucket table — per source the count
+    // pairs over OCTILE buckets of the pooled length distribution
+    // (Drift.psiBuckets): the industry PSI read without its ln()
+    // (library-dependent — the q179 log-free stance); the consumer
+    // applies PSI or any other f-divergence to the integer (c_src,
+    // c_pool, n_src, n_pool) rows. Value-based integer bucketing
+    // (⌊cum_below·8/n⌋ — ties never split, the truncating div replays
+    // on any engine) where a float quantile cut would be
+    // implementation-defined; zero cells materialized per occupied
+    // bucket. Corpus pays two count shuffles; the cumulative window
+    // rides the distinct-length grid.
+    QueryDef("q215_psi_buckets",
+      (s, d) => graft.operators.Drift.psiBuckets(
+          docs(s, d).select(col("source"), col("n_chars")),
+          "source", "n_chars", buckets = 8)
+        .withColumnRenamed("c_grp", "c_src")
+        .withColumnRenamed("n_grp", "n_src")
+        .orderBy("source", "bucket"),
+      Some("""WITH gv AS (SELECT n_chars v, count(*) cv FROM documents
+            GROUP BY 1),
+          np AS (SELECT sum(cv) n_pool FROM gv),
+          vb AS (SELECT v, cv,
+              (coalesce(sum(cv) OVER (ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 8)
+                // np.n_pool bkt
+            FROM gv CROSS JOIN np),
+          pb AS (SELECT bkt, sum(cv) c_pool FROM vb GROUP BY 1),
+          sv AS (SELECT source, n_chars v, count(*) c FROM documents
+            GROUP BY 1, 2),
+          sb AS (SELECT sv.source, vb.bkt, sum(sv.c) c_src FROM sv
+            JOIN vb ON sv.v = vb.v GROUP BY 1, 2),
+          srcs AS (SELECT source, count(*) ns FROM documents GROUP BY 1),
+          grid AS (SELECT srcs.source, srcs.ns, pb.bkt, pb.c_pool
+            FROM srcs CROSS JOIN pb)
+        SELECT g.source AS source, CAST(g.bkt AS BIGINT) bucket,
+          CAST(coalesce(sb.c_src, 0) AS BIGINT) c_src,
+          CAST(g.c_pool AS BIGINT) c_pool, CAST(g.ns AS BIGINT) n_src,
+          CAST(np.n_pool AS BIGINT) n_pool
+        FROM grid g LEFT JOIN sb ON g.source = sb.source AND g.bkt = sb.bkt
+          CROSS JOIN np
+        ORDER BY source, bucket"""))
   )
 }

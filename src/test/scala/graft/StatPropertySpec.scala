@@ -221,6 +221,36 @@ class StatPropertySpec extends SparkSpec {
     }, trials = 6)
   }
 
+  test("psiBuckets == naive pooled-quantile bucketing; masses add up per group") {
+    val genGrouped: Gen[List[(String, Long)]] = for {
+      n <- Gen.choose(1, 60)
+      rows <- Gen.listOfN(n, Gen.zip(Gen.oneOf("a", "b", "c"),
+        Gen.choose(0L, 8L)))
+    } yield rows
+    check("psi", Prop.forAll(genGrouped, Gen.oneOf(1, 2, 4, 8)) {
+      (rows, b) =>
+        val got = Drift.psiBuckets(rows.toDF("g", "v"), "g", "v", b)
+          .collect().map(r => (r.getString(0), r.getLong(1)) ->
+            (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+        val n = rows.size.toLong
+        def bkt(v: Long) = rows.count(_._2 < v).toLong * b / n
+        val occupied = rows.map(r => bkt(r._2)).distinct
+        val groups = rows.map(_._1).distinct
+        got.keySet == (for (g <- groups; k <- occupied) yield (g, k)).toSet &&
+          groups.forall { g =>
+            val grows = rows.filter(_._1 == g)
+            occupied.forall { k =>
+              got((g, k)) == ((grows.count(r => bkt(r._2) == k).toLong,
+                rows.count(r => bkt(r._2) == k).toLong,
+                grows.size.toLong, n))
+            } &&
+              // masses add up: the bucket table is a partition
+              occupied.map(k => got((g, k))._1).sum == grows.size.toLong &&
+              occupied.map(k => got((g, k))._2).sum == n
+          }
+    }, trials = 8)
+  }
+
   test("confusionByThreshold == naive per-threshold confusion on arbitrary tied data") {
     check("prt", Prop.forAll(genLabeled) { rows =>
       val got = Eval.confusionByThreshold(rows.toDF("pos", "v"),
