@@ -1867,7 +1867,66 @@ object Analytics {
           CAST(count(*) AS BIGINT) n_docs,
           CAST(count(DISTINCT lang) AS BIGINT) n_langs
         FROM documents GROUP BY 1, 2 HAVING count(DISTINCT lang) < 3
-        ORDER BY source, len_bucket"""))
+        ORDER BY source, len_bucket""")),
+
+    // q216: CONVERGENCE-MODE PageRank through the driver gate — q157
+    // runs the fixed-iters demo; production monitors run
+    // pageRankUntil(budget) and this registers that path: the q157
+    // transition graph solved to an L1 budget of 25000 micro-units
+    // (2.5% of one unit of rank mass), with the stopped-round count in
+    // the output — the consumer's proof of how much work convergence
+    // took. The budget is chosen where the stop round is INVARIANT
+    // across every testdata sf (round-1 deltas sit ≥ 1.4× ABOVE 25000,
+    // round-2 deltas ≥ 1.5× BELOW, measured at sf0.001/0.01/0.1), so
+    // the oracle is the q157 CTE chain unrolled to exactly 2 rounds
+    // with the literal 2 — and ComponentsSpec pins stopped_round == 2
+    // AND pageRankUntil ≡ pageRank(iters = 2) at every sf, so a
+    // testdata regeneration that moved the boundary fails loudly in
+    // the spec, not silently in the hash.
+    QueryDef("q216_pagerank_until",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("ts", "event_id")
+        val edges = ev(s, d)
+          .select(col("user_id"), col("event_type").as("src"),
+            lead(col("event_type"), 1).over(w).as("dst"))
+          .filter(col("dst").isNotNull)
+          .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+        val (ranks, rounds) = graft.operators.Components
+          .pageRankUntil(edges, "src", "dst", Some("w"),
+            deltaL1 = 25000L, maxIters = 60)
+        ranks.select(col("id").as("event_type"),
+            col("rank").as("rank_micro"),
+            lit(rounds.toLong).as("stopped_round"))
+          .orderBy("event_type")
+      },
+      Some("""WITH tr AS (SELECT event_type AS src,
+            lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+          FROM events),
+        e AS (SELECT src, dst, count(*) AS w FROM tr WHERE dst IS NOT NULL
+          GROUP BY 1, 2),
+        nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+        nn AS (SELECT count(*) AS n FROM nodes),
+        ow AS (SELECT src AS id, sum(w) AS outw FROM e GROUP BY 1),
+        base AS (SELECT nodes.id, ow.outw FROM nodes LEFT JOIN ow USING (id)),
+        r0 AS (SELECT id, outw, 1000000::BIGINT AS rank FROM base),
+        d1 AS (SELECT (coalesce(sum(rank), 0)) // (SELECT n FROM nn) AS pnd
+          FROM r0 WHERE outw IS NULL),
+        c1 AS (SELECT e.dst AS id, sum((r.rank // r.outw) * e.w) AS insum
+          FROM e JOIN r0 r ON e.src = r.id GROUP BY 1),
+        r1 AS (SELECT b.id, b.outw, 150000 +
+            (85 * (coalesce(c1.insum, 0) + (SELECT pnd FROM d1))) // 100 AS rank
+          FROM base b LEFT JOIN c1 ON b.id = c1.id),
+        d2 AS (SELECT (coalesce(sum(rank), 0)) // (SELECT n FROM nn) AS pnd
+          FROM r1 WHERE outw IS NULL),
+        c2 AS (SELECT e.dst AS id, sum((r.rank // r.outw) * e.w) AS insum
+          FROM e JOIN r1 r ON e.src = r.id GROUP BY 1),
+        r2 AS (SELECT b.id, b.outw, 150000 +
+            (85 * (coalesce(c2.insum, 0) + (SELECT pnd FROM d2))) // 100 AS rank
+          FROM base b LEFT JOIN c2 ON b.id = c2.id)
+        SELECT id AS event_type, CAST(rank AS BIGINT) AS rank_micro,
+          CAST(2 AS BIGINT) AS stopped_round
+        FROM r2 ORDER BY event_type"""))
   )
 
   // q210's oracle: the coocEdges preamble + `n` LPA rounds unrolled as

@@ -941,6 +941,36 @@ class ComponentsSpec extends SparkSpec {
     }
   }
 
+  test("q216's 25000-budget stops at round 2 on every sf, equal to pageRank(iters=2)") {
+    // the q216 oracle unrolls exactly 2 rounds with a literal 2 — this
+    // pins the two facts that make that static SQL safe: the L1 budget
+    // boundary sits between round 1 and round 2 at EVERY testdata sf
+    // (measured margins ≥ 1.4× both sides), and the until-mode result
+    // at the stopped round is bit-equal to the fixed-iters solve. A
+    // testdata regeneration that moves the boundary fails HERE, not
+    // silently in the driver hash.
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    for (sf <- Seq("0.001", "0.01", "0.1")) {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val edges = graft.Tables.events(spark, s"/root/testdata/sf$sf")
+        .select(col("user_id"), col("event_type").as("src"),
+          lead(col("event_type"), 1).over(w).as("dst"))
+        .filter(col("dst").isNotNull)
+        .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+      val (until, rounds) = Components.pageRankUntil(edges, "src", "dst",
+        Some("w"), deltaL1 = 25000L, maxIters = 60)
+      assert(rounds === 2,
+        s"sf$sf: the 25000 budget must stop at round 2 — if testdata " +
+          "moved the boundary, re-pin the q216 budget AND oracle unroll")
+      val fixed = Components.pageRank(edges, "src", "dst", Some("w"),
+        iters = 2)
+      assert(until.as[(String, Long)].collect().toMap ===
+        fixed.as[(String, Long)].collect().toMap,
+        s"sf$sf: until-mode at its stopped round must equal fixed-iters")
+    }
+  }
+
   test("q210's 8-round budget is a fixed point on the real co-occurrence graphs") {
     // same insurance shape as the q189 test above: the oracle unrolls
     // exactly 8 rounds so the hash cannot diverge at ANY data — this
