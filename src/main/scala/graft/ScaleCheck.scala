@@ -34,7 +34,9 @@ object ScaleCheck {
     "q201_sequence_pairs", "q202_token_dropout",
     "q203_span_corruption", "q204_k_anonymity", "q205_link_prediction",
     "q206_source_vocab_overlap", "q207_spearman", "q208_trimmed_mean",
-    "q209_source_pareto")
+    "q209_source_pareto", "q210_communities", "q211_pr_thresholds",
+    "q212_chi2_between_halves", "q213_sequence_triples",
+    "q214_l_diversity", "q215_psi_buckets", "q216_pagerank_until")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")

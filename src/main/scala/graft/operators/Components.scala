@@ -1161,6 +1161,58 @@ object Components {
     out
   }
 
+  /** Newman modularity cell decomposition of a node partition (Newman &
+    * Girvan, Phys. Rev. E 69 2004) — the quality score that makes
+    * [[labelPropagation]] actionable: Q = Σ_c (e_c/m − (d_c/2m)²)
+    * compares each community's internal edge mass against the
+    * degree-preserving random graph; shipped in the integer stance as
+    * per-community rows with q_cell = 4·m·e_c − d_c², so Q =
+    * Σ q_cell/(4m²) is one consumer division and the engine never
+    * touches a float. The trivial one-community partition scores
+    * exactly 0; positive Σ q_cell means real structure.
+    *
+    * Input: an undirected edge list (direction ignored, self-loops
+    * dropped, duplicates collapsed — the [[kCore]] normalization) and a
+    * (node, label) table; nodes missing a label are dropped from both
+    * sums (their edges count toward m but to no community — the honest
+    * accounting for a partial partition). Work: one edge dedup + two
+    * label equi-joins + node/edge-sized aggs; at 100 TB one edge
+    * shuffle and one node shuffle against the label table.
+    *
+    * Output: (community, n_nodes, degree_sum, intra_edges, m_edges,
+    * q_cell), one row per community; Σ degree_sum = 2m and
+    * Σ intra_edges ≤ m when the partition is total (the ComponentsSpec
+    * accounting laws).
+    */
+  def modularityCells(edges: DataFrame, srcCol: String, dstCol: String,
+      labels: DataFrame, idCol: String, labelCol: String): DataFrame = {
+    val raw = edges.select(col(srcCol).as("s"), col(dstCol).as("d"))
+      .filter(col("s") =!= col("d"))
+    val ue = raw.select(least(col("s"), col("d")).as("a"),
+      greatest(col("s"), col("d")).as("b")).distinct()
+    val lbl = labels.select(col(idCol).as("id"),
+      col(labelCol).as("community"))
+    val mAgg = ue.agg(count(lit(1)).as("m_edges"))
+    val deg = ue.select(col("a").as("id")).union(ue.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("dg"))
+    val intra = ue
+      .join(lbl.select(col("id").as("a"), col("community").as("ca")), "a")
+      .join(lbl.select(col("id").as("b"), col("community").as("cb")), "b")
+      .filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("community"))
+      .agg(count(lit(1)).as("intra_edges"))
+    deg.join(lbl, "id")
+      .groupBy("community")
+      .agg(count(lit(1)).as("n_nodes"), sum("dg").as("degree_sum"))
+      .join(intra, Seq("community"), "left")
+      .crossJoin(broadcast(mAgg))
+      .select(col("community"), col("n_nodes"), col("degree_sum"),
+        coalesce(col("intra_edges"), lit(0L)).as("intra_edges"),
+        col("m_edges"),
+        (lit(4L) * col("m_edges") * coalesce(col("intra_edges"), lit(0L)) -
+          col("degree_sum") * col("degree_sum")).as("q_cell"))
+  }
+
   /** One semi-synchronous LPA round: neighbor-label counts via the
     * both-orientations equi-join, the (count DESC, label ASC) winner via
     * one combinable min-struct agg, and the parity-gated adoption.

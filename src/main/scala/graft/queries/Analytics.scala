@@ -61,10 +61,28 @@ object Analytics {
     edges.toDF("wa", "wb")
   }
 
+  // q210/q218 shared LPA partition over the coocEdges graph — the same
+  // memoized-collected-artifact pattern as coocCache: the 8 propagation
+  // rounds run ONCE per (session, sf dir), the value is the ≤|V|-row
+  // label list (bounded by the top-100 edge cut), and both consumers
+  // read it as a LocalRelation (q210 ships it; q218 scores it).
+  private val lpaCache = new SessionMemo[Seq[(String, String)]]
+
+  private[graft] def communityLabels(s: SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val rows = lpaCache(s, d) {
+      graft.operators.Components
+        .labelPropagation(coocEdges(s, d), "wa", "wb", rounds = 8)
+        .collect().toSeq.map(r => (r.getString(0), r.getString(1)))
+    }
+    import s.implicits._
+    rows.toDF("id", "community")
+  }
+
   // CacheHygieneSpec probe: does any session-scoped memo still key `s`?
   private[graft] def memoHolds(s: SparkSession): Boolean =
     backfillCache.holds(s) || evolveCache.holds(s) ||
-      jdbcCache.holds(s) || coocCache.holds(s)
+      jdbcCache.holds(s) || coocCache.holds(s) || lpaCache.holds(s)
 
   // q190/q194 shared basket construction: 30-minute sessions (the q133
   // sessionization), each basket = a session's DISTINCT event types —
@@ -1757,8 +1775,7 @@ object Analytics {
     // joins + combinable aggs on the ≤100-edge frame — the oracle
     // unrolls all 8 rounds as chained CTEs.
     QueryDef("q210_communities",
-      (s, d) => graft.operators.Components
-        .labelPropagation(coocEdges(s, d), "wa", "wb", rounds = 8)
+      (s, d) => communityLabels(s, d)
         .select(col("id").as("token"), col("community"))
         .orderBy("token"),
       Some(lpaOracleSql(8))),
@@ -1926,14 +1943,107 @@ object Analytics {
           FROM base b LEFT JOIN c2 ON b.id = c2.id)
         SELECT id AS event_type, CAST(rank AS BIGINT) AS rank_micro,
           CAST(2 AS BIGINT) AS stopped_round
-        FROM r2 ORDER BY event_type"""))
+        FROM r2 ORDER BY event_type""")),
+
+    // q217: t-closeness audit — the third rung of the release-privacy
+    // ladder (Li, Li & Venkatasubramanian, ICDE 2007): q204 asks "is
+    // the cell big enough", q214 "is its sensitive attribute varied
+    // enough" — t-closeness asks "does the cell's sensitive
+    // DISTRIBUTION stay close to the table's": a cell can hold 3
+    // languages yet be 95% one of them while the corpus is uniform,
+    // and membership alone then shifts an attacker's prior. Per
+    // quasi-identifier cell (source, 500-char bucket) the total-
+    // variation distance between the cell's lang distribution and the
+    // corpus's, in the q192 integer stance: tv_num = Σ_lang
+    // |c_cell·n_all − c_lang·n_cell|, t = tv_num/(2·n_cell·n_all) at
+    // the consumer (TV is the standard categorical EMD instance).
+    // Zero cells ride the cells × langs grid — a language the cell
+    // never emits is exactly the evidence t-closeness exists to see.
+    // One count shuffle; everything after is grid-sized.
+    QueryDef("q217_t_closeness",
+      (s, d) => {
+        val base = graft.Tables.documents(s, d)
+          .select(col("source"), expr("n_chars div 500").as("len_bucket"),
+            col("lang"))
+        val cells = base.groupBy("source", "len_bucket", "lang")
+          .agg(count(lit(1)).as("c"))
+        val grps = base.groupBy("source", "len_bucket")
+          .agg(count(lit(1)).as("n_cell"))
+        val langs = base.groupBy("lang").agg(count(lit(1)).as("cl"))
+        val na = base.agg(count(lit(1)).as("n_all"))
+        grps.crossJoin(langs)
+          .join(cells, Seq("source", "len_bucket", "lang"), "left")
+          .crossJoin(broadcast(na))
+          .groupBy(col("source"), col("len_bucket"))
+          .agg(sum(abs(coalesce(col("c"), lit(0L)) * col("n_all") -
+              col("cl") * col("n_cell"))).as("tv_num"),
+            max("n_cell").as("n_cell"), max("n_all").as("n_all"))
+          .orderBy("source", "len_bucket")
+      },
+      Some("""WITH b AS (SELECT source, n_chars // 500 len_bucket, lang
+            FROM documents),
+          cells AS (SELECT source, len_bucket, lang, count(*) c FROM b
+            GROUP BY 1, 2, 3),
+          grps AS (SELECT source, len_bucket, count(*) n_cell FROM b
+            GROUP BY 1, 2),
+          langs AS (SELECT lang, count(*) cl FROM b GROUP BY 1),
+          na AS (SELECT count(*) n_all FROM b),
+          grid AS (SELECT g.source, g.len_bucket, g.n_cell, l.lang, l.cl
+            FROM grps g CROSS JOIN langs l)
+        SELECT g.source AS source, CAST(g.len_bucket AS BIGINT) len_bucket,
+          CAST(sum(abs(coalesce(cells.c, 0) * na.n_all
+            - g.cl * g.n_cell)) AS BIGINT) tv_num,
+          CAST(max(g.n_cell) AS BIGINT) n_cell,
+          CAST(max(na.n_all) AS BIGINT) n_all
+        FROM grid g LEFT JOIN cells ON g.source = cells.source
+          AND g.len_bucket = cells.len_bucket AND g.lang = cells.lang
+          CROSS JOIN na
+        GROUP BY 1, 2 ORDER BY source, len_bucket""")),
+
+    // q218: Newman modularity of the q210 partition — the quality score
+    // that makes community detection actionable ("did LPA find real
+    // structure or noise"; Newman & Girvan 2004): Q = Σ_c (e_c/m −
+    // (d_c/2m)²) over communities, shipped in the integer stance as
+    // per-community rows with q_cell = 4·m·e_c − d_c² so Q =
+    // Σ q_cell / (4m²) is one consumer division (positive q_cell sum =
+    // more intra-community mass than the degree-preserving random
+    // graph). Reads BOTH memoized artifacts — the coocEdges frame and
+    // the LPA label list (computed once per session/dir, shared with
+    // q210) — so the marginal cost is edge-frame-sized joins + aggs;
+    // at web scale e_c/d_c are one edge shuffle + one node shuffle
+    // against the label table. Σ d_c = 2m and Σ e_c ≤ m are the
+    // ComponentsSpec accounting laws.
+    QueryDef("q218_modularity",
+      (s, d) => graft.operators.Components
+        .modularityCells(coocEdges(s, d), "wa", "wb",
+          communityLabels(s, d), "id", "community")
+        .orderBy("community"),
+      Some(s"""WITH ${lpaCtes(8)},
+          m AS (SELECT count(*) m_edges FROM e0),
+          degs AS (SELECT id, count(*) dg FROM (
+              SELECT wa id FROM e0 UNION ALL SELECT wb FROM e0) GROUP BY 1),
+          intra AS (SELECT la.lbl community, count(*) intra_edges FROM e0
+            JOIN l8 la ON e0.wa = la.id JOIN l8 lb ON e0.wb = lb.id
+            WHERE la.lbl = lb.lbl GROUP BY 1),
+          ds AS (SELECT l.lbl community, count(*) n_nodes, sum(d.dg) degree_sum
+            FROM degs d JOIN l8 l ON d.id = l.id GROUP BY 1)
+        SELECT ds.community AS community, CAST(n_nodes AS BIGINT) n_nodes,
+          CAST(degree_sum AS BIGINT) degree_sum,
+          CAST(coalesce(intra.intra_edges, 0) AS BIGINT) intra_edges,
+          CAST(m.m_edges AS BIGINT) m_edges,
+          CAST(4 * m.m_edges * coalesce(intra.intra_edges, 0)
+            - degree_sum * degree_sum AS BIGINT) q_cell
+        FROM ds LEFT JOIN intra ON ds.community = intra.community
+          CROSS JOIN m ORDER BY community"""))
   )
 
-  // q210's oracle: the coocEdges preamble + `n` LPA rounds unrolled as
-  // chained CTEs, each round the grouped neighbor-label count, the
-  // (count DESC, label ASC) winner via row_number, and the parity-gated
-  // adoption — op-for-op the lpaRound dataflow.
-  private def lpaOracleSql(n: Int): String = {
+  // q210/q218's shared oracle preamble: the coocEdges CTEs + `n` LPA
+  // rounds unrolled as chained CTEs, each round the grouped
+  // neighbor-label count, the (count DESC, label ASC) winner via
+  // row_number, and the parity-gated adoption — op-for-op the lpaRound
+  // dataflow. Yields CTE text ending at l$n (id, lbl); callers append
+  // their own SELECT.
+  private def lpaCtes(n: Int): String = {
     val rounds = (0 until n).map { r =>
       s"""b$r AS (SELECT s, l FROM (
             SELECT bo.s, lb.lbl l, row_number() OVER (PARTITION BY bo.s
@@ -1945,18 +2055,21 @@ object Analytics {
                 THEN b.l ELSE n.lbl END lbl
             FROM l$r n LEFT JOIN b$r b ON n.id = b.s)"""
     }.mkString(",\n          ")
-    s"""WITH x AS (SELECT doc_id, list_distinct(${TextShared.OToks}) t
+    s"""x AS (SELECT doc_id, list_distinct(${TextShared.OToks}) t
             FROM documents),
           tok AS (SELECT doc_id, unnest(t) w FROM x),
           pr AS (SELECT a.w wa, b.w wb, count(*) c FROM tok a
                  JOIN tok b ON a.doc_id = b.doc_id AND a.w < b.w GROUP BY 1, 2),
           rk AS (SELECT wa, wb, row_number() OVER (
               ORDER BY c DESC, wa, wb) r FROM pr),
-          e0 AS (SELECT wa, wb FROM rk WHERE r <= 100),
+          e0 AS MATERIALIZED (SELECT wa, wb FROM rk WHERE r <= 100),
           bo AS MATERIALIZED (SELECT wa s, wb d FROM e0
             UNION ALL SELECT wb, wa FROM e0),
           l0 AS MATERIALIZED (SELECT DISTINCT s id, s lbl FROM bo),
-          $rounds
-        SELECT id AS token, lbl AS community FROM l$n ORDER BY token"""
+          $rounds"""
   }
+
+  private def lpaOracleSql(n: Int): String =
+    s"""WITH ${lpaCtes(n)}
+        SELECT id AS token, lbl AS community FROM l$n ORDER BY token"""
 }

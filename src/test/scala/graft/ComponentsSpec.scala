@@ -941,6 +941,55 @@ class ComponentsSpec extends SparkSpec {
     }
   }
 
+  test("modularityCells == naive Newman cells; LPA on cliques+bridge scores positive") {
+    val k4a = Seq("ant", "bee", "cow", "doe")
+    val k4b = Seq("elk", "fox", "gnu", "hen")
+    def clique(vs: Seq[String]) =
+      for (i <- vs.indices; j <- vs.indices if i < j) yield (vs(i), vs(j))
+    val edges = clique(k4a) ++ clique(k4b) :+ (("doe", "elk"))
+    val lblMap = refLpa(edges, 8)
+    val got = Components.modularityCells(edges.toDF("a", "b"), "a", "b",
+        lblMap.toSeq.toDF("id", "community"), "id", "community")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5, r._6)).toMap
+    // naive reference
+    val m = edges.size.toLong
+    def deg(v: String) = edges.count(e => e._1 == v || e._2 == v).toLong
+    val comms = lblMap.values.toSeq.distinct
+    for (c <- comms) {
+      val members = lblMap.collect { case (v, l) if l == c => v }.toSet
+      val ec = edges.count(e =>
+        members(e._1) && members(e._2)).toLong
+      val dc = members.toSeq.map(deg).sum
+      assert(got(c) === ((members.size.toLong, dc, ec, m,
+        4L * m * ec - dc * dc)), s"community $c")
+    }
+    // accounting laws + "two cliques with one bridge IS structure"
+    assert(got.values.map(_._2).sum === 2 * m)
+    assert(got.values.map(_._3).sum <= m)
+    assert(got.values.map(_._5).sum > 0,
+      "the two-community partition must score positive modularity")
+    // and the trivial one-community partition scores exactly zero
+    val one = Components.modularityCells(edges.toDF("a", "b"), "a", "b",
+        lblMap.keys.map(_ -> "all").toSeq.toDF("id", "community"),
+        "id", "community")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(one.map(_._6).sum === 0L)
+  }
+
+  test("q218 accounting on the real graphs: degrees sum to 2m, intra bounded by m") {
+    for (sf <- Seq("0.001", "0.01")) {
+      val rows = SparkEntry.queries("q218_modularity")(
+          spark, s"/root/testdata/sf$sf")
+        .as[(String, Long, Long, Long, Long, Long)].collect()
+      assert(rows.nonEmpty)
+      val m = rows.head._5
+      assert(rows.map(_._3).sum === 2 * m, s"sf$sf: sum(d_c) = 2m")
+      assert(rows.map(_._4).sum <= m, s"sf$sf: sum(e_c) <= m")
+      rows.foreach(r => assert(r._6 === 4 * m * r._4 - r._3 * r._3))
+    }
+  }
+
   test("q216's 25000-budget stops at round 2 on every sf, equal to pageRank(iters=2)") {
     // the q216 oracle unrolls exactly 2 rounds with a literal 2 — this
     // pins the two facts that make that static SQL safe: the L1 budget
