@@ -2034,7 +2034,56 @@ object Analytics {
           CAST(4 * m.m_edges * coalesce(intra.intra_edges, 0)
             - degree_sum * degree_sum AS BIGINT) q_cell
         FROM ds LEFT JOIN intra ON ds.community = intra.community
-          CROSS JOIN m ORDER BY community"""))
+          CROSS JOIN m ORDER BY community""")),
+
+    // q219: attribution-window pairs — "of all `a` events, how many saw
+    // a `b` from the same user within 10 minutes": the conversion-
+    // attribution read the session family can't give (q201/q213 are
+    // session-scoped with ARBITRARY gaps; attribution is TIME-scoped
+    // and crosses session boundaries if the clock allows). Per directed
+    // type pair: n_attr = a-occurrences with ≥1 qualifying b in
+    // (t_a, t_a + W], n_a = all a-occurrences; rate = consumer
+    // division. Scale shape is the q160 band-join pattern: a-side
+    // explodes to ITS time bucket and the next (0 < Δ ≤ W confines b
+    // to those two W-sized buckets), the join is EQUI on (user,
+    // bucket) — never a per-user cross of occurrence lists — and the
+    // exact window filter runs post-join; the DISTINCT on (a-occ,
+    // b-type) collapses multiple qualifying b's to the exists bit.
+    QueryDef("q219_attribution_window",
+      (s, d) => {
+        val W = 600000000L
+        val occ = ev(s, d).select(col("user_id"), col("event_id"),
+          col("event_type").as("it"), unix_micros(col("ts")).as("us"))
+        val aSide = occ
+          .select(col("user_id"), col("event_id").as("aid"),
+            col("it").as("a"), col("us").as("ta"))
+          .withColumn("bk", explode(array(expr(s"ta div ${W}L"),
+            expr(s"ta div ${W}L + 1L"))))
+        val bSide = occ
+          .select(col("user_id"), col("it").as("b"), col("us").as("tb"))
+          .withColumn("bk", expr(s"tb div ${W}L"))
+        val attr = aSide.join(bSide, Seq("user_id", "bk"))
+          .filter(col("b") =!= col("a") && col("tb") > col("ta") &&
+            col("tb") <= col("ta") + W)
+          .select("aid", "a", "b").distinct()
+          .groupBy("a", "b").agg(count(lit(1)).as("n_attr"))
+        val na = occ.groupBy(col("it").as("a"))
+          .agg(count(lit(1)).as("n_a"))
+        attr.join(na, "a")
+          .select(col("a"), col("b"), col("n_attr"), col("n_a"))
+          .orderBy("a", "b")
+      },
+      Some("""WITH occ AS (SELECT user_id, event_id, event_type it,
+            epoch_us(ts) us FROM events),
+          hits AS (SELECT DISTINCT a.event_id aid, a.it a, b.it b
+            FROM occ a JOIN occ b ON a.user_id = b.user_id
+              AND b.it <> a.it AND b.us > a.us
+              AND b.us <= a.us + 600000000),
+          at AS (SELECT a, b, count(*) n_attr FROM hits GROUP BY 1, 2),
+          na AS (SELECT it a, count(*) n_a FROM occ GROUP BY 1)
+        SELECT at.a AS a, at.b AS b, CAST(n_attr AS BIGINT) n_attr,
+          CAST(na.n_a AS BIGINT) n_a
+        FROM at JOIN na USING (a) ORDER BY a, b"""))
   )
 
   // q210/q218's shared oracle preamble: the coocEdges CTEs + `n` LPA

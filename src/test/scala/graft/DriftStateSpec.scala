@@ -124,7 +124,8 @@ class DriftStateSpec extends SparkSpec {
           => org.apache.spark.sql.DataFrame)](
         "ks" -> ((a, b) => Drift.ksBetweenCounts(a, b, g, v, c)),
         "tv" -> ((a, b) => Drift.tvBetweenCounts(a, b, g, v, c)),
-        "w1" -> ((a, b) => Drift.w1BetweenCounts(a, b, g, v, c)))) {
+        "w1" -> ((a, b) => Drift.w1BetweenCounts(a, b, g, v, c)),
+        "chi2" -> ((a, b) => Drift.chi2BetweenCounts(a, b, g, v, c)))) {
       assert(rows(op(sa, sb)) === rows(op(memA, memB)),
         s"$name over two at-rest states must equal the in-memory panel")
     }

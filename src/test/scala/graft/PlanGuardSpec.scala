@@ -529,6 +529,16 @@ class PlanGuardSpec extends SparkSpec {
         df.queryExecution.optimizedPlan)
   }
 
+  test("q219 attribution window: band join is equi on (user, bucket), no cartesian") {
+    // the naive form is a per-user non-equi time join (occurrence lists
+    // crossed); the shipped plan explodes the a-side to two W-sized
+    // buckets and joins EQUI on (user_id, bk) — the q160 band pattern
+    val p = finalPlan("q219_attribution_window")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"the window match must stay an equi-join:\n$p")
+  }
+
   test("q211 PR table: both cumulative windows ride the class histogram, not corpus rows") {
     // same ban as q178: a per-row threshold sweep would be a
     // corpus-sized window; the shipped plan aggregates to the

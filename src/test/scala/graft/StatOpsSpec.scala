@@ -393,6 +393,39 @@ class StatOpsSpec extends SparkSpec {
         s"triple ($a,$b,$c) must not exceed its pair supports")
   }
 
+  test("q219 attribution counts equal the naive per-occurrence window scan") {
+    val W = 600000000L
+    val evs = graft.Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    val byUser = evs.groupBy(_._1)
+    val got = q("q219_attribution_window").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(got.nonEmpty)
+    val types = evs.map(_._3).distinct
+    for (a <- types; b <- types if a != b) {
+      // naive: for every a-occurrence, does ANY same-user b land in
+      // (ta, ta + W]?
+      val nAttr = evs.count { e =>
+        e._3 == a && byUser(e._1).exists(o =>
+          o._3 == b && o._4 > e._4 && o._4 <= e._4 + W)
+      }.toLong
+      val nA = evs.count(_._3 == a).toLong
+      if (nAttr > 0) {
+        assert(got.contains((a, b)), s"missing pair ($a,$b)")
+        assert(got((a, b)) === ((nAttr, nA)), s"pair ($a,$b)")
+      } else assert(!got.contains((a, b)),
+        s"pair ($a,$b) attributed nothing and must be absent")
+    }
+    // attribution is bounded by the a-occurrence count
+    got.foreach { case ((a, b), (nAttr, nA)) =>
+      assert(nAttr <= nA, s"($a,$b): n_attr must not exceed n_a") }
+  }
+
   test("q206 source-vocabulary overlap equals naive pairwise set intersections") {
     val toks = graft.Tables.documents(spark, dir)
       .select(col("source"),
