@@ -74,12 +74,18 @@ object Eval {
   def confusionByThreshold(df: DataFrame, posCol: String,
       valueCol: String): DataFrame = {
     val h = classHistogram(df, posCol, valueCol)
-    val tot = h.agg(sum("np").as("n_pos"), sum("nn").as("n_neg"))
     val wv = Window.orderBy("v")
       .rowsBetween(Window.unboundedPreceding, -1)
+    // class totals as whole-grid windows on the SAME histogram frame —
+    // a separate `h.agg(...)` branch would re-derive the histogram from
+    // a second corpus scan (Catalyst does not fuse the two consumers);
+    // the unpartitioned windows ride post-agg grid rows only, the q209
+    // bounded-by-construction stance
+    val wall = Window.partitionBy()
     h.withColumn("npb", coalesce(sum("np").over(wv), lit(0L)))
       .withColumn("nnb", coalesce(sum("nn").over(wv), lit(0L)))
-      .crossJoin(broadcast(tot))
+      .withColumn("n_pos", sum("np").over(wall))
+      .withColumn("n_neg", sum("nn").over(wall))
       .select(col("v").as("threshold"),
         (col("n_pos") - col("npb")).as("tp"),
         (col("n_neg") - col("nnb")).as("fp"),

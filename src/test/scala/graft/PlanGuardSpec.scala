@@ -556,6 +556,11 @@ class PlanGuardSpec extends SparkSpec {
         s"every window must sit above the histogram aggregate:\n" +
           df.queryExecution.optimizedPlan)
     }
+    // and the whole table rides ONE corpus scan: class totals are
+    // whole-grid windows, not a second aggregate branch over the scan
+    val p = finalPlan("q211_pr_thresholds")
+    assert(count("FileScan|Scan parquet", p) <= 1,
+      s"the totals must not re-scan the corpus:\n$p")
   }
 
   test("q185/q179 vocabulary rank windows are group-limited (top-16 heap before the sort)") {
