@@ -32,9 +32,16 @@ object Drift {
     */
   def ksFromCounts(counts: DataFrame, groupCol: String, valueCol: String,
       countCol: String): DataFrame = {
-    val per = counts.select(col(groupCol).as("g"), col(valueCol).as("v"),
-        col(countCol).cast("long").as("c"))
-      .filter(col("v").isNotNull)
+    // CUT: five consumers read the normalized count table (group
+    // totals, pool total, value grid, the grid join, the pooled
+    // cumulative) — without the cut EACH re-derives it from the
+    // caller's corpus scan + count shuffle (Catalyst does not fuse
+    // sibling consumers; the budgetSelect staging lesson). The cut
+    // frame is grid-sized, so the materialization is cheap at any SF.
+    val per = Checkpoints.cut(
+      counts.select(col(groupCol).as("g"), col(valueCol).as("v"),
+          col(countCol).cast("long").as("c"))
+        .filter(col("v").isNotNull))
     val grps = per.groupBy("g").agg(sum("c").as("ns"))
     val na = per.agg(sum("c").as("ng"))
     val grid = grps.select("g").crossJoin(per.select("v").distinct())
@@ -46,14 +53,16 @@ object Drift {
       .withColumn("cg", sum("cv").over(Window.orderBy("v")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .select("v", "cg")
-    scum.join(gcum, "v").join(broadcast(grps), "g")
-      .crossJoin(broadcast(na))
-      .groupBy("g")
-      .agg(max(abs(col("cs") * col("ng") - col("cg") * col("ns")))
-          .as("ks_num"),
-        max("ns").as("n_grp"), max("ng").as("n_all"))
-      .select(col("g").as(groupCol), col("ks_num"), col("n_grp"),
-        col("n_all"))
+    Checkpoints.sealAndRelease(
+      scum.join(gcum, "v").join(broadcast(grps), "g")
+        .crossJoin(broadcast(na))
+        .groupBy("g")
+        .agg(max(abs(col("cs") * col("ng") - col("cg") * col("ns")))
+            .as("ks_num"),
+          max("ns").as("n_grp"), max("ng").as("n_all"))
+        .select(col("g").as(groupCol), col("ks_num"), col("n_grp"),
+          col("n_all")),
+      per)
   }
 
   /** Per-group TOTAL-VARIATION distance of each group's distribution
@@ -73,21 +82,26 @@ object Drift {
     */
   def tvFromCounts(counts: DataFrame, groupCol: String, valueCol: String,
       countCol: String): DataFrame = {
-    val per = counts.select(col(groupCol).as("g"), col(valueCol).as("v"),
-        col(countCol).cast("long").as("c"))
-      .filter(col("v").isNotNull)
+    // CUT: four consumers of the normalized table — the ksFromCounts
+    // staging rationale
+    val per = Checkpoints.cut(
+      counts.select(col(groupCol).as("g"), col(valueCol).as("v"),
+          col(countCol).cast("long").as("c"))
+        .filter(col("v").isNotNull))
     val grps = per.groupBy("g").agg(sum("c").as("ns"))
     val na = per.agg(sum("c").as("ng"))
     val gv = per.groupBy("v").agg(sum("c").as("cv"))
     val grid = grps.select("g").crossJoin(gv)
-    grid.join(per, Seq("g", "v"), "left")
-      .join(broadcast(grps), "g").crossJoin(broadcast(na))
-      .groupBy("g")
-      .agg(sum(abs(coalesce(col("c"), lit(0L)) * col("ng") -
-          col("cv") * col("ns"))).as("tv_num"),
-        max("ns").as("n_grp"), max("ng").as("n_all"))
-      .select(col("g").as(groupCol), col("tv_num"), col("n_grp"),
-        col("n_all"))
+    Checkpoints.sealAndRelease(
+      grid.join(per, Seq("g", "v"), "left")
+        .join(broadcast(grps), "g").crossJoin(broadcast(na))
+        .groupBy("g")
+        .agg(sum(abs(coalesce(col("c"), lit(0L)) * col("ng") -
+            col("cv") * col("ns"))).as("tv_num"),
+          max("ns").as("n_grp"), max("ng").as("n_all"))
+        .select(col("g").as(groupCol), col("tv_num"), col("n_grp"),
+          col("n_all")),
+      per)
   }
 
   /** Per-group WASSERSTEIN-1 (earth-mover) distance of each group's
@@ -113,10 +127,13 @@ object Drift {
     */
   def w1FromCounts(counts: DataFrame, groupCol: String, valueCol: String,
       countCol: String): DataFrame = {
-    val per = counts.select(col(groupCol).as("g"),
-        col(valueCol).cast("long").as("v"),
-        col(countCol).cast("long").as("c"))
-      .filter(col("v").isNotNull)
+    // CUT: five consumers of the normalized table — the ksFromCounts
+    // staging rationale
+    val per = Checkpoints.cut(
+      counts.select(col(groupCol).as("g"),
+          col(valueCol).cast("long").as("v"),
+          col(countCol).cast("long").as("c"))
+        .filter(col("v").isNotNull))
     val grps = per.groupBy("g").agg(sum("c").as("ns"))
     val na = per.agg(sum("c").as("ng"))
     val grid = grps.select("g").crossJoin(per.select("v").distinct())
@@ -133,14 +150,16 @@ object Drift {
       .withColumn("gap",
         coalesce(lead("v", 1).over(Window.orderBy("v")) - col("v"), lit(0L)))
       .select("v", "cg", "gap")
-    scum.join(gcum, "v").join(broadcast(grps), "g")
-      .crossJoin(broadcast(na))
-      .groupBy("g")
-      .agg(sum(abs(col("cs") * col("ng") - col("cg") * col("ns")) *
-          col("gap")).as("w1_num"),
-        max("ns").as("n_grp"), max("ng").as("n_all"))
-      .select(col("g").as(groupCol), col("w1_num"), col("n_grp"),
-        col("n_all"))
+    Checkpoints.sealAndRelease(
+      scum.join(gcum, "v").join(broadcast(grps), "g")
+        .crossJoin(broadcast(na))
+        .groupBy("g")
+        .agg(sum(abs(col("cs") * col("ng") - col("cg") * col("ns")) *
+            col("gap")).as("w1_num"),
+          max("ns").as("n_grp"), max("ng").as("n_all"))
+        .select(col("g").as(groupCol), col("w1_num"), col("n_grp"),
+          col("n_all")),
+      per)
   }
 
   /** Per-group two-sample Kolmogorov–Smirnov statistic BETWEEN two count
@@ -266,29 +285,36 @@ object Drift {
   def psiBuckets(df: DataFrame, groupCol: String, valueCol: String,
       buckets: Int): DataFrame = {
     require(buckets >= 1, "need at least one bucket")
-    val base = df.select(col(groupCol).as("g"), col(valueCol).as("v"))
-      .filter(col("v").isNotNull)
-    val gv = base.groupBy("v").agg(count(lit(1)).as("cv"))
-    val np = gv.agg(sum("cv").as("n_pool"))
+    // CUT: the per-(group, value) count table is the ONLY corpus-sized
+    // derivation and four consumers read it (pooled histogram, bucket
+    // assignment join, per-group totals, the group-side counts) — the
+    // ksFromCounts staging rationale; everything downstream is
+    // grid/bucket-sized
+    val sv = Checkpoints.cut(
+      df.select(col(groupCol).as("g"), col(valueCol).as("v"))
+        .filter(col("v").isNotNull)
+        .groupBy("g", "v").agg(count(lit(1)).as("c")))
     val wv = Window.orderBy("v")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val vb = gv
+    // pool total as a whole-grid window (bounded by construction, the
+    // q209 stance) — a separate agg branch would re-read the cut
+    val vb = sv.groupBy("v").agg(sum("c").as("cv"))
       .withColumn("cexcl", coalesce(sum("cv").over(wv), lit(0L)))
-      .crossJoin(broadcast(np))
-      .select(col("v"), col("cv"),
-        // integer div, never Column./ (double) — exact at any count
-        expr(s"(cexcl * ${buckets}L) div n_pool").as("bkt"))
-    val pb = vb.groupBy("bkt").agg(sum("cv").as("c_pool"))
-    val sb = base.groupBy("g", "v").agg(count(lit(1)).as("c"))
-      .join(vb.select("v", "bkt"), "v")
+      .withColumn("n_pool", sum("cv").over(Window.partitionBy()))
+      // integer div, never Column./ (double) — exact at any count
+      .withColumn("bkt", expr(s"(cexcl * ${buckets}L) div n_pool"))
+    val pb = vb.groupBy("bkt")
+      .agg(sum("cv").as("c_pool"), max("n_pool").as("n_pool"))
+    val sb = sv.join(vb.select("v", "bkt"), "v")
       .groupBy("g", "bkt").agg(sum("c").as("c_grp"))
-    val grps = base.groupBy("g").agg(count(lit(1)).as("n_grp"))
-    grps.crossJoin(pb)
-      .join(sb, Seq("g", "bkt"), "left")
-      .crossJoin(broadcast(np))
-      .select(col("g").as(groupCol), col("bkt").as("bucket"),
-        coalesce(col("c_grp"), lit(0L)).as("c_grp"), col("c_pool"),
-        col("n_grp"), col("n_pool"))
+    val grps = sv.groupBy("g").agg(sum("c").as("n_grp"))
+    Checkpoints.sealAndRelease(
+      grps.crossJoin(pb)
+        .join(sb, Seq("g", "bkt"), "left")
+        .select(col("g").as(groupCol), col("bkt").as("bucket"),
+          coalesce(col("c_grp"), lit(0L)).as("c_grp"), col("c_pool"),
+          col("n_grp"), col("n_pool")),
+      sv)
   }
 
   // shared between-states machinery: per-(group, value) counts from both

@@ -1962,23 +1962,29 @@ object Analytics {
     // One count shuffle; everything after is grid-sized.
     QueryDef("q217_t_closeness",
       (s, d) => {
-        val base = graft.Tables.documents(s, d)
-          .select(col("source"), expr("n_chars div 500").as("len_bucket"),
-            col("lang"))
-        val cells = base.groupBy("source", "len_bucket", "lang")
-          .agg(count(lit(1)).as("c"))
-        val grps = base.groupBy("source", "len_bucket")
-          .agg(count(lit(1)).as("n_cell"))
-        val langs = base.groupBy("lang").agg(count(lit(1)).as("cl"))
-        val na = base.agg(count(lit(1)).as("n_all"))
-        grps.crossJoin(langs)
-          .join(cells, Seq("source", "len_bucket", "lang"), "left")
-          .crossJoin(broadcast(na))
-          .groupBy(col("source"), col("len_bucket"))
-          .agg(sum(abs(coalesce(col("c"), lit(0L)) * col("n_all") -
-              col("cl") * col("n_cell"))).as("tv_num"),
-            max("n_cell").as("n_cell"), max("n_all").as("n_all"))
-          .orderBy("source", "len_bucket")
+        // CUT: all three marginals and the pool total derive from the
+        // per-(cell, lang) count table — stage it once (dimension-sized)
+        // instead of four corpus scans; the ksFromCounts staging policy
+        val cells = graft.operators.Checkpoints.cut(
+          graft.Tables.documents(s, d)
+            .select(col("source"), expr("n_chars div 500").as("len_bucket"),
+              col("lang"))
+            .groupBy("source", "len_bucket", "lang")
+            .agg(count(lit(1)).as("c")))
+        val grps = cells.groupBy("source", "len_bucket")
+          .agg(sum("c").as("n_cell"))
+        val langs = cells.groupBy("lang").agg(sum("c").as("cl"))
+        val na = cells.agg(sum("c").as("n_all"))
+        graft.operators.Checkpoints.sealAndRelease(
+          grps.crossJoin(langs)
+            .join(cells, Seq("source", "len_bucket", "lang"), "left")
+            .crossJoin(broadcast(na))
+            .groupBy(col("source"), col("len_bucket"))
+            .agg(sum(abs(coalesce(col("c"), lit(0L)) * col("n_all") -
+                col("cl") * col("n_cell"))).as("tv_num"),
+              max("n_cell").as("n_cell"), max("n_all").as("n_all"))
+            .orderBy("source", "len_bucket"),
+          cells)
       },
       Some("""WITH b AS (SELECT source, n_chars // 500 len_bucket, lang
             FROM documents),

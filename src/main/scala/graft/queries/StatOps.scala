@@ -222,19 +222,24 @@ object StatOps {
     // same n² bound class as q172/q174.
     QueryDef("q181_chi2_cells",
       (s, d) => {
-        val dc = docs(s, d)
-        val rows = dc.groupBy("source").agg(count(lit(1)).as("row_tot"))
-        val cols = dc.groupBy("lang").agg(count(lit(1)).as("col_tot"))
-        val tot = dc.agg(count(lit(1)).as("n_total"))
-        val cells = dc.groupBy("source", "lang").agg(count(lit(1)).as("c"))
-        rows.crossJoin(cols).join(cells, Seq("source", "lang"), "left")
-          .crossJoin(broadcast(tot))
-          .select(col("source"), col("lang"),
-            coalesce(col("c"), lit(0L)).as("obs"),
-            col("row_tot"), col("col_tot"), col("n_total"),
-            (coalesce(col("c"), lit(0L)) * col("n_total") -
-              col("row_tot") * col("col_tot")).as("dev_num"))
-          .orderBy("source", "lang")
+        // CUT: marginals and the total all derive from the cell table —
+        // stage it once (dimensions-sized) instead of four corpus
+        // scans; the ksFromCounts staging policy, applied r16
+        val cells = graft.operators.Checkpoints.cut(
+          docs(s, d).groupBy("source", "lang").agg(count(lit(1)).as("c")))
+        val rows = cells.groupBy("source").agg(sum("c").as("row_tot"))
+        val cols = cells.groupBy("lang").agg(sum("c").as("col_tot"))
+        val tot = cells.agg(sum("c").as("n_total"))
+        graft.operators.Checkpoints.sealAndRelease(
+          rows.crossJoin(cols).join(cells, Seq("source", "lang"), "left")
+            .crossJoin(broadcast(tot))
+            .select(col("source"), col("lang"),
+              coalesce(col("c"), lit(0L)).as("obs"),
+              col("row_tot"), col("col_tot"), col("n_total"),
+              (coalesce(col("c"), lit(0L)) * col("n_total") -
+                col("row_tot") * col("col_tot")).as("dev_num"))
+            .orderBy("source", "lang"),
+          cells)
       },
       Some("""WITH r AS (SELECT source, count(*) row_tot FROM documents GROUP BY 1),
           c AS (SELECT lang, count(*) col_tot FROM documents GROUP BY 1),
@@ -1063,15 +1068,20 @@ object StatOps {
     QueryDef("q212_chi2_between_halves",
       (s, d) => {
         val nd = docs(s, d).agg(count(lit(1)).as("nd"))
-        val counts = docs(s, d).crossJoin(broadcast(nd))
-          .select(col("source"), (col("doc_id") * 2 < col("nd")).as("fh"),
-            col("n_chars").as("v"))
-          .groupBy("source", "fh", "v").agg(count(lit(1)).as("c"))
-        graft.operators.Drift.chi2BetweenCounts(
-            counts.filter(col("fh")).select("source", "v", "c"),
-            counts.filter(!col("fh")).select("source", "v", "c"),
-            "source", "v", "c")
-          .orderBy("source", "v")
+        // CUT: both sides of the homogeneity table filter the same
+        // per-(source, half) counts — the q199 staging policy
+        val counts = graft.operators.Checkpoints.cut(
+          docs(s, d).crossJoin(broadcast(nd))
+            .select(col("source"), (col("doc_id") * 2 < col("nd")).as("fh"),
+              col("n_chars").as("v"))
+            .groupBy("source", "fh", "v").agg(count(lit(1)).as("c")))
+        graft.operators.Checkpoints.sealAndRelease(
+          graft.operators.Drift.chi2BetweenCounts(
+              counts.filter(col("fh")).select("source", "v", "c"),
+              counts.filter(!col("fh")).select("source", "v", "c"),
+              "source", "v", "c")
+            .orderBy("source", "v"),
+          counts)
       },
       Some("""WITH n AS (SELECT count(*) nd FROM documents),
           b AS (SELECT source, (doc_id * 2 < n.nd) fh, n_chars v
