@@ -38,10 +38,17 @@ object Mixture {
       buckets: Int = 32): DataFrame = {
     require(budgetNum > 0 && budgetDen > 0 && buckets > 0,
       "need positive budget fraction and buckets")
-    val base = docs.select(col(idCol).cast("long").as("id"),
+    // CUT: the tokenize is the expensive stage and FOUR consumers read
+    // its 3-narrow-column result (emptiness probe, masses, the
+    // quantile-bucket pass, the cumsum) — without the cut each re-runs
+    // it (the budgetSelect staging lesson)
+    val base = Checkpoints.cut(docs.select(col(idCol).cast("long").as("id"),
       col(groupCol).as("grp"),
-      size(TextFns.tokens(col(textCol))).cast("long").as("n_toks"))
-    if (base.head(1).isEmpty) return emptySample(docs)
+      size(TextFns.tokens(col(textCol))).cast("long").as("n_toks")))
+    if (base.head(1).isEmpty) {
+      Checkpoints.release(base)
+      return emptySample(docs)
+    }
 
     // source-cardinality-sized frames: token masses → √-weights → budgets.
     // All arithmetic integer (long · long, integer div) so the oracle is
@@ -64,13 +71,15 @@ object Mixture {
         Window.partitionBy("grp").orderBy("b")
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select("grp", "b", "off")
-    bucketed.join(broadcast(offsets), Seq("grp", "b"))
-      .withColumn("cum_toks", sum(col("n_toks")).over(
-        Window.partitionBy("grp", "b").orderBy("id")
-          .rowsBetween(Window.unboundedPreceding, 0)) + col("off"))
-      .join(broadcast(budgets), "grp")
-      .filter(col("cum_toks") <= col("budget_toks"))
-      .select("id", "grp", "n_toks", "cum_toks", "budget_toks")
+    Checkpoints.sealAndRelease(
+      bucketed.join(broadcast(offsets), Seq("grp", "b"))
+        .withColumn("cum_toks", sum(col("n_toks")).over(
+          Window.partitionBy("grp", "b").orderBy("id")
+            .rowsBetween(Window.unboundedPreceding, 0)) + col("off"))
+        .join(broadcast(budgets), "grp")
+        .filter(col("cum_toks") <= col("budget_toks"))
+        .select("id", "grp", "n_toks", "cum_toks", "budget_toks"),
+      base)
   }
 
   /** The driver-checked rollup: one row per source with its mass, weight,
@@ -118,10 +127,15 @@ object Mixture {
       "need positive budget fraction, epoch cap and buckets")
     require(weights.nonEmpty && weights.forall(_._2 >= 0),
       "need non-negative weights")
-    val base = docs.select(col(idCol).cast("long").as("id"),
+    // CUT: same staging rationale as temperatureSample — one tokenize
+    // pass for the probe, masses, bucketing and cumsum
+    val base = Checkpoints.cut(docs.select(col(idCol).cast("long").as("id"),
       col(groupCol).as("grp"),
-      size(TextFns.tokens(col(textCol))).cast("long").as("n_toks"))
-    if (base.head(1).isEmpty) return emptyMix(docs)
+      size(TextFns.tokens(col(textCol))).cast("long").as("n_toks")))
+    if (base.head(1).isEmpty) {
+      Checkpoints.release(base)
+      return emptyMix(docs)
+    }
 
     import docs.sparkSession.implicits._
     val wFrame = weights.toDF("grp", "w")
@@ -151,14 +165,16 @@ object Mixture {
         Window.partitionBy("grp").orderBy("b")
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select("grp", "b", "off")
-    bucketed.join(broadcast(offsets), Seq("grp", "b"))
-      .withColumn("cum_toks", sum(col("n_toks")).over(
-        Window.partitionBy("grp", "b").orderBy("id")
-          .rowsBetween(Window.unboundedPreceding, 0)) + col("off"))
-      .join(broadcast(targets), "grp")
-      .withColumn("repeats", col("full_epochs") +
-        when(col("cum_toks") <= col("rem_toks"), 1L).otherwise(0L))
-      .select("id", "grp", "n_toks", "full_epochs", "repeats")
+    Checkpoints.sealAndRelease(
+      bucketed.join(broadcast(offsets), Seq("grp", "b"))
+        .withColumn("cum_toks", sum(col("n_toks")).over(
+          Window.partitionBy("grp", "b").orderBy("id")
+            .rowsBetween(Window.unboundedPreceding, 0)) + col("off"))
+        .join(broadcast(targets), "grp")
+        .withColumn("repeats", col("full_epochs") +
+          when(col("cum_toks") <= col("rem_toks"), 1L).otherwise(0L))
+        .select("id", "grp", "n_toks", "full_epochs", "repeats"),
+      base)
   }
 
   private def emptyMix(docs: DataFrame): DataFrame = {

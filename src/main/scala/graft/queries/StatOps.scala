@@ -36,6 +36,29 @@ object StatOps {
   // and the registered query is then a pure read of the published files.
   private val driftStateCache = new SessionMemo[String]
 
+  // q185's pre-cut ranked-head builder, exposed (the peelRound/lpaRound
+  // pattern) so PlanGuardSpec can assert the WindowGroupLimit shape
+  // directly — the Checkpoints.cut in the registered query hides the
+  // window's plan from the query's own lineage. The r <= 16 literal on
+  // the RAW row_number attribute is load-bearing: it lets
+  // InferWindowGroupLimit heap-prune each half's vocabulary BEFORE the
+  // rank sort — the window partitions on a 2-value column, so without
+  // the group limit each half's ENTIRE Heap's-law vocabulary sorts in
+  // one task; with it, each task keeps a 16-element heap (a cast
+  // wrapper on r would block the rule; r stays IntegerType and is
+  // never output).
+  private[graft] def headRanked(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val nd = docs(s, d).agg(count(lit(1)).as("nd"))
+    val counts = docs(s, d).crossJoin(broadcast(nd))
+      .select((col("doc_id") * 2 < col("nd")).as("fh"),
+        explode(TextFns.tokens(col("text"))).as("t"))
+      .groupBy("fh", "t").agg(count(lit(1)).as("f"))
+    val w = Window.partitionBy("fh").orderBy(col("f").desc, col("t"))
+    counts.withColumn("r", row_number().over(w))
+      .filter(col("r") <= 16)
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // q177: per-source two-sample Kolmogorov–Smirnov drift vs the whole
@@ -400,23 +423,12 @@ object StatOps {
     // vocabulary tables, the depth explode is ×5 on vocabulary rows.
     QueryDef("q185_head_overlap",
       (s, d) => {
-        val nd = docs(s, d).agg(count(lit(1)).as("nd"))
-        val counts = docs(s, d).crossJoin(broadcast(nd))
-          .select((col("doc_id") * 2 < col("nd")).as("fh"),
-            explode(TextFns.tokens(col("text"))).as("t"))
-          .groupBy("fh", "t").agg(count(lit(1)).as("f"))
-        val w = Window.partitionBy("fh").orderBy(col("f").desc, col("t"))
-        // r <= 16: the query consumes nothing past the deepest dyadic
-        // depth, and the literal predicate lets InferWindowGroupLimit
-        // heap-prune each half's vocabulary BEFORE the rank sort — the
-        // window partitions on a 2-value column, so without the group
-        // limit each half's ENTIRE Heap's-law vocabulary sorts in one
-        // task; with it, each task keeps a 16-element heap. The filter
-        // rides the RAW row_number attribute (a cast wrapper blocks the
-        // rule); r stays IntegerType — downstream comparisons against
-        // the long depth column widen implicitly and r is never output
-        val ranked = counts.withColumn("r", row_number().over(w))
-          .filter(col("r") <= 16)
+        // CUT: three consumers (heads, both overlap sides) — without it
+        // each re-runs the corpus tokenize + count shuffle; the cut
+        // frame is ≤ 32 rows (2 halves × top-16). The heap-prune plan
+        // shape lives in headRanked (PlanGuardSpec asserts it there —
+        // the cut hides it from this query's own plan).
+        val ranked = graft.operators.Checkpoints.cut(headRanked(s, d))
         val depths = array((Seq(1L, 2L, 4L, 8L, 16L)).map(lit): _*)
         val heads = ranked.select(col("fh"), explode(depths).as("d"),
             when(col("r") <= col("d"), 1L).otherwise(0L).as("in_head"))
@@ -433,9 +445,11 @@ object StatOps {
           .groupBy("d")
           .agg(sum(when(col("ra") <= col("d") && col("rb") <= col("d"), 1L)
             .otherwise(0L)).as("overlap"))
-        heads.join(ov, "d")
-          .select(col("d"), col("overlap"), col("head_a"), col("head_b"))
-          .orderBy("d")
+        graft.operators.Checkpoints.sealAndRelease(
+          heads.join(ov, "d")
+            .select(col("d"), col("overlap"), col("head_a"), col("head_b"))
+            .orderBy("d"),
+          ranked)
       },
       Some(s"""WITH n AS (SELECT count(*) nd FROM documents),
           tf AS (SELECT (doc_id * 2 < n.nd) fh, tok t, count(*) f FROM (
@@ -800,19 +814,26 @@ object StatOps {
             (a, b) => concat(a, lit(" "), b)))
           .otherwise(array().cast("array<string>"))
         val nd = docs(s, d).agg(count(lit(1)).as("nd"))
-        val bg = docs(s, d).crossJoin(broadcast(nd))
-          .select(col("source"), (col("doc_id") * 2 < col("nd")).as("fh"),
-            explode(bigrams).as("bg"))
-          .distinct()
+        // CUT: the (source, half, bigram) TYPE table (Heap's-law
+        // bounded) feeds three consumers (both anti-join sides, the
+        // now-types totals) — without it each re-runs the corpus
+        // bigram explode + distinct; the ksFromCounts staging policy
+        val bg = graft.operators.Checkpoints.cut(
+          docs(s, d).crossJoin(broadcast(nd))
+            .select(col("source"), (col("doc_id") * 2 < col("nd")).as("fh"),
+              explode(bigrams).as("bg"))
+            .distinct())
         val thenB = bg.filter(col("fh")).select(col("source"), col("bg"))
         val nowB = bg.filter(!col("fh")).select(col("source"), col("bg"))
         val novel = nowB.join(thenB, Seq("source", "bg"), "left_anti")
           .groupBy("source").agg(count(lit(1)).as("n_novel_types"))
-        nowB.groupBy("source").agg(count(lit(1)).as("n_now_types"))
-          .join(novel, Seq("source"), "left")
-          .select(col("source"), col("n_now_types"),
-            coalesce(col("n_novel_types"), lit(0L)).as("n_novel_types"))
-          .orderBy("source")
+        graft.operators.Checkpoints.sealAndRelease(
+          nowB.groupBy("source").agg(count(lit(1)).as("n_now_types"))
+            .join(novel, Seq("source"), "left")
+            .select(col("source"), col("n_now_types"),
+              coalesce(col("n_novel_types"), lit(0L)).as("n_novel_types"))
+            .orderBy("source"),
+          bg)
       },
       Some(s"""WITH n AS (SELECT count(*) nd FROM documents),
           x AS (SELECT source, (doc_id * 2 < n.nd) fh, $OToks t

@@ -570,11 +570,17 @@ class PlanGuardSpec extends SparkSpec {
     // vocabulary. The literal r <= 16 predicate on the RAW rank
     // attribute lets InferWindowGroupLimit insert the per-partition
     // heap, so each task keeps 16 rows instead of Heap's-law many.
-    for (q <- Seq("q185_head_overlap", "q179_zipf_probe")) {
-      val p = finalPlan(q)
-      assert(p.contains("WindowGroupLimit"),
-        s"$q must heap-prune its rank window to r <= 16 before sorting:\n$p")
-    }
+    // q185's ranked frame now sits behind a Checkpoints.cut (r16 — one
+    // tokenize pass instead of three), so its registered query's plan
+    // can't show the window; assert on the exposed pre-cut builder
+    // (the peelRound/lpaRound pattern)
+    val p185 = graft.queries.StatOps.headRanked(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(p185.contains("WindowGroupLimit"),
+      s"q185's head rank must heap-prune to r <= 16 before sorting:\n$p185")
+    val p179 = finalPlan("q179_zipf_probe")
+    assert(p179.contains("WindowGroupLimit"),
+      s"q179 must heap-prune its rank window to r <= 16 before sorting:\n$p179")
   }
 
   test("q188 burstiness: global top-20 is TakeOrdered, no rank window at all") {
