@@ -283,17 +283,32 @@ object Drift {
     * per group × occupied pooled bucket.
     */
   def psiBuckets(df: DataFrame, groupCol: String, valueCol: String,
-      buckets: Int): DataFrame = {
+      buckets: Int): DataFrame =
+    psiBucketsFromCounts(
+      df.select(col(groupCol), col(valueCol))
+        .filter(col(valueCol).isNotNull)
+        .groupBy(groupCol, valueCol).agg(count(lit(1)).as("__c")),
+      groupCol, valueCol, "__c", buckets)
+
+  /** [[psiBuckets]] from an ADDITIVE (`group`, `value`, `count`) table —
+    * the persisted-state form of the monitor, same contract as the
+    * FromCounts drift trio: a restarted monitor reads the state
+    * ([[readCounts]]) and pays grid-sized work per PSI check, never a
+    * corpus rescan. Identical output to [[psiBuckets]] on the raw
+    * observations the counts summarize (StatPropertySpec pins it).
+    */
+  def psiBucketsFromCounts(counts: DataFrame, groupCol: String,
+      valueCol: String, countCol: String, buckets: Int): DataFrame = {
     require(buckets >= 1, "need at least one bucket")
-    // CUT: the per-(group, value) count table is the ONLY corpus-sized
-    // derivation and four consumers read it (pooled histogram, bucket
-    // assignment join, per-group totals, the group-side counts) — the
-    // ksFromCounts staging rationale; everything downstream is
-    // grid/bucket-sized
+    // CUT: the per-(group, value) count table feeds four consumers
+    // (pooled histogram, bucket assignment join, per-group totals, the
+    // group-side counts) — the ksFromCounts staging rationale;
+    // everything downstream is grid/bucket-sized
     val sv = Checkpoints.cut(
-      df.select(col(groupCol).as("g"), col(valueCol).as("v"))
+      counts.select(col(groupCol).as("g"), col(valueCol).as("v"),
+          col(countCol).cast("long").as("c"))
         .filter(col("v").isNotNull)
-        .groupBy("g", "v").agg(count(lit(1)).as("c")))
+        .groupBy("g", "v").agg(sum("c").as("c")))
     val wv = Window.orderBy("v")
       .rowsBetween(Window.unboundedPreceding, -1)
     // pool total as a whole-grid window (bounded by construction, the

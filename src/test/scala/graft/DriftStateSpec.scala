@@ -95,6 +95,12 @@ class DriftStateSpec extends SparkSpec {
       rows(SparkEntry.queries("q195_w1_drift")(spark, dir)
         .withColumnRenamed("n_src", "n_grp")),
       "W1 from the streamed at-rest state must equal the batch q195")
+    assert(rows(graft.operators.Drift
+        .psiBucketsFromCounts(state, g, v, c, buckets = 8)
+        .withColumnRenamed("c_grp", "c_src")
+        .withColumnRenamed("n_grp", "n_src")) ===
+      rows(SparkEntry.queries("q215_psi_buckets")(spark, dir)),
+      "PSI from the streamed at-rest state must equal the batch q215")
   }
 
   test("two persisted states compared with the BetweenCounts panel == the in-memory q199 legs") {

@@ -232,6 +232,15 @@ class StatPropertySpec extends SparkSpec {
         val got = Drift.psiBuckets(rows.toDF("g", "v"), "g", "v", b)
           .collect().map(r => (r.getString(0), r.getLong(1)) ->
             (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+        // the additive-state form must agree exactly: a monitor reading
+        // a persisted count table sees the same PSI rows as the raw scan
+        val viaCounts = Drift.psiBucketsFromCounts(
+            rows.groupBy(identity).map { case ((g, v), rs) =>
+              (g, v, rs.size.toLong) }.toSeq.toDF("g", "v", "c"),
+            "g", "v", "c", b)
+          .collect().map(r => (r.getString(0), r.getLong(1)) ->
+            (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+        assert(viaCounts === got)
         val n = rows.size.toLong
         def bkt(v: Long) = rows.count(_._2 < v).toLong * b / n
         val occupied = rows.map(r => bkt(r._2)).distinct
