@@ -814,26 +814,25 @@ object StatOps {
             (a, b) => concat(a, lit(" "), b)))
           .otherwise(array().cast("array<string>"))
         val nd = docs(s, d).agg(count(lit(1)).as("nd"))
-        // CUT: the (source, half, bigram) TYPE table (Heap's-law
-        // bounded) feeds three consumers (both anti-join sides, the
-        // now-types totals) — without it each re-runs the corpus
-        // bigram explode + distinct; the ksFromCounts staging policy
-        val bg = graft.operators.Checkpoints.cut(
-          docs(s, d).crossJoin(broadcast(nd))
-            .select(col("source"), (col("doc_id") * 2 < col("nd")).as("fh"),
-              explode(bigrams).as("bg"))
-            .distinct())
-        val thenB = bg.filter(col("fh")).select(col("source"), col("bg"))
-        val nowB = bg.filter(!col("fh")).select(col("source"), col("bg"))
-        val novel = nowB.join(thenB, Seq("source", "bg"), "left_anti")
-          .groupBy("source").agg(count(lit(1)).as("n_novel_types"))
-        graft.operators.Checkpoints.sealAndRelease(
-          nowB.groupBy("source").agg(count(lit(1)).as("n_now_types"))
-            .join(novel, Seq("source"), "left")
-            .select(col("source"), col("n_now_types"),
-              coalesce(col("n_novel_types"), lit(0L)).as("n_novel_types"))
-            .orderBy("source"),
-          bg)
+        // single-pass form (r16): instead of the type-table anti-join —
+        // which needed three reads of the bigram explode — fold the
+        // then/now presence bits per (source, bigram) in ONE aggregation
+        // (bool_or is combinable), then count now-types and novel types
+        // in a second |types|-sized agg. One explode pass, two hash
+        // shuffles, zero joins; identical rows by construction
+        // (novel ⟺ has_now ∧ ¬has_then ⟺ the anti-join survivor).
+        docs(s, d).crossJoin(broadcast(nd))
+          .select(col("source"), (col("doc_id") * 2 < col("nd")).as("fh"),
+            explode(bigrams).as("bg"))
+          .groupBy("source", "bg")
+          .agg(max(col("fh")).as("has_then"), max(!col("fh")).as("has_now"))
+          .groupBy("source")
+          .agg(sum(when(col("has_now"), 1L).otherwise(0L))
+              .as("n_now_types"),
+            sum(when(col("has_now") && !col("has_then"), 1L).otherwise(0L))
+              .as("n_novel_types"))
+          .filter(col("n_now_types") > 0)
+          .orderBy("source")
       },
       Some(s"""WITH n AS (SELECT count(*) nd FROM documents),
           x AS (SELECT source, (doc_id * 2 < n.nd) fh, $OToks t
