@@ -37,7 +37,8 @@ object ScaleCheck {
     "q209_source_pareto", "q210_communities", "q211_pr_thresholds",
     "q212_chi2_between_halves", "q213_sequence_triples",
     "q214_l_diversity", "q215_psi_buckets", "q216_pagerank_until",
-    "q217_t_closeness", "q218_modularity", "q219_attribution_window")
+    "q217_t_closeness", "q218_modularity", "q219_attribution_window",
+    "q220_rbo")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")

@@ -1161,6 +1161,60 @@ object StatOps {
           CAST(np.n_pool AS BIGINT) n_pool
         FROM grid g LEFT JOIN sb ON g.source = sb.source AND g.bkt = sb.bkt
           CROSS JOIN np
-        ORDER BY source, bucket"""))
+        ORDER BY source, bucket""")),
+
+    // q220: rank-biased overlap between the corpus halves' token
+    // rankings (Webber, Moffat & Zobel, TOIS 2010) — the single-number
+    // companion to q185's per-depth table: RBO = (1−p)·Σ_d p^(d−1)·
+    // (overlap@d / d) weights shallow depths geometrically, the
+    // indefinite-ranking similarity standard. Shipped EXACT at p = ½
+    // truncated at depth 16 (tail < 2⁻¹⁶, the q185 head budget):
+    // RBO@16 = Σ_{d≤16} 2⁻ᵈ·ov_d/d = rbo_num / rbo_den with integer
+    // rbo_num = Σ ov_d·(720720/d)·2^(16−d) and rbo_den = 720720·2¹⁶
+    // (720720 = lcm(1..16), so every term is integral — the ln-free /
+    // float-free stance applied to a geometric series). Reuses the
+    // q185 headRanked builder (one tokenize + count shuffle, top-16
+    // heap-pruned per half); everything after rides ≤ 32 rows.
+    QueryDef("q220_rbo",
+      (s, d) => {
+        val ranked = graft.operators.Checkpoints.cut(headRanked(s, d))
+        val ra = ranked.filter(col("fh"))
+          .select(col("t"), col("r").as("ra"))
+        val rb = ranked.filter(!col("fh"))
+          .select(col("t"), col("r").as("rb"))
+        val depths = array((1L to 16L).map(lit): _*)
+        graft.operators.Checkpoints.sealAndRelease(
+          ra.join(rb, "t")
+            .select(explode(depths).as("dd"), col("ra"), col("rb"))
+            .groupBy("dd")
+            .agg(sum(when(col("ra") <= col("dd") && col("rb") <= col("dd"),
+              1L).otherwise(0L)).as("ov"))
+            // integer div + shift, never Column./ — exact by construction
+            .agg(coalesce(sum(col("ov") *
+                expr("(720720L div dd) * shiftleft(1L, cast(16 - dd as int))")),
+              lit(0L)).as("rbo_num"))
+            .select(col("rbo_num"),
+              lit(720720L * 65536L).as("rbo_den")),
+          ranked)
+      },
+      Some(s"""WITH n AS (SELECT count(*) nd FROM documents),
+          tf AS (SELECT (doc_id * 2 < n.nd) fh, tok t, count(*) f FROM (
+              SELECT doc_id, unnest($OToks) tok FROM documents) CROSS JOIN n
+            GROUP BY 1, 2),
+          rk AS (SELECT fh, t, row_number() OVER (
+              PARTITION BY fh ORDER BY f DESC, t) r FROM tf),
+          ra AS (SELECT t, r ra FROM rk WHERE fh AND r <= 16),
+          rb AS (SELECT t, r rb FROM rk WHERE NOT fh AND r <= 16),
+          ds AS (SELECT unnest(generate_series(1, 16)) dd),
+          ov AS (SELECT ds.dd, sum(CASE WHEN j.ra <= ds.dd
+                AND j.rb <= ds.dd THEN 1 ELSE 0 END) ov
+            FROM ds CROSS JOIN (SELECT ra.ra, rb.rb FROM ra
+              JOIN rb ON ra.t = rb.t) j
+            GROUP BY 1)
+        SELECT CAST(coalesce(sum(ov * (720720 // dd)
+            * (CAST(1 AS BIGINT) << CAST(16 - dd AS INT))), 0) AS BIGINT)
+            rbo_num,
+          CAST(720720 AS BIGINT) * 65536 rbo_den
+        FROM ov"""))
   )
 }

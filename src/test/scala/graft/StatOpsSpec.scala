@@ -393,6 +393,23 @@ class StatOpsSpec extends SparkSpec {
         s"triple ($a,$b,$c) must not exceed its pair supports")
   }
 
+  test("q220 RBO equals the naive truncated geometric sum over the collected heads") {
+    val ranked = graft.queries.StatOps.headRanked(spark, dir)
+      .select(col("fh"), col("t"), col("r")).collect()
+      .map(r => (r.getBoolean(0), r.getString(1), r.getInt(2)))
+    val ra = ranked.filter(_._1).map(x => x._2 -> x._3).toMap
+    val rb = ranked.filterNot(_._1).map(x => x._2 -> x._3).toMap
+    val num = (1 to 16).map { d =>
+      val ov = ra.count { case (t, r) => r <= d && rb.get(t).exists(_ <= d) }
+      ov.toLong * (720720L / d) * (1L << (16 - d))
+    }.sum
+    val got = q("q220_rbo").collect().head
+    assert(got.getLong(0) === num, "rbo_num must equal the naive sum")
+    assert(got.getLong(1) === 720720L * 65536L)
+    assert(got.getLong(0) <= got.getLong(1),
+      "RBO is a [0, 1] fraction: num <= den")
+  }
+
   test("q219 attribution counts equal the naive per-occurrence window scan") {
     val W = 600000000L
     val evs = graft.Tables.events(spark, dir)
