@@ -1163,6 +1163,63 @@ object StatOps {
           CROSS JOIN np
         ORDER BY source, bucket""")),
 
+    // q221: the PSI bucket table AS A RESTARTED MONITOR sees it — q215
+    // from the PERSISTED additive count state instead of the raw scan
+    // (the q193 lifecycle: the state is seeded empty and fed by three
+    // doc_id-sliced micro-batches through the crash-safe staged-swap
+    // merge, ONCE per session/dir — shared with q193; the registered
+    // query is then a pure grid-sized read of published files). The
+    // oracle deliberately states from `documents` directly, so the
+    // hash-match proves state-building + psiBucketsFromCounts ≡ the
+    // one-shot batch computation — the resume-without-rescan guarantee
+    // at the driver gate for the PSI leg, as q193 proves it for KS/TV.
+    QueryDef("q221_psi_at_rest",
+      (s, d) => {
+        val path = driftStateCache(s, d) {
+          val t = java.nio.file.Files
+            .createTempDirectory("graft_q193").toString + "/state"
+          import s.implicits._
+          graft.operators.Drift.writeCounts(
+            Seq.empty[(String, Long, Long)].toDF("source", "v", "c"),
+            t, "source", "v", "c")
+          (0L to 2L).foreach { i =>
+            graft.operators.Drift.mergeIntoCounts(s, t,
+              docs(s, d).filter(pmod(col("doc_id"), lit(3L)) === i)
+                .select(col("source"), col("n_chars").as("v")))
+          }
+          t
+        }
+        val (state, g, v, c) = graft.operators.Drift.readCounts(s, path)
+        graft.operators.Drift.psiBucketsFromCounts(state, g, v, c,
+            buckets = 8)
+          .withColumnRenamed("c_grp", "c_src")
+          .withColumnRenamed("n_grp", "n_src")
+          .orderBy("source", "bucket")
+      },
+      Some("""WITH gv AS (SELECT n_chars v, count(*) cv FROM documents
+            GROUP BY 1),
+          np AS (SELECT sum(cv) n_pool FROM gv),
+          vb AS (SELECT v, cv,
+              (coalesce(sum(cv) OVER (ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 8)
+                // np.n_pool bkt
+            FROM gv CROSS JOIN np),
+          pb AS (SELECT bkt, sum(cv) c_pool FROM vb GROUP BY 1),
+          sv AS (SELECT source, n_chars v, count(*) c FROM documents
+            GROUP BY 1, 2),
+          sb AS (SELECT sv.source, vb.bkt, sum(sv.c) c_src FROM sv
+            JOIN vb ON sv.v = vb.v GROUP BY 1, 2),
+          srcs AS (SELECT source, count(*) ns FROM documents GROUP BY 1),
+          grid AS (SELECT srcs.source, srcs.ns, pb.bkt, pb.c_pool
+            FROM srcs CROSS JOIN pb)
+        SELECT g.source AS source, CAST(g.bkt AS BIGINT) bucket,
+          CAST(coalesce(sb.c_src, 0) AS BIGINT) c_src,
+          CAST(g.c_pool AS BIGINT) c_pool, CAST(g.ns AS BIGINT) n_src,
+          CAST(np.n_pool AS BIGINT) n_pool
+        FROM grid g LEFT JOIN sb ON g.source = sb.source AND g.bkt = sb.bkt
+          CROSS JOIN np
+        ORDER BY source, bucket""")),
+
     // q220: rank-biased overlap between the corpus halves' token
     // rankings (Webber, Moffat & Zobel, TOIS 2010) — the single-number
     // companion to q185's per-depth table: RBO = (1−p)·Σ_d p^(d−1)·

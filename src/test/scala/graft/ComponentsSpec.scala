@@ -925,6 +925,20 @@ class ComponentsSpec extends SparkSpec {
       "a single bridge edge must not merge two 4-cliques")
   }
 
+  test("labelPropagation edges: zero rounds is identity; self-loops and empty frames vanish") {
+    val edges = Seq(("ant", "bee"), ("bee", "cow"))
+    assert(lpa(edges, 0) === Map("ant" -> "ant", "bee" -> "bee",
+      "cow" -> "cow"), "rounds = 0 must return own-id labels")
+    assert(lpa(Seq(("ant", "ant")), 8) === Map.empty,
+      "a self-loop-only graph has no propagating nodes")
+    assert(Components.labelPropagation(
+        Seq.empty[(String, String)].toDF("a", "b"), "a", "b", 8)
+      .count() === 0L, "empty edges -> empty partition")
+    // duplicate + reversed edges collapse: same result as the single edge
+    assert(lpa(Seq(("ant", "bee"), ("bee", "ant"), ("ant", "bee")), 4) ===
+      lpa(Seq(("ant", "bee")), 4))
+  }
+
   test("labelPropagation matches the reference on random graphs (property)") {
     val rnd = new scala.util.Random(20216)
     for (trial <- 1 to 5) {
