@@ -38,7 +38,8 @@ object ScaleCheck {
     "q212_chi2_between_halves", "q213_sequence_triples",
     "q214_l_diversity", "q215_psi_buckets", "q216_pagerank_until",
     "q217_t_closeness", "q218_modularity", "q219_attribution_window",
-    "q220_rbo", "q221_psi_at_rest")
+    "q220_rbo", "q221_psi_at_rest", "q222_deciles_at_rest",
+    "q223_ks_rebinned")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")

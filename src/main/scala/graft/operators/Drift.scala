@@ -162,6 +162,73 @@ object Drift {
       per)
   }
 
+  /** Exact per-group QUANTILE table from the additive count state — the
+    * order-statistics read the persisted histogram supports that an
+    * approximate sketch (t-digest, KLL) cannot: because the state is
+    * exact per-value counts, any quantile of the underlying data is
+    * recoverable exactly, at rest, without a corpus rescan. Same
+    * definition as Sampling.exactQuantilesPerGroup (the q175 contract):
+    * quantile d ∈ 1..q−1 is the value of the smallest 1-based rank r
+    * with q·r ≥ d·n — equal because an id tie-break never changes the
+    * VALUE at a rank (ties share values by construction here). Each
+    * grid row explodes only the quantile indices its value-run is the
+    * crossing position for — d ∈ ((q·(cum−c)) div n, (q·cum) div n] —
+    * so output is groups×(q−1) rows and the grid never multiplies by q.
+    * Grid-sized past nothing: the corpus never appears. NULL values
+    * excluded, the family contract.
+    *
+    * Output: (`group`, quantile, value), quantile in 1..q−1.
+    */
+  def quantilesFromCounts(counts: DataFrame, groupCol: String,
+      valueCol: String, countCol: String, q: Int = 10): DataFrame = {
+    require(q >= 2, "need at least the median split")
+    val per = counts.select(col(groupCol).as("g"), col(valueCol).as("v"),
+        col(countCol).cast("long").as("c"))
+      .filter(col("v").isNotNull)
+      .groupBy("g", "v").agg(sum("c").as("c"))
+    val cum = per
+      .withColumn("cum", sum("c").over(
+        Window.partitionBy("g").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum("c").over(Window.partitionBy("g")))
+    // integer div, never Column./ — the q175 crossing-run arithmetic
+    // restated on value runs (rank interval (cum−c, cum])
+    val dLo = expr(s"(${q}L * (cum - c)) div n + 1L")
+    val dHi = expr(s"least(${q - 1}L, (${q}L * cum) div n)")
+    cum
+      .withColumn("quantile", explode(when(dHi >= dLo, sequence(dLo, dHi))
+        .otherwise(array().cast("array<long>"))))
+      .select(col("g").as(groupCol),
+        col("quantile").cast("int").as("quantile"), col("v").as("value"))
+  }
+
+  /** Coarsen the additive count state to fixed-width value bins:
+    * (group, v, c) → (group, (v div width)·width, Σc) — the documented
+    * mitigation when a panel's integer bound n_grp·n_all·range(v)
+    * approaches 2⁶³ (the q177/q195 overflow notes say "pre-bucket"; this
+    * is the tool). The representative value is the bin FLOOR, so the
+    * result is itself a valid count state: every FromCounts statistic
+    * runs on it unchanged, and rebinning COMMUTES with [[mergeCounts]]
+    * (both are sums over disjoint key partitions — the property spec
+    * pins rebin(counts(xs)) ≡ counts(⌊xs/w⌋·w)). Values must be
+    * NONNEGATIVE (lengths, counts, sizes — this family's domain):
+    * Spark's `div` truncates toward zero, which is floor only there;
+    * a signed domain would disagree with engines that floor-divide.
+    * Grid-sized in, smaller grid out.
+    */
+  def rebinCounts(counts: DataFrame, groupCol: String, valueCol: String,
+      countCol: String, width: Long): DataFrame = {
+    require(width >= 1, "need a positive bin width")
+    counts.select(col(groupCol).as("g"),
+        col(valueCol).cast("long").as("v"),
+        col(countCol).cast("long").as("c"))
+      .filter(col("v").isNotNull)
+      .groupBy(col("g"), expr(s"(v div ${width}L) * ${width}L").as("v"))
+      .agg(sum("c").as("c"))
+      .select(col("g").as(groupCol), col("v").as(valueCol),
+        col("c").as(countCol))
+  }
+
   /** Per-group two-sample Kolmogorov–Smirnov statistic BETWEEN two count
     * tables — the "today vs yesterday" form of the monitor, where
     * [[ksFromCounts]] is the "source vs pooled corpus" form: for each

@@ -1220,6 +1220,100 @@ object StatOps {
           CROSS JOIN np
         ORDER BY source, bucket""")),
 
+    // q222: exact per-source DECILES from the persisted count state —
+    // the order-statistics read that justifies keeping the state EXACT
+    // (per-value counts) instead of sketched: any quantile of the
+    // underlying corpus is recoverable at rest, bit-equal to computing
+    // it from the raw rows (the oracle IS q175's raw-row decile SQL —
+    // the hash-match proves state ≡ corpus for order statistics, as
+    // q193/q221 prove it for the drift panel). Shares the q193 state
+    // cache; the check itself is grid-sized, no corpus rescan, no ×9
+    // blowup (crossing-run explode).
+    QueryDef("q222_deciles_at_rest",
+      (s, d) => {
+        val path = driftStateCache(s, d) {
+          val t = java.nio.file.Files
+            .createTempDirectory("graft_q193").toString + "/state"
+          import s.implicits._
+          graft.operators.Drift.writeCounts(
+            Seq.empty[(String, Long, Long)].toDF("source", "v", "c"),
+            t, "source", "v", "c")
+          (0L to 2L).foreach { i =>
+            graft.operators.Drift.mergeIntoCounts(s, t,
+              docs(s, d).filter(pmod(col("doc_id"), lit(3L)) === i)
+                .select(col("source"), col("n_chars").as("v")))
+          }
+          t
+        }
+        val (state, g, v, c) = graft.operators.Drift.readCounts(s, path)
+        graft.operators.Drift.quantilesFromCounts(state, g, v, c, q = 10)
+          .orderBy("source", "quantile")
+      },
+      Some("""WITH r AS (SELECT source, n_chars AS v,
+            row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+            count(*) OVER (PARTITION BY source) AS gn
+          FROM documents),
+        d AS (SELECT unnest(generate_series(1, 9)) AS dec),
+        j AS (SELECT r.source, d.dec, r.v
+          FROM r JOIN d ON 10 * r.rn >= d.dec * r.gn)
+        SELECT source, CAST(dec AS INTEGER) AS quantile,
+          CAST(min(v) AS BIGINT) AS value
+        FROM j GROUP BY 1, 2 ORDER BY source, quantile""")),
+
+    // q223: KS drift on the REBINNED state — the documented overflow
+    // mitigation exercised at the driver gate: when n_src·n_all (or
+    // ·range(v) for W1) approaches 2⁶³, the panel pre-buckets values;
+    // Drift.rebinCounts coarsens the persisted state to 100-char bins
+    // (bin-floor representatives, still a valid count state) and the
+    // whole FromCounts machinery runs on it unchanged. The oracle
+    // buckets the raw documents the same way — the hash-match is the
+    // rebin ≡ bucket-at-source equivalence at data. Shares the q193
+    // state; grid-sized past the shared build.
+    QueryDef("q223_ks_rebinned",
+      (s, d) => {
+        val path = driftStateCache(s, d) {
+          val t = java.nio.file.Files
+            .createTempDirectory("graft_q193").toString + "/state"
+          import s.implicits._
+          graft.operators.Drift.writeCounts(
+            Seq.empty[(String, Long, Long)].toDF("source", "v", "c"),
+            t, "source", "v", "c")
+          (0L to 2L).foreach { i =>
+            graft.operators.Drift.mergeIntoCounts(s, t,
+              docs(s, d).filter(pmod(col("doc_id"), lit(3L)) === i)
+                .select(col("source"), col("n_chars").as("v")))
+          }
+          t
+        }
+        val (state, g, v, c) = graft.operators.Drift.readCounts(s, path)
+        graft.operators.Drift.ksFromCounts(
+            graft.operators.Drift.rebinCounts(state, g, v, c, width = 100L),
+            g, v, c)
+          .withColumnRenamed("n_grp", "n_src")
+          .orderBy("source")
+      },
+      Some("""WITH dc AS (SELECT source, (n_chars // 100) * 100 v
+            FROM documents),
+          srcs AS (SELECT source, count(*) ns FROM dc GROUP BY 1),
+          na AS (SELECT count(*) ng FROM dc),
+          per AS (SELECT source, v, count(*) c FROM dc GROUP BY 1, 2),
+          grid AS (SELECT srcs.source, vals.v FROM srcs
+                   CROSS JOIN (SELECT DISTINCT v FROM dc) vals),
+          scum AS (SELECT g.source, g.v,
+              sum(coalesce(per.c, 0)) OVER (PARTITION BY g.source
+                ORDER BY g.v ROWS UNBOUNDED PRECEDING) cs
+            FROM grid g LEFT JOIN per
+              ON per.source = g.source AND per.v = g.v),
+          gcum AS (SELECT v, sum(count(*)) OVER (ORDER BY v
+                ROWS UNBOUNDED PRECEDING) cg
+            FROM dc GROUP BY v)
+        SELECT s.source AS source,
+          CAST(max(abs(s.cs * na.ng - gcum.cg * srcs.ns)) AS BIGINT) ks_num,
+          CAST(max(srcs.ns) AS BIGINT) n_src, CAST(max(na.ng) AS BIGINT) n_all
+        FROM scum s JOIN gcum USING (v)
+          JOIN srcs ON s.source = srcs.source CROSS JOIN na
+        GROUP BY s.source ORDER BY s.source""")),
+
     // q220: rank-biased overlap between the corpus halves' token
     // rankings (Webber, Moffat & Zobel, TOIS 2010) — the single-number
     // companion to q185's per-depth table: RBO = (1−p)·Σ_d p^(d−1)·

@@ -260,6 +260,55 @@ class StatPropertySpec extends SparkSpec {
     }, trials = 8)
   }
 
+  test("quantilesFromCounts == exactQuantilesPerGroup on the raw rows (any q)") {
+    val genGrouped: Gen[List[(String, Long)]] = for {
+      n <- Gen.choose(1, 50)
+      rows <- Gen.listOfN(n, Gen.zip(Gen.oneOf("a", "b", "c"),
+        Gen.choose(0L, 8L)))
+    } yield rows
+    check("qfc", Prop.forAll(genGrouped, Gen.oneOf(2, 4, 10)) { (rows, q) =>
+      val raw = rows.zipWithIndex.map { case ((g, v), i) => (i.toLong, g, v) }
+      val fromRaw = graft.operators.Sampling.exactQuantilesPerGroup(
+          raw.toDF("id", "g", "v"), "id", "g", "v", q)
+        .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2))
+        .toMap
+      val fromCounts = Drift.quantilesFromCounts(
+          rows.groupBy(identity).map { case ((g, v), rs) =>
+            (g, v, rs.size.toLong) }.toSeq.toDF("g", "v", "c"),
+          "g", "v", "c", q)
+        .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2))
+        .toMap
+      fromCounts == fromRaw
+    }, trials = 8)
+  }
+
+  test("rebinCounts == counting the floored raws, and commutes with mergeCounts") {
+    val genGrouped: Gen[List[(String, Long)]] = for {
+      n <- Gen.choose(1, 50)
+      rows <- Gen.listOfN(n, Gen.zip(Gen.oneOf("a", "b"),
+        Gen.choose(0L, 40L)))
+    } yield rows
+    def counts(rows: List[(String, Long)]) = rows.groupBy(identity)
+      .map { case ((g, v), rs) => (g, v, rs.size.toLong) }.toSeq
+      .toDF("g", "v", "c")
+    def toSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    check("rebin", Prop.forAll(genGrouped, genGrouped,
+        Gen.oneOf(1L, 3L, 10L)) { (xs, ys, w) =>
+      val direct = toSet(Drift.rebinCounts(counts(xs), "g", "v", "c", w))
+      val floored = toSet(counts(xs.map { case (g, v) => (g, v / w * w) }))
+      // merging then rebinning == rebinning both sides then merging
+      val mergedThenRebinned = toSet(Drift.rebinCounts(
+        Drift.mergeCounts(counts(xs), ys.toDF("g", "v"), "g", "v", "c"),
+        "g", "v", "c", w))
+      val rebinnedThenMerged = toSet(Drift.mergeCounts(
+        Drift.rebinCounts(counts(xs), "g", "v", "c", w),
+        ys.map { case (g, v) => (g, v / w * w) }.toDF("g", "v"),
+        "g", "v", "c"))
+      direct == floored && mergedThenRebinned == rebinnedThenMerged
+    }, trials = 6)
+  }
+
   test("confusionByThreshold == naive per-threshold confusion on arbitrary tied data") {
     check("prt", Prop.forAll(genLabeled) { rows =>
       val got = Eval.confusionByThreshold(rows.toDF("pos", "v"),
