@@ -1112,14 +1112,18 @@ object Components {
     *  - (count DESC, label ASC) is a total order, realized as ONE
     *    combinable min-agg over (−count, label) structs — no per-node
     *    window, no RNG;
-    *  - rounds are SEMI-SYNCHRONOUS on a static node 2-coloring (parity
-    *    of the node id's string length — engine-portable, unlike any
-    *    hash): round r updates only parity r mod 2. Fully-synchronous
-    *    LPA oscillates on bipartite-ish regions (the documented LPA
-    *    failure mode); updating one color class at a time removes the
-    *    2-cycle, the same device as GraphX's LPA staggering, and makes
-    *    the fixed point an exact no-op for extra rounds — the
-    *    q157/q176 fixed-round oracle contract.
+    *  - rounds are SEMI-SYNCHRONOUS on a static parity split (parity of
+    *    the node id's string length — engine-portable, unlike any hash):
+    *    round r updates only parity r mod 2. Fully-synchronous LPA
+    *    oscillates on bipartite-ish regions (the documented LPA failure
+    *    mode); the parity split STAGGERS updates heuristically — it is
+    *    not a proper graph coloring (adjacent same-parity nodes still
+    *    update simultaneously), so bipartite oscillation is reduced, not
+    *    structurally removed. The actual convergence guarantee is the
+    *    data-pinned ComponentsSpec fixed-point tests (rounds and
+    *    rounds+2 agree on the real corpus graphs) — the q157/q176
+    *    fixed-round oracle contract; a structural guarantee would need a
+    *    proper coloring computed from the graph itself.
     *
     * Fixed `rounds` (an even count gives both parities equal turns); the
     * caller pins rounds ≥ observed convergence + margin, and

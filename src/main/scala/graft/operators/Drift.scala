@@ -541,6 +541,16 @@ object Drift {
     * deadlock the monitor, the worse failure mode. Writers needing
     * multi-process ingest should serialize upstream (one merge queue),
     * exactly as they would for any compact-and-swap index artifact.
+    *
+    * External READERS are tolerated: a reader's [[readCounts]] racing
+    * this writer between its two renames may itself publish the staged
+    * table ([[recoverSwap]] cannot tell a crashed writer from a slow
+    * one). That publish moves exactly the table this merge just wrote,
+    * so the merge HAS landed — the publish step below treats
+    * "staging gone and live present" as success rather than failing a
+    * rename it lost by a beneficial race. (Failing there would be worse
+    * than cosmetic: a streaming retry of the batch would double-merge
+    * counts that are already live.)
     */
   def mergeIntoCounts(spark: SparkSession, path: String,
       batch: DataFrame): DataFrame = {
@@ -554,7 +564,12 @@ object Drift {
     val retired = new Path(s"$path/counts_retired")
     fs.delete(retired, true)
     require(fs.rename(live, retired), s"could not retire $live")
-    require(fs.rename(staging, live), s"could not publish $staging")
+    // a racing reader's recoverSwap may have already published OUR
+    // staging as live (see the scaladoc): that is success, not failure —
+    // the staged table it moved is byte-for-byte the one this merge wrote
+    if (!fs.rename(staging, live))
+      require(!fs.exists(staging) && fs.exists(live),
+        s"could not publish $staging")
     fs.delete(retired, true)
     spark.read.parquet(live.toString)
   }

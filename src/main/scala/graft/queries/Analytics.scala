@@ -2058,8 +2058,12 @@ object Analytics {
     QueryDef("q219_attribution_window",
       (s, d) => {
         val W = 600000000L
-        val occ = ev(s, d).select(col("user_id"), col("event_id"),
-          col("event_type").as("it"), unix_micros(col("ts")).as("us"))
+        // occ feeds three consumers (aSide, bSide, na) — cut the narrow
+        // 4-column frame once so the events corpus is scanned once, the
+        // q213 staging discipline (ADVICE r16)
+        val occ = graft.operators.Checkpoints.cut(
+          ev(s, d).select(col("user_id"), col("event_id"),
+            col("event_type").as("it"), unix_micros(col("ts")).as("us")))
         val aSide = occ
           .select(col("user_id"), col("event_id").as("aid"),
             col("it").as("a"), col("us").as("ta"))
@@ -2075,9 +2079,10 @@ object Analytics {
           .groupBy("a", "b").agg(count(lit(1)).as("n_attr"))
         val na = occ.groupBy(col("it").as("a"))
           .agg(count(lit(1)).as("n_a"))
-        attr.join(na, "a")
+        val res = attr.join(na, "a")
           .select(col("a"), col("b"), col("n_attr"), col("n_a"))
           .orderBy("a", "b")
+        graft.operators.Checkpoints.sealAndRelease(res, occ)
       },
       Some("""WITH occ AS (SELECT user_id, event_id, event_type it,
             epoch_us(ts) us FROM events),
