@@ -555,12 +555,24 @@ object Drift {
   def mergeIntoCounts(spark: SparkSession, path: String,
       batch: DataFrame): DataFrame = {
     val (state, g, v, c) = readCounts(spark, path)
+    stagedSwap(spark, path)(staging =>
+      mergeCounts(state, batch, g, v, c).write.parquet(staging))
+  }
+
+  /** The write-staging + two-rename publish shared by every at-rest
+    * merge ([[mergeIntoCounts]], [[mergeIntoVecSums]]): a crash at any
+    * point leaves either the old or the new state, never a torn one,
+    * and a racing reader's [[recoverSwap]] publishing our staging is
+    * treated as success (see the [[mergeIntoCounts]] reader contract).
+    */
+  private def stagedSwap(spark: SparkSession, path: String)(
+      writeStaging: String => Unit): DataFrame = {
     val fs = new Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val live = new Path(s"$path/counts")
     val staging = new Path(s"$path/counts_staging")
     fs.delete(staging, true) // a crashed previous merge leaves no debris
-    mergeCounts(state, batch, g, v, c).write.parquet(staging.toString)
+    writeStaging(staging.toString)
     val retired = new Path(s"$path/counts_retired")
     fs.delete(retired, true)
     require(fs.rename(live, retired), s"could not retire $live")
@@ -602,5 +614,116 @@ object Drift {
           s"crash recovery could not restore $retired")
       }
     }
+  }
+
+  // ------------------------------------------------------------------
+  // Vector-sum state — the SEMANTIC leg's at-rest form (what the count
+  // state is to length drift, this is to centroid drift): per
+  // (group, dim) the exact micro-unit component sum and the vector
+  // count. Components are fixed to integer micro-units
+  // (round(x·10⁶) as long) AT INGEST, so the state is additive in
+  // exact integer arithmetic — merge ORDER can never flicker a float
+  // sum (the q44 rounding-grid stance applied at the state boundary);
+  // any rounding back to decimals happens at READ, by the consumer.
+  // Same `_graft_index` + staged-swap contract as the count state
+  // (kind `vecsum`, four recorded column names), so the crash-recovery
+  // and reader-race guarantees carry over verbatim.
+
+  /** Per-(group, dim) micro-unit component sums of a vector column:
+    * (`group`, dim — 1-based, s = Σ round(x·10⁶), n = vector count).
+    * This is the ONE corpus-sized stage of the semantic lifecycle; every
+    * downstream centroid/cosine read is (groups × dims)-sized. NULL
+    * vectors are dropped at the door (no components to observe — the
+    * [[ksFromCounts]] NULL contract transposed). Note n is per
+    * (group, dim): equal across dims of a group when vectors are
+    * fixed-width (the embeddings contract), which consumers may rely on.
+    */
+  def vecMicroSums(df: DataFrame, groupCol: String, vecCol: String)
+      : DataFrame =
+    df.filter(col(vecCol).isNotNull)
+      .select(col(groupCol).as("g"),
+        posexplode(col(vecCol)).as(Seq("d0", "x")))
+      .groupBy(col("g"), (col("d0") + 1).cast("int").as("dim"))
+      .agg(sum(round(col("x").cast("double") * lit(1e6)).cast("long"))
+          .as("s"),
+        count(lit(1)).as("n"))
+      .select(col("g").as(groupCol), col("dim"), col("s"), col("n"))
+
+  /** Merge two vector-sum tables additively: full-outer on (group, dim),
+    * both the micro-sum and the count add — the [[mergeCounts]] shape on
+    * the four-column state.
+    */
+  def mergeVecSums(state: DataFrame, batch: DataFrame, groupCol: String,
+      dimCol: String, sumCol: String, nCol: String): DataFrame = {
+    def side(df: DataFrame, sn: String, nn: String) =
+      df.select(col(groupCol).as("g"), col(dimCol).cast("int").as("dim"),
+        col(sumCol).cast("long").as(sn), col(nCol).cast("long").as(nn))
+    side(state, "ss", "sn").join(side(batch, "bs", "bn"),
+        Seq("g", "dim"), "full")
+      .select(col("g").as(groupCol), col("dim").as(dimCol),
+        (coalesce(col("ss"), lit(0L)) + coalesce(col("bs"), lit(0L)))
+          .as(sumCol),
+        (coalesce(col("sn"), lit(0L)) + coalesce(col("bn"), lit(0L)))
+          .as(nCol))
+  }
+
+  /** Persist a vector-sum state at `path` (kind `vecsum`), overwriting
+    * any prior state there. */
+  def writeVecSums(sums: DataFrame, path: String, groupCol: String,
+      dimCol: String, sumCol: String, nCol: String): Unit = {
+    val spark = sums.sparkSession
+    sums.select(col(groupCol), col(dimCol).cast("int"),
+        col(sumCol).cast("long"), col(nCol).cast("long"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/counts")
+    val p = metaPath(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(("vecsum" +: Seq(groupCol, dimCol, sumCol, nCol))
+      .mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Read a persisted vector-sum state back: the sums frame plus the
+    * recorded (groupCol, dimCol, sumCol, nCol) names. Completes any
+    * half-done swap first — the [[readCounts]] reader guarantee.
+    */
+  def readVecSums(spark: SparkSession, path: String)
+      : (DataFrame, String, String, String, String) = {
+    val p = metaPath(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverSwap(fs, path)
+    require(fs.exists(p),
+      s"no vector-sum state at $path (missing ${p.getName}) — persist " +
+        "one with Drift.writeVecSums first")
+    val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+    val in = fs.open(p)
+    try in.readFully(0, buf) finally in.close()
+    val lines = new String(buf, java.nio.charset.StandardCharsets.UTF_8)
+      .split("\n", -1).toSeq
+    require(lines.head == "vecsum",
+      s"state at $path is kind '${lines.head}', expected vecsum")
+    lines.tail.filter(_.nonEmpty) match {
+      case Seq(g, dim, sm, n) =>
+        (spark.read.parquet(s"$path/counts"), g, dim, sm, n)
+      case other => throw new IllegalArgumentException(
+        s"vecsum state at $path records ${other.size} column names, " +
+          "expected 4")
+    }
+  }
+
+  /** Micro-batch append of raw (`group`, vector) observations against
+    * the vector-sum state AT REST: [[vecMicroSums]] the batch, merge via
+    * [[mergeVecSums]], publish via the staged swap. Same single-writer +
+    * tolerated-reader contract as [[mergeIntoCounts]]; history is never
+    * rescanned.
+    */
+  def mergeIntoVecSums(spark: SparkSession, path: String, batch: DataFrame,
+      groupCol: String, vecCol: String): DataFrame = {
+    val (state, g, dim, sm, n) = readVecSums(spark, path)
+    val b = vecMicroSums(batch.select(col(groupCol).as(g),
+      col(vecCol).as("vec")), g, "vec")
+      .select(col(g), col("dim").as(dim), col("s").as(sm), col("n").as(n))
+    stagedSwap(spark, path)(staging =>
+      mergeVecSums(state, b, g, dim, sm, n).write.parquet(staging))
   }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFns
-import graft.queries.TextShared.{docs, OToks}
+import graft.queries.TextShared.{docs, emb, OToks}
 
 /** Corpus-statistics / drift / eval-metric query family — the measurement
   * layer a training-data pipeline runs BESIDE the filters: distribution
@@ -35,6 +35,13 @@ object StatOps {
   // micro-batches through the staged-swap merge (Drift.mergeIntoCounts),
   // and the registered query is then a pure read of the published files.
   private val driftStateCache = new SessionMemo[String]
+
+  // q226's persisted vector-sum states (one per corpus half), built ONCE
+  // per (session, sf dir) — the q193 lifecycle transposed to the
+  // semantic leg: each half's state is seeded empty (Drift.writeVecSums)
+  // and fed by three vec_id-sliced micro-batches through the staged-swap
+  // merge; the registered query is then a (labels × dims)-sized read.
+  private val vecStateCache = new SessionMemo[(String, String)]
 
   // q185's pre-cut ranked-head builder, exposed (the peelRound/lpaRound
   // pattern) so PlanGuardSpec can assert the WindowGroupLimit shape
@@ -1366,6 +1373,174 @@ object StatOps {
             * (CAST(1 AS BIGINT) << CAST(16 - dd AS INT))), 0) AS BIGINT)
             rbo_num,
           CAST(720720 AS BIGINT) * 65536 rbo_den
-        FROM ov"""))
+        FROM ov""")),
+
+    // q225: lag-k autocorrelation of daily volume per event type — the
+    // periodicity signal next to q186's trend (Mann–Kendall answers "is
+    // volume trending"; lag-7 autocorrelation answers "is it weekly" —
+    // the seasonality a drift panel would otherwise misread as drift).
+    // Series = the DENSE per-type daily count grid (missing days are
+    // real zero observations — a sparse grid would silently splice
+    // weekends out of the lag alignment); for each lag k ∈ {1, 2, 7}
+    // the sample Pearson ships as the exact integer triple over the
+    // n−k aligned pairs (x_t, x_{t+k}): ac_num = n'·Σxy − Σx·Σy,
+    // den_x = n'·Σx² − (Σx)², den_y = n'·Σy² − (Σy)²; r_k =
+    // ac_num/√(den_x·den_y) at the consumer. Shape: the corpus
+    // collapses to the (type, day) grid in one count shuffle; the dense
+    // grid, the ×3 lag explode, and the (type, day+k) equi-join are all
+    // day-grid-sized. Overflow: n'·Σx² ≤ days·(days·max_c²) — a decade
+    // of daily counts under ~10⁶/day stays < 2⁶³.
+    QueryDef("q225_autocorrelation",
+      (s, d) => {
+        val daily = ev(s, d)
+          .groupBy(col("event_type"),
+            datediff(to_date(col("ts")), to_date(lit("1970-01-01")))
+              .cast("long").as("dd"))
+          .agg(count(lit(1)).as("c"))
+        // CUT: the dense grid feeds both join sides — without it each
+        // re-runs the corpus count shuffle; the frame is day-grid-sized
+        // (the collapsed-frame staging line)
+        val dense = graft.operators.Checkpoints.cut(
+          daily.groupBy("event_type")
+            .agg(min("dd").as("lo"), max("dd").as("hi"))
+            .select(col("event_type"),
+              explode(sequence(col("lo"), col("hi"))).as("dd"))
+            .join(daily, Seq("event_type", "dd"), "left")
+            .select(col("event_type"), col("dd"),
+              coalesce(col("c"), lit(0L)).as("c")))
+        val a = dense
+          .select(col("event_type"), col("dd"), col("c").as("x"))
+          .withColumn("lag", explode(array(lit(1), lit(2), lit(7))))
+        val b = dense.select(col("event_type"), col("dd").as("db"),
+          col("c").as("y"))
+        graft.operators.Checkpoints.sealAndRelease(
+          a.alias("l").join(b.alias("r"),
+              col("l.event_type") === col("r.event_type") &&
+                col("db") === col("dd") + col("lag"))
+            .groupBy(col("l.event_type").as("event_type"), col("lag"))
+            .agg(count(lit(1)).as("n_pairs"),
+              sum("x").as("sx"), sum("y").as("sy"),
+              sum(col("x") * col("y")).as("sxy"),
+              sum(col("x") * col("x")).as("sxx"),
+              sum(col("y") * col("y")).as("syy"))
+            .select(col("event_type"), col("lag"), col("n_pairs"),
+              (col("n_pairs") * col("sxy") - col("sx") * col("sy"))
+                .as("ac_num"),
+              (col("n_pairs") * col("sxx") - col("sx") * col("sx"))
+                .as("den_x"),
+              (col("n_pairs") * col("syy") - col("sy") * col("sy"))
+                .as("den_y"))
+            .orderBy("event_type", "lag"),
+          dense)
+      },
+      Some("""WITH daily AS (SELECT event_type,
+            date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) dd,
+            count(*) c FROM events GROUP BY 1, 2),
+          span AS (SELECT event_type, min(dd) lo, max(dd) hi
+            FROM daily GROUP BY 1),
+          days AS (SELECT event_type, unnest(generate_series(lo, hi)) dd
+            FROM span),
+          dense AS (SELECT days.event_type, days.dd, coalesce(daily.c, 0) c
+            FROM days LEFT JOIN daily
+              ON daily.event_type = days.event_type AND daily.dd = days.dd),
+          lags AS (SELECT unnest([1, 2, 7]) lag),
+          pr AS (SELECT a.event_type, l.lag, a.c x, b.c y
+            FROM dense a CROSS JOIN lags l
+            JOIN dense b ON b.event_type = a.event_type
+              AND b.dd = a.dd + l.lag)
+        SELECT event_type, CAST(lag AS INTEGER) lag,
+          CAST(count(*) AS BIGINT) n_pairs,
+          CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS BIGINT) ac_num,
+          CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS BIGINT) den_x,
+          CAST(count(*) * sum(y * y) - sum(y) * sum(y) AS BIGINT) den_y
+        FROM pr GROUP BY 1, 2 ORDER BY event_type, lag""")),
+
+    // q226: per-label centroid drift FROM THE PERSISTED VECTOR-SUM
+    // STATE — the semantic leg of the at-rest lifecycle (q193/q221/q222
+    // prove it for length drift; this closes the r16 gap where q197
+    // recomputed both half-centroids from raw embeddings every check):
+    // each half's per-(label, dim) micro-unit component sums live in a
+    // Drift vecsum state fed by three vec_id-sliced staged-swap merges,
+    // and the check is a (labels × dims)-sized read. The cosine needs NO
+    // rounding-at-read at all: the n and 10⁶ factors cancel, so
+    // cos(c̄_then, c̄_now) = Σ sa·sb / (√Σsa²·√Σsb²) directly on the
+    // exact integer micro-sums — products ride DECIMAL(38,0) (Spark) /
+    // HUGEINT (DuckDB), the one double division happens on identical
+    // exact integers both sides. Merge order can't flicker anything:
+    // the state is additive in longs. Oracle states from raw embeddings
+    // — the hash-match is the resume-without-rescan proof for the
+    // semantic leg.
+    QueryDef("q226_centroid_at_rest",
+      (s, d) => {
+        val (pThen, pNow) = vecStateCache(s, d) {
+          import s.implicits._
+          val base = java.nio.file.Files
+            .createTempDirectory("graft_q226").toString
+          val nv = emb(s, d).count()
+          def build(thenHalf: Boolean): String = {
+            val path = s"$base/${if (thenHalf) "then" else "now"}"
+            // seed types match the embeddings table (label is int32 —
+            // a wider seed would widen every merge's join key)
+            graft.operators.Drift.writeVecSums(
+              Seq.empty[(Int, Int, Long, Long)]
+                .toDF("label", "dim", "s", "n"),
+              path, "label", "dim", "s", "n")
+            val half = emb(s, d).filter(
+              if (thenHalf) col("vec_id") * 2 < nv
+              else col("vec_id") * 2 >= nv)
+            (0L to 2L).foreach { i =>
+              graft.operators.Drift.mergeIntoVecSums(s, path,
+                half.filter(pmod(col("vec_id"), lit(3L)) === i),
+                "label", "embedding")
+            }
+            path
+          }
+          (build(thenHalf = true), build(thenHalf = false))
+        }
+        val (stA, ga, da, sa, na) =
+          graft.operators.Drift.readVecSums(s, pThen)
+        val (stB, gb, db, sb, nb) =
+          graft.operators.Drift.readVecSums(s, pNow)
+        val a = stA.select(col(ga).as("label"), col(da).as("dim"),
+          col(sa).cast("decimal(20,0)").as("sa"), col(na).as("na"))
+        val b = stB.select(col(gb).as("label"), col(db).as("dim"),
+          col(sb).cast("decimal(20,0)").as("sb"), col(nb).as("nb"))
+        a.join(b, Seq("label", "dim"))
+          .groupBy("label")
+          .agg(sum(col("sa") * col("sb")).as("num"),
+            sum(col("sa") * col("sa")).as("na2"),
+            sum(col("sb") * col("sb")).as("nb2"),
+            max("na").as("n_then"), max("nb").as("n_now"))
+          .select(col("label"),
+            round(col("num").cast("double") /
+              (sqrt(col("na2").cast("double")) *
+                sqrt(col("nb2").cast("double"))), 6).as("cos_drift"),
+            col("n_then"), col("n_now"))
+          .orderBy("label")
+      },
+      Some("""WITH n AS (SELECT count(*) nv FROM embeddings),
+          h AS (SELECT label, (vec_id * 2 < n.nv) fh, embedding
+            FROM embeddings CROSS JOIN n),
+          e AS (SELECT label, fh, i,
+              CAST(round(embedding[i]::DOUBLE * 1000000.0) AS BIGINT) m
+            FROM h, (SELECT unnest(generate_series(1, 64)) i) ii),
+          st AS (SELECT label, fh, i, sum(m) s, count(*) cnt
+            FROM e GROUP BY 1, 2, 3),
+          j AS (SELECT a.label,
+              sum(a.s::HUGEINT * b.s::HUGEINT) num,
+              sum(a.s::HUGEINT * a.s::HUGEINT) na2,
+              sum(b.s::HUGEINT * b.s::HUGEINT) nb2
+            FROM st a JOIN st b ON a.label = b.label AND a.i = b.i
+              AND a.fh AND NOT b.fh
+            GROUP BY 1),
+          cnt AS (SELECT label,
+              max(CASE WHEN fh THEN cnt END) n_then,
+              max(CASE WHEN NOT fh THEN cnt END) n_now
+            FROM st WHERE i = 1 GROUP BY 1)
+        SELECT j.label AS label,
+          round(num::DOUBLE / (sqrt(na2::DOUBLE) * sqrt(nb2::DOUBLE)), 6)
+            cos_drift,
+          CAST(n_then AS BIGINT) n_then, CAST(n_now AS BIGINT) n_now
+        FROM j JOIN cnt ON j.label = cnt.label ORDER BY j.label"""))
   )
 }

@@ -947,5 +947,152 @@ object TextScoreOps {
         UNION ALL SELECT 'doc_id_sum', doc_id_sum FROM a
         UNION ALL SELECT 'doc_id_nulls', doc_id_nulls FROM a
         ORDER BY metric""")),
+
+    // q224: trigram stupid-backoff LM fluency — q131's next rung: real
+    // perplexity filtering (Wenzek et al., LREC 2020) uses higher-order
+    // models with back-off; "stupid backoff" (Brants et al., EMNLP 2007)
+    // is the web-scale variant that skips discount normalization:
+    // S(w₃|w₁w₂) = c(w₁w₂w₃)/c(w₁w₂) if seen, else α·c(w₂w₃)/c(w₂),
+    // else α²·c(w₃)/N — restated integer-portable with the q131
+    // floor(1e6·ratio) stance and α = 0.4 as the exact factor pair
+    // (1e6, 4e5, 1.6e5). Train/score split is the q198 half convention
+    // (train = "then", score = "now"), so back-off genuinely fires:
+    // now-half trigrams unseen in the then half fall to the bigram leg,
+    // then the unigram leg, then 0 (the all-orders-OOV case). Shape:
+    // ONE token-instance explode carrying each position's two left
+    // neighbors serves all three train tables AND the scoring instances
+    // (the q131/q132 envelope — no per-order re-tokenize... the explode
+    // itself recomputes per consumer, accepted like q131's: the
+    // alternative cuts a corpus-instance-sized frame, against the
+    // staging line); the rate tables are Heap's-law bounded
+    // (trigram/bigram/unigram types), so the three scoring joins are
+    // vocabulary-keyed — broadcastable when they fit, hash-shuffle on
+    // the n-gram key at corpus scale; the per-doc rollup is one
+    // combinable hash agg.
+    QueryDef("q224_lm_backoff",
+      (s, d) => {
+        val nd = docs(s, d).agg(count(lit(1)).as("nd"))
+        val x = docs(s, d).crossJoin(broadcast(nd))
+          .select(col("doc_id"), (col("doc_id") * 2 < col("nd")).as("fh"),
+            TextFns.tokens(col("text")).as("t"))
+        // every token position with its (up to two) left neighbors:
+        // one explode shape feeds unigram/bigram/trigram counts and the
+        // scoring instances alike
+        val inst = x.select(col("doc_id"), col("fh"),
+          // size >= 1 guard: sequence(1, 0) runs BACKWARDS on an empty
+          // token array (the TextFns.shingles gotcha) and element_at
+          // rejects index 0
+          explode(when(size(col("t")) >= 1,
+            transform(sequence(lit(1), size(col("t"))),
+              i => struct(
+                element_at(col("t"), i).as("w"),
+                when(i >= 2, element_at(col("t"), i - 1)).as("p1"),
+                when(i >= 3, element_at(col("t"), i - 2)).as("p2"))))
+            .otherwise(array().cast(
+              "array<struct<w:string,p1:string,p2:string>>")))
+            .as("g"))
+          .select(col("doc_id"), col("fh"), col("g.w").as("w"),
+            col("g.p1").as("p1"), col("g.p2").as("p2"))
+        val train = inst.filter(col("fh"))
+        val uni = train.groupBy("w").agg(count(lit(1)).as("cu"))
+        val ntok = train.agg(count(lit(1)).as("n"))
+        val bi = train.filter(col("p1").isNotNull)
+          .groupBy(col("p1").as("l"), col("w").as("r"))
+          .agg(count(lit(1)).as("cb"))
+        val tri = train.filter(col("p2").isNotNull)
+          .groupBy(col("p2").as("a"), col("p1").as("b"), col("w").as("c"))
+          .agg(count(lit(1)).as("ct"))
+        val rate3 = tri.join(bi,
+            tri("a") === bi("l") && tri("b") === bi("r"))
+          .select(col("a"), col("b"), col("c"),
+            floor(lit(1e6) * (col("ct") / col("cb"))).as("s3"))
+        val rate2 = bi.join(uni, bi("l") === uni("w"))
+          .select(col("l"), col("r"),
+            floor(lit(4e5) * (col("cb") / col("cu"))).as("s2"))
+        val rate1 = uni.crossJoin(broadcast(ntok))
+          .select(col("w").as("u"),
+            floor(lit(1.6e5) * (col("cu") / col("n"))).as("s1"))
+        val scored = inst.filter(!col("fh") && col("p2").isNotNull)
+          .join(rate3, col("p2") === col("a") && col("p1") === col("b") &&
+            col("w") === col("c"), "left")
+          .join(rate2, col("p1") === col("l") && col("w") === col("r"),
+            "left")
+          .join(rate1, col("w") === col("u"), "left")
+          .select(col("doc_id"),
+            coalesce(col("s3"), col("s2"), col("s1"), lit(0L)).as("sco"),
+            when(col("s3").isNotNull, 3).when(col("s2").isNotNull, 2)
+              .when(col("s1").isNotNull, 1).otherwise(0).as("depth"))
+        val per = scored.groupBy("doc_id")
+          .agg(count(lit(1)).as("np"),
+            sum(when(col("depth") === 3, 1L).otherwise(0L)).as("n3"),
+            sum(when(col("depth") === 2, 1L).otherwise(0L)).as("n2"),
+            sum(when(col("depth") === 1, 1L).otherwise(0L)).as("n1"),
+            sum(when(col("depth") === 0, 1L).otherwise(0L)).as("n0"),
+            sum("sco").as("ss"))
+        x.filter(!col("fh")).select("doc_id")
+          .join(per, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("np"), lit(0L)).cast("int").as("n_pos"),
+            coalesce(col("n3"), lit(0L)).cast("int").as("n_tri"),
+            coalesce(col("n2"), lit(0L)).cast("int").as("n_bi"),
+            coalesce(col("n1"), lit(0L)).cast("int").as("n_uni"),
+            coalesce(col("n0"), lit(0L)).cast("int").as("n_oov"),
+            coalesce(col("ss"), lit(0L)).as("score_sum"),
+            when(col("np").isNull, lit(0L))
+              .otherwise(floor(col("ss") / col("np"))).as("fluency_micro"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH n AS (SELECT count(*) nd FROM documents),
+          x AS (SELECT doc_id, (doc_id * 2 < n.nd) fh, $OToks t
+            FROM documents CROSS JOIN n),
+          i0 AS (SELECT doc_id, fh,
+              unnest([struct_pack(w := t[i],
+                  p1 := CASE WHEN i >= 2 THEN t[i-1] END,
+                  p2 := CASE WHEN i >= 3 THEN t[i-2] END)
+                for i in generate_series(1, len(t))]) g
+            FROM x),
+          inst AS (SELECT doc_id, fh, g.w w, g.p1 p1, g.p2 p2 FROM i0),
+          uni AS (SELECT w, count(*) cu FROM inst WHERE fh GROUP BY 1),
+          nt AS (SELECT count(*) n FROM inst WHERE fh),
+          bi AS (SELECT p1 l, w r, count(*) cb FROM inst
+            WHERE fh AND p1 IS NOT NULL GROUP BY 1, 2),
+          tri AS (SELECT p2 a, p1 b, w c, count(*) ct FROM inst
+            WHERE fh AND p2 IS NOT NULL GROUP BY 1, 2, 3),
+          rate3 AS (SELECT a, b, c,
+              CAST(floor(1000000.0 * (ct::DOUBLE / cb::DOUBLE)) AS BIGINT) s3
+            FROM tri JOIN bi ON tri.a = bi.l AND tri.b = bi.r),
+          rate2 AS (SELECT l, r,
+              CAST(floor(400000.0 * (cb::DOUBLE / cu::DOUBLE)) AS BIGINT) s2
+            FROM bi JOIN uni ON bi.l = uni.w),
+          rate1 AS (SELECT w u,
+              CAST(floor(160000.0 * (cu::DOUBLE / n::DOUBLE)) AS BIGINT) s1
+            FROM uni CROSS JOIN nt),
+          sc AS (SELECT i.doc_id, coalesce(r3.s3, r2.s2, r1.s1, 0) sco,
+              CASE WHEN r3.s3 IS NOT NULL THEN 3
+                WHEN r2.s2 IS NOT NULL THEN 2
+                WHEN r1.s1 IS NOT NULL THEN 1 ELSE 0 END depth
+            FROM inst i
+            LEFT JOIN rate3 r3 ON i.p2 = r3.a AND i.p1 = r3.b AND i.w = r3.c
+            LEFT JOIN rate2 r2 ON i.p1 = r2.l AND i.w = r2.r
+            LEFT JOIN rate1 r1 ON i.w = r1.u
+            WHERE NOT i.fh AND i.p2 IS NOT NULL),
+          per AS (SELECT doc_id, count(*) np,
+              sum(CASE WHEN depth = 3 THEN 1 ELSE 0 END) n3,
+              sum(CASE WHEN depth = 2 THEN 1 ELSE 0 END) n2,
+              sum(CASE WHEN depth = 1 THEN 1 ELSE 0 END) n1,
+              sum(CASE WHEN depth = 0 THEN 1 ELSE 0 END) n0,
+              sum(sco) ss
+            FROM sc GROUP BY 1)
+        SELECT x.doc_id,
+          CAST(coalesce(np, 0) AS INTEGER) n_pos,
+          CAST(coalesce(n3, 0) AS INTEGER) n_tri,
+          CAST(coalesce(n2, 0) AS INTEGER) n_bi,
+          CAST(coalesce(n1, 0) AS INTEGER) n_uni,
+          CAST(coalesce(n0, 0) AS INTEGER) n_oov,
+          CAST(coalesce(ss, 0) AS BIGINT) score_sum,
+          CAST(CASE WHEN np IS NULL THEN 0
+            ELSE floor(ss::DOUBLE / np::DOUBLE) END AS BIGINT) fluency_micro
+        FROM x LEFT JOIN per ON x.doc_id = per.doc_id
+        WHERE NOT x.fh ORDER BY x.doc_id""")),
   )
 }

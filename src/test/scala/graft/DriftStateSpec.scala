@@ -196,4 +196,61 @@ class DriftStateSpec extends SparkSpec {
     assert(rows(state2) === after,
       "retired-only layout must restore rather than fail")
   }
+
+  test("vec state: batched merges == one-shot sums, in ANY merge order") {
+    // the semantic leg's additive-state law: micro-unit sums merged in
+    // vec_id-sliced batches through the staged swap must equal the
+    // all-at-once vecMicroSums — and because the state is exact integer
+    // arithmetic, REVERSING the batch order must reproduce the identical
+    // table (the float-sum order-flicker this design exists to prevent)
+    val obs = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val parts = (0 to 2).map(i =>
+      obs.filter(pmod(col("vec_id"), lit(3)) === i)
+        .select("label", "embedding"))
+    def build(order: Seq[Int]): Set[Seq[Any]] = {
+      val path = tmpState()
+      Drift.writeVecSums(
+        Seq.empty[(Int, Int, Long, Long)].toDF("label", "dim", "s", "n"),
+        path, "label", "dim", "s", "n")
+      order.foreach(i =>
+        Drift.mergeIntoVecSums(spark, path, parts(i), "label", "embedding"))
+      val (state, g, dm, sm, n) = Drift.readVecSums(spark, path)
+      assert((g, dm, sm, n) === (("label", "dim", "s", "n")),
+        "readVecSums must return the recorded column names")
+      rows(state)
+    }
+    val forward = build(Seq(0, 1, 2))
+    val oneShot = rows(
+      Drift.vecMicroSums(obs.select("label", "embedding"),
+        "label", "embedding"))
+    assert(forward === oneShot,
+      "replaying the corpus in batches must reproduce the one-shot sums")
+    assert(build(Seq(2, 0, 1)) === forward,
+      "merge order must not change a single row of the integer state")
+  }
+
+  test("vec state: kind and existence contracts fail loudly, not misread") {
+    val p1 = tmpState()
+    val e1 = intercept[IllegalArgumentException] {
+      Drift.readVecSums(spark, p1 + "_nowhere")
+    }
+    assert(e1.getMessage.contains("no vector-sum state"))
+    // a count state is NOT readable as a vec state (and vice versa):
+    // the recorded kind gates the read before any schema guessing
+    Drift.writeCounts(Seq(("a", 1L, 1L)).toDF("g", "v", "c"),
+      p1, "g", "v", "c")
+    val e2 = intercept[IllegalArgumentException] {
+      Drift.readVecSums(spark, p1)
+    }
+    assert(e2.getMessage.contains("kind 'drift'"))
+    val p2 = tmpState()
+    Drift.writeVecSums(
+      Seq.empty[(Int, Int, Long, Long)].toDF("label", "dim", "s", "n"),
+      p2, "label", "dim", "s", "n")
+    val e3 = intercept[IllegalArgumentException] {
+      Drift.readCounts(spark, p2)
+    }
+    assert(e3.getMessage.contains("kind 'vecsum'"))
+  }
 }

@@ -632,4 +632,62 @@ class StatOpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("q225 autocorrelation equals naive lagged Pearson on dense daily counts") {
+    // collected daily counts with the SAME day key (epoch day under the
+    // UTC session) computed in plain JVM from the raw timestamps
+    val byTypeDay = graft.Tables.events(spark, dir)
+      .select("event_type", "ts")
+      .collect()
+      .map(r => (r.getString(0),
+        Math.floorDiv(r.getTimestamp(1).getTime, 86400000L)))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = q("q225_autocorrelation").collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    val types = byTypeDay.keySet.map(_._1)
+    for (t <- types; k <- Seq(1, 2, 7)) {
+      val days = byTypeDay.collect { case ((`t`, d), c) => d -> c }
+      val (lo, hi) = (days.keys.min, days.keys.max)
+      val series = (lo to hi).map(d => days.getOrElse(d, 0L))
+      val pairs = series.dropRight(k).zip(series.drop(k))
+      val n = pairs.size.toLong
+      val (sx, sy) = (pairs.map(_._1).sum, pairs.map(_._2).sum)
+      val sxy = pairs.map(p => p._1 * p._2).sum
+      val sxx = pairs.map(p => p._1 * p._1).sum
+      val syy = pairs.map(p => p._2 * p._2).sum
+      val (gn, gnum, gdx, gdy) = got((t, k))
+      assert(gn === n, s"type=$t lag=$k")
+      assert(gnum === n * sxy - sx * sy, s"type=$t lag=$k")
+      assert(gdx === n * sxx - sx * sx, s"type=$t lag=$k")
+      assert(gdy === n * syy - sy * sy, s"type=$t lag=$k")
+    }
+  }
+
+  test("q225: a constructed 7-periodic stream scores lag-7 perfect, lag-1 weak") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ac7").toString
+    val base = 1704067200L // 2024-01-01T00:00:00Z, seconds (epoch-ns loader)
+    val pattern = Seq(9L, 2L, 4L, 1L, 3L, 1L, 2L)
+    val rows = for {
+      d <- 0 until 28
+      j <- 0L until pattern(d % 7)
+    } yield (d * 100L + j, (base + d * 86400L + j) * 1000000000L,
+      1L, "pulse", 1.0, "{}")
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$tmp/events.parquet")
+    val got = SparkEntry.queries("q225_autocorrelation")(spark, tmp)
+      .collect()
+      .map(r => r.getInt(1) -> (r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    // lag 7: every pair is (x, x) — perfect correlation, r = 1 exactly:
+    // num = den_x = den_y > 0
+    val (num7, dx7, dy7) = got(7)
+    assert(num7 === dx7 && dx7 === dy7 && num7 > 0L)
+    // lag 1: decidedly sub-periodic — r² < 1/4 in exact integers
+    val (num1, dx1, dy1) = got(1)
+    assert(4L * num1 * num1 < dx1 * dy1,
+      s"lag-1 num=$num1 den_x=$dx1 den_y=$dy1")
+  }
 }
