@@ -39,7 +39,11 @@ object ScaleCheck {
     "q214_l_diversity", "q215_psi_buckets", "q216_pagerank_until",
     "q217_t_closeness", "q218_modularity", "q219_attribution_window",
     "q220_rbo", "q221_psi_at_rest", "q222_deciles_at_rest",
-    "q223_ks_rebinned")
+    "q223_ks_rebinned", "q224_lm_backoff", "q225_autocorrelation",
+    "q226_centroid_at_rest", "q227_pr_by_source", "q228_dedup_relabel_lifecycle",
+    "q229_cusum", "q230_auc_by_source", "q231_binary_hamming_topk",
+    "q232_prep_funnel", "q233_bpe_encode_at_rest",
+    "q234_budget_select_by_source")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")

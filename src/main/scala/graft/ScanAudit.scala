@@ -35,8 +35,14 @@ object ScanAudit {
           case p => p
         }
         val scans = plan.collect { case s: FileSourceScanExec =>
-          s.relation.location.rootPaths.headOption
-            .map(_.getName).getOrElse("?")
+          // generic artifact dir names (counts, buckets, …) collide
+          // across distinct at-rest paths — qualify them by parent so
+          // two different states never masquerade as a repeated scan
+          s.relation.location.rootPaths.headOption.map { p =>
+            if (p.getName.endsWith(".parquet")) p.getName
+            else Option(p.getParent).map(_.getName + "/").getOrElse("") +
+              p.getName
+          }.getOrElse("?")
         }
         val byTable = scans.groupBy(identity).view.mapValues(_.size)
           .toSeq.sortBy(-_._2)

@@ -282,6 +282,41 @@ object Bpe {
         concat(col("left"), col("right")).as("merged"), col("pair_count"))
   }
 
+  /** Persist the trained merge list as the tokenizer's AT-REST artifact —
+    * the lifecycle rung every other long-lived state here already has
+    * (LSH index, IVF/PQ index, drift count + vector-sum states): a
+    * production tokenizer is trained once and read by every encode job
+    * for years; retraining per session would not even be correct (a new
+    * corpus snapshot could learn different merges and silently re-tokenize
+    * the world). Layout: `path/merges` = (rank, left, right, merged,
+    * pair_count) parquet + the shared `_graft_index` kind tag ("bpe"), so
+    * probing a non-tokenizer path is a domain error (the LSH/IVF
+    * contract). The artifact is merge-LIST-sized (k rows), never
+    * corpus-sized.
+    */
+  def writeModel(spark: org.apache.spark.sql.SparkSession,
+      merges: Seq[Merge], path: String): Unit = {
+    mergesDf(spark, merges).write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$path/merges")
+    Similarity.writeIndexMeta(spark, path, "bpe", Seq(merges.size.toString))
+  }
+
+  /** Read a persisted merge list back in rank order — with the stored
+    * count require()d, so a partially-written artifact fails fast instead
+    * of silently encoding with a truncated grammar.
+    */
+  def readMerges(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[Merge] = {
+    val Seq(n) = Similarity.readIndexMeta(spark, path, "bpe").map(_.toInt)
+    val out = spark.read.parquet(s"$path/merges").orderBy("rank")
+      .select("rank", "left", "right", "pair_count").collect()
+      .map(r => Merge(r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSeq
+    require(out.size == n,
+      s"bpe artifact at $path holds ${out.size} merges, expected $n")
+    out
+  }
+
   /** Encode arbitrary text with a trained merge list — the inference half
     * of the tokenizer lifecycle (training's segmentation table only covers
     * the words training saw; this handles unseen corpora, with unseen words

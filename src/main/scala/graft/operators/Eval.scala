@@ -92,6 +92,75 @@ object Eval {
         col("npb").as("fn"), col("nnb").as("tn"))
   }
 
+  /** Per-GROUP Mann–Whitney AUC — [[aucHistogram]] stratified by
+    * `groupCol`: one (group, auc_num2, n_pos, n_neg) row per group, AUC_g
+    * = auc_num2/(2·n_pos·n_neg) at the consumer. The per-slice ranking
+    * read a corpus-global AUC averages away (a score that ranks well
+    * globally can rank WORSE than chance inside one source — Simpson's
+    * reversal); together with [[confusionByThresholdPerGroup]] it
+    * completes the grouped eval pair (ranking number + operating points).
+    * Scale shape unchanged from the global form: the corpus collapses to
+    * the per-(group, value) class histogram in one map-side-combined
+    * count shuffle, and the cumulative window rides the per-group value
+    * grid — PARTITIONED here, so no single-task grid pass at all. A
+    * single-class group degenerates honestly: n_pos or n_neg = 0 and
+    * auc_num2 = 0 (the consumer's division flags it, not a fake 0.5).
+    * NULL contract as [[aucHistogram]].
+    */
+  def aucHistogramPerGroup(df: DataFrame, groupCol: String,
+      posCol: String, valueCol: String): DataFrame = {
+    val h = df.select(col(groupCol).as("g"),
+        coalesce(col(posCol), lit(false)).as("pos"),
+        col(valueCol).as("v"))
+      .filter(col("v").isNotNull)
+      .groupBy("g", "v").agg(
+        sum(when(col("pos"), 1L).otherwise(0L)).as("np"),
+        sum(when(!col("pos"), 1L).otherwise(0L)).as("nn"))
+    val wv = Window.partitionBy("g").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    h.withColumn("nnb", coalesce(sum("nn").over(wv), lit(0L)))
+      .groupBy(col("g").as(groupCol))
+      .agg(sum(col("np") * (lit(2L) * col("nnb") + col("nn")))
+          .as("auc_num2"),
+        sum("np").as("n_pos"), sum("nn").as("n_neg"))
+  }
+
+  /** Per-GROUP operating-point table — [[confusionByThreshold]] with
+    * every window partitioned by `groupCol`: the "is the quality filter
+    * calibrated on code as well as prose" read, one exact integer
+    * (group, threshold, TP, FP, FN, TN) row per distinct value OBSERVED
+    * IN THAT GROUP (a group's confusion matrix can only change at its
+    * own observed values, so each group's grid is exhaustive for it).
+    * Scale shape unchanged: one (group, value) class-histogram count
+    * shuffle, cumulative windows ride the per-group grid — partitioned
+    * now, so not even the q209 bounded-single-partition stance is
+    * needed. NULL contract as [[aucHistogram]].
+    *
+    * Output: (`group`, threshold, tp, fp, fn, tn); per group,
+    * tp + fn = n_pos(g) and fp + tn = n_neg(g) on every row.
+    */
+  def confusionByThresholdPerGroup(df: DataFrame, groupCol: String,
+      posCol: String, valueCol: String): DataFrame = {
+    val h = df.select(col(groupCol).as("g"),
+        coalesce(col(posCol), lit(false)).as("pos"),
+        col(valueCol).as("v"))
+      .filter(col("v").isNotNull)
+      .groupBy("g", "v").agg(
+        sum(when(col("pos"), 1L).otherwise(0L)).as("np"),
+        sum(when(!col("pos"), 1L).otherwise(0L)).as("nn"))
+    val wv = Window.partitionBy("g").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wall = Window.partitionBy("g")
+    h.withColumn("npb", coalesce(sum("np").over(wv), lit(0L)))
+      .withColumn("nnb", coalesce(sum("nn").over(wv), lit(0L)))
+      .withColumn("n_pos", sum("np").over(wall))
+      .withColumn("n_neg", sum("nn").over(wall))
+      .select(col("g").as(groupCol), col("v").as("threshold"),
+        (col("n_pos") - col("npb")).as("tp"),
+        (col("n_neg") - col("nnb")).as("fp"),
+        col("npb").as("fn"), col("nnb").as("tn"))
+  }
+
   /** Per-group SPEARMAN rank-correlation numerator between two orderable
     * columns — the monotone-association read ("does length predict
     * diversity?") that Pearson misses on nonlinear-but-monotone

@@ -293,4 +293,57 @@ object Sampling {
       .select(col("id"), col("score"), col("cost"), col("cum"))
     Checkpoints.sealAndRelease(out, base)
   }
+
+  /** Per-GROUP greedy token-budget selection — [[budgetSelect]] with an
+    * independent budget per `groupCol` stratum: the MIXTURE-construction
+    * shape ("the best 1B tokens from EACH source") where the global
+    * greedy would let one high-scoring source spend every other source's
+    * budget. Policy per group is identical to the global operator:
+    * descending score, ties by id, take while the group's running cost
+    * total stays within `budget`.
+    *
+    * Scale posture mirrors [[weightedMedianPerGroup]]: GLOBAL score
+    * quantile cuts bucket rows monotonically (a skewed group spreads
+    * over all buckets instead of serializing in one window partition);
+    * per-(group, bucket) cost sums roll into per-group running offsets
+    * on the groups×buckets frame; buckets whose group offset already
+    * exceeds the budget are pruned BEFORE any per-row window — past
+    * each group's boundary bucket the corpus tail does no window work.
+    * Null contract as [[budgetSelect]] (NULL score/cost rows excluded).
+    *
+    * Output: (grp, id, score, cost, cum), cum ≤ budget within each grp.
+    */
+  def budgetSelectPerGroup(df: DataFrame, idCol: String, groupCol: String,
+      scoreCol: String, costCol: String, budget: Long,
+      buckets: Int = 32): DataFrame = {
+    require(budget >= 0, "a token budget is nonnegative")
+    // staged for the same reason as budgetSelect: three actions over
+    // computed score/cost expressions
+    val base = Checkpoints.cut(df
+      .select(col(groupCol).as("grp"), col(idCol).cast("long").as("id"),
+        col(scoreCol).as("score"), col(costCol).cast("long").as("cost"))
+      .filter(col("score").isNotNull && col("cost").isNotNull)
+      .withColumn("key", -col("score")))
+    if (base.head(1).isEmpty)
+      return Checkpoints.sealAndRelease(
+        base.select("grp", "id", "score", "cost")
+          .withColumn("cum", lit(0L)).limit(0), base)
+    val bucketed = Packing.quantileBuckets(base, "key", buckets)
+    val offsets = bucketed.groupBy("grp", "b").agg(sum("cost").as("bsum"))
+      .withColumn("off", coalesce(sum(col("bsum")).over(
+        Window.partitionBy("grp").orderBy("b")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      // a (group, bucket) whose offset alone exceeds the group's budget
+      // cannot contribute a selected row (nonnegative costs)
+      .filter(col("off") <= budget)
+      .select("grp", "b", "off")
+    val out = bucketed.join(broadcast(offsets), Seq("grp", "b"))
+      .withColumn("cum",
+        sum("cost").over(Window.partitionBy("grp", "b").orderBy("key", "id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)) +
+          col("off"))
+      .filter(col("cum") <= budget)
+      .select(col("grp"), col("id"), col("score"), col("cost"), col("cum"))
+    Checkpoints.sealAndRelease(out, base)
+  }
 }

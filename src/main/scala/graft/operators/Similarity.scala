@@ -84,6 +84,82 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("id").as("neighbor_id"), col("cos"))
   }
 
+  /** Binary 1-bit scalar quantization words for a float-vector column:
+    * bit j−1 of word w is sign(v[32w + j] > 0), 32 dims per long word,
+    * packed by a DOUBLING fold (bits enter high-to-low, acc·2 + bit) so
+    * no variable-distance shift is needed and every word stays in
+    * [0, 2³²) — no sign/overflow games in either engine. Exposed for the
+    * spec's naive cross-check.
+    */
+  private[graft] def packSignWords(vecCol: String): Column = expr(
+    s"""transform(sequence(0, (size($vecCol) - 1) div 32),
+          w -> aggregate(sequence(32, 1, -1), 0L,
+            (acc, j) -> acc * 2L + IF(w * 32 + j <= size($vecCol)
+                AND element_at($vecCol, CAST(w * 32 + j AS INT)) > 0,
+              1L, 0L)))""")
+
+  /** Binary sign-quantized Hamming top-k with exact cosine rerank — the
+    * 1-bit compression rung of the ANN ladder (q99's int8 is the 4×
+    * memory lever; sign binarization is the 32× one, the "binary
+    * quantization" recipe vector stores ship for first-pass retrieval):
+    * each 64-float vector collapses to two 32-bit words, candidate
+    * generation runs entirely in the compressed domain (XOR + popcount
+    * per word pair — memory-bandwidth arithmetic, no floats), and only
+    * the per-query `shortlist` Hamming-nearest rows are reranked with
+    * the exact float cosine.
+    *
+    * Determinism: the shortlist boundary orders by (hamming, id) and the
+    * rerank by (6dp-rounded cos, id) — both total orders, so the oracle
+    * replays bit-for-bit (the q37 rounding stance). Scale shape: the
+    * query side broadcasts; the corpus streams map-side emitting only
+    * (query_id, id, hamming) into the two-phase top-shortlist windows
+    * (per-partition heaps first — corpus vectors never shuffle); the
+    * rerank joins the queries×shortlist candidate list (broadcast) back
+    * to the corpus vectors, so full floats move only for candidates.
+    *
+    * Output: (query_id, rank, neighbor_id, hamming, cos), rank 1..k by
+    * exact cosine within the shortlist.
+    */
+  def binaryHammingTopK(vecs: DataFrame, idCol: String, vecCol: String,
+      isQuery: Column, shortlist: Int, k: Int): DataFrame = {
+    require(shortlist >= k, "the rerank pool must cover the output k")
+    val coded = vecs.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("words", packSignWords("v"))
+      .select("id", "words")
+    val qc = vecs.filter(isQuery)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("qwords", packSignWords("qv"))
+      .select("query_id", "qwords")
+    val pairs = coded.join(broadcast(qc), col("id") =!= col("query_id"))
+      .withColumn("hamming", expr(
+        "aggregate(zip_with(qwords, words, (x, y) -> bit_count(x ^ y)), 0, (a, b) -> a + b)"))
+      .select("query_id", "id", "hamming")
+    val localW = Window.partitionBy(col("query_id"), spark_partition_id())
+      .orderBy(col("hamming"), col("id"))
+    val globalW = Window.partitionBy("query_id")
+      .orderBy(col("hamming"), col("id"))
+    val cand = pairs
+      .withColumn("_lrn", row_number().over(localW))
+      .filter(col("_lrn") <= shortlist)
+      .withColumn("_rn", row_number().over(globalW))
+      .filter(col("_rn") <= shortlist)
+      .select("query_id", "id", "hamming")
+    val cv = vecs.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("nrm", l2norm(col("v")))
+    val qv = vecs.filter(isQuery)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("qn", l2norm(col("qv")))
+    val rank = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("id"))
+    cv.join(broadcast(cand), "id").join(broadcast(qv), "query_id")
+      .withColumn("cos",
+        round(cosine(col("qv"), col("v"), col("qn"), col("nrm")), 6))
+      .withColumn("rank", row_number().over(rank))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("id").as("neighbor_id"),
+        col("hamming"), col("cos"))
+  }
+
   /** Hard-negative mining for contrastive training (the DPR/SimCSE
     * recipe, Karpukhin et al. EMNLP 2020 §3.2): for each query row, the
     * `k` most-similar rows with a DIFFERENT `labelCol` — the negatives

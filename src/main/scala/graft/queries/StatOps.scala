@@ -488,9 +488,12 @@ object StatOps {
     // self-join of ~30 day rows — day-grid-sized, never event-sized.
     QueryDef("q186_trend",
       (s, d) => {
-        val daily = ev(s, d)
+        // CUT: the daily grid feeds both pair-join sides AND the tie
+        // table — without it each re-runs the corpus count shuffle (the
+        // collapsed-frame staging line, r17 audit; day-grid-sized)
+        val daily = graft.operators.Checkpoints.cut(ev(s, d)
           .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
-          .agg(count(lit(1)).as("c"))
+          .agg(count(lit(1)).as("c")))
         val a = daily.select(col("event_type"), col("day").as("d1"),
           col("c").as("c1"))
         val b = daily.select(col("event_type"), col("day").as("d2"),
@@ -504,11 +507,13 @@ object StatOps {
           .groupBy("event_type")
           .agg(sum(col("t") * (col("t") - 1L) * (lit(2L) * col("t") + 5L))
             .as("tie18"), sum("t").as("n_days"))
-        ties.join(sStat, "event_type")
-          .select(col("event_type"), col("n_days"), col("s_stat"),
-            (col("n_days") * (col("n_days") - 1L) *
-              (lit(2L) * col("n_days") + 5L) - col("tie18")).as("var18"))
-          .orderBy("event_type")
+        graft.operators.Checkpoints.sealAndRelease(
+          ties.join(sStat, "event_type")
+            .select(col("event_type"), col("n_days"), col("s_stat"),
+              (col("n_days") * (col("n_days") - 1L) *
+                (lit(2L) * col("n_days") + 5L) - col("tie18")).as("var18"))
+            .orderBy("event_type"),
+          daily)
       },
       Some("""WITH daily AS (SELECT event_type, date_trunc('day', ts) dd,
             count(*) c FROM events GROUP BY 1, 2),
@@ -761,14 +766,18 @@ object StatOps {
         val cen = udaf(graft.functions.CentroidAggregator,
           org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Float]]())
         val nv = graft.Tables.embeddings(s, d).agg(count(lit(1)).as("nv"))
-        val cents = graft.Tables.embeddings(s, d).crossJoin(broadcast(nv))
-          .select(col("label"), (col("vec_id") * 2 < col("nv")).as("fh"),
-            col("embedding"))
-          .groupBy("label", "fh")
-          .agg(cen(col("embedding")).as("c0"), count(lit(1)).as("n"))
-          .select(col("label"), col("fh"),
-            transform(col("c0"), x => round(x.cast("double"), 6)).as("c"),
-            col("n"))
+        // CUT: the centroid table is |labels|×2 rows and feeds both
+        // join sides — without it each side re-runs the corpus-sized
+        // aggregator pass (the collapsed-frame staging line, r17 audit)
+        val cents = graft.operators.Checkpoints.cut(
+          graft.Tables.embeddings(s, d).crossJoin(broadcast(nv))
+            .select(col("label"), (col("vec_id") * 2 < col("nv")).as("fh"),
+              col("embedding"))
+            .groupBy("label", "fh")
+            .agg(cen(col("embedding")).as("c0"), count(lit(1)).as("n"))
+            .select(col("label"), col("fh"),
+              transform(col("c0"), x => round(x.cast("double"), 6)).as("c"),
+              col("n")))
         def ddot(x: org.apache.spark.sql.Column,
             y: org.apache.spark.sql.Column) =
           aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0),
@@ -777,13 +786,15 @@ object StatOps {
           .select(col("label"), col("c").as("ca"), col("n").as("n_then"))
         val b = cents.filter(!col("fh"))
           .select(col("label"), col("c").as("cb"), col("n").as("n_now"))
-        a.join(b, "label")
-          .select(col("label"),
-            round(ddot(col("ca"), col("cb")) /
-              (sqrt(ddot(col("ca"), col("ca"))) *
-                sqrt(ddot(col("cb"), col("cb")))), 6).as("cos_drift"),
-            col("n_then"), col("n_now"))
-          .orderBy("label")
+        graft.operators.Checkpoints.sealAndRelease(
+          a.join(b, "label")
+            .select(col("label"),
+              round(ddot(col("ca"), col("cb")) /
+                (sqrt(ddot(col("ca"), col("ca"))) *
+                  sqrt(ddot(col("cb"), col("cb")))), 6).as("cos_drift"),
+              col("n_then"), col("n_now"))
+            .orderBy("label"),
+          cents)
       },
       Some("""WITH n AS (SELECT count(*) nv FROM embeddings),
           h AS (SELECT label, (vec_id * 2 < n.nv) fh, embedding
@@ -1541,6 +1552,139 @@ object StatOps {
           round(num::DOUBLE / (sqrt(na2::DOUBLE) * sqrt(nb2::DOUBLE)), 6)
             cos_drift,
           CAST(n_then AS BIGINT) n_then, CAST(n_now AS BIGINT) n_now
-        FROM j JOIN cnt ON j.label = cnt.label ORDER BY j.label"""))
+        FROM j JOIN cnt ON j.label = cnt.label ORDER BY j.label""")),
+
+    // q227: the PER-SOURCE operating-point table — q211 grouped ("is
+    // the length filter calibrated on crawl-3 as well as wiki", the
+    // per-slice read a corpus-global PR table averages away: a
+    // threshold that is precision-0.9 globally can be precision-0.3 on
+    // one source). Same signal as q178/q211 (n_chars predicting
+    // lang = 'en'); one exact integer (source, threshold, TP, FP, FN,
+    // TN) row per value observed IN that source. Scale shape: one
+    // (source, value) class-histogram shuffle; the cumulative windows
+    // are PARTITIONED grid windows now — the per-group form is
+    // strictly better-behaved than the global one.
+    QueryDef("q227_pr_by_source",
+      (s, d) => graft.operators.Eval.confusionByThresholdPerGroup(
+        docs(s, d).select(col("source"),
+          (col("lang") === lit("en")).as("pos"), col("n_chars").as("v")),
+        "source", "pos", "v").orderBy("source", "threshold"),
+      Some("""WITH h AS (SELECT source, n_chars v,
+            sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) np,
+            sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) nn
+          FROM documents GROUP BY 1, 2),
+          c AS (SELECT source, v,
+              coalesce(sum(np) OVER (PARTITION BY source ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) npb,
+              coalesce(sum(nn) OVER (PARTITION BY source ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) nnb,
+              sum(np) OVER (PARTITION BY source) n_pos,
+              sum(nn) OVER (PARTITION BY source) n_neg
+            FROM h)
+        SELECT source, v AS threshold, CAST(n_pos - npb AS BIGINT) tp,
+          CAST(n_neg - nnb AS BIGINT) fp, CAST(npb AS BIGINT) fn,
+          CAST(nnb AS BIGINT) tn
+        FROM c ORDER BY source, threshold""")),
+
+    // q229: CUSUM change-point trajectory of daily volume per event type
+    // (Page, Biometrika 1954) — the LEVEL-SHIFT signal completing the
+    // time-series triptych: q186 answers "is it trending", q225 "is it
+    // periodic", CUSUM "did the level JUMP, and when" (a deploy that
+    // doubles click volume shows a cusum_up ramp from the change day;
+    // the slow drift Mann–Kendall sees barely moves it). Recursions
+    // S⁺_t = max(0, S⁺_{t−1} + (x_t − k)) and S⁻_t = max(0, S⁻_{t−1} +
+    // (k − x_t)) are window-expressible through the prefix identity
+    // S⁺_t = P_t − min(0, min_{i≤t} P_i), S⁻_t = max(0, max_{i≤t} P_i)
+    // − P_t with P the running sum of (x − k) — so the plan is two
+    // cumulative windows, not a per-row recursion. Reference k = each
+    // type's mean daily count floored (tot div n_days — integer, exact).
+    // Series = the same DENSE day grid as q225 (missing days are real
+    // zero observations). Shape: corpus → (type, day) grid in one count
+    // shuffle; the cut dense grid feeds the k aggregate and the
+    // trajectory; every window is partitioned by type over day rows.
+    QueryDef("q229_cusum",
+      (s, d) => {
+        val daily = ev(s, d)
+          .groupBy(col("event_type"),
+            datediff(to_date(col("ts")), to_date(lit("1970-01-01")))
+              .cast("long").as("dd"))
+          .agg(count(lit(1)).as("c"))
+        // CUT: the dense grid feeds the per-type reference aggregate AND
+        // the trajectory join (day-grid-sized, the staging line)
+        val dense = graft.operators.Checkpoints.cut(
+          daily.groupBy("event_type")
+            .agg(min("dd").as("lo"), max("dd").as("hi"))
+            .select(col("event_type"),
+              explode(sequence(col("lo"), col("hi"))).as("dd"))
+            .join(daily, Seq("event_type", "dd"), "left")
+            .select(col("event_type"), col("dd"),
+              coalesce(col("c"), lit(0L)).as("c")))
+        val ref = dense.groupBy("event_type")
+          .agg(sum("c").as("ct"), count(lit(1)).as("nd"))
+          .select(col("event_type"), expr("ct div nd").as("k"))
+        val w = Window.partitionBy("event_type").orderBy("dd")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        graft.operators.Checkpoints.sealAndRelease(
+          dense.join(broadcast(ref), "event_type")
+            .withColumn("p", sum(col("c") - col("k")).over(w))
+            .withColumn("pmin", min("p").over(w))
+            .withColumn("pmax", max("p").over(w))
+            .select(col("event_type"), col("dd"), col("c").as("x"),
+              col("k").as("k_ref"),
+              (col("p") - least(lit(0L), col("pmin"))).as("cusum_up"),
+              (greatest(lit(0L), col("pmax")) - col("p")).as("cusum_lo"))
+            .orderBy("event_type", "dd"),
+          dense)
+      },
+      Some("""WITH daily AS (SELECT event_type,
+            date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) dd,
+            count(*) c FROM events GROUP BY 1, 2),
+          span AS (SELECT event_type, min(dd) lo, max(dd) hi
+            FROM daily GROUP BY 1),
+          days AS (SELECT event_type, unnest(generate_series(lo, hi)) dd
+            FROM span),
+          dense AS (SELECT days.event_type, days.dd, coalesce(daily.c, 0) c
+            FROM days LEFT JOIN daily
+              ON daily.event_type = days.event_type AND daily.dd = days.dd),
+          ref AS (SELECT event_type, sum(c) // count(*) k
+            FROM dense GROUP BY 1),
+          p AS (SELECT d.event_type, d.dd, d.c, r.k,
+              sum(d.c - r.k) OVER (PARTITION BY d.event_type ORDER BY d.dd
+                ROWS UNBOUNDED PRECEDING) p
+            FROM dense d JOIN ref r ON r.event_type = d.event_type),
+          m AS (SELECT *,
+              min(p) OVER (PARTITION BY event_type ORDER BY dd
+                ROWS UNBOUNDED PRECEDING) pmin,
+              max(p) OVER (PARTITION BY event_type ORDER BY dd
+                ROWS UNBOUNDED PRECEDING) pmax FROM p)
+        SELECT event_type, CAST(dd AS BIGINT) dd, CAST(c AS BIGINT) x,
+          CAST(k AS BIGINT) k_ref,
+          CAST(p - least(0, pmin) AS BIGINT) cusum_up,
+          CAST(greatest(0, pmax) - p AS BIGINT) cusum_lo
+        FROM m ORDER BY event_type, dd""")),
+
+    // q230: per-source AUC — q178 grouped, the ranking-number companion
+    // to q227's per-source operating points ("does length rank
+    // English-ness WITHIN each source, or only via between-source
+    // composition" — Simpson's reversal is invisible to the global AUC).
+    // Same signal (n_chars predicting lang = 'en'); one (source, value)
+    // class-histogram shuffle, the tie-corrected 2U accumulates over the
+    // PARTITIONED per-source value grid.
+    QueryDef("q230_auc_by_source",
+      (s, d) => graft.operators.Eval.aucHistogramPerGroup(
+        docs(s, d).select(col("source"),
+          (col("lang") === lit("en")).as("pos"), col("n_chars").as("v")),
+        "source", "pos", "v").orderBy("source"),
+      Some("""WITH h AS (SELECT source, n_chars v,
+            sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) np,
+            sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) nn
+          FROM documents GROUP BY 1, 2),
+          c AS (SELECT source, np, nn,
+              coalesce(sum(nn) OVER (PARTITION BY source ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) nnb
+            FROM h)
+        SELECT source, CAST(sum(np * (2 * nnb + nn)) AS BIGINT) auc_num2,
+          CAST(sum(np) AS BIGINT) n_pos, CAST(sum(nn) AS BIGINT) n_neg
+        FROM c GROUP BY source ORDER BY source"""))
   )
 }

@@ -41,6 +41,13 @@ object TextDedupOps {
   private val lshIndexCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
 
+  // q228's full daily-relabel lifecycle artifact (index build + two
+  // append/probe/relabel rounds + the final label table), run ONCE per
+  // (session, sf dir): the appends MUTATE the at-rest index, so the
+  // lifecycle itself must not re-run per invocation — the registered
+  // query reads the published labels, the q193/q221 at-rest stance.
+  private val relabelCache = new SessionMemo[String]
+
   // DuckDB-side exact 3-gram Jaccard pairs >= 0.6 (shared oracle for the
   // exact inverted-index path AND the MinHash-LSH path — banding recall for
   // the planted ~0.99-similarity pairs is 1-(1-s^4)^12 ≈ 1-1e-13, and the
@@ -262,6 +269,81 @@ object TextDedupOps {
         SELECT id_a, id_b, round(inter / (na + nb - inter), 4) AS jaccard
         FROM pairs WHERE round(inter / (na + nb - inter), 4) >= 0.6
         ORDER BY id_a, id_b""")),
+
+    // q228: the WHOLE daily-relabel story through one gate — the dedup
+    // family's at-rest lifecycle composed end-to-end (what q147 proves
+    // for the index and q164 for the label algebra, composed and driven
+    // through a hash-match): batch 0 builds the LSH index and seeds the
+    // label table from its own near-dup pairs; each later batch (1) is
+    // APPENDED to the index (signs only itself — appendToLshIndex),
+    // (2) probes the index for its pairs against everything ingested so
+    // far (including itself), and (3) relabels ONLY the touched
+    // components (incrementalComponents — the corpus label table is
+    // never iterated). Every cross-batch pair is discovered exactly by
+    // the later batch's probe, and min-id labels compose, so the final
+    // table must equal the full recursive-CTE solve over ALL exact
+    // near-dup pairs — which is the oracle (shared-oracle argument as
+    // q35/q147: banding recall ≈ 1 on this corpus's planted pairs). The
+    // lifecycle runs once per session/dir (appends mutate the index);
+    // the registered read is label-table-sized. At 100 TB each day pays
+    // ONE batch signing + a batch-broadcast probe + a quotient-graph
+    // solve bounded by the day's collisions.
+    QueryDef("q228_dedup_relabel_lifecycle",
+      (s, d) => {
+        val path = relabelCache(s, d) {
+          val base = java.nio.file.Files
+            .createTempDirectory("graft_q228").toString
+          val idx = s"$base/index"
+          def slice(i: Int) =
+            docs(s, d).filter(pmod(col("doc_id"), lit(3L)) === i)
+          Dedup.buildLshIndex(slice(0), "doc_id", "text", 3, idx)
+          // every probe and label table is SNAPSHOTTED (Checkpoints.cut)
+          // before the next append MUTATES the index: lshIndexedPairs
+          // returns a lazy frame that re-reads the bucket postings at
+          // evaluation time, so an un-cut round-1 probe evaluated inside
+          // round 2's plan would see batch 2's postings and silently
+          // mislabel (the production shape too — a daily relabel
+          // materializes the day's pairs before the next ingest lands)
+          var labels = graft.operators.Components.connectedComponents(
+            graft.operators.Checkpoints.cut(
+              Dedup.lshIndexedPairs(s, idx, slice(0), "doc_id", "text", 0.6)),
+            "id_a", "id_b")
+          (1 to 2).foreach { i =>
+            Dedup.appendToLshIndex(s, idx, slice(i), "doc_id", "text")
+            val pairs = graft.operators.Checkpoints.cut(
+              Dedup.lshIndexedPairs(s, idx, slice(i), "doc_id", "text", 0.6))
+            labels = graft.operators.Checkpoints.cut(
+              graft.operators.Components.incrementalComponents(
+                labels, pairs, "id_a", "id_b"))
+          }
+          labels.write.parquet(s"$base/labels")
+          s"$base/labels"
+        }
+        s.read.parquet(path)
+          .select(col("id").as("doc_id"), col("cluster"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE
+          toks AS (SELECT doc_id, $OToks t FROM documents),
+          sets AS (SELECT doc_id, $OShingles sh FROM toks WHERE len(t) >= 3),
+          inv AS (SELECT doc_id, len(sh) n, unnest(sh) shingle FROM sets),
+          jp AS (
+            SELECT id_a, id_b FROM (
+              SELECT a.doc_id id_a, b.doc_id id_b, a.n na, b.n nb,
+                count(*) inter
+              FROM inv a JOIN inv b ON a.shingle = b.shingle
+                AND a.doc_id < b.doc_id
+              GROUP BY 1, 2, 3, 4) p
+            WHERE round(inter / (na + nb - inter), 4) >= 0.6),
+          edges AS (SELECT id_a s, id_b d FROM jp
+            UNION ALL SELECT id_b, id_a FROM jp),
+          reach AS (
+            SELECT DISTINCT s AS id, s AS lbl FROM edges
+            UNION
+            SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.id)
+        SELECT CAST(id AS BIGINT) doc_id,
+          CAST(min(lbl) AS BIGINT) AS "cluster"
+        FROM reach GROUP BY 1 ORDER BY doc_id""")),
 
     // q150: LEAKAGE-PROOF train/val/test split — q75's hash split keyed on
     // the near-dup CLUSTER representative instead of the document: two

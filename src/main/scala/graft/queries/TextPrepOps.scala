@@ -33,6 +33,12 @@ object TextPrepOps {
     bpeModelCache.getOrElseUpdate((s, d),
       graft.operators.Bpe.learn(docs(s, d), "text", numMerges = 20, minCount = 2))
 
+  // q233's persisted tokenizer artifact, written ONCE per (session, sf
+  // dir) — the q193/q147 at-rest lifecycle for the BPE model: the
+  // registered query encodes from the artifact read back off disk, never
+  // from the in-memory model object.
+  private val bpeArtifactCache = new SessionMemo[String]
+
   private[graft] val defs: Seq[QueryDef] = Seq(
 
     // q100: overlapping context-window chunking — 32-token chunks with
@@ -231,6 +237,40 @@ object TextPrepOps {
         SELECT doc_id, score, cost, CAST(cum AS BIGINT) AS cum_tokens
         FROM r WHERE cum <= 20000 ORDER BY score DESC, doc_id""")),
 
+    // q234: PER-SOURCE token-budget selection — q168's greedy knapsack
+    // with an independent budget per source (5k tokens each): the
+    // mixture-construction read ("the best N tokens from EACH source")
+    // where the global greedy would let one verbose high-diversity
+    // source spend every other source's budget. Same score (distinct
+    // tokens) and cost (tokens); the per-group prefix sum reuses the
+    // grouped two-phase machinery (global score buckets →
+    // per-(source, bucket) offsets → boundary-bucket-only row windows),
+    // so a skewed source spreads across buckets and the corpus past
+    // each source's budget boundary does no window work.
+    QueryDef("q234_budget_select_by_source",
+      (s, d) => {
+        val t = TextFns.tokens(col("text"))
+        val scored = docs(s, d).select(col("source"), col("doc_id"),
+          size(array_distinct(t)).cast("long").as("score"),
+          size(t).cast("long").as("cost"))
+        Sampling.budgetSelectPerGroup(scored, "doc_id", "source",
+            "score", "cost", 5000L)
+          .select(col("grp").as("source"), col("id").as("doc_id"),
+            col("score"), col("cost"), col("cum").as("cum_tokens"))
+          .orderBy(col("source"), col("score").desc, col("doc_id"))
+      },
+      Some(s"""WITH x AS (SELECT source, doc_id, $OToks t FROM documents),
+          d AS (SELECT source, doc_id,
+              CAST(len(list_distinct(t)) AS BIGINT) AS score,
+              CAST(len(t) AS BIGINT) AS cost FROM x),
+          r AS (SELECT source, doc_id, score, cost,
+              sum(cost) OVER (PARTITION BY source
+                ORDER BY score DESC, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            FROM d)
+        SELECT source, doc_id, score, cost, CAST(cum AS BIGINT) AS cum_tokens
+        FROM r WHERE cum <= 5000 ORDER BY source, score DESC, doc_id""")),
+
     // q173: token-weighted median document length per source — the
     // statistic the per-doc median gets wrong (short docs overweighted):
     // "the median TOKEN lives in a document of n_chars ≈ v". Exact and
@@ -397,6 +437,31 @@ object TextPrepOps {
         .select(col("id").as("doc_id"), col("n_tokens"),
           concat_ws(" ", slice(col("toks"), 1, 8)).as("tok_prefix"))
         .orderBy("doc_id"),
+      None),
+
+    // q233: BPE encode from the PERSISTED tokenizer artifact — the
+    // at-rest rung of the tokenizer lifecycle (write the merge list once,
+    // encode from the artifact read back off disk), the q193/q221
+    // resume-without-retrain stance applied to the one long-lived state
+    // that had no at-rest form. Output ≡ q128 bit-for-bit (GoldenHashSpec
+    // pins both to the SAME content hash — the lifecycle identity, as
+    // q38 ≡ q103 pins saved-index ≡ inline); learned merges aren't
+    // SQL-replayable, so rows-only at the driver like the rest of the
+    // BPE family.
+    QueryDef("q233_bpe_encode_at_rest",
+      (s, d) => {
+        val path = bpeArtifactCache(s, d) {
+          val base = java.nio.file.Files
+            .createTempDirectory("graft_q233").toString
+          graft.operators.Bpe.writeModel(s, bpeModel(s, d).merges, base)
+          base
+        }
+        graft.operators.Bpe.encode(docs(s, d), "doc_id", "text",
+            graft.operators.Bpe.readMerges(s, path))
+          .select(col("id").as("doc_id"), col("n_tokens"),
+            concat_ws(" ", slice(col("toks"), 1, 8)).as("tok_prefix"))
+          .orderBy("doc_id")
+      },
       None),
 
     // q138: curriculum construction — easy→hard staging by token count

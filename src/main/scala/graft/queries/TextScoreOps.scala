@@ -959,16 +959,15 @@ object TextScoreOps {
     // (train = "then", score = "now"), so back-off genuinely fires:
     // now-half trigrams unseen in the then half fall to the bigram leg,
     // then the unigram leg, then 0 (the all-orders-OOV case). Shape:
-    // ONE token-instance explode carrying each position's two left
-    // neighbors serves all three train tables AND the scoring instances
-    // (the q131/q132 envelope — no per-order re-tokenize... the explode
-    // itself recomputes per consumer, accepted like q131's: the
-    // alternative cuts a corpus-instance-sized frame, against the
-    // staging line); the rate tables are Heap's-law bounded
-    // (trigram/bigram/unigram types), so the three scoring joins are
-    // vocabulary-keyed — broadcastable when they fit, hash-shuffle on
-    // the n-gram key at corpus scale; the per-doc rollup is one
-    // combinable hash agg.
+    // ONE token-instance explode carries each position's two left
+    // neighbors; the TRAIN side collapses it once into a staged
+    // (p2, p1, w) context-count table from which uni/bi/tri/N all
+    // derive as marginals (the q181/q212 staged-cells pattern — the
+    // corpus pays one explode for training, one for scoring), the rate
+    // tables are Heap's-law bounded (trigram/bigram/unigram types), so
+    // the three scoring joins are vocabulary-keyed — broadcastable when
+    // they fit, hash-shuffle on the n-gram key at corpus scale; the
+    // per-doc rollup is one combinable hash agg.
     QueryDef("q224_lm_backoff",
       (s, d) => {
         val nd = docs(s, d).agg(count(lit(1)).as("nd"))
@@ -993,15 +992,24 @@ object TextScoreOps {
             .as("g"))
           .select(col("doc_id"), col("fh"), col("g.w").as("w"),
             col("g.p1").as("p1"), col("g.p2").as("p2"))
-        val train = inst.filter(col("fh"))
-        val uni = train.groupBy("w").agg(count(lit(1)).as("cu"))
-        val ntok = train.agg(count(lit(1)).as("n"))
-        val bi = train.filter(col("p1").isNotNull)
+        // ONE train pass: the (p2, p1, w) context-count table holds every
+        // lower-order count as a marginal (rows with p2 NULL are the
+        // bigram-only positions, p1 NULL the document starts), so
+        // uni/bi/tri/N all derive from this staged Heap's-law-bounded
+        // frame — the q181/q212 marginals-from-staged-cells pattern;
+        // without the cut each rate table re-ran the corpus explode
+        val tcc = graft.operators.Checkpoints.cut(
+          inst.filter(col("fh"))
+            .groupBy(col("p2"), col("p1"), col("w"))
+            .agg(count(lit(1)).as("cnt")))
+        val uni = tcc.groupBy("w").agg(sum("cnt").as("cu"))
+        val ntok = tcc.agg(sum("cnt").as("n"))
+        val bi = tcc.filter(col("p1").isNotNull)
           .groupBy(col("p1").as("l"), col("w").as("r"))
-          .agg(count(lit(1)).as("cb"))
-        val tri = train.filter(col("p2").isNotNull)
-          .groupBy(col("p2").as("a"), col("p1").as("b"), col("w").as("c"))
-          .agg(count(lit(1)).as("ct"))
+          .agg(sum("cnt").as("cb"))
+        val tri = tcc.filter(col("p2").isNotNull)
+          .select(col("p2").as("a"), col("p1").as("b"), col("w").as("c"),
+            col("cnt").as("ct"))
         val rate3 = tri.join(bi,
             tri("a") === bi("l") && tri("b") === bi("r"))
           .select(col("a"), col("b"), col("c"),
@@ -1029,18 +1037,20 @@ object TextScoreOps {
             sum(when(col("depth") === 1, 1L).otherwise(0L)).as("n1"),
             sum(when(col("depth") === 0, 1L).otherwise(0L)).as("n0"),
             sum("sco").as("ss"))
-        x.filter(!col("fh")).select("doc_id")
-          .join(per, Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            coalesce(col("np"), lit(0L)).cast("int").as("n_pos"),
-            coalesce(col("n3"), lit(0L)).cast("int").as("n_tri"),
-            coalesce(col("n2"), lit(0L)).cast("int").as("n_bi"),
-            coalesce(col("n1"), lit(0L)).cast("int").as("n_uni"),
-            coalesce(col("n0"), lit(0L)).cast("int").as("n_oov"),
-            coalesce(col("ss"), lit(0L)).as("score_sum"),
-            when(col("np").isNull, lit(0L))
-              .otherwise(floor(col("ss") / col("np"))).as("fluency_micro"))
-          .orderBy("doc_id")
+        graft.operators.Checkpoints.sealAndRelease(
+          x.filter(!col("fh")).select("doc_id")
+            .join(per, Seq("doc_id"), "left")
+            .select(col("doc_id"),
+              coalesce(col("np"), lit(0L)).cast("int").as("n_pos"),
+              coalesce(col("n3"), lit(0L)).cast("int").as("n_tri"),
+              coalesce(col("n2"), lit(0L)).cast("int").as("n_bi"),
+              coalesce(col("n1"), lit(0L)).cast("int").as("n_uni"),
+              coalesce(col("n0"), lit(0L)).cast("int").as("n_oov"),
+              coalesce(col("ss"), lit(0L)).as("score_sum"),
+              when(col("np").isNull, lit(0L))
+                .otherwise(floor(col("ss") / col("np"))).as("fluency_micro"))
+            .orderBy("doc_id"),
+          tcc)
       },
       Some(s"""WITH n AS (SELECT count(*) nd FROM documents),
           x AS (SELECT doc_id, (doc_id * 2 < n.nd) fh, $OToks t
@@ -1094,5 +1104,79 @@ object TextScoreOps {
             ELSE floor(ss::DOUBLE / np::DOUBLE) END AS BIGINT) fluency_micro
         FROM x LEFT JOIN per ON x.doc_id = per.doc_id
         WHERE NOT x.fh ORDER BY x.doc_id""")),
+
+    // q232: the prep-pipeline SURVIVAL FUNNEL — per-stage drop accounting
+    // for the q90 cascade (exact-dedup → lang → min-length → repetition
+    // gate), the observability read a composed pipeline owes its
+    // operator ("which gate ate my corpus?" — q90 reports only the final
+    // split census; a miswired gate that drops 40% is invisible there).
+    // One corpus scan: per-doc flags are cumulative conjunctions
+    // computed in a single projection over the fingerprint window, then
+    // ONE aggregate folds stage counts + surviving-token sums, and the
+    // 4-row funnel reshapes from that single row (stack — grid-sized).
+    // Stages: 1 exact-dup survivor (q30's rn=1 per md5(lower(text))),
+    // 2 lang='en', 3 ≥32 tokens, 4 distinct-token ratio ≥ 30% (the q96
+    // repetition cut, integer form ndt·10 ≥ nt·3). tokens_out tracks
+    // the BUDGET view (surviving tokens per stage) beside the doc view.
+    QueryDef("q232_prep_funnel",
+      (s, d) => {
+        val t = TextFns.tokens(col("text"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("fp").orderBy("doc_id")
+        val flagged = docs(s, d)
+          .select(col("doc_id"), col("lang"),
+            md5(lower(col("text"))).as("fp"),
+            size(t).cast("long").as("nt"),
+            size(array_distinct(t)).cast("long").as("ndt"))
+          .withColumn("s1", row_number().over(w) === 1)
+          .withColumn("s2", col("s1") && col("lang") === "en")
+          .withColumn("s3", col("s2") && col("nt") >= 32L)
+          .withColumn("s4", col("s3") && col("ndt") * 10L >= col("nt") * 3L)
+        def n(c: String) = sum(when(col(c), 1L).otherwise(0L))
+        def tok(c: String) = sum(when(col(c), col("nt")).otherwise(0L))
+        flagged.agg(count(lit(1)).as("n0"),
+            n("s1").as("n1"), n("s2").as("n2"),
+            n("s3").as("n3"), n("s4").as("n4"),
+            tok("s1").as("tok1"), tok("s2").as("tok2"),
+            tok("s3").as("tok3"), tok("s4").as("tok4"))
+          .selectExpr("""stack(4,
+              1, 'exact_dedup',       n0, n1, tok1,
+              2, 'lang_en',           n1, n2, tok2,
+              3, 'min_tokens_32',     n2, n3, tok3,
+              4, 'distinct_ratio_30', n3, n4, tok4)
+            as (stage, gate, n_in, n_out, tokens_out)""")
+          .withColumn("dropped", col("n_in") - col("n_out"))
+          .select("stage", "gate", "n_in", "n_out", "dropped", "tokens_out")
+          .orderBy("stage")
+      },
+      Some(s"""WITH x AS (SELECT doc_id, lang, md5(lower(text)) fp,
+            $OToks t FROM documents),
+          f AS (SELECT doc_id, lang, CAST(len(t) AS BIGINT) nt,
+              CAST(len(list_distinct(t)) AS BIGINT) ndt,
+              row_number() OVER (PARTITION BY fp ORDER BY doc_id) rn
+            FROM x),
+          g AS (SELECT nt, (rn = 1) s1,
+              (rn = 1 AND lang = 'en') s2,
+              (rn = 1 AND lang = 'en' AND nt >= 32) s3,
+              (rn = 1 AND lang = 'en' AND nt >= 32 AND ndt * 10 >= nt * 3) s4
+            FROM f),
+          a AS (SELECT CAST(count(*) AS BIGINT) n0,
+              CAST(sum(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) n1,
+              CAST(sum(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT) n2,
+              CAST(sum(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT) n3,
+              CAST(sum(CASE WHEN s4 THEN 1 ELSE 0 END) AS BIGINT) n4,
+              CAST(sum(CASE WHEN s1 THEN nt ELSE 0 END) AS BIGINT) tok1,
+              CAST(sum(CASE WHEN s2 THEN nt ELSE 0 END) AS BIGINT) tok2,
+              CAST(sum(CASE WHEN s3 THEN nt ELSE 0 END) AS BIGINT) tok3,
+              CAST(sum(CASE WHEN s4 THEN nt ELSE 0 END) AS BIGINT) tok4
+            FROM g)
+        SELECT stage, gate, n_in, n_out, n_in - n_out AS dropped, tokens_out
+        FROM (
+          SELECT 1 stage, 'exact_dedup' gate, n0 n_in, n1 n_out,
+            tok1 tokens_out FROM a
+          UNION ALL SELECT 2, 'lang_en', n1, n2, tok2 FROM a
+          UNION ALL SELECT 3, 'min_tokens_32', n2, n3, tok3 FROM a
+          UNION ALL SELECT 4, 'distinct_ratio_30', n3, n4, tok4 FROM a)
+        ORDER BY stage""")),
   )
 }

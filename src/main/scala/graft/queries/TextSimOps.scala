@@ -251,6 +251,56 @@ object TextSimOps {
           FROM p) t
         WHERE rn <= 10 ORDER BY query_id, rnk""")),
 
+    // q231: binary sign-quantized Hamming top-10 — the 1-bit compression
+    // rung next to q99's int8 (32× memory vs 4×): 64 float dims pack
+    // into two 32-bit sign words, candidates come from XOR+popcount
+    // Hamming in the compressed domain (top-64 shortlist per query,
+    // deterministic (hamming, id) boundary), and the exact float cosine
+    // reranks ONLY the shortlist — full vectors move for candidates
+    // alone. Fully deterministic ⇒ the oracle replays the packing, the
+    // Hamming shortlist, and the rounded-cos rerank bit-for-bit; recall
+    // vs the exact q37 ranking is measured in SimilaritySpec.
+    QueryDef("q231_binary_hamming_topk",
+      (s, d) => Similarity.binaryHammingTopK(emb(s, d), "vec_id",
+          "embedding", col("vec_id") < 20, 64, 10)
+        .select(col("query_id"), col("rank").cast("int").as("rnk"),
+          col("neighbor_id"), col("hamming"), col("cos"))
+        .orderBy("query_id", "rnk"),
+      Some("""WITH c AS (
+          SELECT vec_id,
+            CAST(list_sum(list_transform(generate_series(1, 32),
+              j -> CASE WHEN embedding[j] > 0
+                THEN (1::BIGINT << (j - 1)) ELSE 0 END)) AS BIGINT) lo,
+            CAST(list_sum(list_transform(generate_series(33, 64),
+              j -> CASE WHEN embedding[j] > 0
+                THEN (1::BIGINT << (j - 33)) ELSE 0 END)) AS BIGINT) hi,
+            embedding,
+            sqrt(list_sum(list_transform(embedding,
+              x -> x::DOUBLE * x::DOUBLE))) nrm
+          FROM embeddings),
+        h AS (
+          SELECT q.vec_id query_id, n.vec_id id,
+            bit_count(xor(q.lo, n.lo)) + bit_count(xor(q.hi, n.hi)) hamming
+          FROM c q JOIN c n ON n.vec_id != q.vec_id
+          WHERE q.vec_id < 20),
+        sl AS (SELECT query_id, id, hamming FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY hamming, id) rn FROM h) t
+          WHERE rn <= 64),
+        r AS (
+          SELECT sl.query_id, sl.id, sl.hamming,
+            round(list_sum(list_transform(
+                generate_series(1, len(q.embedding)),
+                i -> q.embedding[i]::DOUBLE * n.embedding[i]::DOUBLE))
+              / (q.nrm * n.nrm), 6) cos
+          FROM sl JOIN c q ON q.vec_id = sl.query_id
+            JOIN c n ON n.vec_id = sl.id)
+        SELECT query_id, CAST(rn AS INTEGER) rnk, id AS neighbor_id,
+          CAST(hamming AS INTEGER) hamming, cos FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cos DESC, id) rn FROM r) t
+        WHERE rn <= 10 ORDER BY query_id, rnk""")),
+
     // q140: hybrid retrieval via reciprocal-rank fusion — the exact float
     // ranking (q37's path) and the int8-quantized ranking (q99's path)
     // each contribute their top-20 per query; RRF (1/(60+rank), Cormack

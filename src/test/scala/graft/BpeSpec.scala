@@ -207,6 +207,30 @@ class BpeSpec extends SparkSpec {
     assert(perWord === fromSegs)
   }
 
+  test("at-rest artifact: writeModel/readMerges round-trips exactly; wrong-kind fails fast") {
+    val docs = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val model = Bpe.learn(docs, "text", numMerges = 12, minCount = 2)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_bpe_spec").toString
+    Bpe.writeModel(spark, model.merges, path)
+    val back = Bpe.readMerges(spark, path)
+    assert(back === model.merges,
+      "the persisted merge list must round-trip in rank order, counts included")
+    // encode from the artifact ≡ encode from the in-memory model
+    val a = Bpe.encode(docs, "doc_id", "text", back)
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    val b = Bpe.encode(docs, "doc_id", "text", model.merges)
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    assert(a === b)
+    // a non-tokenizer path is a domain error (the shared kind-tag contract)
+    val none = intercept[IllegalArgumentException] {
+      Bpe.readMerges(spark,
+        java.nio.file.Files.createTempDirectory("graft_bpe_none").toString)
+    }
+    assert(none.getMessage.contains("no graft index"))
+  }
+
   test("encode handles unseen words: char fallback plus applicable merges") {
     val train = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
       .toDF("doc_id", "text")

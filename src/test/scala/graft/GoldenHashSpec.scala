@@ -67,6 +67,10 @@ class GoldenHashSpec extends SparkSpec {
   pinned("q123_ivfpq_topk", "47f7cdf9fe121cf06479a0d28d75365e")
   // BPE (trained model is memoized per (session, dir) but deterministic)
   pinned("q124_bpe_merges", "745b2478fd0a41d21d2c6091854964ca")
+  // q233 pins the SAME hash as q128: encode from the PERSISTED merge
+  // artifact ≡ encode from the in-memory model (the tokenizer lifecycle
+  // identity, as q38 ≡ q103 for the IVF index)
+  pinned("q233_bpe_encode_at_rest", "4081f18b06185ea16f845be6646121f3")
   pinned("q125_bpe_vocab", "2b4248cbcf31510e4f90c62755ca97df")
   pinned("q128_bpe_encode", "4081f18b06185ea16f845be6646121f3")
   // compression ratio: deterministic per zlib build (the container's JDK),

@@ -74,6 +74,33 @@ class LshIndexSpec extends SparkSpec {
     assert(indexed === expected)
   }
 
+  test("mutable-source contract: a cut probe snapshot is append-immune") {
+    // the q228 composition bug class: lshIndexedPairs reads the bucket
+    // postings lazily, so a probe frame held across a later append MAY
+    // see the grown index when finally evaluated (whether it does hinges
+    // on Spark's file-listing cache, i.e. not a contract either way).
+    // The documented contract is to Checkpoints.cut the frame before
+    // mutating — the snapshot must be bit-stable across appends.
+    val path = tmp("graft_lsh_spec_mut")
+    Dedup.buildLshIndex(corpus, "doc_id", "text", 3, path)
+    val batch = Seq(
+      (30L, "a very specific sentence that will also arrive in the appended day"))
+      .toDF("doc_id", "text")
+    val cutPairs = graft.operators.Checkpoints.cut(
+      Dedup.lshIndexedPairs(spark, path, batch, "doc_id", "text", 0.5))
+    assert(cutPairs.count() === 0, "nothing indexed matches the batch yet")
+    // append a near-dup of the batch doc INTO the index
+    Dedup.appendToLshIndex(spark, path,
+      Seq((31L, "a very specific sentence that will also arrive in the appended days"))
+        .toDF("doc_id", "text"), "doc_id", "text")
+    // ground truth that the index really grew: a FRESH probe finds it
+    assert(Dedup.lshIndexedPairs(spark, path, batch, "doc_id", "text", 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+      .toSet === Set((30L, 31L)))
+    assert(cutPairs.count() === 0,
+      "the cut snapshot must not see postings appended after it")
+  }
+
   test("probing a non-index or wrong-kind path is a domain error") {
     val none = intercept[IllegalArgumentException] {
       Dedup.lshIndexedPairs(spark, tmp("graft_lsh_none"), corpus,

@@ -612,4 +612,39 @@ class PlanGuardSpec extends SparkSpec {
         s"$q: the support prune and attachment joins must broadcast:\n$p")
     }
   }
+
+  // scan counting needs the STATIC plan: finalized adaptive plans hide
+  // scans below leaf QueryStageExecs (the ScanAudit lesson), so AQE is
+  // off while the plan under inspection is built
+  private def scanCount(name: String, table: String): Int = {
+    val prior = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan
+        .collect {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec
+              if s.relation.location.rootPaths.headOption
+                .exists(_.getName == table) => s
+        }.size
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prior)
+  }
+
+  test("staged drift queries pay ONE corpus scan (the r16 ScanAudit sweep, pinned)") {
+    // the FromCounts trio cuts its normalized count table inside the
+    // operator — the one corpus scan runs in the cut's own
+    // materialization job, so the REGISTERED plan reads the staged
+    // LogicalRDD and holds at most one residual corpus scan (q177 held
+    // SIX before the sweep); ≥2 here is the repeated-scan smell back
+    for (q <- Seq("q177_ks_drift", "q192_tv_drift", "q195_w1_drift"))
+      assert(scanCount(q, "documents.parquet") <= 1,
+        s"$q must not re-derive the staged count table per consumer")
+  }
+
+  test("q224 backoff LM: two heavy corpus passes (train fold + scoring), three scans total") {
+    // train collapses to the staged (p2, p1, w) context-count table in
+    // ONE pass; scoring explodes once; the third scan is the doc_id-only
+    // presence read (column-pruned). Growth past 3 means a rate table
+    // re-runs the explode
+    assert(scanCount("q224_lm_backoff", "documents.parquet") <= 3)
+  }
 }

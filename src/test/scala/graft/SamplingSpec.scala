@@ -243,6 +243,36 @@ class SamplingSpec extends SparkSpec {
       "null score/cost rows must not be selected or affect cum")
   }
 
+  test("budgetSelectPerGroup: each group is the global greedy restricted to it") {
+    val rows = (1L to 200L).map(i =>
+      (s"src${i % 5}", i, (i * 7) % 31, 10L + i % 9))
+    for (b <- Seq(0L, 150L, 600L, 10000L)) {
+      val got = Sampling.budgetSelectPerGroup(
+          rows.toDF("grp", "id", "score", "cost"), "id", "grp", "score",
+          "cost", b)
+        .as[(String, Long, Long, Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3, r._4, r._5))
+          .sortBy(r => (-r._2, r._1)).toSeq).toMap
+      val want = rows.groupBy(_._1).view.mapValues(gr =>
+        refBudget(gr.map(r => (r._2, r._3, r._4)), b)).toMap
+        .filter(_._2.nonEmpty)
+      assert(got === want, s"budget=$b")
+    }
+  }
+
+  test("budgetSelectPerGroup: one group exhausting its budget leaves others untouched") {
+    // src a's best doc alone blows the budget for anything after it;
+    // src b fits everything — independence is the point of the operator
+    val rows = Seq(("a", 1L, 9L, 95L), ("a", 2L, 8L, 50L),
+      ("b", 3L, 1L, 30L), ("b", 4L, 2L, 30L))
+    val got = Sampling.budgetSelectPerGroup(
+        rows.toDF("grp", "id", "score", "cost"), "id", "grp", "score",
+        "cost", 100L)
+      .as[(String, Long, Long, Long, Long)].collect().sortBy(_._2).toSeq
+    assert(got === Seq(("a", 1L, 9L, 95L, 95L),
+      ("b", 3L, 1L, 30L, 60L), ("b", 4L, 2L, 30L, 30L)))
+  }
+
   test("budgetSelect on an empty frame returns an empty frame") {
     val out = Sampling.budgetSelect(
       Seq.empty[(Long, Long, Long)].toDF("id", "score", "cost"),

@@ -138,6 +138,68 @@ class SimilaritySpec extends SparkSpec {
     assert(approx.size <= exact.size, "ANN must not return more than k per query")
   }
 
+  test("packSignWords packs sign bits exactly (naive JVM reference, odd dims too)") {
+    val vecs = Seq(
+      (0L, Array(0.5f, -0.5f, 0f, 1f, -2f)),          // 5 dims → 1 word
+      (1L, Array.tabulate(64)(i => if (i % 3 == 0) 1f else -1f)),
+      (2L, Array.tabulate(33)(i => if (i == 32) 2f else -1f))) // crosses a word
+      .toDF("vec_id", "v")
+    val got = vecs.select(col("vec_id"),
+        Similarity.packSignWords("v")).as[(Long, Seq[Long])]
+      .collect().toMap
+    def ref(a: Array[Float]): Seq[Long] =
+      (0 to (a.length - 1) / 32).map { w =>
+        (0 until 32).map { j =>
+          val d = w * 32 + j
+          if (d < a.length && a(d) > 0) 1L << j else 0L
+        }.sum
+      }
+    val in = Seq(0L -> Array(0.5f, -0.5f, 0f, 1f, -2f),
+      1L -> Array.tabulate(64)(i => if (i % 3 == 0) 1f else -1f),
+      2L -> Array.tabulate(33)(i => if (i == 32) 2f else -1f))
+    for ((id, a) <- in) assert(got(id) === ref(a), s"vec $id")
+  }
+
+  test("binaryHammingTopK: reported hammings are exact; rerank cos matches brute force") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val raw = emb.select("vec_id", "embedding")
+      .as[(Long, Seq[Float])].collect().toMap
+    def code(a: Seq[Float]): (Long, Long) = {
+      def word(off: Int) =
+        (0 until 32).map(j => if (a(off + j) > 0) 1L << j else 0L).sum
+      (word(0), word(32))
+    }
+    val got = Similarity.binaryHammingTopK(emb, "vec_id", "embedding",
+        col("vec_id") < 5, 64, 10)
+      .select("query_id", "neighbor_id", "hamming", "cos")
+      .as[(Long, Long, Int, Double)].collect()
+    assert(got.length === 50, "5 queries x top-10")
+    val exactCos = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        col("vec_id") < 5, raw.size)
+      .select("query_id", "neighbor_id", "cos")
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    for ((q, n, h, c) <- got) {
+      val (qlo, qhi) = code(raw(q)); val (nlo, nhi) = code(raw(n))
+      val want = java.lang.Long.bitCount(qlo ^ nlo) +
+        java.lang.Long.bitCount(qhi ^ nhi)
+      assert(h === want, s"hamming($q, $n)")
+      assert(c === exactCos((q, n)), s"cos($q, $n) must be the exact value")
+    }
+  }
+
+  test("binaryHammingTopK recall@10 >= 0.5 vs brute force with a 64-shortlist (sf0.001)") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        col("vec_id") < 10, 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.binaryHammingTopK(emb, "vec_id", "embedding",
+        col("vec_id") < 10, 64, 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"1-bit shortlist=64 recall was $recall")
+  }
+
   test("k-means-trained centroids keep IVF recall at least at seed level") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", col("vec_id") < 10, 10)

@@ -690,4 +690,88 @@ class StatOpsSpec extends SparkSpec {
     assert(4L * num1 * num1 < dx1 * dy1,
       s"lag-1 num=$num1 den_x=$dx1 den_y=$dy1")
   }
+
+  test("q232 funnel: each constructed document is eaten by exactly the intended gate") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_funnel").toString
+    val good = (1 to 40).map(i => s"w$i").mkString(" ") // 40 distinct tokens
+    val german = (1 to 40).map(i => s"x$i").mkString(" ")
+    val docs = Seq(
+      (1L, good, "en"),                                // survives everything
+      (2L, good, "en"),                                // exact dup of 1 → stage 1
+      (3L, german, "de"),                              // wrong lang → stage 2
+      (4L, "just nine tokens of text sit right here now", "en"), // → stage 3
+      (5L, Seq.fill(40)("spam").mkString(" "), "en"))  // ndt/nt = 1/40 → stage 4
+      .map { case (id, t, l) => (id, t, l, "srcA", t.length.toLong) }
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$tmp/documents.parquet")
+    val got = SparkEntry.queries("q232_prep_funnel")(spark, tmp).collect()
+      .map(r => r.getInt(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5))).toMap
+    def nt(i: Int) = docs(i - 1)._2.split("\\s+").length.toLong
+    assert(got(1) === (("exact_dedup", 5L, 4L, 1L,
+      nt(1) + nt(3) + nt(4) + nt(5))))
+    assert(got(2) === (("lang_en", 4L, 3L, 1L, nt(1) + nt(4) + nt(5))))
+    assert(got(3) === (("min_tokens_32", 3L, 2L, 1L, nt(1) + nt(5))))
+    assert(got(4) === (("distinct_ratio_30", 2L, 1L, 1L, nt(1))))
+  }
+
+  test("q229 CUSUM equals the naive clamped recursion on dense daily counts") {
+    // the query computes S via the prefix identity (P_t − min(0, min P),
+    // max(0, max P) − P_t); the textbook definition is the per-day
+    // clamped recursion — they must agree value-for-value
+    val byTypeDay = graft.Tables.events(spark, dir)
+      .select("event_type", "ts")
+      .collect()
+      .map(r => (r.getString(0),
+        Math.floorDiv(r.getTimestamp(1).getTime, 86400000L)))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = q("q229_cusum").collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    var checked = 0
+    for (t <- byTypeDay.keySet.map(_._1)) {
+      val days = byTypeDay.collect { case ((`t`, d), c) => d -> c }
+      val (lo, hi) = (days.keys.min, days.keys.max)
+      val series = (lo to hi).map(d => d -> days.getOrElse(d, 0L))
+      val k = series.map(_._2).sum / series.size
+      var (up, dn) = (0L, 0L)
+      for ((d, x) <- series) {
+        up = math.max(0L, up + (x - k))
+        dn = math.max(0L, dn + (k - x))
+        assert(got((t, d)) === ((x, k, up, dn)), s"type=$t day=$d")
+        checked += 1
+      }
+    }
+    assert(checked === got.size, "the query emitted exactly the dense grid")
+  }
+
+  test("q229: a constructed level shift ramps cusum_up from the change day only") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cusum").toString
+    val base = 1704067200L // 2024-01-01T00:00:00Z, seconds (epoch-ns loader)
+    // 14 quiet days at 2/day, then 14 loud days at 8/day: k = 5 exactly
+    val rows = for {
+      d <- 0 until 28
+      j <- 0L until (if (d < 14) 2L else 8L)
+    } yield (d * 100L + j, (base + d * 86400L + j) * 1000000000L,
+      1L, "deploy", 1.0, "{}")
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$tmp/events.parquet")
+    val got = SparkEntry.queries("q229_cusum")(spark, tmp).collect()
+      .map(r => (r.getLong(1), (r.getLong(3), r.getLong(4), r.getLong(5))))
+      .sortBy(_._1).map(_._2)
+    assert(got.forall(_._1 == 5L), "k_ref = mean daily count = 5")
+    // quiet half: the upper cusum never leaves 0 (x − k = −3, clamped);
+    // the lower ramps +3/day to 42
+    assert(got.take(14).forall(_._2 == 0L))
+    assert(got(13)._3 === 42L)
+    // loud half: upper ramps +3/day from the change day to 42, lower
+    // drains back to 0 — the change point is readable off the trajectory
+    assert(got(20)._2 === 21L)
+    assert(got(27)._2 === 42L)
+    assert(got(27)._3 === 0L)
+  }
 }

@@ -43,6 +43,29 @@ class StatPropertySpec extends SparkSpec {
     })
   }
 
+  test("aucHistogramPerGroup == naive per-group all-pairs Mann–Whitney") {
+    val genGrouped: Gen[List[(String, Boolean, Long)]] = for {
+      n <- Gen.choose(1, 60)
+      rows <- Gen.listOfN(n, Gen.zip(Gen.oneOf("a", "b", "c"),
+        Gen.oneOf(true, false), Gen.choose(0L, 8L)))
+    } yield rows
+    check("aucg", Prop.forAll(genGrouped) { rows =>
+      val got = Eval.aucHistogramPerGroup(
+          rows.toDF("g", "pos", "v"), "g", "pos", "v")
+        .collect().map(r => r.getString(0) ->
+          (if (r.isNullAt(1)) 0L else r.getLong(1),
+            r.getLong(2), r.getLong(3))).toMap
+      val want = rows.groupBy(_._1).map { case (g, gr) =>
+        val pos = gr.filter(_._2).map(_._3)
+        val neg = gr.filterNot(_._2).map(_._3)
+        g -> ((for (p <- pos; n <- neg)
+          yield if (p > n) 2L else if (p == n) 1L else 0L).sum,
+          pos.size.toLong, neg.size.toLong)
+      }
+      got == want
+    })
+  }
+
   // nullable variant: NULL labels and NULL values must follow the stated
   // contract (label → negative, value → excluded), not vanish from both
   // classes (`!NULL` is NULL) or sort engine-dependently
@@ -322,6 +345,29 @@ class StatPropertySpec extends SparkSpec {
           rows.count(r => r._1 && r._2 < t).toLong,
           rows.count(r => !r._1 && r._2 < t).toLong)
         got(t) == naive
+      }
+    })
+  }
+
+  test("confusionByThresholdPerGroup == naive per-(group, threshold) confusion") {
+    val genGroupedLabeled: Gen[List[(String, Boolean, Long)]] = for {
+      n <- Gen.choose(1, 60)
+      rows <- Gen.listOfN(n, Gen.zip(Gen.oneOf("a", "b", "c"),
+        Gen.oneOf(true, false), Gen.choose(0L, 8L)))
+    } yield rows
+    check("prtg", Prop.forAll(genGroupedLabeled) { rows =>
+      val got = Eval.confusionByThresholdPerGroup(
+          rows.toDF("g", "pos", "v"), "g", "pos", "v")
+        .collect().map(r => (r.getString(0), r.getLong(1)) ->
+          (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+      val keys = rows.map(r => (r._1, r._3)).distinct
+      got.keySet == keys.toSet && keys.forall { case (g, t) =>
+        val gr = rows.filter(_._1 == g)
+        got((g, t)) == ((
+          gr.count(r => r._2 && r._3 >= t).toLong,
+          gr.count(r => !r._2 && r._3 >= t).toLong,
+          gr.count(r => r._2 && r._3 < t).toLong,
+          gr.count(r => !r._2 && r._3 < t).toLong))
       }
     })
   }
