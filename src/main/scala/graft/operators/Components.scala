@@ -1066,6 +1066,68 @@ object Components {
       .groupBy("id").agg(count(lit(1)).as("core_degree"))
       .filter(col("core_degree") >= k)
 
+  /** k-truss of an undirected simple graph (Cohen, NSA tech report 2008;
+    * Wang–Cheng VLDB'12) — the EDGE-grained density rung above [[kCore]]'s
+    * node-grained one: iteratively delete every edge lying in fewer than
+    * k−2 triangles OF THE SURVIVING SUBGRAPH, to a fixed point. A k-truss
+    * edge has k−2 common-neighbor witnesses inside the truss, so truss
+    * communities are cohesive where a k-core can still be a sparse hub
+    * star (a hub with 100 degree-1 spokes is a 1-core rich region with
+    * ZERO triangles — no 4-truss edge survives there). Every k-truss is
+    * a subgraph of the (k−1)-core (each endpoint of a surviving edge has
+    * ≥ k−2 truss neighbors through witnesses + the edge itself).
+    *
+    * Same fixed-round contract as [[kCore]]: `rounds` peels are always
+    * executed (a fixed-point round is a no-op — ComponentsSpec pins
+    * convergence at the registered budget on every testdata sf, so the
+    * static unrolled oracle cannot flicker). Support recomputes per
+    * round from scratch — at web scale each round is the q169 wedge
+    * join (Σ deg(v)² candidate work on the SHRINKING edge frame) + one
+    * (a, b) hash agg; the classic decremental algorithm saves constants,
+    * not complexity, and needs mutable per-edge state a declarative plan
+    * doesn't want.
+    *
+    * Output: (a, b, support) — the surviving canonical edges with their
+    * final within-truss support (all ≥ k−2 once converged).
+    */
+  def kTruss(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+      rounds: Int): DataFrame = {
+    require(k >= 3, "a k-truss needs k >= 3 (k = 2 is the whole graph)")
+    require(rounds >= 0, "peel rounds are nonnegative")
+    val raw = edges.select(col(srcCol).as("s"), col(dstCol).as("d"))
+      .filter(col("s") =!= col("d"))
+    var ue = Checkpoints.cut(raw.select(
+      least(col("s"), col("d")).as("a"),
+      greatest(col("s"), col("d")).as("b")).distinct())
+    (1 to rounds).foreach { _ =>
+      val next = Checkpoints.cut(
+        edgeSupport(ue).filter(col("support") >= k - 2).select("a", "b"))
+      Checkpoints.release(ue)
+      ue = next
+    }
+    val out = Checkpoints.cut(edgeSupport(ue))
+    Checkpoints.release(ue)
+    out
+  }
+
+  /** Per-edge triangle support of a canonical (a < b, deduplicated)
+    * undirected edge frame: wedges (x—w—y, x < y) from the
+    * two-orientation neighbor table self-joined on the shared neighbor
+    * (the q169 envelope), counted onto the edges they witness; edges
+    * with no triangles keep support 0 (left join). Exposed for
+    * PlanGuardSpec — the wedge join must stay node-id hash machinery. */
+  private[graft] def edgeSupport(ue: DataFrame): DataFrame = {
+    val bo = ue.select(col("a").as("u"), col("b").as("v"))
+      .union(ue.select(col("b").as("u"), col("a").as("v")))
+    val wedges = bo.as("p").join(bo.as("q"),
+        col("p.v") === col("q.v") && col("p.u") < col("q.u"))
+      .select(col("p.u").as("a"), col("q.u").as("b"))
+    ue.join(wedges.groupBy("a", "b").agg(count(lit(1)).as("support")),
+        Seq("a", "b"), "left")
+      .select(col("a"), col("b"),
+        coalesce(col("support"), lit(0L)).as("support"))
+  }
+
   /** Common-neighbors link prediction over a canonical (`aCol` < `bCol`,
     * deduplicated) undirected edge list: every NON-adjacent pair with at
     * least one shared neighbor, scored by the common-neighbor count (the

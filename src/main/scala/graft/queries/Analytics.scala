@@ -1547,6 +1547,53 @@ object Analytics {
               UNION ALL SELECT * FROM k6m)
         GROUP BY id ORDER BY token""")),
 
+    // q235: 4-truss of the token co-occurrence graph — the EDGE-grained
+    // density rung completing the cohesion ladder (q169 triangles count,
+    // q176/q189 k-core peels nodes by degree, k-truss peels EDGES by
+    // triangle support): every surviving edge lies in ≥ 2 triangles of
+    // the surviving subgraph, so a hub star that passes a degree peel
+    // scores zero here — truss communities are the triangle-cemented
+    // cores topic phrases live in. Fixed 6 peel rounds over the memoized
+    // coocEdges artifact (fixed point well inside the budget at every
+    // testdata sf, pinned in ComponentsSpec rounds-6 ≡ rounds-8, the
+    // q216 stop-budget discipline); each round is the q169 wedge join on
+    // the shrinking ≤100-edge frame. Oracle unrolls all six
+    // support/peel rounds as chained CTEs.
+    QueryDef("q235_ktruss",
+      (s, d) => graft.operators.Components
+        .kTruss(coocEdges(s, d), "wa", "wb", k = 4, rounds = 6)
+        .select(col("a").as("token_a"), col("b").as("token_b"),
+          col("support"))
+        .orderBy("token_a", "token_b"),
+      Some(s"""WITH x AS (SELECT doc_id, list_distinct(${TextShared.OToks}) t
+            FROM documents),
+          tok AS (SELECT doc_id, unnest(t) w FROM x),
+          pr AS (SELECT a.w wa, b.w wb, count(*) c FROM tok a
+                 JOIN tok b ON a.doc_id = b.doc_id AND a.w < b.w GROUP BY 1, 2),
+          rk AS (SELECT wa, wb, row_number() OVER (
+              ORDER BY c DESC, wa, wb) r FROM pr),
+          e0 AS MATERIALIZED (SELECT wa a, wb b FROM rk WHERE r <= 100),
+          ${(1 to 6).map { i =>
+            val prev = s"e${i - 1}"
+            // AS MATERIALIZED for the same reason as q189: a six-level
+            // chain referencing its predecessor three times would expand
+            // exponentially if inlined
+            s"""bo$i AS MATERIALIZED (SELECT a u, b v FROM $prev
+                 UNION ALL SELECT b, a FROM $prev),
+          sp$i AS MATERIALIZED (SELECT p.u a, q.u b, count(*) sup
+              FROM bo$i p JOIN bo$i q ON p.v = q.v AND p.u < q.u
+              GROUP BY 1, 2),
+          e$i AS MATERIALIZED (SELECT e.a, e.b FROM $prev e
+              JOIN sp$i s2 ON s2.a = e.a AND s2.b = e.b AND s2.sup >= 2)"""
+          }.mkString(",\n          ")},
+          bof AS (SELECT a u, b v FROM e6 UNION ALL SELECT b, a FROM e6),
+          spf AS (SELECT p.u a, q.u b, count(*) sup FROM bof p JOIN bof q
+              ON p.v = q.v AND p.u < q.u GROUP BY 1, 2)
+        SELECT e.a AS token_a, e.b AS token_b,
+          CAST(coalesce(s2.sup, 0) AS BIGINT) AS support
+        FROM e6 e LEFT JOIN spf s2 ON s2.a = e.a AND s2.b = e.b
+        ORDER BY token_a, token_b""")),
+
     // q194: frequent session pairs at ≥1/300 relative support — q190's
     // documented large-vocabulary path made real: Itemsets.frequentPairs
     // prunes infrequent items BEFORE any pair is generated (FP-Growth's

@@ -1685,6 +1685,41 @@ object StatOps {
             FROM h)
         SELECT source, CAST(sum(np * (2 * nnb + nn)) AS BIGINT) auc_num2,
           CAST(sum(np) AS BIGINT) n_pos, CAST(sum(nn) AS BIGINT) n_neg
-        FROM c GROUP BY source ORDER BY source"""))
+        FROM c GROUP BY source ORDER BY source""")),
+
+    // q236: exact integer second-moment (Gram) matrix of the embedding
+    // corpus — the one-pass statistic under PCA / ZCA-whitening /
+    // Mahalanobis outlier scoring (covariance = one consumer subtraction
+    // given q44's centroid): per upper-triangle (i, j), Σ m_i·m_j with m
+    // the q226 micro-unit grid (half-away-from-zero 1e6 rounding), so
+    // the 2080 cells are engine-exact integers. Shape: ONE map-side-
+    // combined aggregator pass — each partition folds its rows into a
+    // d(d+1)/2-long triangle buffer, the shuffle carries one triangle
+    // per partition, never rows (the q197 CentroidAggregator posture
+    // widened to second moments); the explode is grid-sized (2080 rows).
+    QueryDef("q236_embedding_gram",
+      (s, d) => {
+        val ga = udaf(graft.functions.GramAggregator,
+          org.apache.spark.sql.catalyst.encoders
+            .ExpressionEncoder[Seq[Float]]())
+        emb(s, d).filter(col("embedding").isNotNull)
+          .agg(ga(col("embedding")).as("g"))
+          .select(explode(col("g._1")).as("c"), col("g._2").as("nv"))
+          .select(col("c._1").as("dim_i"), col("c._2").as("dim_j"),
+            col("c._3").as("gram_micro2"), col("nv").as("n_vecs"))
+          .orderBy("dim_i", "dim_j")
+      },
+      Some("""WITH e AS (SELECT list_transform(embedding,
+            x -> CAST(round(x::DOUBLE * 1000000.0) AS BIGINT)) m
+          FROM embeddings WHERE embedding IS NOT NULL),
+        ij AS (SELECT CAST(a.i AS INTEGER) i, CAST(b.j AS INTEGER) j
+          FROM (SELECT unnest(generate_series(1, 64)) i) a,
+            (SELECT unnest(generate_series(1, 64)) j) b
+          WHERE b.j >= a.i)
+        SELECT ij.i AS dim_i, ij.j AS dim_j,
+          CAST(sum(e.m[ij.i]::HUGEINT * e.m[ij.j]::HUGEINT) AS BIGINT)
+            gram_micro2,
+          (SELECT count(*) FROM e)::BIGINT n_vecs
+        FROM e CROSS JOIN ij GROUP BY 1, 2 ORDER BY 1, 2"""))
   )
 }

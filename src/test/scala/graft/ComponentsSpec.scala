@@ -1055,4 +1055,57 @@ class ComponentsSpec extends SparkSpec {
           "together")
     }
   }
+
+  test("kTruss: a 4-clique survives at k=4, a pendant triangle and a hub star do not") {
+    // clique 1-4 (each edge in 2 within-clique triangles), triangle
+    // 4-5-6 hanging off it (each of its edges in exactly 1), hub 10
+    // with spokes 11-15 (zero triangles — the k-core blind spot)
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (4L, 6L), (5L, 6L)) ++
+      (11L to 15L).map(s => (10L, s))
+    val out = Components.kTruss(edges.toDF("s", "d"), "s", "d",
+        k = 4, rounds = 4)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out === Set((1L, 2L, 2L), (1L, 3L, 2L), (1L, 4L, 2L),
+      (2L, 3L, 2L), (2L, 4L, 2L), (3L, 4L, 2L)))
+  }
+
+  test("kTruss: direction, duplicates and self-loops collapse; zero rounds reports raw support") {
+    val edges = Seq((2L, 1L), (1L, 2L), (2L, 2L), (1L, 3L), (3L, 2L))
+    val out = Components.kTruss(edges.toDF("s", "d"), "s", "d",
+        k = 3, rounds = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    // triangle 1-2-3 with a duplicate/reversed/self-loop noise: at k=3
+    // (support >= 1) all three canonical edges survive with support 1
+    assert(out === Set((1L, 2L, 1L), (1L, 3L, 1L), (2L, 3L, 1L)))
+    val raw = Components.kTruss(edges.toDF("s", "d"), "s", "d",
+        k = 4, rounds = 0)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(raw === Set((1L, 2L, 1L), (1L, 3L, 1L), (2L, 3L, 1L)),
+      "rounds=0 is the support census of the canonicalized input")
+  }
+
+  test("q235's 6-round budget reaches the truss fixed point on the real graphs") {
+    // the oracle unrolls exactly 6 support/peel rounds — same insurance
+    // shape as the q189/q210 pins: convergence must already hold at the
+    // registered budget at every sf, and every surviving edge must
+    // satisfy the truss invariants (support >= k-2; within-truss
+    // endpoint degree >= k-1)
+    for (sf <- Seq("0.001", "0.01", "0.1")) {
+      val edges = graft.queries.Analytics
+        .coocEdges(spark, s"/root/testdata/sf$sf")
+      val at6 = Components.kTruss(edges, "wa", "wb", k = 4, rounds = 6)
+        .as[(String, String, Long)].collect().toSet
+      val at8 = Components.kTruss(edges, "wa", "wb", k = 4, rounds = 8)
+        .as[(String, String, Long)].collect().toSet
+      assert(at6 === at8,
+        s"sf$sf: rounds=6 must already sit at the truss fixed point — " +
+          "raise the engine rounds AND the oracle unroll together")
+      assert(at6.forall(_._3 >= 2L), s"sf$sf: support >= k-2 at the fixpoint")
+      val deg = at6.toSeq.flatMap(e => Seq(e._1, e._2))
+        .groupBy(identity).view.mapValues(_.size).toMap
+      assert(at6.forall(e => deg(e._1) >= 3 && deg(e._2) >= 3),
+        s"sf$sf: every truss endpoint needs within-truss degree >= k-1")
+    }
+  }
 }

@@ -234,4 +234,30 @@ class EmptyInputSpec extends SparkSpec {
     assert(graft.operators.Itemsets
       .frequentTriples(emptyBaskets, Seq("bid"), "it", 1L, 10L).count() === 0)
   }
+
+  test("the r17 operators return empty/identity results on empty inputs") {
+    val emptyGrouped = Seq.empty[(String, Boolean, Long)].toDF("g", "pos", "v")
+    assert(graft.operators.Eval
+      .aucHistogramPerGroup(emptyGrouped, "g", "pos", "v").count() === 0)
+    assert(graft.operators.Eval
+      .confusionByThresholdPerGroup(emptyGrouped, "g", "pos", "v")
+      .count() === 0)
+    assert(Sampling.budgetSelectPerGroup(
+      Seq.empty[(String, Long, Long, Long)].toDF("g", "id", "sc", "c"),
+      "id", "g", "sc", "c", 100L).count() === 0)
+    assert(Similarity.binaryHammingTopK(emptyVecs, "vec_id", "embedding",
+      col("vec_id") < 1, 8, 4).count() === 0)
+    // an all-queries corpus still pairs each query against the others
+    assert(Similarity.binaryHammingTopK(someVecs, "vec_id", "embedding",
+      col("vec_id") < 100, 8, 4).count() === 2)
+    assert(Components.kTruss(
+      Seq.empty[(Long, Long)].toDF("s", "d"), "s", "d", 4, 3).count() === 0)
+    // GramAggregator on zero rows finishes to the empty triangle
+    val ga = org.apache.spark.sql.functions.udaf(
+      graft.functions.GramAggregator,
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Float]]())
+    val g = emptyVecs.agg(ga(col("embedding")).as("g"))
+      .select(explode(col("g._1"))).count()
+    assert(g === 0)
+  }
 }

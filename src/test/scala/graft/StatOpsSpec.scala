@@ -691,6 +691,24 @@ class StatOpsSpec extends SparkSpec {
       s"lag-1 num=$num1 den_x=$dx1 den_y=$dy1")
   }
 
+  test("q236 Gram equals the naive JVM triangle on collected embeddings") {
+    val vecs = graft.Tables.embeddings(spark, dir).select("embedding")
+      .collect().map(_.getSeq[Float](0))
+    def micro(x: Double): Long = {
+      val y = x * 1e6
+      if (y >= 0) math.floor(y + 0.5).toLong else math.ceil(y - 0.5).toLong
+    }
+    val ms = vecs.map(_.map(f => micro(f.toDouble)).toArray)
+    val got = q("q236_embedding_gram").collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got.size === 64 * 65 / 2)
+    for (i <- 1 to 64; j <- i to 64) {
+      val s = ms.map(m => m(i - 1) * m(j - 1)).sum
+      assert(got((i, j)) === ((s, vecs.length.toLong)), s"cell ($i, $j)")
+    }
+  }
+
   test("q232 funnel: each constructed document is eaten by exactly the intended gate") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_funnel").toString
