@@ -273,6 +273,35 @@ object Drift {
       .select(col("g").as(groupCol), col("tv_num"), col("n_a"), col("n_b"))
   }
 
+  /** Per-group two-sample CRAMÉR–VON MISES numerator between two count
+    * tables — the mean-squared companion to [[ksBetweenCounts]]'s sup
+    * (Anderson, Ann. Math. Statist. 1962): KS sees only the single worst
+    * ECDF gap, so a broad small shift that never spikes — the classic KS
+    * blind spot — scores ~0 there but integrates to a real CvM signal.
+    * cvm_num = Σ_v (sa·nb − sb·na)²·(ca + cb) over the union value grid
+    * — the ω² functional ∫(F_a − F_b)² dF_pool scaled by
+    * (n_a·n_b)²·(n_a + n_b), every factor exact; the consumer divides.
+    * The squared gap overflows a long at realistic corpus sizes
+    * ((n_a·n_b)² alone passes 2⁶³ near n ≈ 56k), so the summand rides
+    * DECIMAL(38,0) — exact integer arithmetic, engine-portable, headroom
+    * to n ≈ 10⁸ per group before a pre-bucket (rebinCounts) is needed.
+    * Grid-sized like the whole family. Output: (`group`, cvm_num
+    * DECIMAL(38,0), n_a, n_b).
+    */
+  def cvmBetweenCounts(a: DataFrame, b: DataFrame, groupCol: String,
+      valueCol: String, countCol: String): DataFrame =
+    betweenCumulatives(a, b, groupCol, valueCol, countCol)
+      .withColumn("gapn",
+        (col("sa") * col("nb") - col("sb") * col("na"))
+          .cast("decimal(38,0)"))
+      .groupBy("g")
+      .agg(sum(col("gapn") * col("gapn") *
+          (col("ca") + col("cb")).cast("decimal(38,0)")).as("cvm_num"),
+        max("na").as("n_a"), max("nb").as("n_b"))
+      .select(col("g").as(groupCol),
+        col("cvm_num").cast("decimal(38,0)").as("cvm_num"),
+        col("n_a"), col("n_b"))
+
   /** Per-group WASSERSTEIN-1 distance between two count tables — the
     * magnitude-aware leg of the between-states panel, [[w1FromCounts]]'s
     * pooled form restated for two distributions: w1_num =

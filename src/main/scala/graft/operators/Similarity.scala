@@ -160,6 +160,124 @@ object Similarity {
         col("hamming"), col("cos"))
   }
 
+  /** Exact-moment PCA of a float-vector column — the classical spectral
+    * read of an embedding corpus (intrinsic dimensionality, anisotropy,
+    * whitening basis; Jolliffe, Principal Component Analysis):
+    * distributed work computes ONLY the exact integer moments (the
+    * [[graft.functions.GramAggregator]] second-moment triangle + the
+    * per-dim micro-unit first moments — one map-side-combined pass
+    * each), and the d×d eigenproblem is solved ON THE DRIVER by cyclic
+    * Jacobi — at d = 64 that is a 4096-double problem, the one piece of
+    * PCA that never belongs on the cluster. 100 TB posture: rows stream
+    * through two combinable aggregates; nothing corpus-sized ever
+    * shuffles or collects (the collected frames are d(d+1)/2 and d
+    * rows).
+    *
+    * Determinism: the covariance enters as exact integers (micro-unit
+    * grid), Jacobi sweeps cyclically in fixed (p, q) order with a fixed
+    * convergence threshold, eigenpairs sort by (eigenvalue desc, then
+    * original index), and each vector is sign-fixed (largest-|loading|
+    * component positive, ties by lowest dim) — so the output is
+    * bit-reproducible run to run (GoldenHashSpec pins it; no SQL engine
+    * can replay a Jacobi sweep, hence rows-only at the driver).
+    *
+    * Output: (component 1..topK, dim 1..d, loading, eigenvalue) with
+    * loading/eigenvalue raw doubles (callers round for display);
+    * eigenvalues are of the COVARIANCE in original float units.
+    */
+  def principalComponents(vecs: DataFrame, vecCol: String,
+      topK: Int): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    require(topK >= 1, "need at least one component")
+    val ga = udaf(graft.functions.GramAggregator,
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Float]]())
+    val g = vecs.filter(col(vecCol).isNotNull)
+      .agg(ga(col(vecCol)).as("g")).head()
+    val cells = g.getStruct(0).getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    val n = g.getStruct(0).getLong(1)
+    require(n > 1, "PCA needs at least two vectors")
+    val d = cells.map(_._2).max
+    val sums = vecs.filter(col(vecCol).isNotNull)
+      .select(posexplode(col(vecCol)).as(Seq("d0", "x")))
+      .groupBy((col("d0") + 1).cast("int").as("dim"))
+      .agg(sum(round(col("x").cast("double") * lit(1e6)).cast("long"))
+        .as("s"))
+      .as[(Int, Long)].collect().toMap
+    // covariance in original units: (n·G_ij − S_i·S_j) / (n² · 1e12) —
+    // numerator exact integer-derived, one double division per cell
+    val c = Array.ofDim[Double](d, d)
+    for ((i, j, gij) <- cells) {
+      val num = BigDecimal(BigInt(n) * BigInt(gij) -
+        BigInt(sums(i)) * BigInt(sums(j)))
+      val v = (num / (BigDecimal(n) * BigDecimal(n) * BigDecimal(1e12)))
+        .toDouble
+      c(i - 1)(j - 1) = v
+      c(j - 1)(i - 1) = v
+    }
+    val (evals, evecs) = jacobiEigen(c)
+    val order = evals.indices.sortBy(i => (-evals(i), i)).take(topK)
+    val rows = order.zipWithIndex.flatMap { case (ei, rank) =>
+      val vec = Array.tabulate(d)(r => evecs(r)(ei))
+      // sign fix: the largest-|loading| component positive, ties by dim
+      val lead = vec.indices.maxBy(i => (math.abs(vec(i)), -i))
+      val s = if (vec(lead) < 0) -1.0 else 1.0
+      vec.indices.map(r =>
+        (rank + 1, r + 1, s * vec(r), evals(ei)))
+    }
+    rows.toDF("component", "dim", "loading", "eigenvalue")
+  }
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric matrix — fixed
+    * (p, q) sweep order, convergence when the off-diagonal Frobenius
+    * mass falls under 1e-14 × the diagonal scale (deterministic: every
+    * float op happens in one fixed order). Returns (eigenvalues,
+    * eigenvector COLUMNS aligned with them). */
+  private def jacobiEigen(m: Array[Array[Double]])
+      : (Array[Double], Array[Array[Double]]) = {
+    val d = m.length
+    val a = Array.tabulate(d, d)((i, j) => m(i)(j))
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    def off(): Double = {
+      var s = 0.0
+      for (i <- 0 until d; j <- (i + 1) until d) s += a(i)(j) * a(i)(j)
+      s
+    }
+    def scale(): Double = {
+      var s = 1e-300
+      for (i <- 0 until d) s += a(i)(i) * a(i)(i)
+      s
+    }
+    var sweep = 0
+    while (off() > 1e-14 * scale() && sweep < 100) {
+      for (p <- 0 until d; q <- (p + 1) until d if a(p)(q) != 0.0) {
+        val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
+        val t = math.signum(theta) /
+          (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+        val cs = 1.0 / math.sqrt(t * t + 1.0)
+        val sn = t * cs
+        for (k <- 0 until d) {
+          val (akp, akq) = (a(k)(p), a(k)(q))
+          a(k)(p) = cs * akp - sn * akq
+          a(k)(q) = sn * akp + cs * akq
+        }
+        for (k <- 0 until d) {
+          val (apk, aqk) = (a(p)(k), a(q)(k))
+          a(p)(k) = cs * apk - sn * aqk
+          a(q)(k) = sn * apk + cs * aqk
+        }
+        for (k <- 0 until d) {
+          val (vkp, vkq) = (v(k)(p), v(k)(q))
+          v(k)(p) = cs * vkp - sn * vkq
+          v(k)(q) = sn * vkp + cs * vkq
+        }
+      }
+      sweep += 1
+    }
+    (Array.tabulate(d)(i => a(i)(i)), v)
+  }
+
   /** Hard-negative mining for contrastive training (the DPR/SimCSE
     * recipe, Karpukhin et al. EMNLP 2020 §3.2): for each query row, the
     * `k` most-similar rows with a DIFFERENT `labelCol` — the negatives

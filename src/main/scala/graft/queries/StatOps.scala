@@ -1720,6 +1720,55 @@ object StatOps {
           CAST(sum(e.m[ij.i]::HUGEINT * e.m[ij.j]::HUGEINT) AS BIGINT)
             gram_micro2,
           (SELECT count(*) FROM e)::BIGINT n_vecs
-        FROM e CROSS JOIN ij GROUP BY 1, 2 ORDER BY 1, 2"""))
+        FROM e CROSS JOIN ij GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // q237: two-sample Cramér–von Mises between the corpus halves — the
+    // MEAN-squared companion completing q199's between-states panel
+    // (KS = the single worst ECDF gap, so a broad 1%-everywhere shift
+    // that never spikes is its classic blind spot; CvM integrates every
+    // gap weighted by pooled mass, so it scores). Same count
+    // construction and envelope as q199 (one cut per-(source, half)
+    // count shuffle, grid-sized after); the squared summand rides
+    // DECIMAL(38,0)/HUGEINT — exact integers both engines, with the
+    // documented n ≈ 10⁸ headroom before a rebinCounts pre-bucket.
+    QueryDef("q237_cvm_between_halves",
+      (s, d) => {
+        val nd = docs(s, d).agg(count(lit(1)).as("nd"))
+        val counts = graft.operators.Checkpoints.cut(
+          docs(s, d).crossJoin(broadcast(nd))
+            .select(col("source"), (col("doc_id") * 2 < col("nd")).as("fh"),
+              col("n_chars").as("v"))
+            .groupBy("source", "fh", "v").agg(count(lit(1)).as("c")))
+        val a = counts.filter(col("fh")).select("source", "v", "c")
+        val b = counts.filter(!col("fh")).select("source", "v", "c")
+        graft.operators.Checkpoints.sealAndRelease(
+          graft.operators.Drift.cvmBetweenCounts(a, b, "source", "v", "c")
+            .select(col("source"), col("cvm_num"),
+              col("n_a").as("n_then"), col("n_b").as("n_now"))
+            .orderBy("source"),
+          counts)
+      },
+      Some("""WITH n AS (SELECT count(*) nd FROM documents),
+          b AS (SELECT source, (doc_id * 2 < n.nd) fh, n_chars v
+            FROM documents CROSS JOIN n),
+          pa AS (SELECT source, v, count(*) ca FROM b WHERE fh GROUP BY 1, 2),
+          pb AS (SELECT source, v, count(*) cb FROM b WHERE NOT fh
+            GROUP BY 1, 2),
+          m AS (SELECT coalesce(pa.source, pb.source) source,
+              coalesce(pa.v, pb.v) v, coalesce(ca, 0) ca, coalesce(cb, 0) cb
+            FROM pa FULL JOIN pb ON pa.source = pb.source AND pa.v = pb.v),
+          cum AS (SELECT source, ca, cb,
+              sum(ca) OVER (PARTITION BY source ORDER BY v
+                ROWS UNBOUNDED PRECEDING) sa,
+              sum(cb) OVER (PARTITION BY source ORDER BY v
+                ROWS UNBOUNDED PRECEDING) sb,
+              sum(ca) OVER (PARTITION BY source) na,
+              sum(cb) OVER (PARTITION BY source) nb
+            FROM m)
+        SELECT source,
+          CAST(sum((sa * nb - sb * na)::HUGEINT * (sa * nb - sb * na)
+            * (ca + cb)) AS DECIMAL(38,0)) cvm_num,
+          CAST(max(na) AS BIGINT) n_then, CAST(max(nb) AS BIGINT) n_now
+        FROM cum GROUP BY source ORDER BY source"""))
   )
 }

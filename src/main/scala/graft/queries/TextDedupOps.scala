@@ -345,6 +345,47 @@ object TextDedupOps {
           CAST(min(lbl) AS BIGINT) AS "cluster"
         FROM reach GROUP BY 1 ORDER BY doc_id""")),
 
+    // q239: the cross-source NEAR-DUP FLOW matrix — who copies from
+    // whom: per unordered source pair, how many exact near-dup pairs
+    // (3-gram Jaccard ≥ 0.6, the q34 gold standard) straddle the two —
+    // the provenance read behind mixture double-counting (two sources
+    // sharing content make their stated mixture weights lie) and
+    // cross-source leakage audits. Rides the memoized shared pair index
+    // (q34/q77/q85/q150's frame — zero extra corpus work); the
+    // doc_id → source attachments are equi-joins against the tiny pairs
+    // frame; diagonal cells (both docs in one source) are intra-source
+    // duplication and kept — the matrix is complete. At 100 TB the
+    // pairs frame comes from the LSH path and the matrix stays
+    // |sources|²-bounded.
+    QueryDef("q239_neardup_flow",
+      (s, d) => {
+        val src = docs(s, d).select(col("doc_id"), col("source"))
+        jaccardPairs(s, d)
+          .join(src.select(col("doc_id").as("id_a"), col("source").as("sa")),
+            "id_a")
+          .join(src.select(col("doc_id").as("id_b"), col("source").as("sb")),
+            "id_b")
+          .groupBy(least(col("sa"), col("sb")).as("src_lo"),
+            greatest(col("sa"), col("sb")).as("src_hi"))
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy("src_lo", "src_hi")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, $OToks t FROM documents),
+        sets AS (SELECT doc_id, $OShingles sh FROM toks WHERE len(t) >= 3),
+        inv AS (SELECT doc_id, len(sh) n, unnest(sh) shingle FROM sets),
+        pairs AS (
+          SELECT a.doc_id id_a, b.doc_id id_b, a.n na, b.n nb, count(*) inter
+          FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2, 3, 4),
+        nd AS (SELECT id_a, id_b FROM pairs
+          WHERE round(inter / (na + nb - inter), 4) >= 0.6),
+        j AS (SELECT da.source sa, db.source sb FROM nd
+          JOIN documents da ON da.doc_id = nd.id_a
+          JOIN documents db ON db.doc_id = nd.id_b)
+        SELECT least(sa, sb) src_lo, greatest(sa, sb) src_hi,
+          count(*) AS n_pairs
+        FROM j GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     // q150: LEAKAGE-PROOF train/val/test split — q75's hash split keyed on
     // the near-dup CLUSTER representative instead of the document: two
     // near-duplicate documents split independently leak eval content into

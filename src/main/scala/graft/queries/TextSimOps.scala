@@ -301,6 +301,24 @@ object TextSimOps {
             ORDER BY cos DESC, id) rn FROM r) t
         WHERE rn <= 10 ORDER BY query_id, rnk""")),
 
+    // q238: PCA of the embedding corpus from the EXACT integer moments —
+    // the spectral read (intrinsic dimensionality, anisotropy, the
+    // whitening basis JL/IVF/PQ all implicitly fight): the cluster
+    // computes only the two combinable moment aggregates (q236's Gram
+    // triangle + per-dim micro sums), and the 64×64 eigenproblem runs
+    // on the driver by cyclic Jacobi with a fixed sweep order —
+    // bit-reproducible, so GoldenHashSpec pins the content; no SQL
+    // engine replays a Jacobi sweep, hence rows-only at the driver (the
+    // q128 stance). Output: top-8 components × 64 sign-fixed loadings.
+    QueryDef("q238_pca_components",
+      (s, d) => graft.operators.Similarity
+        .principalComponents(emb(s, d), "embedding", 8)
+        .select(col("component"), col("dim"),
+          round(col("loading"), 6).as("loading"),
+          round(col("eigenvalue"), 6).as("eigenvalue"))
+        .orderBy("component", "dim"),
+      None),
+
     // q140: hybrid retrieval via reciprocal-rank fusion — the exact float
     // ranking (q37's path) and the int8-quantized ranking (q99's path)
     // each contribute their top-20 per query; RRF (1/(60+rank), Cormack

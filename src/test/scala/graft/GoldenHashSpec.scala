@@ -63,6 +63,9 @@ class GoldenHashSpec extends SparkSpec {
   // identity contracts, visible at the content-hash level.
   pinned("q38_ann_ivf", "9853d621f69c123006e207290ec73154")
   pinned("q108_semdedup", "b80d3565fbb36dd2f32567cc4db70933")
+  // PCA: the moments are exact integers and the driver-side Jacobi sweeps
+  // in fixed order, so the spectrum is bit-reproducible
+  pinned("q238_pca_components", "6641d1dfd070ddbcba10f814da5063f5")
   pinned("q122_pq_topk", "dc4ea57bea31bff0b50ace855de15ce8")
   pinned("q123_ivfpq_topk", "47f7cdf9fe121cf06479a0d28d75365e")
   // BPE (trained model is memoized per (session, dir) but deterministic)

@@ -200,6 +200,69 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"1-bit shortlist=64 recall was $recall")
   }
 
+  test("principalComponents: orthonormal basis, vanishing eigen-residuals, trace preserved, deterministic") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val out = Similarity.principalComponents(emb, "embedding", 64)
+      .as[(Int, Int, Double, Double)].collect()
+    val d = 64
+    val comps = out.groupBy(_._1).view.mapValues { rs =>
+      val v = new Array[Double](d); rs.foreach(r => v(r._2 - 1) = r._3); v
+    }.toMap
+    val evs = out.groupBy(_._1).view.mapValues(_.head._4).toMap
+    // naive covariance from the collected embeddings on the same micro grid
+    def micro(x: Double): Long = {
+      val y = x * 1e6
+      if (y >= 0) math.floor(y + 0.5).toLong else math.ceil(y - 0.5).toLong
+    }
+    val ms = emb.select("embedding").collect()
+      .map(_.getSeq[Float](0).map(f => micro(f.toDouble)).toArray)
+    val n = ms.length.toDouble
+    val mean = Array.tabulate(d)(i => ms.map(_(i)).sum / n)
+    val c = Array.tabulate(d, d)((i, j) =>
+      (ms.map(m => m(i).toDouble * m(j)).sum / n - mean(i) * mean(j)) / 1e12)
+    // orthonormality
+    for (a <- 1 to 64; b <- a to 64) {
+      val dot = (0 until d).map(i => comps(a)(i) * comps(b)(i)).sum
+      val want = if (a == b) 1.0 else 0.0
+      assert(math.abs(dot - want) < 1e-8, s"v$a . v$b = $dot")
+    }
+    // eigen residuals and descending order
+    val lmax = math.abs(evs(1)) max 1e-12
+    for (k <- 1 to 64) {
+      val v = comps(k)
+      for (i <- 0 until d) {
+        val cv = (0 until d).map(j => c(i)(j) * v(j)).sum
+        assert(math.abs(cv - evs(k) * v(i)) < 1e-6 * lmax,
+          s"residual component $k row $i")
+      }
+      if (k > 1) assert(evs(k) <= evs(k - 1) + 1e-12, "eigenvalues descend")
+    }
+    val trace = (0 until d).map(i => c(i)(i)).sum
+    assert(math.abs((1 to 64).map(evs).sum - trace) < 1e-9 * math.abs(trace),
+      "eigenvalue sum must equal the covariance trace")
+    // bit-reproducibility
+    val again = Similarity.principalComponents(emb, "embedding", 64)
+      .as[(Int, Int, Double, Double)].collect()
+    assert(out.sortBy(r => (r._1, r._2)).toSeq ===
+      again.sortBy(r => (r._1, r._2)).toSeq)
+  }
+
+  test("principalComponents recovers a planted dominant axis as PC1") {
+    val vecs = (1 to 50).map(t => (t.toLong,
+      Array.tabulate(4)(i =>
+        if (i == 0) t * 0.01f else if (i == 1) t * 0.001f else 0f)))
+      .toDF("vec_id", "v")
+    val out = Similarity.principalComponents(vecs, "v", 2)
+      .as[(Int, Int, Double, Double)].collect()
+    val pc1 = out.filter(_._1 == 1).sortBy(_._2).map(_._3)
+    assert(pc1(0) > 0.99, "PC1 points along the planted axis, sign-fixed positive")
+    assert(math.abs(pc1(1) / pc1(0) - 0.1) < 0.01,
+      "the 10:1 component ratio is recovered")
+    val ev = out.groupBy(_._1).view.mapValues(_.head._4).toMap
+    assert(ev(1) > 1e3 * math.abs(ev(2)),
+      "all variance lives on the planted axis")
+  }
+
   test("k-means-trained centroids keep IVF recall at least at seed level") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", col("vec_id") < 10, 10)

@@ -201,6 +201,31 @@ class StatPropertySpec extends SparkSpec {
     }, trials = 6)
   }
 
+  test("cvmBetweenCounts == naive squared-ECDF-gap sum; identical inputs score exactly 0") {
+    check("cvm2", Prop.forAll(genCounts, genCounts) { (ca, cb) =>
+      def inst(rows: List[(String, Long, Long)], g: String) =
+        rows.filter(_._1 == g).flatMap { case (_, v, c) => Seq.fill(c.toInt)(v) }
+      val got = Drift.cvmBetweenCounts(ca.toDF("g", "v", "c"),
+          cb.toDF("g", "v", "c"), "g", "v", "c")
+        .collect().map(r => r.getString(0) ->
+          (BigInt(r.getDecimal(1).toBigInteger), r.getLong(2), r.getLong(3)))
+        .toMap
+      val groups = (ca.map(_._1) ++ cb.map(_._1)).distinct
+      val self = Drift.cvmBetweenCounts(ca.toDF("g", "v", "c"),
+          ca.toDF("g", "v", "c"), "g", "v", "c")
+        .collect().forall(r => BigInt(r.getDecimal(1).toBigInteger) == 0)
+      self && got.keySet == groups.toSet && groups.forall { g =>
+        val (av, bv) = (inst(ca, g), inst(cb, g))
+        val (na, nb) = (av.size.toLong, bv.size.toLong)
+        val naive = (av ++ bv).distinct.sorted.map { v =>
+          val gap = BigInt(av.count(_ <= v)) * nb - BigInt(bv.count(_ <= v)) * na
+          gap * gap * (av.count(_ == v) + bv.count(_ == v))
+        }.sum
+        got(g) == ((naive, na, nb))
+      }
+    }, trials = 6)
+  }
+
   test("chi2BetweenCounts == naive homogeneity cells; per-group deviations sum to zero") {
     check("chi2b", Prop.forAll(genCounts, genCounts) { (ca, cb) =>
       def cnt(rows: List[(String, Long, Long)], g: String, v: Long) =
