@@ -230,6 +230,60 @@ object StreamingOps {
             AND p.purchase_ts <= (SELECT w FROM wm)
         ORDER BY 1, 2, 3, 4""")),
 
+    // q240: stream-stream LEFT OUTER interval join — the third and last
+    // outer mode through the gate (q55 inner, q139 full outer; the
+    // left-outer semantics were spec-only until now): every view emits —
+    // matched on purchase arrival, null-padded once the watermark closes
+    // its 30-minute forward window — while unmatched purchases stay
+    // silent (the asymmetry IS the mode). Same state/eviction envelope
+    // as q139: purchase state held one interval span past the naive
+    // cutoff; trailing views whose window never closed are withheld by
+    // stream and oracle alike (the q121 cutoff discipline, view branch
+    // pinned identically to q139's view-only arm).
+    QueryDef("q240_stream_left_outer_join",
+      (s, d) => {
+        val views = EventStream.readEvents(s, d)
+          .filter(col("event_type") === "view")
+          .select(col("user_id"), col("ts").as("view_ts"))
+          .withWatermark("view_ts", "1 hour")
+        val purchases = EventStream.readEvents(s, d)
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user_id"), col("ts").as("purchase_ts"),
+            col("value"))
+          .withWatermark("purchase_ts", "1 hour")
+        val joined = views.join(purchases,
+          col("user_id") === col("p_user_id") &&
+            col("purchase_ts") > col("view_ts") &&
+            col("purchase_ts") <= col("view_ts") + expr("INTERVAL 30 MINUTES"),
+          "left_outer")
+        EventStream.runToTable(s, joined, "append")
+          .select(col("user_id"), col("view_ts"), col("p_user_id"),
+            col("purchase_ts"), round(col("value"), 2).as("value"))
+          .orderBy("user_id", "view_ts", "p_user_id", "purchase_ts")
+      },
+      Some("""WITH v AS (
+          SELECT user_id, ts AS view_ts FROM events WHERE event_type = 'view'),
+        p AS (
+          SELECT user_id AS p_user_id, ts AS purchase_ts, value
+          FROM events WHERE event_type = 'purchase'),
+        wm AS (SELECT least((SELECT max(view_ts) FROM v),
+            (SELECT max(purchase_ts) FROM p)) - INTERVAL 1 HOUR AS w)
+        SELECT v.user_id, CAST(v.view_ts AS TIMESTAMP) AS view_ts,
+            p.p_user_id, CAST(p.purchase_ts AS TIMESTAMP) AS purchase_ts,
+            round(p.value, 2) AS value
+          FROM v JOIN p ON v.user_id = p.p_user_id
+           AND p.purchase_ts > v.view_ts
+           AND p.purchase_ts <= v.view_ts + INTERVAL 30 MINUTE
+        UNION ALL
+        SELECT v.user_id, CAST(v.view_ts AS TIMESTAMP), NULL, NULL, NULL
+          FROM v
+          WHERE NOT EXISTS (SELECT 1 FROM p
+              WHERE v.user_id = p.p_user_id
+                AND p.purchase_ts > v.view_ts
+                AND p.purchase_ts <= v.view_ts + INTERVAL 30 MINUTE)
+            AND v.view_ts + INTERVAL 30 MINUTE < (SELECT w FROM wm)
+        ORDER BY 1, 2, 3, 4""")),
+
     // q121: CHAINED stateful aggregations (Spark 3.5+/4 multi-stateful) —
     // per-(window, event_type) sums re-aggregated per window in the SAME
     // query: the hierarchical metrics rollup without a foreachBatch seam.
