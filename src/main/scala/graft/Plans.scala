@@ -58,7 +58,12 @@ object Plans {
     "q188_burstiness",            // r15: global top-20 as TakeOrderedAndProject, no window
     "q194_frequent_pairs",        // r15: broadcast support-prune before the basket self-join
     "q211_pr_thresholds",         // r16: class-histogram agg below both grid windows
-    "q215_psi_buckets"            // r16: two count shuffles + grid-sized bucket machinery
+    "q215_psi_buckets",           // r16: two count shuffles + grid-sized bucket machinery
+    "q227_pr_by_source",          // r17: PARTITIONED grid windows over the (source, value) histogram
+    "q229_cusum",                 // r17: prefix-identity cumulative windows on the cut day grid
+    "q231_binary_hamming_topk",   // r17: compressed-domain 2-phase shortlist + broadcast rerank
+    "q234_budget_select_by_source", // r17: per-(group, bucket) offsets + boundary-bucket prune
+    "q236_embedding_gram"         // r17: one map-side-combined triangle-buffer aggregator pass
   )
 
   def main(args: Array[String]): Unit = {

@@ -539,6 +539,17 @@ class PlanGuardSpec extends SparkSpec {
       s"the window match must stay an equi-join:\n$p")
   }
 
+  test("q241 concurrent sessions: the interval overlap join is equi on the bucket, no cartesian") {
+    // the naive form is an interval×interval non-equi theta join (a
+    // cartesian per key in the fallback plan); the shipped plan explodes
+    // each session to its 1-hour buckets and joins EQUI on the bucket —
+    // the two-sided q219 band pattern
+    val p = finalPlan("q241_concurrent_sessions")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"the overlap match must stay an equi-join:\n$p")
+  }
+
   test("q211 PR table: both cumulative windows ride the class histogram, not corpus rows") {
     // same ban as q178: a per-row threshold sweep would be a
     // corpus-sized window; the shipped plan aggregates to the
