@@ -45,7 +45,8 @@ object ScaleCheck {
     "q232_prep_funnel", "q233_bpe_encode_at_rest",
     "q234_budget_select_by_source", "q235_ktruss", "q236_embedding_gram",
     "q237_cvm_between_halves", "q238_pca_components", "q239_neardup_flow",
-    "q240_stream_left_outer_join", "q241_concurrent_sessions")
+    "q240_stream_left_outer_join", "q241_concurrent_sessions",
+    "q242_theil_sen")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")

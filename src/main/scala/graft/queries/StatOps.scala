@@ -1663,6 +1663,80 @@ object StatOps {
           CAST(greatest(0, pmax) - p AS BIGINT) cusum_lo
         FROM m ORDER BY event_type, dd""")),
 
+    // q242: Theil–Sen robust slope of daily volume per event type
+    // (Theil 1950 / Sen JASA 1968) — the MAGNITUDE completing the trend
+    // family: q186's Mann–Kendall answers "is it trending" (a sign
+    // statistic), Theil–Sen answers "how fast" with the median of all
+    // pairwise slopes — 29% outlier breakdown where OLS is wrecked by
+    // one spike day. Exact: each pairwise slope ships as the integer
+    // rational (Δcount, Δdays); the median element is selected by the
+    // total order (num/den as ONE IEEE division, then num, then den) —
+    // identical doubles in any engine, deterministic ties; the lower
+    // median at rank (n+1) div 2 (the q175 convention). Shape: the same
+    // cut dense day grid as q229; the pair join and rank window ride the
+    // per-type day²/2 pair grid — day-grid-squared-sized, never
+    // event-sized (30 days = 435 pairs; even a decade is ~6.7M rows).
+    QueryDef("q242_theil_sen",
+      (s, d) => {
+        val daily = ev(s, d)
+          .groupBy(col("event_type"),
+            datediff(to_date(col("ts")), to_date(lit("1970-01-01")))
+              .cast("long").as("dd"))
+          .agg(count(lit(1)).as("c"))
+        val dense = graft.operators.Checkpoints.cut(
+          daily.groupBy("event_type")
+            .agg(min("dd").as("lo"), max("dd").as("hi"))
+            .select(col("event_type"),
+              explode(sequence(col("lo"), col("hi"))).as("dd"))
+            .join(daily, Seq("event_type", "dd"), "left")
+            .select(col("event_type"), col("dd"),
+              coalesce(col("c"), lit(0L)).as("c")))
+        val a = dense.select(col("event_type"), col("dd").as("d1"),
+          col("c").as("c1"))
+        val b = dense.select(col("event_type"), col("dd").as("d2"),
+          col("c").as("c2"))
+        val w = Window.partitionBy("event_type")
+          .orderBy(col("ratio"), col("num"), col("den"))
+        graft.operators.Checkpoints.sealAndRelease(
+          a.join(b, Seq("event_type")).filter(col("d2") > col("d1"))
+            .select(col("event_type"),
+              (col("c2") - col("c1")).as("num"),
+              (col("d2") - col("d1")).as("den"))
+            .withColumn("ratio",
+              col("num").cast("double") / col("den").cast("double"))
+            .withColumn("rn", row_number().over(w))
+            .withColumn("np",
+              count(lit(1)).over(Window.partitionBy("event_type")))
+            // div, not Column./ (double — an even pair count would make
+            // the rank compare x.5 and silently drop the row)
+            .filter(col("rn") === expr("(np + 1L) div 2L"))
+            .select(col("event_type"), col("np").as("n_pairs"),
+              col("num").as("slope_num"), col("den").as("slope_den"))
+            .orderBy("event_type"),
+          dense)
+      },
+      Some("""WITH daily AS (SELECT event_type,
+            date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) dd,
+            count(*) c FROM events GROUP BY 1, 2),
+          span AS (SELECT event_type, min(dd) lo, max(dd) hi
+            FROM daily GROUP BY 1),
+          days AS (SELECT event_type, unnest(generate_series(lo, hi)) dd
+            FROM span),
+          dense AS (SELECT days.event_type, days.dd, coalesce(daily.c, 0) c
+            FROM days LEFT JOIN daily
+              ON daily.event_type = days.event_type AND daily.dd = days.dd),
+          p AS (SELECT a.event_type, b.c - a.c num, b.dd - a.dd den
+            FROM dense a JOIN dense b
+              ON b.event_type = a.event_type AND b.dd > a.dd),
+          r AS (SELECT event_type, num, den,
+              row_number() OVER (PARTITION BY event_type
+                ORDER BY num::DOUBLE / den::DOUBLE, num, den) rn,
+              count(*) OVER (PARTITION BY event_type) np
+            FROM p)
+        SELECT event_type, CAST(np AS BIGINT) n_pairs,
+          CAST(num AS BIGINT) slope_num, CAST(den AS BIGINT) slope_den
+        FROM r WHERE rn = (np + 1) // 2 ORDER BY event_type""")),
+
     // q230: per-source AUC — q178 grouped, the ranking-number companion
     // to q227's per-source operating points ("does length rank
     // English-ness WITHIN each source, or only via between-source

@@ -691,6 +691,51 @@ class StatOpsSpec extends SparkSpec {
       s"lag-1 num=$num1 den_x=$dx1 den_y=$dy1")
   }
 
+  test("q242 Theil–Sen slope equals the naive median-of-pairwise-slopes on dense daily counts") {
+    val byTypeDay = graft.Tables.events(spark, dir)
+      .select("event_type", "ts")
+      .collect()
+      .map(r => (r.getString(0),
+        Math.floorDiv(r.getTimestamp(1).getTime, 86400000L)))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = q("q242_theil_sen").collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    for (t <- byTypeDay.keySet.map(_._1)) {
+      val days = byTypeDay.collect { case ((`t`, d), c) => d -> c }
+      val (lo, hi) = (days.keys.min, days.keys.max)
+      val series = (lo to hi).map(d => days.getOrElse(d, 0L))
+      val pairs = for {
+        i <- series.indices; j <- (i + 1) until series.size
+      } yield (series(j) - series(i), (j - i).toLong)
+      // the SAME total order the query uses: one IEEE ratio, then the
+      // exact integer components
+      val sorted = pairs.sortBy(p => (p._1.toDouble / p._2, p._1, p._2))
+      val med = sorted(((pairs.size + 1) / 2) - 1)
+      assert(got(t) === ((pairs.size.toLong, med._1, med._2)), s"type=$t")
+    }
+  }
+
+  test("q242: an exactly linear stream recovers its slope whatever pair is the median") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_tsen").toString
+    val base = 1704067200L // 2024-01-01T00:00:00Z, seconds (epoch-ns loader)
+    // counts = 3 + 2·day: EVERY pairwise slope is exactly 2
+    val rows = for {
+      d <- 0 until 14
+      j <- 0L until (3L + 2L * d)
+    } yield (d * 1000L + j, (base + d * 86400L + j) * 1000000000L,
+      1L, "linear", 1.0, "{}")
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$tmp/events.parquet")
+    val got = SparkEntry.queries("q242_theil_sen")(spark, tmp).collect()
+    assert(got.length === 1)
+    val (np, num, den) = (got(0).getLong(1), got(0).getLong(2),
+      got(0).getLong(3))
+    assert(np === 14L * 13L / 2L)
+    assert(num === 2L * den, s"slope must be exactly 2, got $num/$den")
+  }
+
   test("q236 Gram equals the naive JVM triangle on collected embeddings") {
     val vecs = graft.Tables.embeddings(spark, dir).select("embedding")
       .collect().map(_.getSeq[Float](0))
