@@ -1843,6 +1843,89 @@ object StatOps {
           CAST(sum((sa * nb - sb * na)::HUGEINT * (sa * nb - sb * na)
             * (ca + cb)) AS DECIMAL(38,0)) cvm_num,
           CAST(max(na) AS BIGINT) n_then, CAST(max(nb) AS BIGINT) n_now
-        FROM cum GROUP BY source ORDER BY source"""))
+        FROM cum GROUP BY source ORDER BY source""")),
+
+    // q243: Mann–Whitney U between the corpus halves per source — the
+    // classic two-sample LOCATION test joining the between-states panel
+    // (KS/CvM ask "same distribution?"; U asks the more actionable
+    // "did documents get LONGER?": U/(n_then·n_now) is the probability
+    // a then-doc outranks a now-doc, rank-biserial effect size
+    // 2U/(n·m) − 1 one consumer division away). Pure composition: the
+    // grouped tie-corrected 2U machinery IS aucHistogramPerGroup with
+    // then-half membership as the label — one class-histogram shuffle,
+    // partitioned grid windows.
+    QueryDef("q243_mannwhitney_between_halves",
+      (s, d) => {
+        val nd = docs(s, d).agg(count(lit(1)).as("nd"))
+        graft.operators.Eval.aucHistogramPerGroup(
+            docs(s, d).crossJoin(broadcast(nd))
+              .select(col("source"), (col("doc_id") * 2 < col("nd")).as("pos"),
+                col("n_chars").as("v")),
+            "source", "pos", "v")
+          .select(col("source"), col("auc_num2").as("u2"),
+            col("n_pos").as("n_then"), col("n_neg").as("n_now"))
+          .orderBy("source")
+      },
+      Some("""WITH n AS (SELECT count(*) nd FROM documents),
+          h AS (SELECT source, n_chars v,
+              sum(CASE WHEN doc_id * 2 < n.nd THEN 1 ELSE 0 END) np,
+              sum(CASE WHEN doc_id * 2 < n.nd THEN 0 ELSE 1 END) nn
+            FROM documents CROSS JOIN n GROUP BY 1, 2),
+          c AS (SELECT source, np, nn,
+              coalesce(sum(nn) OVER (PARTITION BY source ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) nnb
+            FROM h)
+        SELECT source, CAST(sum(np * (2 * nnb + nn)) AS BIGINT) u2,
+          CAST(sum(np) AS BIGINT) n_then, CAST(sum(nn) AS BIGINT) n_now
+        FROM c GROUP BY source ORDER BY source""")),
+
+    // q244: time-weighted average value per (event type, day) — the ops
+    // metric a plain mean gets wrong when observations are irregular (a
+    // value held for six hours weighs 6×10⁴ more than one held a
+    // second): each event's value holds until the NEXT event of the
+    // same type that day, the day's last observation carries weight 0
+    // (its holding period is unobserved — not imputed to midnight).
+    // Exact: value on the 1e6 micro grid, weights integral
+    // microseconds, twap = num/(1e6·den) at the consumer; the
+    // micro-value × µs-gap summand routinely passes 2⁶³ (one high-value
+    // event held most of a day is ~8.6e18), so it rides DECIMAL(38,0) —
+    // the q237 stance. Shape: the
+    // lead window partitions by (type, day) — bounded slices, never a
+    // whole type in one task (the per-type form would put 100 TB of one
+    // event type in five partitions); output is day-grid-sized.
+    QueryDef("q244_twap",
+      (s, d) => {
+        val dd = datediff(to_date(col("ts")), to_date(lit("1970-01-01")))
+          .cast("long")
+        val w = Window.partitionBy(col("event_type"), col("dd"))
+          .orderBy(col("ts"), col("event_id"))
+        graft.operators.Checkpoints.sealAndRelease(
+          ev(s, d).select(col("event_type"), dd.as("dd"), col("ts"),
+              col("event_id"),
+              round(col("value") * lit(1e6)).cast("long").as("vm"))
+            .withColumn("gap", coalesce(
+              unix_micros(lead(col("ts"), 1).over(w)) -
+                unix_micros(col("ts")), lit(0L)))
+            .groupBy("event_type", "dd")
+            .agg(sum(col("vm").cast("decimal(38,0)") *
+                col("gap").cast("decimal(38,0)"))
+                .cast("decimal(38,0)").as("twap_num"),
+              sum("gap").as("twap_den"), count(lit(1)).as("n_events"))
+            .orderBy("event_type", "dd"))
+      },
+      Some("""WITH e AS (SELECT event_type,
+            date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) dd,
+            ts, event_id,
+            CAST(round(value * 1000000.0) AS BIGINT) vm
+          FROM events),
+          g AS (SELECT event_type, dd, vm,
+              coalesce(epoch_us(lead(ts) OVER (PARTITION BY event_type, dd
+                ORDER BY ts, event_id)) - epoch_us(ts), 0) gap
+            FROM e)
+        SELECT event_type, CAST(dd AS BIGINT) dd,
+          CAST(sum(vm::HUGEINT * gap) AS DECIMAL(38,0)) twap_num,
+          CAST(sum(gap) AS BIGINT) twap_den,
+          CAST(count(*) AS BIGINT) n_events
+        FROM g GROUP BY 1, 2 ORDER BY 1, 2"""))
   )
 }

@@ -736,6 +736,30 @@ class StatOpsSpec extends SparkSpec {
     assert(num === 2L * den, s"slope must be exactly 2, got $num/$den")
   }
 
+  test("q244 TWAP equals the naive per-(type, day) hold-forward weighting") {
+    import org.apache.spark.sql.functions.{col => c, _}
+    val rows = graft.Tables.events(spark, dir)
+      .select(c("event_type"),
+        datediff(to_date(c("ts")), to_date(lit("1970-01-01")))
+          .cast("long").as("dd"),
+        unix_micros(c("ts")).as("us"), c("event_id"),
+        round(c("value") * lit(1e6)).cast("long").as("vm"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val got = q("q244_twap").collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (BigInt(r.getDecimal(2).toBigInteger), r.getLong(3), r.getLong(4)))
+      .toMap
+    val want = rows.groupBy(r => (r._1, r._2)).map { case (k, grp) =>
+      val srt = grp.sortBy(r => (r._3, r._4))
+      val gaps = srt.zip(srt.drop(1)).map { case (a, b) => (a._5, b._3 - a._3) }
+      k -> ((gaps.map(g => BigInt(g._1) * g._2).sum, gaps.map(_._2).sum,
+        grp.length.toLong))
+    }
+    assert(got === want)
+  }
+
   test("q236 Gram equals the naive JVM triangle on collected embeddings") {
     val vecs = graft.Tables.embeddings(spark, dir).select("embedding")
       .collect().map(_.getSeq[Float](0))
