@@ -46,7 +46,8 @@ object ScaleCheck {
     "q234_budget_select_by_source", "q235_ktruss", "q236_embedding_gram",
     "q237_cvm_between_halves", "q238_pca_components", "q239_neardup_flow",
     "q240_stream_left_outer_join", "q241_concurrent_sessions",
-    "q242_theil_sen", "q243_mannwhitney_between_halves", "q244_twap")
+    "q242_theil_sen", "q243_mannwhitney_between_halves", "q244_twap",
+    "q245_vocab_richness", "q246_interarrival_deciles")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")

@@ -1926,6 +1926,91 @@ object StatOps {
           CAST(sum(vm::HUGEINT * gap) AS DECIMAL(38,0)) twap_num,
           CAST(sum(gap) AS BIGINT) twap_den,
           CAST(count(*) AS BIGINT) n_events
-        FROM g GROUP BY 1, 2 ORDER BY 1, 2"""))
+        FROM g GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // q245: vocabulary-richness panel per source — Chao1 species-richness
+    // (Chao, Scand. J. Stat. 1984; the bias-corrected 1987 form
+    // V + F1(F1−1)/(2(F2+1)), always defined) estimates how many types a
+    // source's vocabulary REALLY has from the singleton/doubleton
+    // frequencies-of-frequencies, and F1/N is Good–Turing's unseen mass
+    // (Good, Biometrika 1953) — "what fraction of this source's next
+    // tokens will be words we've never seen": the coverage read behind
+    // deciding whether a source is mined out. Next to q183's Heap's-law
+    // growth curve — that one fits a trend, this one estimates the
+    // asymptote. All integers: the estimator ships as
+    // chao1_num/chao1_den; p0 = f1/n_tokens at the consumer. Shape: one
+    // token-instance explode + (source, type) count shuffle; everything
+    // after rides the Heap's-law type table.
+    QueryDef("q245_vocab_richness",
+      (s, d) => {
+        val counts = docs(s, d)
+          .select(col("source"),
+            explode(TextFns.tokens(col("text"))).as("w"))
+          .groupBy("source", "w").agg(count(lit(1)).as("c"))
+        counts.groupBy("source")
+          .agg(sum("c").as("n_tokens"), count(lit(1)).as("v_types"),
+            sum(when(col("c") === 1L, 1L).otherwise(0L)).as("f1"),
+            sum(when(col("c") === 2L, 1L).otherwise(0L)).as("f2"))
+          .select(col("source"), col("n_tokens"), col("v_types"),
+            col("f1"), col("f2"),
+            (col("v_types") * lit(2L) * (col("f2") + 1L) +
+              col("f1") * (col("f1") - 1L)).as("chao1_num"),
+            (lit(2L) * (col("f2") + 1L)).as("chao1_den"))
+          .orderBy("source")
+      },
+      Some(s"""WITH t AS (SELECT source, unnest($OToks) w FROM documents),
+          c AS (SELECT source, w, count(*) c FROM t GROUP BY 1, 2),
+          a AS (SELECT source, CAST(sum(c) AS BIGINT) n_tokens,
+              CAST(count(*) AS BIGINT) v_types,
+              CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) f1,
+              CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) f2
+            FROM c GROUP BY 1)
+        SELECT source, n_tokens, v_types, f1, f2,
+          CAST(v_types * 2 * (f2 + 1) + f1 * (f1 - 1) AS BIGINT) chao1_num,
+          CAST(2 * (f2 + 1) AS BIGINT) chao1_den
+        FROM a ORDER BY source""")),
+
+    // q246: inter-arrival-time deciles per event type — the latency-
+    // distribution read next to q244's TWAP (a mean gap hides the
+    // bimodal burst-then-silence shape bursty streams actually have;
+    // q188's Fano factor says "bursty", the decile table says HOW).
+    // Gaps come from the same BOUNDED (type, day) lead windows as q244
+    // (cross-day gaps excluded — overnight silence is not an
+    // inter-arrival observation); the decile table is the q175 grouped
+    // two-phase machinery, so no per-type corpus window anywhere.
+    QueryDef("q246_interarrival_deciles",
+      (s, d) => {
+        val dd = datediff(to_date(col("ts")), to_date(lit("1970-01-01")))
+          .cast("long")
+        val w = Window.partitionBy(col("event_type"), col("dd"))
+          .orderBy(col("ts"), col("event_id"))
+        val gaps = ev(s, d)
+          .select(col("event_type"), dd.as("dd"), col("ts"), col("event_id"))
+          .withColumn("gap",
+            unix_micros(lead(col("ts"), 1).over(w)) - unix_micros(col("ts")))
+          .filter(col("gap").isNotNull)
+        graft.operators.Sampling.exactQuantilesPerGroup(
+            gaps.select(col("event_id"), col("event_type"), col("gap")),
+            "event_id", "event_type", "gap", q = 10)
+          .select(col("grp").as("event_type"), col("quantile"),
+            col("value").as("gap_us"))
+          .orderBy("event_type", "quantile")
+      },
+      Some("""WITH g AS (SELECT event_type, event_id,
+            epoch_us(lead(ts) OVER (PARTITION BY event_type,
+              date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+              ORDER BY ts, event_id)) - epoch_us(ts) gap
+          FROM events),
+          r AS (SELECT event_type, gap v,
+              row_number() OVER (PARTITION BY event_type
+                ORDER BY gap, event_id) rn,
+              count(*) OVER (PARTITION BY event_type) gn
+            FROM g WHERE gap IS NOT NULL),
+          d AS (SELECT unnest(generate_series(1, 9)) AS dec),
+          j AS (SELECT r.event_type, d.dec, r.v
+            FROM r JOIN d ON 10 * r.rn >= d.dec * r.gn)
+        SELECT event_type, CAST(dec AS INTEGER) quantile,
+          CAST(min(v) AS BIGINT) gap_us
+        FROM j GROUP BY 1, 2 ORDER BY 1, 2"""))
   )
 }

@@ -760,6 +760,52 @@ class StatOpsSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("q245 vocabulary richness equals the naive frequency-of-frequencies census") {
+    val toks = graft.Tables.documents(spark, dir)
+      .select("source", "text").collect()
+      .flatMap(r => r.getString(1).toLowerCase.split("\\s+")
+        .filter(_.nonEmpty).map(w => (r.getString(0), w)))
+    val got = q("q245_vocab_richness").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    for (src <- toks.map(_._1).distinct) {
+      val cs = toks.filter(_._1 == src).groupBy(_._2).map(_._2.length.toLong)
+      val (n, v) = (cs.sum, cs.size.toLong)
+      val f1 = cs.count(_ == 1L).toLong
+      val f2 = cs.count(_ == 2L).toLong
+      assert(got(src) === ((n, v, f1, f2,
+        v * 2 * (f2 + 1) + f1 * (f1 - 1), 2 * (f2 + 1))), s"source=$src")
+      // the estimator can never claim fewer types than observed
+      assert(got(src)._5 >= got(src)._2 * got(src)._6, s"chao1 >= V, $src")
+    }
+  }
+
+  test("q246 inter-arrival deciles equal the naive lower-decile scan over day-windowed gaps") {
+    val evs = graft.Tables.events(spark, dir)
+      .select(org.apache.spark.sql.functions.col("event_type"),
+        org.apache.spark.sql.functions.unix_micros(
+          org.apache.spark.sql.functions.col("ts")).as("us"),
+        org.apache.spark.sql.functions.col("event_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val got = q("q246_interarrival_deciles").collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    for (t <- evs.map(_._1).distinct) {
+      val gaps = evs.filter(_._1 == t)
+        .groupBy(e => Math.floorDiv(e._2, 86400000000L)).values
+        .flatMap { day =>
+          val srt = day.toSeq.sortBy(e => (e._2, e._3))
+          srt.zip(srt.drop(1)).map { case (a, b) => b._2 - a._2 }
+        }.toSeq.sorted
+      val n = gaps.size
+      for (dec <- 1 to 9) {
+        // the q175 lower-quantile convention: value at the smallest rank
+        // r with 10·r >= dec·n
+        val r = (dec * n + 9) / 10
+        assert(got((t, dec)) === gaps(r - 1), s"type=$t decile=$dec")
+      }
+    }
+  }
+
   test("q236 Gram equals the naive JVM triangle on collected embeddings") {
     val vecs = graft.Tables.embeddings(spark, dir).select("embedding")
       .collect().map(_.getSeq[Float](0))
