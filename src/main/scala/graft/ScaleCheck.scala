@@ -47,7 +47,8 @@ object ScaleCheck {
     "q237_cvm_between_halves", "q238_pca_components", "q239_neardup_flow",
     "q240_stream_left_outer_join", "q241_concurrent_sessions",
     "q242_theil_sen", "q243_mannwhitney_between_halves", "q244_twap",
-    "q245_vocab_richness", "q246_interarrival_deciles")
+    "q245_vocab_richness", "q246_interarrival_deciles",
+    "q247_top_coactive_pairs")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")

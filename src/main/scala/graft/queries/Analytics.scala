@@ -1523,6 +1523,52 @@ object Analytics {
           CAST(count(*) AS BIGINT) n_pairs, CAST(sum(ov) AS BIGINT) overlap_us
         FROM p GROUP BY 1, 2 ORDER BY 1, 2""")),
 
+    // q247: top-20 co-active user pairs — the BOUNDED production form of
+    // q241's co-activity matrix (a full pair matrix is quadratic in
+    // concurrently-active users; the monitoring read is "who are the
+    // most-co-active pairs", which is a TakeOrdered over the aggregate —
+    // per-partition 20-row heaps + a driver merge, never a global sort).
+    // Total order (overlap_us DESC, user_a, user_b) pins ties.
+    QueryDef("q247_top_coactive_pairs",
+      (s, d) => {
+        val sess = graft.operators.Sessionize.assign(
+          ev(s, d).select("user_id", "ts", "event_id"),
+          "user_id", "ts", "event_id", 1800000000L)
+        val iv = sess.groupBy(col("user_id"), col("sess"))
+          .agg(min(unix_micros(col("ts"))).as("s_us"),
+            max(unix_micros(col("ts"))).as("e_us"))
+          .select(col("user_id"),
+            (col("user_id") * 100000L + col("sess")).as("iid"),
+            col("s_us"), col("e_us"))
+        graft.operators.Intervals.overlapPairsAcrossGroups(
+            iv, "user_id", "iid", "s_us", "e_us", 3600000000L)
+          .groupBy(col("g_a").as("user_a"), col("g_b").as("user_b"))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum("overlap_us").as("overlap_us"))
+          .orderBy(col("overlap_us").desc, col("user_a"), col("user_b"))
+          .limit(20)
+      },
+      Some("""WITH e AS (SELECT user_id, ts, event_id FROM events),
+          l AS (SELECT user_id, ts, event_id,
+              CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                THEN 1 ELSE 0 END brk
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+          s AS (SELECT user_id, ts,
+              sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING) sess
+            FROM l),
+          iv AS (SELECT user_id, min(epoch_us(ts)) st, max(epoch_us(ts)) en
+            FROM s GROUP BY user_id, sess),
+          p AS (SELECT a.user_id ua, b.user_id ub,
+              least(a.en, b.en) - greatest(a.st, b.st) ov
+            FROM iv a JOIN iv b ON a.user_id < b.user_id
+              AND a.st <= b.en AND b.st <= a.en)
+        SELECT ua AS user_a, ub AS user_b,
+          CAST(count(*) AS BIGINT) n_pairs, CAST(sum(ov) AS BIGINT) overlap_us
+        FROM p GROUP BY 1, 2
+        ORDER BY overlap_us DESC, user_a, user_b LIMIT 20""")),
+
     QueryDef("q191_path_trigrams",
       (s, d) => {
         val w = Window.partitionBy("user_id").orderBy("ts", "event_id")

@@ -651,6 +651,18 @@ class PlanGuardSpec extends SparkSpec {
         s"$q must not re-derive the staged count table per consumer")
   }
 
+  test("q232 funnel pays ONE corpus scan (flags + fold in a single pass)") {
+    assert(scanCount("q232_prep_funnel", "documents.parquet") <= 1,
+      "the funnel must not re-scan per gate")
+  }
+
+  test("q231 binary Hamming: at most four embedding scans (codes, rerank fetch, two query builds)") {
+    // the documented ANN multi-pass class: the 1-bit codes pass, the
+    // candidate vector fetch, and the two pushed-filter query-side
+    // builds; growth past 4 means a stage re-derives the corpus
+    assert(scanCount("q231_binary_hamming_topk", "embeddings.parquet") <= 4)
+  }
+
   test("q224 backoff LM: two heavy corpus passes (train fold + scoring), three scans total") {
     // train collapses to the staged (p2, p1, w) context-count table in
     // ONE pass; scoring explodes once; the third scan is the doc_id-only
