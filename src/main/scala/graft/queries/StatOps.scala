@@ -2011,6 +2011,70 @@ object StatOps {
             FROM r JOIN d ON 10 * r.rn >= d.dec * r.gn)
         SELECT event_type, CAST(dec AS INTEGER) quantile,
           CAST(min(v) AS BIGINT) gap_us
-        FROM j GROUP BY 1, 2 ORDER BY 1, 2"""))
+        FROM j GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // q248: PER-SOURCE calibration table — q182 grouped, completing the
+    // grouped-eval trio (AUC-by-source q230, PR-by-source q227,
+    // calibration-by-source here): a classifier calibrated on the pooled
+    // corpus can be badly over-confident on one source (the slice where
+    // its hashed features alias differently), and the pooled reliability
+    // diagram averages that away. Same deterministic hashed-feature
+    // linear score and heuristic label as q129/q182; per (source,
+    // score-bin) the exact integer census. One instance-explode score
+    // shuffle; the bin table is sources × occupied-bins sized.
+    QueryDef("q248_calibration_by_source",
+      (s, d) => {
+        val t = TextFns.tokens(col("text"))
+        val bigrams = when(size(t) >= 2,
+          zip_with(slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+            (a, b) => concat(a, lit(" "), b)))
+          .otherwise(array().cast("array<string>"))
+        val bucket = pmod(TextFns.hash32(col("feat")), lit(4096L))
+        val weight = TextFns.hash32(concat(lit("w:"), bucket.cast("string"))) %
+          lit(2001L) - lit(1000L)
+        val scores = docs(s, d)
+          .select(col("doc_id"), explode(concat(t, bigrams)).as("feat"))
+          .select(col("doc_id"), weight.as("w"))
+          .groupBy("doc_id").agg(sum("w").as("score"))
+        val nt = size(t).cast("long")
+        val nd = size(array_distinct(t)).cast("long")
+        val stops = size(filter(t, x => x.isin("the", "a"))).cast("long")
+        val lab = docs(s, d).select(col("doc_id"), col("source"),
+          ((lit(4000L) * nd + lit(3000L) * (nt - stops)
+            + lit(30L) * least(nt, lit(100L)) * nt) >= lit(6200L) * nt)
+            .as("b"))
+        scores.join(lab, "doc_id")
+          .withColumn("bin",
+            floor(col("score") / lit(2000.0)).cast("long"))
+          .groupBy("source", "bin")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("b"), 1L).otherwise(0L)).as("n_pos"),
+            min("score").as("min_score"), max("score").as("max_score"),
+            sum("score").as("sum_score"))
+          .orderBy("source", "bin")
+      },
+      Some(s"""WITH x AS (SELECT doc_id, source, $OToks t FROM documents),
+          f AS (SELECT doc_id, unnest(t ||
+                  [t[i] || ' ' || t[i+1] for i in generate_series(1, len(t)-1)]) feat
+                FROM x),
+          sc AS (SELECT doc_id, sum(
+                  ('0x' || substr(md5('w:' || CAST(
+                    ('0x' || substr(md5(feat), 1, 8))::BIGINT % 4096
+                  AS VARCHAR)), 1, 8))::BIGINT % 2001 - 1000) AS score
+                FROM f GROUP BY doc_id),
+          lab AS (SELECT doc_id, source,
+                  (4000 * len(list_distinct(t))
+                   + 3000 * (len(t) - len(list_filter(t, q -> q IN ('the','a'))))
+                   + 30 * least(len(t), 100) * len(t)) >= 6200 * len(t) AS b
+                FROM x),
+          j AS (SELECT lab.source, CAST(floor(sc.score / 2000.0) AS BIGINT) bin,
+                  sc.score, lab.b
+                FROM sc JOIN lab USING (doc_id))
+        SELECT source, bin, CAST(count(*) AS BIGINT) n_docs,
+          CAST(sum(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT) n_pos,
+          CAST(min(score) AS BIGINT) min_score,
+          CAST(max(score) AS BIGINT) max_score,
+          CAST(sum(score) AS BIGINT) sum_score
+        FROM j GROUP BY 1, 2 ORDER BY source, bin"""))
   )
 }
