@@ -41,6 +41,50 @@ object Dedup {
       .withColumnRenamed("_graft_fp", "fingerprint")
   }
 
+  /** MinHash estimator-error audit over a given candidate-pair set: for
+    * each pair, the SKETCH's similarity estimate (matching signature
+    * positions / perms — the Broder '97 unbiased estimator the LSH path
+    * banks on) next to the exact shingle Jaccard, both as integer
+    * micro-ratios. The calibration read behind choosing `perms`: at 48
+    * permutations the estimator's σ ≈ √(j(1−j)/48) ≈ 0.07 at j = 0.6, and
+    * a drifting corpus (longer docs, different shingle-set sizes) can
+    * silently push the sketch off the exact value — this table is the
+    * evidence, per pair, not a textbook bound.
+    *
+    * Scale: signatures are computed ONLY for docs appearing in `pairs`
+    * (semi-join first) — at 100 TB the audit rides an existing candidate
+    * index (the q34/q77 memo), never a corpus re-sign.
+    */
+  def minhashEstimateAudit(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, pairs: DataFrame, perms: Int = 48): DataFrame = {
+    val ids = pairs.select(col("id_a").as("id"))
+      .union(pairs.select(col("id_b").as("id"))).distinct()
+    val (hs, sig) = docSignatures(
+      docs.join(ids.withColumnRenamed("id", idCol), Seq(idCol), "left_semi"),
+      idCol, textCol, shingleN, perms)
+    val sets = hs.select(col("id"), col("hs"))
+    val sigs = sig.select(col("id"), col("sig"))
+    val out = pairs.select("id_a", "id_b")
+      .join(sets.select(col("id").as("id_a"), col("hs").as("hs_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("hs").as("hs_b")), "id_b")
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
+      .withColumn("inter",
+        size(array_intersect(col("hs_a"), col("hs_b"))).cast("long"))
+      .withColumn("unio", size(col("hs_a")).cast("long") +
+        size(col("hs_b")).cast("long") - col("inter"))
+      .withColumn("sig_matches", aggregate(
+        zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1L).otherwise(0L)),
+        lit(0L), (acc, v) => acc + v))
+      .withColumn("est_micro", expr(s"sig_matches * 1000000 div $perms"))
+      .withColumn("jac_micro", expr("inter * 1000000 div unio"))
+      .withColumn("err_micro", abs(col("est_micro") - col("jac_micro")))
+      .select("id_a", "id_b", "sig_matches", "inter", "unio",
+        "est_micro", "jac_micro", "err_micro")
+    Checkpoints.sealAndRelease(out, hs, sig)
+  }
+
   /** Distinct hashed-shingle postings (id, shingle₆₀) — the shared front of
     * both near-dup paths: one pass of the [[graft.functions.ShingleGenerator]]
     * UDTF (tokens evaluated once per doc, n-grams streamed out with no

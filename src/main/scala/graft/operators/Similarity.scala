@@ -69,6 +69,55 @@ object Similarity {
     twoPhaseTopK(pairs, k)
   }
 
+  /** Margin-scored mutual-nearest-neighbor pair mining (Artetxe &
+    * Schwenk, ACL 2019's ratio margin): a pair (a, b) is emitted when b
+    * is a's cosine-nearest neighbor AND a is b's — the mutual-top-1
+    * criterion bitext/near-dup miners use to kill hub vectors — and its
+    * score is the cosine RELATIVE to both endpoints' k-NN neighborhoods,
+    * margin = cos(a,b) / ((avgₖ(a) + avgₖ(b)) / 2: a 0.8 cosine means
+    * nothing in a dense hub region and everything in a sparse one.
+    *
+    * Universe contract: neighborhoods are computed WITHIN the frame the
+    * caller passes — at 100 TB that frame is one LSH/IVF block (the
+    * operator runs per candidate block, the q108/q127 stance), or a
+    * bounded evaluation slice. All-pairs cost is the caller's choice of
+    * block size, never a corpus cross.
+    *
+    * Determinism: cosines are 6dp-rounded before ranking (the q37
+    * stance); the k-NN sum folds over the (cos, id)-sorted list
+    * left-to-right, so the oracle's `list_sum(list(... ORDER BY ...))`
+    * replays it bit-for-bit; margin is one add + one divide + round.
+    */
+  def mutualTopKMargin(vecs: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    val v = vecs.select(col(idCol).as("ia"), col(vecCol).as("va"))
+      .withColumn("na", l2norm(col("va")))
+    val b = v.select(col("ia").as("ib"), col("va").as("vb"),
+      col("na").as("nb"))
+    val ranked = v.join(broadcast(b), col("ia") =!= col("ib"))
+      .withColumn("cos",
+        round(cosine(col("va"), col("vb"), col("na"), col("nb")), 6))
+      .select("ia", "ib", "cos")
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("ia").orderBy(col("cos").desc, col("ib"))))
+      .filter(col("rnk") <= k)
+    val top1 = ranked.filter(col("rnk") === 1).select("ia", "ib", "cos")
+    // Σ of each id's top-k cosines, folded over the value-sorted list so
+    // float addition order is pinned (see determinism note above).
+    val sumk = ranked.groupBy("ia").agg(
+      aggregate(array_sort(collect_list(struct(col("cos"), col("ib")))),
+        lit(0.0), (acc, s) => acc + s.getField("cos")).as("sk"))
+    top1.as("t")
+      .join(top1.select(col("ia").as("ib"), col("ib").as("ia2")),
+        Seq("ib")).filter(col("ia2") === col("ia") && col("ia") < col("ib"))
+      .select(col("ia").as("id_a"), col("ib").as("id_b"), col("cos"))
+      .join(sumk.select(col("ia").as("id_a"), col("sk").as("ska")), "id_a")
+      .join(sumk.select(col("ia").as("id_b"), col("sk").as("skb")), "id_b")
+      .withColumn("margin",
+        round(lit(2.0 * k) * col("cos") / (col("ska") + col("skb")), 6))
+      .select("id_a", "id_b", "cos", "margin")
+  }
+
   /** Two-phase per-query top-k over (query_id, id, cos): local prune to k
     * per (query, partition), then the final per-query window — only
     * k·partitions rows reach the last exchange, never a global sort.

@@ -48,6 +48,13 @@ object TextDedupOps {
   // query reads the published labels, the q193/q221 at-rest stance.
   private val relabelCache = new SessionMemo[String]
 
+  // q250's oracle replays the MinHash permutation family itself — the
+  // fixed-seed (a_j, b_j) constants inlined as a VALUES list so DuckDB
+  // computes the identical signatures.
+  private val OPermConsts = TextFns.PermConsts.take(48).zipWithIndex
+    .map { case ((a, b), j) => s"($j, ${a}::BIGINT, ${b}::BIGINT)" }
+    .mkString(", ")
+
   // DuckDB-side exact 3-gram Jaccard pairs >= 0.6 (shared oracle for the
   // exact inverted-index path AND the MinHash-LSH path — banding recall for
   // the planted ~0.99-similarity pairs is 1-(1-s^4)^12 ≈ 1-1e-13, and the
@@ -714,5 +721,48 @@ object TextDedupOps {
           CAST(sv.n_members AS BIGINT) AS n_members,
           x.doc_id = sv.survivor_id AS kept
         FROM x JOIN sv USING (cluster) ORDER BY x.doc_id""")),
+
+    // q250: MinHash estimator-error audit — per near-dup pair (the q34
+    // shared index), the sketch's similarity estimate (matching signature
+    // positions over 48 permutations, Broder '97) NEXT TO the exact
+    // shingle Jaccard, both integer micro-ratios. The calibration
+    // evidence behind the LSH path's `perms` choice: the oracle replays
+    // the whole permutation family ((aⱼ·h + bⱼ) mod P, constants inlined
+    // from TextFns.PermConsts), so this is the one query that hash-pins
+    // the SIGNATURES themselves, not just the verified pair set.
+    QueryDef("q250_minhash_estimate_audit",
+      (s, d) => Dedup.minhashEstimateAudit(docs(s, d), "doc_id", "text", 3,
+          jaccardPairs(s, d), 48)
+        .orderBy("id_a", "id_b"),
+      Some(s"""WITH toks AS (SELECT doc_id, $OToks t FROM documents),
+        sets AS (SELECT doc_id, $OShingles sh FROM toks WHERE len(t) >= 3),
+        inv AS (SELECT doc_id, len(sh) n, unnest(sh) shingle FROM sets),
+        pr AS (SELECT a.doc_id id_a, b.doc_id id_b, a.n na, b.n nb,
+            count(*) inter
+          FROM inv a JOIN inv b
+            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2, 3, 4),
+        np AS (SELECT id_a, id_b, CAST(inter AS BIGINT) inter,
+            CAST(na + nb - inter AS BIGINT) unio
+          FROM pr WHERE round(inter / (na + nb - inter), 4) >= 0.6),
+        ids AS (SELECT id_a doc_id FROM np UNION SELECT id_b FROM np),
+        hv AS (SELECT i.doc_id,
+            ('0x' || substr(md5(i.shingle), 1, 15))::BIGINT % 2147483647 hp
+          FROM inv i JOIN ids USING (doc_id)),
+        cst AS (SELECT * FROM (VALUES $OPermConsts) v(j, a, b)),
+        sig AS (SELECT doc_id, j, min((a * hp + b) % 2147483647) sv
+          FROM hv CROSS JOIN cst GROUP BY 1, 2),
+        m AS (SELECT np.id_a, np.id_b, np.inter, np.unio,
+            CAST(sum(CASE WHEN sa.sv = sb.sv THEN 1 ELSE 0 END) AS BIGINT)
+              sig_matches
+          FROM np JOIN sig sa ON sa.doc_id = np.id_a
+            JOIN sig sb ON sb.doc_id = np.id_b AND sb.j = sa.j
+          GROUP BY 1, 2, 3, 4)
+        SELECT id_a, id_b, sig_matches, inter, unio,
+          CAST(sig_matches * 1000000 // 48 AS BIGINT) est_micro,
+          CAST(inter * 1000000 // unio AS BIGINT) jac_micro,
+          CAST(abs(sig_matches * 1000000 // 48 - inter * 1000000 // unio)
+            AS BIGINT) err_micro
+        FROM m ORDER BY id_a, id_b""")),
   )
 }

@@ -616,5 +616,40 @@ object TextSimOps {
               ORDER BY cos DESC, bench_id) rn
           FROM f) r
         WHERE rn = 1 ORDER BY vec_id""")),
+
+    // q249: margin-scored mutual-nearest-neighbor mining (Artetxe &
+    // Schwenk ACL'19 ratio margin) — the pair-MINING read of the ANN
+    // family: q37 answers "what is near x", this answers "which pairs
+    // pick EACH OTHER", with the cosine normalized by both endpoints'
+    // 4-NN neighborhood density so hub vectors (near everything, the
+    // known failure of raw-cosine mining) stop dominating. Universe =
+    // the first-200 evaluation slice (the q68/q37 bounded-set stance);
+    // at 100 TB the operator runs per LSH/IVF candidate block. Output:
+    // mutual top-1 pairs with cosine and ratio margin.
+    QueryDef("q249_mutual_knn_margin",
+      (s, d) => Similarity.mutualTopKMargin(
+          emb(s, d).filter(col("vec_id") < 200), "vec_id", "embedding", 4)
+        .orderBy("id_a"),
+      Some("""WITH v AS (
+          SELECT vec_id, embedding,
+            sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) nrm
+          FROM embeddings WHERE vec_id < 200),
+        p AS (SELECT a.vec_id ia, b.vec_id ib,
+            round(list_sum(list_transform(generate_series(1, len(a.embedding)),
+                i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+              / (a.nrm * b.nrm), 6) cos
+          FROM v a JOIN v b ON a.vec_id != b.vec_id),
+        r AS (SELECT ia, ib, cos,
+            row_number() OVER (PARTITION BY ia ORDER BY cos DESC, ib) rnk
+          FROM p),
+        t1 AS (SELECT ia, ib, cos FROM r WHERE rnk = 1),
+        s4 AS (SELECT ia, list_sum(list(cos ORDER BY cos, ib)) sk
+          FROM r WHERE rnk <= 4 GROUP BY ia)
+        SELECT t.ia id_a, t.ib id_b, t.cos,
+          round(8.0 * t.cos / (sa.sk + sb.sk), 6) margin
+        FROM t1 t JOIN t1 u ON t.ib = u.ia AND u.ib = t.ia AND t.ia < t.ib
+        JOIN s4 sa ON sa.ia = t.ia
+        JOIN s4 sb ON sb.ia = t.ib
+        ORDER BY id_a""")),
   )
 }

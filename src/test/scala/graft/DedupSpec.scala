@@ -476,4 +476,35 @@ class DedupSpec extends SparkSpec {
       .where(col("kept")).select("doc_id").as[Long].collect().toSeq
     assert(surv === Seq(11L))
   }
+
+  test("minhashEstimateAudit: identical docs audit at exactly 48/48 and zero error") {
+    val pairs = Seq((1L, 4L)).toDF("id_a", "id_b") // case-dup pair of `docs`
+    val out = Dedup.minhashEstimateAudit(docs, "doc_id", "text", 3, pairs)
+      .collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getLong(2) === 48L, "all signature positions match")
+    assert(r.getLong(3) === r.getLong(4), "inter == union for identical sets")
+    assert(r.getAs[Long]("est_micro") === 1000000L)
+    assert(r.getAs[Long]("jac_micro") === 1000000L)
+    assert(r.getAs[Long]("err_micro") === 0L)
+  }
+
+  test("minhashEstimateAudit: estimator stays near exact Jaccard on real near-dups") {
+    val d = Tables.documents(spark, "/root/testdata/sf0.001")
+    val pairs = Dedup.ngramJaccard(d, "doc_id", "text", 3, 0.6)
+      .select("id_a", "id_b")
+    val out = Dedup.minhashEstimateAudit(d, "doc_id", "text", 3, pairs)
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (m, inter, unio) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(m >= 0 && m <= 48)
+      assert(r.getAs[Long]("est_micro") === m * 1000000L / 48)
+      assert(r.getAs[Long]("jac_micro") === inter * 1000000L / unio)
+      // 48-perm estimator σ ≈ √(j(1−j)/48) ≈ 0.05 at j ≈ 0.9: allow 3σ
+      assert(r.getAs[Long]("err_micro") <= 150000L,
+        s"sketch far off exact for pair (${r.getLong(0)}, ${r.getLong(1)})")
+    }
+  }
 }

@@ -653,4 +653,38 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.semanticContamination(vecs, "vec_id", "embedding",
       col("vec_id") === 1L, 0.5).isEmpty)
   }
+
+  test("mutualTopKMargin emits exactly the mutual top-1 pairs, margin > 1 for tight pairs") {
+    val vecs = Seq(
+      (0L, Array(1f, 0f)),       // mutual with 1
+      (1L, Array(0.99f, 0.01f)),
+      (2L, Array(0f, 1f)),       // mutual with 3
+      (3L, Array(0.01f, 0.99f)),
+      (4L, Array(0.7f, 0.7f))    // equidistant leftover: its top-1 (1, by
+                                 // tiebreak) prefers 0 — NOT mutual
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.mutualTopKMargin(vecs, "vec_id", "embedding", 2)
+      .orderBy("id_a").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      Seq((0L, 1L), (2L, 3L)))
+    // both planted pairs sit far above their neighborhood average
+    assert(out.forall(_.getDouble(3) > 1.0))
+  }
+
+  test("mutualTopKMargin agrees with bruteForceTopK's top-1 on real embeddings") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .filter(col("vec_id") < 100)
+    val out = Similarity.mutualTopKMargin(emb, "vec_id", "embedding", 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.nonEmpty, "the sf0.001 slice has mutual pairs by construction")
+    val top1 = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        lit(true), 1)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // mutual set ≡ the pairs where brute-force top-1 points both ways
+    val expected = top1.collect {
+      case (a, b) if top1.get(b).contains(a) && a < b => (a, b)
+    }.toSet
+    assert(out === expected)
+  }
 }
