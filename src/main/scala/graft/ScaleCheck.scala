@@ -49,7 +49,8 @@ object ScaleCheck {
     "q242_theil_sen", "q243_mannwhitney_between_halves", "q244_twap",
     "q245_vocab_richness", "q246_interarrival_deciles",
     "q247_top_coactive_pairs", "q248_calibration_by_source",
-    "q249_mutual_knn_margin", "q250_minhash_estimate_audit")
+    "q249_mutual_knn_margin", "q250_minhash_estimate_audit",
+    "q251_dow_seasonality", "q252_changepoint")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")

@@ -2075,6 +2075,142 @@ object StatOps {
           CAST(min(score) AS BIGINT) min_score,
           CAST(max(score) AS BIGINT) max_score,
           CAST(sum(score) AS BIGINT) sum_score
-        FROM j GROUP BY 1, 2 ORDER BY source, bin"""))
+        FROM j GROUP BY 1, 2 ORDER BY source, bin""")),
+
+    // q251: day-of-week seasonality index per event type — the
+    // PERIODICITY-PROFILE read next to q225's lag-7 autocorrelation:
+    // q225 says "there is a weekly cycle", this table says WHICH days
+    // carry it (index > 1 = overrepresented dow), the signal monitoring
+    // panels need to avoid reading weekend troughs as drift. dow =
+    // day-number mod 7 with day 0 = 1970-01-01 (a Thursday) — pure
+    // integer arithmetic, no library dow convention to disagree on.
+    // Denominators come from each type's DENSE calendar span (a dow with
+    // zero events still contributes its days), the q229 zero-observation
+    // stance. All integer: the index ships as exact num/den plus its
+    // micro quotient. One corpus count shuffle; everything after is
+    // day-grid-sized.
+    QueryDef("q251_dow_seasonality",
+      (s, d) => {
+        val daily = ev(s, d)
+          .groupBy(col("event_type"),
+            datediff(to_date(col("ts")), to_date(lit("1970-01-01")))
+              .cast("long").as("dd"))
+          .agg(count(lit(1)).as("c"))
+        val span = daily.groupBy("event_type")
+          .agg(min("dd").as("lo"), max("dd").as("hi"), sum("c").as("c_t"))
+        val dows = span
+          .select(col("event_type"), col("c_t"),
+            (col("hi") - col("lo") + 1L).as("d_t"),
+            explode(sequence(col("lo"), col("hi"))).as("dd"))
+          .groupBy(col("event_type"), col("c_t"), col("d_t"),
+            pmod(col("dd"), lit(7L)).as("dow"))
+          .agg(count(lit(1)).as("d_td"))
+        val cdow = daily
+          .groupBy(col("event_type"), pmod(col("dd"), lit(7L)).as("dow"))
+          .agg(sum("c").as("c_td"))
+        dows.join(cdow, Seq("event_type", "dow"), "left")
+          .select(col("event_type"), col("dow"),
+            coalesce(col("c_td"), lit(0L)).as("c_td"), col("d_td"),
+            col("c_t"), col("d_t"))
+          .withColumn("idx_micro",
+            expr("c_td * d_t * 1000000 div (d_td * c_t)"))
+          .orderBy("event_type", "dow")
+      },
+      Some("""WITH daily AS (SELECT event_type,
+            date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) dd,
+            count(*) c FROM events GROUP BY 1, 2),
+          span AS (SELECT event_type, min(dd) lo, max(dd) hi,
+              CAST(sum(c) AS BIGINT) c_t FROM daily GROUP BY 1),
+          dows AS (SELECT event_type, c_t, hi - lo + 1 d_t, dd % 7 dow,
+              CAST(count(*) AS BIGINT) d_td
+            FROM (SELECT event_type, c_t, lo, hi,
+                unnest(generate_series(lo, hi)) dd FROM span)
+            GROUP BY 1, 2, 3, 4),
+          cdow AS (SELECT event_type, dd % 7 dow, CAST(sum(c) AS BIGINT) c_td
+            FROM daily GROUP BY 1, 2)
+        SELECT dows.event_type, CAST(dows.dow AS BIGINT) dow,
+          coalesce(cdow.c_td, 0) c_td, d_td, c_t, CAST(d_t AS BIGINT) d_t,
+          CAST(coalesce(cdow.c_td, 0) * d_t * 1000000 // (d_td * c_t)
+            AS BIGINT) idx_micro
+        FROM dows LEFT JOIN cdow
+          ON cdow.event_type = dows.event_type AND cdow.dow = dows.dow
+        ORDER BY 1, 2""")),
+
+    // q252: single change-point per event type by binary segmentation —
+    // the POINT estimate next to q229's CUSUM trajectories (CUSUM says
+    // "a level shift is accumulating", this says WHERE): over the dense
+    // (type, day) grid, the split k maximizing the between-segment
+    // variance reduction, score(k) = (s₁n₂ − s₂n₁)²/(n₁n₂·n·σ̂²)-
+    // monotone ⇔ maximizing (s₁n₂ − s₂n₁)²/(n₁n₂) — the standard CUSUM-
+    // statistic square. The difference d = s₁n₂ − s₂n₁ is EXACT int64;
+    // both engines then form round(d²/(n₁n₂), 6) from identical integers
+    // (same IEEE multiply + divide), so the argmax and its (score DESC,
+    // day ASC) tiebreak replay bit-for-bit. Two cumulative windows per
+    // type over day-grid rows; the corpus pays one count shuffle.
+    QueryDef("q252_changepoint",
+      (s, d) => {
+        val daily = ev(s, d)
+          .groupBy(col("event_type"),
+            datediff(to_date(col("ts")), to_date(lit("1970-01-01")))
+              .cast("long").as("dd"))
+          .agg(count(lit(1)).as("c"))
+        val dense = daily.groupBy("event_type")
+          .agg(min("dd").as("lo"), max("dd").as("hi"))
+          .select(col("event_type"),
+            explode(sequence(col("lo"), col("hi"))).as("dd"))
+          .join(daily, Seq("event_type", "dd"), "left")
+          .select(col("event_type"), col("dd"),
+            coalesce(col("c"), lit(0L)).as("c"))
+        val wOrd = Window.partitionBy("event_type").orderBy("dd")
+        val wAll = Window.partitionBy("event_type")
+        val scored = dense
+          .withColumn("s1", sum("c").over(
+            wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("n1", row_number().over(wOrd).cast("long"))
+          .withColumn("n", count(lit(1)).over(wAll))
+          .withColumn("st", sum("c").over(wAll))
+          .filter(col("n1") < col("n"))
+          .withColumn("n2", col("n") - col("n1"))
+          .withColumn("s2", col("st") - col("s1"))
+          .withColumn("dv",
+            (col("s1") * col("n2") - col("s2") * col("n1")).cast("double"))
+          .withColumn("score",
+            round(col("dv") * col("dv") / (col("n1") * col("n2")), 6))
+        scored
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("event_type")
+              .orderBy(col("score").desc, col("dd"))))
+          .filter(col("rn") === 1)
+          .select(col("event_type"), col("dd").as("split_dd"),
+            col("n1"), col("n2"), col("s1"), col("s2"), col("score"))
+          .orderBy("event_type")
+      },
+      Some("""WITH daily AS (SELECT event_type,
+            date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) dd,
+            count(*) c FROM events GROUP BY 1, 2),
+          span AS (SELECT event_type, min(dd) lo, max(dd) hi
+            FROM daily GROUP BY 1),
+          dense AS (SELECT s.event_type, s.dd, coalesce(daily.c, 0) c
+            FROM (SELECT event_type, unnest(generate_series(lo, hi)) dd
+                  FROM span) s
+            LEFT JOIN daily
+              ON daily.event_type = s.event_type AND daily.dd = s.dd),
+          w AS (SELECT event_type, dd,
+              CAST(sum(c) OVER (PARTITION BY event_type ORDER BY dd
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) s1,
+              CAST(row_number() OVER (PARTITION BY event_type ORDER BY dd)
+                AS BIGINT) n1,
+              CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) n,
+              CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) st
+            FROM dense),
+          sc AS (SELECT event_type, dd, n1, n - n1 n2, s1, st - s1 s2,
+              round(CAST(s1 * (n - n1) - (st - s1) * n1 AS DOUBLE)
+                * CAST(s1 * (n - n1) - (st - s1) * n1 AS DOUBLE)
+                / (n1 * (n - n1)), 6) score
+            FROM w WHERE n1 < n)
+        SELECT event_type, dd split_dd, n1, n2, s1, s2, score FROM (
+          SELECT *, row_number() OVER (PARTITION BY event_type
+            ORDER BY score DESC, dd) rn FROM sc) t
+        WHERE rn = 1 ORDER BY event_type"""))
   )
 }

@@ -907,4 +907,60 @@ class StatOpsSpec extends SparkSpec {
     assert(got(27)._2 === 42L)
     assert(got(27)._3 === 0L)
   }
+
+  test("q251 dow seasonality: partition laws hold and match the naive census") {
+    val rows = q("q251_dow_seasonality").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rows.nonEmpty)
+    // per type: Σ_dow c_td = c_t and Σ_dow d_td = d_t (both partitions)
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.map(_._3).sum === rs.head._5, "event counts partition c_t")
+      assert(rs.map(_._4).sum === rs.head._6, "calendar days partition d_t")
+    }
+    // naive replay from collected (type, day) counts
+    val byTypeDay = graft.Tables.events(spark, dir)
+      .select("event_type", "ts").collect()
+      .map(r => (r.getString(0),
+        Math.floorDiv(r.getTimestamp(1).getTime, 86400000L)))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    rows.foreach { case (t, dow, cTd, dTd, cT, dT, idx) =>
+      val days = byTypeDay.collect { case ((tt, dd), c) if tt == t => (dd, c) }
+      val (lo, hi) = (days.map(_._1).min, days.map(_._1).max)
+      assert(cT === days.map(_._2).sum)
+      assert(dT === hi - lo + 1)
+      assert(dTd === (lo to hi).count(_ % 7 == dow))
+      assert(cTd === days.collect { case (dd, c) if dd % 7 == dow => c }.sum)
+      assert(idx === cTd * dT * 1000000L / (dTd * cT))
+    }
+  }
+
+  test("q252: a constructed level shift pins the split at the last low day; scores replay naively") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cp").toString
+    val base = 1704067200L // 2024-01-01, day 19723
+    val rows = for {
+      d <- 0 until 20
+      j <- 0L until (if (d < 10) 2L else 8L)
+    } yield (d * 100L + j, (base + d * 86400L + j) * 1000000000L,
+      1L, "deploy", 1.0, "{}")
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$tmp/events.parquet")
+    val got = SparkEntry.queries("q252_changepoint")(spark, tmp).collect()
+    assert(got.length === 1)
+    val r = got.head
+    assert(r.getLong(1) === 19723L + 9L, "split = last day of the low level")
+    assert((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)) ===
+      ((10L, 10L, 20L, 80L)))
+    // naive: the argmax split over all k replays the query's winner
+    val counts = (0 until 20).map(d => if (d < 10) 2L else 8L)
+    val best = (1 until 20).map { k =>
+      val (s1, s2) = (counts.take(k).sum, counts.drop(k).sum)
+      val d = (s1 * (20L - k) - s2 * k).toDouble
+      (BigDecimal(d * d / (k.toLong * (20L - k)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, k)
+    }.maxBy { case (s, k) => (s, -k) }
+    assert(best._2 === 10, "naive argmax agrees")
+    assert(r.getDouble(6) === best._1)
+  }
 }
