@@ -50,7 +50,8 @@ object ScaleCheck {
     "q245_vocab_richness", "q246_interarrival_deciles",
     "q247_top_coactive_pairs", "q248_calibration_by_source",
     "q249_mutual_knn_margin", "q250_minhash_estimate_audit",
-    "q251_dow_seasonality", "q252_changepoint")
+    "q251_dow_seasonality", "q252_changepoint", "q253_zorder_extents",
+    "q254_rolling_robust_outliers")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")

@@ -2236,7 +2236,65 @@ object Analytics {
           na AS (SELECT it a, count(*) n_a FROM occ GROUP BY 1)
         SELECT at.a AS a, at.b AS b, CAST(n_attr AS BIGINT) n_attr,
           CAST(na.n_a AS BIGINT) n_a
-        FROM at JOIN na USING (a) ORDER BY a, b"""))
+        FROM at JOIN na USING (a) ORDER BY a, b""")),
+
+    // q253: z-order layout extents — the registered driver gate for the
+    // ZOrder Morton machinery (layout itself is spec'd in ZOrderSpec;
+    // this hash-pins the interleave arithmetic): quantize (o_custkey,
+    // order-day) to 16 bits each off one broadcast bounds row, Morton-
+    // interleave (the same mask/shift spreading Delta's OPTIMIZE ZORDER
+    // uses, pure codegen'd bit ops), cut z-space into 16 fixed-width
+    // ranges — each range is what one output file would hold — and
+    // report each range's (x, y) bounding rectangle. The payoff is the
+    // extent column: every bucket covers a COMPACT rectangle of both
+    // dimensions (Σ extents ≪ 16 × full grid), so parquet min/max
+    // footer stats prune scans filtered on EITHER key; a single-column
+    // sort would leave the other dimension's extent at full width.
+    QueryDef("q253_zorder_extents",
+      (s, d) => {
+        val dd = datediff(to_date(col("o_orderdate")),
+          to_date(lit("1970-01-01"))).cast("long")
+        val b = ord(s, d).agg(min("o_custkey").as("cmn"),
+          max("o_custkey").as("cmx"), min(dd).as("dmn"), max(dd).as("dmx"))
+        ord(s, d).select(col("o_custkey"), dd.as("dd"))
+          .crossJoin(broadcast(b))
+          .withColumn("x16",
+            expr("(o_custkey - cmn) * 65536 div (cmx - cmn + 1)"))
+          .withColumn("y16", expr("(dd - dmn) * 65536 div (dmx - dmn + 1)"))
+          .withColumn("z",
+            graft.functions.ZOrder.interleave(col("x16"), col("y16")))
+          .withColumn("bucket", expr("z div 268435456"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n"),
+            min("x16").as("x_lo"), max("x16").as("x_hi"),
+            min("y16").as("y_lo"), max("y16").as("y_hi"))
+          .withColumn("extent", (col("x_hi") - col("x_lo") + 1L) *
+            (col("y_hi") - col("y_lo") + 1L))
+          .orderBy("bucket")
+      },
+      Some("""WITH b AS (SELECT min(o_custkey) cmn, max(o_custkey) cmx,
+            min(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))) dmn,
+            max(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))) dmx
+          FROM orders),
+        q AS (SELECT
+            (o_custkey - cmn) * 65536 // (cmx - cmn + 1) x16,
+            (date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) - dmn)
+              * 65536 // (dmx - dmn + 1) y16
+          FROM orders, b),
+        s1 AS (SELECT x16, y16, ((x16 | (x16 << 8)) & 16711935) bx,
+            ((y16 | (y16 << 8)) & 16711935) byy FROM q),
+        s2 AS (SELECT x16, y16, ((bx | (bx << 4)) & 252645135) cx,
+            ((byy | (byy << 4)) & 252645135) cy FROM s1),
+        s3 AS (SELECT x16, y16, ((cx | (cx << 2)) & 858993459) dx,
+            ((cy | (cy << 2)) & 858993459) dy FROM s2),
+        s4 AS (SELECT x16, y16, ((dx | (dx << 1)) & 1431655765) ex,
+            ((dy | (dy << 1)) & 1431655765) ey FROM s3),
+        z AS (SELECT x16, y16, (ex | (ey * 2)) // 268435456 bucket FROM s4)
+        SELECT bucket, CAST(count(*) AS BIGINT) n,
+          min(x16) x_lo, max(x16) x_hi, min(y16) y_lo, max(y16) y_hi,
+          CAST((max(x16) - min(x16) + 1) * (max(y16) - min(y16) + 1)
+            AS BIGINT) extent
+        FROM z GROUP BY bucket ORDER BY bucket"""))
   )
 
   // q210/q218's shared oracle preamble: the coocEdges CTEs + `n` LPA

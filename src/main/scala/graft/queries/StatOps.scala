@@ -2211,6 +2211,87 @@ object StatOps {
         SELECT event_type, dd split_dd, n1, n2, s1, s2, score FROM (
           SELECT *, row_number() OVER (PARTITION BY event_type
             ORDER BY score DESC, dd) rn FROM sc) t
-        WHERE rn = 1 ORDER BY event_type"""))
+        WHERE rn = 1 ORDER BY event_type""")),
+
+    // q254: rolling robust outliers — per (type, day), the trailing
+    // 7-day median and MAD of daily volume, flagging |c − med| > 3·MAD.
+    // The ROLLING form of q159's static per-source MAD gate: a monitor
+    // that adapts to level shifts within a week instead of comparing
+    // against an all-time distribution. Exactly integral throughout: a
+    // 7-value window has an odd count, so both medians are order
+    // statistics (no interpolated halves to carry), and the flag is
+    // pure int64 comparison. The 7-day window is DECOMPOSED to an
+    // equi-join (each day explodes to the 7 target days it serves —
+    // the q219 bucket stance, no non-equi day join anywhere); the
+    // oracle states the DIRECT `BETWEEN` form, so the hash-match is
+    // the decomposition-changes-nothing proof. Grid-sized past the one
+    // corpus count shuffle; only full 7-day windows emit.
+    QueryDef("q254_rolling_robust_outliers",
+      (s, d) => {
+        val daily = ev(s, d)
+          .groupBy(col("event_type"),
+            datediff(to_date(col("ts")), to_date(lit("1970-01-01")))
+              .cast("long").as("dd"))
+          .agg(count(lit(1)).as("c"))
+        val dense = graft.operators.Checkpoints.cut(
+          daily.groupBy("event_type")
+            .agg(min("dd").as("lo"), max("dd").as("hi"))
+            .select(col("event_type"),
+              explode(sequence(col("lo"), col("hi"))).as("dd"))
+            .join(daily, Seq("event_type", "dd"), "left")
+            .select(col("event_type"), col("dd"),
+              coalesce(col("c"), lit(0L)).as("c")))
+        // each source day serves targets dd+0..dd+6 → trailing window
+        // via pure equi-join on (type, target day)
+        val contrib = graft.operators.Checkpoints.cut(
+          dense.withColumn("o", explode(sequence(lit(0L), lit(6L))))
+            .select(col("event_type"), (col("dd") + col("o")).as("dt"),
+              col("c").as("cj")))
+        val med = contrib.groupBy("event_type", "dt")
+          .agg(count(lit(1)).as("nw"),
+            expr("CAST(median(cj) AS BIGINT)").as("med"))
+          .filter(col("nw") === 7)
+        val mad = contrib.join(med, Seq("event_type", "dt"))
+          .withColumn("dev", abs(col("cj") - col("med")))
+          .groupBy("event_type", "dt", "med")
+          .agg(expr("CAST(median(dev) AS BIGINT)").as("mad"))
+        val res = mad
+          .join(dense.select(col("event_type"), col("dd").as("dt"),
+            col("c")), Seq("event_type", "dt"))
+          .select(col("event_type"), col("dt").as("dd"), col("c"),
+            col("med"), col("mad"),
+            (abs(col("c") - col("med")) > lit(3L) * col("mad"))
+              .as("is_out"))
+          .orderBy("event_type", "dd")
+        graft.operators.Checkpoints.sealAndRelease(res, dense, contrib)
+      },
+      Some("""WITH daily AS (SELECT event_type,
+            date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) dd,
+            count(*) c FROM events GROUP BY 1, 2),
+          span AS (SELECT event_type, min(dd) lo, max(dd) hi
+            FROM daily GROUP BY 1),
+          dense AS (SELECT s.event_type, s.dd, coalesce(daily.c, 0) c
+            FROM (SELECT event_type, unnest(generate_series(lo, hi)) dd
+                  FROM span) s
+            LEFT JOIN daily
+              ON daily.event_type = s.event_type AND daily.dd = s.dd),
+          w AS (SELECT t.event_type, t.dd, src.c cj
+            FROM dense t JOIN dense src
+              ON src.event_type = t.event_type
+              AND src.dd BETWEEN t.dd - 6 AND t.dd),
+          m AS (SELECT event_type, dd, count(*) nw,
+              CAST(median(cj) AS BIGINT) med
+            FROM w GROUP BY 1, 2),
+          mv AS (SELECT event_type, dd, med FROM m WHERE nw = 7),
+          md AS (SELECT w.event_type, w.dd, mv.med,
+              CAST(median(abs(w.cj - mv.med)) AS BIGINT) mad
+            FROM w JOIN mv ON mv.event_type = w.event_type
+              AND mv.dd = w.dd
+            GROUP BY 1, 2, 3)
+        SELECT md.event_type, md.dd, dn.c, md.med, md.mad,
+          abs(dn.c - md.med) > 3 * md.mad is_out
+        FROM md JOIN dense dn
+          ON dn.event_type = md.event_type AND dn.dd = md.dd
+        ORDER BY 1, 2"""))
   )
 }

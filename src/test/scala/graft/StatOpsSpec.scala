@@ -963,4 +963,47 @@ class StatOpsSpec extends SparkSpec {
     assert(best._2 === 10, "naive argmax agrees")
     assert(r.getDouble(6) === best._1)
   }
+
+  test("q254: a single spike flags exactly once; med/MAD replay naively") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_rro").toString
+    val base = 1704067200L
+    val rows = for {
+      d <- 0 until 20
+      j <- 0L until (if (d == 15) 50L else 5L)
+    } yield (d * 100L + j, (base + d * 86400L + j) * 1000000000L,
+      1L, "api", 1.0, "{}")
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$tmp/events.parquet")
+    val got = SparkEntry.queries("q254_rolling_robust_outliers")(spark, tmp)
+      .collect()
+    assert(got.length === 14, "only full 7-day windows emit (20 − 6)")
+    val flagged = got.filter(_.getBoolean(5)).map(_.getLong(1)).toSeq
+    assert(flagged === Seq(19723L + 15L), "exactly the spike day flags")
+    // the spike entering the TRAILING window never shifts the median
+    // (6 of 7 values are 5), so no post-spike day misflags
+    assert(got.forall(_.getLong(3) === 5L), "rolling median stays at 5")
+    // naive replay on real sf0.001 data
+    val byTypeDay = graft.Tables.events(spark, dir)
+      .select("event_type", "ts").collect()
+      .map(r => (r.getString(0),
+        Math.floorDiv(r.getTimestamp(1).getTime, 86400000L)))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val real = q("q254_rolling_robust_outliers").collect()
+    assert(real.nonEmpty)
+    real.foreach { r =>
+      val (t, dd) = (r.getString(0), r.getLong(1))
+      val days = byTypeDay.collect { case ((tt, d2), c) if tt == t => (d2, c) }
+      val lo = days.map(_._1).min
+      def cAt(d2: Long) = days.toMap.getOrElse(d2, 0L)
+      assert(dd - 6 >= lo, "only full windows emit")
+      val win = (dd - 6 to dd).map(cAt).sorted
+      val med = win(3)
+      val mad = (dd - 6 to dd).map(d2 => math.abs(cAt(d2) - med)).sorted.apply(3)
+      assert(r.getLong(2) === cAt(dd))
+      assert(r.getLong(3) === med)
+      assert(r.getLong(4) === mad)
+      assert(r.getBoolean(5) === (math.abs(cAt(dd) - med) > 3 * mad))
+    }
+  }
 }

@@ -63,4 +63,23 @@ class ZOrderSpec extends SparkSpec {
     assert(zB < lB / 2, "z-order prunes b where the linear sort cannot")
     assert(spark.read.parquet(zDir).count() === 64 * 64)
   }
+
+  test("q253 buckets are exact 16384-wide quadrants of BOTH dimensions") {
+    // bucket = top 4 Morton bits = (y₁₅ x₁₅ y₁₄ x₁₄): each bucket fixes
+    // both keys' top 2 bits, so its extent can never exceed the
+    // 16384×16384 quadrant — the file-skipping guarantee the registered
+    // query reports as evidence.
+    val rows = SparkEntry.queries("q253_zorder_extents")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (b, n) = (r.getLong(0), r.getLong(1))
+      assert(b >= 0 && b < 16 && n > 0)
+      assert(r.getLong(3) - r.getLong(2) < 16384L,
+        s"bucket $b x-extent escapes its quadrant")
+      assert(r.getLong(5) - r.getLong(4) < 16384L,
+        s"bucket $b y-extent escapes its quadrant")
+      assert(r.getLong(6) <= 16384L * 16384L)
+    }
+  }
 }
