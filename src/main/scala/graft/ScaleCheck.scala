@@ -51,7 +51,8 @@ object ScaleCheck {
     "q247_top_coactive_pairs", "q248_calibration_by_source",
     "q249_mutual_knn_margin", "q250_minhash_estimate_audit",
     "q251_dow_seasonality", "q252_changepoint", "q253_zorder_extents",
-    "q254_rolling_robust_outliers")
+    "q254_rolling_robust_outliers", "q255_stratified_folds",
+    "q256_weighted_jaccard")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")

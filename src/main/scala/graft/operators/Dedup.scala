@@ -85,6 +85,56 @@ object Dedup {
     Checkpoints.sealAndRelease(out, hs, sig)
   }
 
+  /** Inverse-df-WEIGHTED Jaccard over a given candidate-pair set — the
+    * rarity-aware rescoring of plain set Jaccard (the Chaudhuri/Xiao
+    * weighted-similarity-join reading): two docs sharing rare shingles
+    * are far stronger duplicate evidence than two sharing boilerplate,
+    * and the unweighted q34 score can't tell them apart. Weight per
+    * shingle = ⌊10⁶/df⌋ — integer, log-free (the q179 stance: idf's ln
+    * is library-dependent, inverse-df orders identically), so num/den
+    * are exact int64 sums and the micro quotient is one integer
+    * division.
+    *
+    * Scale: df is one (shingle → count) aggregate over the postings the
+    * near-dup index already materializes; pair scoring joins postings
+    * only for pair-PARTICIPATING docs (semi-join first). Never an
+    * all-pairs pass — candidates come from the caller (q34's memo here,
+    * the LSH index at 100 TB).
+    */
+  def weightedJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, pairs: DataFrame): DataFrame = {
+    val post = Checkpoints.cut(
+      shinglePostings(docs, idCol, textCol, shingleN))
+    val wt = post.groupBy("shingle")
+      .agg(count(lit(1)).as("df"))
+      .withColumn("w", expr("1000000 div df"))
+      .select("shingle", "w")
+    val wpost = Checkpoints.cut(post.join(wt, "shingle"))
+    val ids = pairs.select(col("id_a").as("id"))
+      .union(pairs.select(col("id_b").as("id"))).distinct()
+    val ppost = Checkpoints.cut(
+      wpost.join(ids, Seq("id"), "left_semi"))
+    val totals = ppost.groupBy("id").agg(sum("w").as("wt_total"))
+    val common = pairs
+      .join(ppost.select(col("id").as("id_a"), col("shingle"),
+        col("w")), Seq("id_a"))
+      .join(ppost.select(col("id").as("id_b"), col("shingle")),
+        Seq("id_b", "shingle"))
+      .groupBy("id_a", "id_b").agg(sum("w").as("inter_w"))
+    val res = pairs
+      .join(common, Seq("id_a", "id_b"), "left")
+      .join(totals.select(col("id").as("id_a"), col("wt_total").as("wa")),
+        "id_a")
+      .join(totals.select(col("id").as("id_b"), col("wt_total").as("wb")),
+        "id_b")
+      .select(col("id_a"), col("id_b"),
+        coalesce(col("inter_w"), lit(0L)).as("inter_w"),
+        (col("wa") + col("wb") - coalesce(col("inter_w"), lit(0L)))
+          .as("union_w"))
+      .withColumn("wsim_micro", expr("inter_w * 1000000 div union_w"))
+    Checkpoints.sealAndRelease(res, post, wpost, ppost)
+  }
+
   /** Distinct hashed-shingle postings (id, shingle₆₀) — the shared front of
     * both near-dup paths: one pass of the [[graft.functions.ShingleGenerator]]
     * UDTF (tokens evaluated once per doc, n-grams streamed out with no

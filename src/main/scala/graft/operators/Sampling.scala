@@ -136,6 +136,30 @@ object Sampling {
         col("kept"))
   }
 
+  /** Exact stratified k-fold assignment: within each group, rows are
+    * ranked by a deterministic key hash (uniform draw, id tiebreak) and
+    * dealt round-robin to folds — so every (group, fold) cell holds
+    * ⌊gn/k⌋ or ⌈gn/k⌉ rows, the EXACT balance guarantee q75's
+    * hash-bucket split only approximates (a 80/10/10 hash split drifts
+    * ±√n per class; cross-validation folds must not). Deterministic:
+    * the same doc keeps its fold across runs and engines.
+    *
+    * Scale: [[Packing.groupedTwoPhaseRank]] supplies the within-group
+    * positions with no per-group corpus window; fold = gpos mod k is
+    * map-side arithmetic after.
+    */
+  def stratifiedFolds(df: DataFrame, idCol: String, groupCol: String,
+      k: Int, buckets: Int = 32): DataFrame = {
+    require(k >= 2, "need at least 2 folds")
+    val base = df.select(col(idCol).cast("long").as("id"),
+      col(groupCol).as("grp"),
+      graft.functions.TextFns.hash32(
+        concat(lit("fold:"), col(idCol).cast("string"))).as("score"))
+    Packing.groupedTwoPhaseRank(base, "grp", "score", buckets)
+      .withColumn("fold", pmod(col("gpos"), lit(k.toLong)))
+      .select(col("id"), col("grp"), col("fold"), col("gpos"), col("gn"))
+  }
+
   /** Exact quantile TABLE per group — the q-decile report an
     * `approx_percentile` can't pin to a hash gate: for each d in
     * 1..q−1, the value of the smallest (value, id)-ordered row whose

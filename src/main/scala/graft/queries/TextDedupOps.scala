@@ -764,5 +764,45 @@ object TextDedupOps {
           CAST(abs(sig_matches * 1000000 // 48 - inter * 1000000 // unio)
             AS BIGINT) err_micro
         FROM m ORDER BY id_a, id_b""")),
+
+    // q256: inverse-df-WEIGHTED Jaccard over the q34 pair set — the
+    // rarity-aware rescoring (Chaudhuri/Xiao weighted similarity joins):
+    // two docs sharing RARE shingles are far stronger dup evidence than
+    // two sharing boilerplate, and plain Jaccard can't tell them apart.
+    // Weight = ⌊10⁶/df⌋, integer and log-free (idf's ln is
+    // library-dependent, inverse-df orders identically — the q179
+    // stance); num/den exact int64. df rides the postings the near-dup
+    // index already materializes; scoring touches only
+    // pair-participating docs.
+    QueryDef("q256_weighted_jaccard",
+      (s, d) => Dedup.weightedJaccardPairs(docs(s, d), "doc_id", "text", 3,
+          jaccardPairs(s, d).select("id_a", "id_b"))
+        .orderBy("id_a", "id_b"),
+      Some(s"""WITH toks AS (SELECT doc_id, $OToks t FROM documents),
+        sets AS (SELECT doc_id, $OShingles sh FROM toks WHERE len(t) >= 3),
+        inv AS (SELECT doc_id, len(sh) n, unnest(sh) shingle FROM sets),
+        df AS (SELECT shingle, count(*) df FROM inv GROUP BY 1),
+        wp AS (SELECT inv.doc_id, inv.shingle, 1000000 // df.df w
+          FROM inv JOIN df USING (shingle)),
+        pr AS (SELECT a.doc_id id_a, b.doc_id id_b, a.n na, b.n nb,
+            count(*) inter
+          FROM inv a JOIN inv b
+            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2, 3, 4),
+        np AS (SELECT id_a, id_b FROM pr
+          WHERE round(inter / (na + nb - inter), 4) >= 0.6),
+        tw AS (SELECT doc_id, CAST(sum(w) AS BIGINT) wt FROM wp GROUP BY 1),
+        cw AS (SELECT np.id_a, np.id_b, CAST(sum(a.w) AS BIGINT) inter_w
+          FROM np JOIN wp a ON a.doc_id = np.id_a
+            JOIN wp b ON b.doc_id = np.id_b AND b.shingle = a.shingle
+          GROUP BY 1, 2)
+        SELECT np.id_a, np.id_b, coalesce(cw.inter_w, 0) inter_w,
+          ta.wt + tb.wt - coalesce(cw.inter_w, 0) union_w,
+          CAST(coalesce(cw.inter_w, 0) * 1000000 //
+            (ta.wt + tb.wt - coalesce(cw.inter_w, 0)) AS BIGINT) wsim_micro
+        FROM np LEFT JOIN cw USING (id_a, id_b)
+          JOIN tw ta ON ta.doc_id = np.id_a
+          JOIN tw tb ON tb.doc_id = np.id_b
+        ORDER BY id_a, id_b""")),
   )
 }

@@ -102,6 +102,28 @@ object TextPrepOps {
           count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars
         FROM x GROUP BY 1, 2 ORDER BY lang, split""")),
 
+    // q255: exact stratified k-fold assignment — the cross-validation
+    // split next to q75's hash buckets: q75's 80/10/10 drifts ±√n per
+    // class, folds must not (a small source landing 3 docs in one fold
+    // and 0 in another poisons every per-fold metric on it). Within each
+    // source, docs rank by deterministic key hash (id tiebreak) and deal
+    // round-robin — every (source, fold) cell is ⌊n/5⌋ or ⌈n/5⌉ exactly.
+    // Two-phase grouped rank, no per-source corpus window; the id_sum
+    // checksum pins the ASSIGNMENT, not just the counts.
+    QueryDef("q255_stratified_folds",
+      (s, d) => Sampling.stratifiedFolds(docs(s, d), "doc_id", "source", 5)
+        .groupBy(col("grp").as("source"), col("fold"))
+        .agg(count(lit(1)).as("n_docs"), sum("id").as("id_sum"))
+        .orderBy("source", "fold"),
+      Some("""WITH r AS (SELECT doc_id, source,
+            row_number() OVER (PARTITION BY source ORDER BY
+              ('0x' || substr(md5('fold:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT,
+              doc_id) - 1 pos
+          FROM documents)
+        SELECT source, CAST(pos % 5 AS BIGINT) fold,
+          CAST(count(*) AS BIGINT) n_docs, CAST(sum(doc_id) AS BIGINT) id_sum
+        FROM r GROUP BY 1, 2 ORDER BY source, fold""")),
+
     // q76: balanced per-class sample — k docs per language, chosen by
     // smallest key-hash (a deterministic uniform draw) with the id as the
     // total-order tiebreak. The class-rebalancing primitive; one shuffle

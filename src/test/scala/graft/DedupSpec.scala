@@ -507,4 +507,40 @@ class DedupSpec extends SparkSpec {
         s"sketch far off exact for pair (${r.getLong(0)}, ${r.getLong(1)})")
     }
   }
+
+  test("weightedJaccardPairs: identical docs score 10^6; rare overlap outranks common overlap") {
+    import spark.implicits._
+    // pairs (1,2) and (3,4) have IDENTICAL unweighted structure (3
+    // shingles each, 2 shared), but (3,4)'s shared shingles also appear
+    // in four boilerplate docs — inverse-df weighting must separate them
+    val corpus = Seq(
+      (1L, "a b c d e"), (2L, "a b c d f"),
+      (3L, "p q r s t"), (4L, "p q r s u"),
+      (5L, "p q r s w1 x1"), (6L, "p q r s w2 x2"),
+      (7L, "p q r s w3 x3"), (8L, "p q r s w4 x4"),
+      (9L, "a b c d e") // exact twin of 1
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (3L, 4L), (1L, 9L)).toDF("id_a", "id_b")
+    val out = Dedup.weightedJaccardPairs(corpus, "doc_id", "text", 3, pairs)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Long]("wsim_micro"))
+      .toMap
+    assert(out((1L, 9L)) === 1000000L, "identical sets score exactly 1")
+    assert(out((1L, 2L)) > out((3L, 4L)),
+      s"rare overlap must outrank boilerplate overlap: $out")
+    // naive replay of the rare pair's score
+    def sh(t: String) = t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val texts = Map(1L -> "a b c d e", 2L -> "a b c d f",
+      3L -> "p q r s t", 4L -> "p q r s u")
+    val all = corpus.collect().map(r => (r.getLong(0), sh(r.getString(1))))
+    def df(g: String) = all.count(_._2.contains(g)).toLong
+    def w(g: String) = 1000000L / df(g)
+    def wsim(a: Long, b: Long) = {
+      val (sa, sb) = (sh(texts(a)), sh(texts(b)))
+      val iw = (sa & sb).toSeq.map(w).sum
+      iw * 1000000L / (sa.toSeq.map(w).sum + sb.toSeq.map(w).sum - iw)
+    }
+    assert(out((1L, 2L)) === wsim(1L, 2L))
+    assert(out((3L, 4L)) === wsim(3L, 4L))
+  }
 }

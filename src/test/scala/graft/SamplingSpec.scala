@@ -450,4 +450,34 @@ class SamplingSpec extends SparkSpec {
         s"the off <= budget prune must sit below the running-sum window:\n$w")
     }
   }
+
+  test("stratifiedFolds: exact balance per group, stable under input order") {
+    import spark.implicits._
+    val rows = (1L to 103L).map(i => (i, if (i % 3 == 0) "a" else "b"))
+    val df = rows.toDF("doc_id", "source")
+    val out = Sampling.stratifiedFolds(df, "doc_id", "source", 5)
+      .select("id", "grp", "fold").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // every (group, fold) cell is ⌊n/5⌋ or ⌈n/5⌉ — the exact-balance law
+    out.groupBy(_._2).foreach { case (_, rs) =>
+      val sizes = (0L until 5L).map(f => rs.count(_._3 == f))
+      assert(sizes.max - sizes.min <= 1, s"unbalanced folds: $sizes")
+      assert(sizes.sum === rs.length)
+    }
+    // deterministic: a shuffled, repartitioned input maps ids identically
+    val out2 = Sampling.stratifiedFolds(
+        df.orderBy(rand(7)).repartition(5), "doc_id", "source", 5)
+      .select("id", "fold").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.forall { case (id, _, f) => out2(id) == f })
+  }
+
+  test("stratifiedFolds: a group smaller than k leaves high folds empty, never unbalanced") {
+    import spark.implicits._
+    val df = Seq((1L, "tiny"), (2L, "tiny"), (3L, "tiny"))
+      .toDF("doc_id", "source")
+    val folds = Sampling.stratifiedFolds(df, "doc_id", "source", 5)
+      .select("fold").as[Long].collect().toSeq.sorted
+    assert(folds === Seq(0L, 1L, 2L), "3 docs deal to folds 0, 1, 2")
+  }
 }
