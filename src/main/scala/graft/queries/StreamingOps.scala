@@ -312,6 +312,93 @@ object StreamingOps {
           CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
           round(sum(value), 2) AS sum_value
         FROM w, m WHERE ws + INTERVAL 1 HOUR <= wm
-        GROUP BY ws ORDER BY ws"""))
+        GROUP BY ws ORDER BY ws""")),
+
+    // q257: CUSTOM stateful sessionization via transformWithState (the
+    // Spark 4 arbitrary-state API) — the registered gate for the state
+    // machinery StreamingSpec exercises in isolation: per user, a
+    // ValueState (session_start, last_ts, n, cents) walks each batch's
+    // rows in event-time order and EMITS a session the moment a ≥30-min
+    // gap closes it — the streaming-correct emit-on-close contract, so
+    // each user's final (still-open) session is deliberately withheld,
+    // exactly as q121's append mode withholds unclosed windows. The
+    // oracle applies the same cutoff (every island except each user's
+    // last). Values ride as exact integer cents (round(value·100) per
+    // row — identical per-row doubles both engines), so in-state sums
+    // are order-free exact. State at scale: ONE small tuple per live
+    // user on RocksDB, evicted content moving to output — the unbounded
+    // dropDuplicates problem does not exist here.
+    QueryDef("q257_stream_stateful_sessions",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+        class SessionProcessor
+            extends StatefulProcessor[Long, (Long, Long, Long), (Long, Long, Long, Long)] {
+          private val Gap = 1800000000L // 30 min in µs
+          @transient private var st: ValueState[(Long, Long, Long, Long)] = _
+          override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+            st = getHandle.getValueState[(Long, Long, Long, Long)]("sess",
+              org.apache.spark.sql.Encoders.product[(Long, Long, Long, Long)],
+              TTLConfig.NONE)
+          override def handleInputRows(key: Long,
+              rows: Iterator[(Long, Long, Long)],
+              timerValues: TimerValues): Iterator[(Long, Long, Long, Long)] = {
+            val sorted = rows.toArray.sortBy(r => (r._2, r._3))
+            val out = scala.collection.mutable.ArrayBuffer
+              .empty[(Long, Long, Long, Long)]
+            var cur = if (st.exists()) Option(st.get()) else None
+            sorted.foreach { case (_, us, cents) =>
+              cur match {
+                case Some((st0, last, n, cs)) if us - last >= Gap =>
+                  out += ((key, st0, n, cs))
+                  cur = Some((us, us, 1L, cents))
+                case Some((st0, _, n, cs)) =>
+                  cur = Some((st0, us, n + 1L, cs + cents))
+                case None =>
+                  cur = Some((us, us, 1L, cents))
+              }
+            }
+            cur.foreach(st.update)
+            out.iterator
+          }
+        }
+        val prev = s.conf.getOption(
+          "spark.sql.streaming.stateStore.providerClass")
+        s.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try {
+          val ds = EventStream.readEvents(s, d)
+            .select(col("user_id").cast("long"),
+              unix_micros(col("ts")),
+              round(col("value") * 100).cast("long"))
+            .as[(Long, Long, Long)]
+          val sess = ds.groupByKey(_._1)
+            .transformWithState(new SessionProcessor,
+              TimeMode.None(), OutputMode.Update())
+            .toDF("user_id", "start_us", "n_events", "cents")
+          EventStream.runToTable(s, sess, "update")
+            .orderBy("user_id", "start_us")
+        } finally prev match {
+          case Some(v) =>
+            s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+          case None =>
+            s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        }
+      },
+      Some("""WITH x AS (SELECT user_id, ts,
+            CAST(round(value * 100) AS BIGINT) cents,
+            CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END brk
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        g AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+            ROWS UNBOUNDED PRECEDING) grp FROM x),
+        s AS (SELECT user_id, grp, epoch_us(min(ts)) start_us,
+            CAST(count(*) AS BIGINT) n_events, CAST(sum(cents) AS BIGINT) cents
+          FROM g GROUP BY user_id, grp),
+        f AS (SELECT *, max(grp) OVER (PARTITION BY user_id) mg FROM s)
+        SELECT user_id, start_us, n_events, cents FROM f
+        WHERE grp < mg ORDER BY user_id, start_us"""))
   )
 }

@@ -709,4 +709,44 @@ class StreamingSpec extends SparkSpec {
     assert(streamedW1 === batchW1,
       "the W1 panel over the streamed state must equal the batch q195")
   }
+
+  test("q257 stateful sessions = q53's sessions minus each user's open trailing one") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_tws").toString
+    val base = 1704067200L
+    // u1: three sessions (two closed by successors, one trailing);
+    // u2: one session only — emit-on-close must emit NOTHING for u2
+    val rows = Seq(
+      (1L, base, 1L, 0.25), (2L, base + 60, 1L, 0.50),       // u1 s1
+      (3L, base + 7200, 1L, 1.00), (4L, base + 7260, 1L, 0.75), // u1 s2
+      (5L, base + 14400, 1L, 0.10),                           // u1 s3 (open)
+      (6L, base + 100, 2L, 9.99), (7L, base + 200, 2L, 0.01)  // u2 (open)
+    ).map { case (id, t, u, v) =>
+      (id, t * 1000000000L, u, "click", v, "{}")
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$tmp/events.parquet")
+    val got = SparkEntry.queries("q257_stream_stateful_sessions")(spark, tmp)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq(
+      (1L, base * 1000000L, 2L, 75L),
+      (1L, (base + 7200) * 1000000L, 2L, 175L)),
+      "u1's two CLOSED sessions, exact cents; u2 and the open session withheld")
+    // cross-check against q53's complete session inventory on real data:
+    // q257 = q53 minus each user's LAST session (the open one)
+    val full = SparkEntry.queries("q53_session_window")(
+        spark, "/root/testdata/sf0.001")
+      .select(col("user_id"), unix_micros(col("session_start")).as("us"),
+        col("n_events"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expected = full.groupBy(_._1).values.flatMap { ss =>
+      ss.sortBy(_._2).dropRight(1)
+    }.toSet
+    val real = SparkEntry.queries("q257_stream_stateful_sessions")(
+        spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(real === expected,
+      "streamed closed sessions must equal batch sessions minus trailing")
+  }
 }
