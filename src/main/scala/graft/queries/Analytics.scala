@@ -2294,7 +2294,64 @@ object Analytics {
           min(x16) x_lo, max(x16) x_hi, min(y16) y_lo, max(y16) y_hi,
           CAST((max(x16) - min(x16) + 1) * (max(y16) - min(y16) + 1)
             AS BIGINT) extent
-        FROM z GROUP BY bucket ORDER BY bucket"""))
+        FROM z GROUP BY bucket ORDER BY bucket""")),
+
+    // q259: Laplace-smoothed Markov transition matrix over per-user
+    // event streams — the row-stochastic NORMALIZED form of q201's raw
+    // adjacency counts, on the FULL V×V state grid including zero-count
+    // cells (the matrix a next-event predictor or anomaly scorer
+    // actually consumes; an unsmoothed sparse table assigns impossible
+    // transitions probability zero and breaks every log-likelihood).
+    // p(next|prev) = (c + 1)/(row_total + V), shipped as the exact
+    // integer micro quotient — num/den int64, no float anywhere. The
+    // corpus pays one lead-window transition derivation (the q157/q169
+    // shared envelope); the grid is dimension²-sized.
+    QueryDef("q259_markov_transitions",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("ts", "event_id")
+        val tr = ev(s, d)
+          .select(col("event_type").as("prev"),
+            lead(col("event_type"), 1).over(w).as("next"))
+          .filter(col("next").isNotNull)
+        val cnt = tr.groupBy("prev", "next").agg(count(lit(1)).as("c"))
+        val types = ev(s, d).select(col("event_type").as("t")).distinct()
+        val v = types.agg(count(lit(1)).as("v"))
+        val grid = types.select(col("t").as("prev"))
+          .crossJoin(types.select(col("t").as("next")))
+        val rowTot = cnt.groupBy("prev").agg(sum("c").as("row_total"))
+        grid
+          .join(cnt, Seq("prev", "next"), "left")
+          .join(rowTot, Seq("prev"), "left")
+          .crossJoin(broadcast(v))
+          .select(col("prev"), col("next"),
+            coalesce(col("c"), lit(0L)).as("c"),
+            coalesce(col("row_total"), lit(0L)).as("row_total"), col("v"))
+          .withColumn("p_micro",
+            expr("(c + 1) * 1000000 div (row_total + v)"))
+          .orderBy("prev", "next")
+      },
+      Some("""WITH tr AS (SELECT event_type prev,
+            lead(event_type) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id) nxt
+          FROM events),
+        cnt AS (SELECT prev, nxt, count(*) c FROM tr
+          WHERE nxt IS NOT NULL GROUP BY 1, 2),
+        ty AS (SELECT DISTINCT event_type t FROM events),
+        vv AS (SELECT CAST(count(*) AS BIGINT) v FROM ty),
+        grid AS (SELECT a.t prev, b.t nxt FROM ty a CROSS JOIN ty b),
+        rt AS (SELECT prev, CAST(sum(c) AS BIGINT) row_total
+          FROM cnt GROUP BY 1)
+        SELECT grid.prev, grid.nxt AS next,
+          CAST(coalesce(cnt.c, 0) AS BIGINT) c,
+          coalesce(rt.row_total, 0) row_total, vv.v,
+          CAST((coalesce(cnt.c, 0) + 1) * 1000000
+            // (coalesce(rt.row_total, 0) + vv.v) AS BIGINT) p_micro
+        FROM grid
+        LEFT JOIN cnt ON cnt.prev = grid.prev AND cnt.nxt = grid.nxt
+        LEFT JOIN rt ON rt.prev = grid.prev
+        CROSS JOIN vv
+        ORDER BY 1, 2"""))
   )
 
   // q210/q218's shared oracle preamble: the coocEdges CTEs + `n` LPA

@@ -190,6 +190,102 @@ object EtlOps {
           o_orderpriority AS fields_status_category_key,
           array_to_string(string_split(o_orderpriority, '-'), '//') AS fields_labels,
           o_totalprice AS fields_price
-        FROM orders ORDER BY order_id"""))
+        FROM orders ORDER BY order_id""")),
+
+    // q258: data-quality audit table — the Deequ/dbt-test-shaped gate a
+    // 100 TB ingest runs before publishing a partition: referential
+    // integrity (anti-join counts — the broadcast-dim form of a dbt
+    // relationship test), primary-key uniqueness, null/range checks, and
+    // a derived-column consistency check (n_chars ≡ length(text) — the
+    // class of bug where a backfill recomputed one column and not the
+    // other). One aggregate per check; every count exact; zeros are the
+    // point — this table IS the cleanliness proof the pipeline logs, and
+    // EtlSpec proves each check fires on a constructed dirty corpus.
+    QueryDef("q258_dq_audit",
+      (s, d) => {
+        def row(tbl: String, chk: String, df: org.apache.spark.sql.DataFrame,
+            bad: org.apache.spark.sql.Column) =
+          df.agg(count(lit(1)).as("n_rows"),
+              sum(when(bad, 1L).otherwise(0L)).as("n_violations"))
+            .select(lit(tbl).as("tbl"), lit(chk).as("check_name"),
+              col("n_rows"), col("n_violations"))
+        val o = Tables.orders(s, d)
+        val c = Tables.customer(s, d)
+        val l = Tables.lineitem(s, d)
+        val e = Tables.events(s, d)
+        val doc = Tables.documents(s, d)
+        // FK checks as broadcast left joins (orphan ⇔ no dim match) so
+        // each stays ONE fact scan + one agg, the same shape at 100 TB
+        val fkOrders = row("orders", "fk_custkey_customer",
+          o.join(broadcast(c.select(col("c_custkey").as("k"),
+              lit(true).as("_hit"))),
+            col("o_custkey") === col("k"), "left"),
+          col("_hit").isNull)
+        val fkEvents = row("events", "fk_user_customer",
+          e.join(broadcast(c.select(col("c_custkey").as("k"),
+              lit(true).as("_hit"))),
+            col("user_id") === col("k"), "left"),
+          col("_hit").isNull)
+        val pkOrders = o.agg(count(lit(1)).as("n_rows"),
+            (count(lit(1)) - countDistinct(col("o_orderkey")))
+              .as("n_violations"))
+          .select(lit("orders").as("tbl"), lit("pk_unique").as("check_name"),
+            col("n_rows"), col("n_violations"))
+        val checks = Seq(
+          fkEvents,
+          fkOrders,
+          pkOrders,
+          row("documents", "n_chars_consistent", doc,
+            col("n_chars") =!= length(col("text"))),
+          row("documents", "text_nonempty", doc,
+            col("text").isNull || length(col("text")) === 0),
+          row("events", "value_positive", e,
+            col("value").isNull || col("value") <= 0.0),
+          row("lineitem", "quantity_range", l,
+            col("l_quantity") < 1.0 || col("l_quantity") > 50.0),
+          row("orders", "status_domain", o,
+            !col("o_orderstatus").isin("O", "F", "P")))
+        checks.reduce(_ unionByName _).orderBy("tbl", "check_name")
+      },
+      Some("""SELECT * FROM (
+          SELECT 'events' tbl, 'fk_user_customer' check_name,
+            CAST(count(*) AS BIGINT) n_rows,
+            CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+              n_violations
+          FROM events LEFT JOIN customer ON user_id = c_custkey
+          UNION ALL
+          SELECT 'orders', 'fk_custkey_customer', CAST(count(*) AS BIGINT),
+            CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+          UNION ALL
+          SELECT 'orders', 'pk_unique', CAST(count(*) AS BIGINT),
+            CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+          FROM orders
+          UNION ALL
+          SELECT 'documents', 'n_chars_consistent', CAST(count(*) AS BIGINT),
+            CAST(sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END)
+              AS BIGINT)
+          FROM documents
+          UNION ALL
+          SELECT 'documents', 'text_nonempty', CAST(count(*) AS BIGINT),
+            CAST(sum(CASE WHEN text IS NULL OR length(text) = 0
+              THEN 1 ELSE 0 END) AS BIGINT)
+          FROM documents
+          UNION ALL
+          SELECT 'events', 'value_positive', CAST(count(*) AS BIGINT),
+            CAST(sum(CASE WHEN value IS NULL OR value <= 0.0
+              THEN 1 ELSE 0 END) AS BIGINT)
+          FROM events
+          UNION ALL
+          SELECT 'lineitem', 'quantity_range', CAST(count(*) AS BIGINT),
+            CAST(sum(CASE WHEN l_quantity < 1.0 OR l_quantity > 50.0
+              THEN 1 ELSE 0 END) AS BIGINT)
+          FROM lineitem
+          UNION ALL
+          SELECT 'orders', 'status_domain', CAST(count(*) AS BIGINT),
+            CAST(sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+              THEN 1 ELSE 0 END) AS BIGINT)
+          FROM orders)
+        ORDER BY tbl, check_name"""))
   )
 }

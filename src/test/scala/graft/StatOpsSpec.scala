@@ -1006,4 +1006,31 @@ class StatOpsSpec extends SparkSpec {
       assert(r.getBoolean(5) === (math.abs(cAt(dd) - med) > 3 * mad))
     }
   }
+
+  test("q259 markov transitions: full grid, row sums, smoothing law, naive counts") {
+    val rows = q("q259_markov_transitions").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val v = rows.head._5
+    assert(rows.length === v * v, "the full V x V grid, zero cells included")
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.map(_._3).sum === rs.head._4, "counts partition row_total")
+    }
+    rows.foreach { case (_, _, c, tot, vv, p) =>
+      assert(p === (c + 1) * 1000000L / (tot + vv), "Laplace smoothing law")
+    }
+    // naive transition counts from per-user (ts, event_id)-sorted walks
+    val evs = graft.Tables.events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")), col("event_id"),
+        col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val naive = evs.groupBy(_._1).values.flatMap { us =>
+      val seq = us.sortBy(e => (e._2, e._3)).map(_._4)
+      seq.zip(seq.tail)
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    rows.foreach { case (p, n, c, _, _, _) =>
+      assert(c === naive.getOrElse((p, n), 0L), s"count mismatch at ($p, $n)")
+    }
+  }
 }
