@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** One-scan dataset profile card — the per-snapshot statistics block a
@@ -49,5 +50,63 @@ object Profile {
       s"stack(${names.size}, " +
         names.map(n => s"'$n', `$n`").mkString(", ") + ") as (metric, value)")
       .orderBy("metric")
+  }
+
+  /** Watermark-lateness profile: for each event, its lateness = (max
+    * EVENT time among strictly earlier ARRIVALS) − its own event time,
+    * banded into the table that answers "what watermark delay would
+    * have dropped how many events" — the number a streaming deploy
+    * must know before choosing `withWatermark`.
+    *
+    * The running max over arrival order is a TWO-PHASE distributed
+    * prefix max, never a global single-partition window (the q101
+    * packing stance): arrivals range-bucket by observed quantiles
+    * (monotone, one eager approxQuantile job — bucket choice cannot
+    * change the answer, only the parallelism), per-bucket maxima roll
+    * into a buckets-sized prefix window, and the within-bucket running
+    * max runs partition-parallel. The global first arrival has no
+    * predecessor and counts as in-order.
+    *
+    * Output: (band, n_events, max_lateness_us), bands at 0 / 10 s /
+    * 30 s / 60 s / 2 min / beyond.
+    */
+  def latenessBands(df: DataFrame, arrivalCol: String, tsUsCol: String,
+      idCol: String, buckets: Int = 32): DataFrame = {
+    val base = df.select(col(arrivalCol).cast("long").as("arr"),
+      col(tsUsCol).cast("long").as("us"),
+      col(idCol).cast("long").as("id"))
+    val cuts =
+      if (buckets > 1) base.stat.approxQuantile("arr",
+        (1 until buckets).map(_.toDouble / buckets).toArray, 0.001)
+      else Array.empty[Double]
+    val b = cuts.foldLeft(lit(0))((acc, c) =>
+      acc + when(col("arr") > c, 1).otherwise(0))
+    val bucketed = base.withColumn("b", b)
+    // buckets-sized frame: the unpartitioned window is bounded by
+    // construction (≤ `buckets` rows)
+    val bmax = bucketed.groupBy("b").agg(max("us").as("bm"))
+      .withColumn("pm", max("bm").over(Window.orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, -1)))
+      .select("b", "pm")
+    val w = Window.partitionBy("b").orderBy("arr", "id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val late = bucketed.join(broadcast(bmax), "b")
+      .withColumn("rm", greatest(
+        coalesce(max("us").over(w), lit(Long.MinValue)),
+        coalesce(col("pm"), lit(Long.MinValue))))
+      .withColumn("lateness", when(col("rm") === Long.MinValue, 0L)
+        .otherwise(greatest(lit(0L), col("rm") - col("us"))))
+    late
+      .withColumn("band",
+        when(col("lateness") === 0L, "0_in_order")
+          .when(col("lateness") <= 10000000L, "1_le_10s")
+          .when(col("lateness") <= 30000000L, "2_le_30s")
+          .when(col("lateness") <= 60000000L, "3_le_60s")
+          .when(col("lateness") <= 120000000L, "4_le_2m")
+          .otherwise("5_gt_2m"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_events"),
+        max("lateness").as("max_lateness_us"))
+      .orderBy("band")
   }
 }

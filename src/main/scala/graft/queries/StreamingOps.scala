@@ -399,6 +399,47 @@ object StreamingOps {
           FROM g GROUP BY user_id, grp),
         f AS (SELECT *, max(grp) OVER (PARTITION BY user_id) mg FROM s)
         SELECT user_id, start_us, n_events, cents FROM f
-        WHERE grp < mg ORDER BY user_id, start_us"""))
+        WHERE grp < mg ORDER BY user_id, start_us""")),
+
+    // q260: watermark-lateness audit — the table that answers "what
+    // watermark delay drops how many events" BEFORE a streaming deploy
+    // picks `withWatermark` (too tight silently drops data, too loose
+    // holds state): each event's lateness = max event time among
+    // strictly earlier ARRIVALS minus its own event time. The testdata
+    // arrives in perfect event-time order, so arrival is simulated with
+    // the standard bounded-ingest-delay model — arrival = ts + a
+    // deterministic md5 delay < 120 s per event (engine-portable, the
+    // q75 hash stance). The running max over arrival order is a
+    // TWO-PHASE distributed prefix max (the q101 packing machinery —
+    // no global single-partition window); the oracle states the direct
+    // global-window form, so the hash-match is the decomposition proof.
+    QueryDef("q260_lateness_audit",
+      (s, d) => {
+        val e = Tables.events(s, d).select(col("event_id"),
+          unix_micros(col("ts")).as("us"))
+          .withColumn("arr", col("us") +
+            graft.functions.TextFns.hash32(
+              concat(lit("arr:"), col("event_id").cast("string")))
+              % lit(120000000L))
+        graft.operators.Profile.latenessBands(e, "arr", "us", "event_id")
+      },
+      Some("""WITH x AS (SELECT event_id, epoch_us(ts) us,
+            epoch_us(ts) +
+              ('0x' || substr(md5('arr:' || CAST(event_id AS VARCHAR)), 1, 8))::BIGINT
+                % 120000000 arr
+          FROM events),
+        l AS (SELECT coalesce(greatest(0,
+            max(us) OVER (ORDER BY arr, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) - us), 0) lat
+          FROM x),
+        b AS (SELECT CASE WHEN lat = 0 THEN '0_in_order'
+            WHEN lat <= 10000000 THEN '1_le_10s'
+            WHEN lat <= 30000000 THEN '2_le_30s'
+            WHEN lat <= 60000000 THEN '3_le_60s'
+            WHEN lat <= 120000000 THEN '4_le_2m'
+            ELSE '5_gt_2m' END band, lat FROM l)
+        SELECT band, CAST(count(*) AS BIGINT) n_events,
+          CAST(max(lat) AS BIGINT) max_lateness_us
+        FROM b GROUP BY band ORDER BY band"""))
   )
 }

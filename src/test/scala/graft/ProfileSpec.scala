@@ -46,4 +46,22 @@ class ProfileSpec extends SparkSpec {
     assert(!plan.contains("Join") && !plan.contains("Union"),
       s"card must not multiply scans:\n$plan")
   }
+
+  test("latenessBands: hand-computed lateness; bucket count cannot change the answer") {
+    import spark.implicits._
+    // arrival order (arr): e1(us=100), e3(us=300), e2(us=250 → late by
+    // 50), e4(us=360), e5(us=200 → late by 160)
+    val rows = Seq(
+      (1L, 100L, 1000L), (3L, 300L, 2000L), (2L, 250L, 3000L),
+      (4L, 360L, 4000L), (5L, 200L, 5000L)
+    ).toDF("event_id", "us", "arr")
+    def run(buckets: Int) = Profile.latenessBands(
+        rows.repartition(3), "arr", "us", "event_id", buckets)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val got = run(4)
+    // 3 in-order (e1, e3, e4), 2 late (50 µs and 160 µs — both ≤ 10 s)
+    assert(got === Seq(("0_in_order", 3L, 0L), ("1_le_10s", 2L, 160L)))
+    assert(run(1) === got && run(8) === got,
+      "the two-phase decomposition is bucket-count invariant")
+  }
 }
