@@ -53,7 +53,8 @@ object ScaleCheck {
     "q251_dow_seasonality", "q252_changepoint", "q253_zorder_extents",
     "q254_rolling_robust_outliers", "q255_stratified_folds",
     "q256_weighted_jaccard", "q257_stream_stateful_sessions",
-    "q258_dq_audit", "q259_markov_transitions", "q260_lateness_audit")
+    "q258_dq_audit", "q259_markov_transitions", "q260_lateness_audit",
+    "q261_bootstrap_ci", "q262_ab_readout")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")

@@ -2292,6 +2292,119 @@ object StatOps {
           abs(dn.c - md.med) > 3 * md.mad is_out
         FROM md JOIN dense dn
           ON dn.event_type = md.event_type AND dn.dd = md.dd
-        ORDER BY 1, 2"""))
+        ORDER BY 1, 2""")),
+
+    // q261: deterministic Poisson bootstrap — the distributed form of
+    // "how sure are we about this corpus mean": 100 resamples where each
+    // doc's multiplicity is drawn Poisson(1) from a per-(resample, doc)
+    // md5 value against the fixed cumulative thresholds ⌊10⁶·F(k)⌋ =
+    // 367879/735758/919698/981011/996340 (the classical Poisson
+    // bootstrap — Chamandy et al., "Estimating Uncertainty for Massive
+    // Data Streams", the only bootstrap that needs no global n and no
+    // coordination, hence THE 100 TB resampling scheme). Output = the
+    // full bootstrap distribution of the mean-n_chars statistic as
+    // exact integers (the CI is any percentile read of these 100 rows).
+    // Map-side ×100 explode, one (resample) agg — no shuffle of docs.
+    QueryDef("q261_bootstrap_ci",
+      (s, d) => {
+        val u = TextFns.hash32(concat(lit("boot:"), col("b").cast("string"),
+          lit(":"), col("doc_id").cast("string"))) % lit(1000000L)
+        val m = when(col("u") < 367879L, 0L)
+          .when(col("u") < 735758L, 1L)
+          .when(col("u") < 919698L, 2L)
+          .when(col("u") < 981011L, 3L)
+          .when(col("u") < 996340L, 4L)
+          .otherwise(5L)
+        docs(s, d).select(col("doc_id"), col("n_chars"))
+          .withColumn("b", explode(sequence(lit(0L), lit(99L))))
+          .withColumn("u", u)
+          .withColumn("m", m)
+          .filter(col("m") > 0L)
+          .groupBy("b")
+          .agg(sum("m").as("n_eff"),
+            sum(col("m") * col("n_chars")).as("sum_val"))
+          .withColumn("mean_micro", expr("sum_val * 1000000 div n_eff"))
+          .orderBy("b")
+      },
+      Some("""WITH x AS (SELECT doc_id, n_chars, unnest(generate_series(0, 99)) b
+          FROM documents),
+        h AS (SELECT b, n_chars,
+            ('0x' || substr(md5('boot:' || CAST(b AS VARCHAR) || ':'
+              || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000000 u
+          FROM x),
+        mm AS (SELECT b, n_chars,
+            CASE WHEN u < 367879 THEN 0 WHEN u < 735758 THEN 1
+              WHEN u < 919698 THEN 2 WHEN u < 981011 THEN 3
+              WHEN u < 996340 THEN 4 ELSE 5 END m
+          FROM h)
+        SELECT b, CAST(sum(m) AS BIGINT) n_eff,
+          CAST(sum(m * n_chars) AS BIGINT) sum_val,
+          CAST(sum(m * n_chars) * 1000000 // sum(m) AS BIGINT) mean_micro
+        FROM mm WHERE m > 0 GROUP BY b ORDER BY b""")),
+
+    // q262: A/B experiment readout as the exact 2×2 χ² — users hash-split
+    // into variants (the q75 stance: a user keeps their arm forever),
+    // outcome = "more purchases than errors" (every synthetic user has
+    // every event type, so a ≥1 definition saturates); the test statistic ships
+    // as the exact integer rational χ² = n·(ad − bc)² / ((a+b)(c+d)(a+c)(b+d))
+    // — num/den int64 from the four cells, no float, no normal
+    // approximation constant to disagree on. One user-grain aggregate
+    // (corpus → users is the only shuffle); the readout is one row.
+    QueryDef("q262_ab_readout",
+      (s, d) => {
+        val users = ev(s, d)
+          .groupBy("user_id")
+          .agg((sum(when(col("event_type") === "purchase", 1L).otherwise(0L)) >
+            sum(when(col("event_type") === "error", 1L).otherwise(0L)))
+            .cast("long").as("conv"))
+          .withColumn("arm",
+            when(TextFns.hash32(concat(lit("arm:"),
+              col("user_id").cast("string"))) % 2L === 0L, "A").otherwise("B"))
+        val cells = users.groupBy("arm")
+          .agg(count(lit(1)).as("n"), sum("conv").as("c"))
+        cells.select(
+            sum(when(col("arm") === "A", col("c"))).as("a_conv"),
+            sum(when(col("arm") === "A", col("n") - col("c"))).as("a_not"),
+            sum(when(col("arm") === "B", col("c"))).as("b_conv"),
+            sum(when(col("arm") === "B", col("n") - col("c"))).as("b_not"))
+          .select(col("a_conv"), col("a_not"), col("b_conv"), col("b_not"),
+            (col("a_conv") + col("a_not") + col("b_conv") + col("b_not"))
+              .as("n_users"),
+            (col("a_conv") * col("b_not") - col("a_not") * col("b_conv"))
+              .as("dv"),
+            ((col("a_conv") + col("a_not")) * (col("b_conv") + col("b_not")) *
+              (col("a_conv") + col("b_conv")) * (col("a_not") + col("b_not")))
+              .as("chi2_den"))
+          // n·dv² overflows int64 two orders of magnitude before den
+          // does, so the statistic itself rides doubles with a pinned
+          // op order (n·dv·dv, left-assoc — same IEEE products both
+          // engines from the same exact longs)
+          .withColumn("chi2_r6", round(col("n_users").cast("double") *
+            col("dv") * col("dv") / col("chi2_den"), 6))
+      },
+      Some("""WITH u AS (SELECT user_id,
+            CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              > sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+              THEN 1 ELSE 0 END conv,
+            CASE WHEN ('0x' || substr(md5('arm:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+              % 2 = 0 THEN 'A' ELSE 'B' END arm
+          FROM events GROUP BY user_id),
+        cells AS (SELECT
+            CAST(sum(CASE WHEN arm = 'A' THEN conv ELSE 0 END) AS BIGINT) a_conv,
+            CAST(sum(CASE WHEN arm = 'A' THEN 1 - conv ELSE 0 END) AS BIGINT) a_not,
+            CAST(sum(CASE WHEN arm = 'B' THEN conv ELSE 0 END) AS BIGINT) b_conv,
+            CAST(sum(CASE WHEN arm = 'B' THEN 1 - conv ELSE 0 END) AS BIGINT) b_not
+          FROM u)
+        SELECT a_conv, a_not, b_conv, b_not,
+          a_conv + a_not + b_conv + b_not AS n_users,
+          a_conv * b_not - a_not * b_conv AS dv,
+          (a_conv + a_not) * (b_conv + b_not)
+            * (a_conv + b_conv) * (a_not + b_not) AS chi2_den,
+          round(CAST(a_conv + a_not + b_conv + b_not AS DOUBLE)
+            * (a_conv * b_not - a_not * b_conv)
+            * (a_conv * b_not - a_not * b_conv)
+            / ((a_conv + a_not) * (b_conv + b_not)
+               * (a_conv + b_conv) * (a_not + b_not)), 6) AS chi2_r6
+        FROM cells"""))
   )
 }

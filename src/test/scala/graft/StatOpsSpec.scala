@@ -1033,4 +1033,54 @@ class StatOpsSpec extends SparkSpec {
       assert(c === naive.getOrElse((p, n), 0L), s"count mismatch at ($p, $n)")
     }
   }
+
+  test("q261 bootstrap: resample masses concentrate at n and the CI covers the truth") {
+    val rows = q("q261_bootstrap_ci").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length === 100, "one row per resample")
+    rows.foreach { case (_, nEff, sumVal, mean) =>
+      assert(mean === sumVal * 1000000L / nEff, "mean law")
+    }
+    val d0 = graft.Tables.documents(spark, dir)
+      .select("n_chars").collect().map(_.getLong(0))
+    val n = d0.length.toLong
+    // Poisson(1) multiplicities: E[n_eff] = n, σ = √n — all 100 resample
+    // masses inside ±5σ is a deterministic fact of the fixed hash family
+    rows.foreach { case (b, nEff, _, _) =>
+      assert(math.abs(nEff - n) <= 5 * math.sqrt(n.toDouble),
+        s"resample $b mass $nEff far from $n")
+    }
+    // the 5th–95th percentile band of resample means covers the true mean
+    val means = rows.map(_._4).sorted
+    val trueMean = d0.sum * 1000000L / n
+    assert(means(5) <= trueMean && trueMean <= means(94),
+      s"CI [${means(5)}, ${means(94)}] must cover $trueMean")
+  }
+
+  test("q262 A/B readout: cells replay naively from the md5 arm split; chi2 law") {
+    def hash32(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val evs = graft.Tables.events(spark, dir)
+      .select("user_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val byUser = evs.groupBy(_._1).view.mapValues { es =>
+      val np = es.count(_._2 == "purchase")
+      val ne = es.count(_._2 == "error")
+      np > ne
+    }.toMap
+    def cell(arm: String, conv: Boolean) = byUser.count { case (u, c) =>
+      (if (hash32(s"arm:$u") % 2 == 0) "A" else "B") == arm && c == conv
+    }.toLong
+    val r = q("q262_ab_readout").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((cell("A", true), cell("A", false), cell("B", true), cell("B", false))))
+    val (a, b2, c2, d2) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(r.getLong(4) === a + b2 + c2 + d2)
+    assert(r.getLong(5) === a * d2 - b2 * c2)
+    assert(r.getLong(6) === (a + b2) * (c2 + d2) * (a + c2) * (b2 + d2))
+  }
 }
