@@ -54,7 +54,7 @@ object ScaleCheck {
     "q254_rolling_robust_outliers", "q255_stratified_folds",
     "q256_weighted_jaccard", "q257_stream_stateful_sessions",
     "q258_dq_audit", "q259_markov_transitions", "q260_lateness_audit",
-    "q261_bootstrap_ci", "q262_ab_readout")
+    "q261_bootstrap_ci", "q262_ab_readout", "q263_textrank_keywords")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")

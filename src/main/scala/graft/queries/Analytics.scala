@@ -2351,7 +2351,28 @@ object Analytics {
         LEFT JOIN cnt ON cnt.prev = grid.prev AND cnt.nxt = grid.nxt
         LEFT JOIN rt ON rt.prev = grid.prev
         CROSS JOIN vv
-        ORDER BY 1, 2"""))
+        ORDER BY 1, 2""")),
+
+    // q263: TextRank keyword extraction (Mihalcea & Tarau, EMNLP '04) —
+    // PageRank over the TOKEN co-occurrence graph instead of the event
+    // graph: a token matters not because it's frequent (q32 counts that)
+    // but because it co-occurs with other well-connected tokens; the
+    // classic unsupervised keyword ranker, here as pure composition of
+    // the memoized coocEdges artifact (shared with q210/q176/q189/q235)
+    // and the q157 integer PageRank machinery. Undirected graph = both
+    // edge directions, unweighted; no dangling nodes, so the oracle's
+    // three unrolled rounds carry a zero dangling term by construction.
+    QueryDef("q263_textrank_keywords",
+      (s, d) => {
+        val e = coocEdges(s, d)
+        val edges = e.select(col("wa").as("src"), col("wb").as("dst"))
+          .union(e.select(col("wb").as("src"), col("wa").as("dst")))
+        graft.operators.Components
+          .pageRank(edges, "src", "dst", None, iters = 3)
+          .select(col("id").as("token"), col("rank").as("rank_micro"))
+          .orderBy(col("rank_micro").desc, col("token"))
+      },
+      Some(textRankOracleSql))
   )
 
   // q210/q218's shared oracle preamble: the coocEdges CTEs + `n` LPA
@@ -2372,6 +2393,15 @@ object Analytics {
                 THEN b.l ELSE n.lbl END lbl
             FROM l$r n LEFT JOIN b$r b ON n.id = b.s)"""
     }.mkString(",\n          ")
+    s"""$coocCtes,
+          l0 AS MATERIALIZED (SELECT DISTINCT s id, s lbl FROM bo),
+          $rounds"""
+  }
+
+  // The memoized coocEdges artifact as DuckDB CTEs (`e0` = the top-100
+  // undirected pairs, `bo` = both directions) — shared by the LPA oracle
+  // preamble and q263's TextRank oracle.
+  private def coocCtes: String =
     s"""x AS (SELECT doc_id, list_distinct(${TextShared.OToks}) t
             FROM documents),
           tok AS (SELECT doc_id, unnest(t) w FROM x),
@@ -2381,12 +2411,32 @@ object Analytics {
               ORDER BY c DESC, wa, wb) r FROM pr),
           e0 AS MATERIALIZED (SELECT wa, wb FROM rk WHERE r <= 100),
           bo AS MATERIALIZED (SELECT wa s, wb d FROM e0
-            UNION ALL SELECT wb, wa FROM e0),
-          l0 AS MATERIALIZED (SELECT DISTINCT s id, s lbl FROM bo),
-          $rounds"""
-  }
+            UNION ALL SELECT wb, wa FROM e0)"""
 
   private def lpaOracleSql(n: Int): String =
     s"""WITH ${lpaCtes(n)}
         SELECT id AS token, lbl AS community FROM l$n ORDER BY token"""
+
+  // q263's oracle: the cooc preamble + three unrolled integer PageRank
+  // rounds (the q157 arithmetic — 150000 + 85·insum // 100 — with no
+  // dangling term: an undirected graph has no dangling nodes, so the
+  // operator's dangling mass is exactly zero every round).
+  private def textRankOracleSql: String = {
+    val rounds = (1 to 3).map { r =>
+      s"""c$r AS (SELECT e.dst id, sum(rr.rank // rr.outw) insum
+            FROM e JOIN r${r - 1} rr ON e.src = rr.id GROUP BY 1),
+          r$r AS (SELECT b.id, b.outw,
+              150000 + (85 * coalesce(c$r.insum, 0)) // 100 rank
+            FROM base b LEFT JOIN c$r ON b.id = c$r.id)"""
+    }.mkString(",\n        ")
+    s"""WITH $coocCtes,
+        e AS (SELECT s src, d dst FROM bo),
+        nodes AS (SELECT DISTINCT src id FROM e),
+        ow AS (SELECT src id, count(*) outw FROM e GROUP BY 1),
+        base AS (SELECT nodes.id, ow.outw FROM nodes JOIN ow USING (id)),
+        r0 AS (SELECT id, outw, 1000000::BIGINT rank FROM base),
+        $rounds
+        SELECT id AS token, CAST(rank AS BIGINT) rank_micro FROM r3
+        ORDER BY rank_micro DESC, token"""
+  }
 }

@@ -1108,4 +1108,27 @@ class ComponentsSpec extends SparkSpec {
         s"sf$sf: every truss endpoint needs within-truss degree >= k-1")
     }
   }
+
+  test("q263 TextRank: hub outranks leaves on a star; corpus mass conserved") {
+    import org.apache.spark.sql.functions.col
+    // undirected star: the center must collect the leaves' mass
+    val star = Seq(("hub", "a"), ("hub", "b"), ("hub", "c"))
+      .flatMap { case (x, y) => Seq((x, y), (y, x)) }
+      .toDF("src", "dst")
+    val pr = Components.pageRank(star, "src", "dst", None, iters = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(pr("hub") > pr("a") && pr("a") === pr("b") && pr("b") === pr("c"))
+    // the registered composition: tokens ≡ coocEdges endpoints, rank
+    // mass conserved up to integer truncation (no dangling nodes)
+    val out = SparkEntry.queries("q263_textrank_keywords")(
+      spark, "/root/testdata/sf0.001").collect()
+    val n = out.length.toLong
+    assert(n > 0)
+    val mass = out.map(_.getLong(1)).sum
+    assert(mass <= n * 1000000L && mass >= n * 999000L,
+      s"rank mass $mass strays from n·10⁶ = ${n * 1000000L}")
+    // sorted by (rank DESC, token) — the keyword-ranking contract
+    val pairs = out.map(r => (-r.getLong(1), r.getString(0))).toSeq
+    assert(pairs === pairs.sorted, "output must rank keywords")
+  }
 }
