@@ -54,7 +54,8 @@ object ScaleCheck {
     "q254_rolling_robust_outliers", "q255_stratified_folds",
     "q256_weighted_jaccard", "q257_stream_stateful_sessions",
     "q258_dq_audit", "q259_markov_transitions", "q260_lateness_audit",
-    "q261_bootstrap_ci", "q262_ab_readout", "q263_textrank_keywords")
+    "q261_bootstrap_ci", "q262_ab_readout", "q263_textrank_keywords",
+    "q264_negative_sampling", "q265_coverage_curve", "q266_source_waterfill")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")

@@ -2372,7 +2372,52 @@ object Analytics {
           .select(col("id").as("token"), col("rank").as("rank_micro"))
           .orderBy(col("rank_micro").desc, col("token"))
       },
-      Some(textRankOracleSql))
+      Some(textRankOracleSql)),
+
+    // q264: deterministic negative-edge sampling — the TRAINING
+    // companion to q205's link prediction (q205 scores non-edges by
+    // common neighbors; an embedding trainer also needs NEGATIVES, and
+    // sampling them with rand() makes every epoch irreproducible): per
+    // anchor node, the 2 hash-least non-neighbors, md5-ranked so the
+    // same corpus always yields the same negative set. The candidate
+    // grid is graph-vocabulary-sized (bounded by the top-100-edge cooc
+    // artifact — the documented dimension-grid stance); at web scale
+    // negatives come from hashed candidate shards, same determinism.
+    QueryDef("q264_negative_sampling",
+      (s, d) => {
+        val e = coocEdges(s, d)
+        val nodes = e.select(col("wa").as("x"))
+          .union(e.select(col("wb").as("x"))).distinct()
+        val adj = e.select(col("wa").as("a"), col("wb").as("b"))
+          .union(e.select(col("wb").as("a"), col("wa").as("b")))
+        val h = graft.functions.TextFns.hash32(
+          concat(lit("neg:"), col("a"), lit(":"), col("b")))
+        nodes.select(col("x").as("a"))
+          .crossJoin(nodes.select(col("x").as("b")))
+          .filter(col("a") =!= col("b"))
+          .join(adj, Seq("a", "b"), "left_anti")
+          .withColumn("h", h)
+          .withColumn("rnk", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("a").orderBy(col("h"), col("b"))))
+          .filter(col("rnk") <= 2)
+          .select(col("a").as("anchor"), col("b").as("negative"),
+            col("rnk").cast("long").as("rnk"), col("h"))
+          .orderBy("anchor", "rnk")
+      },
+      Some(s"""WITH $coocCtes,
+        nodes AS (SELECT DISTINCT s x FROM bo),
+        cand AS (SELECT a.x a, b.x b FROM nodes a JOIN nodes b
+            ON a.x <> b.x
+          WHERE NOT EXISTS (SELECT 1 FROM bo
+            WHERE bo.s = a.x AND bo.d = b.x)),
+        hv AS (SELECT a, b,
+            ('0x' || substr(md5('neg:' || a || ':' || b), 1, 8))::BIGINT h
+          FROM cand),
+        r AS (SELECT a, b, h, row_number() OVER (PARTITION BY a
+            ORDER BY h, b) rnk FROM hv)
+        SELECT a anchor, b negative, CAST(rnk AS BIGINT) rnk, h
+        FROM r WHERE rnk <= 2 ORDER BY anchor, rnk"""))
   )
 
   // q210/q218's shared oracle preamble: the coocEdges CTEs + `n` LPA

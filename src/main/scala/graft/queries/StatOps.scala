@@ -2405,6 +2405,47 @@ object StatOps {
             * (a_conv * b_not - a_not * b_conv)
             / ((a_conv + a_not) * (b_conv + b_not)
                * (a_conv + b_conv) * (a_not + b_not)), 6) AS chi2_r6
-        FROM cells"""))
+        FROM cells""")),
+
+    // q265: vocabulary coverage curve — "how many types cover 50 / 90 /
+    // 99 / 99.9 % of all tokens": the truncation read behind every
+    // vocab-size decision (a tokenizer or feature hasher keeps the head;
+    // this table says exactly where the head ends). Types rank by
+    // (count DESC, token); each threshold reports the FIRST rank whose
+    // cumulative share crosses it, all integer (1000·cum vs t·total —
+    // no division). The rank window rides the vocabulary-sized count
+    // table (Heap's-law bounded — the q179 stance), never the corpus.
+    QueryDef("q265_coverage_curve",
+      (s, d) => {
+        val c = docs(s, d)
+          .select(explode(TextFns.tokens(col("text"))).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("c"))
+        val win = Window.orderBy(col("c").desc, col("w"))
+        c.withColumn("rnk", row_number().over(win).cast("long"))
+          .withColumn("cum", sum("c").over(
+            win.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("tot", sum("c").over(
+            Window.partitionBy(lit(1))))
+          .withColumn("t",
+            explode(array(lit(500L), lit(900L), lit(990L), lit(999L))))
+          .filter(lit(1000L) * col("cum") >= col("t") * col("tot") &&
+            lit(1000L) * (col("cum") - col("c")) < col("t") * col("tot"))
+          .select(col("t").as("threshold_pm"), col("rnk").as("n_types"),
+            col("w").as("boundary_token"), col("cum").as("cum_tokens"),
+            col("tot").as("total_tokens"))
+          .orderBy("threshold_pm")
+      },
+      Some(s"""WITH t AS (SELECT unnest($OToks) w FROM documents),
+        c AS (SELECT w, count(*) c FROM t GROUP BY 1),
+        r AS (SELECT w, c, row_number() OVER (ORDER BY c DESC, w) rnk,
+            sum(c) OVER (ORDER BY c DESC, w ROWS UNBOUNDED PRECEDING) cum,
+            sum(c) OVER () tot FROM c),
+        th AS (SELECT unnest([500, 900, 990, 999]) t)
+        SELECT CAST(th.t AS BIGINT) threshold_pm, CAST(rnk AS BIGINT) n_types,
+          w boundary_token, CAST(cum AS BIGINT) cum_tokens,
+          CAST(tot AS BIGINT) total_tokens
+        FROM r JOIN th ON 1000 * cum >= th.t * tot
+          AND 1000 * (cum - c) < th.t * tot
+        ORDER BY threshold_pm"""))
   )
 }

@@ -124,6 +124,72 @@ object TextPrepOps {
           CAST(count(*) AS BIGINT) n_docs, CAST(sum(doc_id) AS BIGINT) id_sum
         FROM r GROUP BY 1, 2 ORDER BY source, fold""")),
 
+    // q266: water-filling source allocation — the data-mixing primitive
+    // behind "cap every source at the same τ": given a token budget
+    // B = 40 % of the corpus, find the uniform cap τ with
+    // Σ min(n_s, τ) = B (small sources keep everything, big sources are
+    // capped equally — the max-min-fair allocation). Exact integers
+    // throughout: the unique split index solves on the 20-row sorted
+    // source table (lag/window arithmetic on a dimension-sized frame),
+    // the remainder B − Σ distributes +1 to the largest capped sources
+    // deterministically, so Σ alloc = B EXACTLY — the law q104's
+    // temperature mixture (ratio-based, rounding drift allowed) can't
+    // give. One corpus token-count shuffle; everything after is
+    // sources-sized.
+    QueryDef("q266_source_waterfill",
+      (s, d) => {
+        val srcN = docs(s, d)
+          .select(col("source"), size(TextFns.tokens(col("text")))
+            .cast("long").as("nt"))
+          .groupBy("source").agg(sum("nt").as("n"))
+        val tot = srcN.agg(sum("n").as("tot"),
+          count(lit(1)).as("m"))
+        val ord = org.apache.spark.sql.expressions.Window.orderBy(col("n"), col("source"))
+        val o = srcN.crossJoin(broadcast(tot))
+          .withColumn("bud", expr("tot * 2 div 5"))
+          .withColumn("k", row_number().over(ord).cast("long"))
+          .withColumn("p", sum("n").over(
+            ord.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, org.apache.spark.sql.expressions.Window.currentRow)))
+          .withColumn("lagn", lag(col("n"), 1).over(ord))
+        val winner = o
+          .withColumn("tau", expr("(bud - (p - n)) div (m - k + 1)"))
+          .withColumn("rr", expr("(bud - (p - n)) % (m - k + 1)"))
+          .filter((col("lagn").isNull || col("lagn") <= col("tau")) &&
+            col("tau") < col("n"))
+          .agg(min("tau").as("tau"), min("rr").as("rr"),
+            min(col("m") - col("rr")).as("cutk"))
+        o.crossJoin(broadcast(winner))
+          .select(col("source"), col("n").as("n_tokens"),
+            when(col("tau").isNull, col("n"))
+              .otherwise(least(col("n"), col("tau")) +
+                when(col("n") > col("tau") && col("k") > col("cutk"), 1L)
+                  .otherwise(0L)).as("alloc"),
+            (col("tau").isNotNull && col("n") > col("tau")).as("capped"))
+          .orderBy("source")
+      },
+      Some(s"""WITH sn AS (SELECT source, CAST(sum(len($OToks)) AS BIGINT) n
+          FROM documents GROUP BY 1),
+        tt AS (SELECT CAST(sum(n) AS BIGINT) tot,
+            CAST(count(*) AS BIGINT) m FROM sn),
+        o AS (SELECT source, n, tot * 2 // 5 bud, m,
+            row_number() OVER (ORDER BY n, source) k,
+            sum(n) OVER (ORDER BY n, source ROWS UNBOUNDED PRECEDING) p,
+            lag(n) OVER (ORDER BY n, source) lagn
+          FROM sn, tt),
+        w AS (SELECT min((bud - (p - n)) // (m - k + 1)) tau,
+            min((bud - (p - n)) % (m - k + 1)) rr,
+            min(m - (bud - (p - n)) % (m - k + 1)) cutk
+          FROM o
+          WHERE (lagn IS NULL OR lagn <= (bud - (p - n)) // (m - k + 1))
+            AND (bud - (p - n)) // (m - k + 1) < n)
+        SELECT o.source, o.n n_tokens,
+          CAST(CASE WHEN w.tau IS NULL THEN o.n
+            ELSE least(o.n, w.tau) +
+              CASE WHEN o.n > w.tau AND o.k > w.cutk THEN 1 ELSE 0 END
+            END AS BIGINT) alloc,
+          (w.tau IS NOT NULL AND o.n > w.tau) capped
+        FROM o CROSS JOIN w ORDER BY source""")),
+
     // q76: balanced per-class sample — k docs per language, chosen by
     // smallest key-hash (a deterministic uniform draw) with the id as the
     // total-order tiebreak. The class-rebalancing primitive; one shuffle

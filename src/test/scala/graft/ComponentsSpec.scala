@@ -1131,4 +1131,28 @@ class ComponentsSpec extends SparkSpec {
     val pairs = out.map(r => (-r.getLong(1), r.getString(0))).toSeq
     assert(pairs === pairs.sorted, "output must rank keywords")
   }
+
+  test("q264 negative sampling: never an edge, ≤2 per anchor, anchors cover the graph") {
+    val dir = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("q264_negative_sampling")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(out.nonEmpty)
+    // rebuild the edge set from the same LPA oracle preamble semantics:
+    // q210's community output covers the node set; edges via the operator
+    val edges = graft.queries.Analytics.coocEdges(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val und = edges ++ edges.map(_.swap)
+    out.foreach { case (a, b, _) =>
+      assert(a != b && !und.contains((a, b)),
+        s"sampled pair ($a, $b) must be a NON-edge")
+    }
+    out.groupBy(_._1).foreach { case (a, ns) =>
+      assert(ns.length <= 2, s"anchor $a oversampled")
+      assert(ns.map(_._3).sorted.toSeq === (1L to ns.length.toLong).toSeq,
+        s"anchor $a ranks malformed")
+    }
+    val nodes = und.map(_._1)
+    assert(out.map(_._1).toSet === nodes,
+      "every graph node is an anchor (the graph is far from complete)")
+  }
 }

@@ -1083,4 +1083,57 @@ class StatOpsSpec extends SparkSpec {
     assert(r.getLong(5) === a * d2 - b2 * c2)
     assert(r.getLong(6) === (a + b2) * (c2 + d2) * (a + c2) * (b2 + d2))
   }
+
+  test("q265 coverage curve: crossing law and naive replay") {
+    val rows = q("q265_coverage_curve").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.map(_._1).toSeq === Seq(500L, 900L, 990L, 999L))
+    // n_types is monotone in the threshold
+    assert(rows.map(_._2).toSeq === rows.map(_._2).toSeq.sorted)
+    // naive replay from collected token counts
+    val toks = graft.Tables.documents(spark, dir)
+      .select(explode(graft.functions.TextFns.tokens(col("text"))).as("w"))
+      .collect().map(_.getString(0))
+    val counts = toks.groupBy(identity).view.mapValues(_.size.toLong)
+      .toSeq.map { case (w, c) => (w, c) }
+      .sortBy { case (w, c) => (-c, w) }
+    val tot = counts.map(_._2).sum
+    rows.foreach { case (t, nTypes, tok, cum, totG) =>
+      assert(totG === tot)
+      val cums = counts.scanLeft(0L)(_ + _._2).tail
+      val idx = cums.indexWhere(cm => 1000L * cm >= t * tot)
+      assert(nTypes === idx + 1)
+      assert(tok === counts(idx)._1)
+      assert(cum === cums(idx))
+    }
+  }
+
+  test("q266 waterfill: hand case (10/20/100, B=52) and exact-budget law") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_wf").toString
+    // token counts per source: a=10, b=20, c=100 → B = 2·130/5 = 52 →
+    // a, b keep everything; c capped at 22
+    def doc(id: Long, src: String, n: Int) =
+      (id, Seq.fill(n)("tok").mkString(" "), "en", src, n.toLong)
+    (Seq(doc(1, "a", 10), doc(2, "b", 20)) ++
+      (0 until 4).map(i => doc(10 + i, "c", 25)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$tmp/documents.parquet")
+    val got = SparkEntry.queries("q266_source_waterfill")(spark, tmp)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3)))
+    assert(got.toSeq === Seq(("a", 10L, 10L, false), ("b", 20L, 20L, false),
+      ("c", 100L, 22L, true)))
+    // real data: Σ alloc = B exactly; alloc ≤ n; caps uniform within ±1
+    val real = q("q266_source_waterfill").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    val totReal = real.map(_._1).sum
+    assert(real.map(_._2).sum === totReal * 2 / 5,
+      "allocations must sum to the budget EXACTLY")
+    assert(real.forall { case (n, a, _) => a <= n })
+    val caps = real.filter(_._3).map(_._2)
+    if (caps.nonEmpty) assert(caps.max - caps.min <= 1,
+      "capped sources share a uniform cap within the remainder ±1")
+  }
 }
