@@ -55,7 +55,8 @@ object ScaleCheck {
     "q256_weighted_jaccard", "q257_stream_stateful_sessions",
     "q258_dq_audit", "q259_markov_transitions", "q260_lateness_audit",
     "q261_bootstrap_ci", "q262_ab_readout", "q263_textrank_keywords",
-    "q264_negative_sampling", "q265_coverage_curve", "q266_source_waterfill")
+    "q264_negative_sampling", "q265_coverage_curve", "q266_source_waterfill",
+    "q267_cross_correlation", "q268_lsh_scheme_planner")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")

@@ -2446,6 +2446,75 @@ object StatOps {
           CAST(tot AS BIGINT) total_tokens
         FROM r JOIN th ON 1000 * cum >= th.t * tot
           AND 1000 * (cum - c) < th.t * tot
-        ORDER BY threshold_pm"""))
+        ORDER BY threshold_pm""")),
+
+    // q267: cross-correlation of daily volumes between event-type PAIRS
+    // at lags −7..7 — the lead-lag read q225's AUTOcorrelation can't
+    // give: "do error spikes LEAD purchase drops, and by how many
+    // days?" — the incident-correlation question monitoring actually
+    // asks. Same dense day grid, both series joined at each lag over
+    // the SHARED day span; integer Pearson numerator/denominator pairs
+    // (the q225 stance, no float anywhere). Grid-sized: pairs × 15 lag
+    // rows past the one count shuffle.
+    QueryDef("q267_cross_correlation",
+      (s, d) => {
+        val daily = ev(s, d)
+          .groupBy(col("event_type"),
+            datediff(to_date(col("ts")), to_date(lit("1970-01-01")))
+              .cast("long").as("dd"))
+          .agg(count(lit(1)).as("c"))
+        val dense = graft.operators.Checkpoints.cut(
+          daily.groupBy("event_type")
+            .agg(min("dd").as("lo"), max("dd").as("hi"))
+            .select(col("event_type"),
+              explode(sequence(col("lo"), col("hi"))).as("dd"))
+            .join(daily, Seq("event_type", "dd"), "left")
+            .select(col("event_type"), col("dd"),
+              coalesce(col("c"), lit(0L)).as("c")))
+        val a = dense
+          .select(col("event_type").as("ta"), col("dd"), col("c").as("x"))
+          .withColumn("lag", explode(sequence(lit(-7L), lit(7L))))
+        val b = dense.select(col("event_type").as("tb"),
+          col("dd").as("db"), col("c").as("y"))
+        val res = a.join(b,
+            col("ta") < col("tb") && col("db") === col("dd") + col("lag"))
+          .groupBy(col("ta"), col("tb"), col("lag"))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum("x").as("sx"), sum("y").as("sy"),
+            sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum(col("y") * col("y")).as("syy"))
+          .select(col("ta"), col("tb"), col("lag"), col("n_pairs"),
+            (col("n_pairs") * col("sxy") - col("sx") * col("sy"))
+              .as("cc_num"),
+            (col("n_pairs") * col("sxx") - col("sx") * col("sx"))
+              .as("den_x"),
+            (col("n_pairs") * col("syy") - col("sy") * col("sy"))
+              .as("den_y"))
+          .orderBy("ta", "tb", "lag")
+        graft.operators.Checkpoints.sealAndRelease(res, dense)
+      },
+      Some("""WITH daily AS (SELECT event_type,
+            date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) dd,
+            count(*) c FROM events GROUP BY 1, 2),
+          span AS (SELECT event_type, min(dd) lo, max(dd) hi
+            FROM daily GROUP BY 1),
+          dense AS (SELECT s.event_type, s.dd, coalesce(daily.c, 0) c
+            FROM (SELECT event_type, unnest(generate_series(lo, hi)) dd
+                  FROM span) s
+            LEFT JOIN daily
+              ON daily.event_type = s.event_type AND daily.dd = s.dd),
+          lags AS (SELECT unnest(generate_series(-7, 7)) lag),
+          pr AS (SELECT a.event_type ta, b.event_type tb, l.lag,
+              a.c x, b.c y
+            FROM dense a CROSS JOIN lags l
+            JOIN dense b ON a.event_type < b.event_type
+              AND b.dd = a.dd + l.lag)
+        SELECT ta, tb, CAST(lag AS BIGINT) lag,
+          CAST(count(*) AS BIGINT) n_pairs,
+          CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS BIGINT) cc_num,
+          CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS BIGINT) den_x,
+          CAST(count(*) * sum(y * y) - sum(y) * sum(y) AS BIGINT) den_y
+        FROM pr GROUP BY 1, 2, 3 ORDER BY ta, tb, lag"""))
   )
 }

@@ -804,5 +804,73 @@ object TextDedupOps {
           JOIN tw ta ON ta.doc_id = np.id_a
           JOIN tw tb ON tb.doc_id = np.id_b
         ORDER BY id_a, id_b""")),
+
+    // q268: LSH banding-scheme planner — per true near-dup pair, the
+    // banding survival probability 1 − (1 − s^r)^b under the three
+    // candidate schemes that partition a 48-perm signature (12×4, 8×6,
+    // 6×8): the recall-vs-candidate-volume tuning table behind q35's
+    // 12×4 choice, evaluated on the ACTUAL pair similarities instead of
+    // a textbook S-curve. Float portability: s = one exact-integer
+    // division; every power is an explicit multiply CHAIN (square-and-
+    // multiply, identical op order both engines) — pow() is a libm call
+    // and libm is not part of the contract.
+    QueryDef("q268_lsh_scheme_planner",
+      (s, d) => {
+        val t = TextFns.tokens(col("text"))
+        val sets = docs(s, d).select(col("doc_id"),
+          TextFns.shingles(t, 3).as("sh")).filter(size(col("sh")) > 0)
+        val base = jaccardPairs(s, d).select("id_a", "id_b")
+          .join(sets.select(col("doc_id").as("id_a"), col("sh").as("sha")),
+            "id_a")
+          .join(sets.select(col("doc_id").as("id_b"), col("sh").as("shb")),
+            "id_b")
+          .withColumn("inter",
+            size(array_intersect(col("sha"), col("shb"))).cast("long"))
+          .withColumn("unio", size(col("sha")).cast("long") +
+            size(col("shb")).cast("long") - col("inter"))
+          .withColumn("sim", col("inter").cast("double") / col("unio"))
+          .withColumn("s2", col("sim") * col("sim"))
+          .withColumn("s4", col("s2") * col("s2"))
+          .withColumn("s6", col("s4") * col("s2"))
+          .withColumn("s8", col("s4") * col("s4"))
+          .withColumn("u", lit(1.0) - col("s4"))
+          .withColumn("v", lit(1.0) - col("s6"))
+          .withColumn("w", lit(1.0) - col("s8"))
+          .withColumn("u2", col("u") * col("u"))
+          .withColumn("v2", col("v") * col("v"))
+          .withColumn("w2", col("w") * col("w"))
+          .withColumn("u4", col("u2") * col("u2"))
+          .withColumn("v4", col("v2") * col("v2"))
+          .withColumn("w4", col("w2") * col("w2"))
+          .withColumn("u8", col("u4") * col("u4"))
+        base.select(col("id_a"), col("id_b"), col("inter"), col("unio"),
+            round(lit(1.0) - col("u8") * col("u4"), 6).as("p_12x4"),
+            round(lit(1.0) - col("v4") * col("v4"), 6).as("p_8x6"),
+            round(lit(1.0) - col("w4") * col("w2"), 6).as("p_6x8"))
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, $OToks t FROM documents),
+        sets AS (SELECT doc_id, $OShingles sh FROM toks WHERE len(t) >= 3),
+        inv AS (SELECT doc_id, len(sh) n, unnest(sh) shingle FROM sets),
+        pr AS (SELECT a.doc_id id_a, b.doc_id id_b, a.n na, b.n nb,
+            count(*) inter
+          FROM inv a JOIN inv b
+            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2, 3, 4),
+        np AS (SELECT id_a, id_b, CAST(inter AS BIGINT) inter,
+            CAST(na + nb - inter AS BIGINT) unio
+          FROM pr WHERE round(inter / (na + nb - inter), 4) >= 0.6),
+        c0 AS (SELECT *, CAST(inter AS DOUBLE) / unio sim FROM np),
+        c1 AS (SELECT *, sim * sim s2 FROM c0),
+        c2 AS (SELECT *, s2 * s2 s4 FROM c1),
+        c3 AS (SELECT *, s4 * s2 s6, s4 * s4 s8, 1 - s4 u FROM c2),
+        c4 AS (SELECT *, u * u u2, 1 - s6 v, 1 - s8 w FROM c3),
+        c5 AS (SELECT *, u2 * u2 u4, v * v v2, w * w w2 FROM c4),
+        c6 AS (SELECT *, u4 * u4 u8, v2 * v2 v4, w2 * w2 w4 FROM c5)
+        SELECT id_a, id_b, inter, unio,
+          round(1 - u8 * u4, 6) p_12x4,
+          round(1 - v4 * v4, 6) p_8x6,
+          round(1 - w4 * w2, 6) p_6x8
+        FROM c6 ORDER BY id_a, id_b""")),
   )
 }

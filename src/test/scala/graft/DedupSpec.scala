@@ -543,4 +543,36 @@ class DedupSpec extends SparkSpec {
     assert(out((1L, 2L)) === wsim(1L, 2L))
     assert(out((3L, 4L)) === wsim(3L, 4L))
   }
+
+  test("q268 scheme planner: exact dups survive surely; fewer rows per band = higher recall") {
+    val rows = SparkEntry.queries("q268_lsh_scheme_planner")(
+      spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+    assert(rows.nonEmpty)
+    // constructed exact-dup pair: sim = 1 survives every scheme surely
+    locally {
+      import spark.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft_lshp").toString
+      Seq((1L, "alpha beta gamma delta epsilon", "en", "web", 29L),
+          (2L, "alpha beta gamma delta epsilon", "en", "web", 29L),
+          (3L, "zeta eta theta iota kappa", "en", "web", 25L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.parquet(s"$tmp/documents.parquet")
+      val ex = SparkEntry.queries("q268_lsh_scheme_planner")(spark, tmp)
+        .collect()
+      assert(ex.length === 1)
+      assert(ex.head.getLong(2) === ex.head.getLong(3), "inter == union")
+      assert(ex.head.getDouble(4) === 1.0 && ex.head.getDouble(5) === 1.0 &&
+        ex.head.getDouble(6) === 1.0)
+    }
+    // for every pair: r=4 banding ≥ r=6 ≥ r=8 (s < 1 strictly orders)
+    rows.foreach { case (_, _, p4, p6, p8) =>
+      assert(p4 >= p6 && p6 >= p8,
+        s"banding recall must fall as rows-per-band grows: $p4 $p6 $p8")
+    }
+    // survival is monotone in similarity within a scheme
+    val bySim = rows.sortBy(r => r._1.toDouble / r._2)
+    assert(bySim.map(_._3).toSeq === bySim.map(_._3).toSeq.sorted)
+  }
 }

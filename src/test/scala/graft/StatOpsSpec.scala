@@ -1136,4 +1136,36 @@ class StatOpsSpec extends SparkSpec {
     if (caps.nonEmpty) assert(caps.max - caps.min <= 1,
       "capped sources share a uniform cap within the remainder ±1")
   }
+
+  test("q267 cross-correlation equals naive lagged Pearson on dense daily counts") {
+    val rows = q("q267_cross_correlation").collect()
+      .map(r => ((r.getString(0), r.getString(1), r.getLong(2)),
+        (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(rows.nonEmpty)
+    val byTypeDay = graft.Tables.events(spark, dir)
+      .select("event_type", "ts").collect()
+      .map(r => (r.getString(0),
+        Math.floorDiv(r.getTimestamp(1).getTime, 86400000L)))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val types = byTypeDay.keySet.map(_._1).toSeq.sorted
+    def dense(t: String): Map[Long, Long] = {
+      val ds = byTypeDay.collect { case ((tt, d2), c) if tt == t => (d2, c) }
+      val (lo, hi) = (ds.map(_._1).min, ds.map(_._1).max)
+      (lo to hi).map(d2 => d2 -> ds.toMap.getOrElse(d2, 0L)).toMap
+    }
+    for (ta <- types; tb <- types if ta < tb; lag <- -7L to 7L) {
+      val (da, db) = (dense(ta), dense(tb))
+      val pts = da.keys.toSeq.sorted.flatMap { d2 =>
+        db.get(d2 + lag).map(y => (da(d2), y))
+      }
+      val n = pts.length.toLong
+      val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+      val sxy = pts.map(p => p._1 * p._2).sum
+      val (sxx, syy) = (pts.map(p => p._1 * p._1).sum,
+        pts.map(p => p._2 * p._2).sum)
+      assert(rows((ta, tb, lag)) ===
+        ((n, n * sxy - sx * sy, n * sxx - sx * sx, n * syy - sy * sy)),
+        s"mismatch at ($ta, $tb, lag=$lag)")
+    }
+  }
 }
