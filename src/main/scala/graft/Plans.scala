@@ -63,7 +63,11 @@ object Plans {
     "q229_cusum",                 // r17: prefix-identity cumulative windows on the cut day grid
     "q231_binary_hamming_topk",   // r17: compressed-domain 2-phase shortlist + broadcast rerank
     "q234_budget_select_by_source", // r17: per-(group, bucket) offsets + boundary-bucket prune
-    "q236_embedding_gram"         // r17: one map-side-combined triangle-buffer aggregator pass
+    "q236_embedding_gram",        // r17: one map-side-combined triangle-buffer aggregator pass
+    "q249_mutual_knn_margin",     // r17: broadcast pair gen + bounded per-id windows, ordered-fold k-NN sums
+    "q253_zorder_extents",        // r17: broadcast bounds row + codegen'd Morton interleave + 16-bucket agg
+    "q254_rolling_robust_outliers", // r17: 7× offset-explode equi-join windows (no non-equi day join)
+    "q260_lateness_audit"         // r17: two-phase prefix max — bucketed windows, no global partition
   )
 
   def main(args: Array[String]): Unit = {

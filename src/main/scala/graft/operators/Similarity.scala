@@ -90,8 +90,11 @@ object Similarity {
     */
   def mutualTopKMargin(vecs: DataFrame, idCol: String, vecCol: String,
       k: Int): DataFrame = {
-    val v = vecs.select(col(idCol).as("ia"), col(vecCol).as("va"))
-      .withColumn("na", l2norm(col("va")))
+    // cut: the frame is bounded by the universe contract (a candidate
+    // block / eval slice) and feeds both pair sides — one scan, not three
+    val v = Checkpoints.cut(
+      vecs.select(col(idCol).as("ia"), col(vecCol).as("va"))
+        .withColumn("na", l2norm(col("va"))))
     val b = v.select(col("ia").as("ib"), col("va").as("vb"),
       col("na").as("nb"))
     val ranked = v.join(broadcast(b), col("ia") =!= col("ib"))
@@ -107,7 +110,7 @@ object Similarity {
     val sumk = ranked.groupBy("ia").agg(
       aggregate(array_sort(collect_list(struct(col("cos"), col("ib")))),
         lit(0.0), (acc, s) => acc + s.getField("cos")).as("sk"))
-    top1.as("t")
+    val out = top1.as("t")
       .join(top1.select(col("ia").as("ib"), col("ib").as("ia2")),
         Seq("ib")).filter(col("ia2") === col("ia") && col("ia") < col("ib"))
       .select(col("ia").as("id_a"), col("ib").as("id_b"), col("cos"))
@@ -116,6 +119,7 @@ object Similarity {
       .withColumn("margin",
         round(lit(2.0 * k) * col("cos") / (col("ska") + col("skb")), 6))
       .select("id_a", "id_b", "cos", "margin")
+    Checkpoints.sealAndRelease(out, v)
   }
 
   /** Two-phase per-query top-k over (query_id, id, cos): local prune to k

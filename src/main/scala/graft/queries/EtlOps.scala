@@ -203,49 +203,51 @@ object EtlOps {
     // EtlSpec proves each check fires on a constructed dirty corpus.
     QueryDef("q258_dq_audit",
       (s, d) => {
-        def row(tbl: String, chk: String, df: org.apache.spark.sql.DataFrame,
-            bad: org.apache.spark.sql.Column) =
-          df.agg(count(lit(1)).as("n_rows"),
-              sum(when(bad, 1L).otherwise(0L)).as("n_violations"))
-            .select(lit(tbl).as("tbl"), lit(chk).as("check_name"),
-              col("n_rows"), col("n_violations"))
-        val o = Tables.orders(s, d)
+        import org.apache.spark.sql.{Column, DataFrame}
+        def bad(c: Column) = sum(when(c, 1L).otherwise(0L))
         val c = Tables.customer(s, d)
-        val l = Tables.lineitem(s, d)
-        val e = Tables.events(s, d)
-        val doc = Tables.documents(s, d)
-        // FK checks as broadcast left joins (orphan ⇔ no dim match) so
-        // each stays ONE fact scan + one agg, the same shape at 100 TB
-        val fkOrders = row("orders", "fk_custkey_customer",
-          o.join(broadcast(c.select(col("c_custkey").as("k"),
-              lit(true).as("_hit"))),
-            col("o_custkey") === col("k"), "left"),
-          col("_hit").isNull)
-        val fkEvents = row("events", "fk_user_customer",
-          e.join(broadcast(c.select(col("c_custkey").as("k"),
-              lit(true).as("_hit"))),
-            col("user_id") === col("k"), "left"),
-          col("_hit").isNull)
-        val pkOrders = o.agg(count(lit(1)).as("n_rows"),
-            (count(lit(1)) - countDistinct(col("o_orderkey")))
-              .as("n_violations"))
-          .select(lit("orders").as("tbl"), lit("pk_unique").as("check_name"),
-            col("n_rows"), col("n_violations"))
-        val checks = Seq(
-          fkEvents,
-          fkOrders,
-          pkOrders,
-          row("documents", "n_chars_consistent", doc,
-            col("n_chars") =!= length(col("text"))),
-          row("documents", "text_nonempty", doc,
-            col("text").isNull || length(col("text")) === 0),
-          row("events", "value_positive", e,
-            col("value").isNull || col("value") <= 0.0),
-          row("lineitem", "quantity_range", l,
-            col("l_quantity") < 1.0 || col("l_quantity") > 50.0),
-          row("orders", "status_domain", o,
-            !col("o_orderstatus").isin("O", "F", "P")))
-        checks.reduce(_ unionByName _).orderBy("tbl", "check_name")
+        val dim = broadcast(c.select(col("c_custkey").as("k"),
+          lit(true).as("_hit")))
+        // ONE scan + ONE cut 1-row aggregate per fact table (the
+        // Profile.card stance: adding a check never adds a scan); FK
+        // orphans ride the same scan via the broadcast dim left join
+        val oAgg = graft.operators.Checkpoints.cut(
+          Tables.orders(s, d)
+            .join(dim, col("o_custkey") === col("k"), "left")
+            .agg(count(lit(1)).as("n"), bad(col("_hit").isNull).as("fk"),
+              (count(lit(1)) - countDistinct(col("o_orderkey"))).as("pk"),
+              bad(!col("o_orderstatus").isin("O", "F", "P")).as("dom")))
+        val eAgg = graft.operators.Checkpoints.cut(
+          Tables.events(s, d)
+            .join(dim, col("user_id") === col("k"), "left")
+            .agg(count(lit(1)).as("n"), bad(col("_hit").isNull).as("fk"),
+              bad(col("value").isNull || col("value") <= 0.0).as("vp")))
+        val dAgg = graft.operators.Checkpoints.cut(
+          Tables.documents(s, d)
+            .agg(count(lit(1)).as("n"),
+              bad(col("n_chars") =!= length(col("text"))).as("nc"),
+              bad(col("text").isNull || length(col("text")) === 0)
+                .as("emp")))
+        val lAgg = Tables.lineitem(s, d)
+          .agg(count(lit(1)).as("n"),
+            bad(col("l_quantity") < 1.0 || col("l_quantity") > 50.0)
+              .as("qr"))
+        def rows(agg: DataFrame, tbl: String, checks: (String, String)*) =
+          checks.map { case (name, colName) =>
+            agg.select(lit(tbl).as("tbl"), lit(name).as("check_name"),
+              col("n").as("n_rows"), col(colName).as("n_violations"))
+          }
+        val all =
+          rows(eAgg, "events", "fk_user_customer" -> "fk",
+            "value_positive" -> "vp") ++
+          rows(oAgg, "orders", "fk_custkey_customer" -> "fk",
+            "pk_unique" -> "pk", "status_domain" -> "dom") ++
+          rows(dAgg, "documents", "n_chars_consistent" -> "nc",
+            "text_nonempty" -> "emp") ++
+          rows(lAgg, "lineitem", "quantity_range" -> "qr")
+        graft.operators.Checkpoints.sealAndRelease(
+          all.reduce(_ unionByName _).orderBy("tbl", "check_name"),
+          oAgg, eAgg, dAgg)
       },
       Some("""SELECT * FROM (
           SELECT 'events' tbl, 'fk_user_customer' check_name,

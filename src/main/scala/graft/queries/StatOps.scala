@@ -2091,11 +2091,13 @@ object StatOps {
     // day-grid-sized.
     QueryDef("q251_dow_seasonality",
       (s, d) => {
-        val daily = ev(s, d)
+        // cut: the day-grid-sized count table feeds span and cdow — one
+        // corpus scan, not two (the collapsed-frame staging line)
+        val daily = graft.operators.Checkpoints.cut(ev(s, d)
           .groupBy(col("event_type"),
             datediff(to_date(col("ts")), to_date(lit("1970-01-01")))
               .cast("long").as("dd"))
-          .agg(count(lit(1)).as("c"))
+          .agg(count(lit(1)).as("c")))
         val span = daily.groupBy("event_type")
           .agg(min("dd").as("lo"), max("dd").as("hi"), sum("c").as("c_t"))
         val dows = span
@@ -2108,13 +2110,14 @@ object StatOps {
         val cdow = daily
           .groupBy(col("event_type"), pmod(col("dd"), lit(7L)).as("dow"))
           .agg(sum("c").as("c_td"))
-        dows.join(cdow, Seq("event_type", "dow"), "left")
+        val res = dows.join(cdow, Seq("event_type", "dow"), "left")
           .select(col("event_type"), col("dow"),
             coalesce(col("c_td"), lit(0L)).as("c_td"), col("d_td"),
             col("c_t"), col("d_t"))
           .withColumn("idx_micro",
             expr("c_td * d_t * 1000000 div (d_td * c_t)"))
           .orderBy("event_type", "dow")
+        graft.operators.Checkpoints.sealAndRelease(res, daily)
       },
       Some("""WITH daily AS (SELECT event_type,
             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) dd,
@@ -2149,11 +2152,13 @@ object StatOps {
     // type over day-grid rows; the corpus pays one count shuffle.
     QueryDef("q252_changepoint",
       (s, d) => {
-        val daily = ev(s, d)
+        // cut: the count table feeds the span agg and the dense join —
+        // one corpus scan (the collapsed-frame staging line)
+        val daily = graft.operators.Checkpoints.cut(ev(s, d)
           .groupBy(col("event_type"),
             datediff(to_date(col("ts")), to_date(lit("1970-01-01")))
               .cast("long").as("dd"))
-          .agg(count(lit(1)).as("c"))
+          .agg(count(lit(1)).as("c")))
         val dense = daily.groupBy("event_type")
           .agg(min("dd").as("lo"), max("dd").as("hi"))
           .select(col("event_type"),
@@ -2176,7 +2181,7 @@ object StatOps {
             (col("s1") * col("n2") - col("s2") * col("n1")).cast("double"))
           .withColumn("score",
             round(col("dv") * col("dv") / (col("n1") * col("n2")), 6))
-        scored
+        val res = scored
           .withColumn("rn", row_number().over(
             Window.partitionBy("event_type")
               .orderBy(col("score").desc, col("dd"))))
@@ -2184,6 +2189,7 @@ object StatOps {
           .select(col("event_type"), col("dd").as("split_dd"),
             col("n1"), col("n2"), col("s1"), col("s2"), col("score"))
           .orderBy("event_type")
+        graft.operators.Checkpoints.sealAndRelease(res, daily)
       },
       Some("""WITH daily AS (SELECT event_type,
             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) dd,

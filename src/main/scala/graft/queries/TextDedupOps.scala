@@ -817,9 +817,17 @@ object TextDedupOps {
     QueryDef("q268_lsh_scheme_planner",
       (s, d) => {
         val t = TextFns.tokens(col("text"))
-        val sets = docs(s, d).select(col("doc_id"),
-          TextFns.shingles(t, 3).as("sh")).filter(size(col("sh")) > 0)
-        val base = jaccardPairs(s, d).select("id_a", "id_b")
+        val pairs0 = jaccardPairs(s, d).select("id_a", "id_b")
+        val ids = pairs0.select(col("id_a").as("doc_id"))
+          .union(pairs0.select(col("id_b").as("doc_id"))).distinct()
+        // semi-join first (the q250 stance): shingle sets exist only for
+        // pair-PARTICIPATING docs, and the cut frame feeds both join
+        // sides — one docs scan, pair-sized state
+        val sets = graft.operators.Checkpoints.cut(
+          docs(s, d).join(ids, Seq("doc_id"), "left_semi")
+            .select(col("doc_id"), TextFns.shingles(t, 3).as("sh"))
+            .filter(size(col("sh")) > 0))
+        val base = pairs0
           .join(sets.select(col("doc_id").as("id_a"), col("sh").as("sha")),
             "id_a")
           .join(sets.select(col("doc_id").as("id_b"), col("sh").as("shb")),
@@ -843,11 +851,13 @@ object TextDedupOps {
           .withColumn("v4", col("v2") * col("v2"))
           .withColumn("w4", col("w2") * col("w2"))
           .withColumn("u8", col("u4") * col("u4"))
-        base.select(col("id_a"), col("id_b"), col("inter"), col("unio"),
+        val res = base.select(col("id_a"), col("id_b"), col("inter"),
+            col("unio"),
             round(lit(1.0) - col("u8") * col("u4"), 6).as("p_12x4"),
             round(lit(1.0) - col("v4") * col("v4"), 6).as("p_8x6"),
             round(lit(1.0) - col("w4") * col("w2"), 6).as("p_6x8"))
           .orderBy("id_a", "id_b")
+        graft.operators.Checkpoints.sealAndRelease(res, sets)
       },
       Some(s"""WITH toks AS (SELECT doc_id, $OToks t FROM documents),
         sets AS (SELECT doc_id, $OShingles sh FROM toks WHERE len(t) >= 3),

@@ -138,10 +138,12 @@ object TextPrepOps {
     // sources-sized.
     QueryDef("q266_source_waterfill",
       (s, d) => {
-        val srcN = docs(s, d)
+        // cut: the sources-sized count table feeds the total agg and the
+        // allocation arithmetic — one corpus scan (the staging line)
+        val srcN = graft.operators.Checkpoints.cut(docs(s, d)
           .select(col("source"), size(TextFns.tokens(col("text")))
             .cast("long").as("nt"))
-          .groupBy("source").agg(sum("nt").as("n"))
+          .groupBy("source").agg(sum("nt").as("n")))
         val tot = srcN.agg(sum("n").as("tot"),
           count(lit(1)).as("m"))
         val ord = org.apache.spark.sql.expressions.Window.orderBy(col("n"), col("source"))
@@ -158,7 +160,7 @@ object TextPrepOps {
             col("tau") < col("n"))
           .agg(min("tau").as("tau"), min("rr").as("rr"),
             min(col("m") - col("rr")).as("cutk"))
-        o.crossJoin(broadcast(winner))
+        val res = o.crossJoin(broadcast(winner))
           .select(col("source"), col("n").as("n_tokens"),
             when(col("tau").isNull, col("n"))
               .otherwise(least(col("n"), col("tau")) +
@@ -166,6 +168,7 @@ object TextPrepOps {
                   .otherwise(0L)).as("alloc"),
             (col("tau").isNotNull && col("n") > col("tau")).as("capped"))
           .orderBy("source")
+        graft.operators.Checkpoints.sealAndRelease(res, srcN)
       },
       Some(s"""WITH sn AS (SELECT source, CAST(sum(len($OToks)) AS BIGINT) n
           FROM documents GROUP BY 1),
