@@ -664,6 +664,97 @@ object Relational {
         GROUP BY c_custkey, c_name, c_acctbal, n_name
         ORDER BY sum(CAST(round(l_extendedprice*100) AS BIGINT)
               * (100 - CAST(round(l_discount*100) AS BIGINT))) DESC, c_custkey
-        LIMIT 20"""))
+        LIMIT 20""")),
+
+    // q269: TPC-H Q18 (large-volume customers) — the classic
+    // HAVING-subquery shape the first three TPC-H picks (Q3/Q5/Q10)
+    // don't cover: a grouped-aggregate filter (orders whose total
+    // quantity > 180) SEMI-joins back into a 3-table join and
+    // re-aggregates. Plan shape: the HAVING aggregate is one lineitem
+    // shuffle whose qualifying keys semi-join the fact side (Spark
+    // rewrites IN (subquery) to LeftSemi), the customer dim broadcasts,
+    // and the top-100 is TakeOrderedAndProject, never a global sort.
+    // Quantities are integral doubles, so sums are exact.
+    QueryDef("q269_tpch_q18",
+      (s, d) => {
+        val big = li(s, d).groupBy("l_orderkey")
+          .agg(sum("l_quantity").as("qty"))
+          .filter(col("qty") > 180.0)
+          .select(col("l_orderkey").as("bk"))
+        ord(s, d).join(big, col("o_orderkey") === col("bk"), "left_semi")
+          .join(li(s, d), col("o_orderkey") === col("l_orderkey"))
+          .join(broadcast(cust(s, d)), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
+            col("o_orderdate"), col("o_totalprice"))
+          .agg(sum("l_quantity").cast("long").as("total_qty"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(100)
+      },
+      Some("""SELECT c_name, c_custkey, o_orderkey,
+          CAST(o_orderdate AS TIMESTAMP) o_orderdate, o_totalprice,
+          CAST(sum(l_quantity) AS BIGINT) total_qty
+        FROM customer
+        JOIN orders ON o_custkey = c_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+          GROUP BY 1 HAVING sum(l_quantity) > 180)
+        GROUP BY 1, 2, 3, 4, 5
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""")),
+
+    // q271: join-skew profiler — the PRE-join planning read behind
+    // q79's salting: per fact join key, the exact hot-key census (max
+    // per-key multiplicity, the key that holds it, and the skew ratio
+    // max·n_keys / n_rows as an integer pair). A 100 TB join planner
+    // reads this table to decide salt factors BEFORE the first OOM;
+    // one count shuffle per profiled key, outputs are 1 row each.
+    QueryDef("q271_join_skew_profiler",
+      (s, d) => {
+        def profile(df: org.apache.spark.sql.DataFrame, tbl: String,
+            keyCol: String) = {
+          val c = df.groupBy(col(keyCol).cast("long").as("k"))
+            .agg(count(lit(1)).as("c"))
+          c.agg(sum("c").as("n_rows"), count(lit(1)).as("n_keys"),
+              max("c").as("max_c"),
+              max(struct(col("c").as("c"), (col("k") * -1L).as("nk")))
+                .as("mx"))
+            .select(lit(tbl).as("tbl"), lit(keyCol).as("key_col"),
+              col("n_rows"), col("n_keys"), col("max_c"),
+              (col("mx.nk") * -1L).as("hottest_key"),
+              (col("max_c") * col("n_keys")).as("skew_num"),
+              col("n_rows").as("skew_den"))
+        }
+        Seq(profile(li(s, d), "lineitem", "l_orderkey"),
+          profile(ord(s, d), "orders", "o_custkey"),
+          profile(ev(s, d), "events", "user_id"))
+          .reduce(_ unionByName _)
+          .orderBy("tbl", "key_col")
+      },
+      Some("""WITH ec AS (SELECT user_id k, count(*) c FROM events GROUP BY 1),
+          lc AS (SELECT l_orderkey k, count(*) c FROM lineitem GROUP BY 1),
+          oc AS (SELECT o_custkey k, count(*) c FROM orders GROUP BY 1)
+        SELECT * FROM (
+          SELECT 'events' tbl, 'user_id' key_col,
+            CAST(sum(c) AS BIGINT) n_rows, CAST(count(*) AS BIGINT) n_keys,
+            CAST(max(c) AS BIGINT) max_c,
+            CAST((SELECT k FROM ec ORDER BY c DESC, k LIMIT 1) AS BIGINT)
+              hottest_key,
+            CAST(max(c) * count(*) AS BIGINT) skew_num,
+            CAST(sum(c) AS BIGINT) skew_den
+          FROM ec
+          UNION ALL
+          SELECT 'lineitem', 'l_orderkey',
+            CAST(sum(c) AS BIGINT), CAST(count(*) AS BIGINT),
+            CAST(max(c) AS BIGINT),
+            CAST((SELECT k FROM lc ORDER BY c DESC, k LIMIT 1) AS BIGINT),
+            CAST(max(c) * count(*) AS BIGINT), CAST(sum(c) AS BIGINT)
+          FROM lc
+          UNION ALL
+          SELECT 'orders', 'o_custkey',
+            CAST(sum(c) AS BIGINT), CAST(count(*) AS BIGINT),
+            CAST(max(c) AS BIGINT),
+            CAST((SELECT k FROM oc ORDER BY c DESC, k LIMIT 1) AS BIGINT),
+            CAST(max(c) * count(*) AS BIGINT), CAST(sum(c) AS BIGINT)
+          FROM oc)
+        ORDER BY tbl, key_col"""))
   )
 }

@@ -1178,5 +1178,58 @@ object TextScoreOps {
           UNION ALL SELECT 3, 'min_tokens_32', n2, n3, tok3 FROM a
           UNION ALL SELECT 4, 'distinct_ratio_30', n3, n4, tok4 FROM a)
         ORDER BY stage""")),
+
+    // q270: language-ID confusion matrix — the EVALUATION of q33's
+    // classifier against the labeled `lang` column (q33 ships
+    // predictions; a classifier nobody scores is a liability): per
+    // (actual, predicted) cell the exact doc count plus the diagonal
+    // flag, the table per-language precision/recall read straight off.
+    // One map-side score + one cells-sized count shuffle.
+    QueryDef("q270_lang_confusion",
+      (s, d) => {
+        val t = TextFns.tokens(col("text"))
+        def score(ws: Seq[String]) = size(filter(t, x => x.isin(ws: _*)))
+        val sEn = score(Seq("the", "a", "fast", "slow"))
+        val sEs = score(Seq("data", "query", "table"))
+        val sDe = score(Seq("window", "group", "hash"))
+        val sFr = score(Seq("join", "filter", "merge"))
+        val sZh = score(Seq("spark", "scan", "batch"))
+        docs(s, d).select(col("lang"),
+            sEn.as("s_en"), sEs.as("s_es"), sDe.as("s_de"),
+            sFr.as("s_fr"), sZh.as("s_zh"))
+          .withColumn("predicted",
+            when(col("s_en") >= col("s_es") && col("s_en") >= col("s_de")
+              && col("s_en") >= col("s_fr") && col("s_en") >= col("s_zh"),
+              "en")
+              .when(col("s_es") >= col("s_de") && col("s_es") >= col("s_fr")
+                && col("s_es") >= col("s_zh"), "es")
+              .when(col("s_de") >= col("s_fr") && col("s_de") >= col("s_zh"),
+                "de")
+              .when(col("s_fr") >= col("s_zh"), "fr")
+              .otherwise("zh"))
+          .groupBy(col("lang").as("actual"), col("predicted"))
+          .agg(count(lit(1)).as("n_docs"))
+          .withColumn("correct", col("actual") === col("predicted"))
+          .orderBy("actual", "predicted")
+      },
+      Some(s"""WITH x AS (SELECT lang, $OToks t FROM documents),
+        sc AS (SELECT lang,
+            len(list_filter(t, w -> w IN ('the', 'a', 'fast', 'slow'))) s_en,
+            len(list_filter(t, w -> w IN ('data', 'query', 'table'))) s_es,
+            len(list_filter(t, w -> w IN ('window', 'group', 'hash'))) s_de,
+            len(list_filter(t, w -> w IN ('join', 'filter', 'merge'))) s_fr,
+            len(list_filter(t, w -> w IN ('spark', 'scan', 'batch'))) s_zh
+          FROM x),
+        p AS (SELECT lang actual,
+            CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr
+                AND s_en >= s_zh THEN 'en'
+              WHEN s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+              WHEN s_de >= s_fr AND s_de >= s_zh THEN 'de'
+              WHEN s_fr >= s_zh THEN 'fr'
+              ELSE 'zh' END predicted
+          FROM sc)
+        SELECT actual, predicted, CAST(count(*) AS BIGINT) n_docs,
+          actual = predicted AS correct
+        FROM p GROUP BY 1, 2 ORDER BY actual, predicted""")),
   )
 }

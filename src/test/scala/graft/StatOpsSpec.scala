@@ -1168,4 +1168,50 @@ class StatOpsSpec extends SparkSpec {
         s"mismatch at ($ta, $tb, lag=$lag)")
     }
   }
+
+  test("q269 TPC-H Q18: every surviving order exceeds the HAVING threshold; top-100 ordered") {
+    val rows = q("q269_tpch_q18").collect()
+      .map(r => (r.getLong(2), r.getDouble(4), r.getLong(5)))
+    assert(rows.nonEmpty && rows.length <= 100)
+    assert(rows.forall(_._3 > 180L), "HAVING sum(l_quantity) > 180")
+    val ord = rows.map { case (ok, price, _) => (-price, ok) }.toSeq
+    assert(ord === ord.sorted, "(o_totalprice DESC, o_orderkey) order")
+    // the per-order quantity re-aggregation matches a naive recount
+    val naive = graft.Tables.lineitem(spark, dir)
+      .groupBy("l_orderkey").sum("l_quantity").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1).toLong).toMap
+    rows.foreach { case (ok, _, qty) => assert(naive(ok) === qty) }
+  }
+
+  test("q270 lang confusion: cells partition the corpus and replay q33's predictions") {
+    val rows = q("q270_lang_confusion").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getBoolean(3)))
+    val nDocs = graft.Tables.documents(spark, dir).count()
+    assert(rows.map(_._3).sum === nDocs, "cells partition the corpus")
+    rows.foreach { case (a, p, _, c) => assert(c === (a == p)) }
+    // cell counts ≡ a recount of q33's own per-doc predictions
+    val preds = q("q33_lang_id").collect()
+      .map(r => (r.getString(1), r.getAs[String]("predicted")))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    rows.foreach { case (a, p, n, _) =>
+      assert(preds((a, p)) === n, s"cell ($a, $p)") }
+  }
+
+  test("q271 skew profiler: laws hold and the hottest key replays naively") {
+    val rows = q("q271_join_skew_profiler").collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(rows.length === 3)
+    rows.foreach { case (_, nRows, nKeys, maxC, _, num, den) =>
+      assert(num === maxC * nKeys && den === nRows)
+      assert(num >= den, "max·keys ≥ rows (skew ratio ≥ 1) by definition")
+    }
+    val ev0 = graft.Tables.events(spark, dir).groupBy("user_id").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val hottest = ev0.minBy { case (k, c) => (-c, k) }
+    val er = rows.find(_._1 == "events").get
+    assert((er._4, er._5) === ((hottest._2, hottest._1)))
+    assert(er._2 === ev0.map(_._2).sum && er._3 === ev0.length.toLong)
+  }
 }
