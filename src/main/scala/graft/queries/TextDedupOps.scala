@@ -882,5 +882,57 @@ object TextDedupOps {
           round(1 - v4 * v4, 6) p_8x6,
           round(1 - w4 * w2, 6) p_6x8
         FROM c6 ORDER BY id_a, id_b""")),
+
+    // q272: dedup mixture shift — "dedup silently reweights the
+    // mixture": dedup removes duplicates NON-uniformly across sources
+    // (boilerplate-heavy sources lose more), so the post-dedup token
+    // shares differ from the raw shares a mixture was tuned against.
+    // Dedup key = md5 of the SORTED DISTINCT token set (bag-of-words
+    // dedup — catches shuffled/permuted near-copies byte-exact dedup
+    // misses; the corpus has no byte dups but ~12 % BoW dups), min-id
+    // survivor. Per source: docs/tokens before and after, and the
+    // share shift in exact micro units (negative = the source LOST
+    // mixture weight). One fingerprint shuffle + one source aggregate.
+    QueryDef("q272_dedup_mixture_shift",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("fp").orderBy("doc_id")
+        val base = docs(s, d).select(col("doc_id"), col("source"),
+            size(TextFns.tokens(col("text"))).cast("long").as("nt"),
+            md5(array_join(array_sort(array_distinct(
+              TextFns.tokens(col("text")))), " ")).as("fp"))
+          .withColumn("kept", row_number().over(w) === 1)
+        val per = base.groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+            sum("nt").as("tok_raw"),
+            sum(when(col("kept"), col("nt")).otherwise(0L)).as("tok_kept"))
+        val tot = per.agg(sum("tok_raw").as("tr"), sum("tok_kept").as("tk"))
+        per.crossJoin(broadcast(tot))
+          .select(col("source"), col("n_docs"), col("n_kept"),
+            col("tok_raw"), col("tok_kept"),
+            expr("tok_raw * 1000000 div tr").as("share_raw_micro"),
+            expr("tok_kept * 1000000 div tk").as("share_kept_micro"),
+            (expr("tok_kept * 1000000 div tk") -
+              expr("tok_raw * 1000000 div tr")).as("shift_micro"))
+          .orderBy("source")
+      },
+      Some(s"""WITH b0 AS (SELECT doc_id, source, len($OToks) nt,
+            md5(array_to_string(list_sort(list_distinct($OToks)), ' ')) fp
+          FROM documents),
+        b AS (SELECT *, row_number() OVER (PARTITION BY fp
+            ORDER BY doc_id) = 1 kept FROM b0),
+        per AS (SELECT source, CAST(count(*) AS BIGINT) n_docs,
+            CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) n_kept,
+            CAST(sum(nt) AS BIGINT) tok_raw,
+            CAST(sum(CASE WHEN kept THEN nt ELSE 0 END) AS BIGINT) tok_kept
+          FROM b GROUP BY 1),
+        tot AS (SELECT sum(tok_raw) tr, sum(tok_kept) tk FROM per)
+        SELECT source, n_docs, n_kept, tok_raw, tok_kept,
+          CAST(tok_raw * 1000000 // tr AS BIGINT) share_raw_micro,
+          CAST(tok_kept * 1000000 // tk AS BIGINT) share_kept_micro,
+          CAST(tok_kept * 1000000 // tk - tok_raw * 1000000 // tr
+            AS BIGINT) shift_micro
+        FROM per, tot ORDER BY source""")),
   )
 }

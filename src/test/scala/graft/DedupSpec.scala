@@ -575,4 +575,34 @@ class DedupSpec extends SparkSpec {
     val bySim = rows.sortBy(r => r._1.toDouble / r._2)
     assert(bySim.map(_._3).toSeq === bySim.map(_._3).toSeq.sorted)
   }
+
+  test("q272 mixture shift: kept ≡ naive bag-of-words dedup per source; shifts balance near zero") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("q272_dedup_mixture_shift")(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(7)))
+    assert(rows.nonEmpty)
+    // survivors per source ≡ a naive bag-of-words min-id dedup replay
+    val all = Tables.documents(spark, dir)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def bow(t: String) = t.toLowerCase.split("\\s+")
+      .filter(_.nonEmpty).distinct.sorted.mkString(" ")
+    val surv = all.groupBy(d => bow(d._3)).values
+      .map(_.map(_._1).min).toSet
+    val bySource = all.map(d => (d._1, d._2))
+    rows.foreach { case (src, nDocs, nKept, _, _, _) =>
+      val docs0 = bySource.filter(_._2 == src)
+      assert(nDocs === docs0.length.toLong)
+      assert(nKept === docs0.count(d => surv(d._1)).toLong, s"source $src")
+    }
+    // micro-shares partition 10⁶ up to integer truncation, so the
+    // shifts sum to ~0 (|Σ| bounded by the number of sources)
+    val shiftSum = rows.map(_._6).sum
+    assert(math.abs(shiftSum) <= rows.length.toLong,
+      s"shifts must balance near zero, got $shiftSum")
+    // dedup actually removed something somewhere (the read is non-trivial)
+    assert(rows.exists { case (_, n, k, _, _, _) => k < n })
+  }
 }
