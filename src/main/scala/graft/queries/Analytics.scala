@@ -2417,7 +2417,61 @@ object Analytics {
         r AS (SELECT a, b, h, row_number() OVER (PARTITION BY a
             ORDER BY h, b) rnk FROM hv)
         SELECT a anchor, b negative, CAST(rnk AS BIGINT) rnk, h
-        FROM r WHERE rnk <= 2 ORDER BY anchor, rnk"""))
+        FROM r WHERE rnk <= 2 ORDER BY anchor, rnk""")),
+
+    // q274: RFM segmentation — the classic behavioral-scoring triple
+    // (Recency = days since last event, Frequency = event count,
+    // Monetary = exact cents) with each dimension cut into quintiles by
+    // the GROUPED TWO-PHASE RANK (via Sampling.topFractionPerGroup on a
+    // constant group — no global single-partition ntile window, the
+    // q148 machinery), so the segmentation scales to billions of users.
+    // Quintile = ⌊5·gpos/gn⌋ + 1 with the (value, id) total order; the
+    // 3-digit segment code rq·100+fq·10+mq is the standard RFM cell.
+    QueryDef("q274_rfm_segments",
+      (s, d) => {
+        val maxDd = ev(s, d).agg(max(datediff(to_date(col("ts")),
+          to_date(lit("1970-01-01"))).cast("long")).as("gmax"))
+        val users = graft.operators.Checkpoints.cut(
+          ev(s, d).groupBy("user_id")
+            .agg(max(datediff(to_date(col("ts")),
+                to_date(lit("1970-01-01"))).cast("long")).as("umax"),
+              count(lit(1)).as("f"),
+              sum(round(col("value") * 100).cast("long")).as("m_cents"))
+            .crossJoin(broadcast(maxDd))
+            .select(col("user_id"), (col("gmax") - col("umax")).as("r_days"),
+              col("f"), col("m_cents"))
+            .withColumn("g", lit("all")))
+        def quint(scoreCol: String, out: String) =
+          graft.operators.Sampling.topFractionPerGroup(
+              users, "user_id", "g", scoreCol, 1000)
+            .select(col("id").as("user_id"),
+              (expr("5 * gpos div gn") + 1L).as(out))
+        val res = users.select("user_id", "r_days", "f", "m_cents")
+          .join(quint("r_days", "rq"), "user_id")
+          .join(quint("f", "fq"), "user_id")
+          .join(quint("m_cents", "mq"), "user_id")
+          .withColumn("segment",
+            col("rq") * 100L + col("fq") * 10L + col("mq"))
+          .orderBy("user_id")
+        graft.operators.Checkpoints.sealAndRelease(res, users)
+      },
+      Some("""WITH u AS (SELECT user_id,
+            max(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))) umax,
+            CAST(count(*) AS BIGINT) f,
+            CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) m_cents
+          FROM events GROUP BY 1),
+        g AS (SELECT max(umax) gmax, count(*) n FROM u),
+        b AS (SELECT user_id, gmax - umax r_days, f, m_cents, n FROM u, g),
+        r AS (SELECT *,
+            (row_number() OVER (ORDER BY r_days, user_id) - 1) * 5 // n + 1 rq,
+            (row_number() OVER (ORDER BY f, user_id) - 1) * 5 // n + 1 fq,
+            (row_number() OVER (ORDER BY m_cents, user_id) - 1) * 5 // n + 1 mq
+          FROM b)
+        SELECT user_id, CAST(r_days AS BIGINT) r_days, f, m_cents,
+          CAST(rq AS BIGINT) rq, CAST(fq AS BIGINT) fq,
+          CAST(mq AS BIGINT) mq,
+          CAST(rq * 100 + fq * 10 + mq AS BIGINT) segment
+        FROM r ORDER BY user_id"""))
   )
 
   // q210/q218's shared oracle preamble: the coocEdges CTEs + `n` LPA

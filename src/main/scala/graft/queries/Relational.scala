@@ -701,6 +701,36 @@ object Relational {
         GROUP BY 1, 2, 3, 4, 5
         ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""")),
 
+    // q273: TPC-H Q4 shape (order-priority checking) — the correlated
+    // EXISTS the Q-pick set still lacked: a date-ranged order slice
+    // keeps only orders with at least one LATE lineitem (shipped > 30
+    // days after order date — the schema has no commit/receipt dates,
+    // so lateness stands in for Q4's commit<receipt predicate; the
+    // plan shape is identical), then counts by priority. Spark plans
+    // the EXISTS as a LeftSemi with the date filters pushed to both
+    // scans.
+    QueryDef("q273_tpch_q4",
+      (s, d) => {
+        val o = ord(s, d)
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+            && col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+        val late = li(s, d).select(col("l_orderkey"), col("l_shipdate"))
+        o.join(late, col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"),
+            "left_semi")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_orders"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, CAST(count(*) AS BIGINT) n_orders
+        FROM orders o
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1996-04-01'
+          AND EXISTS (SELECT 1 FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey
+              AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+        GROUP BY 1 ORDER BY 1""")),
+
     // q271: join-skew profiler — the PRE-join planning read behind
     // q79's salting: per fact join key, the exact hot-key census (max
     // per-key multiplicity, the key that holds it, and the skew ratio

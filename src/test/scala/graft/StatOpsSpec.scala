@@ -1214,4 +1214,50 @@ class StatOpsSpec extends SparkSpec {
     assert((er._4, er._5) === ((hottest._2, hottest._1)))
     assert(er._2 === ev0.map(_._2).sum && er._3 === ev0.length.toLong)
   }
+
+  test("q273 Q4 shape: every counted order has a late lineitem; none double-counts") {
+    val rows = q("q273_tpch_q4").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.nonEmpty)
+    // naive replay: date-ranged orders with ≥1 lineitem shipped > 30 days
+    // after the order date, counted once regardless of late-line count
+    val ords = graft.Tables.orders(spark, dir)
+      .select(col("o_orderkey"), unix_micros(col("o_orderdate").cast("timestamp")).as("t"),
+        col("o_orderpriority")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .filter { case (_, t, _) =>
+        t >= 820454400000000L && t < 828316800000000L } // [1996-01-01, 1996-04-01) UTC µs
+    val ship = graft.Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), unix_micros(col("l_shipdate").cast("timestamp")).as("t"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    val naive = ords.filter { case (ok, t, _) =>
+      ship.get(ok).exists(_ > t + 30L * 86400000000L) }
+      .groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    assert(rows.toMap === naive)
+  }
+
+  test("q274 RFM: quintile law, balanced cells, and a naive per-user replay") {
+    val rows = q("q274_rfm_segments").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    val n = rows.length
+    assert(n > 0)
+    rows.foreach { case (_, _, _, _, rq, fq, mq, seg) =>
+      assert(rq >= 1 && rq <= 5 && fq >= 1 && fq <= 5 && mq >= 1 && mq <= 5)
+      assert(seg === rq * 100 + fq * 10 + mq)
+    }
+    // each dimension's quintiles are balanced within ±1 of n/5
+    Seq[((Long, Long, Long, Long, Long, Long, Long, Long)) => Long](
+      _._5, _._6, _._7).foreach { dim =>
+      val sizes = rows.groupBy(dim).values.map(_.size)
+      assert(sizes.max - sizes.min <= 1, s"quintiles unbalanced: $sizes")
+    }
+    // naive replay of one dimension: frequency quintile by (f, user) rank
+    val byF = rows.sortBy(r => (r._3, r._1))
+    byF.zipWithIndex.foreach { case (r, i) =>
+      assert(r._6 === i.toLong * 5 / n + 1, s"fq mismatch for user ${r._1}")
+    }
+  }
 }
