@@ -2471,7 +2471,85 @@ object Analytics {
           CAST(rq AS BIGINT) rq, CAST(fq AS BIGINT) fq,
           CAST(mq AS BIGINT) mq,
           CAST(rq * 100 + fq * 10 + mq AS BIGINT) segment
-        FROM r ORDER BY user_id"""))
+        FROM r ORDER BY user_id""")),
+
+    // q275: interval-coverage per user — the UNION-length measure over
+    // gap-merged activity intervals ("how much wall-clock was this user
+    // actually active"): sessions from the shared Sessionize definition
+    // (strict 30-min gap), per user the session count, the summed
+    // active span Σ(end − start), the total first→last span, and the
+    // active share in exact permille (NULL for single-event users whose
+    // span is zero — a share of nothing is not 0 or 1). The classic
+    // interval-union aggregate, one user-keyed exchange.
+    QueryDef("q275_interval_coverage",
+      (s, d) => {
+        val sess = graft.operators.Sessionize.assign(
+          ev(s, d).select(col("user_id"), col("ts"), col("event_id")),
+          "user_id", "ts", "event_id", 1800000000L)
+        val per = sess
+          .select(col("user_id"), col("sess"),
+            unix_micros(col("ts")).as("us"))
+          .groupBy("user_id", "sess")
+          .agg(min("us").as("st"), max("us").as("en"))
+        per.groupBy("user_id")
+          .agg(count(lit(1)).as("n_sessions"),
+            sum(col("en") - col("st")).as("active_us"),
+            (max("en") - min("st")).as("span_us"))
+          .withColumn("active_pm",
+            when(col("span_us") > 0L,
+              expr("active_us * 1000 div span_us")))
+          .orderBy("user_id")
+      },
+      Some("""WITH x AS (SELECT user_id, epoch_us(ts) us,
+            CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+              THEN 1 ELSE 0 END brk
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        g AS (SELECT user_id, us, sum(brk) OVER (PARTITION BY user_id
+            ORDER BY us ROWS UNBOUNDED PRECEDING) sess FROM x),
+        p AS (SELECT user_id, sess, min(us) st, max(us) en
+          FROM g GROUP BY 1, 2)
+        SELECT user_id, CAST(count(*) AS BIGINT) n_sessions,
+          CAST(sum(en - st) AS BIGINT) active_us,
+          CAST(max(en) - min(st) AS BIGINT) span_us,
+          CASE WHEN max(en) - min(st) > 0 THEN
+            CAST(sum(en - st) * 1000 // (max(en) - min(st)) AS BIGINT)
+          END active_pm
+        FROM p GROUP BY user_id ORDER BY user_id""")),
+
+    // q276: user survival curve — for each horizon k (days), the share
+    // of users whose observed lifespan (last day − first day) reaches
+    // k: the pooled Kaplan-Meier-read behind q67's per-cohort retention
+    // triangle (no censoring model needed on a closed corpus — the
+    // lifespan is fully observed). Exact integer num/den per horizon;
+    // user-grid-sized arithmetic past one corpus aggregate.
+    QueryDef("q276_survival_curve",
+      (s, d) => {
+        val dd = datediff(to_date(col("ts")), to_date(lit("1970-01-01")))
+          .cast("long")
+        val life = ev(s, d).groupBy("user_id")
+          .agg((max(dd) - min(dd)).as("ld"))
+        val tot = life.agg(count(lit(1)).as("n_total"))
+        life.withColumn("k", explode(sequence(lit(0L), lit(30L))))
+          .filter(col("ld") >= col("k"))
+          .groupBy("k").agg(count(lit(1)).as("n_alive"))
+          .crossJoin(broadcast(tot))
+          .withColumn("survival_micro",
+            expr("n_alive * 1000000 div n_total"))
+          .orderBy("k")
+      },
+      Some("""WITH u AS (SELECT user_id,
+            max(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)))
+              - min(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))) ld
+          FROM events GROUP BY 1),
+        t AS (SELECT CAST(count(*) AS BIGINT) n_total FROM u),
+        k AS (SELECT unnest(generate_series(0, 30)) k)
+        SELECT CAST(k.k AS BIGINT) k,
+          CAST(count(*) AS BIGINT) n_alive, t.n_total,
+          CAST(count(*) * 1000000 // t.n_total AS BIGINT) survival_micro
+        FROM k JOIN u ON u.ld >= k.k CROSS JOIN t
+        GROUP BY k.k, t.n_total ORDER BY k"""))
   )
 
   // q210/q218's shared oracle preamble: the coocEdges CTEs + `n` LPA

@@ -1260,4 +1260,54 @@ class StatOpsSpec extends SparkSpec {
       assert(r._6 === i.toLong * 5 / n + 1, s"fq mismatch for user ${r._1}")
     }
   }
+
+  test("q275 interval coverage: laws hold and a constructed two-session user is exact") {
+    val rows = q("q275_interval_coverage").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, nS, act, span) =>
+      assert(nS >= 1 && act >= 0 && act <= span,
+        "active time can never exceed the first→last span")
+    }
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cov").toString
+    val base = 1704067200L
+    // u1: [0, 10 min] then a 2 h gap then [130 min, 135 min] →
+    // active 15 min of a 135-min span; u2: one event → span 0, pm NULL
+    Seq((1L, base, 1L), (2L, base + 600, 1L),
+        (3L, base + 7800, 1L), (4L, base + 8100, 1L),
+        (5L, base, 2L))
+      .map { case (id, t, u) => (id, t * 1000000000L, u, "e", 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$tmp/events.parquet")
+    val got = SparkEntry.queries("q275_interval_coverage")(spark, tmp)
+      .collect()
+    val u1 = got.find(_.getLong(0) == 1L).get
+    assert((u1.getLong(1), u1.getLong(2), u1.getLong(3), u1.getLong(4)) ===
+      ((2L, 900000000L, 8100000000L, 900L * 1000 / 8100)))
+    val u2 = got.find(_.getLong(0) == 2L).get
+    assert(u2.getLong(1) === 1L && u2.getLong(3) === 0L && u2.isNullAt(4),
+      "a zero-span user's active share is NULL, not 0 or 1")
+  }
+
+  test("q276 survival curve: monotone non-increasing; replays naive lifespans") {
+    val rows = q("q276_survival_curve").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val alive = rows.sortBy(_._1).map(_._2)
+    assert(alive.zip(alive.tail).forall { case (a, b) => b <= a },
+      "survival never increases with the horizon")
+    val life = graft.Tables.events(spark, dir)
+      .select(col("user_id"),
+        datediff(to_date(col("ts")), to_date(lit("1970-01-01")))
+          .cast("long").as("dd"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view
+      .mapValues(ds => ds.map(_._2).max - ds.map(_._2).min).toMap
+    rows.foreach { case (k, nAlive, nTotal, sm) =>
+      assert(nTotal === life.size.toLong)
+      assert(nAlive === life.values.count(_ >= k).toLong, s"horizon $k")
+      assert(sm === nAlive * 1000000L / nTotal)
+    }
+  }
 }
