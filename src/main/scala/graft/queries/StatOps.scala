@@ -2521,6 +2521,39 @@ object StatOps {
           CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS BIGINT) cc_num,
           CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS BIGINT) den_x,
           CAST(count(*) * sum(y * y) - sum(y) * sum(y) AS BIGINT) den_y
-        FROM pr GROUP BY 1, 2, 3 ORDER BY ta, tb, lag"""))
+        FROM pr GROUP BY 1, 2, 3 ORDER BY ta, tb, lag""")),
+
+    // q277: mixture diversity — the Hill number of order 2 over source
+    // token shares, "how many EFFECTIVE sources is this corpus really
+    // drawing from": D₂ = 1/Σp² = tot²/Σn², the log-free diversity
+    // index (the q179/q174 Simpson stance — Shannon needs ln, D₂
+    // doesn't), with its per-source dominance table. A 20-source corpus
+    // where one source holds 80 % of tokens has D₂ ≈ 1.5 — the single
+    // number a mixture dashboard tracks. Σn² ships exact int64; the
+    // effective count is one pinned double division chain (tot·tot/Σn²,
+    // left-assoc both engines) since tot² outgrows int64 two orders of
+    // magnitude before Σn² does.
+    QueryDef("q277_mixture_diversity",
+      (s, d) => {
+        val srcN = docs(s, d)
+          .select(col("source"), size(TextFns.tokens(col("text")))
+            .cast("long").as("nt"))
+          .groupBy("source").agg(sum("nt").as("n"))
+        srcN.agg(count(lit(1)).as("n_sources"),
+            sum("n").as("tot"), sum(col("n") * col("n")).as("sum_sq"),
+            max("n").as("max_n"))
+          .withColumn("d2_r6",
+            round(col("tot").cast("double") * col("tot") / col("sum_sq"), 6))
+          .withColumn("dominance_micro", expr("max_n * 1000000 div tot"))
+      },
+      Some(s"""WITH sn AS (SELECT source, CAST(sum(len($OToks)) AS BIGINT) n
+          FROM documents GROUP BY 1)
+        SELECT CAST(count(*) AS BIGINT) n_sources,
+          CAST(sum(n) AS BIGINT) tot,
+          CAST(sum(n * n) AS BIGINT) sum_sq,
+          CAST(max(n) AS BIGINT) max_n,
+          round(CAST(sum(n) AS DOUBLE) * sum(n) / sum(n * n), 6) d2_r6,
+          CAST(max(n) * 1000000 // sum(n) AS BIGINT) dominance_micro
+        FROM sn"""))
   )
 }

@@ -934,5 +934,58 @@ object TextDedupOps {
           CAST(tok_kept * 1000000 // tk - tok_raw * 1000000 // tr
             AS BIGINT) shift_micro
         FROM per, tot ORDER BY source""")),
+
+    // q278: near-dup transitivity audit — the one-row justification for
+    // clustering (q77) over pairwise deletion: "A~B and B~C but not
+    // A~C" wedges are exactly where deleting one side of every pair
+    // either over- or under-deletes. Counts edges, wedges (neighbor
+    // pairs at a shared center), closed wedges (the third side IS a
+    // near-dup pair) and the closure rate in exact micro units. Rides
+    // the shared q34 pair memo; wedge join is pair-table-sized.
+    QueryDef("q278_dedup_transitivity",
+      (s, d) => {
+        val p = jaccardPairs(s, d).select("id_a", "id_b")
+        val adj = p.select(col("id_a").as("c"), col("id_b").as("n"))
+          .union(p.select(col("id_b").as("c"), col("id_a").as("n")))
+        val wedges = adj.as("x").join(adj.as("y"),
+            col("x.c") === col("y.c") && col("x.n") < col("y.n"))
+          .select(col("x.n").as("u"), col("y.n").as("v"))
+        val closed = wedges
+          .join(p.select(col("id_a").as("u"), col("id_b").as("v"),
+            lit(true).as("cl")), Seq("u", "v"), "left")
+        val nEdges = p.count()
+        closed.agg(count(lit(1)).as("n_wedges"),
+            sum(when(col("cl"), 1L).otherwise(0L)).as("n_closed"))
+          .select(lit(nEdges).as("n_edges"), col("n_wedges"),
+            col("n_closed"),
+            (col("n_wedges") - col("n_closed")).as("n_open"),
+            when(col("n_wedges") > 0L,
+              expr("n_closed * 1000000 div n_wedges")).as("closure_micro"))
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, $OToks t FROM documents),
+        sets AS (SELECT doc_id, $OShingles sh FROM toks WHERE len(t) >= 3),
+        inv AS (SELECT doc_id, len(sh) n, unnest(sh) shingle FROM sets),
+        pr AS (SELECT a.doc_id id_a, b.doc_id id_b, a.n na, b.n nb,
+            count(*) inter
+          FROM inv a JOIN inv b
+            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2, 3, 4),
+        np AS (SELECT id_a, id_b FROM pr
+          WHERE round(inter / (na + nb - inter), 4) >= 0.6),
+        adj AS (SELECT id_a c, id_b n FROM np
+          UNION ALL SELECT id_b, id_a FROM np),
+        w AS (SELECT x.n u, y.n v FROM adj x JOIN adj y
+          ON x.c = y.c AND x.n < y.n),
+        cl AS (SELECT w.u, w.v, np.id_a IS NOT NULL c
+          FROM w LEFT JOIN np ON np.id_a = w.u AND np.id_b = w.v)
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM np) n_edges,
+          CAST(count(*) AS BIGINT) n_wedges,
+          CAST(sum(CASE WHEN c THEN 1 ELSE 0 END) AS BIGINT) n_closed,
+          CAST(count(*) - sum(CASE WHEN c THEN 1 ELSE 0 END) AS BIGINT)
+            n_open,
+          CASE WHEN count(*) > 0 THEN
+            CAST(sum(CASE WHEN c THEN 1 ELSE 0 END) * 1000000 // count(*)
+              AS BIGINT) END closure_micro
+        FROM cl"""))
   )
 }

@@ -605,4 +605,26 @@ class DedupSpec extends SparkSpec {
     // dedup actually removed something somewhere (the read is non-trivial)
     assert(rows.exists { case (_, n, k, _, _, _) => k < n })
   }
+
+  test("q278 transitivity: a constructed triangle + open chain counts exactly") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_trans").toString
+    def w(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    def x(n: Int) = (1 to n).map(i => s"x$i").mkString(" ")
+    // triangle 1=2=3 (disjoint w-alphabet, 3 closed wedges);
+    // chain 10–11–12 on the x-alphabet: j(10,11) = 8/12, j(11,12) =
+    // 12/16 (both ≥ 0.6) but j(10,12) = 8/16 < 0.6 → 1 open wedge
+    Seq((1L, w(10)), (2L, w(10)), (3L, w(10)),
+        (10L, x(10)), (11L, x(14)), (12L, x(18)))
+      .map { case (id, t) => (id, t, "en", "web", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$tmp/documents.parquet")
+    val r = SparkEntry.queries("q278_dedup_transitivity")(spark, tmp)
+      .collect().head
+    assert(r.getLong(0) === 5L, "edges: the clique's 3 + the chain's 2")
+    assert(r.getLong(1) === 4L, "wedges: 3 at the clique + 1 at the chain")
+    assert(r.getLong(2) === 3L, "closed: the clique's")
+    assert(r.getLong(3) === 1L, "open: the chain's middle")
+    assert(r.getLong(4) === 750000L)
+  }
 }

@@ -1310,4 +1310,30 @@ class StatOpsSpec extends SparkSpec {
       assert(sm === nAlive * 1000000L / nTotal)
     }
   }
+
+  test("q277 mixture diversity: bounds, naive replay, and the two-equal-sources pin") {
+    val r = q("q277_mixture_diversity").collect().head
+    val (nS, tot, sumSq, maxN) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val d2 = r.getDouble(4)
+    assert(d2 >= 1.0 && d2 <= nS.toDouble, "1 ≤ D₂ ≤ n_sources")
+    // naive replay from collected per-source token counts
+    val ns = graft.Tables.documents(spark, dir)
+      .select(col("source"),
+        size(graft.functions.TextFns.tokens(col("text"))).cast("long"))
+      .collect().map(r2 => (r2.getString(0), r2.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    assert(nS === ns.size.toLong && tot === ns.values.sum)
+    assert(sumSq === ns.values.map(v => v * v).sum && maxN === ns.values.max)
+    assert(r.getLong(5) === maxN * 1000000L / tot)
+    // a two-equal-sources corpus is exactly 2.0 effective sources
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_d2").toString
+    Seq((1L, "a b c d e", "en", "s1", 9L), (2L, "a b c d e", "en", "s2", 9L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$tmp/documents.parquet")
+    val h = SparkEntry.queries("q277_mixture_diversity")(spark, tmp)
+      .collect().head
+    assert(h.getDouble(4) === 2.0 && h.getLong(5) === 500000L)
+  }
 }
