@@ -60,7 +60,7 @@ object ScaleCheck {
     "q269_tpch_q18", "q270_lang_confusion", "q271_join_skew_profiler",
     "q272_dedup_mixture_shift", "q273_tpch_q4", "q274_rfm_segments",
     "q275_interval_coverage", "q276_survival_curve",
-    "q277_mixture_diversity", "q278_dedup_transitivity")
+    "q277_mixture_diversity", "q278_dedup_transitivity", "q279_tpch_q12")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")

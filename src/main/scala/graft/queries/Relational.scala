@@ -731,6 +731,38 @@ object Relational {
               AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
         GROUP BY 1 ORDER BY 1""")),
 
+    // q279: TPC-H Q12 shape (shipping-mode priority split) — the
+    // conditional-aggregation join: lineitem ⋈ orders with the
+    // high/low-priority CASE folded into the aggregate (the schema has
+    // no shipmode, so l_returnflag plays the grouping role; the plan
+    // shape — one fact join, per-group conditional counts, date range
+    // pushed to the lineitem scan — is Q12's). One shuffle join, the
+    // orders side projected to two columns.
+    QueryDef("q279_tpch_q12",
+      (s, d) => {
+        val l = li(s, d)
+          .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+            && col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+          .select("l_orderkey", "l_returnflag")
+        l.join(ord(s, d).select("o_orderkey", "o_orderpriority"),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy("l_returnflag")
+          .agg(sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+              1L).otherwise(0L)).as("high_line_count"),
+            sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+              1L).otherwise(0L)).as("low_line_count"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+          CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+            THEN 1 ELSE 0 END) AS BIGINT) high_line_count,
+          CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+            THEN 1 ELSE 0 END) AS BIGINT) low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY 1 ORDER BY 1""")),
+
     // q271: join-skew profiler — the PRE-join planning read behind
     // q79's salting: per fact join key, the exact hot-key census (max
     // per-key multiplicity, the key that holds it, and the skew ratio

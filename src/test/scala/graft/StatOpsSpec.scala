@@ -1336,4 +1336,27 @@ class StatOpsSpec extends SparkSpec {
       .collect().head
     assert(h.getDouble(4) === 2.0 && h.getLong(5) === 500000L)
   }
+
+  test("q279 Q12 shape: counts partition the date-ranged join naively") {
+    val rows = q("q279_tpch_q12").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    val pri = graft.Tables.orders(spark, dir)
+      .select("o_orderkey", "o_orderpriority").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val lines = graft.Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_returnflag"),
+        unix_micros(col("l_shipdate").cast("timestamp")).as("t"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .filter { case (_, _, t) =>
+        t >= 820454400000000L && t < 852076800000000L }
+    val naive = lines.groupBy(_._2).view.mapValues { ls =>
+      val high = ls.count(l =>
+        Set("1-URGENT", "2-HIGH")(pri(l._1)))
+      (high.toLong, (ls.length - high).toLong)
+    }.toMap
+    rows.foreach { case (rf, hi, lo) =>
+      assert(naive(rf) === ((hi, lo)), s"flag $rf") }
+  }
 }
