@@ -2528,16 +2528,19 @@ object Analytics {
       (s, d) => {
         val dd = datediff(to_date(col("ts")), to_date(lit("1970-01-01")))
           .cast("long")
-        val life = ev(s, d).groupBy("user_id")
-          .agg((max(dd) - min(dd)).as("ld"))
+        // cut: the user-grid lifespan frame feeds the total agg and the
+        // horizon explode — one corpus scan (the staging line)
+        val life = graft.operators.Checkpoints.cut(
+          ev(s, d).groupBy("user_id").agg((max(dd) - min(dd)).as("ld")))
         val tot = life.agg(count(lit(1)).as("n_total"))
-        life.withColumn("k", explode(sequence(lit(0L), lit(30L))))
+        val res = life.withColumn("k", explode(sequence(lit(0L), lit(30L))))
           .filter(col("ld") >= col("k"))
           .groupBy("k").agg(count(lit(1)).as("n_alive"))
           .crossJoin(broadcast(tot))
           .withColumn("survival_micro",
             expr("n_alive * 1000000 div n_total"))
           .orderBy("k")
+        graft.operators.Checkpoints.sealAndRelease(res, life)
       },
       Some("""WITH u AS (SELECT user_id,
             max(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)))
