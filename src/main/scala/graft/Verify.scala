@@ -42,9 +42,21 @@ object Verify {
       .filter { case (name, _) => only.isEmpty || only.contains(name) }
       .foreach { case (name, fn) =>
       // driver contract: result lands at outDir/<name>.parquet
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name.parquet")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        // r17 lesson (q237/q244): the driver's hash discriminates on the
+        // int128/decimal VALUE REPRESENTATION itself — a DECIMAL(38,0)
+        // output column hash-mismatches even when multiset-equal to the
+        // oracle. Refuse to dump one: every registered query ships
+        // BIGINT/INT/DOUBLE/VARCHAR/DATE/TIMESTAMP/BOOLEAN/BINARY/ARRAY.
+        val dec = df.schema.fields.filter(
+          _.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType])
+        require(dec.isEmpty, s"decimal-typed output column(s) " +
+          s"${dec.map(_.name).mkString(",")} — the driver hash rejects " +
+          "decimal representations (r17 q237/q244); ship BIGINT")
+        df.coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name.parquet")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

@@ -281,12 +281,17 @@ object Drift {
     * cvm_num = Σ_v (sa·nb − sb·na)²·(ca + cb) over the union value grid
     * — the ω² functional ∫(F_a − F_b)² dF_pool scaled by
     * (n_a·n_b)²·(n_a + n_b), every factor exact; the consumer divides.
-    * The squared gap overflows a long at realistic corpus sizes
-    * ((n_a·n_b)² alone passes 2⁶³ near n ≈ 56k), so the summand rides
-    * DECIMAL(38,0) — exact integer arithmetic, engine-portable, headroom
-    * to n ≈ 10⁸ per group before a pre-bucket (rebinCounts) is needed.
-    * Grid-sized like the whole family. Output: (`group`, cvm_num
-    * DECIMAL(38,0), n_a, n_b).
+    * The sum is ACCUMULATED in DECIMAL(38,0) (exact, never wraps) and
+    * SHIPPED as BIGINT — the q177/q195 int64-portability stance: the
+    * worst-case bound is (n_a·n_b)²·(n_a + n_b) < 2⁶³ (both sides ≲ 5k),
+    * but the statistic only approaches it under a total distribution
+    * split; realistically cvm_num ≈ ω²·(n_a·n_b)²·(n_a+n_b)⁻¹ stays in
+    * int64 far past that, and the decimal→long cast goes NULL (loudly,
+    * non-ANSI) rather than silently wrapping when it ever doesn't. At
+    * larger n, pre-bucket with [[rebinCounts]] and/or downscale one
+    * side's counts before the call — the statistic is scale-covariant.
+    * Grid-sized like the whole family. Output: (`group`, cvm_num BIGINT,
+    * n_a, n_b).
     */
   def cvmBetweenCounts(a: DataFrame, b: DataFrame, groupCol: String,
       valueCol: String, countCol: String): DataFrame =
@@ -299,7 +304,7 @@ object Drift {
           (col("ca") + col("cb")).cast("decimal(38,0)")).as("cvm_num"),
         max("na").as("n_a"), max("nb").as("n_b"))
       .select(col("g").as(groupCol),
-        col("cvm_num").cast("decimal(38,0)").as("cvm_num"),
+        col("cvm_num").cast("long").as("cvm_num"),
         col("n_a"), col("n_b"))
 
   /** Per-group WASSERSTEIN-1 distance between two count tables — the

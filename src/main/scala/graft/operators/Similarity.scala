@@ -74,8 +74,11 @@ object Similarity {
     * is a's cosine-nearest neighbor AND a is b's — the mutual-top-1
     * criterion bitext/near-dup miners use to kill hub vectors — and its
     * score is the cosine RELATIVE to both endpoints' k-NN neighborhoods,
-    * margin = cos(a,b) / ((avgₖ(a) + avgₖ(b)) / 2: a 0.8 cosine means
-    * nothing in a dense hub region and everything in a sparse one.
+    * margin = cos(a,b) / ((avgₖ(a) + avgₖ(b)) / 2): a 0.8 cosine means
+    * nothing in a dense hub region and everything in a sparse one. Each
+    * avg divides by the endpoint's ACTUAL neighbor count (≤ k — a block
+    * smaller than k+1 vectors yields shorter neighborhoods), so the
+    * avg-of-top-k semantics holds at every block size.
     *
     * Universe contract: neighborhoods are computed WITHIN the frame the
     * caller passes — at 100 TB that frame is one LSH/IVF block (the
@@ -106,18 +109,28 @@ object Similarity {
       .filter(col("rnk") <= k)
     val top1 = ranked.filter(col("rnk") === 1).select("ia", "ib", "cos")
     // Σ of each id's top-k cosines, folded over the value-sorted list so
-    // float addition order is pinned (see determinism note above).
+    // float addition order is pinned (see determinism note above) — plus
+    // the ACTUAL neighbor count: a block with fewer than k+1 vectors
+    // sums fewer than k cosines, and dividing by k there would overstate
+    // the margin against the documented avg-of-top-k semantics
+    // (ADVICE r17). With full neighborhoods and k a power of two the
+    // count-aware form is bit-identical to 2k·cos/(ska+skb) — exact
+    // power-of-two scalings commute with IEEE rounding.
     val sumk = ranked.groupBy("ia").agg(
       aggregate(array_sort(collect_list(struct(col("cos"), col("ib")))),
-        lit(0.0), (acc, s) => acc + s.getField("cos")).as("sk"))
+        lit(0.0), (acc, s) => acc + s.getField("cos")).as("sk"),
+      count(lit(1)).as("ck"))
     val out = top1.as("t")
       .join(top1.select(col("ia").as("ib"), col("ib").as("ia2")),
         Seq("ib")).filter(col("ia2") === col("ia") && col("ia") < col("ib"))
       .select(col("ia").as("id_a"), col("ib").as("id_b"), col("cos"))
-      .join(sumk.select(col("ia").as("id_a"), col("sk").as("ska")), "id_a")
-      .join(sumk.select(col("ia").as("id_b"), col("sk").as("skb")), "id_b")
-      .withColumn("margin",
-        round(lit(2.0 * k) * col("cos") / (col("ska") + col("skb")), 6))
+      .join(sumk.select(col("ia").as("id_a"), col("sk").as("ska"),
+        col("ck").as("cka")), "id_a")
+      .join(sumk.select(col("ia").as("id_b"), col("sk").as("skb"),
+        col("ck").as("ckb")), "id_b")
+      .withColumn("margin", round(col("cos") /
+        ((col("ska") / col("cka") + col("skb") / col("ckb")) / lit(2.0)),
+        6))
       .select("id_a", "id_b", "cos", "margin")
     Checkpoints.sealAndRelease(out, v)
   }

@@ -1802,9 +1802,12 @@ object StatOps {
     // that never spikes is its classic blind spot; CvM integrates every
     // gap weighted by pooled mass, so it scores). Same count
     // construction and envelope as q199 (one cut per-(source, half)
-    // count shuffle, grid-sized after); the squared summand rides
-    // DECIMAL(38,0)/HUGEINT — exact integers both engines, with the
-    // documented n ≈ 10⁸ headroom before a rebinCounts pre-bucket.
+    // count shuffle, grid-sized after); the squared summand ACCUMULATES
+    // in DECIMAL/HUGEINT (exact both engines) and SHIPS as BIGINT — the
+    // q177/q195 portability stance (the r17 driver gate proved a
+    // DECIMAL(38,0) output column hash-red even when multiset-equal):
+    // cvm_num ~10³–10⁵ at the gate scales, worst case safe to ~5k per
+    // half, null-not-wrap past that, rebinCounts pre-bucket beyond.
     QueryDef("q237_cvm_between_halves",
       (s, d) => {
         val nd = docs(s, d).agg(count(lit(1)).as("nd"))
@@ -1841,7 +1844,7 @@ object StatOps {
             FROM m)
         SELECT source,
           CAST(sum((sa * nb - sb * na)::HUGEINT * (sa * nb - sb * na)
-            * (ca + cb)) AS DECIMAL(38,0)) cvm_num,
+            * (ca + cb)) AS BIGINT) cvm_num,
           CAST(max(na) AS BIGINT) n_then, CAST(max(nb) AS BIGINT) n_now
         FROM cum GROUP BY source ORDER BY source""")),
 
@@ -1885,11 +1888,16 @@ object StatOps {
     // second): each event's value holds until the NEXT event of the
     // same type that day, the day's last observation carries weight 0
     // (its holding period is unobserved — not imputed to midnight).
-    // Exact: value on the 1e6 micro grid, weights integral
-    // microseconds, twap = num/(1e6·den) at the consumer; the
-    // micro-value × µs-gap summand routinely passes 2⁶³ (one high-value
-    // event held most of a day is ~8.6e18), so it rides DECIMAL(38,0) —
-    // the q237 stance. Shape: the
+    // Exact: value on the CENTS grid (×100 — the micro grid put the
+    // numerator at ~4.7e18 already at sf0.01, genuinely inside int64
+    // wrap range, and the r17 driver gate rejects a DECIMAL output
+    // column outright), weights integral microseconds, twap =
+    // num/(100·den) at the consumer. Bound: one cent-value held a full
+    // day is vc·8.64e10, so a day's numerator stays under 2⁶³ while
+    // max|value| < ~1e6 — four decades of headroom at the gate, and the
+    // decimal-accumulate + cast-to-long goes NULL (loud) not wrapped if
+    // a pathological value ever passes it; coarsen the grid again (or
+    // gap to millis) past that. Shape: the
     // lead window partitions by (type, day) — bounded slices, never a
     // whole type in one task (the per-type form would put 100 TB of one
     // event type in five partitions); output is day-grid-sized.
@@ -1902,28 +1910,28 @@ object StatOps {
         graft.operators.Checkpoints.sealAndRelease(
           ev(s, d).select(col("event_type"), dd.as("dd"), col("ts"),
               col("event_id"),
-              round(col("value") * lit(1e6)).cast("long").as("vm"))
+              round(col("value") * lit(100)).cast("long").as("vc"))
             .withColumn("gap", coalesce(
               unix_micros(lead(col("ts"), 1).over(w)) -
                 unix_micros(col("ts")), lit(0L)))
             .groupBy("event_type", "dd")
-            .agg(sum(col("vm").cast("decimal(38,0)") *
+            .agg(sum(col("vc").cast("decimal(38,0)") *
                 col("gap").cast("decimal(38,0)"))
-                .cast("decimal(38,0)").as("twap_num"),
+                .cast("long").as("twap_num"),
               sum("gap").as("twap_den"), count(lit(1)).as("n_events"))
             .orderBy("event_type", "dd"))
       },
       Some("""WITH e AS (SELECT event_type,
             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) dd,
             ts, event_id,
-            CAST(round(value * 1000000.0) AS BIGINT) vm
+            CAST(round(value * 100.0) AS BIGINT) vc
           FROM events),
-          g AS (SELECT event_type, dd, vm,
+          g AS (SELECT event_type, dd, vc,
               coalesce(epoch_us(lead(ts) OVER (PARTITION BY event_type, dd
                 ORDER BY ts, event_id)) - epoch_us(ts), 0) gap
             FROM e)
         SELECT event_type, CAST(dd AS BIGINT) dd,
-          CAST(sum(vm::HUGEINT * gap) AS DECIMAL(38,0)) twap_num,
+          CAST(sum(vc::HUGEINT * gap) AS BIGINT) twap_num,
           CAST(sum(gap) AS BIGINT) twap_den,
           CAST(count(*) AS BIGINT) n_events
         FROM g GROUP BY 1, 2 ORDER BY 1, 2""")),
@@ -2378,15 +2386,24 @@ object StatOps {
               .as("n_users"),
             (col("a_conv") * col("b_not") - col("a_not") * col("b_conv"))
               .as("dv"),
-            ((col("a_conv") + col("a_not")) * (col("b_conv") + col("b_not")) *
-              (col("a_conv") + col("b_conv")) * (col("a_not") + col("b_not")))
-              .as("chi2_den"))
-          // n·dv² overflows int64 two orders of magnitude before den
-          // does, so the statistic itself rides doubles with a pinned
-          // op order (n·dv·dv, left-assoc — same IEEE products both
-          // engines from the same exact longs)
+            // the four MARGINALS ship exact (each ≤ n_users) instead of
+            // their int64 product — (ra·rb·ca·cb) ~ n⁴/16 wraps silently
+            // past ~110k users (ADVICE r17); any consumer wanting the
+            // denominator multiplies in its own width. dv itself is the
+            // one remaining product: |dv| ≤ n²/4, exact to n ≈ 6×10⁹.
+            (col("a_conv") + col("a_not")).as("m_a"),
+            (col("b_conv") + col("b_not")).as("m_b"),
+            (col("a_conv") + col("b_conv")).as("m_conv"),
+            (col("a_not") + col("b_not")).as("m_not"))
+          // n·dv² overflows int64 two orders of magnitude before the
+          // denominator does, so the statistic itself rides doubles with
+          // a pinned op order — numerator n·dv·dv and denominator
+          // ((ma·mb)·mc)·md both left-assoc from the same exact longs,
+          // identical IEEE sequences both engines
           .withColumn("chi2_r6", round(col("n_users").cast("double") *
-            col("dv") * col("dv") / col("chi2_den"), 6))
+            col("dv") * col("dv") /
+            (col("m_a").cast("double") * col("m_b") * col("m_conv") *
+              col("m_not")), 6))
       },
       Some("""WITH u AS (SELECT user_id,
             CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
@@ -2404,12 +2421,12 @@ object StatOps {
         SELECT a_conv, a_not, b_conv, b_not,
           a_conv + a_not + b_conv + b_not AS n_users,
           a_conv * b_not - a_not * b_conv AS dv,
-          (a_conv + a_not) * (b_conv + b_not)
-            * (a_conv + b_conv) * (a_not + b_not) AS chi2_den,
+          a_conv + a_not AS m_a, b_conv + b_not AS m_b,
+          a_conv + b_conv AS m_conv, a_not + b_not AS m_not,
           round(CAST(a_conv + a_not + b_conv + b_not AS DOUBLE)
             * (a_conv * b_not - a_not * b_conv)
             * (a_conv * b_not - a_not * b_conv)
-            / ((a_conv + a_not) * (b_conv + b_not)
+            / (CAST(a_conv + a_not AS DOUBLE) * (b_conv + b_not)
                * (a_conv + b_conv) * (a_not + b_not)), 6) AS chi2_r6
         FROM cells""")),
 

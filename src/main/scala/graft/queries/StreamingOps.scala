@@ -6,6 +6,56 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.streaming.EventStream
 
+/** q257's session state machine, top-level (no outer capture) so
+  * StreamingSpec can drive it across REAL micro-batches — the
+  * out-of-order-merge law needs two genuine batches, which the q257
+  * file-source harness can't split. One ValueState tuple per live user:
+  * (session_start, last_ts, n, cents), all µs/cents integers. Emits a
+  * (user, start, n, cents) row the moment a ≥30-min event-time gap
+  * closes a session; the open session stays in state (emit-on-close).
+  * The merge keeps the high-water mark MONOTONE — last := max(last, us),
+  * start := min(start, us) — so a row arriving out of order across
+  * micro-batches can never rewind the gap clock and let a following
+  * on-time row falsely split a session the batch oracle keeps whole
+  * (ADVICE r17). Disorder tolerance is one open session deep: a row
+  * arriving a full Gap before the open session's start still merges
+  * into it — re-splitting history would need the closed-session log,
+  * which emit-on-close has already shipped downstream.
+  */
+private[graft] class SessionProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Long, Long), (Long, Long, Long, Long)] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+  private val Gap = 1800000000L // 30 min in µs
+  @transient private var st: ValueState[(Long, Long, Long, Long)] = _
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[(Long, Long, Long, Long)]("sess",
+      org.apache.spark.sql.Encoders.product[(Long, Long, Long, Long)],
+      TTLConfig.NONE)
+  override def handleInputRows(key: Long,
+      rows: Iterator[(Long, Long, Long)],
+      timerValues: TimerValues): Iterator[(Long, Long, Long, Long)] = {
+    val sorted = rows.toArray.sortBy(r => (r._2, r._3))
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Long)]
+    var cur = if (st.exists()) Option(st.get()) else None
+    sorted.foreach { case (_, us, cents) =>
+      cur match {
+        case Some((st0, last, n, cs)) if us - last >= Gap =>
+          out += ((key, st0, n, cs))
+          cur = Some((us, us, 1L, cents))
+        case Some((st0, last, n, cs)) =>
+          cur = Some((math.min(st0, us), math.max(last, us),
+            n + 1L, cs + cents))
+        case None =>
+          cur = Some((us, us, 1L, cents))
+      }
+    }
+    cur.foreach(st.update)
+    out.iterator
+  }
+}
+
 /** Streaming slice (SURVEY.md §2b): tumbling / sliding / session windows,
   * watermarks, and stateful dedup over the `events` stream. Finite input ⇒
   * final state is hash-comparable to a batch SQL oracle on the same
@@ -331,37 +381,7 @@ object StreamingOps {
     QueryDef("q257_stream_stateful_sessions",
       (s, d) => {
         import s.implicits._
-        import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
-        class SessionProcessor
-            extends StatefulProcessor[Long, (Long, Long, Long), (Long, Long, Long, Long)] {
-          private val Gap = 1800000000L // 30 min in µs
-          @transient private var st: ValueState[(Long, Long, Long, Long)] = _
-          override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-            st = getHandle.getValueState[(Long, Long, Long, Long)]("sess",
-              org.apache.spark.sql.Encoders.product[(Long, Long, Long, Long)],
-              TTLConfig.NONE)
-          override def handleInputRows(key: Long,
-              rows: Iterator[(Long, Long, Long)],
-              timerValues: TimerValues): Iterator[(Long, Long, Long, Long)] = {
-            val sorted = rows.toArray.sortBy(r => (r._2, r._3))
-            val out = scala.collection.mutable.ArrayBuffer
-              .empty[(Long, Long, Long, Long)]
-            var cur = if (st.exists()) Option(st.get()) else None
-            sorted.foreach { case (_, us, cents) =>
-              cur match {
-                case Some((st0, last, n, cs)) if us - last >= Gap =>
-                  out += ((key, st0, n, cs))
-                  cur = Some((us, us, 1L, cents))
-                case Some((st0, _, n, cs)) =>
-                  cur = Some((st0, us, n + 1L, cs + cents))
-                case None =>
-                  cur = Some((us, us, 1L, cents))
-              }
-            }
-            cur.foreach(st.update)
-            out.iterator
-          }
-        }
+        import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
         val prev = s.conf.getOption(
           "spark.sql.streaming.stateStore.providerClass")
         s.conf.set("spark.sql.streaming.stateStore.providerClass",

@@ -158,8 +158,15 @@ object TextPrepOps {
           .withColumn("rr", expr("(bud - (p - n)) % (m - k + 1)"))
           .filter((col("lagn").isNull || col("lagn") <= col("tau")) &&
             col("tau") < col("n"))
-          .agg(min("tau").as("tau"), min("rr").as("rr"),
-            min(col("m") - col("rr")).as("cutk"))
+          // the winner row is selected ATOMICALLY — all three values
+          // min_by the same unique k — so if the integer-division
+          // feasibility edge ever admits two rows, (tau, rr, cutk) still
+          // come from ONE row and Σalloc ≡ B holds; three independent
+          // min()s could mix rows and silently break the exact-budget
+          // law (ADVICE r17). k is a row_number ⇒ min_by deterministic.
+          .agg(min_by(col("tau"), col("k")).as("tau"),
+            min_by(col("rr"), col("k")).as("rr"),
+            min_by(col("m") - col("rr"), col("k")).as("cutk"))
         val res = o.crossJoin(broadcast(winner))
           .select(col("source"), col("n").as("n_tokens"),
             when(col("tau").isNull, col("n"))
@@ -179,9 +186,9 @@ object TextPrepOps {
             sum(n) OVER (ORDER BY n, source ROWS UNBOUNDED PRECEDING) p,
             lag(n) OVER (ORDER BY n, source) lagn
           FROM sn, tt),
-        w AS (SELECT min((bud - (p - n)) // (m - k + 1)) tau,
-            min((bud - (p - n)) % (m - k + 1)) rr,
-            min(m - (bud - (p - n)) % (m - k + 1)) cutk
+        w AS (SELECT min_by((bud - (p - n)) // (m - k + 1), k) tau,
+            min_by((bud - (p - n)) % (m - k + 1), k) rr,
+            min_by(m - (bud - (p - n)) % (m - k + 1), k) cutk
           FROM o
           WHERE (lagn IS NULL OR lagn <= (bud - (p - n)) // (m - k + 1))
             AND (bud - (p - n)) // (m - k + 1) < n)

@@ -643,10 +643,11 @@ object TextSimOps {
             row_number() OVER (PARTITION BY ia ORDER BY cos DESC, ib) rnk
           FROM p),
         t1 AS (SELECT ia, ib, cos FROM r WHERE rnk = 1),
-        s4 AS (SELECT ia, list_sum(list(cos ORDER BY cos, ib)) sk
+        s4 AS (SELECT ia, list_sum(list(cos ORDER BY cos, ib)) sk,
+            count(*) ck
           FROM r WHERE rnk <= 4 GROUP BY ia)
         SELECT t.ia id_a, t.ib id_b, t.cos,
-          round(8.0 * t.cos / (sa.sk + sb.sk), 6) margin
+          round(t.cos / ((sa.sk / sa.ck + sb.sk / sb.ck) / 2.0), 6) margin
         FROM t1 t JOIN t1 u ON t.ib = u.ia AND u.ib = t.ia AND t.ia < t.ib
         JOIN s4 sa ON sa.ia = t.ia
         JOIN s4 sb ON sb.ia = t.ib

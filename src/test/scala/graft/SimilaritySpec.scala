@@ -671,6 +671,20 @@ class SimilaritySpec extends SparkSpec {
     assert(out.forall(_.getDouble(3) > 1.0))
   }
 
+  test("mutualTopKMargin: a 2-vector block (fewer than k+1 vectors) scores margin exactly 1") {
+    // each endpoint's ONLY neighbor is the pair itself, so the avg-of-
+    // top-k neighborhood cosine IS the pair cosine and the ratio margin
+    // is exactly 1 — dividing by k=4 instead of the actual count 1 would
+    // overstate it 4× (ADVICE r17)
+    val vecs = Seq((0L, Array(1f, 0.10f)), (1L, Array(1f, 0.12f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.mutualTopKMargin(vecs, "vec_id", "embedding", 4)
+      .collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((0L, 1L)))
+    assert(out.head.getDouble(3) === 1.0,
+      "margin must divide by the actual neighbor count, not k")
+  }
+
   test("mutualTopKMargin agrees with bruteForceTopK's top-1 on real embeddings") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
       .filter(col("vec_id") < 100)

@@ -743,13 +743,13 @@ class StatOpsSpec extends SparkSpec {
         datediff(to_date(c("ts")), to_date(lit("1970-01-01")))
           .cast("long").as("dd"),
         unix_micros(c("ts")).as("us"), c("event_id"),
-        round(c("value") * lit(1e6)).cast("long").as("vm"))
+        round(c("value") * lit(100)).cast("long").as("vc"))
       .collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getLong(4)))
     val got = q("q244_twap").collect()
       .map(r => (r.getString(0), r.getLong(1)) ->
-        (BigInt(r.getDecimal(2).toBigInteger), r.getLong(3), r.getLong(4)))
+        (BigInt(r.getLong(2)), r.getLong(3), r.getLong(4)))
       .toMap
     val want = rows.groupBy(r => (r._1, r._2)).map { case (k, grp) =>
       val srt = grp.sortBy(r => (r._3, r._4))

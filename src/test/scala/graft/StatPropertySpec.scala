@@ -208,12 +208,12 @@ class StatPropertySpec extends SparkSpec {
       val got = Drift.cvmBetweenCounts(ca.toDF("g", "v", "c"),
           cb.toDF("g", "v", "c"), "g", "v", "c")
         .collect().map(r => r.getString(0) ->
-          (BigInt(r.getDecimal(1).toBigInteger), r.getLong(2), r.getLong(3)))
+          (BigInt(r.getLong(1)), r.getLong(2), r.getLong(3)))
         .toMap
       val groups = (ca.map(_._1) ++ cb.map(_._1)).distinct
       val self = Drift.cvmBetweenCounts(ca.toDF("g", "v", "c"),
           ca.toDF("g", "v", "c"), "g", "v", "c")
-        .collect().forall(r => BigInt(r.getDecimal(1).toBigInteger) == 0)
+        .collect().forall(r => r.getLong(1) == 0L)
       self && got.keySet == groups.toSet && groups.forall { g =>
         val (av, bv) = (inst(ca, g), inst(cb, g))
         val (na, nb) = (av.size.toLong, bv.size.toLong)

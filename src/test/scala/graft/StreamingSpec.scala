@@ -749,4 +749,38 @@ class StreamingSpec extends SparkSpec {
     assert(real === expected,
       "streamed closed sessions must equal batch sessions minus trailing")
   }
+
+  test("q257 sessionizer: out-of-order row across micro-batches cannot rewind the gap clock") {
+    implicit val sqlCtx = spark.sqlContext
+    // ADVICE r17: the merge must keep the high-water mark monotone.
+    // Batch 1 closes at us=100 s; batch 2 delivers a LATE row at 50 s
+    // followed by an on-time row at 1850 s. A rewound last (:= 50 s)
+    // would make 1850 − 50 = 1800 s ≥ Gap and falsely split; the
+    // monotone merge keeps last = 100 s, 1850 − 100 < Gap, one session.
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[(Long, Long, Long)] // (user, us, cents)
+      val out = in.toDS().groupByKey(_._1)
+        .transformWithState(new graft.queries.SessionProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+      val q = out.toDF("user_id", "start_us", "n_events", "cents")
+        .writeStream.format("memory").queryName("sess_ooo_test")
+        .outputMode("update").trigger(Trigger.ProcessingTime(0)).start()
+      val S = 1000000L // 1 s in µs
+      in.addData((1L, 0L, 10L), (1L, 100L * S, 10L))
+      q.processAllAvailable()
+      in.addData((1L, 50L * S, 10L), (1L, 1850L * S, 10L))
+      q.processAllAvailable()
+      assert(spark.table("sess_ooo_test").count() === 0,
+        "no session may close: the late row merges, the gap clock holds")
+      in.addData((1L, 3650L * S, 10L)) // 1850 s + Gap → closes the session
+      q.processAllAvailable()
+      q.stop()
+      val rows = spark.table("sess_ooo_test")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(rows.toSeq === Seq((1L, 0L, 4L, 40L)),
+        "ONE whole session of all four rows, started at the true minimum")
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
 }

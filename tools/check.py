@@ -82,6 +82,16 @@ def main(sf_dir, out_dir):
         try:
             got = con.sql(f"SELECT * FROM '{path}'")
             gcols = sorted(zip(got.columns, [str(t) for t in got.types]))
+            # FAILING gate (round 17): the driver's hash discriminates on
+            # the int128/decimal value representation itself — q237/q244
+            # went hash-red while multiset-equal to their oracles, as the
+            # board's only DECIMAL(38,0) outputs. No dump may ship one.
+            dec = [c for c, t in gcols if t.startswith("DECIMAL")]
+            if dec:
+                print(f"[FAIL-decimal] {name}: decimal-typed output "
+                      f"columns {dec} — ship BIGINT (r17 q237/q244)")
+                n_bad += 1
+                continue
             if name not in oracle:
                 print(f"[rows-only] {name}: rows={len(got.fetchall())} cols={gcols}")
                 continue
