@@ -763,6 +763,48 @@ object Relational {
           AND l_shipdate < TIMESTAMP '1997-01-01'
         GROUP BY 1 ORDER BY 1""")),
 
+    // q280: TPC-H Q17 shape (small-quantity-order revenue) — the
+    // correlated SCALAR-subquery decorrelation, the one classic
+    // optimizer shape the Q-pick set (Q3/Q5/Q10/Q18/Q4/Q12) still
+    // lacked: "lineitems of this brand whose quantity is below 20% of
+    // THE PART's average quantity". Written as the literal correlated
+    // scalar subquery so Catalyst's RewriteCorrelatedScalarSubquery is
+    // what's under test: the per-row subplan must decorrelate to ONE
+    // per-part avg aggregate equi-joined back to the fact — the plan a
+    // 100 TB run survives on (a per-row re-aggregation of lineitem per
+    // probe row would be quadratic); PlanGuardSpec pins exactly that.
+    // Determinism: quantities are integral doubles ≤ 50 with per-part
+    // counts ≪ 2⁵³, so sum/count/0.2× are the identical IEEE ops both
+    // engines; revenue rides the cents idiom, avg_yearly = cents/700.0
+    // is the single consumer division (Q17's /7.0 on whole prices).
+    QueryDef("q280_tpch_q17",
+      (s, d) => {
+        li(s, d).createOrReplaceTempView("graft_q280_lineitem")
+        Tables.part(s, d).createOrReplaceTempView("graft_q280_part")
+        s.sql("""SELECT
+            CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+              AS BIGINT) sum_cents,
+            count(1) n_lines,
+            CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+              AS DOUBLE) / CAST(700 AS DOUBLE) avg_yearly
+          FROM graft_q280_lineitem l JOIN graft_q280_part p
+            ON p.p_partkey = l.l_partkey
+          WHERE p.p_brand = 'Brand#1'
+            AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+              FROM graft_q280_lineitem l2
+              WHERE l2.l_partkey = p.p_partkey)""")
+      },
+      Some("""SELECT
+          CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+            sum_cents,
+          CAST(count(*) AS BIGINT) n_lines,
+          CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+            / CAST(700 AS DOUBLE) avg_yearly
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#1'
+          AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+            FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)""")),
+
     // q271: join-skew profiler — the PRE-join planning read behind
     // q79's salting: per fact join key, the exact hot-key census (max
     // per-key multiplicity, the key that holds it, and the skew ratio

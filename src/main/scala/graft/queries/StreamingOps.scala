@@ -71,6 +71,11 @@ private[graft] class SessionProcessor
   */
 object StreamingOps {
 
+  // one persisted events-grain drift state per (session, sf dir) — the
+  // q193 memo pattern at the EVENTS grain, built by a REAL streaming
+  // query (foreachBatch) rather than batch slices
+  private val eventsDriftStateCache = new SessionMemo[String]
+
   val defs: Seq[QueryDef] = Seq(
 
     // q50: tumbling 1-hour windows × event_type, count + sum. State is one
@@ -460,6 +465,98 @@ object StreamingOps {
             ELSE '5_gt_2m' END band, lat FROM l)
         SELECT band, CAST(count(*) AS BIGINT) n_events,
           CAST(max(lat) AS BIGINT) max_lateness_us
-        FROM b GROUP BY band ORDER BY band"""))
+        FROM b GROUP BY band ORDER BY band""")),
+
+    // q282: the streaming drift panel END-TO-END at the events grain —
+    // the production monitor composed whole: ONE foreachBatch over the
+    // events STREAM merges per-(type, value-cents) observations into the
+    // persisted additive count state (Drift.mergeIntoCounts' staged
+    // swap per micro-batch), and the panel — per-type PSI bucket table
+    // (8 pooled-quantile buckets) with the KS numerator joined on — is
+    // computed from the PERSISTED state only. q193/q221 prove the
+    // write/merge/swap/read path at the documents grain with batch
+    // slices; this is the same lifecycle driven by a real streaming
+    // query (the q228 pattern for the drift family). The state is
+    // additive, so the oracle states the whole panel directly from the
+    // raw events table — a lost micro-batch, torn swap, or column drift
+    // hash-fails here. At 100 TB: state is grid-sized (types ×
+    // distinct cents values; rebinCounts pre-buckets a continuous value
+    // stream), each micro-batch merge reads state + batch, never
+    // history; the panel read is grid-sized arithmetic.
+    QueryDef("q282_stream_drift_panel",
+      (s, d) => {
+        val path = eventsDriftStateCache(s, d) {
+          val t = java.nio.file.Files
+            .createTempDirectory("graft_q282").toString + "/state"
+          import s.implicits._
+          graft.operators.Drift.writeCounts(
+            Seq.empty[(String, Long, Long)].toDF("event_type", "v", "c"),
+            t, "event_type", "v", "c")
+          val obs = EventStream.readEvents(s, d)
+            .select(col("event_type"),
+              round(col("value") * 100).cast("long").as("v"))
+          val ckptBase =
+            if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft_ckpt"
+            else System.getProperty("java.io.tmpdir") + "/graft_ckpt"
+          val q = obs.writeStream
+            .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+              graft.operators.Drift.mergeIntoCounts(s, t, batch); ()
+            }
+            .option("checkpointLocation",
+              s"$ckptBase/q282-${System.nanoTime()}")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          t
+        }
+        val (state, g, v, c) = graft.operators.Drift.readCounts(s, path)
+        val psi = graft.operators.Drift
+          .psiBucketsFromCounts(state, g, v, c, buckets = 8)
+          .withColumnRenamed("c_grp", "c_type")
+          .withColumnRenamed("n_grp", "n_type")
+        val ks = graft.operators.Drift.ksFromCounts(state, g, v, c)
+          .select(col("event_type"), col("ks_num"))
+        psi.join(ks, "event_type")
+          .select(col("event_type"), col("bucket"), col("c_type"),
+            col("c_pool"), col("n_type"), col("n_pool"), col("ks_num"))
+          .orderBy("event_type", "bucket")
+      },
+      Some("""WITH dc AS (SELECT event_type g,
+            CAST(round(value * 100) AS BIGINT) v FROM events),
+          grps AS (SELECT g, count(*) ns FROM dc GROUP BY 1),
+          na AS (SELECT count(*) ng FROM dc),
+          per AS (SELECT g, v, count(*) c FROM dc GROUP BY 1, 2),
+          gv AS (SELECT v, count(*) cv FROM dc GROUP BY 1),
+          grid AS (SELECT grps.g, gv.v FROM grps CROSS JOIN gv),
+          scum AS (SELECT grid.g, grid.v,
+              sum(coalesce(per.c, 0)) OVER (PARTITION BY grid.g
+                ORDER BY grid.v ROWS UNBOUNDED PRECEDING) cs
+            FROM grid LEFT JOIN per
+              ON per.g = grid.g AND per.v = grid.v),
+          gcum AS (SELECT v, sum(cv) OVER (ORDER BY v
+              ROWS UNBOUNDED PRECEDING) cg FROM gv),
+          ks AS (SELECT s.g,
+              max(abs(s.cs * na.ng - gcum.cg * grps.ns)) ks_num
+            FROM scum s JOIN gcum USING (v)
+              JOIN grps ON s.g = grps.g CROSS JOIN na
+            GROUP BY s.g),
+          vb AS (SELECT v, cv,
+              (coalesce(sum(cv) OVER (ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 8)
+                // na.ng bkt
+            FROM gv CROSS JOIN na),
+          pb AS (SELECT bkt, sum(cv) c_pool FROM vb GROUP BY 1),
+          sb AS (SELECT per.g, vb.bkt, sum(per.c) c_type FROM per
+            JOIN vb USING (v) GROUP BY 1, 2),
+          pgrid AS (SELECT grps.g, grps.ns, pb.bkt, pb.c_pool
+            FROM grps CROSS JOIN pb)
+        SELECT pg.g event_type, CAST(pg.bkt AS BIGINT) bucket,
+          CAST(coalesce(sb.c_type, 0) AS BIGINT) c_type,
+          CAST(pg.c_pool AS BIGINT) c_pool,
+          CAST(pg.ns AS BIGINT) n_type, CAST(na.ng AS BIGINT) n_pool,
+          CAST(ks.ks_num AS BIGINT) ks_num
+        FROM pgrid pg LEFT JOIN sb ON pg.g = sb.g AND pg.bkt = sb.bkt
+          JOIN ks ON pg.g = ks.g CROSS JOIN na
+        ORDER BY event_type, bucket"""))
   )
 }

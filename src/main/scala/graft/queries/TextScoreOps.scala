@@ -883,6 +883,48 @@ object TextScoreOps {
       (s, d) => compressionRatio(s, docs(s, d)).orderBy("doc_id"),
       None),
 
+    // q281: deflate-free repetition proxy — the SQL-portable sibling of
+    // q137's zlib ratio (which is deterministic per zlib build but can
+    // never hash-match an oracle): over a FIXED 512-char window, the
+    // char-trigram repetition mass rep_micro = ⌊1e6·(total − distinct)/
+    // total⌋ — templated/looping text re-uses trigrams (distinct ≪
+    // total, mass → 1e6) exactly where deflate's LZ77 window finds back-
+    // references, so the two scores co-move (TextScoreSpec pins the
+    // correlation on real docs AND constructed loop/random cases) while
+    // this one is pure integer arithmetic both engines. The fixed window
+    // is the scale lever: cost is O(512) per document regardless of
+    // document length — no explode, no shuffle, one map-side pass
+    // (size/array_distinct on a 510-element array), the q31 stance; the
+    // only exchange is the presentation orderBy. Empty/short windows
+    // (< 3 chars) ship n_tri = 0 with NULL mass — the q137 empty-text
+    // stance, not maximal repetition.
+    QueryDef("q281_trigram_repetition",
+      (s, d) => docs(s, d)
+        .withColumn("win", substring(col("text"), 1, 512))
+        .withColumn("tris", when(length(col("win")) >= 3,
+            expr("transform(sequence(1, length(win) - 2)," +
+              " i -> substring(win, i, 3))"))
+          .otherwise(array()))
+        .select(col("doc_id"),
+          size(col("tris")).cast("long").as("n_tri"),
+          size(array_distinct(col("tris"))).cast("long").as("n_uniq"))
+        .withColumn("rep_micro", when(col("n_tri") > 0L,
+          expr("((n_tri - n_uniq) * 1000000) div n_tri")))
+        .orderBy("doc_id"),
+      Some("""WITH x AS (SELECT doc_id, substr(text, 1, 512) w
+            FROM documents),
+          t AS (SELECT doc_id, CASE WHEN len(w) >= 3
+              THEN list_transform(generate_series(1, len(w) - 2),
+                i -> substr(w, i, 3))
+              ELSE [] END tris
+            FROM x)
+        SELECT doc_id, CAST(len(tris) AS BIGINT) n_tri,
+          CAST(len(list_distinct(tris)) AS BIGINT) n_uniq,
+          CASE WHEN len(tris) > 0
+            THEN ((len(tris) - len(list_distinct(tris))) * 1000000)
+              // len(tris) END rep_micro
+        FROM t ORDER BY doc_id""")),
+
     // q154: PMI phrase mining — corpus-level collocation table (the
     // word2phrase / tokenizer-seeding step). Ranking by the scaled PMI
     // RATIO (log-free, fixed IEEE op order) keeps the score portable;

@@ -81,4 +81,43 @@ class CompressionSpec extends SparkSpec {
       assert(got(i) === total, s"row $i diverged from fresh-deflater result")
     }
   }
+
+  test("q281 trigram repetition: loops score near 1e6, varied text near 0, short windows NULL") {
+    val rng = new scala.util.Random(11)
+    val varied = Seq.fill(200)(rng.alphanumeric.take(4).mkString).mkString(" ")
+    val df = Seq(
+      (1L, "ab" * 400),   // 2-period loop: 2 distinct trigrams in 510
+      (2L, varied),       // pseudo-random: mostly distinct trigrams
+      (3L, ""), (4L, "ab") // windows under 3 chars
+    ).toDF("doc_id", "text")
+      .withColumn("source", lit("s")).withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q281").toString
+    df.write.parquet(s"$tmp/documents.parquet")
+    val got = SparkEntry.queries("q281_trigram_repetition")(spark, tmp)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    assert(got(1L) === ((510L, 2L, Some(996078L))),
+      "a 2-period loop re-uses its 2 trigrams: mass = 508e6 div 510")
+    assert(got(2L)._3.exists(_ < 100000L),
+      s"varied text must stay near 0, got ${got(2L)}")
+    assert(got(3L) === ((0L, 0L, None)) && got(4L) === ((0L, 0L, None)),
+      "sub-trigram windows: n_tri = 0, NULL mass — the q137 empty stance")
+  }
+
+  test("q281 co-moves with q137's deflate ratio (negative corr on real docs + both constructed poles)") {
+    val dir = "/root/testdata/sf0.001"
+    val rep = SparkEntry.queries("q281_trigram_repetition")(spark, dir)
+      .select(col("doc_id"), col("rep_micro"))
+    val dfl = SparkEntry.queries("q137_compression_ratio")(spark, dir)
+      .select(col("doc_id"), col("ratio_micro"))
+    val c = rep.join(dfl, "doc_id")
+      .agg(corr(col("rep_micro").cast("double"),
+        col("ratio_micro").cast("double")))
+      .head().getDouble(0)
+    // more trigram re-use ⇒ more LZ77 back-references ⇒ LOWER deflate
+    // ratio: the portable proxy must track the zlib signal it replaces
+    assert(c < -0.5, s"expected strong negative correlation, got $c")
+  }
 }

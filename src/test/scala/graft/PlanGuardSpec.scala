@@ -670,4 +670,25 @@ class PlanGuardSpec extends SparkSpec {
     // re-runs the explode
     assert(scanCount("q224_lm_backoff", "documents.parquet") <= 3)
   }
+
+  test("q280 TPC-H Q17: the correlated scalar subquery decorrelates to an aggregate-join") {
+    val df = SparkEntry.queries("q280_tpch_q17")(spark, dir)
+    val opt = df.queryExecution.optimizedPlan
+    // the decorrelation is the whole point: a surviving per-row scalar
+    // subplan would re-aggregate lineitem once per probe row — quadratic
+    // at 100 TB
+    assert(!opt.toString.contains("scalar-subquery"),
+      s"the scalar subquery must be rewritten away:\n$opt")
+    val aggs = opt.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate
+          if a.groupingExpressions.exists(_.toString.contains("l_partkey"))
+        => a
+    }
+    assert(aggs.nonEmpty,
+      s"the per-part avg must plan as ONE grouped aggregate:\n$opt")
+    val ex = finalPlan("q280_tpch_q17")
+    assert(!ex.contains("BroadcastNestedLoopJoin") &&
+      !ex.contains("CartesianProduct"),
+      s"the avg side must equi-join back, never nested-loop:\n$ex")
+  }
 }
