@@ -1900,6 +1900,45 @@ object Analytics {
         FROM ne JOIN deg da ON ne.x = da.id JOIN deg db ON ne.y = db.id
         ORDER BY cn DESC, deg_prod DESC, a, b LIMIT 20""")),
 
+    // q284: resource-allocation link prediction (Zhou–Lü–Zhang 2009)
+    // over the q205 co-occurrence graph — the degree-penalized
+    // refinement of q205's raw common-neighbor count: a shared HUB is
+    // weak evidence (its resource splits deg ways), a shared low-degree
+    // neighbor is strong, RA = Σ 1/deg(w) over shared neighbors. RA is
+    // the member of the local-index family that stays INTEGER-exact
+    // (⌊1e6/deg⌋ per wedge — Adamic–Adar's 1/log(deg) would not survive
+    // a cross-engine float contract). Reads the memoized ≤100-edge cooc
+    // frame; at 100 TB the wedge enumeration + node-degree equi-join is
+    // the q169 triangle envelope on a cut edge frame. Top-20 by RA.
+    QueryDef("q284_resource_allocation",
+      (s, d) => graft.operators.Components
+        .resourceAllocationCandidates(coocEdges(s, d), "wa", "wb")
+        .select(col("wa").as("a"), col("wb").as("b"), col("cn"),
+          col("ra_micro"))
+        .orderBy(col("ra_micro").desc, col("a"), col("b"))
+        .limit(20),
+      Some(s"""WITH x AS (SELECT doc_id, list_distinct(${TextShared.OToks}) t
+            FROM documents),
+          tok AS (SELECT doc_id, unnest(t) w FROM x),
+          pr AS (SELECT a.w wa, b.w wb, count(*) c FROM tok a
+                 JOIN tok b ON a.doc_id = b.doc_id AND a.w < b.w GROUP BY 1, 2),
+          rk AS (SELECT wa, wb, row_number() OVER (
+              ORDER BY c DESC, wa, wb) r FROM pr),
+          e0 AS (SELECT wa, wb FROM rk WHERE r <= 100),
+          bo AS (SELECT wa s, wb d FROM e0 UNION ALL SELECT wb, wa FROM e0),
+          deg AS (SELECT s id, count(*) dg FROM bo GROUP BY 1),
+          wg AS (SELECT l.s x, r.s y, l.d w FROM bo l
+            JOIN bo r ON l.d = r.d AND l.s < r.s),
+          ra AS (SELECT x, y, count(*) cn,
+              sum(1000000 // deg.dg) ra_micro
+            FROM wg JOIN deg ON wg.w = deg.id GROUP BY 1, 2),
+          ne AS (SELECT ra.* FROM ra LEFT JOIN e0
+              ON ra.x = e0.wa AND ra.y = e0.wb
+            WHERE e0.wa IS NULL)
+        SELECT x a, y b, CAST(cn AS BIGINT) cn,
+          CAST(ra_micro AS BIGINT) ra_micro
+        FROM ne ORDER BY ra_micro DESC, a, b LIMIT 20""")),
+
     // q210: label-propagation community detection over the q176 token
     // co-occurrence graph — the partition-into-topical-groups primitive
     // next to the density filter (k-core), the centralities (PageRank/

@@ -805,6 +805,47 @@ object Relational {
           AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
             FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)""")),
 
+    // q283: TPC-H Q22 shape (global sales opportunity) — the remaining
+    // classic subquery combination: an UNCORRELATED scalar subquery (the
+    // global positive-balance average — must plan as ONE 1-row aggregate
+    // evaluated once and reused as a literal, never re-run per row) AND
+    // a NOT EXISTS (customers with no RECENT orders — must plan as a
+    // LeftAnti with the date filter pushed to the orders scan, the q273
+    // EXISTS shape's complement; Q22's "no orders in 7 years" becomes
+    // "none since 2001-01-01" on this data's 1995–2001 axis — the churn
+    // read). c_nationkey plays Q22's phone-country-code grouping role. Determinism: balances ride the
+    // cents idiom; the threshold avg = sum/count of exact longs is one
+    // identical IEEE division both engines, and the long-vs-double
+    // compare promotes exactly (cents ≪ 2⁵³).
+    QueryDef("q283_tpch_q22",
+      (s, d) => {
+        cust(s, d).createOrReplaceTempView("graft_q283_customer")
+        ord(s, d).createOrReplaceTempView("graft_q283_orders")
+        s.sql("""SELECT c_nationkey, count(1) numcust,
+            CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+              totacctbal_cents
+          FROM graft_q283_customer c
+          WHERE CAST(round(c_acctbal * 100) AS BIGINT) > (
+              SELECT avg(CAST(round(c2.c_acctbal * 100) AS BIGINT))
+              FROM graft_q283_customer c2 WHERE c2.c_acctbal > CAST(0 AS DOUBLE))
+            AND NOT EXISTS (SELECT 1 FROM graft_q283_orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderdate >= TIMESTAMP '2001-01-01')
+          GROUP BY c_nationkey ORDER BY c_nationkey""")
+      },
+      Some("""SELECT CAST(c_nationkey AS INTEGER) c_nationkey,
+          CAST(count(*) AS BIGINT) numcust,
+          CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+            totacctbal_cents
+        FROM customer c
+        WHERE CAST(round(c_acctbal * 100) AS BIGINT) > (
+            SELECT avg(CAST(round(c2.c_acctbal * 100) AS BIGINT))
+            FROM customer c2 WHERE c2.c_acctbal > 0)
+          AND NOT EXISTS (SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderdate >= TIMESTAMP '2001-01-01')
+        GROUP BY c_nationkey ORDER BY c_nationkey""")),
+
     // q271: join-skew profiler — the PRE-join planning read behind
     // q79's salting: per fact join key, the exact hot-key census (max
     // per-key multiplicity, the key that holds it, and the skew ratio

@@ -2572,5 +2572,132 @@ object StatOps {
           round(CAST(sum(n) AS DOUBLE) * sum(n) / sum(n * n), 6) d2_r6,
           CAST(max(n) * 1000000 // sum(n) AS BIGINT) dominance_micro
         FROM sn"""))
+,
+
+    // q285: Brier-score census for the Murphy decomposition — the
+    // PROPER-scoring-rule rung of the eval family (q178/q230 rank,
+    // q227/q211 threshold, q182/q248 calibrate; Brier scores the
+    // PROBABILITIES themselves, Brier 1950, and Murphy 1973 splits it
+    // into reliability − resolution + uncertainty): the q182 classifier
+    // score squashed to a probability on the MILLI grid (p = clamp(500
+    // + score div 40, 0, 1000) — integer ops only; milli, not micro, so
+    // the squared sums stay int64 to ~9×10¹² docs, the 100 TB bound),
+    // then per probability-bin the exact census every Murphy term is a
+    // consumer division away from: n, positives, Σp, Σp² (within-bin
+    // variance — the generalized-decomposition term binning hides), and
+    // the exact Brier numerator Σ(p − 1000·y)². Same scan envelope as
+    // q182 (instance explode + single-column label pass).
+    QueryDef("q285_brier_census",
+      (s, d) => {
+        val t = TextFns.tokens(col("text"))
+        val bigrams = when(size(t) >= 2,
+          zip_with(slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+            (a, b) => concat(a, lit(" "), b)))
+          .otherwise(array().cast("array<string>"))
+        val bucket = pmod(TextFns.hash32(col("feat")), lit(4096L))
+        val weight = TextFns.hash32(concat(lit("w:"), bucket.cast("string"))) %
+          lit(2001L) - lit(1000L)
+        val scores = docs(s, d)
+          .select(col("doc_id"), explode(concat(t, bigrams)).as("feat"))
+          .select(col("doc_id"), weight.as("w"))
+          .groupBy("doc_id").agg(sum("w").as("score"))
+        val nt = size(t).cast("long")
+        val nd = size(array_distinct(t)).cast("long")
+        val stops = size(filter(t, x => x.isin("the", "a"))).cast("long")
+        val lab = docs(s, d).select(col("doc_id"),
+          ((lit(4000L) * nd + lit(3000L) * (nt - stops)
+            + lit(30L) * least(nt, lit(100L)) * nt) >= lit(6200L) * nt)
+            .as("b"))
+        scores.join(lab, "doc_id")
+          .withColumn("p", least(greatest(
+            lit(500L) + expr("score div 40L"), lit(0L)), lit(1000L)))
+          .withColumn("y", when(col("b"), 1000L).otherwise(0L))
+          .withColumn("bin", least(expr("p div 50L"), lit(19L)))
+          .groupBy("bin")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("b"), 1L).otherwise(0L)).as("n_pos"),
+            sum("p").as("sum_p"),
+            sum(col("p") * col("p")).as("sum_p2"),
+            sum((col("p") - col("y")) * (col("p") - col("y")))
+              .as("brier_num"))
+          .orderBy("bin")
+      },
+      Some(s"""WITH x AS (SELECT doc_id, $OToks t FROM documents),
+          f AS (SELECT doc_id, unnest(t ||
+                  [t[i] || ' ' || t[i+1] for i in generate_series(1, len(t)-1)]) feat
+                FROM x),
+          sc AS (SELECT doc_id, sum(
+                  ('0x' || substr(md5('w:' || CAST(
+                    ('0x' || substr(md5(feat), 1, 8))::BIGINT % 4096
+                  AS VARCHAR)), 1, 8))::BIGINT % 2001 - 1000) AS score
+                FROM f GROUP BY doc_id),
+          lab AS (SELECT doc_id,
+                  (4000 * len(list_distinct(t))
+                   + 3000 * (len(t) - len(list_filter(t, q -> q IN ('the','a'))))
+                   + 30 * least(len(t), 100) * len(t)) >= 6200 * len(t) AS b
+                FROM x),
+          j AS (SELECT least(greatest(500 + sc.score // 40, 0), 1000) p,
+                  CASE WHEN lab.b THEN 1000 ELSE 0 END y, lab.b
+                FROM sc JOIN lab USING (doc_id))
+        SELECT CAST(least(p // 50, 19) AS BIGINT) bin,
+          CAST(count(*) AS BIGINT) n_docs,
+          CAST(sum(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT) n_pos,
+          CAST(sum(p) AS BIGINT) sum_p,
+          CAST(sum(p * p) AS BIGINT) sum_p2,
+          CAST(sum((p - y) * (p - y)) AS BIGINT) brier_num
+        FROM j GROUP BY 1 ORDER BY 1""")),
+
+    // q286: Kendall τ-b between document length and token count, per
+    // source — the RANK-association companion to q207's Spearman:
+    // Spearman correlates the ranks (one squared-distance pass), τ-b
+    // counts CONCORDANT vs DISCORDANT pairs with the tie corrections —
+    // the statistic behind "do these two quality signals order the
+    // corpus the same way", more robust to the handful of wild pairs a
+    // rank-difference square amplifies. All-integer: (nc, ndis, ties_x,
+    // ties_y, ties_xy, n) per source; τ-b = (nc − ndis)/√((n₀−tx)(n₀−ty))
+    // is the consumer's one sqrt. Shape: the pair enumeration is an
+    // equi-join ON SOURCE (never a corpus cross) — per-source-quadratic
+    // like the q249 eval-slice contract, the right tool at eval-slice
+    // cardinality; at corpus scale τ-b takes the O(n log n) inversion
+    // path (sort by x, count y-inversions — a sequential merge per
+    // group) or rides this same join on a bounded slice per group.
+    QueryDef("q286_kendall_tau",
+      (s, d) => {
+        val base = docs(s, d).select(col("source"), col("doc_id"),
+          col("n_chars").as("x"),
+          size(TextFns.tokens(col("text"))).cast("long").as("y"))
+        val pairs = base.as("a").join(base.as("b"),
+            col("a.source") === col("b.source") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.source").as("source"),
+            ((col("a.x") - col("b.x")) * (col("a.y") - col("b.y")))
+              .as("prod"),
+            (col("a.x") === col("b.x")).as("tx"),
+            (col("a.y") === col("b.y")).as("ty"))
+        pairs.groupBy("source")
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(when(col("prod") > 0L, 1L).otherwise(0L)).as("nc"),
+            sum(when(col("prod") < 0L, 1L).otherwise(0L)).as("ndis"),
+            sum(when(col("tx") && !col("ty"), 1L).otherwise(0L)).as("ties_x"),
+            sum(when(col("ty") && !col("tx"), 1L).otherwise(0L)).as("ties_y"),
+            sum(when(col("tx") && col("ty"), 1L).otherwise(0L)).as("ties_xy"))
+          .orderBy("source")
+      },
+      Some(s"""WITH base AS (SELECT source, doc_id, n_chars x,
+            CAST(len($OToks) AS BIGINT) y FROM documents)
+        SELECT a.source AS source, CAST(count(*) AS BIGINT) n_pairs,
+          CAST(sum(CASE WHEN (a.x - b.x) * (a.y - b.y) > 0 THEN 1 ELSE 0 END)
+            AS BIGINT) nc,
+          CAST(sum(CASE WHEN (a.x - b.x) * (a.y - b.y) < 0 THEN 1 ELSE 0 END)
+            AS BIGINT) ndis,
+          CAST(sum(CASE WHEN a.x = b.x AND a.y != b.y THEN 1 ELSE 0 END)
+            AS BIGINT) ties_x,
+          CAST(sum(CASE WHEN a.y = b.y AND a.x != b.x THEN 1 ELSE 0 END)
+            AS BIGINT) ties_y,
+          CAST(sum(CASE WHEN a.x = b.x AND a.y = b.y THEN 1 ELSE 0 END)
+            AS BIGINT) ties_xy
+        FROM base a JOIN base b
+          ON a.source = b.source AND a.doc_id < b.doc_id
+        GROUP BY 1 ORDER BY 1"""))
   )
 }

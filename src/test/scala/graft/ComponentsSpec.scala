@@ -857,6 +857,33 @@ class ComponentsSpec extends SparkSpec {
     assert(got.keySet.intersect(edges).isEmpty)
   }
 
+  test("resourceAllocationCandidates == naive Σ ⌊1e6/deg(w)⌋ over shared neighbors") {
+    val got = Components
+      .resourceAllocationCandidates(cliqueTail.toDF("a", "b"), "a", "b")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    val edges = cliqueTail.map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+    val nodes = edges.flatMap(e => Seq(e._1, e._2))
+    def nbrs(v: Long) = edges.collect {
+      case (a, b) if a == v => b
+      case (a, b) if b == v => a
+    }
+    val expect = (for {
+      a <- nodes; b <- nodes if a < b && !edges((a, b))
+      shared = nbrs(a) intersect nbrs(b) if shared.nonEmpty
+    } yield (a, b) -> ((shared.size.toLong,
+      shared.toSeq.map(w => 1000000L / nbrs(w).size).sum))).toMap
+    assert(got === expect)
+    // the hub-penalty law on a hand case: path a—b—c plus square
+    // a—d—e—f—a... simpler: on a 3-path (10—11—12), RA(10,12) is
+    // exactly half a unit — the single shared neighbor has degree 2
+    val path = Seq((10L, 11L), (11L, 12L))
+    val ra = Components
+      .resourceAllocationCandidates(path.toDF("a", "b"), "a", "b")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(ra === Seq((10L, 12L, 1L, 500000L)))
+  }
+
   test("q189's 4-round budget reaches the true coreness fixpoint on the real graphs") {
     // q189 matches its oracle round-for-round at ANY data (both sides
     // run exactly 4 peel rounds per rung), so the hash cannot diverge —

@@ -26,7 +26,12 @@ class OracleContractSpec extends SparkSpec {
   private def replayable(dt: DataType): Boolean = dt match {
     case StringType | LongType | IntegerType | DoubleType | BooleanType |
         DateType | TimestampType | TimestampNTZType => true
-    case _: DecimalType => true
+    // DecimalType is NOT replayable (r17 lesson, one level below the
+    // q157 type class): the driver's hash discriminates on the
+    // int128/decimal VALUE REPRESENTATION itself — q237/q244 went red
+    // while multiset-equal to their oracles as the board's only
+    // DECIMAL(38,0) outputs. Decimals may ACCUMULATE internally; the
+    // output projection must land on BIGINT/DOUBLE.
     case _ => false
   }
 

@@ -671,6 +671,22 @@ class PlanGuardSpec extends SparkSpec {
     assert(scanCount("q224_lm_backoff", "documents.parquet") <= 3)
   }
 
+  test("q283 TPC-H Q22: NOT EXISTS plans as LeftAnti, no nested loop anywhere") {
+    val df = SparkEntry.queries("q283_tpch_q22")(spark, dir)
+    val joins = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.exists(_.joinType.toString == "LeftAnti"),
+      s"the no-recent-orders predicate must become an anti-join:\n" +
+        joins.map(_.joinType).mkString(","))
+    // the UNCORRELATED global-average subquery is legal as a one-shot
+    // scalar (executed once, reused as a literal) — the guard is that
+    // nothing per-row survives: no nested-loop, no cartesian
+    val ex = finalPlan("q283_tpch_q22")
+    assert(!ex.contains("BroadcastNestedLoopJoin") &&
+      !ex.contains("CartesianProduct"), ex)
+  }
+
   test("q280 TPC-H Q17: the correlated scalar subquery decorrelates to an aggregate-join") {
     val df = SparkEntry.queries("q280_tpch_q17")(spark, dir)
     val opt = df.queryExecution.optimizedPlan

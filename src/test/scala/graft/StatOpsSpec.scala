@@ -1081,7 +1081,18 @@ class StatOpsSpec extends SparkSpec {
     val (a, b2, c2, d2) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
     assert(r.getLong(4) === a + b2 + c2 + d2)
     assert(r.getLong(5) === a * d2 - b2 * c2)
-    assert(r.getLong(6) === (a + b2) * (c2 + d2) * (a + c2) * (b2 + d2))
+    // the four MARGINALS ship exact instead of their int64 product,
+    // which wraps past ~110k users (ADVICE r17)
+    assert(r.getLong(6) === a + b2)
+    assert(r.getLong(7) === c2 + d2)
+    assert(r.getLong(8) === a + c2)
+    assert(r.getLong(9) === b2 + d2)
+    val den = (a + b2).toDouble * (c2 + d2) * (a + c2) * (b2 + d2)
+    val n = (a + b2 + c2 + d2).toDouble
+    val dv = (a * d2 - b2 * c2).toDouble
+    assert(r.getDouble(10) ===
+      BigDecimal(n * dv * dv / den)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
 
   test("q265 coverage curve: crossing law and naive replay") {
