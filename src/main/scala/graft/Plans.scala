@@ -67,7 +67,9 @@ object Plans {
     "q249_mutual_knn_margin",     // r17: broadcast pair gen + bounded per-id windows, ordered-fold k-NN sums
     "q253_zorder_extents",        // r17: broadcast bounds row + codegen'd Morton interleave + 16-bucket agg
     "q254_rolling_robust_outliers", // r17: 7× offset-explode equi-join windows (no non-equi day join)
-    "q260_lateness_audit"         // r17: two-phase prefix max — bucketed windows, no global partition
+    "q260_lateness_audit",        // r17: two-phase prefix max — bucketed windows, no global partition
+    "q280_tpch_q17",              // r18: correlated scalar subquery DECORRELATED to per-part avg agg + equi-join
+    "q283_tpch_q22"               // r18: one-shot uncorrelated scalar + LeftAnti with pushed date filter
   )
 
   def main(args: Array[String]): Unit = {

@@ -60,7 +60,10 @@ object ScaleCheck {
     "q269_tpch_q18", "q270_lang_confusion", "q271_join_skew_profiler",
     "q272_dedup_mixture_shift", "q273_tpch_q4", "q274_rfm_segments",
     "q275_interval_coverage", "q276_survival_curve",
-    "q277_mixture_diversity", "q278_dedup_transitivity", "q279_tpch_q12")
+    "q277_mixture_diversity", "q278_dedup_transitivity", "q279_tpch_q12",
+    "q280_tpch_q17", "q281_trigram_repetition", "q282_stream_drift_panel",
+    "q283_tpch_q22", "q284_resource_allocation", "q285_brier_census",
+    "q286_kendall_tau")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")

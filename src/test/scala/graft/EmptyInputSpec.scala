@@ -187,6 +187,8 @@ class EmptyInputSpec extends SparkSpec {
   test("graph/skew operators tolerate empty inputs") {
     val emptyEdges = Seq.empty[(Long, Long)].toDF("src", "dst")
     assert(Components.connectedComponents(emptyEdges, "src", "dst").count() === 0)
+    assert(Components.resourceAllocationCandidates(
+      emptyEdges, "src", "dst").count() === 0)
     assert(Skew.saltedCountSum(
       emptyDocs.withColumn("v", lit(1L)), Seq("doc_id"), "v").count() === 0)
     assert(Skew.saltedJoin(emptyDocs, someDocs.select(col("doc_id"),
