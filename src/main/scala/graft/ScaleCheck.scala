@@ -63,7 +63,8 @@ object ScaleCheck {
     "q277_mixture_diversity", "q278_dedup_transitivity", "q279_tpch_q12",
     "q280_tpch_q17", "q281_trigram_repetition", "q282_stream_drift_panel",
     "q283_tpch_q22", "q284_resource_allocation", "q285_brier_census",
-    "q286_kendall_tau")
+    "q286_kendall_tau", "q287_tpch_q21", "q288_stream_heavy_hitters_exact",
+    "q289_blocking_recall")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")

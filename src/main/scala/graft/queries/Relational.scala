@@ -846,6 +846,51 @@ object Relational {
               AND o.o_orderdate >= TIMESTAMP '2001-01-01')
         GROUP BY c_nationkey ORDER BY c_nationkey""")),
 
+    // q287: TPC-H Q21 shape (suppliers who kept orders waiting) — the
+    // DOUBLE-correlated subquery: the same derived fact frame probed by
+    // an EXISTS (the order is multi-supplier) AND a NOT EXISTS (no
+    // OTHER supplier was late) with opposite polarities, each carrying
+    // a non-equi conjunct (suppkey <>) beside the orderkey equality.
+    // Catalyst must decorrelate BOTH into a LeftSemi + LeftAnti chain
+    // on the orderkey — the only shape that survives scale (a per-row
+    // probe of the fact frame would be quadratic). Lateness is
+    // l_shipdate > o_orderdate + 60 days (the schema has no
+    // commit/receipt dates — the q273 stand-in); the top-25 rides
+    // (numwait DESC, s_name), a total order.
+    QueryDef("q287_tpch_q21",
+      (s, d) => {
+        li(s, d).createOrReplaceTempView("graft_q287_lineitem")
+        ord(s, d).createOrReplaceTempView("graft_q287_orders")
+        Tables.supplier(s, d).createOrReplaceTempView("graft_q287_supplier")
+        s.sql("""WITH lx AS (SELECT l_orderkey, l_suppkey,
+              (l_shipdate > o_orderdate + INTERVAL 60 DAYS) late
+            FROM graft_q287_lineitem JOIN graft_q287_orders
+              ON l_orderkey = o_orderkey)
+          SELECT s_name, count(1) numwait
+          FROM graft_q287_supplier, lx l1
+          WHERE l1.l_suppkey = s_suppkey AND l1.late
+            AND EXISTS (SELECT 1 FROM lx l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+            AND NOT EXISTS (SELECT 1 FROM lx l3
+              WHERE l3.l_orderkey = l1.l_orderkey
+                AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+          GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 25""")
+      },
+      Some("""WITH lx AS (SELECT l_orderkey, l_suppkey,
+            (l_shipdate > o_orderdate + INTERVAL 60 DAY) late
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        SELECT s_name, CAST(count(*) AS BIGINT) numwait
+        FROM supplier, lx l1
+        WHERE l1.l_suppkey = s_suppkey AND l1.late
+          AND EXISTS (SELECT 1 FROM lx l2
+            WHERE l2.l_orderkey = l1.l_orderkey
+              AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lx l3
+            WHERE l3.l_orderkey = l1.l_orderkey
+              AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+        GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 25""")),
+
     // q271: join-skew profiler — the PRE-join planning read behind
     // q79's salting: per fact join key, the exact hot-key census (max
     // per-key multiplicity, the key that holds it, and the skew ratio

@@ -56,6 +56,35 @@ private[graft] class SessionProcessor
   }
 }
 
+/** q288's per-user Misra–Gries processor, top-level (no outer capture):
+  * the batch sketch's O(k) summary object IS the streaming state —
+  * deserialize, fold the batch's values in, serialize back, emit the
+  * tracked set. Per-key state stays ≤ k entries no matter how many rows
+  * stream through. Registered at k ≥ the value-domain cardinality, where
+  * MG provably never evicts and the estimates ARE the exact counts (the
+  * q110 collision-free-CMS stance — the gate proves the state machinery
+  * exact where exactness is decidable; the eviction regime is spec'd
+  * against the MG bound in StreamingSpec, which no SQL oracle can
+  * replay).
+  */
+private[graft] class MgProcessor(k: Int)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, String), (Long, String, Long)] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+  @transient private var st: ValueState[Array[Byte]] = _
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[Array[Byte]]("mg",
+      org.apache.spark.sql.Encoders.BINARY, TTLConfig.NONE)
+  override def handleInputRows(key: Long, rows: Iterator[(Long, String)],
+      timerValues: TimerValues): Iterator[(Long, String, Long)] = {
+    val s = if (st.exists()) graft.functions.MGSummary.deserialize(st.get())
+      else new graft.functions.MGSummary(k)
+    rows.foreach(r => s.update(r._2))
+    st.update(s.serialized)
+    s.sorted.iterator.map { case (tok, c) => (key, tok, c) }
+  }
+}
+
 /** Streaming slice (SURVEY.md §2b): tumbling / sliding / session windows,
   * watermarks, and stateful dedup over the `events` stream. Finite input ⇒
   * final state is hash-comparable to a batch SQL oracle on the same
@@ -557,6 +586,45 @@ object StreamingOps {
           CAST(ks.ks_num AS BIGINT) ks_num
         FROM pgrid pg LEFT JOIN sb ON pg.g = sb.g AND pg.bkt = sb.bkt
           JOIN ks ON pg.g = ks.g CROSS JOIN na
-        ORDER BY event_type, bucket"""))
+        ORDER BY event_type, bucket""")),
+
+    // q288: streaming Misra–Gries per-user activity profile through the
+    // driver gate, in the sketch's PROVABLY-EXACT regime: k = 8 ≥ the
+    // 5-type event domain, so no counter ever decrements and the
+    // tracked estimates ARE the exact per-(user, type) counts — the
+    // oracle is the plain GROUP BY (the q110 stance: hash-pin the
+    // sketch machinery where sketch ≡ exact is decidable; the eviction
+    // regime rides StreamingSpec's MG-bound test, unreplayable by SQL).
+    // What the gate proves: the MGSummary serialize/update/emit cycle
+    // over RocksDB ValueState drops, double-counts, and reorders
+    // nothing. State at scale: ≤ k entries per live user — the bounded
+    // per-source rolling vocabulary every unbounded stream needs.
+    QueryDef("q288_stream_heavy_hitters_exact",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+        val prev = s.conf.getOption(
+          "spark.sql.streaming.stateStore.providerClass")
+        s.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try {
+          val ds = EventStream.readEvents(s, d)
+            .select(col("user_id").cast("long"), col("event_type"))
+            .as[(Long, String)]
+          val hh = ds.groupByKey(_._1)
+            .transformWithState(new MgProcessor(8),
+              TimeMode.None(), OutputMode.Update())
+            .toDF("user_id", "event_type", "cnt")
+          EventStream.runToTable(s, hh, "update")
+            .orderBy("user_id", "event_type")
+        } finally prev match {
+          case Some(v) =>
+            s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+          case None =>
+            s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        }
+      },
+      Some("""SELECT user_id, event_type, CAST(count(*) AS BIGINT) cnt
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2"""))
   )
 }

@@ -986,6 +986,75 @@ object TextDedupOps {
           CASE WHEN count(*) > 0 THEN
             CAST(sum(CASE WHEN c THEN 1 ELSE 0 END) * 1000000 // count(*)
               AS BIGINT) END closure_micro
-        FROM cl"""))
+        FROM cl""")),
+
+    // q289: blocking-recall planning table — the candidate-generation
+    // audit every blocked dedup deploy needs BEFORE picking its window:
+    // for SNM windows w ∈ {2, 5, 10}, the exact recall of the length-key
+    // sorted-neighborhood pass against the TRUE ≥0.6-Jaccard pair set
+    // (the shared q34 memo). q250 audits the SKETCH's estimate per pair;
+    // this audits the BLOCKING's coverage per window — together they are
+    // the two error sources of the scale path (LSH/SNM candidates ×
+    // sketch scores). n_hit ≡ n_blocked by construction (SNM verifies
+    // the same exact Jaccard), so the law is spec-checkable and the
+    // recall curve recall_micro = n_hit·1e6/n_true is the deliverable:
+    // the window where it saturates is the cheapest safe deploy. Cost:
+    // one O(n·w) SNM pass per window over the rank frame + pair-memo
+    // semi-joins; the truth side is the session pair memo, never re-
+    // derived.
+    QueryDef("q289_blocking_recall",
+      (s, d) => {
+        val truth = jaccardPairs(s, d).select("id_a", "id_b")
+        def audit(w: Int) = {
+          val snm = Dedup.snmPairs(docs(s, d), "doc_id", "text", 3, w, 0.6)
+            .select("id_a", "id_b")
+          val hit = snm.join(truth, Seq("id_a", "id_b"), "left_semi")
+          truth.agg(count(lit(1)).as("n_true"))
+            .crossJoin(snm.agg(count(lit(1)).as("n_blocked")))
+            .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+            .select(lit(w.toLong).as("w"), col("n_true"),
+              col("n_blocked"), col("n_hit"),
+              expr("n_hit * 1000000 div n_true").as("recall_micro"))
+        }
+        Seq(2, 5, 10).map(audit).reduce(_ unionByName _).orderBy("w")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, $OToks t FROM documents),
+        sets AS (SELECT doc_id, $OShingles sh FROM toks WHERE len(t) >= 3),
+        inv AS (SELECT doc_id, len(sh) n, unnest(sh) shingle FROM sets),
+        pr AS (SELECT a.doc_id id_a, b.doc_id id_b, a.n na, b.n nb,
+            count(*) inter
+          FROM inv a JOIN inv b
+            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2, 3, 4),
+        tp AS (SELECT id_a, id_b FROM pr
+          WHERE round(inter / (na + nb - inter), 4) >= 0.6),
+        nt AS (SELECT count(*) n_true FROM tp),
+        rw AS (SELECT doc_id,
+            row_number() OVER (ORDER BY length(text), doc_id) - 1 AS pos
+          FROM documents),
+        ws AS (SELECT unnest([2, 5, 10]) w),
+        cand AS (SELECT ws.w, a.doc_id ia, b.doc_id ib
+          FROM rw a JOIN rw b ON b.pos > a.pos CROSS JOIN ws
+          WHERE b.pos <= a.pos + ws.w),
+        scored AS (SELECT c.w, least(c.ia, c.ib) id_a,
+            greatest(c.ia, c.ib) id_b,
+            round(len(list_intersect(x.sh, y.sh)) /
+              (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))),
+              4) AS jaccard
+          FROM cand c
+          JOIN sets x ON x.doc_id = c.ia
+          JOIN sets y ON y.doc_id = c.ib),
+        snm AS (SELECT w, id_a, id_b FROM scored WHERE jaccard >= 0.6),
+        nb AS (SELECT w, count(*) n_blocked FROM snm GROUP BY 1),
+        nh AS (SELECT w, count(*) n_hit FROM snm JOIN tp USING (id_a, id_b)
+          GROUP BY 1)
+      SELECT CAST(ws.w AS BIGINT) w, CAST(nt.n_true AS BIGINT) n_true,
+        CAST(coalesce(nb.n_blocked, 0) AS BIGINT) n_blocked,
+        CAST(coalesce(nh.n_hit, 0) AS BIGINT) n_hit,
+        CAST(coalesce(nh.n_hit, 0) * 1000000 // nt.n_true AS BIGINT)
+          recall_micro
+      FROM ws CROSS JOIN nt
+        LEFT JOIN nb ON ws.w = nb.w LEFT JOIN nh ON ws.w = nh.w
+      ORDER BY w"""))
   )
 }

@@ -627,4 +627,23 @@ class DedupSpec extends SparkSpec {
     assert(r.getLong(3) === 1L, "open: the chain's middle")
     assert(r.getLong(4) === 750000L)
   }
+
+  test("q289 blocking recall: SNM pairs are a subset of truth, recall monotone in the window") {
+    val rows = SparkEntry.queries("q289_blocking_recall")(
+        spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.map(_._1).toSeq === Seq(2L, 5L, 10L))
+    // SNM verifies the same exact Jaccard as the truth side, so every
+    // blocked pair IS a true pair — n_hit ≡ n_blocked is the audit's law
+    rows.foreach { case (w, nt, nb, nh, _) =>
+      assert(nh === nb, s"w=$w: a blocked pair escaped the truth set")
+      assert(nh <= nt, s"w=$w: recall cannot exceed 1")
+    }
+    // a wider window can only ADD candidate pairs
+    assert(rows.map(_._4).toSeq === rows.map(_._4).toSeq.sorted,
+      "n_hit must be monotone in the window")
+    assert(rows.map(_._2).distinct.size === 1,
+      "the truth side is window-independent")
+  }
 }

@@ -687,6 +687,20 @@ class PlanGuardSpec extends SparkSpec {
       !ex.contains("CartesianProduct"), ex)
   }
 
+  test("q287 TPC-H Q21: both correlated probes decorrelate — a LeftSemi AND a LeftAnti, no per-row subplan") {
+    val df = SparkEntry.queries("q287_tpch_q21")(spark, dir)
+    val opt = df.queryExecution.optimizedPlan
+    val types = opt.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join =>
+        j.joinType.toString
+    }
+    assert(types.contains("LeftSemi") && types.contains("LeftAnti"),
+      s"EXISTS→semi and NOT EXISTS→anti must both decorrelate: $types")
+    val ex = finalPlan("q287_tpch_q21")
+    assert(!ex.contains("BroadcastNestedLoopJoin") &&
+      !ex.contains("CartesianProduct"), ex)
+  }
+
   test("q280 TPC-H Q17: the correlated scalar subquery decorrelates to an aggregate-join") {
     val df = SparkEntry.queries("q280_tpch_q17")(spark, dir)
     val opt = df.queryExecution.optimizedPlan
