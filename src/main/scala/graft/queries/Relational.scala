@@ -891,6 +891,35 @@ object Relational {
               AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
         GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 25""")),
 
+    // q290: TPC-H Q13 shape (customer distribution) — the ON-clause-
+    // filter outer join: the order predicate lives in the JOIN
+    // CONDITION, not the WHERE, so customers with no qualifying orders
+    // survive as c_count = 0 — the classic shape that separates
+    // engineers who know outer-join semantics from those who filter
+    // after and silently drop the zero bucket (326 customers at
+    // sf0.01). Two aggregations: per-customer count, then the
+    // count-of-counts histogram — Q13's custdist. One outer shuffle
+    // join + two tiny aggs; the date predicate prunes the orders scan.
+    QueryDef("q290_tpch_q13",
+      (s, d) => cust(s, d)
+        .join(ord(s, d),
+          col("c_custkey") === col("o_custkey") &&
+            col("o_orderdate") < lit("1996-01-01").cast("timestamp"),
+          "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc),
+      Some("""WITH co AS (SELECT c_custkey, count(o_orderkey) c_count
+          FROM customer LEFT JOIN orders
+            ON c_custkey = o_custkey
+              AND o_orderdate < TIMESTAMP '1996-01-01'
+          GROUP BY 1)
+        SELECT CAST(c_count AS BIGINT) c_count,
+          CAST(count(*) AS BIGINT) custdist
+        FROM co GROUP BY 1 ORDER BY custdist DESC, c_count DESC""")),
+
     // q271: join-skew profiler — the PRE-join planning read behind
     // q79's salting: per fact join key, the exact hot-key census (max
     // per-key multiplicity, the key that holds it, and the skew ratio

@@ -1055,6 +1055,63 @@ object TextDedupOps {
           recall_micro
       FROM ws CROSS JOIN nt
         LEFT JOIN nb ON ws.w = nb.w LEFT JOIN nh ON ws.w = nh.w
-      ORDER BY w"""))
+      ORDER BY w""")),
+
+    // q291: dup-cluster size histogram — the SHAPE of the duplication
+    // q85's savings number summarizes away: csize → how many clusters,
+    // including the singleton row (docs in no ≥0.6 pair are clusters of
+    // size 1 — q77's component solve only sees edge-incident docs, so
+    // the singleton count is total − paired, computed without a second
+    // corpus pass). The distribution is what decides the dedup STRATEGY:
+    // a fat head (one giant template cluster) wants span-scrub/survivor
+    // selection, a long tail of pairs wants plain exact dedup; and
+    // Σ csize·n_clusters ≡ n_docs is the conservation law the spec pins.
+    // Rides the session pair memo + the q77 component machinery; the
+    // histogram is cluster-count-sized.
+    QueryDef("q291_cluster_size_histogram",
+      (s, d) => {
+        val comp = graft.operators.Components
+          .connectedComponents(jaccardPairs(s, d), "id_a", "id_b")
+        val hist = comp.groupBy("cluster").agg(count(lit(1)).as("csize"))
+          .groupBy("csize").agg(count(lit(1)).as("n_clusters"))
+        val singles = comp.agg(count(lit(1)).as("np"))
+          .crossJoin(broadcast(docs(s, d).agg(count(lit(1)).as("ndocs"))))
+          .select(lit(1L).as("csize"),
+            (col("ndocs") - col("np")).as("n_clusters"))
+        hist.unionByName(singles)
+          .groupBy("csize").agg(sum("n_clusters").as("n_clusters"))
+          .select(col("csize"), col("n_clusters"),
+            (col("csize") * col("n_clusters")).as("n_docs"))
+          .orderBy("csize")
+      },
+      Some(s"""WITH RECURSIVE
+          toks AS (SELECT doc_id, $OToks t FROM documents),
+          sets AS (SELECT doc_id, $OShingles sh FROM toks WHERE len(t) >= 3),
+          inv AS (SELECT doc_id, len(sh) n, unnest(sh) shingle FROM sets),
+          jp AS (
+            SELECT id_a, id_b FROM (
+              SELECT a.doc_id id_a, b.doc_id id_b, a.n na, b.n nb,
+                count(*) inter
+              FROM inv a JOIN inv b
+                ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2, 3, 4) p
+            WHERE round(inter / (na + nb - inter), 4) >= 0.6),
+          edges AS (SELECT id_a s, id_b d FROM jp
+            UNION ALL SELECT id_b, id_a FROM jp),
+          reach AS (
+            SELECT DISTINCT s AS id, s AS lbl FROM edges
+            UNION
+            SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.id),
+          cl AS (SELECT id AS doc_id, min(lbl) AS cluster FROM reach
+            GROUP BY 1),
+          cs AS (SELECT cluster, count(*) csize FROM cl GROUP BY 1),
+          h AS (SELECT csize, count(*) n_clusters FROM cs GROUP BY 1
+            UNION ALL
+            SELECT 1,
+              (SELECT count(*) FROM documents) - (SELECT count(*) FROM cl))
+        SELECT CAST(csize AS BIGINT) csize,
+          CAST(sum(n_clusters) AS BIGINT) n_clusters,
+          CAST(csize * sum(n_clusters) AS BIGINT) n_docs
+        FROM h GROUP BY csize ORDER BY csize"""))
   )
 }

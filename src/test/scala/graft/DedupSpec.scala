@@ -646,4 +646,16 @@ class DedupSpec extends SparkSpec {
     assert(rows.map(_._2).distinct.size === 1,
       "the truth side is window-independent")
   }
+
+  test("q291 cluster-size histogram: conservation law and no size-0/negative rows") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("q291_cluster_size_histogram")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.forall(r => r._1 >= 1L && r._2 > 0L),
+      "every histogram row is a real (csize >= 1, count > 0) bucket")
+    assert(rows.forall(r => r._3 === r._1 * r._2))
+    val total = graft.Tables.documents(spark, dir).count()
+    assert(rows.map(_._3).sum === total,
+      "every document lands in exactly one cluster (singletons included)")
+  }
 }
