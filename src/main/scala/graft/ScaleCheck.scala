@@ -64,7 +64,8 @@ object ScaleCheck {
     "q280_tpch_q17", "q281_trigram_repetition", "q282_stream_drift_panel",
     "q283_tpch_q22", "q284_resource_allocation", "q285_brier_census",
     "q286_kendall_tau", "q287_tpch_q21", "q288_stream_heavy_hitters_exact",
-    "q289_blocking_recall", "q290_tpch_q13", "q291_cluster_size_histogram")
+    "q289_blocking_recall", "q290_tpch_q13", "q291_cluster_size_histogram",
+    "q292_tpch_q15", "q293_tpch_q16")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")

@@ -920,6 +920,71 @@ object Relational {
           CAST(count(*) AS BIGINT) custdist
         FROM co GROUP BY 1 ORDER BY custdist DESC, c_count DESC""")),
 
+    // q292: TPC-H Q15 shape (top supplier) — the aggregate-of-aggregate
+    // scalar equality: a derived revenue view referenced TWICE, once as
+    // the join side and once under max() — suppliers achieving exactly
+    // the maximum quarterly revenue. The plan question it pins: the
+    // uncorrelated max is one 1-row aggregate over the SAME derived
+    // frame (never a per-row re-aggregation), and the view's date range
+    // pushes to both lineitem reads. Cents idiom ⇒ the equality compare
+    // is exact integers (Q15's own definition needs exact equality —
+    // float revenue would make "= max" nondeterministic).
+    QueryDef("q292_tpch_q15",
+      (s, d) => {
+        li(s, d).createOrReplaceTempView("graft_q292_lineitem")
+        Tables.supplier(s, d).createOrReplaceTempView("graft_q292_supplier")
+        s.sql("""WITH rev AS (SELECT l_suppkey,
+              sum(CAST(round(l_extendedprice * 100) AS BIGINT)) total_cents
+            FROM graft_q292_lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1996-04-01'
+            GROUP BY l_suppkey)
+          SELECT s_suppkey, s_name, total_cents
+          FROM graft_q292_supplier JOIN rev ON s_suppkey = l_suppkey
+          WHERE total_cents = (SELECT max(total_cents) FROM rev)
+          ORDER BY s_suppkey""")
+      },
+      Some("""WITH rev AS (SELECT l_suppkey,
+            sum(CAST(round(l_extendedprice * 100) AS BIGINT)) total_cents
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate < TIMESTAMP '1996-04-01'
+          GROUP BY l_suppkey)
+        SELECT s_suppkey, s_name, CAST(total_cents AS BIGINT) total_cents
+        FROM supplier JOIN rev ON s_suppkey = l_suppkey
+        WHERE total_cents = (SELECT max(total_cents) FROM rev)
+        ORDER BY s_suppkey""")),
+
+    // q293: TPC-H Q16 shape (parts/supplier relationship) — the NOT IN
+    // subquery: NULL-AWARE anti-join semantics (a single NULL in the
+    // subquery would empty the result — the classic NOT IN footgun;
+    // Spark plans it as a null-aware anti join, never a plain LeftAnti),
+    // an IN-list predicate that must push to the part scan, and a
+    // count(DISTINCT) re-aggregation. The excluded set is the
+    // negative-balance suppliers (the schema has no complaints column);
+    // lineitem plays partsupp's association role.
+    QueryDef("q293_tpch_q16",
+      (s, d) => {
+        li(s, d).createOrReplaceTempView("graft_q293_lineitem")
+        Tables.part(s, d).createOrReplaceTempView("graft_q293_part")
+        Tables.supplier(s, d).createOrReplaceTempView("graft_q293_supplier")
+        s.sql("""SELECT p_brand, p_size, count(DISTINCT l_suppkey) supplier_cnt
+          FROM graft_q293_lineitem JOIN graft_q293_part
+            ON p_partkey = l_partkey
+          WHERE p_size IN (1, 5, 9, 13)
+            AND l_suppkey NOT IN (SELECT s_suppkey FROM graft_q293_supplier
+              WHERE s_acctbal < CAST(0 AS DOUBLE))
+          GROUP BY p_brand, p_size
+          ORDER BY supplier_cnt DESC, p_brand, p_size""")
+      },
+      Some("""SELECT p_brand, CAST(p_size AS INTEGER) p_size,
+          CAST(count(DISTINCT l_suppkey) AS BIGINT) supplier_cnt
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_size IN (1, 5, 9, 13)
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+            WHERE s_acctbal < 0)
+        GROUP BY 1, 2 ORDER BY supplier_cnt DESC, p_brand, p_size""")),
+
     // q271: join-skew profiler — the PRE-join planning read behind
     // q79's salting: per fact join key, the exact hot-key census (max
     // per-key multiplicity, the key that holds it, and the skew ratio

@@ -701,6 +701,24 @@ class PlanGuardSpec extends SparkSpec {
       !ex.contains("CartesianProduct"), ex)
   }
 
+  test("q293 TPC-H Q16: NOT IN plans as a null-aware anti join; the IN-list pushes to the part scan") {
+    // sf0.01, not the suite's sf0.001: the exclusion subquery is EMPTY
+    // at sf0.001 and AQE's empty-relation propagation then (correctly)
+    // erases the anti join from the final plan — the machinery is only
+    // observable where the excluded set is non-empty
+    val df = SparkEntry.queries("q293_tpch_q16")(spark, "/root/testdata/sf0.01")
+    df.collect()
+    val p = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+      case other => other.toString
+    }
+    assert(p.contains("LeftAnti"),
+      s"NOT IN must become anti-join machinery:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("In(p_size"),
+      s"the IN-list predicate must reach the part scan's PushedFilters:\n$p")
+  }
+
   test("q280 TPC-H Q17: the correlated scalar subquery decorrelates to an aggregate-join") {
     val df = SparkEntry.queries("q280_tpch_q17")(spark, dir)
     val opt = df.queryExecution.optimizedPlan
