@@ -985,6 +985,44 @@ object Relational {
             WHERE s_acctbal < 0)
         GROUP BY 1, 2 ORDER BY supplier_cnt DESC, p_brand, p_size""")),
 
+    // q294: TPC-H Q19 shape (discounted revenue) — the DISJUNCTIVE join
+    // predicate: an OR of three conjunctive (brand-set, size-range,
+    // quantity-range) arms over lineitem ⋈ part. What it pins: the
+    // optimizer must EXTRACT the common p_partkey = l_partkey equality
+    // out of the disjunction and plan an equi-join (hash machinery)
+    // with the OR as a post-join filter — a naive planner that treats
+    // the whole predicate as the join condition falls into a
+    // nested-loop, the classic Q19 failure; additionally each arm's
+    // part-side conjuncts union into a pushable part-scan filter.
+    // Revenue on the cents grid.
+    QueryDef("q294_tpch_q19",
+      (s, d) => li(s, d)
+        .join(Tables.part(s, d), col("p_partkey") === col("l_partkey"))
+        .filter(
+          (col("p_brand").isin("Brand#1", "Brand#2", "Brand#3") &&
+            col("p_size").between(1, 20) &&
+            col("l_quantity").between(1.0, 20.0)) ||
+          (col("p_brand").isin("Brand#11", "Brand#12") &&
+            col("p_size").between(1, 30) &&
+            col("l_quantity").between(15.0, 35.0)) ||
+          (col("p_brand").isin("Brand#21", "Brand#22") &&
+            col("p_size").between(1, 40) &&
+            col("l_quantity").between(30.0, 50.0)))
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long"))
+            .as("revenue_cents"),
+          count(lit(1)).as("n_lines")),
+      Some("""SELECT
+          CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+            revenue_cents,
+          CAST(count(*) AS BIGINT) n_lines
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE (p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
+            AND p_size BETWEEN 1 AND 20 AND l_quantity BETWEEN 1 AND 20)
+          OR (p_brand IN ('Brand#11', 'Brand#12')
+            AND p_size BETWEEN 1 AND 30 AND l_quantity BETWEEN 15 AND 35)
+          OR (p_brand IN ('Brand#21', 'Brand#22')
+            AND p_size BETWEEN 1 AND 40 AND l_quantity BETWEEN 30 AND 50)""")),
+
     // q271: join-skew profiler — the PRE-join planning read behind
     // q79's salting: per fact join key, the exact hot-key census (max
     // per-key multiplicity, the key that holds it, and the skew ratio

@@ -719,6 +719,15 @@ class PlanGuardSpec extends SparkSpec {
       s"the IN-list predicate must reach the part scan's PushedFilters:\n$p")
   }
 
+  test("q294 TPC-H Q19: the equi-key extracts from the disjunction — hash join, never nested loop") {
+    val p = finalPlan("q294_tpch_q19")
+    assert(p.contains("HashJoin"),
+      s"the common p_partkey = l_partkey must plan as an equi-join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"the disjunction must not swallow the join key:\n$p")
+  }
+
   test("q280 TPC-H Q17: the correlated scalar subquery decorrelates to an aggregate-join") {
     val df = SparkEntry.queries("q280_tpch_q17")(spark, dir)
     val opt = df.queryExecution.optimizedPlan
