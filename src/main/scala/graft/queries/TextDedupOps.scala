@@ -1057,6 +1057,70 @@ object TextDedupOps {
         LEFT JOIN nb ON ws.w = nb.w LEFT JOIN nh ON ws.w = nh.w
       ORDER BY w""")),
 
+    // q295: SimHash estimator-error audit — q250's companion for the
+    // OTHER sketch family: per TRUE ≥0.6-Jaccard pair (the shared q34
+    // memo), the 32-bit SimHash signature hamming distance NEXT TO the
+    // exact Jaccard — the calibration evidence behind choosing q36's
+    // hamming cut (MinHash estimates RESEMBLANCE linearly, q250;
+    // SimHash hamming is the Charikar '02 cosine-angle proxy, so its
+    // relation to Jaccard is data-dependent — exactly why it must be
+    // MEASURED per corpus, not assumed). Signatures computed only for
+    // pair-participating docs via semi-join (the q250 stance — never a
+    // corpus re-sign); the oracle replays the whole bit-wise sign-sum
+    // signature construction, so the hash pins the signatures
+    // themselves. Pair-memo-sized throughout.
+    QueryDef("q295_simhash_estimate_audit",
+      (s, d) => {
+        val pairs = jaccardPairs(s, d)
+        val ids = pairs.select(col("id_a").as("doc_id"))
+          .union(pairs.select(col("id_b"))).distinct()
+        val sh = Dedup.simHash(
+          docs(s, d).join(ids, Seq("doc_id"), "left_semi"),
+          "doc_id", "text")
+        pairs
+          .join(sh.select(col("id").as("id_a"), col("simhash").as("sa")),
+            "id_a")
+          .join(sh.select(col("id").as("id_b"), col("simhash").as("sb")),
+            "id_b")
+          .select(col("id_a"), col("id_b"),
+            bit_count(col("sa").bitwiseXOR(col("sb"))).cast("int")
+              .as("hamming"),
+            col("jaccard"))
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, $OToks t FROM documents),
+        sets AS (SELECT doc_id, $OShingles sh FROM toks WHERE len(t) >= 3),
+        inv AS (SELECT doc_id, len(sh) n, unnest(sh) shingle FROM sets),
+        pr AS (SELECT a.doc_id id_a, b.doc_id id_b, a.n na, b.n nb,
+            count(*) inter
+          FROM inv a JOIN inv b
+            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2, 3, 4),
+        tp AS (SELECT id_a, id_b,
+            round(inter / (na + nb - inter), 4) jaccard
+          FROM pr WHERE round(inter / (na + nb - inter), 4) >= 0.6),
+        ids AS (SELECT id_a doc_id FROM tp UNION SELECT id_b FROM tp),
+        tc AS (SELECT t.doc_id, tok, count(*) cnt,
+            ('0x' || substr(md5(tok), 1, 8))::BIGINT h
+          FROM (SELECT d.doc_id, unnest(list_filter(
+                string_split_regex(lower(d.text), '\\s+'),
+                x -> len(x) > 0)) tok
+              FROM documents d JOIN ids USING (doc_id)) t
+          GROUP BY 1, 2),
+        bits AS (SELECT doc_id, b,
+            sum(CASE WHEN ((h >> b) & 1) = 1 THEN cnt ELSE -cnt END) s
+          FROM tc, (SELECT unnest(generate_series(0, 31)) b) bb
+          GROUP BY 1, 2),
+        shh AS (SELECT doc_id, CAST(sum(CASE WHEN s > 0
+              THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) simhash
+          FROM bits GROUP BY 1)
+      SELECT tp.id_a, tp.id_b,
+        CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) hamming,
+        tp.jaccard
+      FROM tp JOIN shh a ON a.doc_id = tp.id_a
+        JOIN shh b ON b.doc_id = tp.id_b
+      ORDER BY id_a, id_b""")),
+
     // q291: dup-cluster size histogram — the SHAPE of the duplication
     // q85's savings number summarizes away: csize → how many clusters,
     // including the singleton row (docs in no ≥0.6 pair are clusters of

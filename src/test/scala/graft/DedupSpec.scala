@@ -647,6 +647,36 @@ class DedupSpec extends SparkSpec {
       "the truth side is window-independent")
   }
 
+  test("q295 simhash audit: identical docs at distance 0; true pairs separate from the background") {
+    // constructed: an identical pair must audit at (hamming 0, jaccard 1)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q295").toString
+    val t = "alpha beta gamma delta epsilon zeta eta theta"
+    Seq((1L, t), (2L, t), (3L, "one two three four five six seven"))
+      .map { case (id, x) => (id, x, "en", "web", x.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$tmp/documents.parquet")
+    val got = SparkEntry.queries("q295_simhash_estimate_audit")(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getDouble(3)))
+    assert(got.toSeq === Seq((1L, 2L, 0, 1.0)))
+    // real data: the mean hamming over TRUE pairs must sit well below
+    // the all-pairs background mean — the separation that makes the
+    // hamming cut usable as a near-dup screen at all
+    val dir = "/root/testdata/sf0.001"
+    val audit = SparkEntry.queries("q295_simhash_estimate_audit")(spark, dir)
+      .collect().map(_.getInt(2))
+    assert(audit.nonEmpty)
+    val sigs = graft.operators.Dedup
+      .simHash(graft.Tables.documents(spark, dir), "doc_id", "text")
+      .collect().map(_.getLong(1))
+    val bg = (for { i <- sigs.indices; j <- (i + 1) until sigs.length }
+      yield java.lang.Long.bitCount(sigs(i) ^ sigs(j)).toDouble)
+    val (am, bm) = (audit.map(_.toDouble).sum / audit.length,
+      bg.sum / bg.length)
+    assert(am < bm / 2,
+      s"true-pair mean hamming $am must sit below half the background $bm")
+  }
+
   test("q291 cluster-size histogram: conservation law and no size-0/negative rows") {
     val dir = "/root/testdata/sf0.001"
     val rows = SparkEntry.queries("q291_cluster_size_histogram")(spark, dir)
