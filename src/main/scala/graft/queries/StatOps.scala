@@ -2359,11 +2359,12 @@ object StatOps {
     // q262: A/B experiment readout as the exact 2×2 χ² — users hash-split
     // into variants (the q75 stance: a user keeps their arm forever),
     // outcome = "more purchases than errors" (every synthetic user has
-    // every event type, so a ≥1 definition saturates); the test statistic ships
-    // as the exact integer rational χ² = n·(ad − bc)² / ((a+b)(c+d)(a+c)(b+d))
-    // — num/den int64 from the four cells, no float, no normal
-    // approximation constant to disagree on. One user-grain aggregate
-    // (corpus → users is the only shuffle); the readout is one row.
+    // every event type, so a ≥1 definition saturates). The readout ships
+    // the four cells, n, the exact determinant dv = ad − bc, and the
+    // FOUR MARGINALS (each ≤ n, exact int64) in place of their n⁴/16
+    // product (ADVICE r17); χ² itself rides doubles with a pinned op
+    // order (see inline notes). One user-grain aggregate (corpus → users
+    // is the only shuffle); the readout is one row.
     QueryDef("q262_ab_readout",
       (s, d) => {
         val users = ev(s, d)

@@ -551,7 +551,8 @@ object StreamingOps {
           .orderBy("event_type", "bucket")
       },
       Some("""WITH dc AS (SELECT event_type g,
-            CAST(round(value * 100) AS BIGINT) v FROM events),
+            CAST(round(value * 100) AS BIGINT) v FROM events
+            WHERE value IS NOT NULL),
           grps AS (SELECT g, count(*) ns FROM dc GROUP BY 1),
           na AS (SELECT count(*) ng FROM dc),
           per AS (SELECT g, v, count(*) c FROM dc GROUP BY 1, 2),
@@ -615,7 +616,16 @@ object StreamingOps {
             .transformWithState(new MgProcessor(8),
               TimeMode.None(), OutputMode.Update())
             .toDF("user_id", "event_type", "cnt")
+          // the update-mode memory sink APPENDS each micro-batch's
+          // emissions: a multi-batch execution (any maxFilesPerTrigger)
+          // would leave the earlier, smaller snapshots as stale rows.
+          // MG counts in the no-evict regime are monotone per key, so
+          // max(cnt) per (user, type) IS the final tracked estimate —
+          // the collapse makes the result batch-count-equal under ANY
+          // micro-batch split, not just AvailableNow-in-one (ADVICE r18).
           EventStream.runToTable(s, hh, "update")
+            .groupBy("user_id", "event_type")
+            .agg(max("cnt").as("cnt"))
             .orderBy("user_id", "event_type")
         } finally prev match {
           case Some(v) =>

@@ -728,6 +728,35 @@ class PlanGuardSpec extends SparkSpec {
       s"the disjunction must not swallow the join key:\n$p")
   }
 
+  test("q296 TPC-H Q20: both nesting levels decorrelate — scalar→aggregate-join inside, IN→LeftSemi outside") {
+    val df = SparkEntry.queries("q296_tpch_q20")(spark, dir)
+    val opt = df.queryExecution.optimizedPlan
+    // level 1: the per-(part, supplier) demand scalar must be rewritten
+    // away — a surviving per-row subplan re-aggregates lineitem once per
+    // probe pair, quadratic at 100 TB
+    assert(!opt.toString.contains("scalar-subquery"),
+      s"the correlated scalar (inside the IN) must decorrelate:\n$opt")
+    val aggs = opt.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate
+          if a.groupingExpressions.exists(_.toString.contains("l_suppkey"))
+        => a
+    }
+    // two grouped (partkey, suppkey) aggregates survive: the avail build
+    // and the decorrelated 1996-demand side
+    assert(aggs.size >= 2,
+      s"both pair-grain aggregates must plan as grouped aggregates:\n$opt")
+    // level 2: the IN membership must become a semi join
+    val types = opt.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join =>
+        j.joinType.toString
+    }
+    assert(types.contains("LeftSemi"),
+      s"IN must decorrelate to a LeftSemi: $types")
+    val ex = finalPlan("q296_tpch_q20")
+    assert(!ex.contains("BroadcastNestedLoopJoin") &&
+      !ex.contains("CartesianProduct"), ex)
+  }
+
   test("q280 TPC-H Q17: the correlated scalar subquery decorrelates to an aggregate-join") {
     val df = SparkEntry.queries("q280_tpch_q17")(spark, dir)
     val opt = df.queryExecution.optimizedPlan

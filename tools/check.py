@@ -137,7 +137,11 @@ def main(sf_dir, out_dir):
     # (driver keys by file name); normalize before the missing-output check
     missing = {k[:-8] if k.endswith(".parquet") else k for k in oracle} - set(names)
     if missing:
-        print(f"[MISSING verify output] {sorted(missing)}")
+        # a registered query with NO dump is a FAILURE, not a footnote —
+        # a query that crashed in Verify (e.g. the decimal-contract
+        # require) must not silently vanish from the gate (ADVICE r18)
+        print(f"[FAIL-missing verify output] {sorted(missing)}")
+        n_bad += len(missing)
     print(f"== {n_ok} ok, {n_bad} bad, {len(names) - n_ok - n_bad} rows-only ==")
 
 if __name__ == "__main__":
