@@ -66,7 +66,8 @@ object ScaleCheck {
     "q286_kendall_tau", "q287_tpch_q21", "q288_stream_heavy_hitters_exact",
     "q289_blocking_recall", "q290_tpch_q13", "q291_cluster_size_histogram",
     "q292_tpch_q15", "q293_tpch_q16", "q294_tpch_q19",
-    "q295_simhash_estimate_audit")
+    "q295_simhash_estimate_audit", "q296_tpch_q20",
+    "q297_kendall_tau_nlogn")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")

@@ -2699,6 +2699,42 @@ object StatOps {
             AS BIGINT) ties_xy
         FROM base a JOIN base b
           ON a.source = b.source AND a.doc_id < b.doc_id
+        GROUP BY 1 ORDER BY 1""")),
+
+    // q297: q286's Kendall τ-b census at CORPUS scale — the O(n log n)
+    // inversion-count path (r18 directive #5). q286's per-source pair
+    // self-join is quadratic in the group (honest under its eval-slice
+    // contract); this is the same seven-column census with ndis counted
+    // as merge-sort inversions of the y-sequence in (x, y) order
+    // (Knight, JASA 1966) via ⌈log₂ n⌉ binary-doubling window levels,
+    // and the tie terms from three value-grain aggregates — see
+    // [[graft.operators.Concordance.kendallCensus]]. Identical output ⇒
+    // the ORACLE IS q286's all-pairs SQL, so the driver gate itself
+    // proves O(n log n) ≡ O(n²) on the real corpus (KendallSpec pins the
+    // equivalence plus brute-force tie edge cases; SCALING.md carries
+    // the 10× near-linear growth row).
+    QueryDef("q297_kendall_tau_nlogn",
+      (s, d) => graft.operators.Concordance.kendallCensus(
+          docs(s, d).select(col("source"), col("doc_id"),
+            col("n_chars").as("x"),
+            size(TextFns.tokens(col("text"))).cast("long").as("y")),
+          "source", "doc_id", "x", "y")
+        .orderBy("source"),
+      Some(s"""WITH base AS (SELECT source, doc_id, n_chars x,
+            CAST(len($OToks) AS BIGINT) y FROM documents)
+        SELECT a.source AS source, CAST(count(*) AS BIGINT) n_pairs,
+          CAST(sum(CASE WHEN (a.x - b.x) * (a.y - b.y) > 0 THEN 1 ELSE 0 END)
+            AS BIGINT) nc,
+          CAST(sum(CASE WHEN (a.x - b.x) * (a.y - b.y) < 0 THEN 1 ELSE 0 END)
+            AS BIGINT) ndis,
+          CAST(sum(CASE WHEN a.x = b.x AND a.y != b.y THEN 1 ELSE 0 END)
+            AS BIGINT) ties_x,
+          CAST(sum(CASE WHEN a.y = b.y AND a.x != b.x THEN 1 ELSE 0 END)
+            AS BIGINT) ties_y,
+          CAST(sum(CASE WHEN a.x = b.x AND a.y = b.y THEN 1 ELSE 0 END)
+            AS BIGINT) ties_xy
+        FROM base a JOIN base b
+          ON a.source = b.source AND a.doc_id < b.doc_id
         GROUP BY 1 ORDER BY 1"""))
   )
 }
