@@ -33,7 +33,7 @@ object Bench {
     // absorbs a multi-second build in registration order, and each
     // payer's own bench number is its documented WARM cost.
     val memoPayers = Seq("q34_", "q124_", "q147_", "q176_", "q193_",
-      "q210_", "q226_", "q228_", "q282_")
+      "q210_", "q226_", "q228_", "q233_", "q282_", "q298_")
     SparkEntry.queries.foreach { case (name, fn) =>
       if (memoPayers.exists(name.startsWith)) {
         try fn(spark, sfDir).count()

@@ -67,7 +67,8 @@ object ScaleCheck {
     "q289_blocking_recall", "q290_tpch_q13", "q291_cluster_size_histogram",
     "q292_tpch_q15", "q293_tpch_q16", "q294_tpch_q19",
     "q295_simhash_estimate_audit", "q296_tpch_q20",
-    "q297_kendall_tau_nlogn")
+    "q297_kendall_tau_nlogn", "q298_winnow_indexed_overlap",
+    "q299_tokenizer_fertility")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")

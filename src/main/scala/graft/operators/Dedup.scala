@@ -705,6 +705,61 @@ object Dedup {
       .distinct()
   }
 
+  /** At-rest winnowing fingerprint index — the MOSS deploy shape for
+    * [[winnow]] (Schleimer et al. §5 store document fingerprints in an
+    * inverted index keyed by the fingerprint): build once on the standing
+    * corpus, append each ingest batch (which fingerprints only ITSELF),
+    * probe with a batch to find overlapping corpus documents. Same
+    * lifecycle contract as [[buildLshIndex]]: `path/fps` = the DISTINCT
+    * (id, fp) posting set, `path/_graft_index` = kind `winnow` + (k, w)
+    * — the parameters are index identity, read back on append/probe,
+    * never re-supplied (a probe winnowed with different k/w silently
+    * misses everything).
+    */
+  def buildWinnowIndex(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, w: Int, path: String): Unit = {
+    winnow(docs, idCol, textCol, k, w).select("id", "fp").distinct()
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/fps")
+    Similarity.writeIndexMeta(docs.sparkSession, path, "winnow",
+      Seq(k.toString, w.toString))
+  }
+
+  /** Incremental third of the winnow lifecycle: fingerprint ONLY the new
+    * documents with the index's stored (k, w) and append. The standing
+    * corpus is never re-read, never re-fingerprinted.
+    */
+  def appendToWinnowIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, docs: DataFrame, idCol: String, textCol: String): Unit = {
+    val Seq(k, w) = Similarity.readIndexMeta(spark, path, "winnow").map(_.toInt)
+    winnow(docs, idCol, textCol, k, w).select("id", "fp").distinct()
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .parquet(s"$path/fps")
+  }
+
+  /** Probe: (batch doc, indexed doc) pairs sharing ≥ `minShared` DISTINCT
+    * selected fingerprints — winnowing's overlap guarantee makes this the
+    * shared-passage detector (any common run of ≥ w+k−1 tokens shares a
+    * fingerprint). The batch side is explicitly broadcast (a daily ingest
+    * is small next to the corpus), so the at-rest posting set streams
+    * map-side and never shuffles; the only exchange is the pair
+    * aggregation, sized by true matches. Shares [[lshIndexedPairs]]'
+    * MUTABLE-SOURCE contract: the frame reads `path/fps` lazily — snapshot
+    * with `Checkpoints.cut` before a later append if it must stay stable.
+    */
+  def winnowIndexedMatches(spark: org.apache.spark.sql.SparkSession,
+      path: String, batch: DataFrame, idCol: String, textCol: String,
+      minShared: Int): DataFrame = {
+    val Seq(k, w) = Similarity.readIndexMeta(spark, path, "winnow").map(_.toInt)
+    val bfp = winnow(batch, idCol, textCol, k, w).select("id", "fp").distinct()
+    spark.read.parquet(s"$path/fps").as("c")
+      .join(broadcast(bfp.as("b")),
+        col("c.fp") === col("b.fp") && col("c.id") =!= col("b.id"))
+      .groupBy(col("b.id").as("id_a"), col("c.id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Cross-corpus contamination check — the decontamination step of an LLM
     * training pipeline: for each document of `probe` (the benchmark/eval
     * set), every document of `corpus` sharing at least `minShared` distinct

@@ -41,6 +41,11 @@ object TextDedupOps {
   private val lshIndexCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
 
+  // q298's saved winnowing fingerprint index (built + appended once per
+  // session/dir; the registered query is then a pure batch probe)
+  private val winnowIndexCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
   // q228's full daily-relabel lifecycle artifact (index build + two
   // append/probe/relabel rounds + the final label table), run ONCE per
   // (session, sf dir): the appends MUTATE the at-rest index, so the
@@ -1176,6 +1181,54 @@ object TextDedupOps {
         SELECT CAST(csize AS BIGINT) csize,
           CAST(sum(n_clusters) AS BIGINT) n_clusters,
           CAST(csize * sum(n_clusters) AS BIGINT) n_docs
-        FROM h GROUP BY csize ORDER BY csize"""))
+        FROM h GROUP BY csize ORDER BY csize""")),
+
+    // q298: the at-rest WINNOWING fingerprint index lifecycle (r18
+    // stretch #7) — q144's MOSS fingerprints stored as a build/append/
+    // probe artifact like q147's LSH postings: the standing corpus is
+    // fingerprinted ONCE (build on doc_id%5 ∈ {1,2}, then an APPEND of
+    // %5 ∈ {3,4} that signs only itself — the oracle replays the WHOLE
+    // corpus inline, so a broken append hash-fails here, the q228
+    // stance), and the probe batch (%5 = 0) broadcast-joins the at-rest
+    // posting set map-side (the corpus side never shuffles; the only
+    // exchange is the true-match-sized pair agg). minShared = 2 distinct
+    // shared fingerprints ≈ MOSS's match threshold; winnowing's
+    // guarantee makes a shared ≥ w+k−1-token passage always discoverable.
+    // WinnowIndexSpec pins append visibility + the indexed ≡ inline law.
+    QueryDef("q298_winnow_indexed_overlap",
+      (s, d) => {
+        val path = winnowIndexCache.getOrElseUpdate((s, d), {
+          val p = java.nio.file.Files
+            .createTempDirectory("graft_winnow_q298").toString
+          Dedup.buildWinnowIndex(docs(s, d).filter(col("doc_id") % 5 === 1 ||
+              col("doc_id") % 5 === 2), "doc_id", "text", 3, 4, p)
+          Dedup.appendToWinnowIndex(s, p, docs(s, d)
+            .filter(col("doc_id") % 5 === 3 || col("doc_id") % 5 === 4),
+            "doc_id", "text")
+          p
+        })
+        Dedup.winnowIndexedMatches(s, path,
+            docs(s, d).filter(col("doc_id") % 5 === 0), "doc_id", "text", 2)
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, $OToks t FROM documents),
+          g AS (SELECT doc_id, i - 1 AS pos,
+              ('0x' || substr(md5(array_to_string(t[i:i+2], ' ')), 1, 8))::BIGINT
+                * 1048576 + (i - 1) AS key
+            FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) i) s
+            WHERE len(t) >= 3),
+          w AS (SELECT doc_id, pos,
+              min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) sel,
+              max(pos) OVER (PARTITION BY doc_id) mx
+            FROM g),
+          fps AS (SELECT DISTINCT doc_id, sel // 1048576 AS fp
+            FROM w WHERE pos >= 3 OR pos = mx)
+        SELECT b.doc_id id_a, c.doc_id id_b,
+          CAST(count(*) AS BIGINT) n_shared
+        FROM fps b JOIN fps c ON b.fp = c.fp AND b.doc_id != c.doc_id
+        WHERE b.doc_id % 5 = 0 AND c.doc_id % 5 != 0
+        GROUP BY 1, 2 HAVING count(*) >= 2
+        ORDER BY 1, 2"""))
   )
 }

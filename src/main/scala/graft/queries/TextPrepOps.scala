@@ -562,6 +562,47 @@ object TextPrepOps {
       },
       None),
 
+    // q299: tokenizer fertility / compression panel per source (r18
+    // stretch #8) — the tokenizer-choice evidence table every training
+    // pipeline reads before committing to a vocab: tokens-per-word
+    // (fertility; Rust et al. ACL'21's metric for how well a tokenizer
+    // fits a source) and bytes-per-token (compression) by source, under
+    // the AT-REST q233 merge artifact (read back off disk, the lifecycle
+    // surface a deploy actually encodes with). One artifact-encode pass
+    // + one source-grain agg; the ratios ship as exact integer
+    // micro-units (numerators/denominators also shipped, the q31 ratio
+    // stance). Learned merges aren't SQL-replayable ⇒ rows-only at the
+    // driver like the whole BPE family; GoldenHashSpec pins the content
+    // and BpeSpec pins the panel ≡ q128-encode-aggregate identity plus
+    // the fertility ≥ 1 conservation bound.
+    QueryDef("q299_tokenizer_fertility",
+      (s, d) => {
+        val path = bpeArtifactCache(s, d) {
+          val base = java.nio.file.Files
+            .createTempDirectory("graft_q233").toString
+          graft.operators.Bpe.writeModel(s, bpeModel(s, d).merges, base)
+          base
+        }
+        val enc = graft.operators.Bpe.encode(docs(s, d), "doc_id", "text",
+            graft.operators.Bpe.readMerges(s, path))
+          .select(col("id").as("doc_id"), col("n_tokens").cast("long")
+            .as("n_tokens"))
+        docs(s, d).select(col("doc_id"), col("source"),
+            size(TextFns.tokens(col("text"))).cast("long").as("w"),
+            expr("octet_length(text)").cast("long").as("b"))
+          .join(enc, "doc_id")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum("w").as("n_words"),
+            sum("b").as("n_bytes"), sum("n_tokens").as("n_tokens"))
+          .select(col("source"), col("n_docs"), col("n_words"),
+            col("n_bytes"), col("n_tokens"),
+            expr("n_tokens * 1000000 div n_words").as("fertility_micro"),
+            expr("n_bytes * 1000000 div n_tokens")
+              .as("bytes_per_token_micro"))
+          .orderBy("source")
+      },
+      None),
+
     // q138: curriculum construction — easy→hard staging by token count
     // with a deterministic seeded interleave inside each stage
     // (Packing.curriculumOrder; Bengio'09 curriculum, short→long length

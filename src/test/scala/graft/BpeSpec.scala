@@ -275,6 +275,28 @@ class BpeSpec extends SparkSpec {
     assert(enc(2L).mkString === "日本語naïve😀😀")
   }
 
+  test("q299 fertility panel equals the q128 encode aggregated per source; fertility >= 1") {
+    val dir = "/root/testdata/sf0.001"
+    val panel = SparkEntry.queries("q299_tokenizer_fertility")(spark, dir)
+      .select("source", "n_words", "n_tokens", "fertility_micro")
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1)
+    // reference: the plain q128 in-memory encode, aggregated per source
+    val docs = Tables.documents(spark, dir)
+    val enc = SparkEntry.queries("q128_bpe_encode")(spark, dir)
+      .select(col("doc_id"), col("n_tokens").cast("long").as("nt"))
+    val ref = docs.select(col("doc_id"), col("source"))
+      .join(enc, "doc_id").groupBy("source")
+      .agg(sum("nt").as("nt")).as[(String, Long)].collect().toMap
+    panel.foreach { case (src, nw, nt, fm) =>
+      assert(nt === ref(src),
+        s"$src: panel token total must equal the q128 encode's")
+      // BPE splits words into >= 1 token each, so fertility >= 1.0
+      assert(nt >= nw && fm >= 1000000L, s"$src fertility below 1")
+      assert(fm === nt * 1000000L / nw)
+    }
+    assert(panel.map(_._1).toSeq === ref.keys.toSeq.sorted)
+  }
+
   test("vocabStats aggregates the trained segmentation") {
     val docs = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
       .toDF("doc_id", "text")

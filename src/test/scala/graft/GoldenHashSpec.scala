@@ -76,6 +76,9 @@ class GoldenHashSpec extends SparkSpec {
   pinned("q233_bpe_encode_at_rest", "4081f18b06185ea16f845be6646121f3")
   pinned("q125_bpe_vocab", "2b4248cbcf31510e4f90c62755ca97df")
   pinned("q128_bpe_encode", "4081f18b06185ea16f845be6646121f3")
+  // fertility/compression panel rides the SAME at-rest artifact as q233;
+  // integer micro-ratios, so the pin is exact
+  pinned("q299_tokenizer_fertility", "3e66663a90a4c06416768d43257d31ef")
   // compression ratio: deterministic per zlib build (the container's JDK),
   // not SQL-portable — the pin is the whole correctness story beyond
   // CompressionSpec's constructed cases
