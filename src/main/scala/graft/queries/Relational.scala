@@ -1070,6 +1070,288 @@ object Relational {
               AND l.l_shipdate < TIMESTAMP '1997-01-01'))
         ORDER BY p_partkey""")),
 
+    // q300: TPC-H Q7 shape (volume shipping) — the symmetric-pair
+    // DISJUNCTION over two aliases of the same dimension: trade volume
+    // between two geographies in both directions, grouped by the ordered
+    // (exporter, importer, year) triple. Q7's nation pair is empty at
+    // sf0.001 on this data, so the pair is REGIONS (identical optimizer
+    // shape: two broadcast copies of the nation⋈region dim, the
+    // disjunction a post-join filter that must NOT break the five equi
+    // joins — PlanGuard pins no-BNLJ). Revenue rides the exact micro
+    // idiom (cents × (100−disc_pct), int64).
+    QueryDef("q300_tpch_q7",
+      (s, d) => {
+        val supN = broadcast(nat(s, d).join(reg(s, d),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey").as("sn_key"), col("r_name").as("supp_region")))
+        val cusN = broadcast(nat(s, d).join(reg(s, d),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey").as("cn_key"), col("r_name").as("cust_region")))
+        li(s, d)
+          .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+          .join(Tables.supplier(s, d), col("s_suppkey") === col("l_suppkey"))
+          .join(ord(s, d), col("o_orderkey") === col("l_orderkey"))
+          .join(cust(s, d), col("c_custkey") === col("o_custkey"))
+          .join(supN, col("sn_key") === col("s_nationkey"))
+          .join(cusN, col("cn_key") === col("c_nationkey"))
+          .filter((col("supp_region") === "ASIA" && col("cust_region") === "EUROPE") ||
+            (col("supp_region") === "EUROPE" && col("cust_region") === "ASIA"))
+          .groupBy(col("supp_region"), col("cust_region"),
+            year(col("l_shipdate")).cast("long").as("l_year"))
+          .agg(sum(round(col("l_extendedprice") * 100).cast("long") *
+            (lit(100L) - round(col("l_discount") * 100).cast("long")))
+            .as("revenue_micro"))
+          .orderBy("supp_region", "cust_region", "l_year")
+      },
+      Some("""SELECT r1.r_name supp_region, r2.r_name cust_region,
+          CAST(year(l_shipdate) AS BIGINT) l_year,
+          CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+            * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT)
+            revenue_micro
+        FROM lineitem
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN region r1 ON n1.n_regionkey = r1.r_regionkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+        WHERE ((r1.r_name = 'ASIA' AND r2.r_name = 'EUROPE')
+            OR (r1.r_name = 'EUROPE' AND r2.r_name = 'ASIA'))
+          AND l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""")),
+
+    // q301: TPC-H Q8 shape (national market share) — the conditional-
+    // numerator / total-denominator RATIO of sums per year: one
+    // seven-table join stream feeds BOTH sides of the share (a CASE'd
+    // partial + the total partial in the same hash aggregation — never
+    // two scans). Numerator and denominator ship as exact int64 micro;
+    // the share is the single raw division (the q31 float stance).
+    QueryDef("q301_tpch_q8",
+      (s, d) => {
+        val custRegion = broadcast(nat(s, d).join(reg(s, d),
+            col("n_regionkey") === col("r_regionkey"))
+          .filter(col("r_name") === "AMERICA")
+          .select(col("n_nationkey").as("cn_key")))
+        val supN = broadcast(nat(s, d)
+          .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation")))
+        li(s, d)
+          .join(Tables.part(s, d).filter(col("p_type") === "ECONOMY")
+            .select("p_partkey"), col("p_partkey") === col("l_partkey"))
+          .join(Tables.supplier(s, d), col("s_suppkey") === col("l_suppkey"))
+          .join(ord(s, d)
+            .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
+            col("o_orderkey") === col("l_orderkey"))
+          .join(cust(s, d), col("c_custkey") === col("o_custkey"))
+          .join(custRegion, col("cn_key") === col("c_nationkey"))
+          .join(supN, col("sn_key") === col("s_nationkey"))
+          .withColumn("v", round(col("l_extendedprice") * 100).cast("long") *
+            (lit(100L) - round(col("l_discount") * 100).cast("long")))
+          .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+          .agg(sum(when(col("supp_nation") === "NATION_3", col("v"))
+              .otherwise(0L)).as("mkt_num_micro"),
+            sum(col("v")).as("mkt_den_micro"))
+          .withColumn("mkt_share",
+            col("mkt_num_micro").cast("double") /
+              col("mkt_den_micro").cast("double"))
+          .orderBy("o_year")
+      },
+      Some("""SELECT CAST(year(o_orderdate) AS BIGINT) o_year,
+          CAST(sum(CASE WHEN n2.n_name = 'NATION_3'
+              THEN CAST(round(l_extendedprice*100) AS BIGINT)
+                * (100 - CAST(round(l_discount*100) AS BIGINT))
+              ELSE 0 END) AS BIGINT) mkt_num_micro,
+          CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+            * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT)
+            mkt_den_micro,
+          CAST(sum(CASE WHEN n2.n_name = 'NATION_3'
+              THEN CAST(round(l_extendedprice*100) AS BIGINT)
+                * (100 - CAST(round(l_discount*100) AS BIGINT))
+              ELSE 0 END) AS DOUBLE)
+            / CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+              * (100 - CAST(round(l_discount*100) AS BIGINT))) AS DOUBLE)
+            mkt_share
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region ON n1.n_regionkey = r_regionkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+        GROUP BY 1 ORDER BY 1""")),
+
+    // q302: TPC-H Q9 shape (product-type profit) — revenue minus cost
+    // over a name-LIKE part family, by (supplier nation, order year).
+    // This schema has no partsupp, so unit cost is the part's retail
+    // price (the same join topology: the cost column rides the part
+    // dim into the fact aggregate). profit = rev_micro −
+    // retail_cents·100·qty, every term exact int64; l_quantity is an
+    // integral double ⇒ the long cast is exact.
+    QueryDef("q302_tpch_q9",
+      (s, d) => li(s, d)
+        .join(Tables.part(s, d).filter(col("p_name").like("%blue%"))
+          .select("p_partkey", "p_retailprice"),
+          col("p_partkey") === col("l_partkey"))
+        .join(Tables.supplier(s, d), col("s_suppkey") === col("l_suppkey"))
+        .join(ord(s, d).select("o_orderkey", "o_orderdate"),
+          col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(nat(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long") *
+            (lit(100L) - round(col("l_discount") * 100).cast("long")) -
+            round(col("p_retailprice") * 100).cast("long") * lit(100L) *
+              col("l_quantity").cast("long"))
+          .as("profit_micro"))
+        .orderBy(col("nation"), col("o_year").desc),
+      Some("""SELECT n_name nation, CAST(year(o_orderdate) AS BIGINT) o_year,
+          CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+              * (100 - CAST(round(l_discount*100) AS BIGINT))
+            - CAST(round(p_retailprice*100) AS BIGINT) * 100
+              * CAST(l_quantity AS BIGINT)) AS BIGINT) profit_micro
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%blue%'
+        GROUP BY 1, 2 ORDER BY 1, 2 DESC""")),
+
+    // q303: TPC-H Q11 shape (important stock values) — GROUP BY …
+    // HAVING sum(·) > fraction × (UNCORRELATED scalar total of the same
+    // frame): the scalar must plan as ONE one-shot aggregate reused as a
+    // literal against the grouped result, never a per-group re-scan
+    // (PlanGuard pins no-BNLJ / no surviving subquery). Value surrogate
+    // for the missing partsupp: per-part revenue cents from suppliers in
+    // one region. Q11's literal fraction (0.0001/SF) is SF-dependent; the
+    // SCALE-FREE restatement is 1.5× the per-part average — threshold
+    // (3·total) div (2·n_parts), one integer-exact one-shot scalar
+    // (exact while 3·total < 2⁶³ ≈ $3×10¹⁶ regional revenue), selective
+    // at every SF (14 / 331 / 2930 rows at sf0.001/0.01/0.1).
+    QueryDef("q303_tpch_q11",
+      (s, d) => {
+        li(s, d).createOrReplaceTempView("graft_q303_lineitem")
+        Tables.supplier(s, d).createOrReplaceTempView("graft_q303_supplier")
+        nat(s, d).createOrReplaceTempView("graft_q303_nation")
+        reg(s, d).createOrReplaceTempView("graft_q303_region")
+        s.sql("""WITH val AS (SELECT l_partkey,
+              CAST(round(l_extendedprice * 100) AS BIGINT) v
+            FROM graft_q303_lineitem
+            JOIN graft_q303_supplier ON s_suppkey = l_suppkey
+            JOIN graft_q303_nation ON s_nationkey = n_nationkey
+            JOIN graft_q303_region ON n_regionkey = r_regionkey
+            WHERE r_name = 'EUROPE')
+          SELECT l_partkey, CAST(sum(v) AS BIGINT) value_cents
+          FROM val GROUP BY l_partkey
+          HAVING sum(v) > (SELECT (3 * sum(v)) div (2 * count(DISTINCT l_partkey))
+            FROM val)
+          ORDER BY value_cents DESC, l_partkey""")
+      },
+      Some("""WITH val AS (SELECT l_partkey,
+            CAST(round(l_extendedprice * 100) AS BIGINT) v
+          FROM lineitem
+          JOIN supplier ON s_suppkey = l_suppkey
+          JOIN nation ON s_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          WHERE r_name = 'EUROPE')
+        SELECT l_partkey, CAST(sum(v) AS BIGINT) value_cents
+        FROM val GROUP BY l_partkey
+        HAVING sum(v) > (SELECT (3 * sum(v)) // (2 * count(DISTINCT l_partkey))
+          FROM val)
+        ORDER BY value_cents DESC, l_partkey""")),
+
+    // q304: TPC-H Q14 shape (promotion effect) — the two-sided
+    // conditional share over one month: promo revenue and total revenue
+    // out of the SAME aggregation (one scan, one 1-row result), the
+    // percentage a single pinned-order float op chain
+    // (100·num exact int64 ⇒ one rounding at the division).
+    QueryDef("q304_tpch_q14",
+      (s, d) => li(s, d)
+        .filter(col("l_shipdate") >= lit("1996-03-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .join(Tables.part(s, d).select("p_partkey", "p_type"),
+          col("p_partkey") === col("l_partkey"))
+        .withColumn("v", round(col("l_extendedprice") * 100).cast("long") *
+          (lit(100L) - round(col("l_discount") * 100).cast("long")))
+        .agg(sum(when(col("p_type") === "PROMO", col("v")).otherwise(0L))
+            .as("promo_micro"),
+          sum(col("v")).as("total_micro"))
+        .withColumn("promo_pct",
+          (lit(100.0) * col("promo_micro")) / col("total_micro")),
+      Some("""SELECT
+          CAST(sum(CASE WHEN p_type = 'PROMO'
+            THEN CAST(round(l_extendedprice*100) AS BIGINT)
+              * (100 - CAST(round(l_discount*100) AS BIGINT))
+            ELSE 0 END) AS BIGINT) promo_micro,
+          CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+            * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT)
+            total_micro,
+          (100.0 * sum(CASE WHEN p_type = 'PROMO'
+            THEN CAST(round(l_extendedprice*100) AS BIGINT)
+              * (100 - CAST(round(l_discount*100) AS BIGINT))
+            ELSE 0 END))
+            / sum(CAST(round(l_extendedprice*100) AS BIGINT)
+              * (100 - CAST(round(l_discount*100) AS BIGINT))) promo_pct
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+          AND l_shipdate < TIMESTAMP '1996-04-01'""")),
+
+    // q305: TPC-H Q2 shape (minimum-cost supplier) — the correlated
+    // scalar MIN with EQUALITY probe: for each qualifying part, the
+    // suppliers (in one region) whose offer equals the regional minimum
+    // for THAT part. partsupp surrogate: per-(part, supplier) minimum
+    // line price in cents (exact int64, so the min and the equality are
+    // exact in both engines; ties at the min all qualify, as in Q2).
+    // The correlated min must decorrelate to ONE per-part aggregate
+    // equi-joined back (PlanGuard pins it) — the q280 law with MIN in
+    // place of AVG and an equality in place of an inequality.
+    QueryDef("q305_tpch_q2",
+      (s, d) => {
+        li(s, d).createOrReplaceTempView("graft_q305_lineitem")
+        Tables.part(s, d).createOrReplaceTempView("graft_q305_part")
+        Tables.supplier(s, d).createOrReplaceTempView("graft_q305_supplier")
+        nat(s, d).createOrReplaceTempView("graft_q305_nation")
+        reg(s, d).createOrReplaceTempView("graft_q305_region")
+        s.sql("""WITH ps AS (SELECT l_partkey pk, l_suppkey sk,
+              min(CAST(round(l_extendedprice * 100) AS BIGINT)) offer_cents
+            FROM graft_q305_lineitem GROUP BY 1, 2)
+          SELECT p_partkey, s_name, n_name, offer_cents
+          FROM graft_q305_part
+          JOIN ps ON pk = p_partkey
+          JOIN graft_q305_supplier ON s_suppkey = sk
+          JOIN graft_q305_nation ON s_nationkey = n_nationkey
+          JOIN graft_q305_region ON n_regionkey = r_regionkey
+          WHERE p_size <= 10 AND p_type = 'SMALL' AND r_name = 'EUROPE'
+            AND offer_cents = (SELECT min(ps2.offer_cents) FROM ps ps2
+              JOIN graft_q305_supplier s2 ON s2.s_suppkey = ps2.sk
+              JOIN graft_q305_nation n2 ON s2.s_nationkey = n2.n_nationkey
+              JOIN graft_q305_region r2 ON n2.n_regionkey = r2.r_regionkey
+              WHERE ps2.pk = p_partkey AND r2.r_name = 'EUROPE')
+          ORDER BY p_partkey, s_name""")
+      },
+      Some("""WITH ps AS (SELECT l_partkey pk, l_suppkey sk,
+            min(CAST(round(l_extendedprice * 100) AS BIGINT)) offer_cents
+          FROM lineitem GROUP BY 1, 2)
+        SELECT p_partkey, s_name, n_name, offer_cents
+        FROM part JOIN ps ON pk = p_partkey
+        JOIN supplier ON s_suppkey = sk
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE p_size <= 10 AND p_type = 'SMALL' AND r_name = 'EUROPE'
+          AND offer_cents = (SELECT min(ps2.offer_cents) FROM ps ps2
+            JOIN supplier s2 ON s2.s_suppkey = ps2.sk
+            JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+            JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+            WHERE ps2.pk = p_partkey AND r2.r_name = 'EUROPE')
+        ORDER BY p_partkey, s_name""")),
+
     // q271: join-skew profiler — the PRE-join planning read behind
     // q79's salting: per fact join key, the exact hot-key census (max
     // per-key multiplicity, the key that holds it, and the skew ratio

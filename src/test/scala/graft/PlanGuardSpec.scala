@@ -757,6 +757,40 @@ class PlanGuardSpec extends SparkSpec {
       !ex.contains("CartesianProduct"), ex)
   }
 
+  test("q300 TPC-H Q7: the symmetric region-pair disjunction never breaks the equi joins") {
+    val ex = finalPlan("q300_tpch_q7")
+    assert(!ex.contains("BroadcastNestedLoopJoin") &&
+      !ex.contains("CartesianProduct"),
+      s"the pair disjunction must stay a post-join filter:\n$ex")
+  }
+
+  test("q303 TPC-H Q11: the HAVING-threshold scalar is one-shot — no per-group re-scan") {
+    // the uncorrelated total is legal as a one-shot scalar subquery
+    // (executed once, reused as a literal); the guard is that nothing
+    // per-row/per-group survives
+    val ex = finalPlan("q303_tpch_q11")
+    assert(!ex.contains("BroadcastNestedLoopJoin") &&
+      !ex.contains("CartesianProduct"), ex)
+  }
+
+  test("q305 TPC-H Q2: the correlated min decorrelates to a per-part aggregate-join") {
+    val df = SparkEntry.queries("q305_tpch_q2")(spark, dir)
+    val opt = df.queryExecution.optimizedPlan
+    assert(!opt.toString.contains("scalar-subquery"),
+      s"the correlated regional-min must be rewritten away:\n$opt")
+    val aggs = opt.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate
+          if a.aggregateExpressions.exists(_.toString.toLowerCase
+            .contains("min")) &&
+            a.groupingExpressions.nonEmpty => a
+    }
+    assert(aggs.nonEmpty,
+      s"the regional min must plan as a grouped aggregate:\n$opt")
+    val ex = finalPlan("q305_tpch_q2")
+    assert(!ex.contains("BroadcastNestedLoopJoin") &&
+      !ex.contains("CartesianProduct"), ex)
+  }
+
   test("q280 TPC-H Q17: the correlated scalar subquery decorrelates to an aggregate-join") {
     val df = SparkEntry.queries("q280_tpch_q17")(spark, dir)
     val opt = df.queryExecution.optimizedPlan
