@@ -254,6 +254,31 @@ object Drift {
         max("na").as("n_a"), max("nb").as("n_b"))
       .select(col("g").as(groupCol), col("ks_num"), col("n_a"), col("n_b"))
 
+  /** Per-group two-sample KUIPER numerator between two count tables —
+    * the ROTATION-INVARIANT companion to [[ksBetweenCounts]] (Kuiper,
+    * 1960): V = D⁺ + D⁻, the sum of the largest positive and largest
+    * negative ECDF gaps. KS sees only the single worst |gap|, so a shift
+    * on a CYCLIC axis (hour-of-day, day-of-week) that pushes mass one
+    * way early and the other way late can halve its KS score depending
+    * on where the cut lands; V is invariant to where the cycle is cut —
+    * the right statistic for diurnal/weekly drift. Same exact-integer
+    * contract as the rest of the family: d_plus = max(sa·nb − sb·na),
+    * d_minus = max(sb·na − sa·nb) over the union grid (each ≥ 0 — the
+    * final grid point's gap is exactly 0), kuiper_num = d_plus + d_minus,
+    * the n_a·n_b denominator at the consumer. Grid-sized.
+    * Output: (`group`, kuiper_num, d_plus, d_minus, n_a, n_b).
+    */
+  def kuiperBetweenCounts(a: DataFrame, b: DataFrame, groupCol: String,
+      valueCol: String, countCol: String): DataFrame =
+    betweenCumulatives(a, b, groupCol, valueCol, countCol)
+      .groupBy("g")
+      .agg(max(col("sa") * col("nb") - col("sb") * col("na")).as("d_plus"),
+        max(col("sb") * col("na") - col("sa") * col("nb")).as("d_minus"),
+        max("na").as("n_a"), max("nb").as("n_b"))
+      .select(col("g").as(groupCol),
+        (col("d_plus") + col("d_minus")).as("kuiper_num"),
+        col("d_plus"), col("d_minus"), col("n_a"), col("n_b"))
+
   /** Per-group TOTAL-VARIATION distance between two count tables — the
     * L1 leg of the between-states panel ([[tvFromCounts]] compared each
     * group to the pool): tv_num = Σ_v |cA·nB − cB·nA| with the 2·nA·nB

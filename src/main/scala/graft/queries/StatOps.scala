@@ -2701,6 +2701,100 @@ object StatOps {
           ON a.source = b.source AND a.doc_id < b.doc_id
         GROUP BY 1 ORDER BY 1""")),
 
+    // q306: MANN–KENDALL trend test on the daily event series per type —
+    // the nonparametric "is activity trending?" significance companion
+    // to q186's OLS slope and q242's Theil–Sen estimator (Mann 1945,
+    // Kendall's S = C − D over (day, count) pairs; the test the trend
+    // family reports next to its slope). Pure REUSE of the q297
+    // machinery: one day-grain aggregate feeds
+    // [[graft.operators.Concordance.kendallCensus]] with x = day index
+    // (unique per group ⇒ ties_x = ties_xy = 0 structurally), y = daily
+    // count; S ships exact int64 alongside the full census so the
+    // consumer has the tie-corrected variance terms. Oracle: the
+    // all-pairs SQL over the (tiny) day grid — the gate again proves
+    // the O(n log n) path against the quadratic definition.
+    QueryDef("q306_mann_kendall_trend",
+      (s, d) => graft.operators.Concordance.kendallCensus(
+          ev(s, d).groupBy(col("event_type"),
+              datediff(to_date(col("ts")), lit("1995-01-01").cast("date"))
+                .cast("long").as("x"))
+            .agg(count(lit(1)).as("y"))
+            .withColumn("id", col("x")),
+          "event_type", "id", "x", "y")
+        .withColumn("s_stat", col("nc") - col("ndis"))
+        .orderBy("event_type"),
+      Some("""WITH daily AS (SELECT event_type,
+            CAST(datediff('day', DATE '1995-01-01', CAST(ts AS DATE))
+              AS BIGINT) x,
+            CAST(count(*) AS BIGINT) y
+          FROM events GROUP BY 1, 2)
+        SELECT a.event_type AS event_type, CAST(count(*) AS BIGINT) n_pairs,
+          CAST(sum(CASE WHEN (a.x - b.x) * (a.y - b.y) > 0 THEN 1 ELSE 0 END)
+            AS BIGINT) nc,
+          CAST(sum(CASE WHEN (a.x - b.x) * (a.y - b.y) < 0 THEN 1 ELSE 0 END)
+            AS BIGINT) ndis,
+          CAST(sum(CASE WHEN a.x = b.x AND a.y != b.y THEN 1 ELSE 0 END)
+            AS BIGINT) ties_x,
+          CAST(sum(CASE WHEN a.y = b.y AND a.x != b.x THEN 1 ELSE 0 END)
+            AS BIGINT) ties_y,
+          CAST(sum(CASE WHEN a.x = b.x AND a.y = b.y THEN 1 ELSE 0 END)
+            AS BIGINT) ties_xy,
+          CAST(sum(CASE WHEN (a.x - b.x) * (a.y - b.y) > 0 THEN 1 ELSE 0 END)
+            - sum(CASE WHEN (a.x - b.x) * (a.y - b.y) < 0 THEN 1 ELSE 0 END)
+            AS BIGINT) s_stat
+        FROM daily a JOIN daily b
+          ON a.event_type = b.event_type AND a.x < b.x
+        GROUP BY 1 ORDER BY 1""")),
+
+    // q307: KUIPER hour-of-day drift between the user halves per event
+    // type — the CYCLIC-axis leg of the between-halves panel (q177 KS /
+    // q237 CvM / q243 U on linear axes): V = D⁺ + D⁻ is invariant to
+    // where the 24-hour cycle is cut, so a diurnal shift scores the same
+    // whether it straddles midnight or noon — the statistic a daily-cycle
+    // monitor wants (Kuiper 1960). Exact integer numerators over the
+    // ≤24-value grid via [[graft.operators.Drift.kuiperBetweenCounts]];
+    // one (type, half, hour) count shuffle is the only corpus-sized work.
+    QueryDef("q307_kuiper_hour_drift",
+      (s, d) => {
+        val counts = graft.operators.Checkpoints.cut(
+          ev(s, d).select(col("event_type"),
+              (col("user_id") % 2 === 0).as("fh"),
+              hour(col("ts")).cast("long").as("v"))
+            .groupBy("event_type", "fh", "v").agg(count(lit(1)).as("c")))
+        val a = counts.filter(col("fh")).select("event_type", "v", "c")
+        val b = counts.filter(!col("fh")).select("event_type", "v", "c")
+        graft.operators.Checkpoints.sealAndRelease(
+          graft.operators.Drift
+            .kuiperBetweenCounts(a, b, "event_type", "v", "c")
+            .orderBy("event_type"),
+          counts)
+      },
+      Some("""WITH base AS (SELECT event_type, (user_id % 2 = 0) fh,
+            CAST(hour(ts) AS BIGINT) v FROM events),
+          pa AS (SELECT event_type, v, count(*) ca FROM base WHERE fh
+            GROUP BY 1, 2),
+          pb AS (SELECT event_type, v, count(*) cb FROM base WHERE NOT fh
+            GROUP BY 1, 2),
+          m AS (SELECT coalesce(pa.event_type, pb.event_type) event_type,
+              coalesce(pa.v, pb.v) v, coalesce(ca, 0) ca, coalesce(cb, 0) cb
+            FROM pa FULL JOIN pb
+              ON pa.event_type = pb.event_type AND pa.v = pb.v),
+          cum AS (SELECT event_type,
+              sum(ca) OVER (PARTITION BY event_type ORDER BY v
+                ROWS UNBOUNDED PRECEDING) sa,
+              sum(cb) OVER (PARTITION BY event_type ORDER BY v
+                ROWS UNBOUNDED PRECEDING) sb,
+              sum(ca) OVER (PARTITION BY event_type) na,
+              sum(cb) OVER (PARTITION BY event_type) nb
+            FROM m)
+        SELECT event_type,
+          CAST(max(sa * nb - sb * na) + max(sb * na - sa * nb) AS BIGINT)
+            kuiper_num,
+          CAST(max(sa * nb - sb * na) AS BIGINT) d_plus,
+          CAST(max(sb * na - sa * nb) AS BIGINT) d_minus,
+          CAST(max(na) AS BIGINT) n_a, CAST(max(nb) AS BIGINT) n_b
+        FROM cum GROUP BY 1 ORDER BY 1""")),
+
     // q297: q286's Kendall τ-b census at CORPUS scale — the O(n log n)
     // inversion-count path (r18 directive #5). q286's per-source pair
     // self-join is quadratic in the group (honest under its eval-slice

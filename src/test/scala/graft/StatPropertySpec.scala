@@ -171,6 +171,36 @@ class StatPropertySpec extends SparkSpec {
     }, trials = 8)
   }
 
+  test("kuiperBetweenCounts == naive D+ + D-; V >= KS; identical inputs score 0") {
+    check("kuiper2", Prop.forAll(genCounts, genCounts) { (ca, cb) =>
+      def inst(rows: List[(String, Long, Long)], g: String) =
+        rows.filter(_._1 == g).flatMap { case (_, v, c) => Seq.fill(c.toInt)(v) }
+      val got = Drift.kuiperBetweenCounts(ca.toDF("g", "v", "c"),
+          cb.toDF("g", "v", "c"), "g", "v", "c")
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+        .toMap
+      val ks = Drift.ksBetweenCounts(ca.toDF("g", "v", "c"),
+          cb.toDF("g", "v", "c"), "g", "v", "c")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val self = Drift.kuiperBetweenCounts(ca.toDF("g", "v", "c"),
+          ca.toDF("g", "v", "c"), "g", "v", "c")
+        .collect().forall(r => r.getLong(1) == 0L)
+      val groups = (ca.map(_._1) ++ cb.map(_._1)).distinct
+      self && got.keySet == groups.toSet && groups.forall { g =>
+        val (av, bv) = (inst(ca, g), inst(cb, g))
+        val (na, nb) = (av.size.toLong, bv.size.toLong)
+        val gaps = (av ++ bv).distinct.sorted.map { v =>
+          av.count(_ <= v) * nb - bv.count(_ <= v) * na
+        }
+        val (dp, dm) = (gaps.max.max(0L), gaps.map(-_).max.max(0L))
+        // V = D+ + D-, each side >= 0 (the final gap is exactly 0), and
+        // V >= the KS sup since KS = max(D+, D-)
+        got(g) == ((dp + dm, dp, dm, na, nb)) && dp + dm >= ks(g)
+      }
+    }, trials = 8)
+  }
+
   test("tv/w1BetweenCounts == their naive two-sample forms on arbitrary count-table pairs") {
     check("tvw12", Prop.forAll(genCounts, genCounts) { (ca, cb) =>
       def inst(rows: List[(String, Long, Long)], g: String) =
