@@ -45,9 +45,14 @@ object Concordance {
 
   def kendallCensus(df: DataFrame, gCol: String, idCol: String,
       xCol: String, yCol: String, buckets: Int = 32): DataFrame = {
-    val base = df.select(col(gCol).as("g"),
+    // CUT: five consumers read this frame (the rank path's quantile
+    // probe + ranked pass, three tie-census aggregates, the group
+    // count) — without the cut each one re-runs the upstream plan from
+    // the scan (ScanAudit measured documents ×6 on the q297 draft; the
+    // staging discipline every multi-consumer frame in this repo follows)
+    val base = Checkpoints.cut(df.select(col(gCol).as("g"),
       col(idCol).cast("long").as("id"),
-      col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y"))
+      col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y")))
 
     // ndis = inversions of y ordered by (x, y): rank, then merge-count.
     // Tie-break inside equal (x, y) is irrelevant to the count (such
@@ -86,7 +91,7 @@ object Concordance {
         .agg(count(lit(1)).as("c"))
         .groupBy("g").agg(sum(expr("(c * (c - 1)) div 2")).as(alias))
 
-    base.groupBy("g").agg(count(lit(1)).as("n"))
+    val out = base.groupBy("g").agg(count(lit(1)).as("n"))
       .join(ndis, Seq("g"), "left")
       .join(tiePairs(Seq("x"), "tx_all"), Seq("g"))
       .join(tiePairs(Seq("y"), "ty_all"), Seq("g"))
@@ -100,5 +105,6 @@ object Concordance {
         (col("tx_all") - col("txy")).as("ties_x"),
         (col("ty_all") - col("txy")).as("ties_y"),
         col("txy").as("ties_xy"))
+    Checkpoints.sealAndRelease(out, base)
   }
 }
