@@ -69,7 +69,11 @@ object Plans {
     "q254_rolling_robust_outliers", // r17: 7× offset-explode equi-join windows (no non-equi day join)
     "q260_lateness_audit",        // r17: two-phase prefix max — bucketed windows, no global partition
     "q280_tpch_q17",              // r18: correlated scalar subquery DECORRELATED to per-part avg agg + equi-join
-    "q283_tpch_q22"               // r18: one-shot uncorrelated scalar + LeftAnti with pushed date filter
+    "q283_tpch_q22",              // r18: one-shot uncorrelated scalar + LeftAnti with pushed date filter
+    "q296_tpch_q20",              // r19: two-level decorrelation — scalar→agg-join inside a LeftSemi
+    "q297_kendall_tau_nlogn",     // r19: one (g, level, block) window shuffle over the cut base
+    "q301_tpch_q8",               // r19: seven-table join, dims broadcast, one CASE'd hash agg
+    "q305_tpch_q2"                // r19: correlated MIN decorrelated to per-part agg + equality join
   )
 
   def main(args: Array[String]): Unit = {

@@ -262,4 +262,39 @@ class EmptyInputSpec extends SparkSpec {
       .select(explode(col("g._1"))).count()
     assert(g === 0)
   }
+
+  test("the r19 operators return empty/identity results on empty inputs") {
+    // Kendall census: empty in, empty out (and a singleton group has
+    // zero pairs, all census columns 0)
+    val emptyKendall = Seq.empty[(String, Long, Long, Long)]
+      .toDF("g", "id", "x", "y")
+    assert(graft.operators.Concordance
+      .kendallCensus(emptyKendall, "g", "id", "x", "y").count() === 0)
+    val single = graft.operators.Concordance.kendallCensus(
+        Seq(("a", 1L, 5L, 7L)).toDF("g", "id", "x", "y"),
+        "g", "id", "x", "y")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+    assert(single.toSeq === Seq(("a", 0L, 0L, 0L, 0L, 0L, 0L)))
+    // Kuiper: empty sides and one-empty-side (n_a or n_b = 0 ⇒ every
+    // gap term is 0 — "no basis for comparison", the family contract)
+    val emptyCounts = Seq.empty[(String, Long, Long)].toDF("g", "v", "c")
+    val someCounts = Seq(("a", 1L, 2L), ("a", 2L, 3L)).toDF("g", "v", "c")
+    assert(graft.operators.Drift
+      .kuiperBetweenCounts(emptyCounts, emptyCounts, "g", "v", "c")
+      .count() === 0)
+    val oneSide = graft.operators.Drift
+      .kuiperBetweenCounts(someCounts, emptyCounts, "g", "v", "c")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(oneSide.toSeq === Seq(("a", 0L, 0L, 0L, 5L, 0L)))
+    // winnow index lifecycle: an empty batch probes to zero matches; an
+    // empty corpus builds a valid (empty) index that probes to zero
+    val p1 = java.nio.file.Files.createTempDirectory("graft_empty_win").toString
+    Dedup.buildWinnowIndex(someDocs, "doc_id", "text", 3, 4, p1)
+    assert(Dedup.winnowIndexedMatches(spark, p1, emptyDocs,
+      "doc_id", "text", 1).count() === 0)
+    val p2 = java.nio.file.Files.createTempDirectory("graft_empty_win2").toString
+    Dedup.buildWinnowIndex(emptyDocs, "doc_id", "text", 3, 4, p2)
+    assert(Dedup.winnowIndexedMatches(spark, p2, someDocs,
+      "doc_id", "text", 1).count() === 0)
+  }
 }
