@@ -119,6 +119,14 @@ object Bench {
       }.mkString("{", ",", "}")
       s"""{"metric":"total","value":${fmt(total)},"value_adj":${fmt(totalAdj)},"unit":"sec","queries":$m,"sf":"$sfDir"}"""
     }
+    // dev-only: full per-query dump (every entry, no line cap) for band
+    // maintenance — the driver never sets it
+    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
+        results.toSeq.map { case (k, v) =>
+          "\"" + shortKey(k) + "\":" + fmt(v) }
+          .mkString("{", ",", "}"))
+    }
     var entries = results.toSeq
     while (line(entries).length > 1850 && entries.nonEmpty)
       entries = entries.sortBy(-_._2).dropRight(1)
