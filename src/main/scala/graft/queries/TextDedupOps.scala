@@ -1229,6 +1229,52 @@ object TextDedupOps {
         FROM fps b JOIN fps c ON b.fp = c.fp AND b.doc_id != c.doc_id
         WHERE b.doc_id % 5 = 0 AND c.doc_id % 5 != 0
         GROUP BY 1, 2 HAVING count(*) >= 2
-        ORDER BY 1, 2"""))
+        ORDER BY 1, 2""")),
+
+    // q308: winnowing DENSITY audit per source — Schleimer et al. §4's
+    // sizing guarantee measured on the real corpus: winnowing selects
+    // ≈ 2/(w+1) of the k-gram stream (0.4 at w = 4), and that fraction
+    // IS the q298 index's storage plan (postings = density × corpus
+    // grams). The audit ships exact integers — selected fingerprints,
+    // total positional k-grams, density in micro-units — per source, so
+    // a capacity planner reads byte budgets off it and a density drift
+    // (boilerplate-heavy source → more window ties → lower density)
+    // surfaces as a per-source row, not a global average. One winnow
+    // pass + one map-side gram count; grids are source-sized.
+    QueryDef("q308_winnow_density",
+      (s, d) => {
+        val src = docs(s, d).select(col("doc_id").as("id"), col("source"))
+        val ng = docs(s, d)
+          .select(col("source"), TextFns.tokens(col("text")).as("t"))
+          .filter(size(col("t")) >= 3)
+          .groupBy("source")
+          .agg(sum((size(col("t")) - 2).cast("long")).as("n_grams"))
+        Dedup.winnow(docs(s, d), "doc_id", "text", 3, 4)
+          .join(src, "id")
+          .groupBy("source").agg(count(lit(1)).as("n_fps"))
+          .join(ng, "source")
+          .select(col("source"), col("n_fps"), col("n_grams"),
+            expr("n_fps * 1000000 div n_grams").as("density_micro"))
+          .orderBy("source")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, source, $OToks t FROM documents),
+          g AS (SELECT doc_id, source, i - 1 AS pos,
+              ('0x' || substr(md5(array_to_string(t[i:i+2], ' ')), 1, 8))::BIGINT
+                * 1048576 + (i - 1) AS key
+            FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) i) s
+            WHERE len(t) >= 3),
+          w AS (SELECT doc_id, source, pos,
+              min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) sel,
+              max(pos) OVER (PARTITION BY doc_id) mx
+            FROM g),
+          fps AS (SELECT DISTINCT doc_id, source, sel
+            FROM w WHERE pos >= 3 OR pos = mx),
+          ng AS (SELECT source, count(*) n_grams FROM g GROUP BY 1),
+          nf AS (SELECT source, count(*) n_fps FROM fps GROUP BY 1)
+        SELECT ng.source, CAST(nf.n_fps AS BIGINT) n_fps,
+          CAST(ng.n_grams AS BIGINT) n_grams,
+          CAST(nf.n_fps * 1000000 // ng.n_grams AS BIGINT) density_micro
+        FROM ng JOIN nf USING (source) ORDER BY 1"""))
   )
 }
