@@ -71,7 +71,8 @@ object ScaleCheck {
     "q299_tokenizer_fertility", "q300_tpch_q7", "q301_tpch_q8",
     "q302_tpch_q9", "q303_tpch_q11", "q304_tpch_q14", "q305_tpch_q2",
     "q306_mann_kendall_trend", "q307_kuiper_hour_drift",
-    "q308_winnow_density")
+    "q308_winnow_density", "q309_kendall_comovement",
+    "q310_stream_windowed_heavy_hitters")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")

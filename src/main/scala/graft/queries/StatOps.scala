@@ -2795,6 +2795,54 @@ object StatOps {
           CAST(max(na) AS BIGINT) n_a, CAST(max(nb) AS BIGINT) n_b
         FROM cum GROUP BY 1 ORDER BY 1""")),
 
+    // q309: Kendall CO-MOVEMENT matrix between event types — the
+    // rank-based companion to q267's lagged cross-correlation: for every
+    // type pair, the τ-b census of their day-aligned daily volumes ("do
+    // errors rise on the days purchases rise?" asked robustly — τ sees
+    // monotone co-movement, not linear scale). Day-inner-join alignment
+    // (both types active); the census rides the q297 O(n log n)
+    // machinery with x = type-a count, y = type-b count, id = day.
+    // Output one row per unordered pair, all seven census terms exact
+    // int64; the oracle replays the all-pairs definition per pair.
+    QueryDef("q309_kendall_comovement",
+      (s, d) => {
+        val daily = ev(s, d).groupBy(col("event_type"),
+            datediff(to_date(col("ts")), lit("1995-01-01").cast("date"))
+              .cast("long").as("day"))
+          .agg(count(lit(1)).as("y"))
+        val paired = daily.as("a").join(daily.as("b"),
+            col("a.day") === col("b.day") &&
+              col("a.event_type") < col("b.event_type"))
+          .select(concat(col("a.event_type"), lit(">"), col("b.event_type"))
+              .as("pair"),
+            col("a.day").as("id"), col("a.y").as("x"), col("b.y").as("y"))
+        graft.operators.Concordance
+          .kendallCensus(paired, "pair", "id", "x", "y")
+          .orderBy("pair")
+      },
+      Some("""WITH daily AS (SELECT event_type,
+            CAST(datediff('day', DATE '1995-01-01', CAST(ts AS DATE))
+              AS BIGINT) d,
+            CAST(count(*) AS BIGINT) y FROM events GROUP BY 1, 2),
+          paired AS (SELECT a.event_type || '>' || b.event_type pair,
+              a.d d, a.y x, b.y y
+            FROM daily a JOIN daily b
+              ON a.d = b.d AND a.event_type < b.event_type)
+        SELECT a.pair AS pair, CAST(count(*) AS BIGINT) n_pairs,
+          CAST(sum(CASE WHEN (a.x - b.x) * (a.y - b.y) > 0 THEN 1 ELSE 0 END)
+            AS BIGINT) nc,
+          CAST(sum(CASE WHEN (a.x - b.x) * (a.y - b.y) < 0 THEN 1 ELSE 0 END)
+            AS BIGINT) ndis,
+          CAST(sum(CASE WHEN a.x = b.x AND a.y != b.y THEN 1 ELSE 0 END)
+            AS BIGINT) ties_x,
+          CAST(sum(CASE WHEN a.y = b.y AND a.x != b.x THEN 1 ELSE 0 END)
+            AS BIGINT) ties_y,
+          CAST(sum(CASE WHEN a.x = b.x AND a.y = b.y THEN 1 ELSE 0 END)
+            AS BIGINT) ties_xy
+        FROM paired a JOIN paired b
+          ON a.pair = b.pair AND a.d < b.d
+        GROUP BY 1 ORDER BY 1""")),
+
     // q297: q286's Kendall τ-b census at CORPUS scale — the O(n log n)
     // inversion-count path (r18 directive #5). q286's per-source pair
     // self-join is quadratic in the group (honest under its eval-slice

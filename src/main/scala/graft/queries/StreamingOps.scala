@@ -589,6 +589,35 @@ object StreamingOps {
           JOIN ks ON pg.g = ks.g CROSS JOIN na
         ORDER BY event_type, bucket""")),
 
+    // q310: WINDOWED streaming Misra–Gries — the per-window rolling-
+    // vocabulary monitor: the custom HeavyHitters TypedImperativeAggregate
+    // (q102's batch sketch) inside a streaming tumbling-window
+    // aggregation, in the provably-exact regime (k = 8 ≥ the 5-type
+    // domain ⇒ no eviction ⇒ tracked estimates ARE the exact per-window
+    // counts — the q288 stance at the WINDOW grain). What this gate
+    // proves that q102/q288 don't: the sketch's serialize/partial-merge
+    // path under streaming window state (merges across micro-batches and
+    // shuffle partials), not just batch combine or per-key ValueState.
+    // State at scale: one O(k) buffer per open window; the watermark
+    // evicts closed windows.
+    QueryDef("q310_stream_windowed_heavy_hitters",
+      (s, d) => {
+        val e = EventStream.readEvents(s, d)
+        val agg = e.withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "1 day"))
+          .agg(graft.functions.HeavyHitters
+            .sketch(s, col("event_type"), 8).as("hh"))
+        EventStream.runToTable(s, agg, "complete")
+          .select(col("window.start").as("win_start"),
+            explode(col("hh")).as("e"))
+          .select(col("win_start"), col("e._1").as("event_type"),
+            col("e._2").as("cnt"))
+          .orderBy("win_start", "event_type")
+      },
+      Some("""SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) win_start,
+          event_type, CAST(count(*) AS BIGINT) cnt
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     // q288: streaming Misra–Gries per-user activity profile through the
     // driver gate, in the sketch's PROVABLY-EXACT regime: k = 8 ≥ the
     // 5-type event domain, so no counter ever decrements and the
