@@ -32,19 +32,25 @@ object Bench {
     // here by running its payer query once, so no rider's timed number
     // absorbs a multi-second build in registration order, and each
     // payer's own bench number is its documented WARM cost.
+    // dev-only subset filter (comma-separated name prefixes): lets a local
+    // run isolate session-accumulation effects; the driver never sets it
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").toSet)
     val memoPayers = Seq("q34_", "q124_", "q147_", "q176_", "q193_",
       "q210_", "q226_", "q228_", "q233_", "q282_", "q298_")
+    // subset runs warm only the payers in the subset (ADVICE r19: a dev
+    // run isolating one cheap query shouldn't pay every multi-second
+    // artifact build). Trade-off, dev-only: a rider benched WITHOUT its
+    // payer in the subset pays the artifact build cold — include the
+    // payer prefix in SPARK_GRAFT_BENCH_ONLY to time the warm cost.
     SparkEntry.queries.foreach { case (name, fn) =>
-      if (memoPayers.exists(name.startsWith)) {
+      if (memoPayers.exists(name.startsWith) &&
+          only.forall(_.exists(p => name.startsWith(p)))) {
         try fn(spark, sfDir).count()
         catch { case e: Throwable =>
           System.err.println(s"[bench] warm $name FAILED: ${e.getMessage}") }
       }
     }
-    // dev-only subset filter (comma-separated name prefixes): lets a local
-    // run isolate session-accumulation effects; the driver never sets it
-    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
-      .map(_.split(",").toSet)
     def shortKey(k: String): String = k.takeWhile(_ != '_')
     def timeOne(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
         name: String): Double =

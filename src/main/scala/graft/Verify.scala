@@ -38,6 +38,18 @@ object Verify {
       .flatMap { case (k, v) => Seq(k -> v, s"$k.parquet" -> v) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Explicit run-mode signal for check.py (ADVICE r19): the old >=90%-
+    // present heuristic misclassified a full run where >10% of queries
+    // crashed as a "subset run" and downgraded missing dumps to a note —
+    // the gate got quieter as breakage got worse. Now the dump SAYS
+    // whether it was full or subset, and check.py fails on ANY missing
+    // dump in a full run. Written before the query loop so a mid-run
+    // crash can't lose it.
+    val manifest =
+      if (only.isEmpty) """{"mode": "full"}"""
+      else s"""{"mode": "subset", "requested": ${
+        only.toSeq.sorted.map(q).mkString("[", ",", "]")}}"""
+    Files.writeString(Paths.get(s"$outDir/verify_manifest.json"), manifest)
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only.contains(name) }
       .foreach { case (name, fn) =>

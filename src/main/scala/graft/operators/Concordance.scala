@@ -38,7 +38,12 @@ import org.apache.spark.sql.functions._
   *
   * Contract: `xCol`/`yCol` cast to long; the composite sort key packs
   * (x, y) as x·2²² + y, exact while 0 ≤ y < 2²² and |x| < 2³⁰ — token
-  * counts and char lengths sit orders of magnitude inside. Output:
+  * counts and char lengths sit orders of magnitude inside. The bounds
+  * are ENFORCED at runtime (min/max piggybacked on the maxN driver
+  * aggregate): out-of-range inputs fail loudly instead of silently
+  * mis-ordering the sort key and returning a wrong census (ADVICE r19
+  * — q306/q309 feed per-(type, day) counts, which a large enough corpus
+  * could push past 2²²). Output:
   * (`gCol`, n_pairs, nc, ndis, ties_x, ties_y, ties_xy).
   */
 object Concordance {
@@ -61,8 +66,22 @@ object Concordance {
     val keyed = base.withColumn("sk", col("x") * lit(1L << 22) + col("y"))
     val ranked = Packing.groupedTwoPhaseRank(keyed, "g", "sk", buckets)
     // ⌈log₂ max-group-size⌉ merge levels — one 1-row driver read, the
-    // q271-class planning statistic, never corpus data
-    val maxN = ranked.agg(coalesce(max("gn"), lit(1L))).head().getLong(0)
+    // q271-class planning statistic, never corpus data. The same
+    // aggregate carries min/max(x, y) so the packing contract above is
+    // CHECKED, not assumed: y outside [0, 2²²) or |x| ≥ 2³⁰ would make
+    // sk = x·2²² + y mis-order silently → wrong nc/ndis with no error.
+    val st = ranked.agg(coalesce(max("gn"), lit(1L)),
+      coalesce(min("x"), lit(0L)), coalesce(max("x"), lit(0L)),
+      coalesce(min("y"), lit(0L)), coalesce(max("y"), lit(0L))).head()
+    val (maxN, xLo, xHi, yLo, yHi) =
+      (st.getLong(0), st.getLong(1), st.getLong(2), st.getLong(3), st.getLong(4))
+    require(yLo >= 0L && yHi < (1L << 22),
+      s"kendallCensus packing contract violated: $yCol range [$yLo, $yHi] " +
+        s"outside [0, ${1L << 22}) — the x*2^22+y sort key would mis-order; " +
+        "rescale/bucket y (e.g. divide counts by a fixed grain) first")
+    require(xLo > -(1L << 30) && xHi < (1L << 30),
+      s"kendallCensus packing contract violated: $xCol range [$xLo, $xHi] " +
+        s"outside (±${1L << 30}) — the x*2^22+y sort key would overflow")
     val levels = math.max(1,
       64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, maxN - 1)))
     val lv = ranked.select(col("g"), col("gpos"), col("y"))

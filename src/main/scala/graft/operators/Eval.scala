@@ -193,13 +193,82 @@ object Eval {
       .select(col("id"), col("grp"), col("gpos").as("r1"))
     val ry = Packing.groupedTwoPhaseRank(
         base.select(col("id"), col("grp"), col("y")), "grp", "y", buckets)
-      .select(col("id"), col("gpos").as("r2"))
-    rx.join(ry, "id")
+      .select(col("id"), col("grp"), col("gpos").as("r2"))
+    // pair the axes on (grp, id) — id alone would cross-match groups
+    // whenever ids are only unique WITHIN a group (r20 fix, found by
+    // SpearmanAvgRankSpec; doc_id callers are unaffected)
+    rx.join(ry, Seq("grp", "id"))
       .groupBy("grp")
       .agg(count(lit(1)).as("n"),
         sum((col("r1") - col("r2")) * (col("r1") - col("r2")))
           .as("d2_sum"))
       .select(col("grp").as(groupCol), col("n"), col("d2_sum"))
+  }
+
+  /** Per-group Spearman ρ with the TEXTBOOK average-rank tie treatment,
+    * exact as integers (the r19 directive — [[spearmanPerGroup]]'s
+    * documented deviation removed): ranks ship 2×-SCALED so the .5s of
+    * average ranks clear — `d2x4_sum` = Σ(2rₓ − 2r_y)² = 4·Σd² — plus
+    * the per-axis tie terms T = Σ(c³ − c) over value tie-runs, so the
+    * consumer computes the tie-corrected ρ exactly (Kendall, Rank
+    * Correlation Methods 1948): with 12·Sx = n³ − n − tie_x and
+    * 12·Sy = n³ − n − tie_y, ρ = (Sx + Sy − d2x4_sum/4) / (2·√(Sx·Sy))
+    * — one sqrt at the consumer, every shipped column int64. Tie-free
+    * axes reduce it to 1 − 6Σd²/(n(n²−1)) and to [[spearmanPerGroup]].
+    *
+    * Average ranks WITHOUT a per-group corpus window: both ranking
+    * passes are [[Packing.groupedTwoPhaseRank]] (0-based (value, id)
+    * sort position; skewed groups spread over all quantile buckets, and
+    * equal values never split across buckets so each tie-run is a
+    * contiguous gpos range); then per (group, value),
+    * 2·(1-based average rank) = min(gpos) + max(gpos) + 2 — one
+    * combinable value-grain aggregate joined back to the rows on
+    * (group, value), never a window over the group.
+    *
+    * int64-exactness bound: d2x4_sum ≤ 4n³ per group ⇒ exact while
+    * n ≲ 1.3×10⁶ per group. Bigger groups take the q286 stance: a
+    * bounded eval slice per group (rank association is a sample
+    * statistic; its precision saturates far below 10⁶).
+    *
+    * Output: (`group`, n, d2x4_sum, tie_x, tie_y).
+    *
+    * `xCol`/`yCol` must be INTEGRAL (the [[spearmanPerGroup]] contract):
+    * both cast to long — scale fractional scores to ticks upstream.
+    */
+  def spearmanAvgRankPerGroup(df: DataFrame, idCol: String,
+      groupCol: String, xCol: String, yCol: String,
+      buckets: Int = 32): DataFrame = {
+    val base = df.select(col(idCol).cast("long").as("id"),
+      col(groupCol).as("grp"), col(xCol).cast("long").as("x"),
+      col(yCol).cast("long").as("y"))
+    // per-row 2× average rank + per-group tie term, for one axis
+    def axis(valCol: String, tieAlias: String): (DataFrame, DataFrame) = {
+      val r2 = s"r2_$valCol"
+      val ranked = Packing.groupedTwoPhaseRank(
+        base.select(col("id"), col("grp"), col(valCol)), "grp", valCol, buckets)
+      val runs = ranked.groupBy("grp", valCol)
+        .agg((min("gpos") + max("gpos") + lit(2L)).as(r2),
+          count(lit(1)).as("c"))
+      val perRow = ranked.select("id", "grp", valCol)
+        .join(runs.select(col("grp"), col(valCol), col(r2)),
+          Seq("grp", valCol))
+        .select(col("id"), col("grp"), col(r2))
+      val ties = runs.groupBy("grp")
+        .agg(sum(col("c") * col("c") * col("c") - col("c")).as(tieAlias))
+      (perRow, ties)
+    }
+    val (rx, tx) = axis("x", "tie_x")
+    val (ry, ty) = axis("y", "tie_y")
+    // pair the two axes on (grp, id) — id alone would cross-match groups
+    // whenever ids are only unique WITHIN a group
+    rx.join(ry.select("grp", "id", "r2_y"), Seq("grp", "id"))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n"),
+        sum((col("r2_x") - col("r2_y")) * (col("r2_x") - col("r2_y")))
+          .as("d2x4_sum"))
+      .join(tx, "grp").join(ty, "grp")
+      .select(col("grp").as(groupCol), col("n"), col("d2x4_sum"),
+        col("tie_x"), col("tie_y"))
   }
 
   /** Per-group Gini concentration over a pre-counted (`group`, `item`,

@@ -2658,10 +2658,14 @@ object StatOps {
     // ties_y, ties_xy, n) per source; τ-b = (nc − ndis)/√((n₀−tx)(n₀−ty))
     // is the consumer's one sqrt. Shape: the pair enumeration is an
     // equi-join ON SOURCE (never a corpus cross) — per-source-quadratic
-    // like the q249 eval-slice contract, the right tool at eval-slice
-    // cardinality; at corpus scale τ-b takes the O(n log n) inversion
-    // path (sort by x, count y-inversions — a sequential merge per
-    // group) or rides this same join on a bounded slice per group.
+    // like the q249 eval-slice contract, the right tool ONLY at
+    // eval-slice cardinality. THE CORPUS-SCALE PATH IS q297
+    // ([[graft.operators.Concordance.kendallCensus]], proven ≡ this
+    // census at the driver gate — the q37→q126 delegation stance): this
+    // all-pairs form stays registered as the READABLE DEFINITION and
+    // the eval-slice tool; corpus callers route to kendallCensus, whose
+    // ⌈log₂ n⌉ window levels replace the quadratic join (SCALING.md
+    // q286/q297 rows).
     QueryDef("q286_kendall_tau",
       (s, d) => {
         val base = docs(s, d).select(col("source"), col("doc_id"),
@@ -2877,6 +2881,51 @@ object StatOps {
             AS BIGINT) ties_xy
         FROM base a JOIN base b
           ON a.source = b.source AND a.doc_id < b.doc_id
-        GROUP BY 1 ORDER BY 1"""))
+        GROUP BY 1 ORDER BY 1""")),
+
+    // q311: Spearman ρ with TEXTBOOK average-rank ties, exact integers
+    // (r19 directive #5) — the more common reporting statistic now that
+    // Kendall is exact at scale (q297): q207 ships id-tie-broken ranks
+    // (documented deviation); this ships the average-rank census the
+    // textbooks define, with the .5s cleared by 2×-scaling the ranks
+    // (d2x4_sum = 4·Σd²) plus the per-axis tie terms Σ(c³−c), so the
+    // consumer's tie-corrected ρ = (Sx + Sy − d2x4/4)/(2√(Sx·Sy)) with
+    // 12·Sx = n³−n−tie_x is exact to its one sqrt — see
+    // [[graft.operators.Eval.spearmanAvgRankPerGroup]]. Cheaper than
+    // Kendall: one groupedTwoPhaseRank per axis + a value-grain
+    // aggregate joined back on (source, value) — no merge levels, no
+    // pair join. Same (n_chars, token count) axes as q286/q297, so the
+    // three rank-association reads are directly comparable.
+    QueryDef("q311_spearman_avg_rank",
+      (s, d) => graft.operators.Eval.spearmanAvgRankPerGroup(
+          docs(s, d).select(col("doc_id"), col("source"), col("n_chars"),
+            size(TextFns.tokens(col("text"))).cast("long").as("ytok")),
+          "doc_id", "source", "n_chars", "ytok")
+        .orderBy("source"),
+      Some(s"""WITH b AS (SELECT doc_id, source, n_chars x,
+            CAST(len($OToks) AS BIGINT) y FROM documents),
+          rx AS (SELECT doc_id, source, x, row_number() OVER
+              (PARTITION BY source ORDER BY x, doc_id) rn FROM b),
+          ax AS (SELECT source, x, min(rn) + max(rn) r2, count(*) c
+            FROM rx GROUP BY 1, 2),
+          px AS (SELECT rx.doc_id, rx.source, ax.r2 FROM rx
+            JOIN ax ON rx.source = ax.source AND rx.x = ax.x),
+          ry AS (SELECT doc_id, source, y, row_number() OVER
+              (PARTITION BY source ORDER BY y, doc_id) rn FROM b),
+          ay AS (SELECT source, y, min(rn) + max(rn) r2, count(*) c
+            FROM ry GROUP BY 1, 2),
+          py AS (SELECT ry.doc_id, ry.source, ay.r2 FROM ry
+            JOIN ay ON ry.source = ay.source AND ry.y = ay.y),
+          tx AS (SELECT source, sum(c*c*c - c) t FROM ax GROUP BY 1),
+          ty AS (SELECT source, sum(c*c*c - c) t FROM ay GROUP BY 1),
+          dd AS (SELECT px.source, count(*) n,
+              sum((px.r2 - py.r2) * (px.r2 - py.r2)) d2
+            FROM px JOIN py ON px.doc_id = py.doc_id GROUP BY 1)
+        SELECT dd.source AS source, CAST(n AS BIGINT) n,
+          CAST(d2 AS BIGINT) d2x4_sum, CAST(tx.t AS BIGINT) tie_x,
+          CAST(ty.t AS BIGINT) tie_y
+        FROM dd JOIN tx ON dd.source = tx.source
+          JOIN ty ON dd.source = ty.source
+        ORDER BY source"""))
   )
 }

@@ -105,6 +105,10 @@ object StreamingOps {
   // query (foreachBatch) rather than batch slices
   private val eventsDriftStateCache = new SessionMemo[String]
 
+  // q312's streamed-in winnow index, built ONCE per (session, sf dir) —
+  // the q282 lifecycle stance for the dedup-index leg
+  private val streamWinnowIndexCache = new SessionMemo[String]
+
   val defs: Seq[QueryDef] = Seq(
 
     // q50: tumbling 1-hour windows × event_type, count + sum. State is one
@@ -598,8 +602,14 @@ object StreamingOps {
     // proves that q102/q288 don't: the sketch's serialize/partial-merge
     // path under streaming window state (merges across micro-batches and
     // shuffle partials), not just batch combine or per-key ValueState.
-    // State at scale: one O(k) buffer per open window; the watermark
-    // evicts closed windows.
+    // State at scale: one O(k) buffer per OPEN window — but only under
+    // append/update output, where the watermark finalizes and evicts a
+    // window once it closes. This gate runs in COMPLETE mode (a finite
+    // AvailableNow replay: append would never emit the windows past the
+    // last batch's watermark), and complete mode retains ALL window
+    // state for the run's lifetime — fine for a bounded replay, wrong
+    // for an unbounded deployment, which must use append/update to get
+    // the O(open windows) bound (ADVICE r19).
     QueryDef("q310_stream_windowed_heavy_hitters",
       (s, d) => {
         val e = EventStream.readEvents(s, d)
@@ -664,6 +674,82 @@ object StreamingOps {
         }
       },
       Some("""SELECT user_id, event_type, CAST(count(*) AS BIGINT) cnt
-        FROM events GROUP BY 1, 2 ORDER BY 1, 2"""))
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // q312: STREAMING INGEST → AT-REST DEDUP INDEX, end-to-end (r19
+    // directive #4) — closes the gap between the streaming surface and
+    // the at-rest index story: q282 proved foreachBatch → persisted
+    // additive state for drift COUNTS; this drives the winnow fingerprint
+    // index (q298's artifact) the same way. The standing corpus
+    // (doc_id % 5 != 0) is staged as a MULTI-FILE directory and read as a
+    // file STREAM with maxFilesPerTrigger = 1, so the index is built by
+    // N > 1 real micro-batch appends (each fingerprints only itself —
+    // appendToWinnowIndex), seeded from an EMPTY build that pins only
+    // (k, w) into the index identity. The registered read probes the
+    // batch slice (%5 = 0) against the at-rest posting set. The oracle
+    // replays the WHOLE corpus inline (q298's exact winnow SQL, same
+    // split) — a lost micro-batch, a double-applied batch, or a torn
+    // append = missed/phantom duplicates = hash fail. The result set is
+    // partitioning-independent: each doc lands in exactly one micro-batch
+    // and fingerprints only itself, so the union of per-batch posting
+    // sets IS the one-shot set. StreamingSpec drives the same lifecycle
+    // with a batch counter and asserts ≥ 2 micro-batches really ran. At
+    // 100 TB each micro-batch pays O(batch) fingerprinting, the standing
+    // index is never re-read by ingest, and compactWinnowIndex (directive
+    // #3) bounds the accumulated file count.
+    QueryDef("q312_stream_winnow_ingest",
+      (s, d) => {
+        val path = streamWinnowIndexCache(s, d) {
+          val base = java.nio.file.Files
+            .createTempDirectory("graft_q312").toString
+          val idx = s"$base/index"
+          val corpus = Tables.documents(s, d)
+            .filter(col("doc_id") % 5 =!= 0).select("doc_id", "text")
+          graft.operators.Dedup.buildWinnowIndex(
+            corpus.limit(0), "doc_id", "text", 3, 4, idx)
+          // stage the corpus as 3 files ⇒ 3 AvailableNow micro-batches
+          corpus.repartition(3).write.parquet(s"$base/ingest")
+          val ckptBase =
+            if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft_ckpt"
+            else System.getProperty("java.io.tmpdir") + "/graft_ckpt"
+          val q = s.readStream.schema(corpus.schema)
+            .option("maxFilesPerTrigger", "1").parquet(s"$base/ingest")
+            .writeStream
+            .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+              graft.operators.Dedup.appendToWinnowIndex(s, idx, b,
+                "doc_id", "text"); ()
+            }
+            .option("checkpointLocation",
+              s"$ckptBase/q312-${System.nanoTime()}")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          idx
+        }
+        graft.operators.Dedup.winnowIndexedMatches(s, path,
+            Tables.documents(s, d).filter(col("doc_id") % 5 === 0),
+            "doc_id", "text", 2)
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id,
+            ${graft.queries.TextShared.OToks} t FROM documents),
+          g AS (SELECT doc_id, i - 1 AS pos,
+              ('0x' || substr(md5(array_to_string(t[i:i+2], ' ')), 1, 8))::BIGINT
+                * 1048576 + (i - 1) AS key
+            FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) i) s
+            WHERE len(t) >= 3),
+          w AS (SELECT doc_id, pos,
+              min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) sel,
+              max(pos) OVER (PARTITION BY doc_id) mx
+            FROM g),
+          fps AS (SELECT DISTINCT doc_id, sel // 1048576 AS fp
+            FROM w WHERE pos >= 3 OR pos = mx)
+        SELECT b.doc_id id_a, c.doc_id id_b,
+          CAST(count(*) AS BIGINT) n_shared
+        FROM fps b JOIN fps c ON b.fp = c.fp AND b.doc_id != c.doc_id
+        WHERE b.doc_id % 5 = 0 AND c.doc_id % 5 != 0
+        GROUP BY 1, 2 HAVING count(*) >= 2
+        ORDER BY 1, 2"""))
   )
 }

@@ -68,6 +68,24 @@ class KendallSpec extends SparkSpec {
     assert(run(rows, buckets = 3) === ref(rows))
   }
 
+  test("packing-contract violations fail loudly, not wrongly (ADVICE r19)") {
+    // y at 2^22 would silently mis-order the x*2^22+y sort key — the
+    // runtime bound check (piggybacked on the maxN aggregate) must throw
+    val badY = Seq(("g", 1L, 1L, 1L << 22), ("g", 2L, 2L, 5L))
+    val eY = intercept[IllegalArgumentException] { run(badY) }
+    assert(eY.getMessage.contains("packing contract"))
+    val negY = Seq(("g", 1L, 1L, -1L), ("g", 2L, 2L, 5L))
+    assert(intercept[IllegalArgumentException] { run(negY) }
+      .getMessage.contains("packing contract"))
+    val badX = Seq(("g", 1L, 1L << 30, 1L), ("g", 2L, 2L, 5L))
+    assert(intercept[IllegalArgumentException] { run(badX) }
+      .getMessage.contains("packing contract"))
+    // boundary values INSIDE the contract still work
+    val ok = Seq(("g", 1L, (1L << 30) - 1, (1L << 22) - 1),
+      ("g", 2L, -(1L << 30) + 1, 0L), ("g", 3L, 0L, 7L))
+    assert(run(ok) === ref(ok))
+  }
+
   test("q297 O(n log n) ≡ q286 all-pairs on the real corpus") {
     val dir = "/root/testdata/sf0.001"
     val fast = SparkEntry.queries("q297_kendall_tau_nlogn")(spark, dir)

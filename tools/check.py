@@ -137,12 +137,19 @@ def main(sf_dir, out_dir):
     # (driver keys by file name); normalize before the missing-output check
     registered = {k[:-8] if k.endswith(".parquet") else k for k in oracle}
     missing = registered - set(names)
-    if missing and len(names) >= 0.9 * len(registered):
-        # a registered query with NO dump in a FULL run is a FAILURE, not
-        # a footnote — a query that crashed in Verify (e.g. the
-        # decimal-contract require) must not silently vanish from the
-        # gate (ADVICE r18). Subset dev runs (Verify called with explicit
-        # query names) legitimately dump few queries — note, don't fail.
+    # Run-mode signal (ADVICE r19): Verify writes verify_manifest.json
+    # declaring full vs subset, so a full run where many queries crashed
+    # can't masquerade as a subset run — in a full run ANY missing dump
+    # fails (a query that crashed in Verify, e.g. the decimal-contract
+    # require, must not silently vanish from the gate — ADVICE r18).
+    # Fallback for pre-manifest dumps: the old >=90%-present heuristic.
+    mode = None
+    mpath = os.path.join(out_dir, "verify_manifest.json")
+    if os.path.isfile(mpath):
+        with open(mpath) as f:
+            mode = json.load(f).get("mode")
+    full_run = (mode == "full") if mode else len(names) >= 0.9 * len(registered)
+    if missing and full_run:
         print(f"[FAIL-missing verify output] {sorted(missing)}")
         n_bad += len(missing)
     elif missing:
