@@ -288,6 +288,40 @@ object Dedup {
     Checkpoints.release(hs)
   }
 
+  /** Index maintenance (r19 directive #3): compact the LSH index's small
+    * files. Daily [[appendToLshIndex]] batches land one file per batch in
+    * each band directory and one per batch under `sets`; after a year
+    * that is 365 files per band scanned by EVERY probe, and at 100 TB
+    * scan cost is dominated by file count once files shrink below the FS
+    * block size. [[Similarity.stagedSwap]] template per table — staging
+    * dir + two renames, crash-safe (same concurrent-reader caveat). Row
+    * content is copied verbatim, so probe results are identical
+    * before/after and appends-then-compact ≡ one-shot build
+    * (LshIndexSpec asserts both). Rewrite widths are size-derived
+    * (ceil(bytes/128 MiB)): `buckets` range-partitions on (band, key) —
+    * the partition column has only `bands` values, so keying the shuffle
+    * by band alone would emit one monolithic file per band at any corpus
+    * size — and `sets` hash-partitions on id. Returns (files before,
+    * after) summed over both tables.
+    */
+  def compactLshIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): (Int, Int) = {
+    Similarity.readIndexMeta(spark, path, "lsh")
+    val (b1, a1) = Similarity.stagedSwap(spark, s"$path/buckets") { staging =>
+      graft.sources.TableSink.writePartitioned(
+        spark.read.parquet(s"$path/buckets")
+          .repartitionByRange(Similarity.compactWidth(spark, s"$path/buckets"),
+            col("band"), col("key")),
+        staging, Seq("band"))
+    }
+    val (b2, a2) = Similarity.stagedSwap(spark, s"$path/sets") { staging =>
+      spark.read.parquet(s"$path/sets")
+        .repartition(Similarity.compactWidth(spark, s"$path/sets"), col("id"))
+        .write.parquet(staging)
+    }
+    (b1 + b2, a1 + a2)
+  }
+
   /** Probe: near-dup pairs (batch doc, indexed doc) with exact Jaccard ≥
     * `threshold`, candidates from the batch's band keys against the
     * at-rest bucket table. The batch side (a daily ingest, small next to
@@ -737,6 +771,29 @@ object Dedup {
       .parquet(s"$path/fps")
   }
 
+  /** Index maintenance (r19 directive #3): compact the winnow index's
+    * posting files — [[appendToWinnowIndex]] lands one file per batch
+    * under `fps`, and every probe scans them all. Same
+    * [[Similarity.stagedSwap]] template as [[compactLshIndex]] (staging +
+    * two renames, crash-safe, maintenance-window caveat); rows copied
+    * verbatim ⇒ probes identical before/after and appends-then-compact ≡
+    * one-shot build (each append fingerprints only its own NEW ids with
+    * the stored (k, w), so the union of per-batch distinct posting sets
+    * IS the one-shot distinct set — WinnowIndexSpec asserts it). Rewrite
+    * width is size-derived, hash-keyed on fp (the probe's join key, so a
+    * bucket-pruned future reader stays possible). Returns (files before,
+    * after).
+    */
+  def compactWinnowIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): (Int, Int) = {
+    Similarity.readIndexMeta(spark, path, "winnow")
+    Similarity.stagedSwap(spark, s"$path/fps") { staging =>
+      spark.read.parquet(s"$path/fps")
+        .repartition(Similarity.compactWidth(spark, s"$path/fps"), col("fp"))
+        .write.parquet(staging)
+    }
+  }
+
   /** Probe: (batch doc, indexed doc) pairs sharing ≥ `minShared` DISTINCT
     * selected fingerprints — winnowing's overlap guarantee makes this the
     * shared-passage detector (any common run of ≥ w+k−1 tokens shares a
@@ -758,6 +815,62 @@ object Dedup {
       .groupBy(col("b.id").as("id_a"), col("c.id").as("id_b"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
+  }
+
+  /** Bounded longest-shared-span audit (r19 stretch #7) — the
+    * suffix-array "longest duplicated substring" question (Lee et al.,
+    * ACL 2022) restated for the candidate pairs an index already found:
+    * for each (id_a, id_b) of `candidates`, the maximum n ∈ `levels`
+    * (ascending, e.g. 8/16/32/64 tokens) such that the two documents
+    * share an exact contiguous n-token span — 0 when even the smallest
+    * level misses. [[spanScrub]] asks "which fixed-n spans repeat
+    * corpus-wide"; this grades HOW LONG the overlap is per pair — the
+    * severity axis of the span-dedup family (a 64-token shared span is
+    * verbatim boilerplate; an 8-token one may be a common phrase).
+    *
+    * Probe shape, monotone by construction: a shared n-gram contains a
+    * shared m-gram for every m < n, so levels probe ASCENDING and each
+    * level fingerprints only the documents of pairs still alive at the
+    * previous level — the staged binary-probe narrowing. Per level: one
+    * distinct (id, hash60(n-gram)) posting build over the alive docs
+    * (map-side explode, one combine shuffle), a self-equi-join on the
+    * gram hash restricted to alive candidate pairs (leftsemi), never a
+    * corpus cross. At 100 TB the level-8 postings ride the candidate
+    * pairs' doc set — index-output-sized, not corpus-sized — and every
+    * later level shrinks with the surviving pairs.
+    *
+    * Output: (id_a, id_b, max_shared_n), one row per candidate pair.
+    */
+  def longestSharedSpanLevel(docs: DataFrame, idCol: String,
+      textCol: String, candidates: DataFrame,
+      levels: Seq[Int] = Seq(8, 16, 32, 64)): DataFrame = {
+    val cand = Checkpoints.cut(candidates.select("id_a", "id_b"))
+    val cuts = scala.collection.mutable.ArrayBuffer[DataFrame](cand)
+    val tagged = scala.collection.mutable.ArrayBuffer[DataFrame](
+      cand.withColumn("lvl", lit(0)))
+    var alive = cand
+    for (n <- levels.sorted) {
+      if (!alive.isEmpty) {
+        val ids = alive.select(col("id_a").as("id"))
+          .union(alive.select(col("id_b").as("id"))).distinct()
+        val sub = docs.join(ids, docs(idCol) === ids("id"), "leftsemi")
+        val post = Checkpoints.cut(shinglePostings(sub, idCol, textCol, n))
+        val hit = Checkpoints.cut(
+          post.as("a").join(post.as("b"),
+              col("a.shingle") === col("b.shingle") &&
+                col("a.id") < col("b.id"))
+            .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+            .distinct()
+            .join(alive, Seq("id_a", "id_b"), "leftsemi"))
+        Checkpoints.release(post)
+        cuts += hit
+        tagged += hit.withColumn("lvl", lit(n))
+        alive = hit
+      }
+    }
+    val out = tagged.reduce(_.unionByName(_))
+      .groupBy("id_a", "id_b").agg(max("lvl").as("max_shared_n"))
+    Checkpoints.sealAndRelease(out, cuts.toSeq: _*)
   }
 
   /** Cross-corpus contamination check — the decontamination step of an LLM

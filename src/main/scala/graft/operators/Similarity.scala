@@ -778,26 +778,73 @@ object Similarity {
     // nrm, meta…) IVF rows and (id, codes, meta…) IVF-PQ rows compact the
     // same way — one shuffle keyed on bucket, one file per directory
     readIndexMeta(spark, path, "ivf", "ivfpq")
-    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def parquetCount(p: Path): Int = {
-      val it = fs.listFiles(p, true)
-      var n = 0
-      while (it.hasNext) if (it.next().getPath.getName.endsWith(".parquet")) n += 1
-      n
+    stagedSwap(spark, s"$path/buckets") { staging =>
+      graft.sources.TableSink.writePartitioned(
+        spark.read.parquet(s"$path/buckets").repartition(col("bucket")),
+        staging, Seq("bucket"))
     }
-    val live = new Path(s"$path/buckets")
-    val before = parquetCount(live)
-    val staging = new Path(s"$path/buckets_compacting")
+  }
+
+  /** Parquet data-file count under `p`, recursive. */
+  private[operators] def parquetFileCount(fs: org.apache.hadoop.fs.FileSystem,
+      p: Path): Int = {
+    val it = fs.listFiles(p, true)
+    var n = 0
+    while (it.hasNext) if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+    n
+  }
+
+  /** Total parquet bytes under `p` — sizes a compaction's shuffle width so
+    * rewritten files land near the scan granularity instead of one file
+    * per key (fine for thousands of IVF buckets, catastrophic for an index
+    * whose partition column has 12 values at 100 TB).
+    */
+  private[operators] def parquetBytes(fs: org.apache.hadoop.fs.FileSystem,
+      p: Path): Long = {
+    val it = fs.listFiles(p, true)
+    var b = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) b += f.getLen
+    }
+    b
+  }
+
+  /** The staged-swap compaction template, shared by [[compactIvfIndex]]
+    * and the Dedup postings compactors (the r19 directive): `write`
+    * rewrites the live dir's content into the sibling staging dir it is
+    * handed, then two renames swap it in — CRASH-safe (a reader never
+    * sees a half-written table; a crashed compact leaves the live table
+    * untouched and its debris is cleared on the next run), but not
+    * concurrent-reader-safe: between the renames the live path is briefly
+    * absent, and on object stores (rename = copy) the window widens — run
+    * in a maintenance window or front with a manifest/table format.
+    * Returns (parquet files before, after).
+    */
+  private[operators] def stagedSwap(spark: org.apache.spark.sql.SparkSession,
+      liveDir: String)(write: String => Unit): (Int, Int) = {
+    val live = new Path(liveDir)
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val before = parquetFileCount(fs, live)
+    val staging = new Path(s"${liveDir}_compacting")
     fs.delete(staging, true) // a crashed previous compact leaves no debris
-    graft.sources.TableSink.writePartitioned(
-      spark.read.parquet(live.toString).repartition(col("bucket")),
-      staging.toString, Seq("bucket"))
-    val retired = new Path(s"$path/buckets_retired")
+    write(staging.toString)
+    val retired = new Path(s"${liveDir}_retired")
     fs.delete(retired, true)
     require(fs.rename(live, retired), s"could not retire $live")
     require(fs.rename(staging, live), s"could not publish $staging")
     fs.delete(retired, true)
-    (before, parquetCount(live))
+    (before, parquetFileCount(fs, live))
+  }
+
+  /** Shuffle width for a compaction rewrite: ceil(live bytes / 128 MiB),
+    * min 1 — one output file per scan-granularity chunk.
+    */
+  private[operators] def compactWidth(spark: org.apache.spark.sql.SparkSession,
+      liveDir: String): Int = {
+    val live = new Path(liveDir)
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    math.max(1L, (parquetBytes(fs, live) + (128L << 20) - 1) / (128L << 20)).toInt
   }
 
   /** Probe-many half: top-k for a fresh query batch against a saved

@@ -256,6 +256,10 @@ object TextDedupOps {
     // rest. Full oracle: the exact cross-slice inverted-index Jaccard —
     // the same shared-oracle argument as q35 (banding recall ≈ 1 at the
     // corpus's planted similarities; no pairs sit near the threshold).
+    // Maintenance: daily appends accumulate one file per batch per band —
+    // Dedup.compactLshIndex (r19 directive #3, staged-swap, probe-
+    // identical, spec: appends+compact ≡ one-shot build) bounds the file
+    // count the probes scan.
     QueryDef("q147_lsh_indexed_neardup",
       (s, d) => {
         val path = lshIndexCache.getOrElseUpdate((s, d), {
@@ -1194,7 +1198,11 @@ object TextDedupOps {
     // exchange is the true-match-sized pair agg). minShared = 2 distinct
     // shared fingerprints ≈ MOSS's match threshold; winnowing's
     // guarantee makes a shared ≥ w+k−1-token passage always discoverable.
-    // WinnowIndexSpec pins append visibility + the indexed ≡ inline law.
+    // WinnowIndexSpec pins append visibility + the indexed ≡ inline law,
+    // plus the maintenance leg: Dedup.compactWinnowIndex (r19 directive
+    // #3, staged-swap, probe-identical, appends+compact ≡ one-shot
+    // build) collapses the one-file-per-append accumulation; q312 drives
+    // the appends from a real STREAMING query's foreachBatch.
     QueryDef("q298_winnow_indexed_overlap",
       (s, d) => {
         val path = winnowIndexCache.getOrElseUpdate((s, d), {
@@ -1275,6 +1283,47 @@ object TextDedupOps {
         SELECT ng.source, CAST(nf.n_fps AS BIGINT) n_fps,
           CAST(ng.n_grams AS BIGINT) n_grams,
           CAST(nf.n_fps * 1000000 // ng.n_grams AS BIGINT) density_micro
-        FROM ng JOIN nf USING (source) ORDER BY 1"""))
+        FROM ng JOIN nf USING (source) ORDER BY 1""")),
+
+    // q313: bounded longest-shared-span audit (r19 stretch #7) — for
+    // each near-dup candidate pair from the session's exact-Jaccard
+    // index (the q34/q151 shared pair memo), the maximum n ∈
+    // {8,16,32,64} at which the pair shares an exact contiguous n-token
+    // span (0 = shorter than 8). q111 scrubs fixed-16 spans corpus-wide;
+    // this grades overlap SEVERITY per pair — Lee et al. ACL'22's
+    // longest-duplicate question answered to binary precision by
+    // ascending monotone probes that fingerprint only the docs of pairs
+    // still alive (see Dedup.longestSharedSpanLevel). The oracle replays
+    // every level's gram join verbatim on the candidate pairs. Spark
+    // joins gram hash60s, the oracle gram strings — the documented
+    // injective-on-the-corpus equivalence (q34's stance).
+    QueryDef("q313_longest_shared_span",
+      (s, d) => Dedup.longestSharedSpanLevel(docs(s, d), "doc_id", "text",
+          jaccardPairs(s, d))
+        .orderBy("id_a", "id_b"),
+      Some(s"""WITH toks AS (SELECT doc_id, $OToks t FROM documents),
+          sets AS (SELECT doc_id, $OShingles sh FROM toks WHERE len(t) >= 3),
+          inv AS (SELECT doc_id, len(sh) n, unnest(sh) shingle FROM sets),
+          cand AS (SELECT id_a, id_b FROM (
+              SELECT a.doc_id id_a, b.doc_id id_b, a.n na, b.n nb,
+                count(*) inter
+              FROM inv a JOIN inv b
+                ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2, 3, 4) p
+            WHERE round(inter / (na + nb - inter), 4) >= 0.6),
+          g AS (${Seq(8, 16, 32, 64).map(n =>
+            s"""SELECT DISTINCT doc_id, $n AS n,
+              array_to_string(t[i:i+$n-1], ' ') gram
+            FROM toks,
+              LATERAL (SELECT unnest(generate_series(1, len(t) - $n + 1)) i) s
+            WHERE len(t) >= $n""").mkString(" UNION ALL ")}),
+          hits AS (SELECT DISTINCT a.doc_id id_a, b.doc_id id_b, a.n
+            FROM g a JOIN g b
+              ON a.gram = b.gram AND a.n = b.n AND a.doc_id < b.doc_id)
+        SELECT c.id_a, c.id_b,
+          CAST(coalesce(max(h.n), 0) AS INTEGER) max_shared_n
+        FROM cand c LEFT JOIN hits h
+          ON c.id_a = h.id_a AND c.id_b = h.id_b
+        GROUP BY 1, 2 ORDER BY 1, 2"""))
   )
 }

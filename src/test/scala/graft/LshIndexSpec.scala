@@ -101,6 +101,38 @@ class LshIndexSpec extends SparkSpec {
       "the cut snapshot must not see postings appended after it")
   }
 
+  test("N appends + compact ≡ one-shot build: files collapse, probes bit-identical") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val hist = docs.filter(col("doc_id") % 5 =!= 0)
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    // three "daily" ingest slices of the standing corpus
+    val slices = (1 to 4).map(r => hist.filter(col("doc_id") % 5 === r))
+    val path = tmp("graft_lsh_spec_compact")
+    Dedup.buildLshIndex(slices.head, "doc_id", "text", 3, path)
+    slices.tail.foreach(s =>
+      Dedup.appendToLshIndex(spark, path, s, "doc_id", "text"))
+    val beforeProbe = Dedup.lshIndexedPairs(spark, path, batch,
+      "doc_id", "text", 0.6).collect().map(_.toSeq).toSet
+    val (nBefore, nAfter) = Dedup.compactLshIndex(spark, path)
+    assert(nAfter < nBefore,
+      s"compaction must collapse the per-append files ($nBefore -> $nAfter)")
+    val afterProbe = Dedup.lshIndexedPairs(spark, path, batch,
+      "doc_id", "text", 0.6).collect().map(_.toSeq).toSet
+    assert(afterProbe === beforeProbe, "probe must be identical across compact")
+    // and ≡ a one-shot build over the union
+    val oneShot = tmp("graft_lsh_spec_oneshot")
+    Dedup.buildLshIndex(hist, "doc_id", "text", 3, oneShot)
+    val oneShotProbe = Dedup.lshIndexedPairs(spark, oneShot, batch,
+      "doc_id", "text", 0.6).collect().map(_.toSeq).toSet
+    assert(afterProbe === oneShotProbe)
+    // wrong-kind guard: the compactor refuses a winnow index
+    val wn = tmp("graft_lsh_spec_compact_wrong")
+    Dedup.buildWinnowIndex(corpus, "doc_id", "text", 3, 4, wn)
+    assert(intercept[IllegalArgumentException] {
+      Dedup.compactLshIndex(spark, wn)
+    }.getMessage.contains("kind"))
+  }
+
   test("probing a non-index or wrong-kind path is a domain error") {
     val none = intercept[IllegalArgumentException] {
       Dedup.lshIndexedPairs(spark, tmp("graft_lsh_none"), corpus,

@@ -75,6 +75,36 @@ class WinnowIndexSpec extends SparkSpec {
     assert(indexed === inline)
   }
 
+  test("N appends + compact ≡ one-shot build: files collapse, probes bit-identical") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val hist = docs.filter(col("doc_id") % 5 =!= 0)
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    val slices = (1 to 4).map(r => hist.filter(col("doc_id") % 5 === r))
+    val path = tmp("graft_winnow_spec_compact")
+    Dedup.buildWinnowIndex(slices.head, "doc_id", "text", 4, 4, path)
+    slices.tail.foreach(s =>
+      Dedup.appendToWinnowIndex(spark, path, s, "doc_id", "text"))
+    val beforeProbe = Dedup.winnowIndexedMatches(spark, path, batch,
+      "doc_id", "text", 2).collect().map(_.toSeq).toSet
+    val (nBefore, nAfter) = Dedup.compactWinnowIndex(spark, path)
+    assert(nAfter < nBefore,
+      s"compaction must collapse the per-append files ($nBefore -> $nAfter)")
+    val afterProbe = Dedup.winnowIndexedMatches(spark, path, batch,
+      "doc_id", "text", 2).collect().map(_.toSeq).toSet
+    assert(afterProbe === beforeProbe, "probe must be identical across compact")
+    val oneShot = tmp("graft_winnow_spec_oneshot")
+    Dedup.buildWinnowIndex(hist, "doc_id", "text", 4, 4, oneShot)
+    val oneShotProbe = Dedup.winnowIndexedMatches(spark, oneShot, batch,
+      "doc_id", "text", 2).collect().map(_.toSeq).toSet
+    assert(afterProbe === oneShotProbe)
+    // wrong-kind guard: the compactor refuses an LSH index
+    val lsh = tmp("graft_winnow_spec_compact_wrong")
+    Dedup.buildLshIndex(corpus, "doc_id", "text", 3, lsh)
+    assert(intercept[IllegalArgumentException] {
+      Dedup.compactWinnowIndex(spark, lsh)
+    }.getMessage.contains("kind"))
+  }
+
   test("probing a wrong-kind path is a domain error") {
     val path = tmp("graft_winnow_spec_kind")
     Dedup.buildLshIndex(corpus, "doc_id", "text", 3, path)
