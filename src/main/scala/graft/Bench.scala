@@ -117,13 +117,20 @@ object Bench {
     // short qNN keys (the contract's own example shape, {"q1":sec,...}):
     // full names at 2 decimals overflow the tail at ~75 entries and the
     // cap would drop the fastest queries' timings
+    // movers by NAME on the line (r19 directive #2b): the 1850-char cap
+    // drops the fastest per-query entries, so a mover whose base entry is
+    // dropped would otherwise leave a bare "qNNrt" with no visible sweep
+    // value — the compact name list keeps every adjudication on the
+    // board of record
+    val moverNames = movers.map(m => "\"" + shortKey(m._1) + "\"")
+      .mkString("[", ",", "]")
     def line(qs: Seq[(String, Double)]): String = {
       val m = qs.flatMap { case (k, v) =>
         val sk = shortKey(k)
         ("\"" + sk + "\":" + fmt(v)) +:
           retimed.get(k).toSeq.map(r => "\"" + sk + "rt\":" + fmt(r))
       }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total)},"value_adj":${fmt(totalAdj)},"unit":"sec","queries":$m,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"value_adj":${fmt(totalAdj)},"unit":"sec","queries":$m,"movers":$moverNames,"sf":"$sfDir"}"""
     }
     // dev-only: full per-query dump (every entry, no line cap) for band
     // maintenance — the driver never sets it
