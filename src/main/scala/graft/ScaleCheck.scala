@@ -72,7 +72,8 @@ object ScaleCheck {
     "q302_tpch_q9", "q303_tpch_q11", "q304_tpch_q14", "q305_tpch_q2",
     "q306_mann_kendall_trend", "q307_kuiper_hour_drift",
     "q308_winnow_density", "q309_kendall_comovement",
-    "q310_stream_windowed_heavy_hitters")
+    "q310_stream_windowed_heavy_hitters", "q311_spearman_avg_rank",
+    "q312_stream_winnow_ingest", "q313_longest_shared_span")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
@@ -98,11 +99,13 @@ object ScaleCheck {
     val dst = "/tmp/graft_sf1"
     val k = 10
     // dev re-runs: `noreplicate` reuses an existing /tmp replica;
-    // `only=<name>` times just that query (repeated, for variance checks)
+    // `only=<name>[,<name>…]` times just those queries (the r19 stretch-#8
+    // sf1 spot gate runs its 10-query headline set through this)
     val noReplicate = args.contains("noreplicate")
-    val onlyQ = args.collectFirst { case a if a.startsWith("only=") => a.drop(5) }
-    onlyQ.foreach { q => require(TimedQueries.contains(q),
-      s"only=$q matches no timed query; valid: ${TimedQueries.mkString(", ")}") }
+    val onlyQ = args.collectFirst { case a if a.startsWith("only=") =>
+      a.drop(5).split(",").toSet }
+    onlyQ.foreach(_.foreach { q => require(TimedQueries.contains(q),
+      s"only=$q matches no timed query; valid: ${TimedQueries.mkString(", ")}") })
     def replicate(name: String, keyCols: Seq[String], offset: Long): Unit = {
       val base = spark.read.parquet(s"$src/$name.parquet")
       val copies = (0 until k).map { i =>
@@ -127,7 +130,7 @@ object ScaleCheck {
       val n = f
       println(f"== $name rows=$n t=${(System.nanoTime() - t0) / 1e9}%.1fs")
     }
-    for (q <- TimedQueries if onlyQ.forall(_ == q)) {
+    for (q <- TimedQueries if onlyQ.forall(_.contains(q))) {
       val reps = if (onlyQ.isDefined) 3 else 1
       (1 to reps).foreach { _ =>
         time(q)(SparkEntry.queries(q)(spark, dst).count())

@@ -845,7 +845,15 @@ object Dedup {
       textCol: String, candidates: DataFrame,
       levels: Seq[Int] = Seq(8, 16, 32, 64)): DataFrame = {
     val cand = Checkpoints.cut(candidates.select("id_a", "id_b"))
-    val cuts = scala.collection.mutable.ArrayBuffer[DataFrame](cand)
+    // the candidate pairs' documents, extracted from the corpus ONCE —
+    // every level's shrinking alive set is a subset, so later levels
+    // semi-join this cut instead of re-scanning the corpus
+    val candDocs = Checkpoints.cut(docs.join(
+        cand.select(col("id_a").as("id"))
+          .union(cand.select(col("id_b").as("id"))).distinct(),
+        docs(idCol) === col("id"), "leftsemi")
+      .select(col(idCol), col(textCol)))
+    val cuts = scala.collection.mutable.ArrayBuffer[DataFrame](cand, candDocs)
     val tagged = scala.collection.mutable.ArrayBuffer[DataFrame](
       cand.withColumn("lvl", lit(0)))
     var alive = cand
@@ -853,7 +861,7 @@ object Dedup {
       if (!alive.isEmpty) {
         val ids = alive.select(col("id_a").as("id"))
           .union(alive.select(col("id_b").as("id"))).distinct()
-        val sub = docs.join(ids, docs(idCol) === ids("id"), "leftsemi")
+        val sub = candDocs.join(ids, candDocs(idCol) === ids("id"), "leftsemi")
         val post = Checkpoints.cut(shinglePostings(sub, idCol, textCol, n))
         val hit = Checkpoints.cut(
           post.as("a").join(post.as("b"),

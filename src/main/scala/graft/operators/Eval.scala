@@ -238,9 +238,14 @@ object Eval {
   def spearmanAvgRankPerGroup(df: DataFrame, idCol: String,
       groupCol: String, xCol: String, yCol: String,
       buckets: Int = 32): DataFrame = {
-    val base = df.select(col(idCol).cast("long").as("id"),
+    // CUT: ten consumers reach this frame (per axis: the rank machinery's
+    // quantile probe + bucketed pass, the tie-run aggregate, the join-
+    // back; plus the pairing join) — without the cut each re-runs the
+    // upstream plan from the scan (ScanAudit measured documents ×10 on
+    // the q311 draft; the Concordance/q199 staging discipline)
+    val base = Checkpoints.cut(df.select(col(idCol).cast("long").as("id"),
       col(groupCol).as("grp"), col(xCol).cast("long").as("x"),
-      col(yCol).cast("long").as("y"))
+      col(yCol).cast("long").as("y")))
     // per-row 2× average rank + per-group tie term, for one axis
     def axis(valCol: String, tieAlias: String): (DataFrame, DataFrame) = {
       val r2 = s"r2_$valCol"
@@ -261,7 +266,7 @@ object Eval {
     val (ry, ty) = axis("y", "tie_y")
     // pair the two axes on (grp, id) — id alone would cross-match groups
     // whenever ids are only unique WITHIN a group
-    rx.join(ry.select("grp", "id", "r2_y"), Seq("grp", "id"))
+    val out = rx.join(ry.select("grp", "id", "r2_y"), Seq("grp", "id"))
       .groupBy("grp")
       .agg(count(lit(1)).as("n"),
         sum((col("r2_x") - col("r2_y")) * (col("r2_x") - col("r2_y")))
@@ -269,6 +274,7 @@ object Eval {
       .join(tx, "grp").join(ty, "grp")
       .select(col("grp").as(groupCol), col("n"), col("d2x4_sum"),
         col("tie_x"), col("tie_y"))
+    Checkpoints.sealAndRelease(out, base)
   }
 
   /** Per-group Gini concentration over a pre-counted (`group`, `item`,
