@@ -37,7 +37,8 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").toSet)
     val memoPayers = Seq("q34_", "q124_", "q147_", "q176_", "q193_",
-      "q210_", "q226_", "q228_", "q233_", "q282_", "q298_", "q312_")
+      "q210_", "q226_", "q228_", "q233_", "q282_", "q298_", "q312_",
+      "q314_", "q315_")
     // subset runs warm only the payers in the subset (ADVICE r19: a dev
     // run isolating one cheap query shouldn't pay every multi-second
     // artifact build). Trade-off, dev-only: a rider benched WITHOUT its

@@ -46,6 +46,13 @@ object TextDedupOps {
   private val winnowIndexCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
 
+  // q314/q315's compacted index twins (build + append + COMPACT once per
+  // session/dir — their own dirs, never q147/q298's: compaction swaps
+  // directories, and a sibling query's lazily-listed files must not be
+  // retired under it)
+  private val compactedWinnowCache = new SessionMemo[String]
+  private val compactedLshCache = new SessionMemo[String]
+
   // q228's full daily-relabel lifecycle artifact (index build + two
   // append/probe/relabel rounds + the final label table), run ONCE per
   // (session, sf dir): the appends MUTATE the at-rest index, so the
@@ -1324,6 +1331,93 @@ object TextDedupOps {
           CAST(coalesce(max(h.n), 0) AS INTEGER) max_shared_n
         FROM cand c LEFT JOIN hits h
           ON c.id_a = h.id_a AND c.id_b = h.id_b
-        GROUP BY 1, 2 ORDER BY 1, 2"""))
+        GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // q314: the winnow index's COMPACTED lifecycle through the driver
+    // gate (r19 directive #3 "proven ≡ rebuild", gated, not just
+    // spec'd): build on %5 ∈ {1,2}, append %5 ∈ {3,4} (two files land
+    // per append), then compactWinnowIndex's staged-swap rewrite, THEN
+    // the probe — against the same exact whole-corpus oracle as q298.
+    // A compaction that drops, duplicates, or corrupts one posting row
+    // hash-fails here; q298 (uncompacted) and q312 (stream-built) pin
+    // the other two corners of the lifecycle, so a divergence localizes
+    // to the compactor. Own index dir — compaction swaps directories,
+    // so it never runs under q298's lazily-listed files.
+    QueryDef("q314_winnow_compacted_probe",
+      (s, d) => {
+        val path = compactedWinnowCache(s, d) {
+          val p = java.nio.file.Files
+            .createTempDirectory("graft_winnow_q314").toString
+          Dedup.buildWinnowIndex(docs(s, d).filter(col("doc_id") % 5 === 1 ||
+              col("doc_id") % 5 === 2), "doc_id", "text", 3, 4, p)
+          Dedup.appendToWinnowIndex(s, p, docs(s, d)
+            .filter(col("doc_id") % 5 === 3 || col("doc_id") % 5 === 4),
+            "doc_id", "text")
+          val (before, after) = Dedup.compactWinnowIndex(s, p)
+          require(after <= before, s"compaction grew the index ($before -> $after)")
+          p
+        }
+        Dedup.winnowIndexedMatches(s, path,
+            docs(s, d).filter(col("doc_id") % 5 === 0), "doc_id", "text", 2)
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, $OToks t FROM documents),
+          g AS (SELECT doc_id, i - 1 AS pos,
+              ('0x' || substr(md5(array_to_string(t[i:i+2], ' ')), 1, 8))::BIGINT
+                * 1048576 + (i - 1) AS key
+            FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) i) s
+            WHERE len(t) >= 3),
+          w AS (SELECT doc_id, pos,
+              min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) sel,
+              max(pos) OVER (PARTITION BY doc_id) mx
+            FROM g),
+          fps AS (SELECT DISTINCT doc_id, sel // 1048576 AS fp
+            FROM w WHERE pos >= 3 OR pos = mx)
+        SELECT b.doc_id id_a, c.doc_id id_b,
+          CAST(count(*) AS BIGINT) n_shared
+        FROM fps b JOIN fps c ON b.fp = c.fp AND b.doc_id != c.doc_id
+        WHERE b.doc_id % 5 = 0 AND c.doc_id % 5 != 0
+        GROUP BY 1, 2 HAVING count(*) >= 2
+        ORDER BY 1, 2""")),
+
+    // q315: the LSH index's COMPACTED lifecycle through the driver gate —
+    // q314's twin for the band-postings layout (the compactor's hard
+    // case: the partition column has only `bands` values, so the rewrite
+    // range-partitions on (band, key)): build on %5 ∈ {1,2}, append
+    // %5 ∈ {3,4}, compactLshIndex (buckets AND sets tables), probe the
+    // %5 = 0 batch at 0.6 — against q147's exact cross-slice Jaccard
+    // oracle (the same banding-recall ≈ 1 shared-oracle argument).
+    QueryDef("q315_lsh_compacted_probe",
+      (s, d) => {
+        val path = compactedLshCache(s, d) {
+          val p = java.nio.file.Files
+            .createTempDirectory("graft_lsh_q315").toString
+          Dedup.buildLshIndex(docs(s, d).filter(col("doc_id") % 5 === 1 ||
+              col("doc_id") % 5 === 2), "doc_id", "text", 3, p)
+          Dedup.appendToLshIndex(s, p, docs(s, d)
+            .filter(col("doc_id") % 5 === 3 || col("doc_id") % 5 === 4),
+            "doc_id", "text")
+          val (before, after) = Dedup.compactLshIndex(s, p)
+          require(after <= before, s"compaction grew the index ($before -> $after)")
+          p
+        }
+        Dedup.lshIndexedPairs(s, path,
+            docs(s, d).filter(col("doc_id") % 5 === 0), "doc_id", "text", 0.6)
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, $OToks t FROM documents),
+        sets AS (SELECT doc_id, $OShingles sh FROM toks WHERE len(t) >= 3),
+        inv_a AS (SELECT doc_id, len(sh) n, unnest(sh) shingle FROM sets
+          WHERE doc_id % 5 = 0),
+        inv_b AS (SELECT doc_id, len(sh) n, unnest(sh) shingle FROM sets
+          WHERE doc_id % 5 != 0),
+        pairs AS (
+          SELECT a.doc_id id_a, b.doc_id id_b, a.n na, b.n nb, count(*) inter
+          FROM inv_a a JOIN inv_b b ON a.shingle = b.shingle
+          GROUP BY 1, 2, 3, 4)
+        SELECT id_a, id_b, round(inter / (na + nb - inter), 4) AS jaccard
+        FROM pairs WHERE round(inter / (na + nb - inter), 4) >= 0.6
+        ORDER BY id_a, id_b"""))
   )
 }
