@@ -74,7 +74,8 @@ object ScaleCheck {
     "q308_winnow_density", "q309_kendall_comovement",
     "q310_stream_windowed_heavy_hitters", "q311_spearman_avg_rank",
     "q312_stream_winnow_ingest", "q313_longest_shared_span",
-    "q314_winnow_compacted_probe", "q315_lsh_compacted_probe")
+    "q314_winnow_compacted_probe", "q315_lsh_compacted_probe",
+    "q316_exact_longest_span")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")

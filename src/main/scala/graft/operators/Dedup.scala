@@ -881,6 +881,58 @@ object Dedup {
     Checkpoints.sealAndRelease(out, cuts.toSeq: _*)
   }
 
+  /** EXACT longest shared token run per candidate pair — the precise
+    * answer [[longestSharedSpanLevel]] brackets: for each (id_a, id_b)
+    * the length (in tokens) of the longest contiguous token sequence the
+    * two documents share, 0 if no token matches. Classic diagonal
+    * run-length formulation of longest common substring: join the two
+    * docs' (pos, token) streams on token equality; matches lying on one
+    * diagonal d = pos_a − pos_b at CONSECUTIVE pos_a form a shared run,
+    * found with the rownumber-gap grouping (pos_a − row_number per
+    * (pair, d) is constant exactly along a consecutive run).
+    *
+    * Cost contract: the token-match join is Σ_tok occ_a(tok)·occ_b(tok)
+    * PER PAIR — quadratic in a stopword's occurrence counts — so this is
+    * the EVAL-SLICE precision tool (candidates are an index's output,
+    * the q286 contract); corpus-scale span triage uses the binary
+    * bracket ([[longestSharedSpanLevel]]), whose probes ride distinct
+    * n-gram postings, and reserves this for the survivors it cares
+    * about. Law (spec- and gate-checkable): bracket(levels) =
+    * max{n ∈ levels : n ≤ exact}, because a shared L-token run contains
+    * a shared n-gram for every n ≤ L.
+    *
+    * Output: (id_a, id_b, longest_shared_span), one row per candidate.
+    */
+  def exactLongestSharedSpan(docs: DataFrame, idCol: String,
+      textCol: String, candidates: DataFrame): DataFrame = {
+    val cand = Checkpoints.cut(candidates.select("id_a", "id_b"))
+    val ids = cand.select(col("id_a").as("id"))
+      .union(cand.select(col("id_b").as("id"))).distinct()
+    val toks = Checkpoints.cut(docs
+      .join(ids, docs(idCol) === ids("id"), "leftsemi")
+      .select(col(idCol).as("id"),
+        posexplode(tokens(col(textCol))).as(Seq("pos", "tok"))))
+    val m = cand
+      .join(toks.as("a"), col("a.id") === col("id_a"))
+      .join(toks.as("b"),
+        col("b.id") === col("id_b") && col("a.tok") === col("b.tok"))
+      .select(col("id_a"), col("id_b"),
+        (col("a.pos") - col("b.pos")).as("d"), col("a.pos").as("pa"))
+    // along one diagonal, pa determines pb, so (pair, d, pa) is unique
+    // and pa − row_number is constant exactly on consecutive-pa runs
+    val runs = m
+      .withColumn("grp", col("pa") - row_number().over(
+        Window.partitionBy("id_a", "id_b", "d").orderBy("pa")))
+      .groupBy("id_a", "id_b", "d", "grp")
+      .agg(count(lit(1)).as("len"))
+      .groupBy("id_a", "id_b").agg(max("len").as("longest_shared_span"))
+    val out = cand.join(runs, Seq("id_a", "id_b"), "left")
+      .select(col("id_a"), col("id_b"),
+        coalesce(col("longest_shared_span"), lit(0L))
+          .as("longest_shared_span"))
+    Checkpoints.sealAndRelease(out, cand, toks)
+  }
+
   /** Cross-corpus contamination check — the decontamination step of an LLM
     * training pipeline: for each document of `probe` (the benchmark/eval
     * set), every document of `corpus` sharing at least `minShared` distinct

@@ -1418,6 +1418,49 @@ object TextDedupOps {
           GROUP BY 1, 2, 3, 4)
         SELECT id_a, id_b, round(inter / (na + nb - inter), 4) AS jaccard
         FROM pairs WHERE round(inter / (na + nb - inter), 4) >= 0.6
-        ORDER BY id_a, id_b"""))
+        ORDER BY id_a, id_b""")),
+
+    // q316: EXACT longest shared token run per candidate pair — the
+    // precise value q313 brackets (the span family complete: q111 fixed-
+    // 16 scrub corpus-wide, q313 binary bracket at index scale, q316
+    // exact length at eval-slice precision). Diagonal run-length
+    // formulation of longest common substring: token-equality join of
+    // the two docs' (pos, token) streams, runs found where pos_a −
+    // row_number is constant along a diagonal pos_a − pos_b — see
+    // Dedup.exactLongestSharedSpan (and its eval-slice cost contract:
+    // the join is Σ occ_a·occ_b per pair, so corpus scale triages with
+    // q313 first). The oracle replays the same diagonal grouping; the
+    // bracket law (q313 = max{n ∈ levels : n ≤ q316}) is spec-pinned on
+    // the real corpus.
+    QueryDef("q316_exact_longest_span",
+      (s, d) => Dedup.exactLongestSharedSpan(docs(s, d), "doc_id", "text",
+          jaccardPairs(s, d))
+        .orderBy("id_a", "id_b"),
+      Some(s"""WITH toks AS (SELECT doc_id, $OToks t FROM documents),
+          tp AS (SELECT doc_id, i - 1 AS pos, t[i] AS tok FROM toks,
+            LATERAL (SELECT unnest(generate_series(1, len(t))) i) s),
+          sets AS (SELECT doc_id, $OShingles sh FROM toks WHERE len(t) >= 3),
+          inv AS (SELECT doc_id, len(sh) n, unnest(sh) shingle FROM sets),
+          cand AS (SELECT id_a, id_b FROM (
+              SELECT a.doc_id id_a, b.doc_id id_b, a.n na, b.n nb,
+                count(*) inter
+              FROM inv a JOIN inv b
+                ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2, 3, 4) p
+            WHERE round(inter / (na + nb - inter), 4) >= 0.6),
+          m AS (SELECT c.id_a, c.id_b, a.pos - b.pos AS d, a.pos AS pa
+            FROM cand c
+            JOIN tp a ON a.doc_id = c.id_a
+            JOIN tp b ON b.doc_id = c.id_b AND a.tok = b.tok),
+          r AS (SELECT id_a, id_b, d,
+              pa - row_number() OVER (PARTITION BY id_a, id_b, d
+                ORDER BY pa) AS grp
+            FROM m),
+          l AS (SELECT id_a, id_b, d, grp, count(*) len FROM r
+            GROUP BY 1, 2, 3, 4)
+        SELECT c.id_a, c.id_b,
+          CAST(coalesce(max(l.len), 0) AS BIGINT) longest_shared_span
+        FROM cand c LEFT JOIN l ON c.id_a = l.id_a AND c.id_b = l.id_b
+        GROUP BY 1, 2 ORDER BY 1, 2"""))
   )
 }
