@@ -297,4 +297,41 @@ class EmptyInputSpec extends SparkSpec {
     assert(Dedup.winnowIndexedMatches(spark, p2, someDocs,
       "doc_id", "text", 1).count() === 0)
   }
+
+  test("the r20 operators return empty/identity results on empty inputs") {
+    val emptyPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    // span family: empty candidates in, empty out; candidates against an
+    // empty corpus score level 0 / span 0 (no gram can match)
+    assert(Dedup.longestSharedSpanLevel(someDocs, "doc_id", "text",
+      emptyPairs).count() === 0)
+    assert(Dedup.exactLongestSharedSpan(someDocs, "doc_id", "text",
+      emptyPairs).count() === 0)
+    val ghostPairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val lvl = Dedup.longestSharedSpanLevel(emptyDocs, "doc_id", "text",
+      ghostPairs).as[(Long, Long, Int)].collect()
+    assert(lvl.toSeq === Seq((1L, 2L, 0)))
+    val ex = Dedup.exactLongestSharedSpan(emptyDocs, "doc_id", "text",
+      ghostPairs).as[(Long, Long, Long)].collect()
+    assert(ex.toSeq === Seq((1L, 2L, 0L)))
+    // average-rank Spearman: empty in, empty out; singleton group ranks
+    // to itself (d2 = 0, no tie terms)
+    assert(graft.operators.Eval.spearmanAvgRankPerGroup(
+      Seq.empty[(Long, String, Long, Long)].toDF("id", "g", "x", "y"),
+      "id", "g", "x", "y").count() === 0)
+    val one = graft.operators.Eval.spearmanAvgRankPerGroup(
+        Seq((1L, "a", 5L, 7L)).toDF("id", "g", "x", "y"),
+        "id", "g", "x", "y")
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(one.toSeq === Seq(("a", 1L, 0L, 0L, 0L)))
+    // compaction of a freshly-built (no appends) index is a no-op in
+    // content: probe before ≡ after, file count does not grow
+    val p = java.nio.file.Files.createTempDirectory("graft_empty_cmp").toString
+    Dedup.buildWinnowIndex(someDocs, "doc_id", "text", 3, 4, p)
+    val before = Dedup.winnowIndexedMatches(spark, p, someDocs,
+      "doc_id", "text", 1).collect().map(_.toSeq).toSet
+    val (b, a) = Dedup.compactWinnowIndex(spark, p)
+    assert(a <= b)
+    assert(Dedup.winnowIndexedMatches(spark, p, someDocs,
+      "doc_id", "text", 1).collect().map(_.toSeq).toSet === before)
+  }
 }
