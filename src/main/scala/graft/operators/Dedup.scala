@@ -844,7 +844,10 @@ object Dedup {
   def longestSharedSpanLevel(docs: DataFrame, idCol: String,
       textCol: String, candidates: DataFrame,
       levels: Seq[Int] = Seq(8, 16, 32, 64)): DataFrame = {
-    val cand = Checkpoints.cut(candidates.select("id_a", "id_b"))
+    // distinct: a duplicated candidate row would otherwise duplicate its
+    // output row (and its probe work) — pair frames from joins aren't
+    // guaranteed row-unique
+    val cand = Checkpoints.cut(candidates.select("id_a", "id_b").distinct())
     // the candidate pairs' documents, extracted from the corpus ONCE —
     // every level's shrinking alive set is a subset, so later levels
     // semi-join this cut instead of re-scanning the corpus
@@ -905,7 +908,8 @@ object Dedup {
     */
   def exactLongestSharedSpan(docs: DataFrame, idCol: String,
       textCol: String, candidates: DataFrame): DataFrame = {
-    val cand = Checkpoints.cut(candidates.select("id_a", "id_b"))
+    // distinct: a duplicated candidate row would duplicate its output row
+    val cand = Checkpoints.cut(candidates.select("id_a", "id_b").distinct())
     val ids = cand.select(col("id_a").as("id"))
       .union(cand.select(col("id_b").as("id"))).distinct()
     val toks = Checkpoints.cut(docs

@@ -50,6 +50,12 @@ class SpanFamilySpec extends SparkSpec {
         s"pair ($a,$b)")
     assert(got((1L, 2L)) === 8L, "identical docs share their full length")
     assert(got((4L, 5L)) === 0L, "no common token at all")
+    // duplicated candidate rows must not duplicate output rows
+    val dup = cand.union(cand)
+    assert(Dedup.exactLongestSharedSpan(docs, "doc_id", "text", dup)
+      .count() === cand.count())
+    assert(Dedup.longestSharedSpanLevel(docs, "doc_id", "text", dup)
+      .count() === cand.count())
   }
 
   test("bracket law on the real corpus: q313 = max level <= q316") {
