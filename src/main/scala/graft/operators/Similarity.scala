@@ -403,7 +403,7 @@ object Similarity {
       return vecs.select(col(idCol).cast("long").as("vec_id"),
         lit(0).as("dim"), lit(0.0).as("value")).limit(0)
     val d = if (dKnown > 0) dKnown
-      else vecs.select(max(size(col(vecCol)))).head.getInt(0)
+      else vecs.select(max(size(col(vecCol)))).head().getInt(0)
     val scale = math.sqrt(outDim.toDouble)
     val comps = (0 until outDim).map { j =>
       val signs = Array.tabulate(d)(i =>
@@ -1152,7 +1152,7 @@ object Similarity {
     if (dKnown <= 0 && vecs.head(1).isEmpty)
       return vecs.select(lit(0).as("sub"), lit(0).as("code"),
         transform(col(vecCol), _.cast("float")).as("cv")).limit(0)
-    val d = if (dKnown > 0) dKnown else vecs.select(size(col(vecCol))).head.getInt(0)
+    val d = if (dKnown > 0) dKnown else vecs.select(size(col(vecCol))).head().getInt(0)
     require(d % m == 0, s"dim $d must divide into m=$m subspaces")
     val spark = vecs.sparkSession
     // lazy — the explode is a map-only projection of the (sampled) train
@@ -1211,8 +1211,8 @@ object Similarity {
       return vecs.select(col(idCol).cast("long").as("id"),
         array().cast("array<int>").as("codes"),
         transform(col(vecCol), _.cast("float")).as("decoded")).limit(0)
-    val m = if (mKnown > 0) mKnown else codebook.agg(max("sub")).head.getInt(0) + 1
-    val d = if (dKnown > 0) dKnown else vecs.select(size(col(vecCol))).head.getInt(0)
+    val m = if (mKnown > 0) mKnown else codebook.agg(max("sub")).head().getInt(0) + 1
+    val d = if (dKnown > 0) dKnown else vecs.select(size(col(vecCol))).head().getInt(0)
     require(d % m == 0,
       s"dim $d does not divide into the codebook's m=$m subspaces")
     pqAssign(pqSubvectors(vecs, idCol, vecCol, m, d / m), codebook)

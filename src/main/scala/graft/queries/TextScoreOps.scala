@@ -483,7 +483,7 @@ object TextScoreOps {
       (s, d) => {
         val ta = docs(s, d)
           .select(col("doc_id"), TextFns.tokens(col("text")).as("t"))
-        val st = ta.agg(count(lit(1)), sum(size(col("t")))).head
+        val st = ta.agg(count(lit(1)), sum(size(col("t")))).head()
         val n = st.getLong(0)
         // empty corpus: sum() is null and n is 0 — any avgdl works, every
         // downstream frame is empty anyway (EmptyInputSpec pins this)
