@@ -811,4 +811,17 @@ class PlanGuardSpec extends SparkSpec {
       !ex.contains("CartesianProduct"),
       s"the avg side must equi-join back, never nested-loop:\n$ex")
   }
+
+  test("r20 queries: every join equi-keyed — no nested loop, no cartesian") {
+    // q311's rank join-backs, q313's level probes, q316's diagonal token
+    // join: each is an equi-join by construction; a refactor that breaks
+    // a key into a non-equi predicate would silently go nested-loop and
+    // die at corpus scale
+    for (q <- Seq("q311_spearman_avg_rank", "q313_longest_shared_span",
+        "q316_exact_longest_span")) {
+      val p = finalPlan(q)
+      assert(!p.contains("BroadcastNestedLoopJoin") &&
+        !p.contains("CartesianProduct"), s"$q:\n$p")
+    }
+  }
 }
