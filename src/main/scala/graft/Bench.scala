@@ -92,11 +92,39 @@ object Bench {
         bands.get(shortKey(name)).collect {
           case b if t > 1.8 * b && t - b > 0.25 => (name, t, t / b) } }
       .sortBy(-_._3).take(20) // bound the retime pass's wall-clock
+    // BOARD-LEVEL drift adjudication (r21, VERDICT r20 #1): the per-query
+    // 1.8× band catches isolated movers, but a CORRELATED host premium
+    // slides under it (r20: five untouched queries at 1.6–1.75× their
+    // bands, board total 1.12× r19, nothing flagged). premium =
+    // median(sweep/band) over every banded query is the board's own
+    // thermometer; it ships on the JSON line and in the detail artifact,
+    // and refresh_bands.py refuses to age bands from a hot board
+    // (premium > 1.25). On a hot board the top ABSOLUTE regressors are
+    // re-timed too, even under 1.8× — the retime pass runs after the
+    // sweep's load transient and recovers the reproducible cost.
+    val premium: Option[Double] = {
+      val ratios = results.toSeq.flatMap { case (name, t) =>
+        bands.get(shortKey(name)).map(t / _) }.sorted
+      if (ratios.isEmpty) None
+      else Some(ratios(ratios.size / 2))
+    }
+    val hotBoard = premium.exists(_ > 1.25)
+    val hotRegressors =
+      if (!hotBoard) Seq.empty
+      else {
+        val already = movers.map(_._1).toSet
+        results.toSeq
+          .flatMap { case (name, t) =>
+            bands.get(shortKey(name)).collect {
+              case b if t - b > 0.25 && !already(name) => (name, t, t - b) } }
+          .sortBy(-_._3).take(10)
+      }
+    val toRetime = movers.map(_._1) ++ hotRegressors.map(_._1)
     val retimed: Map[String, Double] =
-      if (movers.isEmpty) Map.empty
+      if (toRetime.isEmpty) Map.empty
       else {
         System.gc(); Thread.sleep(2000)
-        movers.map { case (name, _, _) =>
+        toRetime.map { name =>
           name -> timeOne(SparkEntry.queries(name), name) }.toMap
       }
     // The driver keeps only the LAST 2000 chars of combined output and
@@ -123,15 +151,35 @@ object Bench {
     // dropped would otherwise leave a bare "qNNrt" with no visible sweep
     // value — the compact name list keeps every adjudication on the
     // board of record
-    val moverNames = movers.map(m => "\"" + shortKey(m._1) + "\"")
-      .mkString("[", ",", "]")
+    val moverNames = (movers.map(_._1) ++ hotRegressors.map(_._1))
+      .map(n => "\"" + shortKey(n) + "\"").mkString("[", ",", "]")
+    val premiumJson = premium.map(p => fmt(p)).getOrElse("null")
     def line(qs: Seq[(String, Double)]): String = {
       val m = qs.flatMap { case (k, v) =>
         val sk = shortKey(k)
         ("\"" + sk + "\":" + fmt(v)) +:
           retimed.get(k).toSeq.map(r => "\"" + sk + "rt\":" + fmt(r))
       }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total)},"value_adj":${fmt(totalAdj)},"unit":"sec","queries":$m,"movers":$moverNames,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"value_adj":${fmt(totalAdj)},"unit":"sec","premium":$premiumJson,"queries":$m,"movers":$moverNames,"sf":"$sfDir"}"""
+    }
+    // FULL-BOARD detail artifact (r21, VERDICT r20 #3): the 1850-char line
+    // cap drops the fastest ~half of the board from the line of record, so
+    // a cap-dropped query's sub-1.8× creep had no driver-side history.
+    // Every run writes every entry + its band + any retime + the premium
+    // to bench_detail.json (path overridable via SPARK_GRAFT_BENCH_DETAIL);
+    // the round procedure commits it as bench_detail_rNN.json and
+    // refresh_bands.py consumes it instead of the capped line.
+    {
+      val detail = results.toSeq.map { case (k, v) =>
+        val sk = shortKey(k)
+        val b = bands.get(sk).map(fmt).getOrElse("null")
+        val r = retimed.get(k).map(fmt).getOrElse("null")
+        s""""$sk":{"t":${fmt(v)},"band":$b,"rt":$r}"""
+      }.mkString(",")
+      val json = s"""{"premium":$premiumJson,"total":${fmt(total)},""" +
+        s""""total_adj":${fmt(totalAdj)},"sf":"$sfDir","queries":{$detail}}"""
+      val p = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "bench_detail.json")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(p), json)
     }
     // dev-only: full per-query dump (every entry, no line cap) for band
     // maintenance — the driver never sets it

@@ -594,6 +594,17 @@ object Dedup {
     * ride an equi-join carrying ids only.
     */
   private def snmCandidates(keyed: DataFrame, window: Int,
+      buckets: Int): DataFrame =
+    snmCandidatesDist(keyed, window, buckets).drop("dist")
+
+  /** [[snmCandidates]] keeping the rank distance `dist = pos_b − pos_a ∈
+    * [1, window]` on each candidate row. Because every pair with
+    * 0 < pos_b − pos_a ≤ window meets exactly once, the `dist ≤ w` slice
+    * of a `window = wmax` run IS the w-window candidate set for any
+    * w ≤ wmax — what lets a recall-curve audit (q289) read every window
+    * from ONE ranking pass.
+    */
+  private def snmCandidatesDist(keyed: DataFrame, window: Int,
       buckets: Int): DataFrame = {
     val ranked = Packing.twoPhaseRank(keyed, "k", buckets)
       .select(col("id"), col("pos"), expr(s"pos div $window").as("blk"))
@@ -604,7 +615,44 @@ object Dedup {
     left.join(right, Seq("probe"))
       .filter(col("pb") > col("pa") && col("pb") <= col("pa") + window)
       .select(least(col("ia"), col("ib")).as("ia"),
-        greatest(col("ia"), col("ib")).as("ib"))
+        greatest(col("ia"), col("ib")).as("ib"),
+        (col("pb") - col("pa")).as("dist"))
+  }
+
+  /** Single-pass windowed SNM pair table — [[snmPairs]] for EVERY window
+    * w ≤ `maxWindow` at the cost of one: one length-key ranking pass at
+    * `maxWindow`, each candidate tagged with its rank distance, ONE exact
+    * Jaccard verification of the widest candidate set. For any
+    * w ≤ maxWindow, `snmPairs(…, window = w, …)` ≡ the `dist ≤ w` slice
+    * (each unordered pair meets exactly once with its unique rank
+    * distance — positions are a total order — so slicing by dist
+    * reproduces the w-window candidate set exactly; DedupSpec pins the
+    * identity). The recall-curve planner (q289) reads its whole window
+    * ladder from this one O(n·maxWindow) pass instead of paying one
+    * ranking + verification per rung (r21: 3 passes → 1).
+    *
+    * Output: (id_a, id_b, dist, jaccard), jaccard ≥ `threshold`.
+    */
+  def snmPairsWithDist(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, maxWindow: Int, threshold: Double,
+      buckets: Int = 32): DataFrame = {
+    require(maxWindow > 0, "need a positive neighborhood window")
+    val keyed = docs.select(col(idCol).cast("long").as("id"),
+      coalesce(length(col(textCol)).cast("long"), lit(0L)).as("k"))
+    if (keyed.head(1).isEmpty)
+      return keyed.select(col("id").as("id_a"), col("id").as("id_b"),
+        lit(0L).as("dist"), lit(0.0).as("jaccard")).limit(0)
+    val cand = snmCandidatesDist(keyed, maxWindow, buckets)
+    val hs = Checkpoints.cut(shinglePostings(docs, idCol, textCol, shingleN)
+      .groupBy("id").agg(collect_list(col("shingle")).as("hs")))
+    val out = cand
+      .join(hs.select(col("id").as("ia"), col("hs").as("hs_a")), "ia")
+      .join(hs.select(col("id").as("ib"), col("hs").as("hs_b")), "ib")
+      .withColumn("jaccard", round(jaccard(col("hs_a"), col("hs_b")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("ia").as("id_a"), col("ib").as("id_b"), col("dist"),
+        col("jaccard"))
+    Checkpoints.sealAndRelease(out, hs)
   }
 
   private def snmPairsKeyed(docs: DataFrame, idCol: String, textCol: String,
@@ -846,8 +894,15 @@ object Dedup {
       levels: Seq[Int] = Seq(8, 16, 32, 64)): DataFrame = {
     // distinct: a duplicated candidate row would otherwise duplicate its
     // output row (and its probe work) — pair frames from joins aren't
-    // guaranteed row-unique
-    val cand = Checkpoints.cut(candidates.select("id_a", "id_b").distinct())
+    // guaranteed row-unique. least/greatest normalization (ADVICE r20):
+    // the level probe's self-join enforces a.id < b.id, so a (b, a)-
+    // oriented candidate would silently probe nothing and report
+    // max_shared_n = 0, breaking the bracket = max{n ≤ exact} law for
+    // non-memo callers; normalizing up front makes orientation a
+    // non-contract (identity for already-oriented pairs).
+    val cand = Checkpoints.cut(candidates
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b")).distinct())
     // the candidate pairs' documents, extracted from the corpus ONCE —
     // every level's shrinking alive set is a subset, so later levels
     // semi-join this cut instead of re-scanning the corpus
@@ -865,6 +920,9 @@ object Dedup {
         val ids = alive.select(col("id_a").as("id"))
           .union(alive.select(col("id_b").as("id"))).distinct()
         val sub = candDocs.join(ids, candDocs(idCol) === ids("id"), "leftsemi")
+        // the post cut is load-bearing (re-measured r21): the self-join
+        // plans one side as a BroadcastExchange, so exchange reuse does
+        // NOT fire and an uncut posting subtree would compute twice
         val post = Checkpoints.cut(shinglePostings(sub, idCol, textCol, n))
         val hit = Checkpoints.cut(
           post.as("a").join(post.as("b"),

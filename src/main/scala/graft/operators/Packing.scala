@@ -225,19 +225,35 @@ object Packing {
   }
 
   /** The shared monotone quantile bucketing: internal cut points at ranks
-    * i/buckets on `keyCol` (±0.1% rank error; one eager approxQuantile
-    * job), then `b = #{cuts <= key}` — a codegen'd sum of comparisons.
-    * Monotone in the key, so equal keys never straddle a bucket boundary
-    * and any downstream order-by-(key, id) extends across buckets.
+    * i/buckets on `keyCol` (±0.01% rank error), then `b = #{cuts <= key}`
+    * — a codegen'd sum of comparisons. Monotone in the key, so equal keys
+    * never straddle a bucket boundary and any downstream
+    * order-by-(key, id) extends across buckets.
+    *
+    * LAZY since r21: the cut points ride a broadcast 1-row
+    * percentile_approx aggregate instead of an eager driver
+    * `approxQuantile` job. The old eager job meant every two-phase rank
+    * cost an extra driver action (plan + schedule + collect) — q138's two
+    * chained ranks ran 3 actions where 1 suffices, and ~30 board queries
+    * ride this machinery. The ranks stay EXACT for ANY cut values
+    * (bucketing is monotone and offsets come from actual counts —
+    * RankPropertySpec pins bucket-count independence), so swapping the
+    * sketch cannot change any output. The 1-row crossJoin is the same
+    * plan-guarded provably-1-row broadcast class as q157's dangling-mass
+    * frame.
     */
   private[operators] def quantileBuckets(base: DataFrame, keyCol: String,
       buckets: Int): DataFrame = {
-    val cuts = if (buckets > 1) base.stat.approxQuantile(keyCol,
-      (1 until buckets).map(_.toDouble / buckets).toArray, 1e-3)
-    else Array.empty[Double]
-    base.withColumn("b",
-      cuts.map(c => when(col(keyCol) >= lit(c), 1L).otherwise(0L))
-        .reduceOption(_ + _).getOrElse(lit(0L)))
+    if (buckets <= 1) return base.withColumn("b", lit(0L))
+    val probs = (1 until buckets).map(_.toDouble / buckets)
+    val cutsRow = base.agg(percentile_approx(col(keyCol).cast("double"),
+      typedLit(probs), lit(10000)).as("__cuts"))
+    base.crossJoin(broadcast(cutsRow))
+      .withColumn("b",
+        (1 until buckets).map(i =>
+          when(col(keyCol) >= element_at(col("__cuts"), i), 1L)
+            .otherwise(0L)).reduce(_ + _))
+      .drop("__cuts")
   }
 
   /** Per-GROUP contiguous 0-based rank of every row in (`keyCol`, id)

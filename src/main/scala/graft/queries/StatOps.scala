@@ -2596,20 +2596,33 @@ object StatOps {
             (a, b) => concat(a, lit(" "), b)))
           .otherwise(array().cast("array<string>"))
         val bucket = pmod(TextFns.hash32(col("feat")), lit(4096L))
-        val weight = TextFns.hash32(concat(lit("w:"), bucket.cast("string"))) %
-          lit(2001L) - lit(1000L)
-        val scores = docs(s, d)
-          .select(col("doc_id"), explode(concat(t, bigrams)).as("feat"))
-          .select(col("doc_id"), weight.as("w"))
-          .groupBy("doc_id").agg(sum("w").as("score"))
+        // the weight is a pure function of the 4096-value bucket, so its
+        // md5 is computed ONCE per bucket in a broadcast lookup table
+        // instead of once per exploded feature (r21: one of the two
+        // per-feature md5s gone; same integer arithmetic per bucket)
+        val weights = s.range(4096).select(col("id").as("bucket"),
+          (TextFns.hash32(concat(lit("w:"), col("id").cast("string"))) %
+            lit(2001L) - lit(1000L)).as("w"))
         val nt = size(t).cast("long")
         val nd = size(array_distinct(t)).cast("long")
         val stops = size(filter(t, x => x.isin("the", "a"))).cast("long")
-        val lab = docs(s, d).select(col("doc_id"),
-          ((lit(4000L) * nd + lit(3000L) * (nt - stops)
-            + lit(30L) * least(nt, lit(100L)) * nt) >= lit(6200L) * nt)
-            .as("b"))
-        scores.join(lab, "doc_id")
+        // ONE corpus pass (r21, guide §2.3 "aggregate before you
+        // shuffle"): the per-doc label is a row-local expression, so it
+        // rides the feature explode and comes back out of the per-doc
+        // aggregation as min(b) (constant within a doc) — the second
+        // docs scan + tokenize and the doc_id join it fed are gone.
+        // Zero-token docs drop out of the explode exactly as they
+        // dropped out of the old inner join on scores.
+        val scores = docs(s, d)
+          .select(col("doc_id"),
+            ((lit(4000L) * nd + lit(3000L) * (nt - stops)
+              + lit(30L) * least(nt, lit(100L)) * nt) >= lit(6200L) * nt)
+              .as("b"),
+            explode(concat(t, bigrams)).as("feat"))
+          .select(col("doc_id"), col("b"), bucket.as("bucket"))
+          .join(broadcast(weights), "bucket")
+          .groupBy("doc_id").agg(sum("w").as("score"), min("b").as("b"))
+        scores
           .withColumn("p", least(greatest(
             lit(500L) + expr("score div 40L"), lit(0L)), lit(1000L)))
           .withColumn("y", when(col("b"), 1000L).otherwise(0L))

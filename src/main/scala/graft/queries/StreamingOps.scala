@@ -528,15 +528,12 @@ object StreamingOps {
           val obs = EventStream.readEvents(s, d)
             .select(col("event_type"),
               round(col("value") * 100).cast("long").as("v"))
-          val ckptBase =
-            if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft_ckpt"
-            else System.getProperty("java.io.tmpdir") + "/graft_ckpt"
           val q = obs.writeStream
             .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
               graft.operators.Drift.mergeIntoCounts(s, t, batch); ()
             }
             .option("checkpointLocation",
-              s"$ckptBase/q282-${System.nanoTime()}")
+              s"${EventStream.checkpointRoot}/q282-${System.nanoTime()}")
             .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
             .start()
           q.awaitTermination()
@@ -709,18 +706,30 @@ object StreamingOps {
             corpus.limit(0), "doc_id", "text", 3, 4, idx)
           // stage the corpus as 3 files ⇒ 3 AvailableNow micro-batches
           corpus.repartition(3).write.parquet(s"$base/ingest")
-          val ckptBase =
-            if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft_ckpt"
-            else System.getProperty("java.io.tmpdir") + "/graft_ckpt"
           val q = s.readStream.schema(corpus.schema)
             .option("maxFilesPerTrigger", "1").parquet(s"$base/ingest")
             .writeStream
-            .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
-              graft.operators.Dedup.appendToWinnowIndex(s, idx, b,
-                "doc_id", "text"); ()
+            // batchId-keyed idempotence (ADVICE r20): foreachBatch is
+            // at-least-once, and appendToWinnowIndex is not idempotent —
+            // a replayed micro-batch would append duplicate (id, fp) rows
+            // and inflate n_shared. A per-batch applied marker (created
+            // AFTER the append commits) makes replays no-ops; the one
+            // remaining window (crash between append and marker) is the
+            // standard marker-pattern caveat — a production sink closes
+            // it with a transactional table format. Local File API: the
+            // index lives in a local temp dir here; a cluster deploy
+            // would use the Hadoop FileSystem for the markers.
+            .foreachBatch { (b: org.apache.spark.sql.DataFrame, batchId: Long) =>
+              val marker = new java.io.File(s"$idx/applied/$batchId")
+              if (!marker.exists()) {
+                graft.operators.Dedup.appendToWinnowIndex(s, idx, b,
+                  "doc_id", "text")
+                marker.mkdirs()
+              }
+              ()
             }
             .option("checkpointLocation",
-              s"$ckptBase/q312-${System.nanoTime()}")
+              s"${EventStream.checkpointRoot}/q312-${System.nanoTime()}")
             .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
             .start()
           q.awaitTermination()

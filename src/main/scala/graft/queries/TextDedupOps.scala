@@ -838,11 +838,16 @@ object TextDedupOps {
           .union(pairs0.select(col("id_b").as("doc_id"))).distinct()
         // semi-join first (the q250 stance): shingle sets exist only for
         // pair-PARTICIPATING docs, and the cut frame feeds both join
-        // sides — one docs scan, pair-sized state
+        // sides — one docs scan, pair-sized state. No size(sh) > 0 filter:
+        // every id in `ids` comes from the pair memo, whose pairs exist
+        // only for docs with ≥ 3 tokens (they produced shingle postings),
+        // so the filter was a no-op on values — and Catalyst substituted
+        // the whole shingle expression into it and pushed it BELOW the
+        // semi-join, making the FULL corpus scan evaluate the interpreted
+        // higher-order shingle expression twice (r21: 4.3 s → 0.6 s).
         val sets = graft.operators.Checkpoints.cut(
           docs(s, d).join(ids, Seq("doc_id"), "left_semi")
-            .select(col("doc_id"), TextFns.shingles(t, 3).as("sh"))
-            .filter(size(col("sh")) > 0))
+            .select(col("doc_id"), TextFns.shingles(t, 3).as("sh")))
         val base = pairs0
           .join(sets.select(col("doc_id").as("id_a"), col("sh").as("sha")),
             "id_a")
@@ -1020,19 +1025,32 @@ object TextDedupOps {
     // derived.
     QueryDef("q289_blocking_recall",
       (s, d) => {
+        // ONE dist-tagged SNM pass at the widest window (r21, guide §2.4:
+        // snmPairs(w) ≡ the dist ≤ w slice of the wmax pass — see
+        // Dedup.snmPairsWithDist — so the three rungs' rankings and
+        // verifications collapse into one; per-w counts are conditional
+        // sums over the single verified pair table, and the truth flag
+        // rides one left join instead of three semi-joins).
         val truth = jaccardPairs(s, d).select("id_a", "id_b")
-        def audit(w: Int) = {
-          val snm = Dedup.snmPairs(docs(s, d), "doc_id", "text", 3, w, 0.6)
-            .select("id_a", "id_b")
-          val hit = snm.join(truth, Seq("id_a", "id_b"), "left_semi")
-          truth.agg(count(lit(1)).as("n_true"))
-            .crossJoin(snm.agg(count(lit(1)).as("n_blocked")))
-            .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
-            .select(lit(w.toLong).as("w"), col("n_true"),
-              col("n_blocked"), col("n_hit"),
-              expr("n_hit * 1000000 div n_true").as("recall_micro"))
-        }
-        Seq(2, 5, 10).map(audit).reduce(_ unionByName _).orderBy("w")
+        val ws = Seq(2, 5, 10)
+        val snm = Dedup.snmPairsWithDist(docs(s, d), "doc_id", "text", 3,
+          ws.max, 0.6).select("id_a", "id_b", "dist")
+        val flagged = snm.join(
+          truth.withColumn("hit", lit(true)), Seq("id_a", "id_b"), "left")
+        val aggs = ws.flatMap(w => Seq(
+          coalesce(sum(when(col("dist") <= w, 1L)), lit(0L)).as(s"b$w"),
+          coalesce(sum(when(col("dist") <= w && col("hit"), 1L)),
+            lit(0L)).as(s"h$w")))
+        val perW = flagged.agg(aggs.head, aggs.tail: _*)
+        truth.agg(count(lit(1)).as("n_true")).crossJoin(perW)
+          .select(explode(array(ws.map(w =>
+            struct(lit(w.toLong).as("w"), col("n_true"),
+              col(s"b$w").as("n_blocked"), col(s"h$w").as("n_hit"))): _*))
+            .as("r"))
+          .select(col("r.w").as("w"), col("r.n_true").as("n_true"),
+            col("r.n_blocked").as("n_blocked"), col("r.n_hit").as("n_hit"),
+            expr("r.n_hit * 1000000 div r.n_true").as("recall_micro"))
+          .orderBy("w")
       },
       Some(s"""WITH toks AS (SELECT doc_id, $OToks t FROM documents),
         sets AS (SELECT doc_id, $OShingles sh FROM toks WHERE len(t) >= 3),

@@ -27,6 +27,31 @@ object EventStream {
 
   private val counter = new AtomicInteger(0)
 
+  /** RAM-backed (tmpfs when available) checkpoint root for the bounded
+    * AvailableNow runs, scoped to THIS JVM (pid subdir) and deleted by a
+    * shutdown hook (ADVICE r20: the per-run unique checkpoint suffixes
+    * otherwise accumulate one directory per query per session on tmpfs —
+    * resume is never intended for these runs). The pid scope means a
+    * concurrently running sibling JVM's live checkpoints are never
+    * touched.
+    */
+  private[graft] lazy val checkpointRoot: String = {
+    val base =
+      if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft_ckpt"
+      else System.getProperty("java.io.tmpdir") + "/graft_ckpt"
+    val root = s"$base/${ProcessHandle.current().pid()}"
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles()
+        if (kids != null) kids.foreach(rm)
+        f.delete(); ()
+      }
+      try rm(new java.io.File(root))
+      catch { case _: Throwable => }
+    }))
+    root
+  }
+
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // The file source needs a directory. Driver testdata ships events as a
@@ -59,14 +84,12 @@ object EventStream {
     val name = s"graft_stream_${counter.incrementAndGet()}"
     // checkpoint on tmpfs when available: the WAL fsyncs per micro-batch
     // and dominates wall clock for these small bounded streams
-    val ckptBase =
-      if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft_ckpt"
-      else System.getProperty("java.io.tmpdir") + "/graft_ckpt"
     val q = df.writeStream
       .format("memory")
       .queryName(name)
       .outputMode(mode)
-      .option("checkpointLocation", s"$ckptBase/$name-${System.nanoTime()}")
+      .option("checkpointLocation",
+        s"$checkpointRoot/$name-${System.nanoTime()}")
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()

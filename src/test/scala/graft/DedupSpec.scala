@@ -281,6 +281,24 @@ class DedupSpec extends SparkSpec {
       "the prefix-key pass must close the constructed beyond-window miss")
   }
 
+  test("snmPairsWithDist: the dist <= w slice equals snmPairs(w) for every w") {
+    // the identity q289 rides (one wmax pass serves the whole window
+    // ladder): for each w <= maxWindow, slicing the dist-tagged pass at
+    // dist <= w must reproduce snmPairs(w) exactly — ids AND jaccard
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val tagged = Dedup.snmPairsWithDist(docs, "doc_id", "text", 3, 10, 0.6)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(tagged.forall(t => t._3 >= 1 && t._3 <= 10),
+      "rank distance must lie in [1, maxWindow]")
+    for (w <- Seq(2, 5, 10)) {
+      val slice = tagged.filter(_._3 <= w)
+        .map(t => (t._1, t._2, t._4)).toSet
+      val direct = Dedup.snmPairs(docs, "doc_id", "text", 3, w, 0.6)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(slice === direct, s"dist <= $w slice must equal snmPairs($w)")
+    }
+  }
+
   test("snmPairs is sound (subset of exact) with measured recall on real docs") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val snm = Dedup.snmPairs(docs, "doc_id", "text", 3, 10, 0.6)

@@ -127,9 +127,19 @@ class PlanGuardSpec extends SparkSpec {
   test("q142/q143 SNM: banded rank-block equi-joins only, candidates carry ids") {
     for (q <- Seq("q142_snm_pairs", "q143_snm_multipass")) {
       val p = finalPlan(q)
-      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      assert(!p.contains("CartesianProduct"),
         s"$q: the rank-block neighborhood join must stay an equi-join " +
           s"(O(n·w) by construction):\n$p")
+      // the ONLY condition-less joins allowed are the broadcast
+      // crossJoins of provably-1-row frames (r21: the lazy quantile-cuts
+      // aggregate of the two-phase rank — the q157 dangling-mass class);
+      // a data-sized cross would show as a >1-maxRows side
+      SparkEntry.queries(q)(spark, dir).queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join
+            if j.condition.isEmpty => j
+      }.foreach(j => assert(
+        j.left.maxRows.contains(1L) || j.right.maxRows.contains(1L),
+        s"$q: every condition-less join must have a provably-1-row side"))
       // no corpus-wide window: every row_number must be bucket-partitioned
       // (the offsets frame over `buckets` rows aggregates, it does not window)
       val df = SparkEntry.queries(q)(spark, dir)
@@ -820,8 +830,16 @@ class PlanGuardSpec extends SparkSpec {
     for (q <- Seq("q311_spearman_avg_rank", "q313_longest_shared_span",
         "q316_exact_longest_span")) {
       val p = finalPlan(q)
-      assert(!p.contains("BroadcastNestedLoopJoin") &&
-        !p.contains("CartesianProduct"), s"$q:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+      // r21: q311's grouped two-phase ranks carry the lazy quantile-cuts
+      // broadcast (a provably-1-row crossJoin, the q157 dangling class);
+      // any OTHER condition-less join is still a bug
+      SparkEntry.queries(q)(spark, dir).queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join
+            if j.condition.isEmpty => j
+      }.foreach(j => assert(
+        j.left.maxRows.contains(1L) || j.right.maxRows.contains(1L),
+        s"$q: every condition-less join must have a provably-1-row side"))
     }
   }
 }

@@ -352,8 +352,12 @@ class SamplingSpec extends SparkSpec {
     val windows = plan.collect {
       case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
     }
+    // conditioned joins only: the lazy quantile-cuts broadcast (r21) is a
+    // condition-less 1-row crossJoin below the OFFSETS window too — only
+    // the offsets equi-join marks the per-row window
     val rowWindows = windows.filterNot(_.child.collect {
-      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.condition.nonEmpty => j
     }.isEmpty)
     assert(rowWindows.nonEmpty, s"expected the per-row weight window:\n$plan")
     rowWindows.foreach { w =>
@@ -435,8 +439,9 @@ class SamplingSpec extends SparkSpec {
       case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
     }
     assert(windows.nonEmpty)
-    val rowWindow = windows.filterNot(
-      _.child.collect { case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }.isEmpty)
+    val rowWindow = windows.filterNot( // conditioned joins only (see above)
+      _.child.collect { case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.condition.nonEmpty => j }.isEmpty)
     assert(rowWindow.nonEmpty, s"expected the per-row running-sum window:\n$plan")
     rowWindow.foreach { w =>
       // the optimizer may rewrite `off` to the underlying window expr —

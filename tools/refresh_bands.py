@@ -5,30 +5,74 @@ The maintenance procedure pinned by SCALING.md §"Bench self-adjudication":
 after each round whose driver bench ran clean (rc=0), band(q) = min over
 q's observations on the LAST 3 round boards, where one board's
 observation is min(sweep value, in-run retime if present). A query absent
-from all three boards (line-cap-dropped — i.e. among the fastest — or
-newly registered) keeps its existing band; a new query gets its band on
-the first board that shows it. The 3-round window lets legitimately
+from all three boards keeps its existing band; a new query gets its band
+on the first board that shows it. The 3-round window lets legitimately
 faster plans TIGHTEN their band (stale loose bands under-flag future
 regressions) and ages out minima from retired plan shapes, while
 min-of-observations keeps the band the reproducible best so the 1.8x
 mover test stays meaningful.
 
-Usage: python3 tools/refresh_bands.py BENCH_r17.json BENCH_r18.json BENCH_r19.json
+Board formats accepted, preferring the full-board detail artifact
+(r21, VERDICT r20 #3 — the capped JSON line drops the fastest ~half of
+the board, so cap-dropped queries had no band history):
+
+  - bench_detail_rNN.json / bench_detail.json: {"premium": p,
+    "queries": {"qNN": {"t": sweep, "band": b|null, "rt": r|null}}}
+  - BENCH_rNN.json (legacy): {"parsed": {"queries": {"qNN": t,
+    "qNNrt": r}, "premium": p?}}
+
+HOT-BOARD EXCLUSION (r21, VERDICT r20 #1): a board whose premium
+(median sweep/band) exceeds 1.25 ran under correlated host load; its
+SWEEP values are inflated and would age every band looser (the silent
+failure mode: r20's refresh aged 70 bands looser from r18's hot board).
+Such a board contributes only its RETIME observations (taken after the
+load transient), never its sweep values.
+
+Usage: python3 tools/refresh_bands.py <board> <board> <board>
 Writes BANDS.json (sorted, one entry per line, the committed format).
 """
 import json, sys
 
+HOT_PREMIUM = 1.25
+
 
 def observations(path):
     d = json.load(open(path))
+    if "queries" in d and isinstance(next(iter(d["queries"].values()), None),
+                                     dict):
+        # detail-artifact format
+        premium = d.get("premium")
+        hot = premium is not None and premium > HOT_PREMIUM
+        obs = {}
+        for k, v in d["queries"].items():
+            rt = v.get("rt")
+            if hot:
+                if rt is not None:
+                    obs[k] = rt
+            else:
+                obs[k] = min(v["t"], rt) if rt is not None else v["t"]
+        if hot:
+            print(f"[hot] {path}: premium={premium} > {HOT_PREMIUM} — "
+                  f"sweep values excluded, {len(obs)} retimes kept")
+        return obs
+    # legacy capped-line format
     p = d.get("parsed") or {}
     qs = p.get("queries") or {}
+    premium = p.get("premium")
+    hot = premium is not None and premium > HOT_PREMIUM
     obs = {}
     for k, v in qs.items():
         if k.endswith("rt"):
             continue
         rt = qs.get(k + "rt")
-        obs[k] = min(v, rt) if rt is not None else v
+        if hot:
+            if rt is not None:
+                obs[k] = rt
+        else:
+            obs[k] = min(v, rt) if rt is not None else v
+    if hot:
+        print(f"[hot] {path}: premium={premium} > {HOT_PREMIUM} — "
+              f"sweep values excluded, {len(obs)} retimes kept")
     return obs
 
 
