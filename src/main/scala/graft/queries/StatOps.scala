@@ -66,6 +66,61 @@ object StatOps {
       .filter(col("r") <= 16)
   }
 
+  /** Shared single-pass frame for the hashed-feature classifier eval trio
+    * (q182 / q248 / q285): per doc with ≥1 feature, the integer linear
+    * score, the heuristic quality label, and (optionally) the source —
+    * (doc_id, score, b[, source]).
+    *
+    * r21 shape, deliberate operator by operator (guide §2.3/§2.4, §7.2):
+    *   - ONE corpus scan: the label is a row-local expression, so it is
+    *     computed BEFORE the explode (its own Project below the Generate —
+    *     per doc, not per feature) and travels through the explode as a
+    *     plain column; the old second scan + doc_id join are gone.
+    *   - The 4096-value bucket→weight md5 is a broadcast lookup computed
+    *     once per bucket, not once per exploded feature. LEFT join, not
+    *     inner: an inner join's null-guard pushes an isnotnull(bucket)
+    *     filter below the join that re-evaluates the bucket md5 per
+    *     feature (Filter + Project each compute it); with every bucket in
+    *     [0, 4096) present on the build side the left join is row-for-row
+    *     identical and keeps the md5 single-evaluated. (If a feature could
+    *     hash to a null bucket, the left join's null w matches the old
+    *     inline expression's null-skipping sum exactly.)
+    *   - The per-doc aggregation groups by (doc_id[, source], b) — the
+    *     extra keys are constant within a doc, so the groups are exactly
+    *     the doc_ids. Carrying source/b as KEYS (not min() aggregates)
+    *     keeps the aggregate a HashAggregate: a min(string) BUFFER is not
+    *     fixed-width, which demotes the whole per-doc aggregation to
+    *     SortAggregate and sorts the full exploded feature stream.
+    * Zero-feature docs drop out of the explode exactly as they dropped out
+    * of the old scores⋈labels inner join.
+    */
+  private def classifierScoreFrame(s: org.apache.spark.sql.SparkSession,
+      d: String, withSource: Boolean): org.apache.spark.sql.DataFrame = {
+    val t = TextFns.tokens(col("text"))
+    val bigrams = when(size(t) >= 2,
+      zip_with(slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+        (a, b) => concat(a, lit(" "), b)))
+      .otherwise(array().cast("array<string>"))
+    val bucket = pmod(TextFns.hash32(col("feat")), lit(4096L))
+    val weights = s.range(4096).select(col("id").as("bucket"),
+      (TextFns.hash32(concat(lit("w:"), col("id").cast("string"))) %
+        lit(2001L) - lit(1000L)).as("w"))
+    val nt = size(t).cast("long")
+    val nd = size(array_distinct(t)).cast("long")
+    val stops = size(filter(t, x => x.isin("the", "a"))).cast("long")
+    val ids = if (withSource) Seq(col("doc_id"), col("source"))
+      else Seq(col("doc_id"))
+    val pre = docs(s, d).select(ids ++ Seq(
+      ((lit(4000L) * nd + lit(3000L) * (nt - stops)
+        + lit(30L) * least(nt, lit(100L)) * nt) >= lit(6200L) * nt).as("b"),
+      concat(t, bigrams).as("feats")): _*)
+    pre.select(ids ++ Seq(col("b"), explode(col("feats")).as("feat")): _*)
+      .select(ids ++ Seq(col("b"), bucket.as("bucket")): _*)
+      .join(broadcast(weights), Seq("bucket"), "left")
+      .groupBy(ids ++ Seq(col("b")): _*)
+      .agg(sum("w").as("score"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // q177: per-source two-sample Kolmogorov–Smirnov drift vs the whole
@@ -294,26 +349,9 @@ object StatOps {
     // monotone in realized quality" read, integer-exact.
     QueryDef("q182_calibration",
       (s, d) => {
-        val t = TextFns.tokens(col("text"))
-        val bigrams = when(size(t) >= 2,
-          zip_with(slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
-            (a, b) => concat(a, lit(" "), b)))
-          .otherwise(array().cast("array<string>"))
-        val bucket = pmod(TextFns.hash32(col("feat")), lit(4096L))
-        val weight = TextFns.hash32(concat(lit("w:"), bucket.cast("string"))) %
-          lit(2001L) - lit(1000L)
-        val scores = docs(s, d)
-          .select(col("doc_id"), explode(concat(t, bigrams)).as("feat"))
-          .select(col("doc_id"), weight.as("w"))
-          .groupBy("doc_id").agg(sum("w").as("score"))
-        val nt = size(t).cast("long")
-        val nd = size(array_distinct(t)).cast("long")
-        val stops = size(filter(t, x => x.isin("the", "a"))).cast("long")
-        val lab = docs(s, d).select(col("doc_id"),
-          ((lit(4000L) * nd + lit(3000L) * (nt - stops)
-            + lit(30L) * least(nt, lit(100L)) * nt) >= lit(6200L) * nt)
-            .as("b"))
-        scores.join(lab, "doc_id")
+        // r21: one corpus scan, label below the explode, broadcast weight
+        // lookup, hash-aggregatable per-doc agg — see classifierScoreFrame
+        classifierScoreFrame(s, d, withSource = false)
           .withColumn("bin",
             floor(col("score") / lit(2000.0)).cast("long"))
           .groupBy("bin")
@@ -2032,26 +2070,9 @@ object StatOps {
     // shuffle; the bin table is sources × occupied-bins sized.
     QueryDef("q248_calibration_by_source",
       (s, d) => {
-        val t = TextFns.tokens(col("text"))
-        val bigrams = when(size(t) >= 2,
-          zip_with(slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
-            (a, b) => concat(a, lit(" "), b)))
-          .otherwise(array().cast("array<string>"))
-        val bucket = pmod(TextFns.hash32(col("feat")), lit(4096L))
-        val weight = TextFns.hash32(concat(lit("w:"), bucket.cast("string"))) %
-          lit(2001L) - lit(1000L)
-        val scores = docs(s, d)
-          .select(col("doc_id"), explode(concat(t, bigrams)).as("feat"))
-          .select(col("doc_id"), weight.as("w"))
-          .groupBy("doc_id").agg(sum("w").as("score"))
-        val nt = size(t).cast("long")
-        val nd = size(array_distinct(t)).cast("long")
-        val stops = size(filter(t, x => x.isin("the", "a"))).cast("long")
-        val lab = docs(s, d).select(col("doc_id"), col("source"),
-          ((lit(4000L) * nd + lit(3000L) * (nt - stops)
-            + lit(30L) * least(nt, lit(100L)) * nt) >= lit(6200L) * nt)
-            .as("b"))
-        scores.join(lab, "doc_id")
+        // r21: one corpus scan, label below the explode, broadcast weight
+        // lookup, hash-aggregatable per-doc agg — see classifierScoreFrame
+        classifierScoreFrame(s, d, withSource = true)
           .withColumn("bin",
             floor(col("score") / lit(2000.0)).cast("long"))
           .groupBy("source", "bin")
@@ -2590,39 +2611,9 @@ object StatOps {
     // q182 (instance explode + single-column label pass).
     QueryDef("q285_brier_census",
       (s, d) => {
-        val t = TextFns.tokens(col("text"))
-        val bigrams = when(size(t) >= 2,
-          zip_with(slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
-            (a, b) => concat(a, lit(" "), b)))
-          .otherwise(array().cast("array<string>"))
-        val bucket = pmod(TextFns.hash32(col("feat")), lit(4096L))
-        // the weight is a pure function of the 4096-value bucket, so its
-        // md5 is computed ONCE per bucket in a broadcast lookup table
-        // instead of once per exploded feature (r21: one of the two
-        // per-feature md5s gone; same integer arithmetic per bucket)
-        val weights = s.range(4096).select(col("id").as("bucket"),
-          (TextFns.hash32(concat(lit("w:"), col("id").cast("string"))) %
-            lit(2001L) - lit(1000L)).as("w"))
-        val nt = size(t).cast("long")
-        val nd = size(array_distinct(t)).cast("long")
-        val stops = size(filter(t, x => x.isin("the", "a"))).cast("long")
-        // ONE corpus pass (r21, guide §2.3 "aggregate before you
-        // shuffle"): the per-doc label is a row-local expression, so it
-        // rides the feature explode and comes back out of the per-doc
-        // aggregation as min(b) (constant within a doc) — the second
-        // docs scan + tokenize and the doc_id join it fed are gone.
-        // Zero-token docs drop out of the explode exactly as they
-        // dropped out of the old inner join on scores.
-        val scores = docs(s, d)
-          .select(col("doc_id"),
-            ((lit(4000L) * nd + lit(3000L) * (nt - stops)
-              + lit(30L) * least(nt, lit(100L)) * nt) >= lit(6200L) * nt)
-              .as("b"),
-            explode(concat(t, bigrams)).as("feat"))
-          .select(col("doc_id"), col("b"), bucket.as("bucket"))
-          .join(broadcast(weights), "bucket")
-          .groupBy("doc_id").agg(sum("w").as("score"), min("b").as("b"))
-        scores
+        // r21: one corpus scan, label below the explode, broadcast weight
+        // lookup, hash-aggregatable per-doc agg — see classifierScoreFrame
+        classifierScoreFrame(s, d, withSource = false)
           .withColumn("p", least(greatest(
             lit(500L) + expr("score div 40L"), lit(0L)), lit(1000L)))
           .withColumn("y", when(col("b"), 1000L).otherwise(0L))

@@ -583,11 +583,22 @@ object TextScoreOps {
             (a, b) => concat(a, lit(" "), b)))
           .otherwise(array().cast("array<string>"))
         val bucket = pmod(TextFns.hash32(col("feat")), lit(4096L))
-        val weight = TextFns.hash32(concat(lit("w:"), bucket.cast("string"))) %
-          lit(2001L) - lit(1000L)
+        // r21: the weight is a pure function of the 4096-value bucket, so
+        // its md5 is a broadcast lookup computed once per bucket instead
+        // of once per exploded feature (one of the two per-feature md5s
+        // gone). LEFT join: row-for-row identical to the inline
+        // expression — n_feats counts every feature row, and a
+        // hypothetical null bucket yields null w exactly as the inline
+        // weight did (sum skips it) — while avoiding the inner join's
+        // pushed isnotnull(bucket) filter, which would re-evaluate the
+        // bucket md5 per feature a second time.
+        val weights = s.range(4096).select(col("id").as("bucket"),
+          (TextFns.hash32(concat(lit("w:"), col("id").cast("string"))) %
+            lit(2001L) - lit(1000L)).as("w"))
         docs(s, d)
           .select(col("doc_id"), explode(concat(t, bigrams)).as("feat"))
-          .select(col("doc_id"), weight.as("w"))
+          .select(col("doc_id"), bucket.as("bucket"))
+          .join(broadcast(weights), Seq("bucket"), "left")
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_feats"), sum("w").as("score"))
           .withColumn("keep", col("score") > 0)
