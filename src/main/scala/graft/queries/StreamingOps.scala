@@ -119,7 +119,7 @@ object StreamingOps {
         val agg = e.withWatermark("ts", "1 hour")
           .groupBy(window(col("ts"), "1 hour"), col("event_type"))
           .agg(count(lit(1)).as("n"), sum("value").as("sv"))
-        EventStream.runToTable(s, agg, "complete")
+        EventStream.runToTable(s, agg, "complete", d)
           .select(col("window.start").as("window_start"), col("event_type"),
             col("n"), round(col("sv"), 2).as("sum_value"))
           .orderBy("window_start", "event_type")
@@ -139,7 +139,7 @@ object StreamingOps {
           // ON the 0.01 grid and 2-dp rounding is immune to float-order
           // noise; avg leaves the grid and flips at the half-boundary.
           .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
-        EventStream.runToTable(s, agg, "complete")
+        EventStream.runToTable(s, agg, "complete", d)
           .select(col("window.start").as("window_start"), col("n"), col("sum_value"))
           .orderBy("window_start")
       },
@@ -158,7 +158,7 @@ object StreamingOps {
         val dd = e.withWatermark("ts", "1 hour")
           .dropDuplicatesWithinWatermark("user_id", "event_type")
           .select("user_id", "event_type")
-        EventStream.runToTable(s, dd, "append")
+        EventStream.runToTable(s, dd, "append", d)
           .groupBy("event_type")
           .agg(countDistinct("user_id").as("n_users"))
           .orderBy("event_type")
@@ -202,7 +202,7 @@ object StreamingOps {
         val agg = e.join(broadcast(dims), Seq("user_id"))
           .groupBy(col("c_mktsegment"))
           .agg(count(lit(1)).as("n"), sum("value").as("sv"))
-        EventStream.runToTable(s, agg, "complete")
+        EventStream.runToTable(s, agg, "complete", d)
           .select(col("c_mktsegment"), col("n"), round(col("sv"), 2).as("sum_value"))
           .orderBy("c_mktsegment")
       },
@@ -231,7 +231,7 @@ object StreamingOps {
           col("user_id") === col("p_user_id") &&
             col("purchase_ts") > col("view_ts") &&
             col("purchase_ts") <= col("view_ts") + expr("INTERVAL 30 MINUTES"))
-        EventStream.runToTable(s, joined, "append")
+        EventStream.runToTable(s, joined, "append", d)
           .select(col("user_id"), col("view_ts"), col("purchase_ts"),
             round(col("value"), 2).as("value"))
           .orderBy("user_id", "view_ts", "purchase_ts")
@@ -281,7 +281,7 @@ object StreamingOps {
             col("purchase_ts") > col("view_ts") &&
             col("purchase_ts") <= col("view_ts") + expr("INTERVAL 30 MINUTES"),
           "full_outer")
-        EventStream.runToTable(s, joined, "append")
+        EventStream.runToTable(s, joined, "append", d)
           .select(col("user_id"), col("view_ts"), col("p_user_id"),
             col("purchase_ts"), round(col("value"), 2).as("value"))
           .orderBy("user_id", "view_ts", "p_user_id", "purchase_ts")
@@ -344,7 +344,7 @@ object StreamingOps {
             col("purchase_ts") > col("view_ts") &&
             col("purchase_ts") <= col("view_ts") + expr("INTERVAL 30 MINUTES"),
           "left_outer")
-        EventStream.runToTable(s, joined, "append")
+        EventStream.runToTable(s, joined, "append", d)
           .select(col("user_id"), col("view_ts"), col("p_user_id"),
             col("purchase_ts"), round(col("value"), 2).as("value"))
           .orderBy("user_id", "view_ts", "p_user_id", "purchase_ts")
@@ -388,7 +388,7 @@ object StreamingOps {
           .agg(sum("value").as("type_sum"))
         val lvl2 = lvl1.groupBy(col("window"))
           .agg(count(lit(1)).as("n_types"), sum("type_sum").as("sv"))
-        EventStream.runToTable(s, lvl2, "append")
+        EventStream.runToTable(s, lvl2, "append", d)
           .select(col("window.start").as("window_start"), col("n_types"),
             round(col("sv"), 2).as("sum_value"))
           .orderBy("window_start")
@@ -434,7 +434,7 @@ object StreamingOps {
             .transformWithState(new SessionProcessor,
               TimeMode.None(), OutputMode.Update())
             .toDF("user_id", "start_us", "n_events", "cents")
-          EventStream.runToTable(s, sess, "update")
+          EventStream.runToTable(s, sess, "update", d)
             .orderBy("user_id", "start_us")
         } finally prev match {
           case Some(v) =>
@@ -614,7 +614,7 @@ object StreamingOps {
           .groupBy(window(col("ts"), "1 day"))
           .agg(graft.functions.HeavyHitters
             .sketch(s, col("event_type"), 8).as("hh"))
-        EventStream.runToTable(s, agg, "complete")
+        EventStream.runToTable(s, agg, "complete", d)
           .select(col("window.start").as("win_start"),
             explode(col("hh")).as("e"))
           .select(col("win_start"), col("e._1").as("event_type"),
@@ -659,7 +659,7 @@ object StreamingOps {
           // max(cnt) per (user, type) IS the final tracked estimate —
           // the collapse makes the result batch-count-equal under ANY
           // micro-batch split, not just AvailableNow-in-one (ADVICE r18).
-          EventStream.runToTable(s, hh, "update")
+          EventStream.runToTable(s, hh, "update", d)
             .groupBy("user_id", "event_type")
             .agg(max("cnt").as("cnt"))
             .orderBy("user_id", "event_type")

@@ -52,6 +52,12 @@ object EventStream {
     root
   }
 
+  // schema peeks are footer-metadata-only but still cost a driver job per
+  // call (two per stream-stream join query); the file layout under a test
+  // dir is immutable within a session, so memoize per path (r21)
+  private val schemaCache =
+    new scala.collection.concurrent.TrieMap[String, StructType]
+
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // The file source needs a directory. Driver testdata ships events as a
@@ -66,7 +72,8 @@ object EventStream {
     // schema for the same path — footer metadata only, no data scan — then
     // share Tables.normalizeEventTs with the batch loader so the two paths
     // cannot diverge on the conversion.
-    val rawSchema: StructType = spark.read.parquet(table.getPath).schema
+    val rawSchema: StructType = schemaCache.getOrElseUpdate(table.getPath,
+      spark.read.parquet(table.getPath).schema)
     val src =
       if (table.isDirectory) spark.readStream.schema(rawSchema)
         .parquet(table.getPath)
@@ -76,23 +83,66 @@ object EventStream {
     graft.Tables.normalizeEventTs(src)
   }
 
+  /** State-partition width for a streaming query replaying `dir`'s events:
+    * `spark.sql.shuffle.partitions` at stream start is what a stateful
+    * query PINS as its state-store instance count, and every instance pays
+    * a per-micro-batch commit (a stream-stream join runs FOUR stores per
+    * partition). Inheriting the batch shuffle width is wrong in both
+    * directions — a 2 MB bench replay gets 8–32 stores of pure commit
+    * overhead (measured: the q55 join drops 4.2 s → 2.7 s going 8 → 2
+    * partitions at sf0.1), a 100 TB backfill gets far too few — so derive
+    * it from the at-rest input size (guide §2: partitioning from data
+    * volume, not a constant): one partition per 32 MB, floored at 2,
+    * capped at 2× the session's cores. A real deployment sizes state
+    * partitions by expected LIVE STATE volume at query birth (they are
+    * fixed for the checkpoint's life); the replay file is this harness's
+    * proxy for that.
+    */
+  private[graft] def statePartitions(spark: SparkSession, dir: String): Int = {
+    val f = new java.io.File(s"$dir/events.parquet")
+    val bytes =
+      if (f.isDirectory) Option(f.listFiles()).map(_.map(_.length).sum)
+        .getOrElse(0L)
+      else f.length
+    val cores = spark.sparkContext.defaultParallelism.toLong
+    math.max(2L, math.min(bytes / (32L << 20) + 1L, cores * 2L)).toInt
+  }
+
   /** Run a streaming DataFrame to completion (AvailableNow) into a memory
     * sink; returns the result table. Unique sink name per invocation so
     * Verify and Bench can both run in one session.
+    *
+    * `inputDir` (when given) sizes the query's state partitions from the
+    * input it replays — see [[statePartitions]]; the session's batch
+    * shuffle width is restored after the stream terminates. Partitioning
+    * width never changes WHAT a stateful operator computes (keys meet
+    * their state wherever they hash; watermarks are global minima), only
+    * how many state stores carry it.
     */
-  def runToTable(spark: SparkSession, df: DataFrame, mode: String): DataFrame = {
+  def runToTable(spark: SparkSession, df: DataFrame, mode: String,
+      inputDir: String = null): DataFrame = {
     val name = s"graft_stream_${counter.incrementAndGet()}"
-    // checkpoint on tmpfs when available: the WAL fsyncs per micro-batch
-    // and dominates wall clock for these small bounded streams
-    val q = df.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(mode)
-      .option("checkpointLocation",
-        s"$checkpointRoot/$name-${System.nanoTime()}")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    Option(inputDir).foreach { dir =>
+      spark.conf.set("spark.sql.shuffle.partitions",
+        statePartitions(spark, dir).toString)
+    }
+    try {
+      // checkpoint on tmpfs when available: the WAL fsyncs per micro-batch
+      // and dominates wall clock for these small bounded streams
+      val q = df.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation",
+          s"$checkpointRoot/$name-${System.nanoTime()}")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally {
+      if (inputDir != null)
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
     spark.table(name)
   }
 }
