@@ -655,6 +655,56 @@ object Dedup {
     Checkpoints.sealAndRelease(out, hs)
   }
 
+  /** [[snmCandidates]] for SEVERAL independent sort keys in ONE ranking
+    * pass (r21): rows arrive key-tagged (g, id, k) — one per-GROUP
+    * quantile probe (cuts computed per key; the keys live on wildly
+    * different scales, so global cuts would collapse one key's whole
+    * corpus into a single bucket and serialize its rank window), one
+    * bucketed rank pipeline partitioned by (g, bucket), and ONE rank-block
+    * equi-join keyed (g, probe). Per group the positions are exactly
+    * [[Packing.twoPhaseRank]]'s (same (k, id) order, per-group offsets),
+    * so the emitted pair set is exactly the UNION of the per-key
+    * [[snmCandidates]] runs — at one pass's worth of jobs/exchanges
+    * instead of one per key.
+    */
+  private def snmCandidatesTagged(tagged: DataFrame, window: Int,
+      buckets: Int): DataFrame = {
+    val bucketed =
+      if (buckets <= 1) tagged.withColumn("b", lit(0L))
+      else {
+        val probs = (1 until buckets).map(_.toDouble / buckets)
+        val cuts = tagged.groupBy("g").agg(
+          percentile_approx(col("k").cast("double"), typedLit(probs),
+            lit(10000)).as("__cuts"))
+        tagged.join(broadcast(cuts), "g")
+          .withColumn("b",
+            (1 until buckets).map(i =>
+              when(col("k") >= element_at(col("__cuts"), i), 1L)
+                .otherwise(0L)).reduce(_ + _))
+          .drop("__cuts")
+      }
+    val offsets = bucketed.groupBy("g", "b").agg(count(lit(1)).as("bn"))
+      .withColumn("off", coalesce(sum(col("bn")).over(
+        Window.partitionBy("g").orderBy("b")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("g", "b", "off")
+    val ranked = bucketed.join(broadcast(offsets), Seq("g", "b"))
+      .withColumn("pos",
+        row_number().over(Window.partitionBy("g", "b").orderBy("k", "id"))
+          .cast("long") - 1L + col("off"))
+      .select(col("g"), col("id"), col("pos"),
+        expr(s"pos div $window").as("blk"))
+    val left = ranked.select(col("g"), col("id").as("ia"),
+      col("pos").as("pa"), col("blk").as("probe"))
+    val right = ranked.select(col("g"), col("id").as("ib"),
+      col("pos").as("pb"),
+      explode(array(col("blk"), col("blk") - 1)).as("probe"))
+    left.join(right, Seq("g", "probe"))
+      .filter(col("pb") > col("pa") && col("pb") <= col("pa") + window)
+      .select(least(col("ia"), col("ib")).as("ia"),
+        greatest(col("ia"), col("ib")).as("ib"))
+  }
+
   private def snmPairsKeyed(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int, window: Int, threshold: Double, buckets: Int,
       keys: Seq[Column]): DataFrame = {
@@ -667,18 +717,23 @@ object Dedup {
     if (keyed.head(1).isEmpty)
       return keyed.select(col("id").as("id_a"), col("id").as("id_b"),
         lit(0.0).as("jaccard")).limit(0)
-    // multi-pass: each pass reads the keyed projection ~3× (quantile probe,
-    // bucketing, rank join) — materialize it once instead of re-deriving
-    // the keys from the source scan per read; single-pass keeps the lazy
-    // frame (the cut's materialization would cost more than it saves)
-    val base = if (keys.size > 1) Checkpoints.cut(keyed) else keyed
     // union the per-key candidate neighborhoods, dedup to one row per
     // unordered pair, THEN verify once — a pair found by both passes pays
-    // one Jaccard, and the verification cost is |∪ candidates|, not Σ
-    val cand = keys.indices
-      .map(i => snmCandidates(
-        base.select(col("id"), col(s"k$i").as("k")), window, buckets))
-      .reduce(_ unionAll _)
+    // one Jaccard, and the verification cost is |∪ candidates|, not Σ.
+    // r21: the per-key passes fused into ONE tagged ranking pass
+    // (snmCandidatesTagged) — same pair set, one pass's worth of
+    // jobs/exchanges instead of one per key. The tagged frame is cut
+    // (multi-pass only): the rank pipeline reads it three times (quantile
+    // probe, bucketing, rank join) and each lazy re-read would otherwise
+    // re-scan the source and recompute every key expression.
+    val tagged = if (keys.size == 1) None
+      else Some(Checkpoints.cut(
+        keys.indices.map(i => keyed.select(lit(i.toLong).as("g"),
+          col("id"), col(s"k$i").as("k"))).reduce(_ unionAll _)))
+    val cand = tagged
+      .map(snmCandidatesTagged(_, window, buckets))
+      .getOrElse(snmCandidates(keyed.select(col("id"), col("k0").as("k")),
+        window, buckets))
       .dropDuplicates("ia", "ib")
     val hs = Checkpoints.cut(shinglePostings(docs, idCol, textCol, shingleN)
       .groupBy("id").agg(collect_list(col("shingle")).as("hs")))
@@ -688,8 +743,10 @@ object Dedup {
       .withColumn("jaccard", round(jaccard(col("hs_a"), col("hs_b")), 4))
       .filter(col("jaccard") >= threshold)
       .select(col("ia").as("id_a"), col("ib").as("id_b"), col("jaccard"))
-    if (keys.size > 1) Checkpoints.sealAndRelease(out, hs, base)
-    else Checkpoints.sealAndRelease(out, hs)
+    tagged match {
+      case Some(t) => Checkpoints.sealAndRelease(out, hs, t)
+      case None => Checkpoints.sealAndRelease(out, hs)
+    }
   }
 
   /** Asymmetric near-dup: containment(A in B) = |shingles(A)∩shingles(B)|
