@@ -117,20 +117,24 @@ object Itemsets {
     val pruned = base.join(broadcast(freq.select("it")), "it")
     def basketEq(l: String, r: String) = basketCols
       .map(k => col(s"$l.$k") === col(s"$r.$k")).reduce(_ && _)
-    val l2 = pruned.as("x")
+    // r21: the per-basket pair frame feeds BOTH the L2 support counts and
+    // the candidate-triple attachment — build the basket self-join ONCE
+    // and cut it (baskets × (items-per-basket choose 2) rows, small by
+    // the same bound as the join volume) instead of running the heaviest
+    // join twice (guide §2.4: duplicated subtrees)
+    val pairs = Checkpoints.cut(pruned.as("x")
       .join(pruned.as("y"), basketEq("x", "y") && col("x.it") < col("y.it"))
-      .groupBy(col("x.it").as("a"), col("y.it").as("b"))
-      .agg(count(lit(1)).as("s_ab"))
+      .select((basketCols.map(k => col(s"x.$k")) :+
+        col("x.it").as("a") :+ col("y.it").as("b")): _*))
+    val l2 = pairs
+      .groupBy("a", "b").agg(count(lit(1)).as("s_ab"))
       .crossJoin(broadcast(n)).filter(floor(col("s_ab")))
       .select("a", "b")
     val c3 = l2.as("p").join(l2.as("q"),
         col("p.a") === col("q.a") && col("p.b") < col("q.b"))
       .select(col("p.a").as("a"), col("p.b").as("b"), col("q.b").as("c"))
       .join(l2.select(col("a").as("b"), col("b").as("c")), Seq("b", "c"))
-    val xy = pruned.as("x")
-      .join(pruned.as("y"), basketEq("x", "y") && col("x.it") < col("y.it"))
-      .select((basketCols.map(k => col(s"x.$k")) :+
-        col("x.it").as("a") :+ col("y.it").as("b")): _*)
+    val xy = pairs
       .join(broadcast(c3.select("a", "b").distinct()), Seq("a", "b"))
     val out = xy.as("p").join(pruned.as("z"),
         basketEq("p", "z") && col("p.b") < col("z.it"))
@@ -141,6 +145,6 @@ object Itemsets {
       .crossJoin(broadcast(n))
       .filter(floor(col("s_abc")))
       .select(col("a"), col("b"), col("c"), col("s_abc"), col("n_baskets"))
-    Checkpoints.sealAndRelease(out, base)
+    Checkpoints.sealAndRelease(out, base, pairs)
   }
 }

@@ -256,6 +256,34 @@ object Packing {
       .drop("__cuts")
   }
 
+  /** Weighted per-group running total over a (grp, v, c) CLASS HISTOGRAM
+    * (r21): adds `cum` = Σ c over the group's values ≤ v (inclusive) and
+    * `gn` = the group's total weight, with the [[groupedTwoPhaseRank]]
+    * skew discipline applied ON THE GRID — global quantile buckets on v,
+    * per-(grp, bucket) weighted offsets (a groups×buckets frame, the only
+    * unpartitioned window), within-(grp, bucket) running sums partition-
+    * parallel. A group whose value grid is huge never serializes in one
+    * window task. This is the order-statistics workhorse for operators
+    * that need VALUES at ranks (medians, deciles) rather than per-row
+    * ranks: the corpus collapses to the grid via map-side combine BEFORE
+    * any shuffle.
+    */
+  private[operators] def groupedWeightedCumsum(hist: DataFrame,
+      buckets: Int): DataFrame = {
+    val bucketed = quantileBuckets(hist, "v", buckets)
+    val offs = bucketed.groupBy("grp", "b").agg(sum("c").as("bn"))
+      .withColumn("off", coalesce(sum(col("bn")).over(
+        Window.partitionBy("grp").orderBy("b")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("gn", sum(col("bn")).over(Window.partitionBy("grp")))
+      .select(col("grp"), col("b"), col("off"), col("gn"))
+    bucketed.join(broadcast(offs), Seq("grp", "b"))
+      .withColumn("cum",
+        sum(col("c")).over(Window.partitionBy("grp", "b").orderBy("v"))
+          + col("off"))
+      .drop("b", "off")
+  }
+
   /** Per-GROUP contiguous 0-based rank of every row in (`keyCol`, id)
     * order — the grouped generalization of [[twoPhaseRank]], for exact
     * within-group order statistics WITHOUT a per-group window: a window

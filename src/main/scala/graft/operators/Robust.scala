@@ -24,15 +24,35 @@ import org.apache.spark.sql.functions._
   * standard behavior, and the honest one for a corpus where half a source
   * is one boilerplate length.
   *
-  * Scale posture: both ranking passes are [[Packing.groupedTwoPhaseRank]]
-  * — global quantile buckets + per-(group, bucket) offsets — so a skewed
-  * group (one source = half the corpus) spreads across all buckets
-  * instead of serializing in a per-group window partition. The median/MAD
-  * extracts are one-row-per-group filters; the joins back are
-  * group-cardinality-sized (AQE broadcasts them from real stats). Output:
-  * (id, group, value, med, mad, outlier) — one row per input row.
+  * Scale posture (r21): a median needs only the VALUE at rank
+  * (n−1) div 2, never per-row ranks — so each pass aggregates the corpus
+  * to a (group, value) CLASS HISTOGRAM first (map-side partial combine:
+  * the shuffle carries the distinct-value grid, not rows — the
+  * q178/q211/q230 class-histogram stance) and extracts the median from
+  * the weighted cumulative. The cumulative itself keeps the
+  * [[Packing.groupedTwoPhaseRank]] skew discipline ON THE GRID: global
+  * quantile buckets on the value, per-(group, bucket) weighted offsets,
+  * within-(group, bucket) running sums — a group whose grid is huge (all
+  * values distinct) still spreads across all buckets instead of
+  * serializing in a per-group window partition. The median/MAD extracts
+  * are one-row-per-group filters; the joins back are group-cardinality-
+  * sized (AQE broadcasts them from real stats). Output: (id, group,
+  * value, med, mad, outlier) — one row per input row.
   */
 object Robust {
+
+  /** Per-group LOWER median value off a weighted class histogram
+    * (`grp`, `v`, `c`): the value whose weighted cumulative count (in v
+    * order) first covers 0-indexed rank (gn−1) div 2. Tie order within a
+    * value is irrelevant — every row of the value is the value. Windows
+    * ride the grid, bucketed as documented above.
+    */
+  private def groupedLowerMedian(hist: DataFrame,
+      buckets: Int): DataFrame =
+    Packing.groupedWeightedCumsum(hist, buckets)
+      .filter(col("cum") - col("c") <= expr("(gn - 1) div 2") &&
+        expr("(gn - 1) div 2") < col("cum"))
+      .select(col("grp"), col("v").as("med"))
 
   def madOutliers(df: DataFrame, idCol: String, groupCol: String,
       valueCol: String, k: Int = 3, buckets: Int = 32): DataFrame = {
@@ -43,15 +63,14 @@ object Robust {
       return base.select(col("id"), col("grp"), col("v"),
         lit(0L).as("med"), lit(0L).as("mad"), lit(false).as("outlier"))
         .limit(0)
-    val meds = Packing.groupedTwoPhaseRank(base, "grp", "v", buckets)
-      .filter(col("gpos") === expr("(gn - 1) div 2"))
-      .select(col("grp"), col("v").as("med"))
+    val meds = groupedLowerMedian(
+      base.groupBy("grp", "v").agg(count(lit(1)).as("c")), buckets)
     val dev = base.join(meds, "grp")
       .withColumn("dev", abs(col("v") - col("med")))
-    val mads = Packing.groupedTwoPhaseRank(
-        dev.select(col("id"), col("grp"), col("dev")), "grp", "dev", buckets)
-      .filter(col("gpos") === expr("(gn - 1) div 2"))
-      .select(col("grp"), col("dev").as("mad"))
+    val mads = groupedLowerMedian(
+      dev.groupBy(col("grp"), col("dev").as("v"))
+        .agg(count(lit(1)).as("c")), buckets)
+      .withColumnRenamed("med", "mad")
     dev.join(mads, "grp")
       .select(col("id"), col("grp"), col("v"), col("med"), col("mad"),
         (col("dev") > col("mad") * k).as("outlier"))
