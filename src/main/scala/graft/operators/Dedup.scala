@@ -59,11 +59,11 @@ object Dedup {
       shingleN: Int, pairs: DataFrame, perms: Int = 48): DataFrame = {
     val ids = pairs.select(col("id_a").as("id"))
       .union(pairs.select(col("id_b").as("id"))).distinct()
-    val (hs, sig) = docSignatures(
+    val hsig = docSignatures(
       docs.join(ids.withColumnRenamed("id", idCol), Seq(idCol), "left_semi"),
       idCol, textCol, shingleN, perms)
-    val sets = hs.select(col("id"), col("hs"))
-    val sigs = sig.select(col("id"), col("sig"))
+    val sets = hsig.select(col("id"), col("hs"))
+    val sigs = hsig.select(col("id"), col("sig"))
     val out = pairs.select("id_a", "id_b")
       .join(sets.select(col("id").as("id_a"), col("hs").as("hs_a")), "id_a")
       .join(sets.select(col("id").as("id_b"), col("hs").as("hs_b")), "id_b")
@@ -82,7 +82,7 @@ object Dedup {
       .withColumn("err_micro", abs(col("est_micro") - col("jac_micro")))
       .select("id_a", "id_b", "sig_matches", "inter", "unio",
         "est_micro", "jac_micro", "err_micro")
-    Checkpoints.sealAndRelease(out, hs, sig)
+    Checkpoints.sealAndRelease(out, hsig)
   }
 
   /** Inverse-df-WEIGHTED Jaccard over a given candidate-pair set — the
@@ -165,19 +165,19 @@ object Dedup {
       shingleN: Int, threshold: Double,
       perms: Int = 48, bands: Int = 12): DataFrame = {
     val rows = perms / bands
-    val (hs, sig) = docSignatures(docs, idCol, textCol, shingleN, perms)
+    val hsig = docSignatures(docs, idCol, textCol, shingleN, perms)
     // The band explode and its self-join carry (band, key, id) ONLY: the
     // hashed-shingle arrays would otherwise ride the `bands`-way explode
     // through both shuffle sides (12× amplification of the heaviest column
     // at scale). They rejoin below, after the candidate set is deduplicated
     // to one row per pair, from the persisted one-row-per-doc `hs` relation.
-    val buckets = bandKeys(sig, bands, rows)
+    val buckets = bandKeys(hsig, bands, rows)
     val candIds = buckets.as("x").join(buckets.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    val sets = hs.select(col("id"), col("hs"))
+    val sets = hsig.select(col("id"), col("hs"))
     candIds
       .join(sets.select(col("id").as("id_a"), col("hs").as("hs_a")), "id_a")
       .join(sets.select(col("id").as("id_b"), col("hs").as("hs_b")), "id_b")
@@ -218,17 +218,21 @@ object Dedup {
     * by the context cleaner once the result is dereferenced. Reliable
     * checkpoint() instead when graft.checkpoint.dir is set (cluster mode).
     */
+  /** ONE materialized (id, hs, sig) frame per signing: per-doc hashed
+    * shingle sets AND their MinHash signatures in a single cut. r21: the
+    * old two-stage shape (an hs cut, then a sig cut reading it) paid a
+    * second corpus-sized materialization pass — and carried the heavy hs
+    * arrays through it — purely to stage an expression the first pass
+    * could compute in place. Every caller needs both columns off the
+    * same frame.
+    */
   private def docSignatures(docs: DataFrame, idCol: String, textCol: String,
-      shingleN: Int, perms: Int): (DataFrame, DataFrame) = {
-    val hs = Checkpoints.cut(shinglePostings(docs, idCol, textCol, shingleN)
+      shingleN: Int, perms: Int): DataFrame =
+    Checkpoints.cut(shinglePostings(docs, idCol, textCol, shingleN)
       .groupBy("id")
       .agg(collect_list(col("shingle")).as("hs"))
-      .withColumn("hp", transform(col("hs"), h => h % MinHashP)))
-    val sig = Checkpoints.cut(hs
-      .withColumn("sig", minHashSignatureFromHashes(col("hp"), perms))
-      .drop("hp"))
-    (hs, sig)
-  }
+      .withColumn("sig", minHashSignatureFromHashes(
+        transform(col("hs"), h => h % MinHashP), perms)))
 
   /** (id, band, key) band-bucket postings for a signature frame. Band key
     * = xxhash64 of the rows-per-band signature slice: a single long
@@ -258,16 +262,15 @@ object Dedup {
       shingleN: Int, path: String, perms: Int = 48, bands: Int = 12): Unit = {
     require(perms % bands == 0, "bands must divide perms")
     val spark = docs.sparkSession
-    val (hs, sig) = docSignatures(docs, idCol, textCol, shingleN, perms)
-    bandKeys(sig, bands, perms / bands).write
+    val hsig = docSignatures(docs, idCol, textCol, shingleN, perms)
+    bandKeys(hsig, bands, perms / bands).write
       .mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("band").parquet(s"$path/buckets")
-    hs.select("id", "hs").write
+    hsig.select("id", "hs").write
       .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$path/sets")
     Similarity.writeIndexMeta(spark, path, "lsh",
       Seq(shingleN.toString, perms.toString, bands.toString))
-    Checkpoints.release(sig)
-    Checkpoints.release(hs)
+    Checkpoints.release(hsig)
   }
 
   /** Incremental third of the lifecycle: sign ONLY the new documents with
@@ -278,14 +281,13 @@ object Dedup {
       docs: DataFrame, idCol: String, textCol: String): Unit = {
     val Seq(shingleN, perms, bands) =
       Similarity.readIndexMeta(spark, path, "lsh").map(_.toInt)
-    val (hs, sig) = docSignatures(docs, idCol, textCol, shingleN, perms)
-    bandKeys(sig, bands, perms / bands).write
+    val hsig = docSignatures(docs, idCol, textCol, shingleN, perms)
+    bandKeys(hsig, bands, perms / bands).write
       .mode(org.apache.spark.sql.SaveMode.Append)
       .partitionBy("band").parquet(s"$path/buckets")
-    hs.select("id", "hs").write
+    hsig.select("id", "hs").write
       .mode(org.apache.spark.sql.SaveMode.Append).parquet(s"$path/sets")
-    Checkpoints.release(sig)
-    Checkpoints.release(hs)
+    Checkpoints.release(hsig)
   }
 
   /** Index maintenance (r19 directive #3): compact the LSH index's small
@@ -345,8 +347,8 @@ object Dedup {
       threshold: Double): DataFrame = {
     val Seq(shingleN, perms, bands) =
       Similarity.readIndexMeta(spark, path, "lsh").map(_.toInt)
-    val (bhs, bsig) = docSignatures(batch, idCol, textCol, shingleN, perms)
-    val probe = bandKeys(bsig, bands, perms / bands)
+    val bhsig = docSignatures(batch, idCol, textCol, shingleN, perms)
+    val probe = bandKeys(bhsig, bands, perms / bands)
     val idx = spark.read.parquet(s"$path/buckets")
     val cand = idx.as("c").join(broadcast(probe.as("b")),
         col("c.band") === col("b.band") && col("c.key") === col("b.key") &&
@@ -355,12 +357,12 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
     val sets = spark.read.parquet(s"$path/sets")
     val out = cand
-      .join(bhs.select(col("id").as("id_a"), col("hs").as("hs_a")), "id_a")
+      .join(bhsig.select(col("id").as("id_a"), col("hs").as("hs_a")), "id_a")
       .join(sets.select(col("id").as("id_b"), col("hs").as("hs_b")), "id_b")
       .withColumn("jaccard", round(jaccard(col("hs_a"), col("hs_b")), 4))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
-    Checkpoints.sealAndRelease(out, bhs, bsig)
+    Checkpoints.sealAndRelease(out, bhsig)
   }
 
   /** Exact n-gram Jaccard pairs ≥ threshold via inverted-index self-join —
