@@ -207,8 +207,8 @@ class CheckpointModeSpec extends SparkSpec {
     try {
       val reliable = Dedup.minHashLsh(docs, "doc_id", "text", 3, 0.6)
       assert(reliable.collect().toSet === byDefault)
-      // two cuts (hashed shingles, signatures), neither superseded → both live
-      assert(uuidDirs(root).length === 2)
+      // one fused (id, hs, sig) cut since r21's docSignatures fuse, live
+      assert(uuidDirs(root).length === 1)
     } finally {
       spark.conf.unset(Checkpoints.DirConf)
     }

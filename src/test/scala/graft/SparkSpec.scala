@@ -14,6 +14,10 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     .config("spark.sql.shuffle.partitions", "2")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    // sharded test groups (build.sbt) each fork their own JVM; give each
+    // its own warehouse so saveAsTable suites cannot collide across JVMs
+    .config("spark.sql.warehouse.dir",
+      sys.props.getOrElse("graft.test.warehouse", "spark-warehouse"))
     .getOrCreate()
 
   override def afterAll(): Unit = {
