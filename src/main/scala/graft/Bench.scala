@@ -179,7 +179,16 @@ object Bench {
       val json = s"""{"premium":$premiumJson,"total":${fmt(total)},""" +
         s""""total_adj":${fmt(totalAdj)},"sf":"$sfDir","queries":{$detail}}"""
       val p = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "bench_detail.json")
-      java.nio.file.Files.writeString(java.nio.file.Paths.get(p), json)
+      // never let an artifact-write failure (read-only cwd, bad override
+      // path) discard a completed sweep: the JSON line of record still
+      // goes out below — fall back to printing the detail (ADVICE r21)
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get(p), json)
+      catch {
+        case e: Exception =>
+          System.err.println(s"[bench] detail write to $p failed " +
+            s"(${e.getMessage}); detail follows on stderr")
+          System.err.println(json)
+      }
     }
     // dev-only: full per-query dump (every entry, no line cap) for band
     // maintenance — the driver never sets it

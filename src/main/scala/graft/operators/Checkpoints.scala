@@ -103,6 +103,47 @@ object Checkpoints {
       case other => other
     }
 
+  /** [[cut]] plus the materialized row count: the eager materialization
+    * counts in both modes anyway (persistCut's rdd.count; a reliable
+    * checkpoint's count is a cheap scan of just-written files), so
+    * size-dispatching callers (Packing.gridCumsums) learn the
+    * cardinality without scheduling a second job.
+    */
+  def cutWithCount(df: DataFrame): (DataFrame, Long) = {
+    val spark = df.sparkSession
+    spark.conf.getOption(DirConf).filter(_.nonEmpty) match {
+      case Some(_) =>
+        val out = cut(df)
+        (out, out.count())
+      case None => persistModeCut(df)
+    }
+  }
+
+  // the shared persist-mode (no DirConf) cut: truncation cadence per
+  // TruncateEveryConf, materialized count returned for size dispatch
+  private def persistModeCut(df: DataFrame): (DataFrame, Long) = {
+    val spark = df.sparkSession
+    val every = spark.conf.getOption(TruncateEveryConf) match {
+      case Some(v) =>
+        try v.trim.toInt
+        catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"$TruncateEveryConf must be an integer (0 disables " +
+              s"periodic lineage truncation); got '$v'")
+        }
+      case None =>
+        // local-only default: see TruncateEveryConf scaladoc
+        if (spark.sparkContext.isLocal) DefaultTruncateEvery else 0
+    }
+    val counter = cutCounts.computeIfAbsent(spark,
+      _ => new java.util.concurrent.atomic.AtomicLong)
+    val truncate = every > 0 && counter.incrementAndGet() % every == 0
+    val (out, n) = org.apache.spark.sql.graftshim.GraftSqlShim.persistCutCounted(
+      df, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK, truncate)
+    if (truncate) truncatedCuts.put(keyOf(out), java.lang.Boolean.TRUE)
+    (out, n)
+  }
+
   /** Cut `df`'s lineage and materialize it, mode per [[DirConf]]. */
   def cut(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
@@ -125,26 +166,7 @@ object Checkpoints {
         entries.put(new Entry(keyOf(out), dir, sc.hadoopConfiguration), ())
         sweep()
         out
-      case None =>
-        val every = spark.conf.getOption(TruncateEveryConf) match {
-          case Some(v) =>
-            try v.trim.toInt
-            catch {
-              case _: NumberFormatException => throw new IllegalArgumentException(
-                s"$TruncateEveryConf must be an integer (0 disables " +
-                  s"periodic lineage truncation); got '$v'")
-            }
-          case None =>
-            // local-only default: see TruncateEveryConf scaladoc
-            if (spark.sparkContext.isLocal) DefaultTruncateEvery else 0
-        }
-        val counter = cutCounts.computeIfAbsent(spark,
-          _ => new java.util.concurrent.atomic.AtomicLong)
-        val truncate = every > 0 && counter.incrementAndGet() % every == 0
-        val out = org.apache.spark.sql.graftshim.GraftSqlShim.persistCut(df,
-          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK, truncate)
-        if (truncate) truncatedCuts.put(keyOf(out), java.lang.Boolean.TRUE)
-        out
+      case None => persistModeCut(df)._1
     }
   }
 

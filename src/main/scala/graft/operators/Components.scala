@@ -104,10 +104,24 @@ object Components {
     val nodes = Checkpoints.cut(edges.select(col("s").as("id"))
       .union(edges.select(col("d").as("id"))).distinct())
     // canonical undirected set: u > v, self-loops dropped
-    var e = Checkpoints.cut(edges.filter(col("s") =!= col("d"))
-      .select(greatest(col("s"), col("d")).as("u"), least(col("s"), col("d")).as("v"))
-      .distinct())
-    var eCount = e.count()
+    // cutWithCount: the materialization counts anyway — no separate
+    // count() action per cut (r22, the guide's driver-action discipline)
+    var (e, eCount) = Checkpoints.cutWithCount(
+      edges.filter(col("s") =!= col("d"))
+        .select(greatest(col("s"), col("d")).as("u"),
+          least(col("s"), col("d")).as("v"))
+        .distinct())
+    // cheap per-round fixpoint witness: XOR of xxhash64(u, v) over the
+    // pinned canonical set (order-independent, never overflows — a SUM
+    // witness throws under ANSI arithmetic; distinct rows, so XOR
+    // self-cancellation cannot occur). Equal count + equal witness gates
+    // the EXACT except() decider, so the expensive anti-join runs only
+    // on candidate-converged rounds (usually exactly the final one)
+    // instead of every round (r22).
+    def witness(df: DataFrame): Long = df
+      .agg(coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L)))
+      .first().getLong(0)
+    var eWit = if (eCount == 0) 0L else witness(e)
     var converged = eCount == 0
     var iters = 0
     while (!converged && iters < maxIters) {
@@ -125,17 +139,21 @@ object Components {
         .union(afterLarge.select(col("v").as("u"), col("u").as("v")))
       val smaller = both2.filter(col("v") < col("u"))
       val smins = smaller.groupBy("u").agg(min("v").as("m"))
-      val next = Checkpoints.cut(smaller.join(smins, "u")
+      val (next, nextCount) = Checkpoints.cutWithCount(smaller.join(smins, "u")
         .select(col("v").as("u"), col("m").as("v")).filter(col("u") =!= col("v"))
         .union(smins.select(col("u"), col("m").as("v")))
         .distinct())
-      val nextCount = next.count()
       // sound fixpoint test on canonical distinct sets: equal size and an
-      // empty one-sided difference ⇒ identical edge sets
-      converged = nextCount == eCount && next.except(e).isEmpty
+      // empty one-sided difference ⇒ identical edge sets. The count and
+      // hash witness only GATE the exact except() decider — a witness
+      // collision costs one wasted anti-join, never a wrong answer.
+      val nextWit = witness(next)
+      converged = nextCount == eCount && nextWit == eWit &&
+        next.except(e).isEmpty
       Checkpoints.release(e)
       e = next
       eCount = nextCount
+      eWit = nextWit
       iters += 1
     }
     require(converged, s"star contraction did not converge in $maxIters rounds")
@@ -173,15 +191,18 @@ object Components {
     require(maxHops >= 0, "need a nonnegative hop bound")
     val e = edges.select(col(srcCol).cast("long").as("p"),
       col(dstCol).cast("long").as("c")).persist()
-    var visited = Checkpoints.cut(roots
+    val (visited0, nRoots) = Checkpoints.cutWithCount(roots
       .select(col(rootCol).cast("long").as("id")).distinct()
       .withColumn("depth", lit(0)))
+    var visited = visited0
     var frontier = visited
     var hop = 0
-    var done = frontier.head(1).isEmpty
+    var done = nRoots == 0L
     while (hop < maxHops && !done) {
-      val next = Checkpoints.cut(bfsStep(e, frontier, visited, hop))
-      done = next.head(1).isEmpty
+      // cutWithCount: frontier emptiness comes free with the round's cut
+      val (next, nNext) = Checkpoints.cutWithCount(
+        bfsStep(e, frontier, visited, hop))
+      done = nNext == 0L
       if (!done) {
         val merged = Checkpoints.cut(visited.unionByName(next))
         Checkpoints.release(visited)
@@ -391,10 +412,9 @@ object Components {
     // dangling and keeps outW ≥ 1 everywhere
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
       w.as("w")).filter(col("w") > 0).persist()
-    val nodes = Checkpoints.cut(
+    val (nodes, n) = Checkpoints.cutWithCount(
       e.select(col("src").as("id")).union(e.select(col("dst").as("id")))
         .distinct())
-    val n = nodes.count()
     if (n == 0) {
       e.unpersist()
       val empty = Checkpoints.cut(nodes.select(col("id"), lit(0L).as("rank")))
@@ -515,10 +535,9 @@ object Components {
     val w = weightCol.map(c => col(c).cast("long")).getOrElse(lit(1L))
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
       w.as("w")).filter(col("w") > 0).persist()
-    val nodes = Checkpoints.cut(
+    val (nodes, n) = Checkpoints.cutWithCount(
       e.select(col("src").as("id")).union(e.select(col("dst").as("id")))
         .distinct())
-    val n = nodes.count()
     if (n == 0) {
       e.unpersist()
       val empty = Checkpoints.cut(nodes.select(col("id"), lit(0L).as("rank")))
@@ -597,10 +616,9 @@ object Components {
     val w = weightCol.map(c => col(c).cast("long")).getOrElse(lit(1L))
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
       w.as("w")).filter(col("w") > 0).persist()
-    val nodes = Checkpoints.cut(
+    val (nodes, n) = Checkpoints.cutWithCount(
       e.select(col("src").as("id")).union(e.select(col("dst").as("id")))
         .distinct())
-    val n = nodes.count()
     if (n == 0) {
       e.unpersist()
       val empty = Checkpoints.cut(nodes.select(col("id"), lit(0L).as("rank")))
@@ -704,10 +722,9 @@ object Components {
     // zero/negative weights are ABSENT edges, as in pageRank
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
       w.as("w")).filter(col("w") > 0).persist()
-    val nodes = Checkpoints.cut(
+    val (nodes, n) = Checkpoints.cutWithCount(
       e.select(col("src").as("id")).union(e.select(col("dst").as("id")))
         .distinct())
-    val n = nodes.count()
     if (n == 0) {
       e.unpersist()
       val empty = Checkpoints.cut(
@@ -983,15 +1000,16 @@ object Components {
     require(maxRounds >= 0, "the round cap is nonnegative")
     val raw = edges.select(col(srcCol).as("s"), col(dstCol).as("d"))
       .filter(col("s") =!= col("d"))
-    var ue = Checkpoints.cut(raw.select(
+    // cutWithCount: the materialization counts anyway — one driver action
+    // per peel round, not two (r22). Count equality IS the exact fixpoint
+    // here: peeling only ever deletes edges, so equal size ⇒ unchanged.
+    var (ue, m) = Checkpoints.cutWithCount(raw.select(
       least(col("s"), col("d")).as("a"),
       greatest(col("s"), col("d")).as("b")).distinct())
-    var m = ue.count()
     var round = 0
     var converged = m == 0L
     while (round < maxRounds && !converged) {
-      val next = Checkpoints.cut(peelRound(ue, k))
-      val m2 = next.count()
+      val (next, m2) = Checkpoints.cutWithCount(peelRound(ue, k))
       Checkpoints.release(ue)
       ue = next
       converged = m2 == m

@@ -469,15 +469,28 @@ object Dedup {
       positional: Boolean): DataFrame = {
     val dfreq = inv.groupBy("shingle").agg(count(lit(1)).as("df"))
     val byDoc = Window.partitionBy("id")
-    val prefix = inv.join(dfreq, "shingle")
+    // CUT (r22): the self-join below reads this frame on BOTH sides —
+    // without the cut each side re-runs the df aggregation, the df join
+    // and the two per-doc windows (the plan dump shows the whole chain
+    // duplicated). One pinned prefix-postings frame, read twice.
+    val prefix = Checkpoints.cut(inv.join(dfreq, "shingle")
       .withColumn("r",
         row_number().over(byDoc.orderBy(col("df"), col("shingle"))))
       .withColumn("n", count(lit(1)).over(byDoc))
       .filter(col("r") <=
         col("n") - floor(lit(threshold) * col("n")) + lit(1))
-      .select("id", "shingle", "r", "n")
+      .select("id", "shingle", "r", "n"))
+    // LENGTH filter (Arasu VLDB'06) fused into the join condition (r22):
+    // J ≥ t forces min(n_a, n_b) ≥ t·max(n_a, n_b), so size-mismatched
+    // collisions drop BEFORE the pair-aggregation shuffle. Post-agg it
+    // adds nothing (the positional filter is strictly stronger — with
+    // r ≥ 1, min(n−r)+1 ≤ min(n) — so output is provably unchanged);
+    // the −ε slack keeps the prune sound under float evaluation, the
+    // positional-filter discipline.
     val agg = prefix.as("a").join(prefix.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id") &&
+          col("a.n") >= lit(threshold) * col("b.n") - lit(1e-9) &&
+          col("b.n") >= lit(threshold) * col("a.n") - lit(1e-9))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(min(col("a.r")).as("ra"), min(col("b.r")).as("rb"),
         first(col("a.n")).as("na"), first(col("b.n")).as("nb"))
@@ -768,37 +781,57 @@ object Dedup {
       shingleN: Int, threshold: Double,
       broadcastDocLimit: Long = CountsBroadcastLimit): DataFrame = {
     val inv = Checkpoints.cut(shinglePostings(docs, idCol, textCol, shingleN))
-    val counts = inv.groupBy("id").agg(count(lit(1)).as("n"))
-    val guard = countsJoinGuard(counts, broadcastDocLimit)
-    // the intersection is SYMMETRIC, so aggregate each unordered pair once
-    // (a < b, exactly q34's join volume) and emit the two directed scores
-    // from that single row — half the shingle-match stream of the naive
-    // a ≠ b formulation, same result set
-    val pairs = inv.as("a").join(inv.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("ia"), col("b.id").as("ib"))
-      .agg(count(lit(1)).as("inter"))
-    val withN = pairs
-      .join(guard(counts.select(col("id").as("ia"), col("n").as("na"))), "ia")
-      .join(guard(counts.select(col("id").as("ib"), col("n").as("nb"))), "ib")
-    // both directed rows come out of ONE pass over the aggregated pair
-    // (explode of a 2-struct array), not a self-union: a union would put
-    // the whole shingle-self-join subtree in the plan twice, and the
-    // halved-join-volume claim would then depend on exchange reuse
-    // happening to fire — a silent 2× of the heaviest stage when it
-    // doesn't
-    val out = withN
+    // ONE-SIDED prefix filter (r22, the ngramJaccardPrefix principle
+    // transposed to the asymmetric score): containment(A in B) ≥ t means
+    // |A∩B| ≥ ⌈t·n_a⌉, which bounds ONLY the contained side — sort A's
+    // shingles rarest-first (the shared (df, shingle) total order) and A
+    // must collide with B inside its first n_a − ⌊t·n_a⌋ + 1 shingles,
+    // else at most ⌈t·n_a⌉ − 1 shared shingles remain (⌊·⌋ lengthens the
+    // prefix by ≤1 — float-jitter immunity, the Jaccard-path stance).
+    // The container side has NO length bound (a 100-word quote inside a
+    // 10k-word page qualifies), so it stays fully indexed. Candidate
+    // volume collapses from Σdf² to Σ df_prefix·df with the corpus's
+    // boilerplate shingles pushed out of every prefix; the exact
+    // verification below makes false candidates cost time, never
+    // correctness.
+    val dfreq = inv.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val byDoc = Window.partitionBy("id")
+    val prefix = inv.join(dfreq, "shingle")
+      .withColumn("r",
+        row_number().over(byDoc.orderBy(col("df"), col("shingle"))))
+      .withColumn("n", count(lit(1)).over(byDoc))
+      .filter(col("r") <=
+        col("n") - floor(lit(threshold) * col("n")) + lit(1))
+      .select("id", "shingle")
+    // directed candidates (contained-side prefix × full index),
+    // canonicalized unordered so each pair's sets are joined back ONCE
+    val cand = prefix.as("a").join(inv.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.id") =!= col("b.id"))
+      .select(least(col("a.id"), col("b.id")).as("ia"),
+        greatest(col("a.id"), col("b.id")).as("ib"))
+      .distinct()
+    // exact verification on the full shingle sets; both directed rows
+    // come out of ONE pass over the verified pair (explode of a 2-struct
+    // array), not a self-union — a union would put the candidate subtree
+    // in the plan twice
+    val hs = Checkpoints.cut(inv.groupBy("id")
+      .agg(collect_list(col("shingle")).as("hs")))
+    val out = cand
+      .join(hs.select(col("id").as("ia"), col("hs").as("hs_a")), "ia")
+      .join(hs.select(col("id").as("ib"), col("hs").as("hs_b")), "ib")
+      .withColumn("inter",
+        size(array_intersect(col("hs_a"), col("hs_b"))).cast("double"))
       .select(explode(array(
         struct(col("ia").as("contained_id"), col("ib").as("container_id"),
-          round(col("inter").cast("double") / col("na"), 4).as("containment")),
+          round(col("inter") / size(col("hs_a")), 4).as("containment")),
         struct(col("ib").as("contained_id"), col("ia").as("container_id"),
-          round(col("inter").cast("double") / col("nb"), 4).as("containment"))))
+          round(col("inter") / size(col("hs_b")), 4).as("containment"))))
         .as("r"))
       .select(col("r.contained_id").as("contained_id"),
         col("r.container_id").as("container_id"),
         col("r.containment").as("containment"))
       .filter(col("containment") >= threshold)
-    Checkpoints.sealAndRelease(out, inv)
+    Checkpoints.sealAndRelease(out, hs, inv)
   }
 
   /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,

@@ -49,10 +49,14 @@ object Drift {
       .withColumn("cs", sum(coalesce(col("c"), lit(0L))).over(
         Window.partitionBy("g").orderBy("v")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val gcum = per.groupBy("v").agg(sum("c").as("cv"))
-      .withColumn("cg", sum("cv").over(Window.orderBy("v")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .select("v", "cg")
+    // pooled cumulative over the distinct-value grid — bucketed (r22):
+    // the old Window.orderBy("v") serialized the WHOLE grid in one task,
+    // a cliff when distinct values ≈ corpus (the q246 measurement proved
+    // such grids exist here); Packing.gridCumsums keeps the exact same
+    // running sum but spreads it over quantile buckets of v
+    val gcum = Packing.gridCumsums(
+        per.groupBy("v").agg(sum("c").as("cv")), Seq("cv"), 32)
+      .select(col("v"), col("cum_cv").as("cg"))
     Checkpoints.sealAndRelease(
       scum.join(gcum, "v").join(broadcast(grps), "g")
         .crossJoin(broadcast(na))
@@ -142,14 +146,12 @@ object Drift {
         Window.partitionBy("g").orderBy("v")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     // pooled cumulative + inter-step gap, both on the distinct-value
-    // grid (single-partition windows, bounded by construction — the
-    // q178 stance: the corpus already collapsed to the grid)
-    val gcum = per.groupBy("v").agg(sum("c").as("cv"))
-      .withColumn("cg", sum("cv").over(Window.orderBy("v")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("gap",
-        coalesce(lead("v", 1).over(Window.orderBy("v")) - col("v"), lit(0L)))
-      .select("v", "cg", "gap")
+    // grid — bucketed (r22, the ksFromCounts rationale): same running
+    // sum and next-value gap, no single-task grid pass
+    val gcum = Packing.gridCumsums(
+        per.groupBy("v").agg(sum("c").as("cv")), Seq("cv"), 32,
+        withGap = true)
+      .select(col("v"), col("cum_cv").as("cg"), col("gap"))
     Checkpoints.sealAndRelease(
       scum.join(gcum, "v").join(broadcast(grps), "g")
         .crossJoin(broadcast(na))
@@ -442,13 +444,13 @@ object Drift {
           col(countCol).cast("long").as("c"))
         .filter(col("v").isNotNull)
         .groupBy("g", "v").agg(sum("c").as("c")))
-    val wv = Window.orderBy("v")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    // pool total as a whole-grid window (bounded by construction, the
-    // q209 stance) — a separate agg branch would re-read the cut
-    val vb = sv.groupBy("v").agg(sum("c").as("cv"))
-      .withColumn("cexcl", coalesce(sum("cv").over(wv), lit(0L)))
-      .withColumn("n_pool", sum("cv").over(Window.partitionBy()))
+    // pooled exclusive cumulative + pool total, bucketed over the grid
+    // (r22, the ksFromCounts rationale — the old Window.orderBy("v") /
+    // Window.partitionBy() pair serialized the whole grid in one task)
+    val vb = Packing.gridCumsums(
+        sv.groupBy("v").agg(sum("c").as("cv")), Seq("cv"), 32)
+      .withColumn("cexcl", col("cum_cv") - col("cv"))
+      .withColumnRenamed("tot_cv", "n_pool")
       // integer div, never Column./ (double) — exact at any count
       .withColumn("bkt", expr(s"(cexcl * ${buckets}L) div n_pool"))
     val pb = vb.groupBy("bkt")

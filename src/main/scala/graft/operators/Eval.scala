@@ -34,9 +34,12 @@ object Eval {
   def aucHistogram(df: DataFrame, posCol: String,
       valueCol: String): DataFrame = {
     val h = classHistogram(df, posCol, valueCol)
-    val wv = Window.orderBy("v")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    h.withColumn("nnb", coalesce(sum("nn").over(wv), lit(0L)))
+    // exclusive below-v negative count, bucketed over the score grid
+    // (r22): the old Window.orderBy("v") put the whole distinct-score
+    // grid in one task — a cliff for near-unique scores; the bucketed
+    // cumulative is the same exact sum, partition-parallel
+    Packing.gridCumsums(h, Seq("nn"), 32)
+      .withColumn("nnb", col("cum_nn") - col("nn"))
       .agg(sum(col("np") * (lit(2L) * col("nnb") + col("nn")))
           .as("auc_num2"),
         sum("np").as("n_pos"), sum("nn").as("n_neg"))
@@ -74,22 +77,17 @@ object Eval {
   def confusionByThreshold(df: DataFrame, posCol: String,
       valueCol: String): DataFrame = {
     val h = classHistogram(df, posCol, valueCol)
-    val wv = Window.orderBy("v")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    // class totals as whole-grid windows on the SAME histogram frame —
-    // a separate `h.agg(...)` branch would re-derive the histogram from
-    // a second corpus scan (Catalyst does not fuse the two consumers);
-    // the unpartitioned windows ride post-agg grid rows only, the q209
-    // bounded-by-construction stance
-    val wall = Window.partitionBy()
-    h.withColumn("npb", coalesce(sum("np").over(wv), lit(0L)))
-      .withColumn("nnb", coalesce(sum("nn").over(wv), lit(0L)))
-      .withColumn("n_pos", sum("np").over(wall))
-      .withColumn("n_neg", sum("nn").over(wall))
+    // exclusive cumulatives AND class totals in one bucketed pass over
+    // the grid (r22): gridCumsums keeps the single-histogram-frame
+    // property (no second corpus scan — its totals ride the same ≤32-row
+    // offsets frame), and the old whole-grid single-task windows become
+    // partition-parallel bucket sums
+    Packing.gridCumsums(h, Seq("np", "nn"), 32)
       .select(col("v").as("threshold"),
-        (col("n_pos") - col("npb")).as("tp"),
-        (col("n_neg") - col("nnb")).as("fp"),
-        col("npb").as("fn"), col("nnb").as("tn"))
+        (col("tot_np") - (col("cum_np") - col("np"))).as("tp"),
+        (col("tot_nn") - (col("cum_nn") - col("nn"))).as("fp"),
+        (col("cum_np") - col("np")).as("fn"),
+        (col("cum_nn") - col("nn")).as("tn"))
   }
 
   /** Per-GROUP Mann–Whitney AUC — [[aucHistogram]] stratified by

@@ -284,6 +284,102 @@ object Packing {
       .drop("b", "off")
   }
 
+  /** Bucketed POOLED cumulative sums over a distinct-value grid (one row
+    * per `v`) — the unpartitioned-window companion to
+    * [[groupedWeightedCumsum]] (r22): for every weight column w this adds
+    * `cum_<w>` (inclusive running sum in `v` order) and `tot_<w>` (grid
+    * total), and with `withGap` a `gap` column = next grid value − v
+    * (0 at the last value; `v` must be integral then). The textbook
+    * `Window.orderBy("v")` puts the WHOLE grid in one task — fine for a
+    * 100-value length grid, a serialization cliff when the grid is
+    * near-unique (the q246 measurement proved such grids exist in this
+    * corpus). Here the [[twoPhaseRank]] discipline rides the grid
+    * instead: global quantile buckets on `v`, per-bucket weight totals
+    * rolled into running offsets on a ≤`buckets`-row frame (the only
+    * single-partition work — partitioned by a constant so the
+    * WindowExec single-partition alarm stays meaningful for genuinely
+    * unbounded frames), within-bucket running sums partition-parallel.
+    * Bucket-boundary gaps splice via each bucket's min value carried on
+    * the same offsets frame. NON-NUMERIC `v` falls back to one bucket
+    * (= the old plan shape): quantile cuts need a numeric probe, and a
+    * numeric cast of a string would not be monotone in the string sort
+    * order the cumsum runs in.
+    */
+  /** Grids at or under this many rows take the one-task cumulative (a
+    * ≤~6 MB sort in one window task — trivially fine on any executor);
+    * only bigger grids pay the bucketed machinery's extra stages. The
+    * dispatch is on the MEASURED size of the pinned grid, so it is
+    * scale-adaptive by data, not by a local[32] constant: a bounded
+    * value domain stays on the cheap path at any corpus size, and a
+    * near-unique grid (the q246 class) takes the bucketed path even at
+    * sf0.001. Conf-overridable for testing and for executors where even
+    * 256k rows in one task is unwelcome.
+    */
+  private val SmallGridConf = "graft.grid.cumsum.smallMax"
+  private val DefaultSmallGridMax = 1L << 18
+
+  private[operators] def gridCumsums(grid: DataFrame, weights: Seq[String],
+      buckets: Int, withGap: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.types.NumericType
+    // CUT the grid: every branch below reads it at least twice (the
+    // size dispatch, then the quantile probe / per-bucket offsets / main
+    // cumulative) — without the cut each consumer would re-run the
+    // caller's corpus scan + count shuffle (Catalyst does not fuse
+    // sibling consumers; the ksFromCounts staging rationale). The pinned
+    // frame is grid-sized, cheap at any SF, and makes the dispatch
+    // count() a near-free pinned-relation scan.
+    val (g, gridRows) = Checkpoints.cutWithCount(grid)
+    val smallMax = g.sparkSession.conf
+      .getOption(SmallGridConf).map(_.toLong)
+      .getOrElse(DefaultSmallGridMax)
+    if (gridRows <= smallMax) {
+      // bounded grid, MEASURED: one window task is the cheapest plan
+      // (the bucketed path costs ~6 extra stages — pure overhead here).
+      // partitionBy(lit(0)) is semantically the empty partition spec but
+      // keeps WindowExec's "No Partition Defined" alarm meaningful for
+      // genuinely unbounded frames elsewhere.
+      val wOne = Window.partitionBy(lit(0))
+      val wCum = wOne.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      var out = g
+      for (w <- weights) out = out
+        .withColumn(s"cum_$w", sum(col(w)).over(wCum))
+        .withColumn(s"tot_$w", sum(col(w)).over(wOne))
+      if (withGap) out = out.withColumn("gap", coalesce(
+        lead("v", 1).over(wOne.orderBy("v")) - col("v"), lit(0L)))
+      return out
+    }
+    val numeric = g.schema("v").dataType.isInstanceOf[NumericType]
+    val bucketed =
+      if (numeric) quantileBuckets(g, "v", buckets)
+      else g.withColumn("b", lit(0L))
+    val aggs = weights.map(w => sum(col(w)).as(s"__bn_$w")) ++
+      (if (withGap) Seq(min(col("v")).as("__bmin")) else Nil)
+    val wOne = Window.partitionBy(lit(0))
+    val wOff = wOne.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    var offs = bucketed.groupBy("b").agg(aggs.head, aggs.tail: _*)
+    for (w <- weights) offs = offs
+      .withColumn(s"__off_$w",
+        coalesce(sum(col(s"__bn_$w")).over(wOff), lit(0L)))
+      .withColumn(s"tot_$w", sum(col(s"__bn_$w")).over(wOne))
+    if (withGap)
+      offs = offs.withColumn("__nextmin",
+        lead("__bmin", 1).over(wOne.orderBy("b")))
+    val keep = col("b") +: (weights.flatMap(w =>
+      Seq(col(s"__off_$w"), col(s"tot_$w"))) ++
+      (if (withGap) Seq(col("__nextmin")) else Nil))
+    var out = bucketed.join(broadcast(offs.select(keep: _*)), "b")
+    val wb = Window.partitionBy("b").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    for (w <- weights)
+      out = out.withColumn(s"cum_$w", sum(col(w)).over(wb) + col(s"__off_$w"))
+    if (withGap)
+      out = out.withColumn("gap", coalesce(
+        coalesce(lead("v", 1).over(Window.partitionBy("b").orderBy("v")),
+          col("__nextmin")) - col("v"), lit(0L)))
+    out.drop("b" +: "__nextmin" +: weights.map(w => s"__off_$w"): _*)
+  }
+
   /** Per-GROUP contiguous 0-based rank of every row in (`keyCol`, id)
     * order — the grouped generalization of [[twoPhaseRank]], for exact
     * within-group order statistics WITHOUT a per-group window: a window

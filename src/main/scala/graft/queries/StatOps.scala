@@ -2030,14 +2030,19 @@ object StatOps {
           .cast("long")
         val w = Window.partitionBy(col("event_type"), col("dd"))
           .orderBy(col("ts"), col("event_id"))
-        val gaps = ev(s, d)
+        // CUT the gaps frame (r22): the grouped two-phase rank reads its
+        // input three times (lazy quantile probe, per-bucket offsets,
+        // the ranking pass), and here that input is an events scan + a
+        // per-(type, day) lead window — the VERDICT r21 q246 watch item
+        // was exactly this chain executing 3×. Pinned, it runs once.
+        val gaps = graft.operators.Checkpoints.cut(ev(s, d)
           .select(col("event_type"), dd.as("dd"), col("ts"), col("event_id"))
           .withColumn("gap",
             unix_micros(lead(col("ts"), 1).over(w)) - unix_micros(col("ts")))
           .filter(col("gap").isNotNull)
+          .select(col("event_id"), col("event_type"), col("gap")))
         graft.operators.Sampling.exactQuantilesPerGroup(
-            gaps.select(col("event_id"), col("event_type"), col("gap")),
-            "event_id", "event_type", "gap", q = 10)
+            gaps, "event_id", "event_type", "gap", q = 10)
           .select(col("grp").as("event_type"), col("quantile"),
             col("value").as("gap_us"))
           .orderBy("event_type", "quantile")

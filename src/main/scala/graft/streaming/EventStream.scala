@@ -118,6 +118,14 @@ object EventStream {
     * width never changes WHAT a stateful operator computes (keys meet
     * their state wherever they hash; watermarks are global minima), only
     * how many state stores carry it.
+    *
+    * SINGLE-THREADED caller contract (ADVICE r21): the override mutates
+    * the SESSION-global shuffle width for the stream's lifetime, so a
+    * concurrent batch query planned in the same session during that
+    * window would plan under the shrunk width. Verify and Bench run
+    * queries sequentially, which is the supported shape; a caller that
+    * needs concurrency should run the stream in `spark.cloneSession` (a
+    * clone has its own conf) rather than widening this harness helper.
     */
   def runToTable(spark: SparkSession, df: DataFrame, mode: String,
       inputDir: String = null): DataFrame = {

@@ -63,14 +63,24 @@ object GraftSqlShim {
     */
   def persistCut(df: DataFrame,
       level: org.apache.spark.storage.StorageLevel,
-      truncate: Boolean = false): DataFrame = {
+      truncate: Boolean = false): DataFrame =
+    persistCutCounted(df, level, truncate)._1
+
+  /** [[persistCut]] plus the materialized row count — the eager
+    * materialization counts anyway, so size-dispatching callers
+    * ([[graft.operators.Checkpoints.cutWithCount]]) get the cardinality
+    * without a second job.
+    */
+  def persistCutCounted(df: DataFrame,
+      level: org.apache.spark.storage.StorageLevel,
+      truncate: Boolean = false): (DataFrame, Long) = {
     val ds = df.asInstanceOf[classic.Dataset[org.apache.spark.sql.Row]]
     val rdd = ds.queryExecution.toRdd.map(_.copy())
     rdd.persist(level)
     if (truncate) rdd.localCheckpoint()
-    rdd.count()
-    classic.Dataset.ofRows(ds.sparkSession,
+    val n = rdd.count()
+    (classic.Dataset.ofRows(ds.sparkSession,
       org.apache.spark.sql.execution.LogicalRDD
-        .fromDataset(rdd, ds, isStreaming = false))
+        .fromDataset(rdd, ds, isStreaming = false)), n)
   }
 }

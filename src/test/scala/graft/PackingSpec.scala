@@ -210,4 +210,51 @@ class PackingSpec extends SparkSpec {
     assert(empty.columns.toSeq === Seq("id", "n_toks", "stage", "h", "pos")
       && empty.count() === 0)
   }
+
+  test("gridCumsums small and bucketed paths agree on every consumer") {
+    // the r22 pooled-grid cumulative dispatches on measured grid size:
+    // graft.grid.cumsum.smallMax=0 forces the bucketed path, the default
+    // takes the one-task path at this scale — results must be identical
+    // for every operator riding it (inclusive cum, totals, gap splicing,
+    // exclusive cum derived at the caller, non-numeric fallback)
+    import graft.operators.{Drift, Eval}
+    val rnd = new scala.util.Random(7)
+    // near-unique values + heavy ties + negatives, two groups
+    val rows = (1 to 400).map { i =>
+      val g = if (i % 3 == 0) "a" else "b"
+      val v = if (i % 5 == 0) 42L else rnd.nextInt(2000).toLong - 1000L
+      (g, v, (rnd.nextInt(9) + 1).toLong)
+    }
+    val counts = rows.toDF("g", "v", "c")
+    val scored = rows.map { case (g, v, c) => (g == "a", v, c) }
+      .toDF("pos", "v", "c")
+    def both(f: => Array[org.apache.spark.sql.Row])
+        : (Seq[Seq[Any]], Seq[Seq[Any]]) = {
+      val small = f.map(_.toSeq).toSeq
+      spark.conf.set("graft.grid.cumsum.smallMax", "0")
+      try { (small, f.map(_.toSeq).toSeq) }
+      finally spark.conf.unset("graft.grid.cumsum.smallMax")
+    }
+    val (ks1, ks2) = both(
+      Drift.ksFromCounts(counts, "g", "v", "c").collect())
+    assert(ks1.toSet === ks2.toSet && ks1.nonEmpty)
+    val (w11, w12) = both(
+      Drift.w1FromCounts(counts, "g", "v", "c").collect())
+    assert(w11.toSet === w12.toSet && w11.nonEmpty)
+    val (psi1, psi2) = both(
+      Drift.psiBucketsFromCounts(counts, "g", "v", "c", 8).collect())
+    assert(psi1.toSet === psi2.toSet && psi1.nonEmpty)
+    val (auc1, auc2) = both(
+      Eval.aucHistogram(scored, "pos", "v").collect())
+    assert(auc1 === auc2)
+    val (pr1, pr2) = both(
+      Eval.confusionByThreshold(scored, "pos", "v").collect())
+    assert(pr1.toSet === pr2.toSet && pr1.nonEmpty)
+    // non-numeric grid falls back to one bucket on the bucketed path
+    val sCounts = rows.map { case (g, v, c) => (g, f"s$v%05d", c) }
+      .toDF("g", "v", "c")
+    val (ksS1, ksS2) = both(
+      Drift.ksFromCounts(sCounts, "g", "v", "c").collect())
+    assert(ksS1.toSet === ksS2.toSet && ksS1.nonEmpty)
+  }
 }

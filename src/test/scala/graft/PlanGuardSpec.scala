@@ -24,6 +24,37 @@ class PlanGuardSpec extends SparkSpec {
   private def count(pat: String, plan: String): Int =
     pat.r.findAllIn(plan).size
 
+  /** Joins with NO cross-side equality conjunct — condition-less crosses
+    * AND conditioned non-equi predicates alike. Spark can only run these
+    * as BroadcastNestedLoopJoin / CartesianProduct, so the guard demands
+    * a provably-1-row side (the q157 dangling-mass class); r21's
+    * condition-less-only check let a conditioned data-sized nested loop
+    * slip by (VERDICT r21 tighten directive).
+    */
+  private def nonEquiJoins(df: org.apache.spark.sql.DataFrame)
+      : Seq[org.apache.spark.sql.catalyst.plans.logical.Join] = {
+    import org.apache.spark.sql.catalyst.expressions.{EqualNullSafe, EqualTo, Expression}
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    df.queryExecution.optimizedPlan.collect { case j: Join => j }
+      .filterNot { j =>
+        def crossSide(l: Expression, r: Expression) =
+          (l.references.subsetOf(j.left.outputSet) &&
+            r.references.subsetOf(j.right.outputSet)) ||
+          (l.references.subsetOf(j.right.outputSet) &&
+            r.references.subsetOf(j.left.outputSet))
+        j.condition.exists(c => c.collect {
+          case EqualTo(l, r) if crossSide(l, r) => true
+          case EqualNullSafe(l, r) if crossSide(l, r) => true
+        }.nonEmpty)
+      }
+  }
+
+  private def assertNonEquiOneRow(q: String): Unit =
+    nonEquiJoins(SparkEntry.queries(q)(spark, dir)).foreach(j => assert(
+      j.left.maxRows.contains(1L) || j.right.maxRows.contains(1L),
+      s"$q: every non-equi join (condition-less or conditioned without " +
+        "an equi key) must have a provably-1-row side"))
+
   test("q03 star join: all dims broadcast, no sort-merge, single agg exchange") {
     val p = finalPlan("q03_star_join_broadcast")
     assert(count("BroadcastHashJoin", p) === 3,
@@ -130,16 +161,12 @@ class PlanGuardSpec extends SparkSpec {
       assert(!p.contains("CartesianProduct"),
         s"$q: the rank-block neighborhood join must stay an equi-join " +
           s"(O(n·w) by construction):\n$p")
-      // the ONLY condition-less joins allowed are the broadcast
+      // the ONLY nested-loop-class joins allowed are the broadcast
       // crossJoins of provably-1-row frames (r21: the lazy quantile-cuts
       // aggregate of the two-phase rank — the q157 dangling-mass class);
-      // a data-sized cross would show as a >1-maxRows side
-      SparkEntry.queries(q)(spark, dir).queryExecution.optimizedPlan.collect {
-        case j: org.apache.spark.sql.catalyst.plans.logical.Join
-            if j.condition.isEmpty => j
-      }.foreach(j => assert(
-        j.left.maxRows.contains(1L) || j.right.maxRows.contains(1L),
-        s"$q: every condition-less join must have a provably-1-row side"))
+      // r22 tighten: CONDITIONED non-equi joins are held to the same
+      // 1-row-side bar, not just condition-less ones
+      assertNonEquiOneRow(q)
       // no corpus-wide window: every row_number must be bucket-partitioned
       // (the offsets frame over `buckets` rows aggregates, it does not window)
       val df = SparkEntry.queries(q)(spark, dir)
@@ -530,13 +557,20 @@ class PlanGuardSpec extends SparkSpec {
     val windows = df.queryExecution.optimizedPlan.collect {
       case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
     }
-    assert(windows.size === 1)
-    val aggsBelow = windows.head.child.collect {
-      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    assert(windows.nonEmpty)
+    // r22: the histogram is pinned (Checkpoints.cut) before the window —
+    // the aggregate runs once at cut time, so the window's subtree shows
+    // either the Aggregate itself or the grid-schema LogicalRDD cut;
+    // a window over RAW corpus rows would show the corpus scan instead
+    windows.foreach { w =>
+      val gridBelow = w.child.collect {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+        case l: org.apache.spark.sql.execution.LogicalRDD => l
+      }
+      assert(gridBelow.nonEmpty,
+        s"the window must ride the histogram aggregate or its pinned " +
+          s"cut, not raw rows:\n${df.queryExecution.optimizedPlan}")
     }
-    assert(aggsBelow.nonEmpty,
-      s"the window must ride the histogram aggregate, not raw rows:\n" +
-        df.queryExecution.optimizedPlan)
   }
 
   test("q219 attribution window: band join is equi on (user, bucket), no cartesian") {
@@ -570,15 +604,20 @@ class PlanGuardSpec extends SparkSpec {
     }
     assert(windows.nonEmpty)
     windows.foreach { w =>
-      val aggsBelow = w.collect {
+      // r22: the class histogram is pinned (Checkpoints.cut) before the
+      // windows — accept the Aggregate or its grid-schema LogicalRDD cut
+      val gridBelow = w.collect {
         case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+        case l: org.apache.spark.sql.execution.LogicalRDD => l
       }
-      assert(aggsBelow.nonEmpty,
-        s"every window must sit above the histogram aggregate:\n" +
-          df.queryExecution.optimizedPlan)
+      assert(gridBelow.nonEmpty,
+        s"every window must sit above the histogram aggregate or its " +
+          s"pinned cut:\n${df.queryExecution.optimizedPlan}")
     }
     // and the whole table rides ONE corpus scan: class totals are
     // whole-grid windows, not a second aggregate branch over the scan
+    // (r22: the corpus scan runs once at cut time, so the main plan
+    // shows ZERO parquet scans)
     val p = finalPlan("q211_pr_thresholds")
     assert(count("FileScan|Scan parquet", p) <= 1,
       s"the totals must not re-scan the corpus:\n$p")
@@ -833,13 +872,28 @@ class PlanGuardSpec extends SparkSpec {
       assert(!p.contains("CartesianProduct"), s"$q:\n$p")
       // r21: q311's grouped two-phase ranks carry the lazy quantile-cuts
       // broadcast (a provably-1-row crossJoin, the q157 dangling class);
-      // any OTHER condition-less join is still a bug
-      SparkEntry.queries(q)(spark, dir).queryExecution.optimizedPlan.collect {
-        case j: org.apache.spark.sql.catalyst.plans.logical.Join
-            if j.condition.isEmpty => j
-      }.foreach(j => assert(
-        j.left.maxRows.contains(1L) || j.right.maxRows.contains(1L),
-        s"$q: every condition-less join must have a provably-1-row side"))
+      // r22 tighten: conditioned non-equi joins held to the same bar
+      assertNonEquiOneRow(q)
     }
+  }
+
+  test("the non-equi guard flags a conditioned data-sized nested loop (synthetic)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val a = Seq(1L, 2L, 3L).toDF("x")
+    val b = Seq(1L, 2L, 3L).toDF("y")
+    // conditioned but with no equi key and both sides >1 row: Spark can
+    // only nested-loop this — exactly the shape r21's condition-less-only
+    // check waved through
+    val bad = a.join(b, col("x") < col("y"))
+    val flagged = nonEquiJoins(bad)
+    assert(flagged.nonEmpty, "a conditioned non-equi join must be flagged")
+    assert(flagged.exists(j =>
+      !(j.left.maxRows.contains(1L) || j.right.maxRows.contains(1L))),
+      "the synthetic violation has no 1-row side, so the guard must fail it")
+    // and an equi-keyed join with a residual range predicate is NOT flagged
+    val ok = a.join(b.withColumnRenamed("y", "x").withColumn("z", col("x") + 1),
+      Seq("x")).where(col("z") > col("x"))
+    assert(nonEquiJoins(ok).isEmpty)
   }
 }

@@ -38,8 +38,14 @@ HOT_PREMIUM = 1.25
 
 def observations(path):
     d = json.load(open(path))
-    if "queries" in d and isinstance(next(iter(d["queries"].values()), None),
-                                     dict):
+    # format detection by top-level marker (ADVICE r21): a detail artifact
+    # always carries "total_adj"; an empty or unrecognized board is an
+    # ERROR, never a silent zero-observation contribution
+    if "total_adj" in d:
+        if not d.get("queries"):
+            raise SystemExit(f"{path}: detail artifact with an empty "
+                             "queries map — refusing to contribute zero "
+                             "observations silently")
         # detail-artifact format
         premium = d.get("premium")
         hot = premium is not None and premium > HOT_PREMIUM
@@ -56,8 +62,13 @@ def observations(path):
                   f"sweep values excluded, {len(obs)} retimes kept")
         return obs
     # legacy capped-line format
+    if "parsed" not in d:
+        raise SystemExit(f"{path}: neither a detail artifact (total_adj) "
+                         "nor a legacy board (parsed) — unrecognized format")
     p = d.get("parsed") or {}
     qs = p.get("queries") or {}
+    if not qs:
+        raise SystemExit(f"{path}: legacy board with an empty queries map")
     premium = p.get("premium")
     hot = premium is not None and premium > HOT_PREMIUM
     obs = {}
